@@ -1,13 +1,359 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.util.Sessions
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and §7
+  * (build plan). One `queries` entry per implemented operator; `oracleSql`
+  * holds the DuckDB-equivalent ANSI SQL for hash-comparison (omitted only
+  * for ops that are not ANSI-SQL-expressible, e.g. MinHash LSH).
+  *
+  * Determinism rules applied throughout (SURVEY §2 preamble): total-order
+  * sort on a unique key; money sums as DECIMAL(18,2) (associative, partition-
+  * order independent); doubles rounded to 4 decimals; `events.ts` (parquet
+  * TIMESTAMP(NANOS)) surfaced as epoch-µs BIGINT on both engines; ISO
+  * day-of-week; explicit NULLS FIRST in every oracle ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query (TPC-H-Q1-shaped grouped aggregation, SURVEY §7.2) on
+    * sf0.001; driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Sessions.tune(spark)
+    Relational.aggGroup(spark, "/root/testdata/sf0.001")
+  }
+
+  private def q(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Sessions.tune(s), dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core relational tier (SURVEY §2.1 ops 1, 2, 11, 14, 15 + §2.2 completions)
+    "q_scan_project"      -> q(Relational.scanProject),
+    "q_filter_predicate"  -> q(Relational.filterPredicate),
+    "q_agg_group"         -> q(Relational.aggGroup),
+    "q_join_inner_equi"   -> q(Relational.joinInnerEqui),
+    "q_join_left_outer"   -> q(Relational.joinLeftOuter),
+    "q_join_semi"         -> q(Relational.joinSemi),
+    "q_join_anti"         -> q(Relational.joinAnti),
+    "q_distinct"          -> q(Relational.distinctKeys),
+    "q_topk"              -> q(Relational.topK),
+    "q_set_ops"           -> q(Relational.setOps),
+    "q_rollup"            -> q(Relational.rollupAgg),
+    "q_cube"              -> q(Relational.cubeAgg),
+    // warehouse tier (ops 3-5, 12, 13, 16, 18, 21, 22)
+    "q_watermark_max"     -> q(Warehouse.watermarkMax),
+    "q_coalesce_default"  -> q(Warehouse.coalesceDefault),
+    "q_incr_range_filter" -> q(Warehouse.incrRangeFilter),
+    "q_scd_insert_new"    -> q(Warehouse.scdInsertNew),
+    "q_merge_upsert"      -> q(Warehouse.mergeUpsertQ),
+    "q_mark_processed"    -> q(Warehouse.markProcessed),
+    "q_cdc_changes"       -> q(Warehouse.cdcChanges),
+    "q_date_dim_generate" -> q(Warehouse.dateDimGenerate),
+    "q_scd2_versions"     -> q(Warehouse.scd2Versions),
+    // data-quality tier (ops 8, 9, 10, 17)
+    "q_dedup_rownum"      -> q(Quality.dedupRownum),
+    "q_impute_avg"        -> q(Quality.imputeAvg),
+    "q_outlier_zscore"    -> q(Quality.outlierZscore),
+    "q_update_conditional"-> q(Quality.updateConditional),
+    // enrichment tier (ops 6, 7, 19, 20)
+    "q_arrays_zip_explode"-> q(Enrichment.arraysZipExplode),
+    "q_json_extract"      -> q(Enrichment.jsonExtract),
+    "q_scalar_date_funcs" -> q(Enrichment.scalarDateFuncs),
+    "q_scalar_math_funcs" -> q(Enrichment.scalarMathFuncs),
+    // event-time windowing tier (§2.3)
+    "q_window_tumbling"   -> q(Windows.tumbling),
+    "q_session_gaps"      -> q(Windows.sessionGaps),
+    "q_window_frame"      -> q(Windows.windowFrame),
+  )
+
+  /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        | CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "q_filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_returnflag, l_linestatus, l_quantity
+        |FROM lineitem
+        |WHERE (l_returnflag = 'R' OR l_linestatus = 'F')
+        |  AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS sum_disc_price,
+        | floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        | floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        | floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_inner_equi" ->
+      """SELECT p_brand,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+        | o_orderpriority
+        |FROM orders
+        |ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | count(*) AS n_rows,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n_orders,
+        | count(DISTINCT o_custkey) AS n_customers,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_watermark_max" ->
+      """SELECT max(CAST(o_orderdate AS DATE)) AS max_date FROM orders
+        |WHERE o_custkey = (SELECT c_custkey FROM customer
+        |                   WHERE c_name = 'Customer#000000042')""".stripMargin,
+
+    "q_coalesce_default" ->
+      """SELECT coalesce(max(CAST(o_orderdate AS DATE)), DATE '2000-01-01') AS since_date
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_name = 'Customer#NOSUCH')""".stripMargin,
+
+    "q_incr_range_filter" ->
+      """SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_date,
+        | max(CAST(o_orderdate AS DATE)) + 1 AS start_date,
+        | DATE '2000-06-01' AS end_date
+        |FROM orders GROUP BY o_custkey
+        |HAVING max(CAST(o_orderdate AS DATE)) + 1 <= DATE '2000-06-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_scd_insert_new" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey < 100
+        |UNION ALL
+        |SELECT DISTINCT o_custkey AS c_custkey, NULL AS c_name, NULL AS c_mktsegment
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) AS o_totalprice,
+        |         CAST(o_orderdate AS DATE) AS o_orderdate
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'),
+        |s AS (
+        |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+        |         CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.1 AS DECIMAL(30,4)) AS o_totalprice,
+        |         CAST(o_orderdate AS DATE) AS o_orderdate
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01')
+        |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |       coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+        |       coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+        |       coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+        |       coalesce(s.o_orderdate, t.o_orderdate) AS o_orderdate
+        |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY 1""".stripMargin,
+
+    "q_mark_processed" ->
+      """SELECT event_id, user_id, event_type, TRUE AS is_processed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_cdc_changes" ->
+      """WITH o_old AS (
+        |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) AS p
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-06-01'),
+        |o_new AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderpriority = '1-URGENT'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.05 AS DECIMAL(30,4))
+        |              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END AS p
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+        |SELECT n.o_orderkey AS o_orderkey, n.p AS new_price,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |            WHEN o.p <> n.p THEN 'update'
+        |            ELSE 'unchanged' END AS change_type
+        |FROM o_new n LEFT JOIN o_old o ON o.o_orderkey = n.o_orderkey
+        |WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |           WHEN o.p <> n.p THEN 'update'
+        |           ELSE 'unchanged' END <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_date_dim_generate" ->
+      """SELECT CAST(g AS DATE) AS d,
+        | CAST(year(CAST(g AS DATE)) AS INT) AS yr,
+        | CAST(quarter(CAST(g AS DATE)) AS INT) AS qtr,
+        | CAST(month(CAST(g AS DATE)) AS INT) AS mo,
+        | CAST(day(CAST(g AS DATE)) AS INT) AS dom,
+        | CAST(isodow(CAST(g AS DATE)) AS INT) AS dow_iso,
+        | isodow(CAST(g AS DATE)) >= 6 AS is_weekend
+        |FROM generate_series(DATE '2000-01-01', DATE '2002-12-31', INTERVAL 1 DAY) t(g)
+        |ORDER BY d""".stripMargin,
+
+    "q_scd2_versions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'signup')
+        |SELECT user_id, event_id, ts_us AS valid_from_us,
+        |       lead(ts_us) OVER w AS valid_to_us,
+        |       lead(ts_us) OVER w IS NULL AS is_current
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "q_dedup_rownum" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts_us,
+        | floor(value * 10000.0 + 0.5) / 10000.0 AS value
+        |FROM e WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_impute_avg" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+        |         CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS mo,
+        |         CASE WHEN l_linenumber <> 3 THEN l_quantity END AS m1,
+        |         CASE WHEN l_linenumber <> 4 THEN l_discount END AS m2
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT *, avg(m1) OVER (PARTITION BY l_returnflag, mo) AS a1,
+        |            avg(m2) OVER (PARTITION BY l_returnflag, mo) AS a2
+        |  FROM li)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, mo,
+        | floor((CASE WHEN m1 IS NULL OR m2 IS NULL THEN a1 ELSE m1 END) * 10000.0 + 0.5) / 10000.0 AS m1_filled,
+        | floor((CASE WHEN m1 IS NULL OR m2 IS NULL THEN a2 ELSE m2 END) * 10000.0 + 0.5) / 10000.0 AS m2_filled
+        |FROM w ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "q_outlier_zscore" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        | floor((CASE WHEN s.sigma IS NULL OR s.sigma = 0
+        |                  OR abs(e.value - s.mu) / s.sigma <= 3
+        |             THEN e.value ELSE s.mu END) * 10000.0 + 0.5) / 10000.0 AS value_capped
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_update_conditional" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+        | CASE WHEN l_returnflag = 'R' AND l_quantity > 30
+        |      THEN CAST(30.0 AS DOUBLE) ELSE l_quantity END AS qty_capped
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "q_arrays_zip_explode" ->
+      """SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+        | floor(CAST(v AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS v
+        |FROM (SELECT vec_id, unnest(embedding) AS v,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings WHERE vec_id < 8) u
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "q_scalar_date_funcs" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        | CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        | CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+        | CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS mo,
+        | CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS dow_iso,
+        | CASE WHEN month(CAST(o_orderdate AS DATE)) IN (12,1,2) THEN 'winter'
+        |      WHEN month(CAST(o_orderdate AS DATE)) IN (3,4,5) THEN 'spring'
+        |      WHEN month(CAST(o_orderdate AS DATE)) IN (6,7,8) THEN 'summer'
+        |      ELSE 'autumn' END AS season
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_scalar_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS net_price,
+        | floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000.0 + 0.5) / 10000.0 AS charged,
+        | floor(abs(l_discount - l_tax) * 10000.0 + 0.5) / 10000.0 AS abs_disc_tax_gap,
+        | floor((CASE WHEN l_quantity <> 0.0 THEN l_extendedprice / l_quantity END) * 10000.0 + 0.5) / 10000.0 AS unit_price,
+        | CASE WHEN l_discount >= 0.05 THEN 'high' ELSE 'low' END AS disc_band
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "q_window_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        | count(*) AS n_events,
+        | floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_session_gaps" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                          OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |                     ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | floor(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |       * 10000.0 + 0.5) / 10000.0 AS mavg4
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+  )
 }

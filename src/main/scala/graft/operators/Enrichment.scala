@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Enrichment tier: columnar→row unpivot, JSON extraction, date/math scalar
+  * suites (ref /root/reference/etl/extract_weather.py:45–65,
+  * transform_load.sql:21–35). All narrow, codegen'd expressions — no
+  * shuffles except the final presentation sort.
+  */
+object Enrichment {
+
+  /** Parallel-array unpivot (ref extract_weather.py:57–65 — the Open-Meteo
+    * struct-of-arrays walked index by index into rows). posexplode is the
+    * Spark-native generator: one input row fans out to |array| rows inside
+    * whole-stage codegen, no driver loop. Testdata: embeddings.embedding.
+    */
+  def arraysZipExplode(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"),
+                r4(col("v").cast("double")).as("v")),
+      "vec_id", "pos")
+
+  /** JSON point extraction (ref extract_weather.py:45–47 — navigate
+    * `data['daily']`; README.md:40 declares raw-JSON staging). get_json_object
+    * on events.props, typed to INT. On the declared-intent staging shape the
+    * same pipeline is from_json with an explicit StructType schema.
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      events(spark, sfDir)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") > 50),
+      "event_id")
+
+  /** Date-part scalar suite (ref transform_load.sql:21–22 `MONTH(date)`;
+    * README.md:232 — planned "season based on date, day of week"
+    * enrichment). ISO day-of-week so both engines agree on numbering.
+    */
+  def scalarDateFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    ordered(
+      t(spark, sfDir, "orders").select(
+        col("o_orderkey"),
+        d.as("o_date"),
+        year(d).as("yr"),
+        quarter(d).as("qtr"),
+        month(d).as("mo"),
+        (weekday(d) + 1).as("dow_iso"), // ISO 1=Mon..7=Sun, = DuckDB isodow()
+        when(month(d).isin(12, 1, 2), "winter")
+          .when(month(d).isin(3, 4, 5), "spring")
+          .when(month(d).isin(6, 7, 8), "summer")
+          .otherwise("autumn").as("season")),
+      "o_orderkey")
+  }
+
+  /** Math scalar suite (ref transform_load.sql:35 — ABS/division/CASE in the
+    * z-score expression; README.md:234 — planned derived measures). Derived
+    * net/profit columns with guard-railed division.
+    */
+  def scalarMathFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        r4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        r4(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charged"),
+        r4(abs(col("l_discount") - col("l_tax"))).as("abs_disc_tax_gap"),
+        r4(when(col("l_quantity") =!= 0.0, col("l_extendedprice") / col("l_quantity"))).as("unit_price"),
+        when(col("l_discount") >= 0.05, "high").otherwise("low").as("disc_band")),
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Data-quality tier: window dedup, group-average imputation, z-score
+  * outlier capping, conditional rewrite (ref
+  * /root/reference/etl/transform_load.sql:9–38). All window/group shapes —
+  * one shuffle on the partition key each, partial aggregation map-side.
+  */
+object Quality {
+
+  /** Reusable keyed dedup: keep exactly one row per key with a DETERMINISTIC
+    * tiebreaker. The reference dedups with `ROW_NUMBER() OVER (PARTITION BY
+    * city_name, date ORDER BY (SELECT NULL))` and keeps an arbitrary row
+    * (transform_load.sql:9–16) — nondeterministic by construction; we define
+    * latest-then-highest-id order instead (documented divergence, SURVEY
+    * §7.5.3) so results hash-match across engines and runs.
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[String], orderDesc: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderDesc.map(c => col(c).desc): _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Latest event per (user_id, event_type) — the reference's staging dedup
+    * re-expressed (transform_load.sql:9–16). Ties on ts_us break by
+    * event_id desc.
+    */
+  def dedupRownum(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      dedupLatest(events(spark, sfDir), Seq("user_id", "event_type"),
+                  Seq("ts_us", "event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+                col("ts_us"), r4(col("value")).as("value")),
+      "user_id", "event_type")
+
+  /** Missing-value imputation by group average (ref transform_load.sql:20–24;
+    * README.md:230). The reference's correlated scalar subqueries become one
+    * window-average pass. Deliberately replicated quirk: a row with EITHER
+    * measure NULL gets BOTH measures overwritten by the group average (the
+    * reference UPDATE's WHERE hits the row once and SETs both columns).
+    * NULLs are synthesized deterministically from lineitem (testdata has
+    * none): m1 missing when l_linenumber=3, m2 missing when l_linenumber=4;
+    * group = (l_returnflag, month of shipdate) mirroring (city, month).
+    */
+  def imputeAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_returnflag"),
+      month(col("l_shipdate")).as("mo"),
+      when(col("l_linenumber") =!= 3, col("l_quantity")).as("m1"),
+      when(col("l_linenumber") =!= 4, col("l_discount")).as("m2"))
+    val w = Window.partitionBy(col("l_returnflag"), col("mo"))
+    val needs = col("m1").isNull || col("m2").isNull
+    ordered(
+      li.withColumn("avg1", avg(col("m1")).over(w))
+        .withColumn("avg2", avg(col("m2")).over(w))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag"), col("mo"),
+          r4(when(needs, col("avg1")).otherwise(col("m1"))).as("m1_filled"),
+          r4(when(needs, col("avg2")).otherwise(col("m2"))).as("m2_filled")),
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  /** Z-score outlier capping (ref transform_load.sql:27–38; README.md:231):
+    * per event_type mean/stddev_samp; |x−μ|/σ > 3 ⇒ replace with μ.
+    * Semantic trap handled per SURVEY §2 op 10: SQL Server raises div/0 for
+    * σ=0 and yields NULL comparisons for 1-row groups (keeping the value);
+    * Spark would silently produce NaN/Inf — so σ=0-or-NULL keeps the
+    * original value, mirrored as nullif(stddev,0) in the oracle.
+    * Group stats via one aggregate + broadcast-join back (groups are few);
+    * at 100 TB this stays two scans of the fact with a tiny broadcast,
+    * never a window sort over the whole table.
+    */
+  def outlierZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    val keep = col("sigma").isNull || col("sigma") === 0.0 ||
+               abs(col("value") - col("mu")) / col("sigma") <= 3.0
+    ordered(
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+                r4(when(keep, col("value")).otherwise(col("mu"))).as("value_capped")),
+      "event_id")
+  }
+
+  /** Conditional in-place rewrite (ref transform_load.sql:34–38 — UPDATE …
+    * CASE … FROM self-join). Same CASE shape on its own: cap quantity at 30
+    * for returned ('R') items. Narrow map, zero shuffle.
+    */
+  def updateConditional(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                col("l_suppkey"), col("l_returnflag"),
+                when(col("l_returnflag") === "R" && col("l_quantity") > 30, lit(30.0))
+                  .otherwise(col("l_quantity")).as("qty_capped")),
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Core relational tier: scan/project, filter, aggregate, joins, distinct,
+  * sort/limit, set ops, rollup. Re-expresses the reference's T-SQL statement
+  * shapes (ref: /root/reference/etl/transform_load.sql) over the driver
+  * testdata. Everything here is stock Catalyst — declarative plans so
+  * predicate pushdown, column pruning and AQE join planning stay free.
+  */
+object Relational {
+
+  /** Scan + projection (ref transform_load.sql:52–58 — the MERGE source
+    * SELECT). Only 4 of 11 lineitem columns are touched; the Parquet reader
+    * must show exactly those in ReadSchema (column pruning at 100 TB is the
+    * difference between reading 4 TB and 11 TB).
+    */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                col("l_suppkey"), col("l_quantity"),
+                money(col("l_extendedprice")).as("l_extendedprice")),
+      // (orderkey, linenumber) alone is NOT unique in the synthetic data —
+      // partkey+suppkey complete the total order (verified: no dup quads)
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  /** Compound-predicate filter (ref transform_load.sql:14, 24, 38, 60 —
+    * `WHERE is_processed = 0 AND (a IS NULL OR b IS NULL)` shapes). The whole
+    * predicate is pushdown-eligible; verify PushedFilters in explain().
+    */
+  def filterPredicate(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .filter((col("l_returnflag") === "R" || col("l_linestatus") === "F") &&
+                col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+                col("l_suppkey"), col("l_returnflag"), col("l_linestatus"),
+                col("l_quantity")),
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  /** Grouped aggregation, TPC-H Q1 shape (ref transform_load.sql:28–32 —
+    * AVG/STDEV per city; extract_weather.py:27 — MAX). Hash aggregate with
+    * partial (map-side) + final phases — the only shuffle carries one row per
+    * (group × partition), so this scales linearly to any fact size.
+    * Money sums use DECIMAL for partition-order-independent exactness.
+    */
+  def aggGroup(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(money(col("l_quantity"))).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).as("sum_base_price"),
+          sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+            .cast("decimal(30,4)").as("sum_disc_price"),
+          r4(avg(col("l_quantity"))).as("avg_qty"),
+          r4(avg(col("l_extendedprice"))).as("avg_price"),
+          r4(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      "l_returnflag", "l_linestatus")
+
+  /** Equi inner join fact ⋈ dim (ref transform_load.sql:58–59 — stg JOIN
+    * dim_city ON city_name). `part` is a dimension: explicitly broadcast so
+    * the 100 TB fact never shuffles for this join — a shuffled sort-merge
+    * join here would be the single largest cost in the pipeline.
+    */
+  def joinInnerEqui(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .join(broadcast(t(spark, sfDir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+            .cast("decimal(30,4)").as("revenue"),
+          count(lit(1)).as("n_items")),
+      "p_brand")
+
+  /** Left outer join keeping customers with no orders (NULL-extended side),
+    * the keyed-outer-join shape underlying the reference's MERGE ON clause
+    * (transform_load.sql:62). Aggregates after the join; customer is the
+    * smaller side but outer-join direction pins the build side — AQE still
+    * broadcasts the dim.
+    */
+  def joinLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    ordered(
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             sum(money(col("o_totalprice"))).as("total_spend")),
+      "c_custkey")
+  }
+
+  /** Left semi join — the watermark scalar-subquery shape
+    * (extract_weather.py:27) as a set operation: customers that have at
+    * least one URGENT order. Semi joins never duplicate the left side, so
+    * they shuffle strictly less than inner-join+distinct.
+    */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    ordered(
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      "c_custkey")
+  }
+
+  /** Left anti join — the `WHEN NOT MATCHED` half of the reference MERGE
+    * (transform_load.sql:46, 68): customers with no orders at all.
+    */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    ordered(
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      "c_custkey")
+  }
+
+  /** DISTINCT (ref transform_load.sql:44 — `SELECT DISTINCT city_name`).
+    * Implemented as a hash aggregate over the key — partial distinct runs
+    * map-side, so the shuffle carries unique values only.
+    */
+  def distinctKeys(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus")).distinct(),
+      "o_orderpriority", "o_orderstatus")
+
+  /** Sort + limit (top-k). Spark plans orderBy+limit as TakeOrderedAndProject:
+    * each partition keeps a k-row heap and only k rows per partition reach
+    * the driver — no global sort, scale-safe for any fact size.
+    * Ties broken by unique key so the k-set is deterministic.
+    */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), money(col("o_totalprice")).as("o_totalprice"),
+              col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Set operations: UNION / EXCEPT (CDC-diff primitive, SURVEY §2 op 18).
+    * (building-segment customers ∪ big-order customers) ∖ negative-balance
+    * customers. Spark's EXCEPT/UNION-distinct are aggregate-based — no
+    * cartesian anywhere.
+    */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bigSpend = t(spark, sfDir, "orders").filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    val negative = c.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    ordered(building.union(bigSpend).distinct().except(negative), "c_custkey")
+  }
+
+  /** ROLLUP aggregation — the natural completion of the reference's generic
+    * "business rules and aggregations" (README.md:237). grouping_id()
+    * disambiguates NULL-as-subtotal from NULL data on both engines.
+    */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(money(col("l_quantity"))).as("sum_qty"),
+             count(lit(1)).as("n_rows"),
+             grouping_id().cast("int").as("gid")),
+      "gid", "l_returnflag", "l_linestatus")
+
+  /** CUBE over two dims with exact count-distinct — grouping-set execution
+    * expands rows map-side; count(distinct) plans as a two-phase expand+agg.
+    */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             countDistinct(col("o_custkey")).as("n_customers"),
+             grouping_id().cast("int").as("gid")),
+      "gid", "o_orderstatus", "o_orderpriority")
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Warehouse tier: incremental watermarks, SCD merges, fact upserts, CDC
+  * diffs, date dimension. The reference's in-place MERGE/UPDATE statements
+  * (ref /root/reference/etl/transform_load.sql) become immutable
+  * read → transform → new-snapshot dataflows (no Delta jars ⇒ no
+  * transactional MERGE), which is also the only shape that scales: a 100 TB
+  * fact is rewritten per-partition, never row-locked.
+  */
+object Warehouse {
+
+  // ── reusable merge library (SURVEY §7.3 step 3) ────────────────────────
+
+  /** Insert-only dimension merge (ref transform_load.sql:43–47: MERGE …
+    * WHEN NOT MATCHED THEN INSERT — never updates existing rows). New keys
+    * arrive via left-anti join; unseen attribute columns stay NULL exactly
+    * like the reference's INSERT of only (city_name).
+    */
+  def mergeInsertNew(target: DataFrame, source: DataFrame, key: String): DataFrame = {
+    val newKeys = source.select(col(key)).distinct()
+      .join(target, Seq(key), "left_anti")
+    target.unionByName(newKeys, allowMissingColumns = true)
+  }
+
+  /** Keyed upsert via full-outer join + per-column coalesce (ref
+    * transform_load.sql:50–70: MATCHED → UPDATE measures, NOT MATCHED →
+    * INSERT). `updateCols` take the source value when present; all other
+    * target columns survive. Caller must pre-dedup the source on the key —
+    * SQL Server's MERGE errors on duplicate source keys, and we assert the
+    * same invariant upstream (Quality.dedupLatest).
+    * Scale note: this is one shuffle on the merge key for each side; with
+    * both snapshots bucketed by the key it becomes a zero-shuffle join.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+                  updateCols: Seq[String]): DataFrame = {
+    // string-qualified refs ("mt.k") — target/source usually share lineage
+    // (both snapshots of one table), so DataFrame-apply refs are ambiguous
+    val t = target.alias("mt")
+    val s = source.alias("ms")
+    def mt(c: String) = col(s"mt.$c"); def ms(c: String) = col(s"ms.$c")
+    val cond = keys.map(k => mt(k) <=> ms(k)).reduce(_ && _)
+    val joined = t.join(s, cond, "full_outer")
+    val keyCols = keys.map(k => coalesce(ms(k), mt(k)).as(k))
+    val updCols = updateCols.map(c => coalesce(ms(c), mt(c)).as(c))
+    val passCols = target.columns.toSeq.filterNot(c => keys.contains(c) || updateCols.contains(c))
+      .map(c => mt(c).as(c))
+    joined.select(keyCols ++ updCols ++ passCols: _*)
+  }
+
+  // ── SURVEY §2 operators ────────────────────────────────────────────────
+
+  /** Incremental watermark: scalar MAX with an equality-filtered dimension
+    * lookup (ref extract_weather.py:26–28). The dim filter reduces to one
+    * key before touching the fact — broadcast semi-join, no fact shuffle.
+    */
+  def watermarkMax(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer").filter(col("c_name") === "Customer#000000042")
+    t(spark, sfDir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .agg(max(col("o_orderdate").cast("date")).as("max_date"))
+  }
+
+  /** NULL-default on an empty watermark (ref extract_weather.py:28 —
+    * `fetchone()[0] or datetime(2000,1,1)`): the probe key matches no dim
+    * row, MAX over zero rows is NULL, COALESCE supplies the epoch default.
+    */
+  def coalesceDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = t(spark, sfDir, "customer").filter(col("c_name") === "Customer#NOSUCH")
+    t(spark, sfDir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .agg(coalesce(max(col("o_orderdate").cast("date")),
+                    lit("2000-01-01").cast("date")).as("since_date"))
+  }
+
+  /** Incremental window arithmetic (ref extract_weather.py:31–34): per key,
+    * start = watermark + 1 day, end = fixed cutoff (stand-in for
+    * `current_date`, pinned for determinism), keep keys where start <= end.
+    */
+  def incrRangeFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("2000-06-01").cast("date")
+    ordered(
+      t(spark, sfDir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_date"))
+        .withColumn("start_date", date_add(col("last_date"), 1))
+        .withColumn("end_date", cutoff)
+        .filter(col("start_date") <= col("end_date")),
+      "o_custkey")
+  }
+
+  /** Dimension insert-new over testdata: dim = customers 0–99 (the "known"
+    * dimension), staging = distinct order customers; never-seen keys enter
+    * with NULL attributes (ref transform_load.sql:43–47).
+    */
+  def scdInsertNew(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = t(spark, sfDir, "customer").filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val stg = t(spark, sfDir, "orders").select(col("o_custkey").as("c_custkey"))
+    ordered(mergeInsertNew(dim, stg, "c_custkey"), "c_custkey")
+  }
+
+  /** Fact upsert over testdata (ref transform_load.sql:50–70): target =
+    * historical orders snapshot, source = a "restated" slice (totalprice
+    * +10%) of recent orders; matched keys take the restated measures, new
+    * keys insert, unmatched history survives.
+    */
+  def mergeUpsertQ(spark: SparkSession, sfDir: String): DataFrame = {
+    // widen money to scale 4 up front: ×1.1 yields ≤3 decimals, so every
+    // later cast is exact — a narrowing cast would round-half differently
+    // on the two engines (Spark HALF_UP vs DuckDB HALF_EVEN)
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              money(col("o_totalprice")).cast("decimal(30,4)").as("o_totalprice"),
+              col("o_orderdate").cast("date").as("o_orderdate"))
+    val cut = lit("1999-01-01").cast("date")
+    val target = orders.filter(col("o_orderdate") < cut)
+    val source = orders.filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+      .withColumn("o_totalprice",
+        (col("o_totalprice") * lit(1.1).cast("decimal(2,1)")).cast("decimal(30,4)"))
+      .withColumn("o_orderstatus", lit("R"))
+    ordered(
+      mergeUpsert(target, source, Seq("o_orderkey"),
+                  Seq("o_totalprice", "o_orderstatus", "o_custkey", "o_orderdate")),
+      "o_orderkey")
+  }
+
+  /** Whole-table bookkeeping flag flip (ref transform_load.sql:73 —
+    * `UPDATE stg SET is_processed = 1` unconditionally). Pure narrow map +
+    * snapshot overwrite; zero shuffle.
+    */
+  def markProcessed(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      graft.util.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("is_processed", lit(true)),
+      "event_id")
+
+  /** CDC as snapshot diff (ref CDC.sql:1–2; README.md:375–384): classify
+    * rows between two snapshots as insert / update via a keyed full-outer
+    * comparison — the no-Delta replacement for `cdc.dbo_fact_weather_CT`.
+    * Unchanged rows are filtered out, like a CDC change table.
+    */
+  def cdcChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    // scale-4 money so the ×1.05 restatement (≤4 decimals) stays exact on
+    // both engines — see mergeUpsertQ note on narrowing-cast rounding
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+              money(col("o_totalprice")).cast("decimal(30,4)").as("o_totalprice"),
+              col("o_orderdate").cast("date").as("o_orderdate"),
+              col("o_orderpriority"))
+    val oldSnap = orders.filter(col("o_orderdate") < lit("1997-06-01").cast("date")).as("a")
+    val newSnap = orders.filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .withColumn("o_totalprice",
+        when(col("o_orderpriority") === "1-URGENT",
+             (col("o_totalprice") * lit(1.05).cast("decimal(3,2)")).cast("decimal(30,4)"))
+        .otherwise(col("o_totalprice"))).as("b")
+    val j = newSnap.join(oldSnap, col("a.o_orderkey") === col("b.o_orderkey"), "left")
+    ordered(
+      j.select(col("b.o_orderkey").as("o_orderkey"),
+               col("b.o_totalprice").as("new_price"),
+               when(col("a.o_orderkey").isNull, lit("insert"))
+                 .when(col("a.o_totalprice") =!= col("b.o_totalprice"), lit("update"))
+                 .otherwise(lit("unchanged")).as("change_type"))
+        .filter(col("change_type") =!= "unchanged"),
+      "o_orderkey")
+  }
+
+  /** Date dimension generator, 2000 → 2002 here (ref README.md:49 — "date
+    * dimension pre-built for 2000 to current year"; declared, never coded in
+    * the reference). sequence()+explode generates distributed rows without a
+    * driver-side loop; the same expression generates 2000→2100 unchanged.
+    */
+  def dateDimGenerate(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = spark.range(1)
+      .select(explode(sequence(lit("2000-01-01").cast("date"),
+                               lit("2002-12-31").cast("date"),
+                               expr("interval 1 day"))).as("d"))
+    ordered(
+      days.select(
+        col("d"),
+        year(col("d")).as("yr"),
+        quarter(col("d")).as("qtr"),
+        month(col("d")).as("mo"),
+        dayofmonth(col("d")).as("dom"),
+        // ISO day-of-week 1=Mon..7=Sun — identical to DuckDB's isodow()
+        (weekday(col("d")) + 1).as("dow_iso"),
+        (weekday(col("d")) + 1 >= 6).as("is_weekend")),
+      "d")
+  }
+
+  /** SCD Type 2 intervals (ref README.md:88–91 — system-versioned dim_city):
+    * explicit valid_from/valid_to via lead() over each key's change stream;
+    * open interval (NULL valid_to) marks the current row. Timestamps surface
+    * as epoch-µs BIGINT (ns-safe vs the oracle).
+    */
+  def scd2Versions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+    ordered(
+      ev.select(
+          col("user_id"), col("event_id"),
+          col("ts_us").as("valid_from_us"),
+          lead(col("ts_us"), 1).over(w).as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us").isNull),
+      "user_id", "valid_from_us", "event_id")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Event-time windowing tier: tumbling windows, session windows, frame-based
+  * moving aggregates. Batch formulations with streaming-equivalent semantics
+  * (SURVEY §2.2 "Streaming") — the same groupings run under Structured
+  * Streaming with a watermark (see graft.streaming.StreamOps); batch is the
+  * deterministic, oracle-checkable twin.
+  * Timestamps flow as epoch-µs BIGINT (ns-parquet-safe, engine-agnostic).
+  */
+object Windows {
+
+  private val HourUs = 3600L * 1000 * 1000
+
+  /** Tumbling 1-hour event-time window counts/sums. Equivalent to
+    * `groupBy(window($"ts", "1 hour"))` in Structured Streaming; expressed
+    * as epoch arithmetic so the bucket boundary is bit-identical in the
+    * oracle. One hash-agg shuffle on the bucket key.
+    */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      events(spark, sfDir)
+        .groupBy(((col("ts_us") / HourUs).cast("long") * HourUs).as("window_start_us"))
+        .agg(count(lit(1)).as("n_events"),
+             r4(sum(col("value"))).as("sum_value"),
+             countDistinct(col("user_id")).as("n_users")),
+      "window_start_us")
+
+  /** Session windows via the 30-minute-gap rule (SURVEY §2.3): lag() flags a
+    * new session when the gap from the previous event of the same user
+    * STRICTLY exceeds 30 min (`>`, pinned — SURVEY §7.5.5), a running sum of
+    * flags numbers sessions. Same rewrite as
+    * `session_window($"ts", "30 minutes")` in Structured Streaming. Two
+    * window passes over one user-partitioned sort — a single shuffle.
+    */
+  def sessionGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc, col("event_id").asc)
+    val sessions = events(spark, sfDir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ordered(
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts_us")).as("session_start_us"),
+             max(col("ts_us")).as("session_end_us")),
+      "user_id", "session_id")
+  }
+
+  /** Frame-spec moving average (SURVEY §2.2 window completion): per user,
+    * ordered by event time, mean of the current + 3 preceding values.
+    */
+  def windowFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(-3, Window.currentRow)
+    ordered(
+      events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                r4(avg(col("value")).over(w)).as("mavg4")),
+      "user_id", "ts_us", "event_id")
+  }
+}

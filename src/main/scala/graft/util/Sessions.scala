@@ -1,0 +1,30 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning applied by every entry point (Verify, Bench, tests).
+  *
+  * These are runtime SQL confs, safe to set on an already-built session.
+  * Cluster-scale rationale per conf is inline — the same settings are what
+  * we'd ship in a 1000-executor deployment (with shuffle.partitions sized to
+  * ~2-3× total cores there; the driver harness sets it to local CPU count).
+  */
+object Sessions {
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    // events.parquet is TIMESTAMP(NANOS); Spark has no ns timestamp type, so
+    // read it as raw LongType (epoch nanos) and normalize in Tables.events.
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Deterministic cross-engine comparison: UTC everywhere.
+    c.set("spark.sql.session.timeZone", "UTC")
+    // AQE: runtime shuffle coalescing + skew-join splitting — the 100 TB
+    // safety net for skewed keys without hand-salting every join.
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Dims (region/nation/customer/part/supplier) stay broadcast-able well
+    // past sf0.1; 64 MB covers a 100×-scale dim while fact tables shuffle.
+    c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    spark
+  }
+}
