@@ -67,6 +67,21 @@ object SparkEntry {
     "q_window_tumbling"   -> q(Windows.tumbling),
     "q_session_gaps"      -> q(Windows.sessionGaps),
     "q_window_frame"      -> q(Windows.windowFrame),
+    // text-analysis tier (LLM-data north star)
+    "q_text_stats"        -> q(Text.textStats),
+    "q_token_count"       -> q(Text.tokenCount),
+    "q_quality_score"     -> q(Text.qualityScore),
+    "q_lang_id"           -> q(Text.langId),
+    "q_doc_fingerprint"   -> q(Text.docFingerprint),
+    "q_doc_dedup_exact"   -> q(Text.docDedupExact),
+    "q_ngram_jaccard"     -> q(Text.ngramJaccard),
+    // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
+    "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
+    "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
+    "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
+    "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
+    // multimodal plumbing tier
+    "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -355,5 +370,99 @@ object SparkEntry {
         |                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |       * 10000.0 + 0.5) / 10000.0 AS mavg4
         |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        | floor(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_words
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS spaces,
+        |    CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b|\bof\b')) AS DOUBLE) AS stops
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        | floor(alpha / n * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+        | floor((n - spaces) / (spaces + 1.0) * 10000.0 + 0.5) / 10000.0 AS avg_word_len,
+        | CAST(stops AS BIGINT) AS stopword_hits,
+        | floor((0.5 * (alpha / n) + 0.3 * least(1.0, ((n - spaces) / (spaces + 1.0)) / 8.0)
+        |        + 0.2 * least(1.0, stops / 10.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(text) - length(replace(text, 'th', ''))) // 2 AS BIGINT) AS th_bigrams,
+        |    CAST(len(regexp_extract_all(text, '\bthe\b|\band\b|\bis\b')) AS BIGINT) AS en_stopwords,
+        |    CAST(length(text) AS DOUBLE) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, th_bigrams, en_stopwords,
+        | floor(CAST(th_bigrams + en_stopwords AS DOUBLE) * 100.0 / n * 10000.0 + 0.5) / 10000.0 AS evidence_per_100,
+        | CASE WHEN CAST(th_bigrams + en_stopwords AS DOUBLE) * 100.0 / n >= 3.0
+        |      THEN 'en' ELSE 'other' END AS lang_pred
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        | substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8) AS fp_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_key,
+        | min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, n_chars // 200 AS blk, string_split(text, ' ') AS w
+        |           FROM documents WHERE lang = 'fr'),
+        |sarr AS (SELECT doc_id, blk,
+        |           list_distinct(list_transform(range(1, len(w) - 1),
+        |                         i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |         FROM d),
+        |sz AS (SELECT doc_id, len(sh) AS nsh FROM sarr),
+        |e AS (SELECT doc_id, blk, unnest(sh) AS s FROM sarr),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |      FROM e a JOIN e b ON a.blk = b.blk AND a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | floor(CAST(c AS DOUBLE) / CAST(za.nsh + zb.nsh - c AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM p JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+
+    "q_embed_cosine_topk" ->
+      """WITH p AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS pv,
+        |                  generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |d AS (SELECT c.vec_id, sum(c.cv * p.pv) AS dp,
+        |             sqrt(sum(c.cv * c.cv)) AS cn, sqrt(sum(p.pv * p.pv)) AS pn
+        |      FROM c JOIN p USING (i) GROUP BY c.vec_id)
+        |SELECT vec_id, floor(dp / (cn * pn) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |FROM d WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |      ELSE 'webp' END AS media_format,
+        | 64 + (doc_id * 2654435761) % 512 AS width,
+        | 64 + (doc_id * 40503) % 512 AS height,
+        | 1 + doc_id % 30 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads + typed
+  * metadata, decoded batch-wise per partition.
+  *
+  * The decode itself is a clearly-marked deterministic STUB (image/audio
+  * codecs are not in this container) — what is real and tested is the
+  * Spark-side shape a 100 TB media pipeline needs:
+  *  - binary column + typed metadata schema (payload never leaves binary);
+  *  - partition-batched processing via `mapPartitions` over a typed
+  *    Dataset (the Scala analogue of `mapInPandas` batch decode: one
+  *    decoder init per partition, not per row);
+  *  - decoded features land in a columnar DataFrame for downstream
+  *    relational ops.
+  */
+object Multimodal {
+
+  case class MediaIn(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(doc_id: Long, byte_len: Long, media_format: String,
+                       width: Long, height: Long, n_frames: Long)
+
+  /** STUB decoder: deterministic pseudo-metadata derived from doc_id and
+    * payload size. A real deployment replaces the body with an actual codec
+    * call (e.g. javax.imageio / ffmpeg JNI) — signature and batching stay.
+    */
+  def decodeStub(m: MediaIn): MediaMeta = {
+    val fmt = Seq("jpeg", "png", "webp")((m.doc_id % 3).toInt)
+    MediaMeta(
+      doc_id = m.doc_id,
+      byte_len = m.payload.length.toLong,
+      media_format = fmt,
+      width = 64L + (m.doc_id * 2654435761L) % 512L,
+      height = 64L + (m.doc_id * 40503L) % 512L,
+      n_frames = 1L + m.doc_id % 30L)
+  }
+
+  /** Media metadata extraction over binary payloads. Documents' text bytes
+    * stand in for media blobs (the testdata has no real media); the
+    * pipeline — binary encode → partition-batched decode → columnar
+    * metadata — is the real thing.
+    */
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    // one decoder instance per partition: init cost amortizes over the batch
+    val decoded = media.mapPartitions { batch => batch.map(decodeStub) }
+    ordered(decoded.toDF(), "doc_id")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two tiers, per the LLM-pipeline north star:
+  *  - brute-force cosine top-k (exact baseline; embarrassingly parallel —
+  *    a broadcast probe against a fully partitioned corpus, TakeOrdered
+  *    top-k so only k rows per partition reach the driver);
+  *  - random-hyperplane LSH ANN (the 100 TB path: candidates meet only
+  *    inside signature buckets, exact cosine re-rank on candidates).
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns via
+    * zip_with + aggregate — sequential fold in index order, deterministic,
+    * fully codegen-friendly (no UDF).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+                   lit(0.0), (acc, v) => acc + v))
+
+  /** Exact cosine top-k neighbors of probe vector vec_id=0. The probe is a
+    * one-row broadcast — no shuffle of the corpus at any scale; top-k plans
+    * as TakeOrderedAndProject.
+    */
+  def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    val cos = dot(col("embedding"), col("probe_emb")) /
+              (norm(col("embedding")) * norm(col("probe_emb")))
+    emb.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), r4(cos).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded Gaussian), shipped as a
+    * literal — 32 planes × 64 dims ≈ 16 KB, broadcast with the plan.
+    */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(32)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** ANN via random-hyperplane LSH: 32 sign-projections → 4 bands of 8 bits;
+    * vectors sharing any (band, 8-bit bucket) become candidates; candidates
+    * are re-ranked by exact cosine. Output: top-k candidate pairs.
+    * No-oracle (not ANSI-SQL-expressible); AnnSpec checks recall against
+    * brute force.
+    */
+  def annLshPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val projBits: Seq[Column] = planes.zipWithIndex.map { case (p, j) =>
+      (dot(col("embedding"), typedLit(p)) > 0.0).cast("long").as(s"bit$j")
+    }
+    val withBits = emb.select(col("vec_id") +: col("embedding") +: projBits: _*)
+    val bandCols = (0 until 4).map { bnd =>
+      (0 until 8).map(i => col(s"bit${bnd * 8 + i}") * lit(1L << i)).reduce(_ + _)
+    }
+    val banded = withBits.select(
+      col("vec_id"), col("embedding"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "bucket")))
+    val a = banded.select(col("band_id"), col("bucket"),
+                          col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = banded.select(col("band_id"), col("bucket"),
+                          col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val cand = a.join(b, Seq("band_id", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val cos = dot(col("emb_a"), col("emb_b")) / (norm(col("emb_a")) * norm(col("emb_b")))
+    cand.select(col("vec_a"), col("vec_b"), r4(cos).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(k)
+  }
+}

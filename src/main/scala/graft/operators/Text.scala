@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Text-analysis tier for LLM-data pipelines (driver north star beyond the
+  * reference surface): per-document statistics, token counting, quality
+  * scoring, language heuristics, fingerprinting, exact dedup. All
+  * whole-stage-codegen'd built-ins — narrow maps + one hash-agg where
+  * grouped; at 100 TB these are embarrassingly parallel scans.
+  */
+object Text {
+
+  private val docs = (s: SparkSession, d: String) => t(s, d, "documents")
+
+  /** Per-language corpus statistics: doc counts, size, mean length. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      docs(spark, sfDir)
+        .select(col("lang"), length(col("text")).as("nc"),
+                size(split(col("text"), " ")).cast("long").as("nw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("nc").cast("long")).as("total_chars"),
+             r4(avg(col("nw"))).as("avg_words")),
+      "lang")
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * lexer (letter runs | digit runs | single non-alphanumeric) — the
+    * standard pre-tokenizer shape for byte-pair encoders.
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      docs(spark, sfDir).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long")
+          .as("bpe_ish_tokens")),
+      "doc_id")
+
+  /** Document quality scoring: alphabetic ratio, whitespace ratio, stopword
+    * hits, mean word length → weighted score in [0,1]. The exact heuristic
+    * mix is fixed and documented; what matters is the shape (pure per-row
+    * expression arithmetic, no shuffle).
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = length(col("text")).cast("double")
+    val alpha = (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")
+    val spaces = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("double")
+    val stops = regexp_count(col("text"), lit("\\bthe\\b|\\ba\\b|\\bof\\b")).cast("double")
+    val nWords = spaces + lit(1.0)
+    val avgWordLen = (n - spaces) / nWords
+    val score = lit(0.5) * (alpha / n) +
+      lit(0.3) * least(lit(1.0), avgWordLen / lit(8.0)) +
+      lit(0.2) * least(lit(1.0), stops / lit(10.0))
+    ordered(
+      docs(spark, sfDir).select(
+        col("doc_id"), col("n_chars"),
+        r4(alpha / n).as("alpha_ratio"),
+        r4(avgWordLen).as("avg_word_len"),
+        stops.cast("long").as("stopword_hits"),
+        r4(score).as("quality_score")),
+      "doc_id")
+  }
+
+  /** Language-ID heuristic (n-gram evidence): frequency of the English
+    * marker bigram "th" and marker stopwords per 100 chars. The corpus is
+    * synthetic ASCII word-soup, so the heuristic's value is the operator
+    * shape (pure expression scan), not linguistic accuracy; a production
+    * model swaps in a bigger n-gram table, same plan.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val thCnt = expr("(length(text) - length(replace(text, 'th', ''))) div 2")
+    val enStops = regexp_count(col("text"), lit("\\bthe\\b|\\band\\b|\\bis\\b")).cast("long")
+    val per100 = (thCnt + enStops).cast("double") * lit(100.0) / length(col("text")).cast("double")
+    ordered(
+      docs(spark, sfDir).select(
+        col("doc_id"), col("lang"),
+        thCnt.as("th_bigrams"),
+        enStops.as("en_stopwords"),
+        r4(per100).as("evidence_per_100"),
+        when(per100 >= 3.0, "en").otherwise("other").as("lang_pred")),
+      "doc_id")
+  }
+
+  /** Content fingerprinting: md5 over normalized text (lower/trim/collapse
+    * whitespace) + a 16-hex prefix bucket — the exact-dedup key and the
+    * shard key a 100 TB dedup would partition on.
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    ordered(
+      docs(spark, sfDir).select(
+        col("doc_id"),
+        md5(norm).as("fingerprint"),
+        substring(md5(norm), 1, 8).as("fp_bucket")),
+      "doc_id")
+  }
+
+  /** Exact/normalized deduplication: group documents by normalized-content
+    * fingerprint, keep the lowest doc_id as canonical. Hash-groupBy on the
+    * digest — the only shuffle carries (digest, doc_id), never text, which
+    * is what makes it viable at 100 TB.
+    */
+  def docDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    ordered(
+      docs(spark, sfDir)
+        .select(col("doc_id"), md5(norm).as("content_key"))
+        .groupBy(col("content_key"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+             count(lit(1)).as("n_copies")),
+      "canonical_id")
+  }
+
+  /** Distinct word 3-gram shingles as rows (doc_id, s) — shared by the
+    * near-dup family. posexplode + windowed lead() instead of a
+    * higher-order transform() lambda: array lambdas run on Catalyst's
+    * interpreted path (measured ~7 ms/doc — 5 s for 742 docs), while this
+    * shape stays in codegen + one doc-partitioned window, and it feeds the
+    * downstream inverted-index joins without re-exploding.
+    */
+  def shingleRows(d: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
+    d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), concat_ws(" ", parts: _*).as("s"),
+              lead(col("w"), n - 1).over(w).isNotNull.as("full"))
+      .filter(col("full"))
+      .select(col("doc_id"), col("s"))
+      .dropDuplicates("doc_id", "s")
+  }
+
+  /** N-gram Jaccard near-dup scoring within language blocks: exact set
+    * Jaccard over 3-gram shingles for candidate pairs, blocked by `lang`
+    * so the self-join is per-block, never a full cross join. Top-50 most
+    * similar pairs. At 100 TB the block key would be a coarser LSH bucket
+    * (see Dedup.minhashPairs) — the plan shape is identical.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // inverted-index formulation: explode (doc, shingle), self-join on the
+    // shingle within a (lang, length-band) block, count matches per pair,
+    // then |A∩B|/(|A|+|B|-|A∩B|). Never materializes per-pair arrays and
+    // only generates pairs that share ≥1 shingle — the join volume is
+    // Σ_shingle count² (measured 62k rows at sf0.1 vs 119k full pairs with
+    // ~52-element array intersections each). This is the formulation that
+    // survives 100 TB: both sides shuffle on (blk, shingle), rare-shingle
+    // skew is bounded by the block, and hot shingles can be dropped like
+    // stopwords without changing the plan.
+    val fr = docs(spark, sfDir).filter(col("lang") === "fr")
+    val blkMap = fr.select(col("doc_id"), expr("n_chars div 200").as("blk"))
+    val e = shingleRows(fr).join(broadcast(blkMap), "doc_id")
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val a = e.select(col("blk"), col("s"), col("doc_id").as("doc_a"))
+    val b = e.select(col("blk"), col("s"), col("doc_id").as("doc_b"))
+    val common = a.join(b, Seq("blk", "s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val za = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
+    val zb = sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))
+    val jac = col("c").cast("double") /
+              (col("na") + col("nb") - col("c")).cast("double")
+    common.join(broadcast(za), "doc_a").join(broadcast(zb), "doc_b")
+      .select(col("doc_a"), col("doc_b"), r4(jac).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+  }
+}
