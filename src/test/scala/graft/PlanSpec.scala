@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the 100 TB discipline (SURVEY §7.5.6) encoded
+  * as tests: filters reach the Parquet scan, projections prune the read
+  * schema, dimension joins broadcast, top-k never globally sorts.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter predicate is pushed down to the Parquet scan") {
+    val p = plan(SparkEntry.queries("q_filter_predicate")(spark, Sf))
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("GreaterThan(l_discount"), "discount filter must reach the scan")
+  }
+
+  test("projection prunes the Parquet read schema") {
+    val p = plan(SparkEntry.queries("q_scan_project")(spark, Sf))
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"scan must not read untouched columns: $readSchema")
+  }
+
+  test("fact-dim join broadcasts the dimension side") {
+    val p = plan(SparkEntry.queries("q_join_inner_equi")(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dim join must not shuffle the fact")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q_topk")(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("group aggregate uses partial (map-side) aggregation") {
+    val p = plan(SparkEntry.queries("q_agg_group")(spark, Sf))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    // partial+final pair → two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level") {
+    val semi = plan(SparkEntry.queries("q_join_semi")(spark, Sf))
+    val anti = plan(SparkEntry.queries("q_join_anti")(spark, Sf))
+    assert(semi.contains("LeftSemi"), semi.take(1500))
+    assert(anti.contains("LeftAnti"), anti.take(1500))
+  }
+
+  test("whole-stage codegen covers the scalar-function hot path") {
+    // AQE shows codegen spans only in the executed (final) plan
+    val df = SparkEntry.queries("q_scalar_math_funcs")(spark, Sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    // codegen spans render as "*(n) Operator" in the executed plan
+    assert(executed.contains("*("), executed.take(1500))
+  }
+}
