@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native expressions — both the
+  * SparkSessionExtensions path (spark.sql.extensions=graft.functions.
+  * GraftExtensions, cluster-wide) and a direct per-session helper.
+  * After registration the functions are first-class SQL:
+  * `SELECT cosine_sim(a.embedding, b.embedding) FROM ...`.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_f"      -> (es => DotProductF(es(0), es(1))),
+  )
+
+  /** Register on a live session (tests, notebooks). */
+  def register(spark: SparkSession): SparkSession = {
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    spark
+  }
+
+  /** Column-API helpers (no registration needed). */
+  def cosineSim(a: Column, b: Column)(implicit spark: SparkSession): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  }
+}
+
+/** Injectable extensions: spark.sql.extensions=graft.functions.GraftExtensions */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      (es: Seq[Expression]) => DotProductF(es(0), es(1))))
+  }
+}

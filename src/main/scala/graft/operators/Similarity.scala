@@ -32,11 +32,13 @@ object Similarity {
     * as TakeOrderedAndProject.
     */
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = t(spark, sfDir, "embeddings")
     val probe = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb"))
-    val cos = dot(col("embedding"), col("probe_emb")) /
-              (norm(col("embedding")) * norm(col("probe_emb")))
+    // native codegen kernel (graft.functions.CosineSimilarity): bit-identical
+    // to the zip_with/aggregate formulation, ~3× faster (VectorFunctionsSpec)
+    val cos = call_function("cosine_sim", col("embedding"), col("probe_emb"))
     emb.crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), r4(cos).as("cos_sim"))
@@ -59,9 +61,11 @@ object Similarity {
     * brute force.
     */
   def annLshPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = t(spark, sfDir, "embeddings")
     val projBits: Seq[Column] = planes.zipWithIndex.map { case (p, j) =>
-      (dot(col("embedding"), typedLit(p)) > 0.0).cast("long").as(s"bit$j")
+      (call_function("dot_f", col("embedding"),
+                     typedLit(p.map(_.toFloat))) > 0.0).cast("long").as(s"bit$j")
     }
     val withBits = emb.select(col("vec_id") +: col("embedding") +: projBits: _*)
     val bandCols = (0 until 4).map { bnd =>
@@ -78,7 +82,7 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"))
       .dropDuplicates("vec_a", "vec_b")
-    val cos = dot(col("emb_a"), col("emb_b")) / (norm(col("emb_a")) * norm(col("emb_b")))
+    val cos = call_function("cosine_sim", col("emb_a"), col("emb_b"))
     cand.select(col("vec_a"), col("vec_b"), r4(cos).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(k)

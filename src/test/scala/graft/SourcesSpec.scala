@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.WeatherApiSource
+
+/** The raw-JSON staging shape declared in the reference design
+  * (README.md:40–43) — payload → from_json → arrays_zip → posexplode →
+  * typed staging rows, including the reference's null-precipitation case.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private val londonPayload =
+    """{"latitude": 51.5, "longitude": -0.12,
+       |"daily": {"time": ["2024-01-01", "2024-01-02", "2024-01-03"],
+       |"temperature_2m_max": [10.5, 11.25, null],
+       |"temperature_2m_min": [3.1, 4.0, 2.5],
+       |"precipitation_sum": [0.0, null, 1.75]}}""".stripMargin
+
+  test("payload unpivots to one typed row per day index") {
+    import spark.implicits._
+    val rows = WeatherApiSource.parsePayloads(
+      Seq(("London", londonPayload)).toDF("city_name", "payload_json"))
+    assert(rows.count() === 3)
+    assert(rows.schema("date").dataType.typeName === "date")
+    assert(rows.schema("temp_max").dataType.typeName === "decimal(5,2)")
+    val day2 = rows.filter(col("date") === lit("2024-01-02").cast("date")).head()
+    assert(day2.getAs[java.math.BigDecimal]("temp_max").toPlainString === "11.25")
+    assert(day2.isNullAt(day2.fieldIndex("precipitation"))) // nulls survive
+    // parallel arrays stay index-aligned (the extract loop's invariant)
+    val day3 = rows.filter(col("date") === lit("2024-01-03").cast("date")).head()
+    assert(day3.isNullAt(day3.fieldIndex("temp_max")))
+    assert(day3.getAs[java.math.BigDecimal]("precipitation").toPlainString === "1.75")
+  }
+
+  test("malformed payload yields null-parsed rows, not a crash") {
+    import spark.implicits._
+    val rows = WeatherApiSource.parsePayloads(
+      Seq(("Nowhere", "{not json")).toDF("city_name", "payload_json"))
+    assert(rows.count() === 0) // posexplode of null zip → no rows
+  }
+
+  test("parsed staging feeds the ETL pipeline end-to-end") {
+    import spark.implicits._
+    val stg = WeatherApiSource.parsePayloads(
+      Seq(("London", londonPayload)).toDF("city_name", "payload_json"))
+    val dim = Seq((1, "London")).toDF("city_id", "city_name")
+    val fact = stg.limit(0).select(col("city_name")).limit(0) // empty fact
+    val emptyFact = Seq.empty[(Int, java.sql.Date)].toDF("city_id", "date")
+      .withColumn("temp_max", lit(null).cast("decimal(5,2)"))
+      .withColumn("temp_min", lit(null).cast("decimal(5,2)"))
+      .withColumn("precipitation", lit(null).cast("decimal(5,2)"))
+      .withColumn("load_timestamp", lit(null).cast("timestamp"))
+    val (newDim, newFact, _) = graft.pipeline.WeatherEtl.runBatch(stg, dim, emptyFact)
+    assert(newDim.count() === 1)
+    assert(newFact.count() === 3) // all three days inserted
+  }
+}
