@@ -43,6 +43,8 @@ object SparkEntry {
     "q_set_ops"           -> q(Relational.setOps),
     "q_rollup"            -> q(Relational.rollupAgg),
     "q_cube"              -> q(Relational.cubeAgg),
+    "q_approx_sketches"   -> q(Relational.approxSketches), // no-oracle: sketch internals engine-specific
+
     // warehouse tier (ops 3-5, 12, 13, 16, 18, 21, 22)
     "q_watermark_max"     -> q(Warehouse.watermarkMax),
     "q_coalesce_default"  -> q(Warehouse.coalesceDefault),

@@ -171,6 +171,22 @@ object Relational {
              grouping_id().cast("int").as("gid")),
       "gid", "l_returnflag", "l_linestatus")
 
+  /** Sketch aggregates — the approximate tier for 100 TB interactive use
+    * (HyperLogLog++ distinct counts, quantile sketch): one pass, fixed
+    * memory per group, mergeable partials, no exact-distinct expand+shuffle.
+    * No oracle (sketch internals differ across engines) — OperatorsSpec
+    * bounds the error against exact results instead.
+    */
+  def approxSketches(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price")),
+      "l_returnflag")
+
   /** CUBE over two dims with exact count-distinct — grouping-set execution
     * expands rows map-side; count(distinct) plans as a two-phase expand+agg.
     */

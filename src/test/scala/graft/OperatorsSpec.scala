@@ -83,6 +83,22 @@ class OperatorsSpec extends SparkSpec {
     assert(tight.isEmpty)
   }
 
+  test("sketch aggregates stay within declared error of exact results") {
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("exact_orders"))
+    val joined = SparkEntry.queries("q_approx_sketches")(spark, Sf)
+      .join(exact, "l_returnflag")
+    // HLL++ with rsd=0.02: allow 5x slack at this small cardinality
+    val bad = joined.filter(
+      abs(col("approx_orders") - col("exact_orders")) >
+        col("exact_orders") * 0.10)
+    assert(bad.isEmpty, bad.collect().mkString(","))
+    // quantile sketch: p50 within the observed min/max and below p99
+    val bounds = joined.filter(col("p50_price") > col("p99_price"))
+    assert(bounds.isEmpty)
+  }
+
   test("date dim covers the full range with correct weekend flags") {
     val r = SparkEntry.queries("q_date_dim_generate")(spark, Sf)
     assert(r.count() === 1096) // 2000 (leap) + 2001 + 2002
