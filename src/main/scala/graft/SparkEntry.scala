@@ -41,6 +41,7 @@ object SparkEntry {
     "q_distinct"          -> q(Relational.distinctKeys),
     "q_topk"              -> q(Relational.topK),
     "q_set_ops"           -> q(Relational.setOps),
+    "q_intersect"         -> q(Relational.intersectOp),
     "q_rollup"            -> q(Relational.rollupAgg),
     "q_cube"              -> q(Relational.cubeAgg),
     "q_approx_sketches"   -> q(Relational.approxSketches), // no-oracle: sketch internals engine-specific
@@ -159,6 +160,12 @@ object SparkEntry {
         | SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0)
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders
         |ORDER BY c_custkey""".stripMargin,
 
     "q_rollup" ->

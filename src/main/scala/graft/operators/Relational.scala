@@ -171,6 +171,16 @@ object Relational {
              grouping_id().cast("int").as("gid")),
       "gid", "l_returnflag", "l_linestatus")
 
+  /** INTERSECT — completes the set-op family (union/except in setOps).
+    * Spark plans intersect-distinct as a left-semi join over distincts.
+    */
+  def intersectOp(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val buyers = t(spark, sfDir, "orders").select(col("o_custkey").as("c_custkey"))
+    ordered(building.intersect(buyers), "c_custkey")
+  }
+
   /** Sketch aggregates — the approximate tier for 100 TB interactive use
     * (HyperLogLog++ distinct counts, quantile sketch): one pass, fixed
     * memory per group, mergeable partials, no exact-distinct expand+shuffle.
