@@ -111,11 +111,13 @@ object Relational {
   }
 
   /** Left anti join — the `WHEN NOT MATCHED` half of the reference MERGE
-    * (transform_load.sql:46, 68): customers with no orders at all.
+    * (transform_load.sql:46, 68): customers with no big-ticket order.
+    * (Every customer has SOME order in this data, so the filter keeps the
+    * anti set non-empty and the oracle non-trivial.)
     */
   def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
     val c = t(spark, sfDir, "customer")
-    val o = t(spark, sfDir, "orders")
+    val o = t(spark, sfDir, "orders").filter(col("o_totalprice") > 300000.0)
     ordered(
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name")),
