@@ -36,4 +36,20 @@ object SnapshotStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed fact table: rows hash-distributed into `buckets` files by the
+    * join/merge key at WRITE time, so every subsequent join or aggregation
+    * on that key is exchange-free — the shuffle is paid once when the
+    * snapshot lands instead of on every query. This is how the recurring
+    * fact-merge (Warehouse.mergeUpsert on the same key every day) avoids
+    * re-shuffling 100 TB per run. Bucketing requires the table catalog
+    * (saveAsTable), not a bare path.
+    */
+  def writeFactBucketed(df: DataFrame, table: String, key: String,
+                        buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

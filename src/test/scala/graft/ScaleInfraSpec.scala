@@ -27,6 +27,29 @@ class ScaleInfraSpec extends SparkSpec {
     assert(snap.count() === expected)
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    val orders = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    SnapshotStore.writeFactBucketed(orders, "b_orders", "o_orderkey", 4)
+    SnapshotStore.writeFactBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+    // force the non-broadcast path so the exchange question is real
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("salted join equals plain join result exactly") {
     val li = graft.util.Tables.t(spark, Sf, "lineitem")
       .select(col("l_partkey"), col("l_extendedprice"))

@@ -44,7 +44,6 @@ class SourcesSpec extends SparkSpec {
     val stg = WeatherApiSource.parsePayloads(
       Seq(("London", londonPayload)).toDF("city_name", "payload_json"))
     val dim = Seq((1, "London")).toDF("city_id", "city_name")
-    val fact = stg.limit(0).select(col("city_name")).limit(0) // empty fact
     val emptyFact = Seq.empty[(Int, java.sql.Date)].toDF("city_id", "date")
       .withColumn("temp_max", lit(null).cast("decimal(5,2)"))
       .withColumn("temp_min", lit(null).cast("decimal(5,2)"))
