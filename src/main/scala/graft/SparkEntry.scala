@@ -83,6 +83,7 @@ object SparkEntry {
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
     "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
+    "q_ann_ivf"           -> q(Ivf.ivfTopK(_, _, 10, 16, 8)), // no-oracle: k-means internals engine-specific
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
   )

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the coarse-
+  * quantizer scale path for embedding similarity (the LSH alternative lives
+  * in Similarity.annLshPairs).
+  *
+  * Build: k-means coarse centroids over the corpus (deterministic: fixed
+  * seed, fixed iterations, k-means|| init via Spark ML), then assign every
+  * vector to its nearest centroid — the "inverted list" is just a
+  * `centroid_id` column, i.e. a partition key.
+  *
+  * Search: a probe scores only the vectors in its `nprobe` nearest lists —
+  * at 100 TB with k=4096 lists and nprobe=8, each query touches ~0.2% of
+  * the corpus, and the list assignment is a broadcast-able centroid table
+  * regardless of corpus size. Exact cosine re-ranks within the probed
+  * lists (same native kernel as brute force).
+  */
+object Ivf {
+
+  /** Centroids as (centroid_id, centroid float array), deterministic. */
+  def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(feats)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("centroid_id", "centroid")
+  }
+
+  /** Assign each vector to its nearest centroid by cosine (broadcast the
+    * centroid table, keep the arg-max row per vector).
+    */
+  def assignLists(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = emb.crossJoin(broadcast(centroids))
+      .withColumn("sim", call_function("cosine_sim", col("embedding"), col("centroid")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** End-to-end IVF query: top-k cosine neighbors of probe vec_id=0,
+    * searching only the nprobe nearest inverted lists. No-oracle
+    * (k-means internals are engine-specific); OperatorsSpec checks recall
+    * against the exact brute-force top-k.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+              nLists: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = t(spark, sfDir, "embeddings")
+    val centroids = trainCentroids(spark, emb, nLists)
+    val lists = assignLists(emb, centroids)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    // nprobe nearest lists for the probe
+    val probeLists = centroids.crossJoin(broadcast(probe))
+      .withColumn("sim", call_function("cosine_sim", col("centroid"), col("probe_emb")))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    lists.join(broadcast(probeLists), "centroid_id")
+      .crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+              r4(call_function("cosine_sim", col("embedding"), col("probe_emb"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -67,6 +67,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
   }
 
+  test("IVF top-k recalls most of the exact brute-force top-k") {
+    val exact = Similarity.cosineTopK(spark, Sf, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = graft.operators.Ivf.ivfTopK(spark, Sf, 10, 16, 8).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.2f (nprobe=8/16 lists)")
+    assert(recall >= 0.5, s"recall $recall too low; exact=$exact ivf=$ivf")
+    // IVF results are true cosine values: every returned pair is in the
+    // probed lists, so each sim must equal the exact sim for that vec
+    val exactSims = Similarity.cosineTopK(spark, Sf, 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    graft.operators.Ivf.ivfTopK(spark, Sf, 10, 16, 8).collect().foreach { r =>
+      assert(exactSims(r.getAs[Long]("vec_id")) === r.getAs[Double]("cos_sim"))
+    }
+  }
+
   test("exact dedup collapses normalized duplicates to lowest doc_id") {
     import spark.implicits._
     // unit-level check through the same md5-grouping the query uses
