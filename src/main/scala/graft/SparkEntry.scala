@@ -44,6 +44,11 @@ object SparkEntry {
     "q_intersect"         -> q(Relational.intersectOp),
     "q_rollup"            -> q(Relational.rollupAgg),
     "q_cube"              -> q(Relational.cubeAgg),
+    "q_grouping_sets"     -> q(Relational.groupingSets),
+    "q_pivot"             -> q(Relational.pivotCounts),
+    "q_unpivot"           -> q(Relational.unpivotMeasures),
+    "q_asof_join"         -> q(TimeJoins.asofJoin),
+    "q_scalar_string_funcs" -> q(Enrichment.scalarStringFuncs),
     "q_approx_sketches"   -> q(Relational.approxSketches), // no-oracle: sketch internals engine-specific
 
     // warehouse tier (ops 3-5, 12, 13, 16, 18, 21, 22)
@@ -164,6 +169,61 @@ object SparkEntry {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal < 0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        | CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        | CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         'qty' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         'disc' AS measure, l_discount AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         'tax' AS measure, l_tax AS value FROM lineitem) u
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, measure""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_us(ts)),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       p.ts_us AS purchase_ts_us,
+        |       s.ts_us AS signup_ts_us, s.event_id AS signup_id
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND s.ts_us <= p.ts_us
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_scalar_string_funcs" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS upper_name,
+        | CAST(length(c_name) AS INT) AS name_len,
+        | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS cust_code,
+        | substr(c_mktsegment, 1, 3) AS seg3,
+        | split_part(c_name, '#', 2) AS num_part,
+        | replace(c_name, 'Customer', 'Cust') AS short_name,
+        | concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

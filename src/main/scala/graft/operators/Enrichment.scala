@@ -59,6 +59,23 @@ object Enrichment {
       "o_orderkey")
   }
 
+  /** String scalar suite — the natural completion of §2.2 (the reference
+    * uses strings only for equality; a full engine ships the standard
+    * manipulation set). All codegen'd built-ins, zero shuffle.
+    */
+  def scalarStringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        length(col("c_name")).cast("int").as("name_len"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("cust_code"),
+        substring(col("c_mktsegment"), 1, 3).as("seg3"),
+        element_at(split(col("c_name"), "#"), 2).as("num_part"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("seg_key")),
+      "c_custkey")
+
   /** Math scalar suite (ref transform_load.sql:35 — ABS/division/CASE in the
     * z-score expression; README.md:234 — planned derived measures). Derived
     * net/profit columns with guard-railed division.

@@ -173,6 +173,48 @@ object Relational {
              grouping_id().cast("int").as("gid")),
       "gid", "l_returnflag", "l_linestatus")
 
+  /** PIVOT: event counts per user spread into one column per event type —
+    * a single hash aggregate (pivot with an explicit value list never scans
+    * twice; the values become CASE branches inside the aggregate).
+    */
+  def pivotCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    ordered(
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*),
+      "user_id")
+  }
+
+  /** UNPIVOT (stack): measures back to (name, value) rows — the inverse
+    * generator, columnar→long format for ML feature pipelines.
+    */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          expr("stack(3, 'qty', l_quantity, 'disc', l_discount, 'tax', l_tax)")
+            .as(Seq("measure", "value"))),
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "measure")
+
+  /** GROUPING SETS — explicit set list (rollup/cube cover the lattice
+    * shapes; this is the à-la-carte form). SQL-expressed: the Dataset API
+    * has no grouping-sets builder, and `spark.sql` is first-class here.
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("li_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |       CAST(grouping_id() AS INT) AS gid
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
   /** INTERSECT — completes the set-op family (union/except in setOps).
     * Spark plans intersect-distinct as a left-semi join over distincts.
     */
