@@ -48,6 +48,9 @@ object SparkEntry {
     "q_pivot"             -> q(Relational.pivotCounts),
     "q_unpivot"           -> q(Relational.unpivotMeasures),
     "q_asof_join"         -> q(TimeJoins.asofJoin),
+    "q_interval_join"     -> q(RangeJoins.intervalJoin),
+    "q_range_band_join"   -> q(RangeJoins.rangeBandJoin),
+    "q_window_ranks"      -> q(Windows.windowRanks),
     "q_scalar_string_funcs" -> q(Enrichment.scalarStringFuncs),
     "q_approx_sketches"   -> q(Relational.approxSketches), // no-oracle: sketch internals engine-specific
 
@@ -213,6 +216,35 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND s.ts_us <= p.ts_us
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | CAST(o_orderdate AS DATE) AS o_date,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+        |  AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 90
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "q_range_band_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        |FROM events a JOIN events b
+        |  ON a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1000000
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+        | CAST(rank() OVER w AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pct_rank
+        |FROM orders WHERE o_totalprice > 450000.0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
 
     "q_scalar_string_funcs" ->
       """SELECT c_custkey,

@@ -54,6 +54,25 @@ object Windows {
       "user_id", "session_id")
   }
 
+  /** Ranking-function family (completes §2.2 windows beyond row_number):
+    * rank / dense_rank / ntile / percent_rank over order value per
+    * priority class. One window sort, all functions share it.
+    */
+  def windowRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ordered(
+      t(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                money(col("o_totalprice")).as("o_totalprice"),
+                rank().over(w).cast("long").as("rnk"),
+                dense_rank().over(w).cast("long").as("drnk"),
+                ntile(4).over(w).cast("long").as("quartile"),
+                r4(percent_rank().over(w)).as("pct_rank")),
+      "o_orderpriority", "rnk", "o_orderkey")
+  }
+
   /** Frame-spec moving average (SURVEY §2.2 window completion): per user,
     * ordered by event time, mean of the current + 3 preceding values.
     */
