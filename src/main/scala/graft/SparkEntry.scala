@@ -86,6 +86,7 @@ object SparkEntry {
     "q_doc_fingerprint"   -> q(Text.docFingerprint),
     "q_doc_dedup_exact"   -> q(Text.docDedupExact),
     "q_ngram_jaccard"     -> q(Text.ngramJaccard),
+    "q_sample_weighted"   -> q(Text.sampleWeighted(_, _, 3)),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
@@ -526,6 +527,19 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_key,
         | min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ln(CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE) / 1000004.0)
+        |      / CAST(n_chars AS DOUBLE) AS skey
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, n_chars,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |             ORDER BY skey DESC, doc_id ASC) AS BIGINT) AS rn
+        |      FROM s)
+        |SELECT lang, doc_id, n_chars, rn FROM r WHERE rn <= 3
+        |ORDER BY lang, rn""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, n_chars // 200 AS blk, string_split(text, ' ') AS w

@@ -114,6 +114,31 @@ object Text {
       "canonical_id")
   }
 
+  /** Deterministic weighted sampling per group — the corpus-subsampling op
+    * every training-data pipeline needs ("take k docs per language,
+    * longer docs more likely"). Efraimidis–Spirakis A-Res: key =
+    * ln(u)/weight with u a per-row uniform; top-k keys per group win.
+    * The uniform comes from pure integer arithmetic (Knuth-hash mod prime)
+    * so the sample is reproducible on any engine — no rand(), no
+    * engine-specific hash. Distributed shape: one window top-k per group —
+    * equivalently a per-partition heap then merge, no global sort.
+    */
+  def sampleWeighted(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prime = 1000003L
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(prime) + lit(1L)).cast("double") /
+            lit((prime + 1).toDouble)
+    val key = log(u) / col("n_chars").cast("double")
+    val w = Window.partitionBy(col("lang")).orderBy(col("skey").desc, col("doc_id").asc)
+    ordered(
+      docs(spark, sfDir)
+        .withColumn("skey", key)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("rn").cast("long").as("rn")),
+      "lang", "rn")
+  }
+
   /** Distinct word 3-gram shingles as rows (doc_id, s) — shared by the
     * near-dup family. posexplode + windowed lead() instead of a
     * higher-order transform() lambda: array lambdas run on Catalyst's
