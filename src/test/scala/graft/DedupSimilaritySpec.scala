@@ -25,6 +25,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("typed MinHashAggregator matches the expression-based signatures") {
+    import spark.implicits._
+    val docs = graft.util.Tables.t(spark, Sf, "documents").limit(50)
+    val exprSigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = new graft.functions.MinHashAggregator(Dedup.NumHashes).toColumn
+    val typedSigs = Text.shingleRows(docs).as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("sig"))
+      .collect().toMap
+    assert(typedSigs.keySet === exprSigs.keySet)
+    typedSigs.foreach { case (id, sig) =>
+      assert(sig === exprSigs(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("minhash LSH surfaces the known near-dup pairs in testdata") {
     val top = Dedup.minhashPairs(spark, Sf, 20).collect()
     assert(top.nonEmpty)
