@@ -103,7 +103,8 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         | CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         l_quantity, CAST(l_extendedprice AS DECIMAL(18,2))""".stripMargin,
 
     "q_filter_predicate" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -111,7 +112,8 @@ object SparkEntry {
         |FROM lineitem
         |WHERE (l_returnflag = 'R' OR l_linestatus = 'F')
         |  AND l_discount > 0.05 AND l_quantity < 10
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         l_returnflag, l_linestatus, l_quantity""".stripMargin,
 
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
@@ -202,7 +204,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |         'tax' AS measure, l_tax AS value FROM lineitem) u
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, measure""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, value""".stripMargin,
 
     "q_asof_join" ->
       """WITH s AS (
@@ -225,7 +227,8 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
         |  AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + 90
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         o_date, ship_date""".stripMargin,
 
     "q_range_band_join" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b,
@@ -394,7 +397,8 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, mo,
         | floor((CASE WHEN m1 IS NULL OR m2 IS NULL THEN a1 ELSE m1 END) * 10000.0 + 0.5) / 10000.0 AS m1_filled,
         | floor((CASE WHEN m1 IS NULL OR m2 IS NULL THEN a2 ELSE m2 END) * 10000.0 + 0.5) / 10000.0 AS m2_filled
-        |FROM w ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+        |FROM w ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |               l_returnflag, mo, m1_filled, m2_filled""".stripMargin,
 
     "q_outlier_zscore" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
@@ -411,7 +415,8 @@ object SparkEntry {
         | CASE WHEN l_returnflag = 'R' AND l_quantity > 30
         |      THEN CAST(30.0 AS DOUBLE) ELSE l_quantity END AS qty_capped
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         l_returnflag, qty_capped""".stripMargin,
 
     "q_arrays_zip_explode" ->
       """SELECT vec_id, CAST(i - 1 AS INT) AS pos,
@@ -447,7 +452,8 @@ object SparkEntry {
         | floor((CASE WHEN l_quantity <> 0.0 THEN l_extendedprice / l_quantity END) * 10000.0 + 0.5) / 10000.0 AS unit_price,
         | CASE WHEN l_discount >= 0.05 THEN 'high' ELSE 'low' END AS disc_band
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         net_price, charged, abs_disc_tax_gap, unit_price, disc_band""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

@@ -89,5 +89,6 @@ object Enrichment {
         r4(abs(col("l_discount") - col("l_tax"))).as("abs_disc_tax_gap"),
         r4(when(col("l_quantity") =!= 0.0, col("l_extendedprice") / col("l_quantity"))).as("unit_price"),
         when(col("l_discount") >= 0.05, "high").otherwise("low").as("disc_band")),
-      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "net_price", "charged", "abs_disc_tax_gap", "unit_price", "disc_band")
 }

@@ -63,7 +63,8 @@ object Quality {
           col("l_suppkey"), col("l_returnflag"), col("mo"),
           r4(when(needs, col("avg1")).otherwise(col("m1"))).as("m1_filled"),
           r4(when(needs, col("avg2")).otherwise(col("m2"))).as("m2_filled")),
-      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_returnflag", "mo", "m1_filled", "m2_filled")
   }
 
   /** Z-score outlier capping (ref transform_load.sql:27–38; README.md:231):
@@ -100,5 +101,6 @@ object Quality {
                 col("l_suppkey"), col("l_returnflag"),
                 when(col("l_returnflag") === "R" && col("l_quantity") > 30, lit(30.0))
                   .otherwise(col("l_quantity")).as("qty_capped")),
-      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_returnflag", "qty_capped")
 }

@@ -31,7 +31,8 @@ object RangeJoins {
                 col("ship_date") <= date_add(col("o_date"), 90))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
                 col("l_suppkey"), col("o_date"), col("ship_date")),
-      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "o_date", "ship_date")
   }
 
   /** Pure range self-join, banded: pairs of distinct events within 1 second

@@ -23,9 +23,11 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
                 col("l_suppkey"), col("l_quantity"),
                 money(col("l_extendedprice")).as("l_extendedprice")),
-      // (orderkey, linenumber) alone is NOT unique in the synthetic data —
-      // partkey+suppkey complete the total order (verified: no dup quads)
-      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      // (orderkey, linenumber) alone is NOT unique in the synthetic data,
+      // and sf0.001 even has one duplicate (ok,ln,pk,sk) quad — sort by
+      // every output column so the order is total no matter what
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice")
 
   /** Compound-predicate filter (ref transform_load.sql:14, 24, 38, 60 —
     * `WHERE is_processed = 0 AND (a IS NULL OR b IS NULL)` shapes). The whole
@@ -39,7 +41,8 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
                 col("l_suppkey"), col("l_returnflag"), col("l_linestatus"),
                 col("l_quantity")),
-      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_linestatus", "l_quantity")
 
   /** Grouped aggregation, TPC-H Q1 shape (ref transform_load.sql:28–32 —
     * AVG/STDEV per city; extract_weather.py:27 — MAX). Hash aggregate with
@@ -197,7 +200,7 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           expr("stack(3, 'qty', l_quantity, 'disc', l_discount, 'tax', l_tax)")
             .as(Seq("measure", "value"))),
-      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "measure")
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "measure", "value")
 
   /** GROUPING SETS — explicit set list (rollup/cube cover the lattice
     * shapes; this is the à-la-carte form). SQL-expressed: the Dataset API
