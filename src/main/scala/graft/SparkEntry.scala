@@ -101,10 +101,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
-        | CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice
+        | floor(l_extendedprice * 10000.0 + 0.5) / 10000.0 AS l_extendedprice
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |         l_quantity, CAST(l_extendedprice AS DECIMAL(18,2))""".stripMargin,
+        |         l_quantity, floor(l_extendedprice * 10000.0 + 0.5) / 10000.0""".stripMargin,
 
     "q_filter_predicate" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -117,10 +117,10 @@ object SparkEntry {
 
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS sum_disc_price,
+        | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
         | floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
         | floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS avg_price,
         | floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
@@ -132,15 +132,15 @@ object SparkEntry {
 
     "q_join_inner_equi" ->
       """SELECT p_brand,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_join_left_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        | floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
@@ -163,10 +163,10 @@ object SparkEntry {
         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
     "q_topk" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+      """SELECT o_orderkey, floor(o_totalprice * 10000.0 + 0.5) / 10000.0 AS o_totalprice,
         | o_orderpriority
         |FROM orders
-        |ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY floor(o_totalprice * 10000.0 + 0.5) / 10000.0 DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q_set_ops" ->
       """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -178,7 +178,7 @@ object SparkEntry {
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -240,14 +240,14 @@ object SparkEntry {
 
     "q_window_ranks" ->
       """SELECT o_orderkey, o_orderpriority,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+        | floor(o_totalprice * 10000.0 + 0.5) / 10000.0 AS o_totalprice,
         | CAST(rank() OVER w AS BIGINT) AS rnk,
         | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
         | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         | floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pct_rank
         |FROM orders WHERE o_totalprice > 450000.0
         |WINDOW w AS (PARTITION BY o_orderpriority
-        |             ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey)
+        |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
 
     "q_scalar_string_funcs" ->
@@ -269,7 +269,7 @@ object SparkEntry {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
         | count(*) AS n_rows,
         | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -322,7 +322,7 @@ object SparkEntry {
         |         CAST(o_orderdate AS DATE) AS o_orderdate
         |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01')
         |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
-        |       coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+        |       floor(CAST(coalesce(s.o_totalprice, t.o_totalprice) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS o_totalprice,
         |       coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
         |       coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
         |       coalesce(s.o_orderdate, t.o_orderdate) AS o_orderdate
@@ -342,15 +342,18 @@ object SparkEntry {
         |         CASE WHEN o_orderpriority = '1-URGENT'
         |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.05 AS DECIMAL(30,4))
         |              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END AS p
-        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01')
-        |SELECT n.o_orderkey AS o_orderkey, n.p AS new_price,
-        |       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
-        |            WHEN o.p <> n.p THEN 'update'
-        |            ELSE 'unchanged' END AS change_type
-        |FROM o_new n LEFT JOIN o_old o ON o.o_orderkey = n.o_orderkey
-        |WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
-        |           WHEN o.p <> n.p THEN 'update'
-        |           ELSE 'unchanged' END <> 'unchanged'
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |    AND o_orderpriority <> '3-MEDIUM'),
+        |d AS (
+        |  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |         floor(CAST(n.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS new_price,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |              WHEN n.o_orderkey IS NULL THEN 'delete'
+        |              WHEN o.p <> n.p THEN 'update'
+        |              ELSE 'unchanged' END AS change_type
+        |  FROM o_new n FULL OUTER JOIN o_old o ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, new_price, change_type FROM d
+        |WHERE change_type <> 'unchanged'
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_date_dim_generate" ->

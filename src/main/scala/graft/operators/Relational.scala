@@ -16,13 +16,17 @@ object Relational {
     * SELECT). Only 4 of 11 lineitem columns are touched; the Parquet reader
     * must show exactly those in ReadSchema (column pruning at 100 TB is the
     * difference between reading 4 TB and 11 TB).
+    * Output contract: money surfaces as an r4 DOUBLE, never DECIMAL — the
+    * two engines serialize DECIMAL differently (trailing zeros, sum
+    * precision 28 vs 38), which breaks the driver's value hash even when
+    * every value is identical.
     */
   def scanProject(spark: SparkSession, sfDir: String): DataFrame =
     ordered(
       t(spark, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
                 col("l_suppkey"), col("l_quantity"),
-                money(col("l_extendedprice")).as("l_extendedprice")),
+                r4(col("l_extendedprice")).as("l_extendedprice")),
       // (orderkey, linenumber) alone is NOT unique in the synthetic data,
       // and sf0.001 even has one duplicate (ok,ln,pk,sk) quad — sort by
       // every output column so the order is total no matter what
@@ -56,10 +60,12 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(money(col("l_quantity"))).as("sum_qty"),
-          sum(money(col("l_extendedprice"))).as("sum_base_price"),
-          sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
-            .cast("decimal(30,4)").as("sum_disc_price"),
+          // DECIMAL inside the sum (associative, partition-order independent),
+          // DOUBLE outside (engine-portable serialization for the hash gate)
+          r4(sum(money(col("l_quantity"))).cast("double")).as("sum_qty"),
+          r4(sum(money(col("l_extendedprice"))).cast("double")).as("sum_base_price"),
+          r4(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+            .cast("double")).as("sum_disc_price"),
           r4(avg(col("l_quantity"))).as("avg_qty"),
           r4(avg(col("l_extendedprice"))).as("avg_price"),
           r4(avg(col("l_discount"))).as("avg_disc"),
@@ -77,8 +83,8 @@ object Relational {
         .join(broadcast(t(spark, sfDir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
-            .cast("decimal(30,4)").as("revenue"),
+          r4(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+            .cast("double")).as("revenue"),
           count(lit(1)).as("n_items")),
       "p_brand")
 
@@ -95,7 +101,8 @@ object Relational {
       c.join(o, c("c_custkey") === o("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"),
-             sum(money(col("o_totalprice"))).as("total_spend")),
+             // NULL-preserving: a customer with no orders keeps a NULL spend
+             r4(sum(money(col("o_totalprice"))).cast("double")).as("total_spend")),
       "c_custkey")
   }
 
@@ -144,7 +151,7 @@ object Relational {
     */
   def topK(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "orders")
-      .select(col("o_orderkey"), money(col("o_totalprice")).as("o_totalprice"),
+      .select(col("o_orderkey"), r4(col("o_totalprice")).as("o_totalprice"),
               col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
@@ -171,7 +178,7 @@ object Relational {
     ordered(
       t(spark, sfDir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(money(col("l_quantity"))).as("sum_qty"),
+        .agg(r4(sum(money(col("l_quantity"))).cast("double")).as("sum_qty"),
              count(lit(1)).as("n_rows"),
              grouping_id().cast("int").as("gid")),
       "gid", "l_returnflag", "l_linestatus")
@@ -203,20 +210,20 @@ object Relational {
       "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "measure", "value")
 
   /** GROUPING SETS — explicit set list (rollup/cube cover the lattice
-    * shapes; this is the à-la-carte form). SQL-expressed: the Dataset API
-    * has no grouping-sets builder, and `spark.sql` is first-class here.
+    * shapes; this is the à-la-carte form). Uses the Spark 4 Dataset-API
+    * groupingSets builder — same Expand+hash-agg plan as rollup/cube without
+    * the SQL parse/analyze path (the r1 bench showed the spark.sql route
+    * paying a one-time multi-second first-parse cost in a fresh JVM).
     */
-  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    t(spark, sfDir, "lineitem").createOrReplaceTempView("li_gs")
-    spark.sql(
-      """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |       CAST(grouping_id() AS INT) AS gid
-        |FROM li_gs
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-        |""".stripMargin)
-  }
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(r4(sum(money(col("l_quantity"))).cast("double")).as("sum_qty"),
+             grouping_id().cast("int").as("gid")),
+      "gid", "l_returnflag", "l_linestatus")
 
   /** INTERSECT — completes the set-op family (union/except in setOps).
     * Spark plans intersect-distinct as a left-semi join over distincts.

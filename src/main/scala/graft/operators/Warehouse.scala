@@ -124,7 +124,10 @@ object Warehouse {
       .withColumn("o_orderstatus", lit("R"))
     ordered(
       mergeUpsert(target, source, Seq("o_orderkey"),
-                  Seq("o_totalprice", "o_orderstatus", "o_custkey", "o_orderdate")),
+                  Seq("o_totalprice", "o_orderstatus", "o_custkey", "o_orderdate"))
+        // DECIMAL stays internal (exact ×1.1 restatement); the output column
+        // surfaces as an r4 DOUBLE so both engines serialize it identically
+        .withColumn("o_totalprice", r4(col("o_totalprice").cast("double"))),
       "o_orderkey")
   }
 
@@ -140,9 +143,12 @@ object Warehouse {
       "event_id")
 
   /** CDC as snapshot diff (ref CDC.sql:1–2; README.md:375–384): classify
-    * rows between two snapshots as insert / update via a keyed full-outer
-    * comparison — the no-Delta replacement for `cdc.dbo_fact_weather_CT`.
-    * Unchanged rows are filtered out, like a CDC change table.
+    * rows between two snapshots as insert / update / DELETE via a keyed
+    * full-outer comparison — the no-Delta replacement for
+    * `cdc.dbo_fact_weather_CT`. SQL Server CDC captures deletes too, so the
+    * diff must be full-outer, not left: keys present only in the old
+    * snapshot classify as 'delete' (new_price NULL, like the CT's delete
+    * row). Unchanged rows are filtered out, like a CDC change table.
     */
   def cdcChanges(spark: SparkSession, sfDir: String): DataFrame = {
     // scale-4 money so the ×1.05 restatement (≤4 decimals) stays exact on
@@ -153,16 +159,20 @@ object Warehouse {
               col("o_orderdate").cast("date").as("o_orderdate"),
               col("o_orderpriority"))
     val oldSnap = orders.filter(col("o_orderdate") < lit("1997-06-01").cast("date")).as("a")
-    val newSnap = orders.filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+    // new snapshot: later cutoff (→ inserts), urgent rows restated ×1.05
+    // (→ updates), 3-MEDIUM rows purged (→ deletes)
+    val newSnap = orders.filter(col("o_orderdate") < lit("1998-01-01").cast("date") &&
+                                col("o_orderpriority") =!= "3-MEDIUM")
       .withColumn("o_totalprice",
         when(col("o_orderpriority") === "1-URGENT",
              (col("o_totalprice") * lit(1.05).cast("decimal(3,2)")).cast("decimal(30,4)"))
         .otherwise(col("o_totalprice"))).as("b")
-    val j = newSnap.join(oldSnap, col("a.o_orderkey") === col("b.o_orderkey"), "left")
+    val j = newSnap.join(oldSnap, col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
     ordered(
-      j.select(col("b.o_orderkey").as("o_orderkey"),
-               col("b.o_totalprice").as("new_price"),
+      j.select(coalesce(col("b.o_orderkey"), col("a.o_orderkey")).as("o_orderkey"),
+               r4(col("b.o_totalprice").cast("double")).as("new_price"),
                when(col("a.o_orderkey").isNull, lit("insert"))
+                 .when(col("b.o_orderkey").isNull, lit("delete"))
                  .when(col("a.o_totalprice") =!= col("b.o_totalprice"), lit("update"))
                  .otherwise(lit("unchanged")).as("change_type"))
         .filter(col("change_type") =!= "unchanged"),

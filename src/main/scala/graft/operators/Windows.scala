@@ -65,7 +65,7 @@ object Windows {
       t(spark, sfDir, "orders")
         .filter(col("o_totalprice") > 450000.0)
         .select(col("o_orderkey"), col("o_orderpriority"),
-                money(col("o_totalprice")).as("o_totalprice"),
+                r4(col("o_totalprice")).as("o_totalprice"),
                 rank().over(w).cast("long").as("rnk"),
                 dense_rank().over(w).cast("long").as("drnk"),
                 ntile(4).over(w).cast("long").as("quartile"),

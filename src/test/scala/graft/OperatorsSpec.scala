@@ -46,10 +46,14 @@ class OperatorsSpec extends SparkSpec {
     assert(r.filter(col("o_orderstatus") === "R").count() > 0)
   }
 
-  test("cdc diff classifies only insert/update") {
+  test("cdc diff classifies insert/update/delete; deletes carry NULL price") {
     val r = SparkEntry.queries("q_cdc_changes")(spark, Sf)
     val kinds = r.select("change_type").distinct().collect().map(_.getString(0)).toSet
-    assert(kinds.subsetOf(Set("insert", "update")) && kinds.nonEmpty)
+    // full-outer snapshot diff (SQL Server CDC captures deletes too): all
+    // three classes must appear in this data, and nothing else
+    assert(kinds == Set("insert", "update", "delete"))
+    assert(r.filter(col("change_type") === "delete" && col("new_price").isNotNull).isEmpty)
+    assert(r.filter(col("change_type") =!= "delete" && col("new_price").isNull).isEmpty)
   }
 
   test("scd2: per-key validity intervals chain without overlap") {
