@@ -21,18 +21,27 @@ object Bench {
     // two timed iterations per query, keep the min: one fresh-JVM run mixes
     // janino/C2 compilation of each query's generated code into the measure-
     // ment (observed ±2× run-to-run noise); min-of-2 reports steady state
+    // a failing query must NOT be silently timed as near-zero (that would
+    // report a regression as a speedup) — record it in "failed" and surface
+    // the error on stderr; exit stays 0 so the driver still parses the line
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -89,6 +89,7 @@ object SparkEntry {
     "q_sample_weighted"   -> q(Text.sampleWeighted(_, _, 3)),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
+    "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
     "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
@@ -393,15 +394,17 @@ object SparkEntry {
         |         CASE WHEN l_linenumber <> 3 THEN l_quantity END AS m1,
         |         CASE WHEN l_linenumber <> 4 THEN l_discount END AS m2
         |  FROM lineitem),
-        |w AS (
-        |  SELECT *, avg(m1) OVER (PARTITION BY l_returnflag, mo) AS a1,
-        |            avg(m2) OVER (PARTITION BY l_returnflag, mo) AS a2
-        |  FROM li)
+        |g AS (
+        |  SELECT l_returnflag, mo,
+        |         CAST(sum(CAST(m1 AS DECIMAL(18,2))) AS DOUBLE) / count(m1) AS a1,
+        |         CAST(sum(CAST(m2 AS DECIMAL(18,2))) AS DOUBLE) / count(m2) AS a2
+        |  FROM li GROUP BY l_returnflag, mo)
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, mo,
         | floor((CASE WHEN m1 IS NULL OR m2 IS NULL THEN a1 ELSE m1 END) * 10000.0 + 0.5) / 10000.0 AS m1_filled,
         | floor((CASE WHEN m1 IS NULL OR m2 IS NULL THEN a2 ELSE m2 END) * 10000.0 + 0.5) / 10000.0 AS m2_filled
-        |FROM w ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |               l_returnflag, mo, m1_filled, m2_filled""".stripMargin,
+        |FROM li JOIN g USING (l_returnflag, mo)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         l_returnflag, mo, m1_filled, m2_filled""".stripMargin,
 
     "q_outlier_zscore" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma

@@ -20,6 +20,43 @@ object Dedup {
   val NumHashes = 32
   val Bands = 8 // → 4 rows per band; P(collide) = 1-(1-j^4)^8 for Jaccard j
 
+  /** Hot-bucket guard: a bucket with more members than this switches from
+    * all-pairs to star linking. Mass-duplicate corpora (the 100 TB failure
+    * mode: thousands of identical boilerplate pages collapse into one
+    * bucket) would otherwise generate a per-bucket n² candidate set.
+    */
+  val HotBucketCap = 64
+
+  /** Candidate pairs from LSH buckets, hot-bucket-capped. `banded` must hold
+    * one row per (bucket keys, id, payload…). Buckets with ≤ cap members
+    * emit all pairs (id_a < id_b); larger buckets emit each member paired
+    * with the bucket's min-id anchor only — still O(n) per bucket, and a
+    * duplicate CLUSTER stays connected through its canonical representative,
+    * which is exactly what downstream connected-components dedup needs.
+    * Output columns: `<c>_a` / `<c>_b` for id and each payload column,
+    * deduped across buckets/bands. Both legs join on the bucket keys — the
+    * same shuffle the uncapped self-join already paid; the member count and
+    * anchor ride along from one extra aggregate on that key.
+    */
+  def bucketCandidates(banded: DataFrame, bucketKeys: Seq[String], idCol: String,
+                       payloadCols: Seq[String], cap: Int = HotBucketCap): DataFrame = {
+    val carried = idCol +: payloadCols
+    val stats = banded.groupBy(bucketKeys.map(col): _*)
+      .agg(count(lit(1)).as("_bn"), min(col(idCol)).as("_anchor"))
+    val bs = banded.join(stats, bucketKeys)
+    def side(df: DataFrame, sfx: String) =
+      df.select(bucketKeys.map(col) ++ carried.map(c => col(c).as(s"${c}_$sfx")): _*)
+    val small = bs.filter(col("_bn") <= cap)
+    val smallPairs = side(small, "a").join(side(small, "b"), bucketKeys)
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+    val hot = bs.filter(col("_bn") > cap)
+    val hotPairs = side(hot.filter(col(idCol) === col("_anchor")), "a")
+      .join(side(hot.filter(col(idCol) =!= col("_anchor")), "b"), bucketKeys)
+    smallPairs.unionByName(hotPairs)
+      .select(carried.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+      .dropDuplicates(s"${idCol}_a", s"${idCol}_b")
+  }
+
   /** Per-doc MinHash signature: explode distinct 3-gram shingles, take the
     * min of xxhash64(seed, shingle) per seed. One explode + one hash-agg;
     * partial min runs map-side so the shuffle carries one row per doc.
@@ -32,12 +69,45 @@ object Dedup {
       .select(col("doc_id"), array((0 until NumHashes).map(s => col(s"h$s")): _*).as("sig"))
   }
 
-  /** LSH banding → candidate pairs → Jaccard estimate from signature
-    * agreement. Returns the top-k most similar pairs (est desc, ids asc).
+  /** LSH banding → hot-bucket-capped candidate pairs → Jaccard estimate from
+    * signature agreement. Returns the top-k most similar pairs (est desc,
+    * ids asc).
     */
-  def minhashPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+  def minhashPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    minhashPairsFor(t(spark, sfDir, "documents"), k)
+
+  /** DataFrame-level minhash pipeline (spec entry point for synthetic
+    * mass-duplicate corpora).
+    */
+  def minhashPairsFor(docs: DataFrame, k: Int): DataFrame =
+    pairsFromSignatures(minhashSignatures(docs), k)
+
+  /** Same pipeline with signatures computed by the typed
+    * [[graft.functions.MinHashAggregator]] UDAF instead of the expression
+    * path — bit-identical signatures (cross-checked in DedupSimilaritySpec),
+    * registered as its own query so the custom Aggregator executes in the
+    * driver gate, not just in unit tests.
+    */
+  def minhashPairsUdaf(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    pairsFromSignatures(minhashSignaturesUdaf(t(spark, sfDir, "documents")), k)
+
+  /** MinHash signatures via the typed UDAF (partial+final elementwise-min
+    * merge, 256-byte buffer per doc — same shuffle profile as the
+    * expression path).
+    */
+  def minhashSignaturesUdaf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val agg = new graft.functions.MinHashAggregator(NumHashes).toColumn
+    Text.shingleRows(docs).as[(Long, String)]
+      .groupByKey(_._1).mapValues(_._2).agg(agg.name("sig"))
+      .toDF("doc_id", "sig")
+  }
+
+  /** Banding + hot-bucket-capped candidates + agreement estimate over a
+    * (doc_id, sig) signature table — shared tail of both minhash paths.
+    */
+  private def pairsFromSignatures(sigs: DataFrame, k: Int): DataFrame = {
     val rowsPerBand = NumHashes / Bands
-    val sigs = minhashSignatures(t(spark, sfDir, "documents"))
     // band hash = xxhash64 over the band's signature slice
     val banded = sigs.select(
       col("doc_id"), col("sig"),
@@ -45,17 +115,10 @@ object Dedup {
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => element_at(col("sig"), i + 1)): _*)
       }: _*)).as(Seq("band_id", "band_hash")))
-    val a = banded.select(col("band_id"), col("band_hash"),
-                          col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_id"), col("band_hash"),
-                          col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val cand = a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cand = bucketCandidates(banded, Seq("band_id", "band_hash"), "doc_id", Seq("sig"))
     val matches = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
                               m => m))
-    cand.select(col("doc_a"), col("doc_b"),
+    cand.select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
                 r4(matches.cast("double") / lit(NumHashes.toDouble)).as("jaccard_est"))
       .orderBy(col("jaccard_est").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(k)
@@ -83,25 +146,23 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates from 4×16-bit chunk collisions
     * (a pair within Hamming distance 3 must agree on ≥1 chunk — standard
-    * pigeonhole banding), then exact Hamming distance via bit_count(xor).
+    * pigeonhole banding), hot-bucket-capped, then exact Hamming distance
+    * via bit_count(xor).
     */
-  def simhashPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val sigs = simhashSignatures(t(spark, sfDir, "documents"))
+  def simhashPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    simhashPairsFor(t(spark, sfDir, "documents"), k)
+
+  /** DataFrame-level simhash pipeline (spec entry point). */
+  def simhashPairsFor(docs: DataFrame, k: Int): DataFrame = {
+    val sigs = simhashSignatures(docs)
     val chunked = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_id", "chunk")))
-    val a = chunked.select(col("chunk_id"), col("chunk"),
-                           col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-    val b = chunked.select(col("chunk_id"), col("chunk"),
-                           col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    val cand = a.join(b, Seq("chunk_id", "chunk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand.select(col("doc_a"), col("doc_b"),
-                bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val cand = bucketCandidates(chunked, Seq("chunk_id", "chunk"), "doc_id", Seq("simhash"))
+    cand.select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+                bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
       .limit(k)
   }

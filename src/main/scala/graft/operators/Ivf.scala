@@ -21,11 +21,26 @@ import graft.util.Tables._
   */
 object Ivf {
 
-  /** Centroids as (centroid_id, centroid float array), deterministic. */
+  /** Training-set cap: k-means converges on a representative sample; fitting
+    * on the full corpus would be 10 full passes over 100 TB for centroids
+    * that a few ×10⁴ vectors pin down just as well (IVF quantizers are
+    * conventionally trained on samples, e.g. ≤256·k points).
+    */
+  val TrainCap = 20000L
+
+  /** Centroids as (centroid_id, centroid float array), deterministic: the
+    * k-means fit runs on a fixed-seed sample capped at [[TrainCap]] rows —
+    * never the full corpus.
+    */
   def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = emb.select(col("vec_id"),
+    // one cheap count (parquet row-group metadata) to size the sample
+    val n = emb.count()
+    val sampled =
+      if (n <= TrainCap) emb
+      else emb.sample(withReplacement = false, TrainCap.toDouble / n, seed = 42L)
+    val feats = sampled.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(feats)
@@ -35,17 +50,21 @@ object Ivf {
       .toDF("centroid_id", "centroid")
   }
 
-  /** Assign each vector to its nearest centroid by cosine (broadcast the
-    * centroid table, keep the arg-max row per vector).
+  /** Assign each vector to its nearest centroid by cosine: broadcast the
+    * centroid table, arg-max via max_by aggregation. The partial max_by
+    * folds the n×k scored rows map-side, so the one shuffle carries a single
+    * row per vector — a window row_number here would instead shuffle and
+    * sort all n×k rows. Tie-break: highest sim, then LOWEST centroid_id
+    * (struct max on (sim, -centroid_id)), deterministic.
     */
   def assignLists(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = emb.crossJoin(broadcast(centroids))
       .withColumn("sim", call_function("cosine_sim", col("embedding"), col("centroid")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("centroid_id"), col("embedding")),
+                  struct(col("sim"), (-col("centroid_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+              col("best.centroid_id").as("centroid_id"))
   }
 
   /** End-to-end IVF query: top-k cosine neighbors of probe vec_id=0,

@@ -39,7 +39,7 @@ object Quality {
 
   /** Missing-value imputation by group average (ref transform_load.sql:20–24;
     * README.md:230). The reference's correlated scalar subqueries become one
-    * window-average pass. Deliberately replicated quirk: a row with EITHER
+    * group-stats aggregate joined back to the fact. Deliberately replicated quirk: a row with EITHER
     * measure NULL gets BOTH measures overwritten by the group average (the
     * reference UPDATE's WHERE hits the row once and SETs both columns).
     * NULLs are synthesized deterministically from lineitem (testdata has
@@ -53,11 +53,20 @@ object Quality {
       month(col("l_shipdate")).as("mo"),
       when(col("l_linenumber") =!= 3, col("l_quantity")).as("m1"),
       when(col("l_linenumber") =!= 4, col("l_discount")).as("m2"))
-    val w = Window.partitionBy(col("l_returnflag"), col("mo"))
+    // Group stats via groupBy + broadcast join-back, NOT a window: a window
+    // partitioned by (flag, month) has ~36 distinct keys, so at 100 TB the
+    // whole fact would sort on ≤36 reducers. The aggregate shuffles one row
+    // per (group × partition); the tiny stats table broadcasts back.
+    // Averages are exact-decimal-sum / count (both inputs are ≤2-decimal
+    // money-like doubles) so the result is independent of partial-aggregation
+    // order — double summation order would differ between Spark's partial/
+    // final tree and DuckDB's sequential scan right at the r4 boundary.
+    val stats = li.groupBy(col("l_returnflag"), col("mo"))
+      .agg((sum(money(col("m1"))).cast("double") / count(col("m1"))).as("avg1"),
+           (sum(money(col("m2"))).cast("double") / count(col("m2"))).as("avg2"))
     val needs = col("m1").isNull || col("m2").isNull
     ordered(
-      li.withColumn("avg1", avg(col("m1")).over(w))
-        .withColumn("avg2", avg(col("m2")).over(w))
+      li.join(broadcast(stats), Seq("l_returnflag", "mo"))
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_returnflag"), col("mo"),

@@ -74,16 +74,12 @@ object Similarity {
     val banded = withBits.select(
       col("vec_id"), col("embedding"),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "bucket")))
-    val a = banded.select(col("band_id"), col("bucket"),
-                          col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = banded.select(col("band_id"), col("bucket"),
-                          col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    val cand = a.join(b, Seq("band_id", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"))
-      .dropDuplicates("vec_a", "vec_b")
-    val cos = call_function("cosine_sim", col("emb_a"), col("emb_b"))
-    cand.select(col("vec_a"), col("vec_b"), r4(cos).as("cos_sim"))
+    // hot-bucket-capped candidates (Dedup.bucketCandidates): degenerate
+    // corpora (many identical vectors → one bucket) stay O(n), not n²
+    val cand = Dedup.bucketCandidates(banded, Seq("band_id", "bucket"),
+                                      "vec_id", Seq("embedding"))
+    val cos = call_function("cosine_sim", col("embedding_a"), col("embedding_b"))
+    cand.select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"), r4(cos).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(k)
   }

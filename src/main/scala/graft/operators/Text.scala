@@ -120,8 +120,15 @@ object Text {
     * ln(u)/weight with u a per-row uniform; top-k keys per group win.
     * The uniform comes from pure integer arithmetic (Knuth-hash mod prime)
     * so the sample is reproducible on any engine — no rand(), no
-    * engine-specific hash. Distributed shape: one window top-k per group —
-    * equivalently a per-partition heap then merge, no global sort.
+    * engine-specific hash.
+    *
+    * Distributed shape: TWO-PHASE top-k. A single window partitioned by
+    * `lang` (~5 values) would sort the whole corpus on ≤5 reducers at
+    * 100 TB. Instead each physical input partition keeps its local top-k
+    * per lang (window over (lang, partition-id) — thousands of reducers),
+    * and only the ≤ k·numPartitions survivors meet in the final per-lang
+    * window. Correct for any partitioning: a global top-k row is by
+    * definition in the top-k of whatever partition holds it.
     */
   def sampleWeighted(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -129,11 +136,16 @@ object Text {
     val u = ((col("doc_id") * lit(2654435761L)) % lit(prime) + lit(1L)).cast("double") /
             lit((prime + 1).toDouble)
     val key = log(u) / col("n_chars").cast("double")
-    val w = Window.partitionBy(col("lang")).orderBy(col("skey").desc, col("doc_id").asc)
+    val wLocal = Window.partitionBy(col("lang"), col("pid"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+    val wGlobal = Window.partitionBy(col("lang")).orderBy(col("skey").desc, col("doc_id").asc)
     ordered(
       docs(spark, sfDir)
         .withColumn("skey", key)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= k)
+        .withColumn("rn", row_number().over(wGlobal))
         .filter(col("rn") <= k)
         .select(col("lang"), col("doc_id"), col("n_chars"), col("rn").cast("long").as("rn")),
       "lang", "rn")
@@ -174,9 +186,13 @@ object Text {
     // survives 100 TB: both sides shuffle on (blk, shingle), rare-shingle
     // skew is bounded by the block, and hot shingles can be dropped like
     // stopwords without changing the plan.
+    // All joins against per-doc frames (block map, shingle-set sizes) are
+    // plain shuffled joins on doc_id / pair ids — one row per DOCUMENT, so
+    // broadcasting them would ship a corpus-sized table to every executor
+    // at 100 TB. The pair table after the groupBy is the small side anyway.
     val fr = docs(spark, sfDir).filter(col("lang") === "fr")
     val blkMap = fr.select(col("doc_id"), expr("n_chars div 200").as("blk"))
-    val e = shingleRows(fr).join(broadcast(blkMap), "doc_id")
+    val e = shingleRows(fr).join(blkMap, "doc_id")
     val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val a = e.select(col("blk"), col("s"), col("doc_id").as("doc_a"))
     val b = e.select(col("blk"), col("s"), col("doc_id").as("doc_b"))
@@ -186,7 +202,7 @@ object Text {
     val zb = sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))
     val jac = col("c").cast("double") /
               (col("na") + col("nb") - col("c")).cast("double")
-    common.join(broadcast(za), "doc_a").join(broadcast(zb), "doc_b")
+    common.join(za, "doc_a").join(zb, "doc_b")
       .select(col("doc_a"), col("doc_b"), r4(jac).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(50)

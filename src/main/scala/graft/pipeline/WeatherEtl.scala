@@ -28,12 +28,19 @@ object WeatherEtl {
   /** Stage 1 — staging dedup (ref transform_load.sql:9–16). The reference
     * keeps an arbitrary row (`ORDER BY (SELECT NULL)`); we keep the max by
     * measures for determinism (documented divergence, SURVEY §7.5.3).
+    * Scoping matches the reference exactly: the DELETE's CTE filters
+    * `is_processed = 0` (transform_load.sql:14), so only UNPROCESSED rows
+    * dedup against each other — already-processed rows pass through
+    * untouched, and a duplicate spanning a processed and an unprocessed row
+    * keeps both (the reference never compares across the flag either).
     */
   def dedupStaging(stg: DataFrame): DataFrame = {
     val w = Window.partitionBy(StagingKeys.map(col): _*)
       .orderBy(col("temp_max").desc_nulls_last, col("temp_min").desc_nulls_last,
                col("precipitation").desc_nulls_last)
-    stg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val deduped = stg.filter(!col("is_processed"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    stg.filter(col("is_processed")).unionByName(deduped)
   }
 
   /** Stage 2 — missing-value imputation (ref transform_load.sql:20–24):

@@ -51,6 +51,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ests.sameElements(ests.sorted(Ordering[Double].reverse)))
   }
 
+  test("hot-bucket cap: 1k identical docs yield linear anchor-linked candidates") {
+    import spark.implicits._
+    // the 100 TB failure mode in miniature: a mass-duplicate cluster whose
+    // every LSH bucket holds all 1000 docs. Uncapped all-pairs would emit
+    // 499,500 candidates; the cap's star linking emits n-1 through the
+    // min-id anchor — and the cluster stays connected for downstream dedup.
+    val d = (0L until 1000L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsFor(d, 5000).collect()
+    assert(pairs.length === 999)
+    assert(pairs.forall(_.getAs[Long]("doc_a") == 0L))
+    assert(pairs.forall(_.getAs[Double]("jaccard_est") == 1.0))
+  }
+
   test("simhash: exact duplicates at hamming 0, unrelated text far away") {
     val d = docsOf(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
