@@ -407,7 +407,9 @@ object SparkEntry {
         |         l_returnflag, mo, m1_filled, m2_filled""".stripMargin,
 
     "q_outlier_zscore" ->
-      """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      """WITH s AS (SELECT event_type,
+        |                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mu,
+        |                  stddev_samp(value) AS sigma
         |           FROM events GROUP BY event_type)
         |SELECT e.event_id, e.event_type,
         | floor((CASE WHEN s.sigma IS NULL OR s.sigma = 0
@@ -464,7 +466,7 @@ object SparkEntry {
     "q_window_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
         | count(*) AS n_events,
-        | floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+        | floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

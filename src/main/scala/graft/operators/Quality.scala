@@ -88,8 +88,13 @@ object Quality {
     */
   def outlierZscore(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = events(spark, sfDir)
+    // mu as exact-decimal-sum / count (value is 2-decimal): the capped rows
+    // emit r4(mu), so mu itself must be partition-order independent. sigma
+    // only gates the |x−mu|/σ ≤ 3 comparison — far from the boundary in
+    // practice — and stays a double stddev on both engines.
     val stats = ev.groupBy(col("event_type"))
-      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+      .agg((sum(money(col("value"))).cast("double") / count(col("value"))).as("mu"),
+           stddev_samp(col("value")).as("sigma"))
     val keep = col("sigma").isNull || col("sigma") === 0.0 ||
                abs(col("value") - col("mu")) / col("sigma") <= 3.0
     ordered(

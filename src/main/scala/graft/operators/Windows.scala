@@ -26,7 +26,10 @@ object Windows {
       events(spark, sfDir)
         .groupBy(((col("ts_us") / HourUs).cast("long") * HourUs).as("window_start_us"))
         .agg(count(lit(1)).as("n_events"),
-             r4(sum(col("value"))).as("sum_value"),
+             // exact decimal sum (value is 2-decimal): double summation order
+             // differs between Spark's partial/final tree and DuckDB's
+             // sequential scan, and could flip the r4 boundary
+             r4(sum(money(col("value"))).cast("double")).as("sum_value"),
              countDistinct(col("user_id")).as("n_users")),
       "window_start_us")
 
