@@ -179,28 +179,32 @@ object Warehouse {
       "o_orderkey")
   }
 
-  /** Date dimension generator, 2000 → 2002 here (ref README.md:49 — "date
+  /** Parameterized date-dimension generator (ref README.md:49 — "date
     * dimension pre-built for 2000 to current year"; declared, never coded in
     * the reference). sequence()+explode generates distributed rows without a
-    * driver-side loop; the same expression generates 2000→2100 unchanged.
+    * driver-side loop; any range — 2000→current-year included — is one call.
     */
-  def dateDimGenerate(spark: SparkSession, sfDir: String): DataFrame = {
+  def dateDim(spark: SparkSession, startDate: String, endDate: String): DataFrame = {
     val days = spark.range(1)
-      .select(explode(sequence(lit("2000-01-01").cast("date"),
-                               lit("2002-12-31").cast("date"),
+      .select(explode(sequence(lit(startDate).cast("date"),
+                               lit(endDate).cast("date"),
                                expr("interval 1 day"))).as("d"))
-    ordered(
-      days.select(
-        col("d"),
-        year(col("d")).as("yr"),
-        quarter(col("d")).as("qtr"),
-        month(col("d")).as("mo"),
-        dayofmonth(col("d")).as("dom"),
-        // ISO day-of-week 1=Mon..7=Sun — identical to DuckDB's isodow()
-        (weekday(col("d")) + 1).as("dow_iso"),
-        (weekday(col("d")) + 1 >= 6).as("is_weekend")),
-      "d")
+    days.select(
+      col("d"),
+      year(col("d")).as("yr"),
+      quarter(col("d")).as("qtr"),
+      month(col("d")).as("mo"),
+      dayofmonth(col("d")).as("dom"),
+      // ISO day-of-week 1=Mon..7=Sun — identical to DuckDB's isodow()
+      (weekday(col("d")) + 1).as("dow_iso"),
+      (weekday(col("d")) + 1 >= 6).as("is_weekend"))
   }
+
+  /** The registered query pins 2000→2002 so the oracle stays deterministic
+    * (a current-year end date would drift run to run).
+    */
+  def dateDimGenerate(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(dateDim(spark, "2000-01-01", "2002-12-31"), "d")
 
   /** SCD Type 2 intervals (ref README.md:88–91 — system-versioned dim_city):
     * explicit valid_from/valid_to via lead() over each key's change stream;

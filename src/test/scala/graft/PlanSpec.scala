@@ -51,6 +51,31 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), anti.take(1500))
   }
 
+  test("imputation computes group stats via aggregate + broadcast join, not a window") {
+    // a Window over (l_returnflag, month) would sort the whole fact on ≤36
+    // reducers at 100 TB — the plan must show groupBy + broadcast join-back
+    val p = plan(SparkEntry.queries("q_impute_avg")(spark, Sf))
+    assert(!p.contains("Window"), "impute plan must not contain a window:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("IVF list assignment aggregates with max_by, not a window over n×k rows") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("centroid_id", "centroid")
+    val p = plan(graft.operators.Ivf.assignLists(emb, cents))
+    assert(!p.contains("Window"), "assignment must not window-sort n×k rows:\n" + p.take(2000))
+    assert(p.contains("max_by") || p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("weighted sampling is two-phase: local top-k before the per-lang window") {
+    val p = plan(SparkEntry.queries("q_sample_weighted")(spark, Sf))
+    // two window nodes: (lang, partition-id) local phase + per-lang merge
+    assert("Window".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the scalar-function hot path") {
     // AQE shows codegen spans only in the executed (final) plan
     val df = SparkEntry.queries("q_scalar_math_funcs")(spark, Sf)
