@@ -90,12 +90,15 @@ object SparkEntry {
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
+    "q_doc_dedup_components" -> q(Dedup.dedupComponents(_, _, 0.8)), // pairs → clusters → canonical ids
+    "q_doc_dedup_embed"   -> q(Similarity.dedupEmbed(_, _, 0.95)), // embedding-cosine near-dup clusters
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
     "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
     "q_ann_ivf"           -> q(Ivf.ivfTopK(_, _, 10, 16, 8)), // no-oracle: k-means internals engine-specific
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
+    "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -586,6 +589,15 @@ object SparkEntry {
         |SELECT vec_id, floor(dp / (cn * pn) * 10000.0 + 0.5) / 10000.0 AS cos_sim
         |FROM d WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 30 AS n_frames FROM documents),
+        |f AS (SELECT doc_id, n_frames,
+        |        unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
+        |      FROM m)
+        |SELECT doc_id, n_frames, frame_idx,
+        | floor(CAST((doc_id * 31 + frame_idx * 7) % 256 AS DOUBLE) / 255.0 * 10000.0 + 0.5) / 10000.0 AS luma_stub
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -116,9 +116,11 @@ object Dedup {
   }
 
   /** Banding + hot-bucket-capped candidates + agreement estimate over a
-    * (doc_id, sig) signature table — shared tail of both minhash paths.
+    * (doc_id, sig) signature table — the full scored candidate stream
+    * (no order/limit), shared by the top-k queries and the component
+    * clustering below.
     */
-  private def pairsFromSignatures(sigs: DataFrame, k: Int): DataFrame = {
+  def scoredPairs(sigs: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / Bands
     // band hash = xxhash64 over the band's signature slice
     val banded = sigs.select(
@@ -132,8 +134,82 @@ object Dedup {
                               m => m))
     cand.select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
                 r4(matches.cast("double") / lit(NumHashes.toDouble)).as("jaccard_est"))
+  }
+
+  private def pairsFromSignatures(sigs: DataFrame, k: Int): DataFrame =
+    scoredPairs(sigs)
       .orderBy(col("jaccard_est").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(k)
+
+  /** Connected components over an undirected pair list — the tail of every
+    * near-dup pipeline: similar PAIRS become duplicate CLUSTERS, each
+    * labeled by its minimum member id (the canonical document).
+    *
+    * Iterative min-label propagation with pointer jumping: per round,
+    * (1) every node takes the min label over itself and its neighbors
+    * (one groupBy + one join), then (2) labels chase their own label's
+    * label (one self-join) — the doubling step that makes long chains
+    * converge in O(log diameter) rounds instead of O(diameter). Early-stops
+    * when a round changes nothing. Each round shuffles only (node, label)
+    * pairs — never payloads — and the node set is only the docs that appear
+    * in a candidate pair, a tiny fraction of the corpus. Labels persist
+    * per round (iterative lineage would otherwise recompute from scratch).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 15): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // (1) neighbor-min propagation
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nbr_label")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("nbr_label")).as("nbr_label"))
+      val propagated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+                least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // (2) pointer jump: label := label(label)
+      val jumped = propagated
+        .join(propagated.select(col("node").as("label"), col("label").as("label2")),
+              Seq("label"), "left")
+        .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = jumped.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup canonical assignment over `documents`: minhash pairs at
+    * estimated Jaccard ≥ minEst, clustered into components, joined back to
+    * the FULL corpus — every document reports its canonical (min-id)
+    * representative, singletons map to themselves. The downstream "keep one
+    * per cluster" filter is `is_canonical`; this full-coverage table is what
+    * a training-data pipeline joins against to drop duplicates.
+    */
+  def dedupComponents(spark: SparkSession, sfDir: String,
+                      minEst: Double = 0.8): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val pairs = scoredPairs(minhashSignatures(docs))
+      .filter(col("jaccard_est") >= minEst)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    ordered(
+      docs.select(col("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component_id"))
+        .withColumn("is_canonical", col("doc_id") === col("component_id")),
+      "doc_id")
   }
 
   /** Per-doc 64-bit SimHash over word hashes: bit b is the sign of

@@ -38,18 +38,41 @@ object Multimodal {
       n_frames = 1L + m.doc_id % 30L)
   }
 
-  /** Media metadata extraction over binary payloads. Documents' text bytes
-    * stand in for media blobs (the testdata has no real media); the
-    * pipeline — binary encode → partition-batched decode → columnar
-    * metadata — is the real thing.
+  /** Decoded metadata as an unordered columnar frame — the shared decode
+    * stage: binary encode → partition-batched decode → columnar metadata.
     */
-  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
+  def decodedMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = t(spark, sfDir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaIn]
     // one decoder instance per partition: init cost amortizes over the batch
-    val decoded = media.mapPartitions { batch => batch.map(decodeStub) }
-    ordered(decoded.toDF(), "doc_id")
+    media.mapPartitions { batch => batch.map(decodeStub) }.toDF()
   }
+
+  /** Media metadata extraction over binary payloads. Documents' text bytes
+    * stand in for media blobs (the testdata has no real media); the
+    * pipeline — binary encode → partition-batched decode → columnar
+    * metadata — is the real thing.
+    */
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(decodedMeta(spark, sfDir), "doc_id")
+
+  /** Frame sampling over decoded video metadata: every `step`-th frame index
+    * per media becomes a row (the shape a frame-extraction stage fans out
+    * on before per-frame feature UDFs), with a deterministic stub luma
+    * feature standing in for the decoded frame statistic. sequence+explode
+    * generates frames distributed — a 30-frame/media corpus fans out 6× at
+    * step 5 with zero shuffle; downstream per-frame work partitions freely.
+    */
+  def frameSample(spark: SparkSession, sfDir: String, step: Int = 5): DataFrame =
+    ordered(
+      decodedMeta(spark, sfDir)
+        .select(col("doc_id"), col("n_frames"),
+                explode(sequence(lit(0L), col("n_frames") - 1L, lit(step.toLong)))
+                  .as("frame_idx"))
+        .withColumn("luma_stub",
+          r4(((col("doc_id") * 31L + col("frame_idx") * 7L) % 256L).cast("double")
+             / lit(255.0))),
+      "doc_id", "frame_idx")
 }

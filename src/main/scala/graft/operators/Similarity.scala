@@ -60,9 +60,17 @@ object Similarity {
     * No-oracle (not ANSI-SQL-expressible); AnnSpec checks recall against
     * brute force.
     */
-  def annLshPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+  def annLshPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    lshScoredPairs(spark, t(spark, sfDir, "embeddings"))
+      .orderBy(col("cos_sim").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(k)
+
+  /** Full scored candidate stream (no order/limit): hyperplane-LSH bucketed
+    * pairs re-ranked by exact cosine — shared by the top-k query and the
+    * embedding near-dup clustering.
+    */
+  def lshScoredPairs(spark: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val emb = t(spark, sfDir, "embeddings")
     val projBits: Seq[Column] = planes.zipWithIndex.map { case (p, j) =>
       (call_function("dot_f", col("embedding"),
                      typedLit(p.map(_.toFloat))) > 0.0).cast("long").as(s"bit$j")
@@ -80,7 +88,24 @@ object Similarity {
                                       "vec_id", Seq("embedding"))
     val cos = call_function("cosine_sim", col("embedding_a"), col("embedding_b"))
     cand.select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"), r4(cos).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_a").asc, col("vec_b").asc)
-      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate canonical assignment: LSH-bucketed
+    * candidates at exact cosine ≥ minCos, clustered via connected
+    * components, joined back to the FULL corpus — every vector reports its
+    * canonical (min-id) representative, singletons map to themselves. The
+    * embedding twin of Dedup.dedupComponents, same output contract.
+    */
+  def dedupEmbed(spark: SparkSession, sfDir: String,
+                 minCos: Double = 0.95): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val pairs = lshScoredPairs(spark, emb).filter(col("cos_sim") >= minCos)
+    val cc = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+    ordered(
+      emb.select(col("vec_id"))
+        .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("component_id"))
+        .withColumn("is_canonical", col("vec_id") === col("component_id")),
+      "vec_id")
   }
 }

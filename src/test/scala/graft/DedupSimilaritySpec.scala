@@ -66,6 +66,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard_est") == 1.0))
   }
 
+  test("connected components: a long chain collapses to its min label") {
+    import spark.implicits._
+    // diameter-9 chain forces multiple rounds (pointer jumping shortcuts
+    // them); the isolated pair must keep its own component
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) :+ (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach(n => assert(cc(n) === 1L, s"node $n"))
+    assert(cc(20L) === 20L && cc(21L) === 20L)
+  }
+
+  test("doc dedup components: full-corpus canonical assignment, minima as labels") {
+    val docs = graft.util.Tables.t(spark, Sf, "documents")
+    val r = SparkEntry.queries("q_doc_dedup_components")(spark, Sf).collect()
+    assert(r.length === docs.count()) // every document gets an assignment
+    r.foreach { row =>
+      assert(row.getLong(1) <= row.getLong(0), "component id must be the min member")
+      assert(row.getBoolean(2) === (row.getLong(0) == row.getLong(1)))
+    }
+    // the known shuffled-word near-dups must collapse: some non-canonical rows
+    assert(r.exists(!_.getBoolean(2)), "expected at least one non-singleton cluster")
+  }
+
+  test("embedding near-dup assignment covers the corpus; no false merges") {
+    val emb = graft.util.Tables.t(spark, Sf, "embeddings")
+    val r = SparkEntry.queries("q_doc_dedup_embed")(spark, Sf).collect()
+    assert(r.length === emb.count())
+    r.foreach { row =>
+      assert(row.getLong(1) <= row.getLong(0))
+      assert(row.getBoolean(2) === (row.getLong(0) == row.getLong(1)))
+    }
+    // this corpus has no vector pairs above cosine 0.95 (max ≈ 0.51), so a
+    // correct clustering must produce only singletons — anything else is a
+    // false merge
+    assert(r.forall(_.getBoolean(2)))
+  }
+
   test("simhash: exact duplicates at hamming 0, unrelated text far away") {
     val d = docsOf(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
