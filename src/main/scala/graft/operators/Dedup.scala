@@ -152,8 +152,15 @@ object Dedup {
     * converge in O(log diameter) rounds instead of O(diameter). Early-stops
     * when a round changes nothing. Each round shuffles only (node, label)
     * pairs — never payloads — and the node set is only the docs that appear
-    * in a candidate pair, a tiny fraction of the corpus. Labels persist
-    * per round (iterative lineage would otherwise recompute from scratch).
+    * in a candidate pair, a tiny fraction of the corpus.
+    *
+    * Labels are EAGERLY lineage-truncated per round (localCheckpoint):
+    * the pointer-jump self-join references the round's frame twice, so an
+    * un-truncated logical plan would DOUBLE every iteration — measured 30 s
+    * of pure plan analysis to cluster 255 pairs. Caching alone doesn't help
+    * (persist keeps data, not plan size). On a multi-node cluster swap
+    * localCheckpoint for reliable checkpoint(dir) if executor loss during
+    * the loop must be survivable.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 15): DataFrame = {
@@ -163,7 +170,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -179,10 +186,9 @@ object Dedup {
         .join(propagated.select(col("node").as("label"), col("label").as("label2")),
               Seq("label"), "left")
         .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = jumped.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = jumped
       converged = changed == 0
       iter += 1
