@@ -87,6 +87,10 @@ object SparkEntry {
     "q_doc_dedup_exact"   -> q(Text.docDedupExact),
     "q_ngram_jaccard"     -> q(Text.ngramJaccard),
     "q_sample_weighted"   -> q(Text.sampleWeighted(_, _, 3)),
+    "q_doc_chunk"         -> q(Text.docChunk(_, _, 100, 80)),
+    "q_vocab_topk"        -> q(Text.vocabTopK(_, _, 100)),
+    "q_pii_scrub"         -> q(Text.piiScrub),
+    "q_contamination"     -> q(Text.contamination(_, _, 97, 0.5)),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -544,6 +548,48 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_key,
         | min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+
+    "q_doc_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |        unnest(generate_series(0, n - 1, 80)) AS start
+        |      FROM d)
+        |SELECT doc_id, start // 80 AS chunk_id,
+        | array_to_string(w[start + 1 : start + 100], ' ') AS chunk_text,
+        | CAST(least(100, n - start) AS BIGINT) AS n_words
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_vocab_topk" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+        | regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |                '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |                      i -> array_to_string(w[i:i+2], ' '))) AS s
+        |       FROM d),
+        |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |bench AS (SELECT DISTINCT g FROM e WHERE doc_id % 97 = 0),
+        |sz AS (SELECT doc_id, len(s) AS nsh FROM sh),
+        |ov AS (SELECT e.doc_id, count(*) AS overlap FROM e JOIN bench USING (g) GROUP BY 1)
+        |SELECT sz.doc_id, CAST(nsh AS BIGINT) AS n_shingles,
+        | CAST(coalesce(overlap, 0) AS BIGINT) AS overlap,
+        | floor(CAST(coalesce(overlap, 0) AS DOUBLE) / CAST(nsh AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS overlap_ratio,
+        | CAST(coalesce(overlap, 0) AS DOUBLE) >= 0.5 * CAST(nsh AS DOUBLE) AS is_contaminated
+        |FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
+        |WHERE nsh > 0
+        |ORDER BY sz.doc_id""".stripMargin,
 
     "q_sample_weighted" ->
       """WITH s AS (

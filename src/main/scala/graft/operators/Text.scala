@@ -151,6 +151,88 @@ object Text {
       "lang", "rn")
   }
 
+  /** Fixed-size overlapping word-window chunking — the context-window prep
+    * stage of every LLM ingest pipeline: chunk i covers words
+    * [i·stride, i·stride + size), trailing chunk may run short. One
+    * sequence+explode fan-out, array slice per chunk — no shuffle at all;
+    * chunks inherit the scan's partitioning.
+    */
+  def docChunk(spark: SparkSession, sfDir: String,
+               chunkWords: Int = 100, stride: Int = 80): DataFrame =
+    ordered(
+      docs(spark, sfDir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+        .select(col("doc_id"), col("w"), col("n"),
+                explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+        .select(
+          col("doc_id"),
+          expr(s"start div $stride").as("chunk_id"),
+          array_join(slice(col("w"), col("start") + 1, lit(chunkWords)), " ").as("chunk_text"),
+          least(lit(chunkWords), col("n") - col("start")).cast("long").as("n_words")),
+      "doc_id", "chunk_id")
+
+  /** Corpus vocabulary: top-k lowercased words by frequency (count desc,
+    * word asc). Explode + hash-agg with map-side partials; the top-k is
+    * TakeOrdered — only k rows per partition travel.
+    */
+  def vocabTopK(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame =
+    docs(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+
+  /** PII scrubbing: redact email-shaped tokens and digit runs, reporting
+    * per-doc redaction counts — pure per-row regex expressions, zero
+    * shuffle, the compliance pass a training corpus runs before anything
+    * else. Patterns stay in the RE2-compatible subset so engines agree.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]+"
+    ordered(
+      docs(spark, sfDir).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(num)).cast("long").as("n_numbers"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), num, "<NUM>")
+          .as("scrubbed")),
+      "doc_id")
+  }
+
+  /** Benchmark-contamination screen: fraction of each document's distinct
+    * 3-gram shingles that appear in a benchmark set's shingles (here: the
+    * doc_id % mod == 0 documents stand in for the benchmark suite). The
+    * benchmark side is broadcast — benchmark suites are small fixed
+    * artifacts, corpus-size-independent — so the corpus never shuffles;
+    * per-doc overlap is one hash-agg.
+    */
+  def contamination(spark: SparkSession, sfDir: String,
+                    mod: Long = 97, tau: Double = 0.5): DataFrame = {
+    // shingles feed three legs (benchmark set, per-doc sizes, overlap) —
+    // materialize once, same rationale as Dedup.bucketCandidates
+    val sh = shingleRows(docs(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = sh.filter(col("doc_id") % mod === 0).select(col("s")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val ov = sh.join(broadcast(bench), "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap"))
+    ordered(
+      sizes.join(ov, Seq("doc_id"), "left")
+        .filter(col("nsh") > 0)
+        .select(
+          col("doc_id"),
+          col("nsh").cast("long").as("n_shingles"),
+          coalesce(col("overlap"), lit(0L)).cast("long").as("overlap"),
+          r4(coalesce(col("overlap"), lit(0L)).cast("double") / col("nsh").cast("double"))
+            .as("overlap_ratio"),
+          (coalesce(col("overlap"), lit(0L)).cast("double") >= lit(tau) * col("nsh").cast("double"))
+            .as("is_contaminated")),
+      "doc_id")
+  }
+
   /** Distinct word 3-gram shingles as rows (doc_id, s) — shared by the
     * near-dup family. posexplode + windowed lead() instead of a
     * higher-order transform() lambda: array lambdas run on Catalyst's

@@ -39,6 +39,36 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("win.start").as("session_start"), col("n_events"))
 
+  /** Stream-stream interval join: each event on stream B pairs with the
+    * same user's stream-A event at most 1 hour earlier (the streaming twin
+    * of the batch interval/as-of joins in operators.RangeJoins/TimeJoins).
+    * Inner-join matches emit eagerly; the watermark + time-bound condition
+    * are what let the join STATE expire — without both, a stream-stream
+    * join buffers forever. Runs identically on batch frames.
+    */
+  def intervalJoin(evA: DataFrame, evB: DataFrame): DataFrame = {
+    val a = evA.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("a_ts"))
+    val b = evB.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("value"))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("a_ts"), col("b_ts"), col("value"))
+  }
+
+  /** Watermarked streaming dedup — the reference's staging dedup
+    * (transform_load.sql:9–16) as a stream: at most one row per
+    * (user_id, event_type) within the watermark horizon, state bounded by
+    * the watermark instead of growing forever. On a batch frame this
+    * degenerates to plain dropDuplicates, matching Quality.dedupRownum's
+    * keys.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   case class UserEvent(ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
                          first_seen_us: Long, last_seen_us: Long)

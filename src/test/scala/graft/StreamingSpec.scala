@@ -90,4 +90,53 @@ class StreamingSpec extends SparkSpec {
     assert(u2.map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSeq
       === Seq((1L, 7.0)))
   }
+
+  test("stream-stream interval join: stream output equals batch execution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Timestamp, Long, Double)]
+    val memB = MemoryStream[(Timestamp, Long, Double)]
+    val dfA = memA.toDF().toDF("ts", "user_id", "value")
+    val dfB = memB.toDF().toDF("ts", "user_id", "value")
+    val q = StreamOps.intervalJoin(dfA, dfB)
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    val aRows = Seq((ts("2024-01-01 00:00:00"), 1L, 0.0),
+                    (ts("2024-01-01 03:00:00"), 2L, 0.0))
+    val bRows = Seq(
+      (ts("2024-01-01 00:30:00"), 1L, 11.0), // within the hour → joins
+      (ts("2024-01-01 02:30:00"), 1L, 12.0), // 2.5h later → no match
+      (ts("2024-01-01 03:10:00"), 2L, 13.0)) // within → joins
+    memA.addData(aRows: _*)
+    memB.addData(bRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssjoin_out")
+      .orderBy("user_id", "b_ts").collect().toSeq
+    val batch = StreamOps.intervalJoin(
+        aRows.toDF("ts", "user_id", "value"), bRows.toDF("ts", "user_id", "value"))
+      .orderBy("user_id", "b_ts").collect().toSeq
+    assert(streamed === batch)
+    assert(batch.map(_.getAs[Double]("value")) === Seq(11.0, 13.0))
+  }
+
+  test("dedup within watermark: duplicate keys collapse across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.dedupWithinWatermark(mem.toDF().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:05:00"), 1L, "click"),
+                (ts("2024-01-01 00:06:00"), 1L, "click"))   // same key, same batch
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 00:10:00"), 1L, "click"),   // same key, later batch
+                (ts("2024-01-01 00:07:00"), 1L, "view"))    // new key
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSeq
+    // state holds the key within the watermark horizon: exactly one row each
+    assert(keys.sorted === Seq((1L, "click"), (1L, "view")))
+  }
 }
