@@ -15,6 +15,7 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_f"      -> (es => DotProductF(es(0), es(1))),
+    "sig_match"  -> (es => SignatureMatchCount(es(0), es(1))),
   )
 
   /** Register on a live session (tests, notebooks). */
@@ -44,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
       (es: Seq[Expression]) => DotProductF(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sig_match"),
+      new ExpressionInfo(classOf[SignatureMatchCount].getName, "sig_match"),
+      (es: Seq[Expression]) => SignatureMatchCount(es(0), es(1))))
   }
 }

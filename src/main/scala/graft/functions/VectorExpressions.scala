@@ -82,6 +82,56 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** sig_match(a, b): number of agreeing positions between two array<bigint>
+  * minhash signatures — the Jaccard-estimate kernel of the LSH candidate
+  * path. The zip_with + filter + size formulation it replaces runs its
+  * lambdas interpreted (one closure dispatch per signature position per
+  * candidate pair); this is a tight primitive loop inside whole-stage
+  * codegen with identical results.
+  */
+case class SignatureMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0; var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : SignatureMatchCount = copy(left = l, right = r)
+  override def prettyName: String = "sig_match"
+}
+
 /** dot_f(a, b): plain double-precision dot product of two float vectors. */
 case class DotProductF(left: Expression, right: Expression)
     extends FloatVectorBinary {

@@ -130,8 +130,10 @@ object Dedup {
           .map(i => element_at(col("sig"), i + 1)): _*)
       }: _*)).as(Seq("band_id", "band_hash")))
     val cand = bucketCandidates(banded, Seq("band_id", "band_hash"), "doc_id", Seq("sig"))
-    val matches = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-                              m => m))
+    // native codegen agreement kernel — the zip_with/filter/size HOF chain
+    // evaluates interpreted per candidate pair (graft.functions scaladoc)
+    graft.functions.GraftFunctions.register(sigs.sparkSession)
+    val matches = call_function("sig_match", col("sig_a"), col("sig_b"))
     cand.select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
                 r4(matches.cast("double") / lit(NumHashes.toDouble)).as("jaccard_est"))
   }

@@ -76,6 +76,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"), p.take(3000))
   }
 
+  test("chunking and scrubbing are shuffle-free up to the output sort") {
+    // narrow fan-out / per-row regex: the only exchange allowed is the
+    // range partitioning of the deterministic output ORDER BY
+    for (name <- Seq("q_doc_chunk", "q_pii_scrub")) {
+      val p = plan(SparkEntry.queries(name)(spark, Sf))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not shuffle:\n" + p.take(2000))
+    }
+  }
+
+  test("contamination broadcasts the benchmark shingle set") {
+    val p = plan(SparkEntry.queries("q_contamination")(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the scalar-function hot path") {
     // AQE shows codegen spans only in the executed (final) plan
     val df = SparkEntry.queries("q_scalar_math_funcs")(spark, Sf)

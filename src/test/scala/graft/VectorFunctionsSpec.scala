@@ -32,6 +32,21 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12) // self-similarity
   }
 
+  test("sig_match equals the zip_with/filter/size HOF formulation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val d = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),   // 3 agree
+      (Seq(5L, 5L), Seq(5L, 5L)),                   // all agree
+      (Seq(1L, 2L), Seq(3L, 4L)))                   // none agree
+      .toDF("a", "b")
+    val both = d.select(
+      call_function("sig_match", col("a"), col("b")).as("native"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), m => m)).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    assert(both.select("native").as[Int].collect().toSeq === Seq(3, 2, 0))
+  }
+
   test("zero-norm input yields NULL, not NaN") {
     GraftFunctions.register(spark)
     import spark.implicits._
