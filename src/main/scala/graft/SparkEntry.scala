@@ -103,6 +103,8 @@ object SparkEntry {
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
     "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),
+    "q_media_resize"      -> q(Multimodal.mediaResize(_, _, 224)),
+    "q_media_embed_stub"  -> q(Multimodal.mediaEmbedStub(_, _, 16)),
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -644,6 +646,28 @@ object SparkEntry {
         |SELECT doc_id, n_frames, frame_idx,
         | floor(CAST((doc_id * 31 + frame_idx * 7) % 256 AS DOUBLE) / 255.0 * 10000.0 + 0.5) / 10000.0 AS luma_stub
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |             64 + (doc_id * 2654435761) % 512 AS width,
+        |             64 + (doc_id * 40503) % 512 AS height
+        |           FROM documents)
+        |SELECT doc_id, width, height,
+        | CAST(greatest(1, floor(width * least(1.0, least(224.0 / width, 224.0 / height)))) AS BIGINT) AS out_w,
+        | CAST(greatest(1, floor(height * least(1.0, least(224.0 / width, 224.0 / height)))) AS BIGINT) AS out_h
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_media_embed_stub" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |f AS (SELECT doc_id,
+        |        (len * 131) % 1000 AS i0,
+        |        list_sum(list_transform(range(0, 16),
+        |          j -> ((len * 131 + 37 * j) % 1000) * ((len * 131 + 37 * j) % 1000))) AS ss
+        |      FROM m)
+        |SELECT doc_id, 16 AS dim,
+        | floor(CAST(i0 AS DOUBLE) / 1000.0 * 10000.0 + 0.5) / 10000.0 AS feat_0,
+        | floor(sqrt(CAST(ss AS DOUBLE)) / 1000.0 * 10000.0 + 0.5) / 10000.0 AS l2
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -58,6 +58,55 @@ object Multimodal {
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
     ordered(decodedMeta(spark, sfDir), "doc_id")
 
+  /** Aspect-preserving resize planning: fit each media's (width, height)
+    * into a `box`×`box` target, never upscaling — the geometry stage of an
+    * image pipeline, pure per-row arithmetic over decoded metadata (zero
+    * shuffle; the actual pixel resample would run inside the same
+    * partition-batched decoder as decodeStub).
+    */
+  def mediaResize(spark: SparkSession, sfDir: String, box: Int = 224): DataFrame = {
+    val scale = least(lit(1.0),
+      least(lit(box.toDouble) / col("width"), lit(box.toDouble) / col("height")))
+    ordered(
+      decodedMeta(spark, sfDir)
+        .select(col("doc_id"), col("width"), col("height"),
+                greatest(lit(1L), floor(col("width") * scale).cast("long")).as("out_w"),
+                greatest(lit(1L), floor(col("height") * scale).cast("long")).as("out_h")),
+      "doc_id")
+  }
+
+  case class MediaFeat(doc_id: Long, dim: Int, feat_0: Double, l2: Double)
+
+  /** Feature extraction over binary payloads: one stub embedding per media,
+    * computed batch-wise in mapPartitions (the exact shape a real
+    * CLIP/whisper encoder plugs into — model loads once per partition,
+    * batch runs through it). The stub derives a `dim`-float vector from the
+    * payload's byte length with double-precision arithmetic, so the
+    * reported first component and L2 norm are engine-portable and the
+    * whole pipeline stays oracled despite running through typed JVM code.
+    */
+  def mediaEmbedStub(spark: SparkSession, sfDir: String, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaIn]
+    val feats = media.mapPartitions { batch =>
+      // a real encoder initializes here, once per partition
+      batch.map { m =>
+        val len = m.payload.length.toLong
+        val ints = Array.tabulate(dim)(j => (len * 131L + 37L * j) % 1000L)
+        // norm from the exact integer sum of squares, then ONE division —
+        // float-summation order can never move the result across engines
+        MediaFeat(m.doc_id, dim, ints.head.toDouble / 1000.0,
+                  math.sqrt(ints.map(x => x * x).sum.toDouble) / 1000.0)
+      }
+    }
+    ordered(
+      feats.toDF().select(col("doc_id"), col("dim"),
+                          r4(col("feat_0")).as("feat_0"), r4(col("l2")).as("l2")),
+      "doc_id")
+  }
+
   /** Frame sampling over decoded video metadata: every `step`-th frame index
     * per media becomes a row (the shape a frame-extraction stage fans out
     * on before per-frame feature UDFs), with a deterministic stub luma
