@@ -70,6 +70,29 @@ class PipelineSpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("dedup scopes to unprocessed rows only (transform_load.sql:14 semantics)") {
+    import spark.implicits._
+    // a key duplicated across the flag: one processed, one unprocessed —
+    // the reference CTE filters is_processed = 0, so BOTH rows survive;
+    // two unprocessed duplicates still collapse to one
+    val s = Seq(
+      ("Paris", "2024-02-01", "8.00", true),
+      ("Paris", "2024-02-01", "9.00", false),
+      ("Rome", "2024-02-01", "12.00", false),
+      ("Rome", "2024-02-01", "13.00", false))
+      .toDF("city_name", "date_s", "tmax_s", "is_processed")
+      .select(col("city_name"), col("date_s").cast("date").as("date"),
+              col("tmax_s").cast("decimal(5,2)").as("temp_max"),
+              lit(null).cast("decimal(5,2)").as("temp_min"),
+              lit(null).cast("decimal(5,2)").as("precipitation"),
+              col("is_processed"))
+    val d = WeatherEtl.dedupStaging(s)
+    assert(d.filter(col("city_name") === "Paris").count() === 2)
+    val rome = d.filter(col("city_name") === "Rome")
+    assert(rome.count() === 1)
+    assert(rome.select("temp_max").head().getDecimal(0).toPlainString === "13.00")
+  }
+
   test("imputation fills BOTH temps when either is NULL (reference quirk)") {
     val i = WeatherEtl.imputeMissing(WeatherEtl.dedupStaging(stg))
     val r = i.filter(col("city_name") === "London" && col("date") === lit("2024-01-02").cast("date"))
