@@ -36,6 +36,7 @@ object SparkEntry {
     "q_agg_group"         -> q(Relational.aggGroup),
     "q_join_inner_equi"   -> q(Relational.joinInnerEqui),
     "q_join_left_outer"   -> q(Relational.joinLeftOuter),
+    "q_join_full_outer"   -> q(Relational.joinFullOuter),
     "q_join_semi"         -> q(Relational.joinSemi),
     "q_join_anti"         -> q(Relational.joinAnti),
     "q_distinct"          -> q(Relational.distinctKeys),
@@ -153,6 +154,15 @@ object SparkEntry {
         | floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full_outer" ->
+      """WITH c AS (SELECT c_custkey AS custkey, c_name FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_custkey AS custkey, count(*) AS n_big_orders
+        |      FROM orders WHERE o_totalprice > 450000.0 GROUP BY 1)
+        |SELECT coalesce(c.custkey, o.custkey) AS custkey, c_name, n_big_orders
+        |FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+        |ORDER BY 1""".stripMargin,
 
     "q_join_semi" ->
       """SELECT c_custkey, c_mktsegment FROM customer c

@@ -106,6 +106,23 @@ object Relational {
       "c_custkey")
   }
 
+  /** Full outer join — the MERGE ON shape (transform_load.sql:62) surfaced
+    * as its own row-level operator: BUILDING-segment customers ⟗ big-ticket
+    * order counts, null-extended on both sides. AQE still broadcasts the
+    * smaller side when stats allow; neither side is pinned as build side.
+    */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val o = t(spark, sfDir, "orders").filter(col("o_totalprice") > 450000.0)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_big_orders"))
+    ordered(
+      c.join(o, Seq("custkey"), "full_outer")
+        .select(col("custkey"), col("c_name"), col("n_big_orders")),
+      "custkey")
+  }
+
   /** Left semi join — the watermark scalar-subquery shape
     * (extract_weather.py:27) as a set operation: customers that have at
     * least one URGENT order. Semi joins never duplicate the left side, so

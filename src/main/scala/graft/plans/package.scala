@@ -11,6 +11,17 @@ package graft
   * scalar vector kernels — implemented as `Expression`s with `doGenCode`
   * in [[graft.functions]], the lightest extension point, not as plans.
   *
+  * Round-2 re-audit confirmed the decision: the operators added since
+  * (connected components, hot-bucket-capped LSH candidates, stream-stream
+  * joins, chunking/contamination) all decompose into stock
+  * joins/aggregates/explodes whose physical strategies Catalyst already
+  * picks well — the only new hot-path semantics (minhash signature
+  * agreement) again fit the `Expression` tier
+  * ([[graft.functions.SignatureMatchCount]], `sig_match`). The iterative
+  * connected-components driver needs lineage control (localCheckpoint per
+  * round), which no custom plan node would remove — it is a property of
+  * iteration, not of planning.
+  *
   * If a future round needs whole-operator semantics (e.g. a native as-of
   * join), the growth path is: custom `LogicalPlan` + `Rule[LogicalPlan]` +
   * `SparkStrategy` + `SparkPlan` registered through the existing
