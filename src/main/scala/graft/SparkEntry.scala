@@ -70,6 +70,7 @@ object SparkEntry {
     "q_impute_avg"        -> q(Quality.imputeAvg),
     "q_outlier_zscore"    -> q(Quality.outlierZscore),
     "q_update_conditional"-> q(Quality.updateConditional),
+    "q_dq_profile"        -> q(Quality.dqProfile),
     // enrichment tier (ops 6, 7, 19, 20)
     "q_arrays_zip_explode"-> q(Enrichment.arraysZipExplode),
     "q_json_extract"      -> q(Enrichment.jsonExtract),
@@ -436,6 +437,19 @@ object SparkEntry {
         |             THEN e.value ELSE s.mu END) * 10000.0 + 0.5) / 10000.0 AS value_capped
         |FROM events e JOIN s USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    "q_dq_profile" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS column_name, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT column_name, count(*) AS n_rows,
+        | count(*) - count(v) AS n_nulls,
+        | floor(min(v) * 10000.0 + 0.5) / 10000.0 AS min_v,
+        | floor(max(v) * 10000.0 + 0.5) / 10000.0 AS max_v,
+        | count(DISTINCT v) AS n_distinct
+        |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin,
 
     "q_update_conditional" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,

@@ -189,8 +189,12 @@ object Dedup {
               Seq("label"), "left")
         .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
         .localCheckpoint(true)
-      val changed = jumped.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      // round 0 always changes something when any edge exists — skip the
+      // convergence probe there (one fewer job per invocation)
+      val changed =
+        if (iter == 0) 1L
+        else jumped.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).limit(1).count()
       labels = jumped
       converged = changed == 0
       iter += 1

@@ -104,6 +104,27 @@ object Quality {
       "event_id")
   }
 
+  /** Data-profiling summary — the on-load quality report a warehouse runs
+    * before accepting a batch (the reference's cleaning stages imply it:
+    * null imputation and outlier capping both start from "how bad is the
+    * data"). Long format, one row per profiled measure: row/null counts,
+    * min/max, exact distinct. Single pass over the fact; stack() fans the
+    * measures out map-side and every aggregate is partial+final.
+    */
+  def dqProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val long = t(spark, sfDir, "lineitem").select(
+      expr("stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, " +
+           "'l_discount', l_discount, 'l_tax', l_tax)").as(Seq("column_name", "v")))
+    ordered(
+      long.groupBy(col("column_name")).agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_nulls"),
+        r4(min(col("v"))).as("min_v"),
+        r4(max(col("v"))).as("max_v"),
+        countDistinct(col("v")).as("n_distinct")),
+      "column_name")
+  }
+
   /** Conditional in-place rewrite (ref transform_load.sql:34–38 — UPDATE …
     * CASE … FROM self-join). Same CASE shape on its own: cap quantity at 30
     * for returned ('R') items. Narrow map, zero shuffle.

@@ -122,31 +122,19 @@ object Text {
     * so the sample is reproducible on any engine — no rand(), no
     * engine-specific hash.
     *
-    * Distributed shape: TWO-PHASE top-k. A single window partitioned by
-    * `lang` (~5 values) would sort the whole corpus on ≤5 reducers at
-    * 100 TB. Instead each physical input partition keeps its local top-k
-    * per lang (window over (lang, partition-id) — thousands of reducers),
-    * and only the ≤ k·numPartitions survivors meet in the final per-lang
-    * window. Correct for any partitioning: a global top-k row is by
-    * definition in the top-k of whatever partition holds it.
+    * Distributed shape: two-phase per-group top-k via [[graft.util.TopK]] —
+    * a single window partitioned by `lang` (~5 values) would sort the whole
+    * corpus on ≤5 reducers at 100 TB.
     */
   def sampleWeighted(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val prime = 1000003L
     val u = ((col("doc_id") * lit(2654435761L)) % lit(prime) + lit(1L)).cast("double") /
             lit((prime + 1).toDouble)
     val key = log(u) / col("n_chars").cast("double")
-    val wLocal = Window.partitionBy(col("lang"), col("pid"))
-      .orderBy(col("skey").desc, col("doc_id").asc)
-    val wGlobal = Window.partitionBy(col("lang")).orderBy(col("skey").desc, col("doc_id").asc)
     ordered(
-      docs(spark, sfDir)
-        .withColumn("skey", key)
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(wLocal))
-        .filter(col("lrn") <= k)
-        .withColumn("rn", row_number().over(wGlobal))
-        .filter(col("rn") <= k)
+      graft.util.TopK.perGroup(
+          docs(spark, sfDir).withColumn("skey", key),
+          Seq(col("lang")), Seq(col("skey").desc, col("doc_id").asc), k)
         .select(col("lang"), col("doc_id"), col("n_chars"), col("rn").cast("long").as("rn")),
       "lang", "rn")
   }
