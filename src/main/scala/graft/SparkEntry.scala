@@ -71,6 +71,8 @@ object SparkEntry {
     "q_outlier_zscore"    -> q(Quality.outlierZscore),
     "q_update_conditional"-> q(Quality.updateConditional),
     "q_dq_profile"        -> q(Quality.dqProfile),
+    "q_histogram"         -> q(Quality.histogram(_, _, 11000.0, 10)),
+    "q_corr_agg"          -> q(Relational.corrAgg),
     // enrichment tier (ops 6, 7, 19, 20)
     "q_arrays_zip_explode"-> q(Enrichment.arraysZipExplode),
     "q_json_extract"      -> q(Enrichment.jsonExtract),
@@ -450,6 +452,28 @@ object SparkEntry {
         | floor(max(v) * 10000.0 + 0.5) / 10000.0 AS max_v,
         | count(DISTINCT v) AS n_distinct
         |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(least(9, floor(l_extendedprice / 11000.0)) AS INT) AS bucket,
+        | count(*) AS n_rows,
+        | floor(min(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS min_price,
+        | floor(max(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_corr_agg" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | floor((n * sxy - sx * sy) /
+        |       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |       * 10000.0 + 0.5) / 10000.0 AS corr_disc_qty
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "q_update_conditional" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,

@@ -125,6 +125,26 @@ object Quality {
       "column_name")
   }
 
+  /** Fixed-width histogram of order value — profiling companion to
+    * dqProfile (the distribution view the reference's outlier stage
+    * implicitly assumes). Bucket index is pure portable arithmetic
+    * (floor of a double division, clamped to the last bucket), one
+    * hash-agg over the fact.
+    */
+  def histogram(spark: SparkSession, sfDir: String,
+                bucketWidth: Double = 11000.0, nBuckets: Int = 10): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .select(least(lit(nBuckets - 1),
+                      floor(col("l_extendedprice") / lit(bucketWidth)))
+                  .cast("int").as("bucket"),
+                col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+             r4(min(col("l_extendedprice"))).as("min_price"),
+             r4(max(col("l_extendedprice"))).as("max_price")),
+      "bucket")
+
   /** Conditional in-place rewrite (ref transform_load.sql:34–38 — UPDATE …
     * CASE … FROM self-join). Same CASE shape on its own: cap quantity at 30
     * for returned ('R') items. Narrow map, zero shuffle.

@@ -268,6 +268,33 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price")),
       "l_returnflag")
 
+  /** Pearson correlation per group from EXACT decimal moment sums — the
+    * statistical-aggregate tier done the deterministic way. Built-in
+    * corr() accumulates doubles in partition order (nondeterministic vs
+    * the oracle's sequential scan), so instead the five moments
+    * Σx, Σy, Σxy, Σx², Σy² are summed as DECIMAL (inputs are 2-decimal;
+    * products scale 4 — all exact and associative) and the correlation is
+    * assembled in double at the end with a fixed expression order mirrored
+    * verbatim in the oracle. Still one partial+final hash aggregate.
+    */
+  def corrAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    def x = money(col("l_discount")); def y = money(col("l_quantity"))
+    val g = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+           sum((x * y).cast("decimal(30,4)")).cast("double").as("sxy"),
+           sum((x * x).cast("decimal(30,4)")).cast("double").as("sxx"),
+           sum((y * y).cast("decimal(30,4)")).cast("double").as("syy"))
+    ordered(
+      g.select(col("l_returnflag"), col("n"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_disc_qty")),
+      "l_returnflag")
+  }
+
   /** CUBE over two dims with exact count-distinct — grouping-set execution
     * expands rows map-side; count(distinct) plans as a two-phase expand+agg.
     */
