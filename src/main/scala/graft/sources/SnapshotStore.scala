@@ -52,4 +52,29 @@ object SnapshotStore {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a snapshot so each partition directory
+    * holds ~`targetRowsPerFile` rows per file instead of one sliver per
+    * upstream task. Incremental loads naturally accrete small files (one
+    * batch = a few rows per touched date); at 100 TB the resulting
+    * file-listing and task-scheduling overhead dominates read cost long
+    * before the data does. Row-count is the proxy for bytes here
+    * (row width is stable within a fact table); compaction preserves the
+    * partition layout so pruning is unaffected.
+    */
+  def compactFact(spark: SparkSession, inPath: String, outPath: String,
+                  targetRowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(inPath)
+    val total = df.count()
+    val nFiles = math.max(1L, (total + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val parts = if (df.columns.contains("part_date")) {
+      // repartition by the partition column so each output directory is
+      // written by few tasks (contiguous files), not by every task
+      df.repartition(nFiles, col("part_date"))
+        .write.mode("overwrite").partitionBy("part_date")
+    } else {
+      df.repartition(nFiles).write.mode("overwrite")
+    }
+    parts.parquet(outPath)
+  }
 }

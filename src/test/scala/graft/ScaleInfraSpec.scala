@@ -27,6 +27,32 @@ class ScaleInfraSpec extends SparkSpec {
     assert(snap.count() === expected)
   }
 
+  test("compaction collapses small files and preserves rows + pruning layout") {
+    import scala.jdk.CollectionConverters._
+    val inDir = Files.createTempDirectory("graft_frag").toString
+    val outDir = Files.createTempDirectory("graft_compact").toString
+    val orders = graft.util.Tables.t(spark, Sf, "orders").limit(2000)
+    // simulate an accreted snapshot: month partitions, each fragmented into
+    // one sliver per upstream task
+    orders.withColumn("part_date", to_date(date_trunc("month", col("o_orderdate"))))
+      .repartition(32)
+      .write.mode("overwrite").partitionBy("part_date").parquet(inDir)
+    def parquetFiles(dir: String): Long =
+      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet")).toLong
+    val before = parquetFiles(inDir)
+    SnapshotStore.compactFact(spark, inDir, outDir, targetRowsPerFile = 1000L)
+    val after = parquetFiles(outDir)
+    assert(after < before / 4,
+      s"compaction must collapse the small files: $before -> $after")
+    // identical content, partition layout (and thus pruning) preserved
+    val a = spark.read.parquet(inDir); val b = spark.read.parquet(outDir)
+    assert(b.count() === a.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(Files.list(java.nio.file.Paths.get(outDir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("part_date=")))
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val orders = graft.util.Tables.t(spark, Sf, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
