@@ -73,6 +73,7 @@ object SparkEntry {
     "q_dq_profile"        -> q(Quality.dqProfile),
     "q_histogram"         -> q(Quality.histogram(_, _, 11000.0, 10)),
     "q_corr_agg"          -> q(Relational.corrAgg),
+    "q_quantiles_exact"   -> q(Relational.quantilesExact),
     // enrichment tier (ops 6, 7, 19, 20)
     "q_arrays_zip_explode"-> q(Enrichment.arraysZipExplode),
     "q_json_extract"      -> q(Enrichment.jsonExtract),
@@ -452,6 +453,13 @@ object SparkEntry {
         | floor(max(v) * 10000.0 + 0.5) / 10000.0 AS max_v,
         | count(DISTINCT v) AS n_distinct
         |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin,
+
+    "q_quantiles_exact" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | floor(quantile_cont(o_totalprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS p25,
+        | floor(quantile_cont(o_totalprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        | floor(quantile_cont(o_totalprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(least(9, floor(l_extendedprice / 11000.0)) AS INT) AS bucket,

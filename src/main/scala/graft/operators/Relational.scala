@@ -268,6 +268,24 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price")),
       "l_returnflag")
 
+  /** Exact quantiles per group (p25/p50/p75 of order value) — the
+    * oracle-checkable twin of approxSketches: identical linear-interpolation
+    * definition on both engines, deterministic because it is sort-based,
+    * not accumulation-order based. Exact percentile sorts each group's
+    * values; at 100 TB the approx sketch (fixed memory, mergeable partials)
+    * is the production path — this operator exists for the exact tier and
+    * for validating sketch error.
+    */
+  def quantilesExact(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             r4(percentile(col("o_totalprice"), lit(0.25))).as("p25"),
+             r4(percentile(col("o_totalprice"), lit(0.5))).as("p50"),
+             r4(percentile(col("o_totalprice"), lit(0.75))).as("p75")),
+      "o_orderpriority")
+
   /** Pearson correlation per group from EXACT decimal moment sums — the
     * statistical-aggregate tier done the deterministic way. Built-in
     * corr() accumulates doubles in partition order (nondeterministic vs
