@@ -74,6 +74,7 @@ object SparkEntry {
     "q_histogram"         -> q(Quality.histogram(_, _, 11000.0, 10)),
     "q_corr_agg"          -> q(Relational.corrAgg),
     "q_quantiles_exact"   -> q(Relational.quantilesExact),
+    "q_mode_agg"          -> q(Relational.modeAgg),
     // enrichment tier (ops 6, 7, 19, 20)
     "q_arrays_zip_explode"-> q(Enrichment.arraysZipExplode),
     "q_json_extract"      -> q(Enrichment.jsonExtract),
@@ -453,6 +454,14 @@ object SparkEntry {
         | floor(max(v) * 10000.0 + 0.5) / 10000.0 AS max_v,
         | count(DISTINCT v) AS n_distinct
         |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin,
+
+    "q_mode_agg" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |                ORDER BY n DESC, o_orderstatus ASC) AS rn FROM c)
+        |SELECT o_orderpriority, o_orderstatus AS mode_status, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q_quantiles_exact" ->
       """SELECT o_orderpriority, count(*) AS n,

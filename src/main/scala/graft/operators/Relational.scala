@@ -268,6 +268,26 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price")),
       "l_returnflag")
 
+  /** Deterministic per-group MODE: most frequent order status per priority,
+    * ties broken toward the smallest value. Built-in mode() has
+    * nondeterministic ties; this is two hash aggregates — counts, then a
+    * map-side min_by over (-count, value) struct ordering — with no window
+    * over the low-cardinality group key.
+    */
+  def modeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    ordered(
+      counts.groupBy(col("o_orderpriority"))
+        .agg(min_by(struct(col("o_orderstatus"), col("n")),
+                    struct((-col("n")).as("neg_n"), col("o_orderstatus"))).as("best"))
+        .select(col("o_orderpriority"),
+                col("best.o_orderstatus").as("mode_status"),
+                col("best.n").as("n_mode")),
+      "o_orderpriority")
+  }
+
   /** Exact quantiles per group (p25/p50/p75 of order value) — the
     * oracle-checkable twin of approxSketches: identical linear-interpolation
     * definition on both engines, deterministic because it is sort-based,
