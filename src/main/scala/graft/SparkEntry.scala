@@ -75,6 +75,7 @@ object SparkEntry {
     "q_corr_agg"          -> q(Relational.corrAgg),
     "q_quantiles_exact"   -> q(Relational.quantilesExact),
     "q_mode_agg"          -> q(Relational.modeAgg),
+    "q_group_concat"      -> q(Relational.groupConcat),
     // enrichment tier (ops 6, 7, 19, 20)
     "q_arrays_zip_explode"-> q(Enrichment.arraysZipExplode),
     "q_json_extract"      -> q(Enrichment.jsonExtract),
@@ -454,6 +455,12 @@ object SparkEntry {
         | floor(max(v) * 10000.0 + 0.5) / 10000.0 AS max_v,
         | count(DISTINCT v) AS n_distinct
         |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin,
+
+    "q_group_concat" ->
+      """WITH d AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+        |SELECT o_orderpriority,
+        | string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_mode_agg" ->
       """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n

@@ -268,6 +268,19 @@ object Relational {
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price")),
       "l_returnflag")
 
+  /** Deterministic string aggregation (SQL Server STRING_AGG / listagg):
+    * distinct statuses per priority, sorted then joined — collect_list
+    * alone is partition-order nondeterministic; array_sort pins it.
+    */
+  def groupConcat(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus")).distinct()
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",", array_sort(collect_list(col("o_orderstatus"))))
+               .as("statuses")),
+      "o_orderpriority")
+
   /** Deterministic per-group MODE: most frequent order status per priority,
     * ties broken toward the smallest value. Built-in mode() has
     * nondeterministic ties; this is two hash aggregates — counts, then a
