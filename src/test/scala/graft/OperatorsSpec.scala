@@ -108,4 +108,10 @@ class OperatorsSpec extends SparkSpec {
     assert(r.count() === 1096) // 2000 (leap) + 2001 + 2002
     assert(r.filter(col("is_weekend") && col("dow_iso") < 6).isEmpty)
   }
+
+  test("date dim is range-parameterized (README '2000 to current year' shape)") {
+    val r = graft.operators.Warehouse.dateDim(spark, "2024-01-01", "2024-12-31")
+    assert(r.count() === 366) // leap year
+    assert(r.filter(col("d") === lit("2024-02-29").cast("date")).count() === 1)
+  }
 }
