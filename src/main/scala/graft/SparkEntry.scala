@@ -98,6 +98,7 @@ object SparkEntry {
     "q_vocab_topk"        -> q(Text.vocabTopK(_, _, 100)),
     "q_pii_scrub"         -> q(Text.piiScrub),
     "q_contamination"     -> q(Text.contamination(_, _, 97, 0.5)),
+    "q_repetition"        -> q(Text.repetition),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -664,6 +665,18 @@ object SparkEntry {
         |FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
         |WHERE nsh > 0
         |ORDER BY sz.doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, len(w) AS n_words,
+        |        len(list_distinct(list_transform(range(1, len(w) - 1),
+        |             i -> array_to_string(w[i:i+2], ' ')))) AS n_distinct_sh
+        |      FROM d)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_distinct_sh AS BIGINT) AS n_distinct_sh,
+        | floor((1.0 - CAST(n_distinct_sh AS DOUBLE) / CAST(n_words - 2 AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS repetition_ratio
+        |FROM s WHERE n_words >= 3 ORDER BY doc_id""".stripMargin,
 
     "q_sample_weighted" ->
       """WITH s AS (

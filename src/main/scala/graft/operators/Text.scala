@@ -190,6 +190,27 @@ object Text {
       "doc_id")
   }
 
+  /** Intra-document repetition scoring — the boilerplate/spam signal every
+    * corpus quality filter uses: 1 − (distinct 3-gram shingles / total
+    * 3-gram positions). A document that repeats itself has far fewer
+    * distinct shingles than positions. Zero extra scan machinery: total
+    * positions = word count − 2, distinct count comes from the shared
+    * shingle pipeline's per-doc aggregate.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val words = d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val distinctSh = shingleRows(d).groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct_sh"))
+    ordered(
+      words.join(distinctSh, Seq("doc_id"), "left")
+        .filter(col("n_words") >= 3)
+        .select(col("doc_id"), col("n_words"),
+                coalesce(col("n_distinct_sh"), lit(0L)).as("n_distinct_sh"),
+                r4(lit(1.0) - coalesce(col("n_distinct_sh"), lit(0L)).cast("double") /
+                   (col("n_words") - 2).cast("double")).as("repetition_ratio")),
+      "doc_id")
+  }
+
   /** Benchmark-contamination screen: fraction of each document's distinct
     * 3-gram shingles that appear in a benchmark set's shingles (here: the
     * doc_id % mod == 0 documents stand in for the benchmark suite). The
