@@ -22,8 +22,9 @@ object Bench {
     // janino/C2 compilation of each query's generated code into the measure-
     // ment (observed ±2× run-to-run noise); min-of-2 reports steady state
     // a failing query must NOT be silently timed as near-zero (that would
-    // report a regression as a speedup) — record it in "failed" and surface
-    // the error on stderr; exit stays 0 so the driver still parses the line
+    // report a regression as a speedup): failed queries report -1.0 and are
+    // EXCLUDED from the total, plus listed in "failed" and on stderr; exit
+    // stays 0 so the driver still parses the line
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
@@ -35,12 +36,15 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // drop caches the query pinned (LSH signature persists etc.) so the
+      // 74-query suite doesn't accumulate pinned blocks across queries
+      spark.catalog.clearCache()
+      name -> (if (failed.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0.0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -79,9 +79,12 @@ object Dedup {
       .select(col("doc_id"), array((0 until NumHashes).map(s => col(s"h$s")): _*).as("sig"))
   }
 
-  /** LSH banding → hot-bucket-capped candidate pairs → Jaccard estimate from
-    * signature agreement. Returns the top-k most similar pairs (est desc,
-    * ids asc).
+  /** LSH banding → hot-bucket-capped candidate pairs → Jaccard estimate
+    * from signature agreement. Returns the top-k pairs (est desc, ids asc)
+    * OVER THE CAPPED CANDIDATE SET: inside a bucket bigger than
+    * [[HotBucketCap]] only anchor-linked pairs exist, so non-anchor pairs
+    * of a mass-duplicate cluster (which all have the same estimate as the
+    * anchor pairs) are represented by their anchor, not enumerated.
     */
   def minhashPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
     minhashPairsFor(t(spark, sfDir, "documents"), k)
@@ -203,25 +206,30 @@ object Dedup {
     labels
   }
 
+  /** Full-corpus canonical assignment from a components labeling: every id
+    * reports its component (singletons self-map) plus the `is_canonical`
+    * "keep one per cluster" flag — the table a training-data pipeline joins
+    * against to drop duplicates. Shared by the minhash and embedding dedup
+    * paths.
+    */
+  def canonicalAssignment(corpus: DataFrame, idCol: String, cc: DataFrame): DataFrame =
+    ordered(
+      corpus.select(col(idCol))
+        .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("label"), col(idCol)).as("component_id"))
+        .withColumn("is_canonical", col(idCol) === col("component_id")),
+      idCol)
+
   /** Near-dup canonical assignment over `documents`: minhash pairs at
     * estimated Jaccard ≥ minEst, clustered into components, joined back to
-    * the FULL corpus — every document reports its canonical (min-id)
-    * representative, singletons map to themselves. The downstream "keep one
-    * per cluster" filter is `is_canonical`; this full-coverage table is what
-    * a training-data pipeline joins against to drop duplicates.
+    * the FULL corpus via [[canonicalAssignment]].
     */
   def dedupComponents(spark: SparkSession, sfDir: String,
                       minEst: Double = 0.8): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     val pairs = scoredPairs(minhashSignatures(docs))
       .filter(col("jaccard_est") >= minEst)
-    val cc = connectedComponents(pairs, "doc_a", "doc_b")
-    ordered(
-      docs.select(col("doc_id"))
-        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("component_id"))
-        .withColumn("is_canonical", col("doc_id") === col("component_id")),
-      "doc_id")
+    canonicalAssignment(docs, "doc_id", connectedComponents(pairs, "doc_a", "doc_b"))
   }
 
   /** Per-doc 64-bit SimHash over word hashes: bit b is the sign of
@@ -246,8 +254,9 @@ object Dedup {
 
   /** SimHash near-dup pairs: candidates from 4×16-bit chunk collisions
     * (a pair within Hamming distance 3 must agree on ≥1 chunk — standard
-    * pigeonhole banding), hot-bucket-capped, then exact Hamming distance
-    * via bit_count(xor).
+    * pigeonhole banding), hot-bucket-capped (top-k is over the capped
+    * candidate set — see minhashPairs), then exact Hamming distance via
+    * bit_count(xor).
     */
   def simhashPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
     simhashPairsFor(t(spark, sfDir, "documents"), k)

@@ -56,9 +56,10 @@ object Similarity {
 
   /** ANN via random-hyperplane LSH: 32 sign-projections → 4 bands of 8 bits;
     * vectors sharing any (band, 8-bit bucket) become candidates; candidates
-    * are re-ranked by exact cosine. Output: top-k candidate pairs.
-    * No-oracle (not ANSI-SQL-expressible); AnnSpec checks recall against
-    * brute force.
+    * are re-ranked by exact cosine. Output: top-k pairs over the
+    * hot-bucket-capped candidate set (see Dedup.minhashPairs for the cap
+    * contract). No-oracle (not ANSI-SQL-expressible); the spec checks
+    * ordering/recall against brute force.
     */
   def annLshPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
     lshScoredPairs(spark, t(spark, sfDir, "embeddings"))
@@ -100,12 +101,7 @@ object Similarity {
                  minCos: Double = 0.95): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val pairs = lshScoredPairs(spark, emb).filter(col("cos_sim") >= minCos)
-    val cc = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
-    ordered(
-      emb.select(col("vec_id"))
-        .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("component_id"))
-        .withColumn("is_canonical", col("vec_id") === col("component_id")),
-      "vec_id")
+    Dedup.canonicalAssignment(emb, "vec_id",
+      Dedup.connectedComponents(pairs, "vec_a", "vec_b"))
   }
 }

@@ -61,20 +61,39 @@ object SnapshotStore {
     * before the data does. Row-count is the proxy for bytes here
     * (row width is stable within a fact table); compaction preserves the
     * partition layout so pruning is unaffected.
+    *
+    * Skew-safe twice over: the writer's maxRecordsPerFile cap guarantees no
+    * file exceeds the target no matter how AQE lays out tasks, and each
+    * date additionally salts across ⌈rows/target⌉ slots so a hot date's
+    * files are WRITTEN in parallel — repartitioning on part_date alone
+    * would funnel a 100M-row date through one task (one straggler writing
+    * 100 sequential files).
     */
   def compactFact(spark: SparkSession, inPath: String, outPath: String,
                   targetRowsPerFile: Long): Unit = {
     val df = spark.read.parquet(inPath)
-    val total = df.count()
-    val nFiles = math.max(1L, (total + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val parts = if (df.columns.contains("part_date")) {
-      // repartition by the partition column so each output directory is
-      // written by few tasks (contiguous files), not by every task
-      df.repartition(nFiles, col("part_date"))
-        .write.mode("overwrite").partitionBy("part_date")
+    if (df.columns.contains("part_date")) {
+      // per-date row counts are one row per date — broadcastable at any scale
+      val slots = df.groupBy(col("part_date"))
+        .agg(count(lit(1)).as("_rows"))
+        .select(col("part_date"),
+                greatest(lit(1L),
+                  ((col("_rows") + targetRowsPerFile - 1) / targetRowsPerFile)
+                    .cast("long")).as("_n_slots"))
+      val salted = df.join(broadcast(slots), "part_date")
+        .withColumn("_slot",
+          pmod(xxhash64(struct(df.columns.map(col): _*)), col("_n_slots")))
+      salted.repartition(col("part_date"), col("_slot"))
+        .drop("_slot", "_n_slots")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRowsPerFile)
+        .partitionBy("part_date").parquet(outPath)
     } else {
+      val total = df.count()
+      val nFiles = math.max(1L, (total + targetRowsPerFile - 1) / targetRowsPerFile).toInt
       df.repartition(nFiles).write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRowsPerFile)
+        .parquet(outPath)
     }
-    parts.parquet(outPath)
   }
 }

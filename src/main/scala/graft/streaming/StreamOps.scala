@@ -61,9 +61,10 @@ object StreamOps {
   /** Watermarked streaming dedup — the reference's staging dedup
     * (transform_load.sql:9–16) as a stream: at most one row per
     * (user_id, event_type) within the watermark horizon, state bounded by
-    * the watermark instead of growing forever. On a batch frame this
-    * degenerates to plain dropDuplicates, matching Quality.dedupRownum's
-    * keys.
+    * the watermark instead of growing forever. STREAM-ONLY: Spark rejects
+    * dropDuplicatesWithinWatermark on batch frames (AnalysisException) —
+    * the batch twin on the same keys is Quality.dedupRownum; StreamingSpec
+    * verifies the stream behavior across micro-batches.
     */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")

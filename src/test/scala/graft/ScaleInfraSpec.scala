@@ -53,6 +53,24 @@ class ScaleInfraSpec extends SparkSpec {
       .exists(_.getFileName.toString.startsWith("part_date=")))
   }
 
+  test("compaction splits a hot partition across files instead of one giant file") {
+    import scala.jdk.CollectionConverters._
+    val inDir = Files.createTempDirectory("graft_hot").toString
+    val outDir = Files.createTempDirectory("graft_hot_out").toString
+    // one skewed date holding every row: slot salting must still honor the
+    // per-file row target rather than funneling the date into one task/file
+    graft.util.Tables.t(spark, Sf, "orders").limit(1000)
+      .withColumn("part_date", lit("2024-01-01").cast("date"))
+      .repartition(16)
+      .write.mode("overwrite").partitionBy("part_date").parquet(inDir)
+    SnapshotStore.compactFact(spark, inDir, outDir, targetRowsPerFile = 100L)
+    val files = Files.walk(java.nio.file.Paths.get(outDir)).iterator().asScala
+      .count(p => p.toString.endsWith(".parquet"))
+    assert(files >= 5 && files <= 20,
+      s"hot date must split near 1000/100 files, got $files")
+    assert(spark.read.parquet(outDir).count() === 1000L)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val orders = graft.util.Tables.t(spark, Sf, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
