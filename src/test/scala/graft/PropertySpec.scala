@@ -101,4 +101,80 @@ class PropertySpec extends SparkSpec {
       assert(m1.exceptAll(m2).isEmpty && m2.exceptAll(m1).isEmpty)
     }
   }
+
+  // ── round-2 algorithmic invariants ──────────────────────────────────────
+
+  /** In-test union-find with union-by-min: find gives the component min. */
+  private def unionFind(edges: Seq[(Long, Long)]): Long => Long = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    find
+  }
+
+  test("connected components agree with union-find ground truth on random graphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(5, 60)
+      m <- Gen.choose(1, 80)
+      es <- Gen.listOfN(m, for { a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) } yield (a.toLong, b.toLong))
+    } yield es.filter(e => e._1 != e._2).map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+    forAll(edgeGen) { edges =>
+      whenever(edges.nonEmpty) {
+        val cc = graft.operators.Dedup
+          .connectedComponents(edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val truth = unionFind(edges)
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        assert(cc.keySet === nodes.toSet)
+        nodes.foreach(n => assert(cc(n) === truth(n), s"node $n"))
+      }
+    }
+  }
+
+  test("TopK.perGroup equals the naive single-window top-k on random data") {
+    import spark.implicits._
+    val rowsGen = for {
+      n <- Gen.choose(1, 250)
+      rs <- Gen.listOfN(n, for { g <- Gen.choose(0, 4); s <- Gen.choose(0, 40) } yield (g, s))
+    } yield rs.zipWithIndex.map { case ((g, s), i) => (g.toLong, s.toLong, i.toLong) }
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("g", "s", "id").repartition(7) // force many partitions
+      val twoPhase = graft.util.TopK
+        .perGroup(df, Seq(col("g")), Seq(col("s").desc, col("id").asc), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             r.getInt(r.fieldIndex("rn")))).toSet
+      val naive = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(3).zipWithIndex
+          .map { case ((g, s, id), i) => (g, s, id, i + 1) }
+      }.toSet
+      assert(twoPhase === naive)
+    }
+  }
+
+  test("bucketCandidates keeps every bucket's membership connected, hot or not") {
+    import spark.implicits._
+    val rowsGen = for {
+      n <- Gen.choose(5, 120) // with cap=8, buckets regularly exceed the cap
+      rs <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield rs.zipWithIndex.map { case (b, i) => (b.toLong, i.toLong) }
+    forAll(rowsGen) { rows =>
+      val cand = graft.operators.Dedup
+        .bucketCandidates(rows.toDF("bkt", "doc_id"), Seq("bkt"), "doc_id", Seq(), cap = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      cand.foreach { case (a, b) => assert(a < b) }
+      val reach = unionFind(cand.toSeq)
+      // every pair of docs sharing a bucket must end up in one component
+      rows.groupBy(_._1).values.filter(_.size > 1).foreach { members =>
+        val roots = members.map(m => reach(m._2)).distinct
+        assert(roots.size === 1, s"bucket not connected: $members")
+      }
+    }
+  }
 }
