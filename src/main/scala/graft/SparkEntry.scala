@@ -37,6 +37,7 @@ object SparkEntry {
     "q_join_inner_equi"   -> q(Relational.joinInnerEqui),
     "q_join_left_outer"   -> q(Relational.joinLeftOuter),
     "q_join_full_outer"   -> q(Relational.joinFullOuter),
+    "q_salted_join"       -> q(Relational.saltedJoinAgg), // skew path, oracle-identical to plain join
     "q_join_semi"         -> q(Relational.joinSemi),
     "q_join_anti"         -> q(Relational.joinAnti),
     "q_distinct"          -> q(Relational.distinctKeys),
@@ -149,6 +150,14 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_join_inner_equi" ->
+      """SELECT p_brand,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_salted_join" ->
       """SELECT p_brand,
         | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,

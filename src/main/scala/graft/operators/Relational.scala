@@ -106,6 +106,28 @@ object Relational {
       "c_custkey")
   }
 
+  /** The joinInnerEqui aggregation through the explicit salted-join path
+    * (util.Skew): hot part keys spread across 8 salt buckets before the
+    * shuffle. Oracle-identical to a plain join — salting must never change
+    * results, only the reducer layout — so the driver gate proves the skew
+    * machinery end-to-end, not just in specs. Here `part` rides the salted
+    * replicate path instead of broadcasting (the scenario where the dim is
+    * too big to broadcast but a key is hot).
+    */
+  def saltedJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val part = t(spark, sfDir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    ordered(
+      graft.util.Skew.saltedJoin(li, part, "l_partkey", "l_extendedprice", 8)
+        .groupBy(col("p_brand"))
+        .agg(
+          r4(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+            .cast("double")).as("revenue"),
+          count(lit(1)).as("n_items")),
+      "p_brand")
+  }
+
   /** Full outer join — the MERGE ON shape (transform_load.sql:62) surfaced
     * as its own row-level operator: BUILDING-segment customers ⟗ big-ticket
     * order counts, null-extended on both sides. AQE still broadcasts the
