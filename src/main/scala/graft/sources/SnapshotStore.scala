@@ -82,7 +82,7 @@ object SnapshotStore {
                     .cast("long")).as("_n_slots"))
       val salted = df.join(broadcast(slots), "part_date")
         .withColumn("_slot",
-          pmod(xxhash64(struct(df.columns.map(col): _*)), col("_n_slots")))
+          pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), col("_n_slots")))
       salted.repartition(col("part_date"), col("_slot"))
         .drop("_slot", "_n_slots")
         .write.mode("overwrite")
