@@ -82,6 +82,8 @@ object SparkEntry {
     "q_json_extract"      -> q(Enrichment.jsonExtract),
     "q_scalar_date_funcs" -> q(Enrichment.scalarDateFuncs),
     "q_scalar_math_funcs" -> q(Enrichment.scalarMathFuncs),
+    "q_null_semantics"    -> q(Enrichment.nullSemantics),
+    "q_window_range_frame"-> q(Enrichment.windowRangeFrame),
     // event-time windowing tier (§2.3)
     "q_window_tumbling"   -> q(Windows.tumbling),
     "q_session_gaps"      -> q(Windows.sessionGaps),
@@ -553,6 +555,26 @@ object SparkEntry {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |         net_price, charged, abs_disc_tax_gap, unit_price, disc_band""".stripMargin,
+
+    "q_null_semantics" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | CASE WHEN l_linenumber <> 3 THEN l_quantity END AS m,
+        | (CASE WHEN l_linenumber <> 3 THEN l_quantity END) IS NOT DISTINCT FROM NULL AS nseq_null,
+        | (CASE WHEN l_linenumber <> 3 THEN l_quantity END) IS NOT DISTINCT FROM 30.0 AS nseq_30,
+        | (CASE WHEN l_linenumber <> 3 THEN l_quantity END) = 30.0 AS eq_30,
+        | nullif(l_quantity, 30.0) AS qty_nullif_30,
+        | coalesce(CASE WHEN l_linenumber <> 3 THEN l_quantity END, -1.0) AS m_defaulted
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, m NULLS FIRST""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | count(*) OVER w AS n_last_30m,
+        | floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_last_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

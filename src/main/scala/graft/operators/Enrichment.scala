@@ -91,4 +91,43 @@ object Enrichment {
         when(col("l_discount") >= 0.05, "high").otherwise("low").as("disc_band")),
       "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
       "net_price", "charged", "abs_disc_tax_gap", "unit_price", "disc_band")
+
+  /** Null-semantics suite: null-safe equality (Spark `<=>` ≡ SQL
+    * IS NOT DISTINCT FROM), three-valued-logic comparison vs NULL, NULLIF
+    * and COALESCE — the subtle cross-engine semantics the MERGE join
+    * condition (Warehouse.mergeUpsert's `<=>` on keys) depends on, pinned
+    * as an oracled row-level query. m is NULL on every 3rd line.
+    */
+  def nullSemantics(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = when(col("l_linenumber") =!= 3, col("l_quantity"))
+    ordered(
+      t(spark, sfDir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        m.as("m"),
+        (m <=> lit(null)).as("nseq_null"),          // true exactly when m IS NULL
+        (m <=> lit(30.0)).as("nseq_30"),            // never NULL, unlike m = 30
+        (m === lit(30.0)).as("eq_30"),              // NULL when m IS NULL (3VL)
+        nullif(col("l_quantity"), lit(30.0)).as("qty_nullif_30"),
+        coalesce(m, lit(-1.0)).as("m_defaulted")),
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "m")
+  }
+
+  /** Value-based RANGE window frame — distinct semantics from the ROWS
+    * frame in Windows.windowFrame: the frame spans every event of the user
+    * within the preceding 30 minutes of EVENT TIME (however many rows that
+    * is), the sliding-window aggregate shape behind rate counters and
+    * rolling exposure sums. Money-exact decimal sum inside the frame.
+    */
+  def windowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val halfHourUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc)
+      .rangeBetween(-halfHourUs, Window.currentRow)
+    ordered(
+      events(spark, sfDir).select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_last_30m"),
+        r4(sum(money(col("value"))).over(w).cast("double")).as("sum_last_30m")),
+      "user_id", "ts_us", "event_id")
+  }
 }
