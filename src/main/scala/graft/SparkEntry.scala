@@ -66,6 +66,8 @@ object SparkEntry {
     "q_cdc_changes"       -> q(Warehouse.cdcChanges),
     "q_date_dim_generate" -> q(Warehouse.dateDimGenerate),
     "q_scd2_versions"     -> q(Warehouse.scd2Versions),
+    "q_incr_agg_merge"    -> q(Warehouse.incrAggMerge), // oracle = full recompute → merge ≡ recompute proven by hash
+    "q_funnel"            -> q(Windows.funnel),
     // data-quality tier (ops 8, 9, 10, 17)
     "q_dedup_rownum"      -> q(Quality.dedupRownum),
     "q_impute_avg"        -> q(Quality.imputeAvg),
@@ -413,6 +415,28 @@ object SparkEntry {
         |       lead(ts_us) OVER w IS NULL AS is_current
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "q_incr_agg_merge" ->
+      """SELECT o_custkey,
+        | floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS total_spend,
+        | count(*) AS n_orders
+        |FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s0 AS (SELECT user_id, min(ts_us) AS t_signup FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |v0 AS (SELECT e.user_id, t_signup, min(ts_us) AS t_view
+        |       FROM e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE event_type = 'view' AND ts_us > t_signup
+        |       GROUP BY e.user_id, t_signup),
+        |p0 AS (SELECT e.user_id, t_signup, t_view, min(ts_us) AS t_purchase
+        |       FROM e JOIN v0 ON e.user_id = v0.user_id
+        |       WHERE event_type = 'purchase' AND ts_us > t_view
+        |       GROUP BY e.user_id, t_signup, t_view)
+        |SELECT user_id, t_signup, t_view, t_purchase FROM p0
+        |ORDER BY user_id""".stripMargin,
 
     "q_dedup_rownum" ->
       """WITH e AS (

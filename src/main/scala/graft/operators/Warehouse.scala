@@ -179,6 +179,37 @@ object Warehouse {
       "o_orderkey")
   }
 
+  /** Incremental aggregate maintenance — the materialized-view shape of the
+    * reference's incremental load: a base aggregate snapshot absorbs a
+    * delta batch by merging PARTIAL aggregates (decimal sums and counts
+    * add; no refetch of history). The oracle is the full recompute over
+    * base+delta, so the hash gate itself proves merge ≡ recompute — which
+    * holds exactly because the sums are DECIMAL (associative), the entire
+    * point of the money() discipline. At 100 TB this is the difference
+    * between touching one day and re-aggregating years.
+    */
+  def incrAggMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+      .select(col("o_custkey"), money(col("o_totalprice")).as("p"),
+              col("o_orderdate").cast("date").as("d"))
+    def aggOf(df: DataFrame) = df.groupBy(col("o_custkey"))
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("c"))
+    val base = aggOf(orders.filter(col("d") < lit("1997-01-01").cast("date"))).as("b")
+    val delta = aggOf(orders.filter(col("d") >= lit("1997-01-01").cast("date") &&
+                                    col("d") < lit("1998-01-01").cast("date"))).as("dl")
+    val merged = base.join(delta, col("b.o_custkey") === col("dl.o_custkey"), "full_outer")
+      .select(
+        coalesce(col("b.o_custkey"), col("dl.o_custkey")).as("o_custkey"),
+        (coalesce(col("b.s"), lit(0).cast("decimal(18,2)")) +
+         coalesce(col("dl.s"), lit(0).cast("decimal(18,2)"))).as("s"),
+        (coalesce(col("b.c"), lit(0L)) + coalesce(col("dl.c"), lit(0L))).as("c"))
+    ordered(
+      merged.select(col("o_custkey"),
+                    r4(col("s").cast("double")).as("total_spend"),
+                    col("c").as("n_orders")),
+      "o_custkey")
+  }
+
   /** Parameterized date-dimension generator (ref README.md:49 — "date
     * dimension pre-built for 2000 to current year"; declared, never coded in
     * the reference). sequence()+explode generates distributed rows without a

@@ -76,6 +76,29 @@ object Windows {
       "o_orderpriority", "rnk", "o_orderkey")
   }
 
+  /** Funnel analysis — ordered event-sequence matching (signup → view →
+    * purchase), the product-analytics staple over event streams: per user,
+    * first signup, then first view strictly after it, then first purchase
+    * strictly after that; only completed funnels emit. Three filtered
+    * aggregates chained by inner joins on user_id — each stage is a
+    * partial+final min-agg and a same-key join, no window over the event
+    * stream and nothing resembling a cross join, so the plan is three
+    * cheap shuffles on user_id at any scale.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_signup"))
+    val v0 = ev.filter(col("event_type") === "view")
+      .join(s0, "user_id").filter(col("ts_us") > col("t_signup"))
+      .groupBy(col("user_id"), col("t_signup")).agg(min(col("ts_us")).as("t_view"))
+    val p0 = ev.filter(col("event_type") === "purchase")
+      .join(v0, "user_id").filter(col("ts_us") > col("t_view"))
+      .groupBy(col("user_id"), col("t_signup"), col("t_view"))
+      .agg(min(col("ts_us")).as("t_purchase"))
+    ordered(p0, "user_id")
+  }
+
   /** Frame-spec moving average (SURVEY §2.2 window completion): per user,
     * ordered by event time, mean of the current + 3 preceding values.
     */
