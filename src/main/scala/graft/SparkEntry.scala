@@ -68,6 +68,7 @@ object SparkEntry {
     "q_scd2_versions"     -> q(Warehouse.scd2Versions),
     "q_incr_agg_merge"    -> q(Warehouse.incrAggMerge), // oracle = full recompute → merge ≡ recompute proven by hash
     "q_funnel"            -> q(Windows.funnel),
+    "q_retention"         -> q(Windows.retentionCohorts),
     // data-quality tier (ops 8, 9, 10, 17)
     "q_dedup_rownum"      -> q(Quality.dedupRownum),
     "q_impute_avg"        -> q(Quality.imputeAvg),
@@ -437,6 +438,18 @@ object SparkEntry {
         |       GROUP BY e.user_id, t_signup, t_view)
         |SELECT user_id, t_signup, t_view, t_purchase FROM p0
         |ORDER BY user_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH ue AS (
+        |  SELECT DISTINCT user_id,
+        |    year(make_timestamp(epoch_us(ts))) * 12 + month(make_timestamp(epoch_us(ts))) AS ym
+        |  FROM events),
+        |c AS (SELECT user_id, min(ym) AS cohort_ym FROM ue GROUP BY user_id)
+        |SELECT cohort_ym, ym - cohort_ym AS month_offset,
+        | count(DISTINCT ue.user_id) AS n_users
+        |FROM ue JOIN c ON ue.user_id = c.user_id
+        |GROUP BY cohort_ym, ym - cohort_ym
+        |ORDER BY cohort_ym, month_offset""".stripMargin,
 
     "q_dedup_rownum" ->
       """WITH e AS (

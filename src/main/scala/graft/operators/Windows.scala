@@ -76,6 +76,26 @@ object Windows {
       "o_orderpriority", "rnk", "o_orderkey")
   }
 
+  /** Cohort retention — users bucketed by first-active month (cohort),
+    * counted per months-since-cohort offset: the standard retention
+    * triangle. Distinct (user, month) pairs → per-user min month → offset
+    * join → count-distinct per (cohort, offset). All hash aggregates and
+    * one same-key join; months are encoded as year·12+month ints so the
+    * offset arithmetic is engine-portable integer math.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = timestamp_micros(col("ts_us"))
+    val ue = events(spark, sfDir)
+      .select(col("user_id"), (year(ts) * 12 + month(ts)).as("ym"))
+      .distinct()
+    val cohort = ue.groupBy(col("user_id")).agg(min(col("ym")).as("cohort_ym"))
+    ordered(
+      ue.join(cohort, "user_id")
+        .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("month_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users")),
+      "cohort_ym", "month_offset")
+  }
+
   /** Funnel analysis — ordered event-sequence matching (signup → view →
     * purchase), the product-analytics staple over event streams: per user,
     * first signup, then first view strictly after it, then first purchase
