@@ -16,6 +16,8 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_f"      -> (es => DotProductF(es(0), es(1))),
     "sig_match"  -> (es => SignatureMatchCount(es(0), es(1))),
+    "shingles"   -> (es => DistinctShingles(es(0), es(1))),
+    "hyperplane_bands" -> (es => HyperplaneBands(es(0))),
   )
 
   /** Register on a live session (tests, notebooks). */
@@ -49,5 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sig_match"),
       new ExpressionInfo(classOf[SignatureMatchCount].getName, "sig_match"),
       (es: Seq[Expression]) => SignatureMatchCount(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[DistinctShingles].getName, "shingles"),
+      (es: Seq[Expression]) => DistinctShingles(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
+      (es: Seq[Expression]) => HyperplaneBands(es(0))))
   }
 }

@@ -170,35 +170,41 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 15): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both edge directions from ONE pass over the pairs subtree (an explode,
+    // not a self-union — the union scanned the expensive upstream candidate
+    // pipeline twice when materializing the persist)
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // seed with round 0's neighbor-min directly: one aggregate replaces the
+    // old identity-label init (distinct) + first propagate round (2 joins)
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("label"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // (1) neighbor-min propagation
+      // (1) neighbor-min propagation, carrying the round-start label as
+      // `old` so change detection below needs no extra join
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("nbr_label")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("nbr_label")).as("nbr_label"))
       val propagated = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
                 least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // (2) pointer jump: label := label(label)
       val jumped = propagated
         .join(propagated.select(col("node").as("label"), col("label").as("label2")),
               Seq("label"), "left")
-        .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
+        .select(col("node"), col("old"), coalesce(col("label2"), col("label")).as("label"))
         .localCheckpoint(true)
-      // round 0 always changes something when any edge exists — skip the
-      // convergence probe there (one fewer job per invocation)
-      val changed =
-        if (iter == 0) 1L
-        else jumped.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).limit(1).count()
-      labels = jumped
+      // labels only decrease, so changed ⇔ any label < its round-start value;
+      // the probe is a filter over the already-checkpointed frame, no join
+      val changed = jumped.filter(col("label") =!= col("old")).limit(1).count()
+      labels = jumped.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1
     }

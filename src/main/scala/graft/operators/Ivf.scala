@@ -40,10 +40,20 @@ object Ivf {
     val sampled =
       if (n <= TrainCap) emb
       else emb.sample(withReplacement = false, TrainCap.toDouble / n, seed = 42L)
+    // persist the sampled features: k-means makes one pass per iteration,
+    // and without it every pass would re-scan + re-sample the corpus
     val feats = sampled.select(
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // random init (fixed seed) instead of k-means||: the || init alone runs
+    // ~2 passes per init step — more jobs than the fit itself — and on a
+    // coarse quantizer recall is centroid-coverage-driven, not init-driven
+    // (DedupSimilaritySpec pins the recall bound). 5 iterations suffice for
+    // a stable coarse partition; IVF lists don't need converged centroids.
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").fit(feats)
+    feats.unpersist()
     import spark.implicits._
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }

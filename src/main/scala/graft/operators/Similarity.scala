@@ -46,14 +46,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic random hyperplanes (seeded Gaussian), shipped as a
-    * literal — 32 planes × 64 dims ≈ 16 KB, broadcast with the plan.
-    */
-  private lazy val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(32)(Seq.fill(64)(rnd.nextGaussian()))
-  }
-
   /** ANN via random-hyperplane LSH: 32 sign-projections → 4 bands of 8 bits;
     * vectors sharing any (band, 8-bit bucket) become candidates; candidates
     * are re-ranked by exact cosine. Output: top-k pairs over the
@@ -72,17 +64,13 @@ object Similarity {
     */
   def lshScoredPairs(spark: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val projBits: Seq[Column] = planes.zipWithIndex.map { case (p, j) =>
-      (call_function("dot_f", col("embedding"),
-                     typedLit(p.map(_.toFloat))) > 0.0).cast("long").as(s"bit$j")
-    }
-    val withBits = emb.select(col("vec_id") +: col("embedding") +: projBits: _*)
-    val bandCols = (0 until 4).map { bnd =>
-      (0 until 8).map(i => col(s"bit${bnd * 8 + i}") * lit(1L << i)).reduce(_ + _)
-    }
-    val banded = withBits.select(
+    // all 32 sign bits + 4 band buckets in ONE pass over each vector
+    // (graft.functions.HyperplaneBands) — the 32-separate-dot_f-projections
+    // formulation it replaces made 32 passes and 32 optimizer columns
+    val banded = emb.select(
       col("vec_id"), col("embedding"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "bucket")))
+      posexplode(call_function("hyperplane_bands", col("embedding")))
+        .as(Seq("band_id", "bucket")))
     // hot-bucket-capped candidates (Dedup.bucketCandidates): degenerate
     // corpora (many identical vectors → one bucket) stay O(n), not n²
     val cand = Dedup.bucketCandidates(banded, Seq("band_id", "bucket"),

@@ -243,22 +243,18 @@ object Text {
   }
 
   /** Distinct word 3-gram shingles as rows (doc_id, s) — shared by the
-    * near-dup family. posexplode + windowed lead() instead of a
-    * higher-order transform() lambda: array lambdas run on Catalyst's
-    * interpreted path (measured ~7 ms/doc — 5 s for 742 docs), while this
-    * shape stays in codegen + one doc-partitioned window, and it feeds the
-    * downstream inverted-index joins without re-exploding.
+    * near-dup family. One native codegen pass via the `shingles` expression
+    * ([[graft.functions.DistinctShingles]]): per-doc distinct n-grams come
+    * out of a single scan, so this has ZERO shuffles — the posexplode +
+    * windowed lead() + dropDuplicates formulation it replaces shuffled the
+    * exploded corpus twice (per-doc window sort, then distinct) before any
+    * signature work. (A higher-order transform() lambda is no alternative:
+    * array lambdas run on Catalyst's interpreted path, measured ~7 ms/doc.)
     */
   def shingleRows(d: DataFrame, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
-    d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"), concat_ws(" ", parts: _*).as("s"),
-              lead(col("w"), n - 1).over(w).isNotNull.as("full"))
-      .filter(col("full"))
-      .select(col("doc_id"), col("s"))
-      .dropDuplicates("doc_id", "s")
+    graft.functions.GraftFunctions.register(d.sparkSession)
+    d.select(col("doc_id"),
+             explode(call_function("shingles", col("text"), lit(n))).as("s"))
   }
 
   /** N-gram Jaccard near-dup scoring within language blocks: exact set
