@@ -45,7 +45,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0.0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // total appears FIRST ("value") and LAST ("total_sec"): artifact capture
+    // that truncates either end of the line still keeps the headline number
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","total_sec":$total}""")
     spark.stop()
   }
 

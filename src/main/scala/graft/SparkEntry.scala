@@ -83,6 +83,7 @@ object SparkEntry {
     // enrichment tier (ops 6, 7, 19, 20)
     "q_arrays_zip_explode"-> q(Enrichment.arraysZipExplode),
     "q_json_extract"      -> q(Enrichment.jsonExtract),
+    "q_json_staging"      -> q(Enrichment.jsonStaging),
     "q_scalar_date_funcs" -> q(Enrichment.scalarDateFuncs),
     "q_scalar_math_funcs" -> q(Enrichment.scalarMathFuncs),
     "q_null_semantics"    -> q(Enrichment.nullSemantics),
@@ -91,6 +92,7 @@ object SparkEntry {
     "q_window_tumbling"   -> q(Windows.tumbling),
     "q_session_gaps"      -> q(Windows.sessionGaps),
     "q_window_frame"      -> q(Windows.windowFrame),
+    "q_window_values"     -> q(Windows.windowValues),
     // text-analysis tier (LLM-data north star)
     "q_text_stats"        -> q(Text.textStats),
     "q_token_count"       -> q(Text.tokenCount),
@@ -145,9 +147,9 @@ object SparkEntry {
         | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
         | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
-        | floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-        | floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS avg_price,
-        | floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+        | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        | floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -570,6 +572,20 @@ object SparkEntry {
         |WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
         |ORDER BY event_id""".stripMargin,
 
+    "q_json_staging" ->
+      """WITH staged AS (
+        |  SELECT event_id,
+        |         '{"meta":' || props || ',"ids":[' || event_id || ',' || user_id || ']}' AS payload
+        |  FROM events)
+        |SELECT event_id,
+        | CAST(json_extract_string(payload, '$.meta.k') AS INT) AS k,
+        | CAST(json_extract_string(payload, '$.ids[1]') AS BIGINT) AS second_id,
+        | CAST(json_array_length(payload, '$.ids') AS BIGINT) AS n_ids
+        |FROM staged
+        |WHERE CAST(json_extract_string(payload, '$.meta.k') AS INT) >= 10
+        |  AND CAST(json_extract_string(payload, '$.meta.k') AS INT) < 90
+        |ORDER BY event_id""".stripMargin,
+
     "q_scalar_date_funcs" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
         | CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
@@ -635,15 +651,32 @@ object SparkEntry {
 
     "q_window_frame" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-        | floor(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-        |       * 10000.0 + 0.5) / 10000.0 AS mavg4
-        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+        | floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |       / count(*) OVER w * 10000.0 + 0.5) / 10000.0 AS mavg4
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_window_values" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | lag(event_type, 1) OVER w AS prev_type,
+        | floor(lag(value, 1) OVER w * 10000.0 + 0.5) / 10000.0 AS prev_value,
+        | first_value(event_id) OVER wg AS first_event,
+        | nth_value(event_id, 3) OVER wg AS third_event,
+        | last_value(event_id) OVER wf AS last_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |       wg AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS total_chars,
-        | floor(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_words
+        | floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_words
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_token_count" ->

@@ -38,6 +38,35 @@ object Enrichment {
         .filter(col("k") > 50),
       "event_id")
 
+  /** Raw-JSON staging parse (ref README.md:40–43 — the declared-but-never-
+    * built alternative extract shape: land raw JSON payloads, parse in the
+    * warehouse; same pipeline as sources/WeatherApiSource.parsePayloads).
+    * A nested payload (struct + array) is assembled from events columns with
+    * engine-portable integer formatting, then parsed by `from_json` with an
+    * EXPLICIT StructType — never schema inference, the reference's DDL-first
+    * discipline — and projected to typed columns. All narrow codegen'd
+    * expressions: 10⁶ payloads parse exactly like 5, no driver loop.
+    */
+  def jsonStaging(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val payload = concat(
+      lit("{\"meta\":"), col("props"),
+      lit(",\"ids\":["), col("event_id").cast("string"),
+      lit(","), col("user_id").cast("string"), lit("]}"))
+    val schema = StructType(Seq(
+      StructField("meta", StructType(Seq(StructField("k", IntegerType)))),
+      StructField("ids", ArrayType(LongType))))
+    ordered(
+      events(spark, sfDir)
+        .select(col("event_id"), from_json(payload, schema).as("p"))
+        .select(col("event_id"),
+                col("p.meta.k").as("k"),
+                element_at(col("p.ids"), 2).as("second_id"),
+                size(col("p.ids")).cast("long").as("n_ids"))
+        .filter(col("k") >= 10 && col("k") < 90),
+      "event_id")
+  }
+
   /** Date-part scalar suite (ref transform_load.sql:21–22 `MONTH(date)`;
     * README.md:232 — planned "season based on date, day of week"
     * enrichment). ISO day-of-week so both engines agree on numbering.

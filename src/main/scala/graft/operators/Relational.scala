@@ -66,9 +66,12 @@ object Relational {
           r4(sum(money(col("l_extendedprice"))).cast("double")).as("sum_base_price"),
           r4(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
             .cast("double")).as("sum_disc_price"),
-          r4(avg(col("l_quantity"))).as("avg_qty"),
-          r4(avg(col("l_extendedprice"))).as("avg_price"),
-          r4(avg(col("l_discount"))).as("avg_disc"),
+          // averages as exact-decimal sum ÷ count (single double division at
+          // the end): avg(double) sums in partial-aggregation order, which
+          // Spark doesn't pin and DuckDB's sequential scan doesn't share
+          r4(sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          r4(sum(money(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          r4(sum(money(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order")),
       "l_returnflag", "l_linestatus")
 

@@ -23,7 +23,9 @@ object Text {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
              sum(col("nc").cast("long")).as("total_chars"),
-             r4(avg(col("nw"))).as("avg_words")),
+             // exact long sum ÷ count, one double division — avg(double)
+             // would sum in unpinned partial-aggregation order
+             r4(sum(col("nw")).cast("double") / count(lit(1))).as("avg_words")),
       "lang")
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex

@@ -36,13 +36,21 @@ object Warehouse {
     * both snapshots bucketed by the key it becomes a zero-shuffle join.
     */
   def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
-                  updateCols: Seq[String]): DataFrame = {
+                  updateCols: Seq[String],
+                  nullSafeKeys: Boolean = true): DataFrame = {
     // string-qualified refs ("mt.k") — target/source usually share lineage
     // (both snapshots of one table), so DataFrame-apply refs are ambiguous
     val t = target.alias("mt")
     val s = source.alias("ms")
     def mt(c: String) = col(s"mt.$c"); def ms(c: String) = col(s"ms.$c")
-    val cond = keys.map(k => mt(k) <=> ms(k)).reduce(_ && _)
+    // <=> tolerates NULL keys, but Spark plans null-safe equi-joins on
+    // (coalesce(k), isnull(k)) — a distribution a bucketed-by-k snapshot
+    // can't satisfy, so the 100 TB fact would re-shuffle every merge. When
+    // the merge key is a primary key by construction (the common warehouse
+    // case), pass nullSafeKeys=false: plain equality keeps the bucketed
+    // side exchange-free and only the daily batch shuffles.
+    val cond = keys.map(k =>
+      if (nullSafeKeys) mt(k) <=> ms(k) else mt(k) === ms(k)).reduce(_ && _)
     val joined = t.join(s, cond, "full_outer")
     val keyCols = keys.map(k => coalesce(ms(k), mt(k)).as(k))
     val updCols = updateCols.map(c => coalesce(ms(c), mt(c)).as(c))

@@ -121,6 +121,10 @@ object Windows {
 
   /** Frame-spec moving average (SURVEY §2.2 window completion): per user,
     * ordered by event time, mean of the current + 3 preceding values.
+    * Exact-decimal frame sum ÷ frame count (value is 2-decimal data), one
+    * double division at the end — avg(double) over a frame sums in the
+    * engine's own evaluation order (Spark: frame scan; DuckDB: segment
+    * tree), which need not agree at the r4 boundary.
     */
   def windowFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -129,7 +133,31 @@ object Windows {
     ordered(
       events(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("ts_us"),
-                r4(avg(col("value")).over(w)).as("mavg4")),
+                r4(sum(money(col("value"))).over(w).cast("double")
+                   / count(lit(1)).over(w)).as("mavg4")),
+      "user_id", "ts_us", "event_id")
+  }
+
+  /** Window value-function family (completes §2.2 windows beyond ranking):
+    * lag, first_value, nth_value, last_value over the per-user event
+    * timeline. One user-partitioned sort shared by every function; the
+    * growing frame (first/nth) and the full frame (last) are spelled
+    * explicitly so both engines bind the same frames. Tie-broken by
+    * event_id so the sort is total (SURVEY §7.5 determinism rule).
+    */
+  def windowValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val growing = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ordered(
+      events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                lag(col("event_type"), 1).over(w).as("prev_type"),
+                r4(lag(col("value"), 1).over(w)).as("prev_value"),
+                first(col("event_id")).over(growing).as("first_event"),
+                nth_value(col("event_id"), 3).over(growing).as("third_event"),
+                last(col("event_id")).over(full).as("last_event")),
       "user_id", "ts_us", "event_id")
   }
 }

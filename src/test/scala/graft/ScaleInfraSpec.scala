@@ -94,6 +94,43 @@ class ScaleInfraSpec extends SparkSpec {
     }
   }
 
+  test("daily merge over a bucketed fact snapshot shuffles only the batch") {
+    import graft.operators.Warehouse
+    // the recurring-merge story end-to-end: the fact snapshot lands bucketed
+    // by the merge key ONCE (shuffle paid at write), then every daily
+    // mergeUpsert re-run joins exchange-free on the fact side — only the
+    // (tiny) daily batch shuffles. At 100 TB this is the difference between
+    // re-shuffling the whole fact per day and per never.
+    val orders = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    SnapshotStore.writeFactBucketed(orders, "b_fact", "o_orderkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = spark.table("b_fact")
+      // a thin daily slice via filter — limit() would add its own
+      // SinglePartition exchange and muddy the count below
+      val batch = orders.filter(col("o_orderkey") % 151 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val merged = Warehouse.mergeUpsert(fact, batch, Seq("o_orderkey"),
+        Seq("o_custkey", "o_totalprice"), nullSafeKeys = false)
+      merged.collect()
+      // AQE's toString appends "== Initial Plan ==" after the final plan —
+      // count exchanges only in what actually ran
+      val plan = merged.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(exchanges === 1,
+        s"only the batch side may shuffle (got $exchanges):\n${plan.take(2000)}")
+      assert(plan.contains("Bucketed: true"),
+        s"fact side must read bucketed:\n${plan.take(2000)}")
+      // and the merge itself is still a correct upsert
+      assert(merged.count() === orders.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS b_fact")
+    }
+  }
+
   test("salted join equals plain join result exactly") {
     val li = graft.util.Tables.t(spark, Sf, "lineitem")
       .select(col("l_partkey"), col("l_extendedprice"))
