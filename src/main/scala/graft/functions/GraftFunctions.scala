@@ -18,6 +18,7 @@ object GraftFunctions {
     "sig_match"  -> (es => SignatureMatchCount(es(0), es(1))),
     "shingles"   -> (es => DistinctShingles(es(0), es(1))),
     "hyperplane_bands" -> (es => HyperplaneBands(es(0))),
+    "simhash64"  -> (es => SimHash64(es(0))),
   )
 
   /** Register on a live session (tests, notebooks). */
@@ -59,5 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_bands"),
       new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
       (es: Seq[Expression]) => HyperplaneBands(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
   }
 }

@@ -47,6 +47,37 @@ case class DistinctShingles(left: Expression, right: Expression)
   override def prettyName: String = "shingles"
 }
 
+/** simhash64(text): the 64-bit SimHash of a document's words in ONE codegen
+  * pass — bit b is the sign of Σ_words (±1 by bit b of xxhash64(word)),
+  * counting every occurrence. Bit-identical to the
+  * explode → xxhash64 → 64×sum(when) → pack formulation it replaces (same
+  * split semantics as `split(text, " ")`, same XXH64 seed-42 word hash via
+  * the engine's own kernel), but with zero shuffle and a 64-int stack
+  * accumulator instead of a 64-column aggregation state.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleKernel.simhash(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.ShingleKernel.simhash($t);")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
 /** Static kernel called from both interpreted eval and generated code (Scala
   * emits static forwarders for top-level objects, so janino links
   * `ShingleKernel.compute` directly).
@@ -75,5 +106,32 @@ object ShingleKernel {
     var j = 0
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash; word hash = Spark's own xxhash64 (XXH64, seed 42) so
+    * the result is bit-identical to `xxhash64(word)` over exploded rows.
+    */
+  def simhash(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val w = UTF8String.fromString(words(i))
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
   }
 }

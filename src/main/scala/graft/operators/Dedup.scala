@@ -239,23 +239,15 @@ object Dedup {
   }
 
   /** Per-doc 64-bit SimHash over word hashes: bit b is the sign of
-    * Σ_words (±1 by bit b of xxhash64(word)). One explode + one agg with 64
-    * partial sums, then bits packed into a single long.
+    * Σ_words (±1 by bit b of xxhash64(word)). One native codegen pass via
+    * [[graft.functions.SimHash64]] — zero shuffle; the
+    * explode → 64×sum(when) → pack formulation it replaces (bit-identical,
+    * VectorFunctionsSpec) shuffled a 64-column aggregation state per doc.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val words = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { bitPos =>
-      sum(when(shiftright(col("h"), bitPos).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$bitPos")
-    }
-    val packed = (0 until 64)
-      .map(bitPos => when(col(s"b$bitPos") > 0, shiftleft(lit(1L), bitPos)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    words.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+                call_function("simhash64", col("text")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates from 4×16-bit chunk collisions

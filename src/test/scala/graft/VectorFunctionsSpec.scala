@@ -80,4 +80,82 @@ class VectorFunctionsSpec extends SparkSpec {
     vecs.unpersist()
     assert(native < hof, f"native $native%.2fs should beat interpreted $hof%.2fs")
   }
+
+  test("shingles equals the posexplode+window+dropDuplicates formulation") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.util.Tables.t(spark, Sf, "documents")
+    val native = docs.select(col("doc_id"),
+      explode(call_function("shingles", col("text"), lit(3))).as("s"))
+    // the exact pipeline the expression replaced
+    val n = 3
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(w))
+    val old = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), concat_ws(" ", parts: _*).as("s"),
+              lead(col("w"), n - 1).over(w).isNotNull.as("full"))
+      .filter(col("full")).select(col("doc_id"), col("s"))
+      .dropDuplicates("doc_id", "s")
+    assert(native.exceptAll(old).isEmpty && old.exceptAll(native).isEmpty)
+  }
+
+  test("shingles edge cases: short text empty, null text null") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, ""), (3L, "x y z"), (4L, null))
+      .toDF("id", "t")
+    val r = d.select(col("id"), call_function("shingles", col("t"), lit(3)).as("s"))
+      .orderBy("id").collect()
+    assert(r(0).getSeq[String](1) === Seq())          // 2 words < n
+    assert(r(1).getSeq[String](1) === Seq())          // "" splits to 1 word
+    assert(r(2).getSeq[String](1) === Seq("x y z"))   // exactly n words
+    assert(r(3).isNullAt(1))                          // null in, null out
+  }
+
+  test("simhash64 equals the explode+64-sum+pack formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val docs = graft.util.Tables.t(spark, Sf, "documents")
+    val native = docs.select(col("doc_id"),
+      call_function("simhash64", col("text")).as("simhash"))
+    // the exact pipeline the expression replaced
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { bitPos =>
+      sum(when(shiftright(col("h"), bitPos).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$bitPos")
+    }
+    val packed = (0 until 64)
+      .map(bitPos => when(col(s"b$bitPos") > 0, shiftleft(lit(1L), bitPos)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val old = words.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+    assert(native.exceptAll(old).isEmpty && old.exceptAll(native).isEmpty)
+  }
+
+  test("hyperplane_bands equals per-plane dot_f sign bits bit-for-bit") {
+    GraftFunctions.register(spark)
+    // regenerate the kernel's plane table: same seed, same draw order, same
+    // double→float cast — the contract HyperplaneKernel documents
+    val planes = {
+      val rnd = new scala.util.Random(42)
+      Seq.fill(32)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val emb = graft.util.Tables.t(spark, Sf, "embeddings")
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      (call_function("dot_f", col("embedding"), typedLit(p)) > 0.0)
+        .cast("long").as(s"bit$j")
+    }
+    val bands = (0 until 4).map { b =>
+      (0 until 8).map(i => col(s"bit${b * 8 + i}") * lit(1L << i)).reduce(_ + _).as(s"band$b")
+    }
+    val viaDots = emb.select(col("vec_id") +: bits: _*)
+      .select(col("vec_id") +: bands: _*)
+      .select(col("vec_id"), array((0 until 4).map(b => col(s"band$b")): _*).as("bands"))
+    val native = emb.select(col("vec_id"),
+      call_function("hyperplane_bands", col("embedding")).as("bands"))
+    assert(native.exceptAll(viaDots).isEmpty && viaDots.exceptAll(native).isEmpty)
+  }
 }
