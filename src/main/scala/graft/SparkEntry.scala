@@ -96,6 +96,7 @@ object SparkEntry {
     // text-analysis tier (LLM-data north star)
     "q_text_stats"        -> q(Text.textStats),
     "q_token_count"       -> q(Text.tokenCount),
+    "q_seq_pack"          -> q(Text.seqPack(_, _)),
     "q_quality_score"     -> q(Text.qualityScore),
     "q_lang_id"           -> q(Text.langId),
     "q_doc_fingerprint"   -> q(Text.docFingerprint),
@@ -684,6 +685,20 @@ object SparkEntry {
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM d)
+        |SELECT doc_id, n_tokens, tok_start,
+        |       tok_start // 2048 AS seq_id,
+        |       tok_start % 2048 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       """WITH f AS (

@@ -296,4 +296,29 @@ object Text {
       .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(50)
   }
+
+  /** Sequence packing — the concat-and-chunk step every LLM training
+    * pipeline runs before the data loader: documents are laid end to end in
+    * a deterministic corpus order (doc_id) and cut into fixed-token-budget
+    * training sequences. Each doc gets its global token offset, the id of
+    * the sequence its first token lands in, and the offset within that
+    * sequence.
+    *
+    * The global running total is [[graft.util.PrefixSum]]'s two-phase scan —
+    * parallel per-range-partition windows plus a broadcast of one offset
+    * row per partition — NOT `Window.orderBy(doc_id)` with no partition,
+    * which would funnel 100 TB through a single reducer. The oracle states
+    * the same quantity as the naive global window, so the driver gate
+    * proves distributed scan ≡ sequential scan.
+    */
+  def seqPack(spark: SparkSession, sfDir: String, seqLen: Long = 2048L): DataFrame = {
+    val toks = docs(spark, sfDir).select(
+      col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    ordered(
+      graft.util.PrefixSum.exclusive(toks, "doc_id", col("n_tokens"), "tok_start")
+        .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+                expr(s"tok_start div $seqLen").as("seq_id"),  // exact integer div
+                pmod(col("tok_start"), lit(seqLen)).as("seq_offset")),
+      "doc_id")
+  }
 }

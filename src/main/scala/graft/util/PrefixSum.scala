@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exclusive prefix sum over a global ordering — WITHOUT the
+  * single-reducer global window (`Window.orderBy(key)` with no partition
+  * funnels the whole table through one task; at 100 TB that is the job).
+  *
+  * Classic two-phase scan:
+  *  1. range-partition by the order key, cumulative-sum locally within each
+  *     partition (parallel windows, one per partition);
+  *  2. per-partition totals — ONE ROW PER PARTITION, thousands at most —
+  *     get their own exclusive prefix via a window over that tiny frame,
+  *     and broadcast-join back as each partition's starting offset.
+  *
+  * The result is independent of where the range boundaries land (offset +
+  * local prefix ≡ global prefix for any contiguous split of the order), so
+  * sampling-based range partitioning cannot perturb values.
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = Σ value over all rows strictly before the row in
+    * `orderCol` order (exclusive prefix; first row gets 0). `orderCol`
+    * must be unique for the ordering to be total.
+    */
+  def exclusive(df: DataFrame, orderCol: String, value: Column,
+                outCol: String, numParts: Int = 32): DataFrame = {
+    val withVal = df.withColumn("_psv", value)
+    val parted = withVal.repartitionByRange(numParts, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val localW = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("_local_cum", sum(col("_psv")).over(localW))
+    // one row per partition: the tiny frame where a global window is fine
+    val offsets = local.groupBy(col("_pid"))
+      .agg(sum(col("_psv")).as("_part_total"))
+      .withColumn("_offset",
+        coalesce(sum(col("_part_total")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(outCol, col("_offset") + col("_local_cum") - col("_psv"))
+      .drop("_pid", "_psv", "_local_cum", "_offset")
+  }
+}

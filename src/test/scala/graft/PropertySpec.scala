@@ -158,6 +158,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PrefixSum.exclusive equals the single-window global scan on random data") {
+    import spark.implicits._
+    val valGen = Gen.listOfN(400, Gen.choose(0L, 500L))
+    forAll(valGen) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("k", "v")
+      for (parts <- Seq(1, 3, 32)) {
+        val dist = graft.util.PrefixSum.exclusive(df, "k", col("v"), "ps", parts)
+        val naive = df.withColumn("ps",
+          coalesce(sum(col("v")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+        assert(dist.exceptAll(naive).isEmpty && naive.exceptAll(dist).isEmpty,
+          s"prefix sum mismatch at $parts partitions")
+      }
+    }
+  }
+
   test("bucketCandidates keeps every bucket's membership connected, hot or not") {
     import spark.implicits._
     val rowsGen = for {
