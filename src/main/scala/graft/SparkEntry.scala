@@ -97,6 +97,8 @@ object SparkEntry {
     "q_text_stats"        -> q(Text.textStats),
     "q_token_count"       -> q(Text.tokenCount),
     "q_seq_pack"          -> q(Text.seqPack(_, _)),
+    "q_corpus_mix"        -> q(Text.corpusMixQ),
+    "q_embed_norm"        -> q(Similarity.embedNorms),
     "q_quality_score"     -> q(Text.qualityScore),
     "q_lang_id"           -> q(Text.langId),
     "q_doc_fingerprint"   -> q(Text.docFingerprint),
@@ -699,6 +701,21 @@ object SparkEntry {
         |       tok_start // 2048 AS seq_id,
         |       tok_start % 2048 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_mix" ->
+      """WITH rates(lang, rate_m) AS (
+        |  VALUES ('en', 500), ('fr', 800), ('es', 900), ('de', 1000), ('zh', 1000))
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE (d.doc_id * 48271 + 11) % 1000 < r.rate_m
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        | floor(sqrt(list_aggregate(
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |   'sum')) * 10000.0 + 0.5) / 10000.0 AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_quality_score" ->
       """WITH f AS (

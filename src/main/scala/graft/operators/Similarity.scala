@@ -46,6 +46,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-vector L2 norms — the normalization pass before cosine-metric
+    * indexing (normalized corpus ⇒ cosine ≡ dot, so ANN structures store
+    * unit vectors). Pure codegen scan via the native dot kernel
+    * (norm = √⟨v,v⟩), zero shuffle; oracled against DuckDB's sequential
+    * list fold, proving the kernel's accumulation order is portable.
+    */
+  def embedNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    ordered(
+      t(spark, sfDir, "embeddings")
+        .select(col("vec_id"),
+                r4(sqrt(call_function("dot_f", col("embedding"), col("embedding"))))
+                  .as("l2_norm")),
+      "vec_id")
+  }
+
   /** ANN via random-hyperplane LSH: 32 sign-projections → 4 bands of 8 bits;
     * vectors sharing any (band, 8-bit bucket) become candidates; candidates
     * are re-ranked by exact cosine. Output: top-k pairs over the

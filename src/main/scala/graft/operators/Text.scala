@@ -297,6 +297,36 @@ object Text {
       .limit(50)
   }
 
+  /** Corpus mixture sampling — deterministic per-language keep rates, the
+    * blending step that reweights a training mix (downsample the dominant
+    * language, keep the rest). Membership is a pure hash of doc_id against
+    * the row's rate — no RNG state, so the sample is reproducible across
+    * runs, executors, and retries, and a re-run selects the SAME rows (the
+    * property that makes incremental corpus builds sane). Rates arrive as a
+    * tiny DataFrame broadcast-joined in; the corpus never shuffles.
+    * (Production corpora with >2^31 docs would widen the multiplicative
+    * hash to xxhash64 — same shape, engine-specific constant.)
+    */
+  def corpusMix(d: DataFrame, rates: Map[String, Double]): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF("lang", "rate")
+      .select(col("lang"), (col("rate") * 1000).cast("long").as("rate_m"))
+    d.join(broadcast(ratesDf), Seq("lang"))
+      .filter(pmod(col("doc_id") * 48271L + 11L, lit(1000L)) < col("rate_m"))
+      .drop("rate_m")
+  }
+
+  /** q_corpus_mix: halve English, trim French/Spanish slightly, keep the
+    * rest — the canonical "don't let the web crawl drown the mix" rebalance.
+    */
+  def corpusMixQ(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      corpusMix(docs(spark, sfDir),
+        Map("en" -> 0.5, "fr" -> 0.8, "es" -> 0.9, "de" -> 1.0, "zh" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("source")),
+      "doc_id")
+
   /** Sequence packing — the concat-and-chunk step every LLM training
     * pipeline runs before the data loader: documents are laid end to end in
     * a deterministic corpus order (doc_id) and cut into fixed-token-budget
