@@ -45,9 +45,23 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0.0).sum
-    // total appears FIRST ("value") and LAST ("total_sec"): artifact capture
-    // that truncates either end of the line still keeps the headline number
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","total_sec":$total}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","total_sec":$total}"""
+    println(fullLine)
+    // The artifact capture keeps only the last ~2000 chars of output; the
+    // full per-query line above (~2.6 KB at 88 queries) has never fit, so
+    // every round's BENCH artifact parsed as null. Persist the full line to
+    // a file, then emit a compact line (headline total + slowest queries)
+    // that is guaranteed to fit inside the tail window and parse.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val slowest = results.toSeq.filter(_._2 >= 0.0).sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"slowest":$slowest,"full":"bench_full.json"}""")
     spark.stop()
   }
 
