@@ -80,6 +80,9 @@ object SparkEntry {
     "q_quantiles_exact"   -> q(Relational.quantilesExact),
     "q_mode_agg"          -> q(Relational.modeAgg),
     "q_group_concat"      -> q(Relational.groupConcat),
+    "q_outlier_mad"       -> q(Quality.outlierMad),
+    "q_argmax"            -> q(Relational.argmaxPerGroup),
+    "q_bloom_join"        -> q(Relational.bloomPrunedJoin), // bloom prune, oracle-identical to plain join
     // enrichment tier (ops 6, 7, 19, 20)
     "q_arrays_zip_explode"-> q(Enrichment.arraysZipExplode),
     "q_json_extract"      -> q(Enrichment.jsonExtract),
@@ -110,12 +113,16 @@ object SparkEntry {
     "q_pii_scrub"         -> q(Text.piiScrub),
     "q_contamination"     -> q(Text.contamination(_, _, 97, 0.5)),
     "q_repetition"        -> q(Text.repetition),
+    "q_tfidf"             -> q(Text.tfidf(_, _, 3)),
+    "q_token_entropy"     -> q(Text.tokenEntropy),
+    "q_quality_band"      -> q(Text.qualityBand(_, _, 0.1, 0.9)),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
     "q_doc_dedup_components" -> q(Dedup.dedupComponents(_, _, 0.8)), // pairs → clusters → canonical ids
     "q_doc_dedup_embed"   -> q(Similarity.dedupEmbed(_, _, 0.95)), // embedding-cosine near-dup clusters
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
+    "q_near_dup_editdist" -> q(Dedup.editDistPairs(_, _, 80, 40)), // blocked Levenshtein — the oracled dedup modality
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
     "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
     "q_ann_ivf"           -> q(Ivf.ivfTopK(_, _, 10, 16, 8)), // no-oracle: k-means internals engine-specific
@@ -896,5 +903,91 @@ object SparkEntry {
         | 64 + (doc_id * 40503) % 512 AS height,
         | 1 + doc_id % 30 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df,
+        |             CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tf, df, tfidf,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+        |           FROM scored)
+        |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf, df,
+        | floor(tfidf * 10000.0 + 0.5) / 10000.0 AS tfidf
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    "q_token_entropy" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |cnt AS (SELECT lang, term, count(*) AS c FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |agg AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_terms,
+        |          sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,8))) AS sclogc
+        |        FROM cnt GROUP BY 1)
+        |SELECT lang, n_tokens, n_terms,
+        | floor((ln(CAST(n_tokens AS DOUBLE)) - CAST(sclogc AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS entropy_nats
+        |FROM agg ORDER BY lang""".stripMargin,
+
+    "q_quality_band" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS spaces,
+        |    CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b|\bof\b')) AS DOUBLE) AS stops
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        0.5 * (alpha / n) + 0.3 * least(1.0, ((n - spaces) / (spaces + 1.0)) / 8.0)
+        |          + 0.2 * least(1.0, stops / 10.0) AS q
+        |      FROM f),
+        |th AS (SELECT quantile_cont(q, 0.1) AS p_lo, quantile_cont(q, 0.9) AS p_hi FROM s)
+        |SELECT doc_id, lang, floor(q * 10000.0 + 0.5) / 10000.0 AS quality_score
+        |FROM s CROSS JOIN th
+        |WHERE q >= p_lo AND q <= p_hi
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_outlier_mad" ->
+      """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),
+        |dev AS (SELECT event_type, med, abs(value - med) AS adev
+        |        FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        | floor(min(med) * 10000.0 + 0.5) / 10000.0 AS med,
+        | floor(min(mad) * 10000.0 + 0.5) / 10000.0 AS mad,
+        | CAST(sum(CASE WHEN adev > 4.4478 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_argmax" ->
+      """WITH j AS (SELECT n_name, c_custkey, c_acctbal
+        |           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |r AS (SELECT n_name, c_custkey, c_acctbal,
+        |        row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+        |        count(*) OVER (PARTITION BY n_name) AS n_members
+        |      FROM j)
+        |SELECT n_name, c_custkey AS top_custkey,
+        | floor(c_acctbal * 10000.0 + 0.5) / 10000.0 AS top_acctbal, n_members
+        |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_near_dup_editdist" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars // 64 AS blk,
+        |                  substr(text, 1, 80) AS head
+        |           FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 40
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -273,4 +273,34 @@ object Dedup {
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
       .limit(k)
   }
+
+  /** Blocked edit-distance near-dup pairs — the character-level dedup
+    * modality (catches small insertions/typos that shuffle-invariant
+    * minhash treats as identical-set noise, and vice versa). Unlike the
+    * signature family this IS ANSI-SQL-expressible, so it's a hash-oracled
+    * gate query.
+    *
+    * Scale shape: Levenshtein is O(len²) per pair, so the all-pairs corpus
+    * is out at any scale. Docs are blocked on (lang, n_chars div 64) — a
+    * cheap equi-join key — and the quadratic work happens only inside a
+    * block, on fixed-length prefixes (len² is bounded by prefixLen²
+    * regardless of document size). The shuffle carries (id, prefix), never
+    * full text. Block-boundary straddlers are the documented recall
+    * tradeoff of every blocking scheme; widen with a second shifted
+    * blocking pass when recall matters more than one extra shuffle.
+    */
+  def editDistPairs(spark: SparkSession, sfDir: String,
+                    prefixLen: Int = 80, maxDist: Int = 40): DataFrame = {
+    val d = t(spark, sfDir, "documents").select(
+      col("doc_id"), col("lang"), expr("n_chars div 64").as("blk"),
+      substring(col("text"), 1, prefixLen).as("head"))
+    val a = d.select(col("lang"), col("blk"), col("doc_id").as("a_id"), col("head").as("a_head"))
+    val b = d.select(col("lang"), col("blk"), col("doc_id").as("b_id"), col("head").as("b_head"))
+    a.join(b, Seq("lang", "blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_head"), col("b_head")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+      .orderBy(col("a_id").asc, col("b_id").asc)
+  }
 }

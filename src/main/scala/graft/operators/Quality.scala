@@ -158,4 +158,34 @@ object Quality {
                   .otherwise(col("l_quantity")).as("qty_capped")),
       "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
       "l_returnflag", "qty_capped")
+
+  /** Robust outlier profile per event type: median, MAD (median absolute
+    * deviation) and the count beyond the 3σ-equivalent fence
+    * |x − med| > 3·1.4826·MAD — the heavy-tail-safe alternative to
+    * [[outlierZscore]] (a single extreme value shifts mean/σ but not
+    * med/MAD). Two grouped exact-percentile passes with a broadcast
+    * join-back between them; medians are sort-based, not accumulation-
+    * based, so results are partition-order-proof. At 100 TB both passes
+    * swap for approx_percentile with the same plan shape.
+    */
+  def outlierMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    ordered(
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             r4(min(col("med"))).as("med"),
+             r4(min(col("mad"))).as("mad"),
+             sum(when(col("adev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+               .as("n_outliers")),
+      "event_type")
+  }
 }

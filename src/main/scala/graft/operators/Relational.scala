@@ -382,4 +382,58 @@ object Relational {
              countDistinct(col("o_custkey")).as("n_customers"),
              grouping_id().cast("int").as("gid")),
       "gid", "o_orderstatus", "o_orderpriority")
+
+  /** Arg-max per group via `max_by` with a composite deterministic ordering
+    * key — "the row that wins per group" without a window. The partial
+    * max_by folds map-side, so the one shuffle carries a single candidate
+    * row per (group, map partition); a row_number window would shuffle and
+    * sort every input row (the oracle states the window form, proving the
+    * aggregate path ≡ the sort path). Ties on balance break by LOWEST
+    * custkey (struct order on (acctbal, −custkey)).
+    */
+  def argmaxPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val j = t(spark, sfDir, "customer")
+      .join(broadcast(t(spark, sfDir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+    ordered(
+      j.groupBy(col("n_name"))
+        .agg(max_by(struct(col("c_custkey"), col("c_acctbal")),
+                    struct(col("c_acctbal"), (-col("c_custkey")).as("tb"))).as("best"),
+             count(lit(1)).as("n_members"))
+        .select(col("n_name"), col("best.c_custkey").as("top_custkey"),
+                r4(col("best.c_acctbal")).as("top_acctbal"), col("n_members")),
+      "n_name")
+  }
+
+  /** Bloom-filter–pruned join: build a Bloom filter over the filtered build
+    * side's keys and prune the probe side BEFORE its shuffle — the classic
+    * big-join bandwidth saver (at 100 TB, dropping ~75% of lineitem rows
+    * ahead of the exchange is the difference between shuffling 100 TB and
+    * 25 TB). The filter is built with one job over the (already filtered)
+    * orders side and broadcast as a ~1.1 MB sketch regardless of probe
+    * size; false positives are removed by the real join, so the result is
+    * EXACTLY the plain join — which is what the oracle states. Spark's own
+    * runtime row-level filtering (InjectRuntimeFilter) applies the same
+    * idea automatically for eligible equi-joins; this operator is the
+    * explicit form for when the build predicate is known up front.
+    */
+  def bloomPrunedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = t(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // expectedNumItems sized generously for the sf sweep (sf0.1 has ~30k
+    // urgent orders); 1% fpp keeps the sketch ~1 MB — broadcast-cheap
+    val bf = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+        .filter(mightContain(col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+             r4(sum(money(col("l_extendedprice"))).cast("double")).as("revenue")),
+      "l_returnflag")
+  }
 }

@@ -41,21 +41,31 @@ object Text {
           .as("bpe_ish_tokens")),
       "doc_id")
 
+  /** Quality-score ingredient expressions over a `text` column, shared by
+    * [[qualityScore]] (per-doc report) and [[qualityBand]] (percentile-band
+    * filter) so both operators score identically by construction.
+    */
+  private object QScore {
+    val n: Column = length(col("text")).cast("double")
+    val alpha: Column =
+      (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")
+    val spaces: Column =
+      (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("double")
+    val stops: Column =
+      regexp_count(col("text"), lit("\\bthe\\b|\\ba\\b|\\bof\\b")).cast("double")
+    val avgWordLen: Column = (n - spaces) / (spaces + lit(1.0))
+    val score: Column = lit(0.5) * (alpha / n) +
+      lit(0.3) * least(lit(1.0), avgWordLen / lit(8.0)) +
+      lit(0.2) * least(lit(1.0), stops / lit(10.0))
+  }
+
   /** Document quality scoring: alphabetic ratio, whitespace ratio, stopword
     * hits, mean word length → weighted score in [0,1]. The exact heuristic
     * mix is fixed and documented; what matters is the shape (pure per-row
     * expression arithmetic, no shuffle).
     */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = length(col("text")).cast("double")
-    val alpha = (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")
-    val spaces = (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("double")
-    val stops = regexp_count(col("text"), lit("\\bthe\\b|\\ba\\b|\\bof\\b")).cast("double")
-    val nWords = spaces + lit(1.0)
-    val avgWordLen = (n - spaces) / nWords
-    val score = lit(0.5) * (alpha / n) +
-      lit(0.3) * least(lit(1.0), avgWordLen / lit(8.0)) +
-      lit(0.2) * least(lit(1.0), stops / lit(10.0))
+    import QScore._
     ordered(
       docs(spark, sfDir).select(
         col("doc_id"), col("n_chars"),
@@ -349,6 +359,81 @@ object Text {
         .select(col("doc_id"), col("n_tokens"), col("tok_start"),
                 expr(s"tok_start div $seqLen").as("seq_id"),  // exact integer div
                 pmod(col("tok_start"), lit(seqLen)).as("seq_offset")),
+      "doc_id")
+  }
+
+  /** TF-IDF top-k terms per document — the classic relevance/keyword
+    * extraction stage. Three shuffles, all on bounded keys: tf groups the
+    * token stream by (doc_id, term); df re-groups one row per (doc, term)
+    * by term; the corpus size is a broadcast scalar. Ranking is the
+    * two-phase [[graft.util.TopK]] — no corpus-wide window.
+    *
+    * Determinism: tf, df, n_docs are exact integers; tfidf = tf·ln(N/df) is
+    * one multiply + one log from identical integers on both engines, and
+    * ties (equal tf AND equal df) are exactly equal doubles broken by term.
+    */
+  def tfidf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val d = docs(spark, sfDir)
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = d.groupBy().agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")))
+    ordered(
+      graft.util.TopK.perGroup(scored, Seq(col("doc_id")),
+          Seq(col("tfidf").desc, col("term").asc), k)
+        .select(col("doc_id"), col("rn").cast("long").as("rn"), col("term"),
+                col("tf"), col("df"), r4(col("tfidf")).as("tfidf")),
+      "doc_id", "rn")
+  }
+
+  /** Per-language Shannon entropy of the token distribution (nats) — a
+    * corpus-diversity signal (low entropy ⇒ templated/boilerplate text).
+    * H = ln(N) − (Σ c·ln c)/N over per-term counts c: the Σ is summed as
+    * DECIMAL(28,8) so the partial-aggregation tree is associative and
+    * partition-order-proof — raw double accumulation would be order-
+    * dependent at scale (the class this repo's money() contract bans).
+    * Two shuffles: token counts by (lang, term), then one row per term
+    * into the per-lang aggregate.
+    */
+  def tokenEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val cnt = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("c"))
+    ordered(
+      cnt.groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_tokens"),
+             count(lit(1)).as("n_terms"),
+             sum((col("c").cast("double") * log(col("c").cast("double")))
+               .cast("decimal(28,8)")).as("sclogc"))
+        .select(col("lang"), col("n_tokens"), col("n_terms"),
+                r4(log(col("n_tokens").cast("double"))
+                   - col("sclogc").cast("double") / col("n_tokens").cast("double"))
+                  .as("entropy_nats")),
+      "lang")
+  }
+
+  /** Percentile-band quality filter — "drop the worst 10% and the
+    * too-good-to-be-true top 10%" curation step. Exact percentiles of the
+    * corpus score (same [[QScore]] arithmetic as q_quality_score) form a
+    * 1-row threshold frame broadcast back over the scan: two passes total,
+    * no window, filter stays codegen'd. At 100 TB the exact percentile
+    * swaps for approx_percentile (same plan shape, fixed-memory sketch).
+    */
+  def qualityBand(spark: SparkSession, sfDir: String,
+                  lo: Double = 0.1, hi: Double = 0.9): DataFrame = {
+    val scored = docs(spark, sfDir).select(col("doc_id"), col("lang"), QScore.score.as("q"))
+    val th = scored.groupBy().agg(
+      percentile(col("q"), lit(lo)).as("p_lo"),
+      percentile(col("q"), lit(hi)).as("p_hi"))
+    ordered(
+      scored.crossJoin(broadcast(th))
+        .filter(col("q") >= col("p_lo") && col("q") <= col("p_hi"))
+        .select(col("doc_id"), col("lang"), r4(col("q")).as("quality_score")),
       "doc_id")
   }
 }
