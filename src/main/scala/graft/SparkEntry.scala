@@ -122,7 +122,7 @@ object SparkEntry {
     "q_doc_dedup_components" -> q(Dedup.dedupComponents(_, _, 0.8)), // pairs → clusters → canonical ids
     "q_doc_dedup_embed"   -> q(Similarity.dedupEmbed(_, _, 0.95)), // embedding-cosine near-dup clusters
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
-    "q_near_dup_editdist" -> q(Dedup.editDistPairs(_, _, 80, 40)), // blocked Levenshtein — the oracled dedup modality
+    "q_near_dup_editdist" -> q(Dedup.editDistPairs(_, _, 40, 8)), // blocked+thresholded Levenshtein — the oracled dedup modality
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
     "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
     "q_ann_ivf"           -> q(Ivf.ivfTopK(_, _, 10, 16, 8)), // no-oracle: k-means internals engine-specific
@@ -981,13 +981,13 @@ object SparkEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_near_dup_editdist" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars // 64 AS blk,
-        |                  substr(text, 1, 80) AS head
+      """WITH d AS (SELECT doc_id, lang, n_chars // 8 AS blk,
+        |                  substr(text, 1, 40) AS head
         |           FROM documents)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         | CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
         |FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.head, b.head) <= 40
+        |WHERE levenshtein(a.head, b.head) <= 8
         |ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -28,35 +28,61 @@ object Ivf {
     */
   val TrainCap = 20000L
 
-  /** Centroids as (centroid_id, centroid float array), deterministic: the
-    * k-means fit runs on a fixed-seed sample capped at [[TrainCap]] rows —
-    * never the full corpus.
+  /** Centroids as (centroid_id, centroid float array), deterministic.
+    *
+    * Training is the FAISS shape: ONE cluster job collects the fixed-seed
+    * sample (capped at [[TrainCap]] rows — ≤20k×64 floats ≈ 5 MB, bounded
+    * at ANY corpus size) and Lloyd's iterations run driver-local. A
+    * distributed fit here is the wrong tool: each of its ~15 serial
+    * init/iteration jobs is a cluster-wide barrier to refine centroids
+    * that a 5 MB in-process loop pins down in milliseconds. The corpus-
+    * sized work — list assignment — stays fully distributed in
+    * [[assignLists]].
+    *
+    * Cosine metric throughout (matching assignment + search), spherical
+    * k-means style. Deterministic: sample rows sorted by vec_id, init =
+    * k evenly spaced points of the sorted sample, fixed 5 iterations,
+    * ties to the lowest centroid id.
     */
   def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     // one cheap count (parquet row-group metadata) to size the sample
     val n = emb.count()
     val sampled =
       if (n <= TrainCap) emb
       else emb.sample(withReplacement = false, TrainCap.toDouble / n, seed = 42L)
-    // persist the sampled features: k-means makes one pass per iteration,
-    // and without it every pass would re-scan + re-sample the corpus
-    val feats = sampled.select(
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // random init (fixed seed) instead of k-means||: the || init alone runs
-    // ~2 passes per init step — more jobs than the fit itself — and on a
-    // coarse quantizer recall is centroid-coverage-driven, not init-driven
-    // (DedupSimilaritySpec pins the recall bound). 5 iterations suffice for
-    // a stable coarse partition; IVF lists don't need converged centroids.
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features").fit(feats)
-    feats.unpersist()
+    val pts: Array[Array[Float]] = sampled.select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getAs[Long]("vec_id"))
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val m = pts.length
+    val dim = pts.head.length
+    def cos(a: Array[Float], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    var centroids = Array.tabulate(k)(c => pts((c.toLong * m / k).toInt).map(_.toDouble))
+    for (_ <- 0 until 5) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0L)
+      pts.foreach { p =>
+        var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+        while (c < k) {
+          val s = cos(p, centroids(c))
+          if (s > bestSim) { bestSim = s; best = c } // strict > ⇒ lowest id wins ties
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0L) centroids(c) // empty list: keep the old centroid
+        else sums(c).map(_ / counts(c)))
+    }
     import spark.implicits._
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
       .toDF("centroid_id", "centroid")
   }
 

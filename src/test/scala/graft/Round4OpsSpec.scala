@@ -93,8 +93,8 @@ class Round4OpsSpec extends SparkSpec {
 
   test("edit-distance pairs: a<b, same block, and dist=0 iff identical prefixes") {
     val d = graft.util.Tables.t(spark, Sf, "documents")
-      .select(col("doc_id"), col("lang"), expr("n_chars div 64").as("blk"),
-              substring(col("text"), 1, 80).as("head"))
+      .select(col("doc_id"), col("lang"), expr("n_chars div 8").as("blk"),
+              substring(col("text"), 1, 40).as("head"))
     val pairs = SparkEntry.queries("q_near_dup_editdist")(spark, Sf)
     val joined = pairs
       .join(d.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
