@@ -87,8 +87,15 @@ object Bench {
     // over a real columnar scan) lazily initializes on first use at a
     // measured one-time ~10 s; tiny in-memory input above does not reach it.
     // Run the real query once untimed — one warm iteration of the workload,
-    // standard steady-state benchmarking practice.
-    try SparkEntry.queries("q_json_extract")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // standard steady-state benchmarking practice. Same story for the
+    // dedup/signature stack (native shingle + sig_match codegen, the
+    // ObjectHashAggregate UDAF bridge, bucketCandidates' join pipeline):
+    // whichever dedup query the Map happens to order first absorbs ~6 s of
+    // janino/C2 bring-up (measured: 8.0 s cold vs 1.7 s steady) even under
+    // min-of-2, so warm it explicitly.
+    for (w <- Seq("q_json_extract", "q_doc_dedup_minhash_udaf"))
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    spark.catalog.clearCache()
   }
 }

@@ -113,9 +113,9 @@ object Dedup {
     */
   def minhashSignaturesUdaf(docs: DataFrame): DataFrame = {
     val mh = udaf(new graft.functions.MinHashAggregator(NumHashes),
-                  org.apache.spark.sql.Encoders.STRING)
+                  org.apache.spark.sql.Encoders.BINARY)
     Text.shingleRows(docs)
-      .groupBy(col("doc_id")).agg(mh(col("s")).as("sig"))
+      .groupBy(col("doc_id")).agg(mh(col("s").cast("binary")).as("sig"))
   }
 
   /** Banding + hot-bucket-capped candidates + agreement estimate over a

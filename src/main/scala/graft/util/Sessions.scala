@@ -25,6 +25,14 @@ object Sessions {
     // Dims (region/nation/customer/part/supplier) stay broadcast-able well
     // past sf0.1; 64 MB covers a 100×-scale dim while fact tables shuffle.
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // The default 128-group threshold exists for UNBOUNDED object buffers
+    // (collect_list): past it, ObjectHashAggregate sorts its input instead
+    // of hash-aggregating. Our only object aggregate (MinHashAggregator) has
+    // a FIXED 256 B buffer, so 64k in-flight groups bound task memory at
+    // ~16 MB — hash aggregation stays safe far past the per-partition doc
+    // counts any sane 100 TB partitioning produces, and the sort of the
+    // (much larger) pre-aggregate shingle stream never happens.
+    c.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     spark
   }
 }

@@ -33,7 +33,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val agg = new graft.functions.MinHashAggregator(Dedup.NumHashes).toColumn
     val typedSigs = Text.shingleRows(docs).as[(Long, String)]
       .groupByKey(_._1)
-      .mapValues(_._2)
+      .mapValues(_._2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .agg(agg.name("sig"))
       .collect().toMap
     assert(typedSigs.keySet === exprSigs.keySet)
