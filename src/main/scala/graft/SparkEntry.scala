@@ -53,6 +53,9 @@ object SparkEntry {
     "q_interval_join"     -> q(RangeJoins.intervalJoin),
     "q_range_band_join"   -> q(RangeJoins.rangeBandJoin),
     "q_window_ranks"      -> q(Windows.windowRanks),
+    "q_window_cume"       -> q(Windows.windowCume),
+    "q_rolling_median"    -> q(Windows.rollingMedian),
+    "q_topk_per_group"    -> q(Relational.topkPerGroup(_, _, 3)),
     "q_scalar_string_funcs" -> q(Enrichment.scalarStringFuncs),
     "q_approx_sketches"   -> q(Relational.approxSketches), // no-oracle: sketch internals engine-specific
 
@@ -106,6 +109,8 @@ object SparkEntry {
     "q_lang_id"           -> q(Text.langId),
     "q_doc_fingerprint"   -> q(Text.docFingerprint),
     "q_doc_dedup_exact"   -> q(Text.docDedupExact),
+    "q_split_assign"      -> q(Text.splitAssign),
+    "q_incr_dedup"        -> q(Text.incrDedup),
     "q_ngram_jaccard"     -> q(Text.ngramJaccard),
     "q_sample_weighted"   -> q(Text.sampleWeighted(_, _, 3)),
     "q_doc_chunk"         -> q(Text.docChunk(_, _, 100, 80)),
@@ -124,6 +129,7 @@ object SparkEntry {
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
     "q_near_dup_editdist" -> q(Dedup.editDistPairs(_, _, 40, 8)), // blocked+thresholded Levenshtein — the oracled dedup modality
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
+    "q_ann_batch"         -> q(Similarity.cosineTopKBatch(_, _, 8, 5)),
     "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
     "q_ann_ivf"           -> q(Ivf.ivfTopK(_, _, 10, 16, 8)), // no-oracle: k-means internals engine-specific
     // multimodal plumbing tier
@@ -302,6 +308,33 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+
+    "q_window_cume" ->
+      """SELECT o_orderkey, o_custkey,
+        | floor(o_totalprice * 10000.0 + 0.5) / 10000.0 AS o_totalprice,
+        | floor(cume_dist() OVER (PARTITION BY o_custkey
+        |                         ORDER BY o_totalprice, o_orderkey)
+        |       * 10000.0 + 0.5) / 10000.0 AS cume
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events)
+        |SELECT event_id, user_id, ts_us,
+        | floor(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |       * 10000.0 + 0.5) / 10000.0 AS med7
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        | FROM lineitem)
+        |SELECT l_suppkey, CAST(rk AS BIGINT) AS rk, l_orderkey, l_linenumber,
+        | floor(l_extendedprice * 10000.0 + 0.5) / 10000.0 AS l_extendedprice
+        |FROM r WHERE rk <= 3 ORDER BY l_suppkey, rk""".stripMargin,
 
     "q_scalar_string_funcs" ->
       """SELECT c_custkey,
@@ -759,6 +792,22 @@ object SparkEntry {
         | substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8) AS fp_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_split_assign" ->
+      """SELECT doc_id, lang, doc_id % 10 AS bucket,
+        | CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |      WHEN doc_id % 10 = 8 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_incr_dedup" ->
+      """WITH f AS (SELECT doc_id, doc_id % 5 AS m,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        | FROM documents)
+        |SELECT b.doc_id, b.fingerprint FROM f b
+        |WHERE b.m = 4 AND NOT EXISTS
+        |  (SELECT 1 FROM f s WHERE s.m <> 4 AND s.fingerprint = b.fingerprint)
+        |ORDER BY b.doc_id""".stripMargin,
+
     "q_doc_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_key,
         | min(doc_id) AS canonical_id, count(*) AS n_copies
@@ -862,6 +911,27 @@ object SparkEntry {
         |SELECT vec_id, floor(dp / (cn * pn) * 10000.0 + 0.5) / 10000.0 AS cos_sim
         |FROM d WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_batch" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(unnest(embedding) AS DOUBLE) AS pv,
+        |                  generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |d AS (SELECT p.probe_id, c.vec_id, sum(c.cv * p.pv) AS dp,
+        |             sqrt(sum(c.cv * c.cv)) AS cn, sqrt(sum(p.pv * p.pv)) AS pn
+        |      FROM c JOIN p ON c.i = p.i AND c.vec_id <> p.probe_id
+        |      GROUP BY p.probe_id, c.vec_id),
+        |r AS (SELECT probe_id, vec_id,
+        |             floor(dp / (cn * pn) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |      FROM d),
+        |k AS (SELECT probe_id, vec_id, cos_sim,
+        |             row_number() OVER (PARTITION BY probe_id
+        |                                ORDER BY cos_sim DESC, vec_id) AS rk
+        |      FROM r)
+        |SELECT probe_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+        |FROM k WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
 
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, 1 + doc_id % 30 AS n_frames FROM documents),

@@ -436,4 +436,28 @@ object Relational {
              r4(sum(money(col("l_extendedprice"))).cast("double")).as("revenue")),
       "l_returnflag")
   }
+
+  /** Per-group top-k as a first-class query: the 3 priciest lineitems per
+    * supplier via the two-phase [[graft.util.TopK]] — local top-k inside
+    * every (group, partition) slice, then a merge over ≤ k·partitions
+    * survivors. The single-window formulation the oracle uses would funnel
+    * the whole fact table through one reducer per supplier; two-phase keeps
+    * every stage fully parallel, which is the difference that matters when
+    * the group count is small relative to the data (the 100 TB norm).
+    * Ranked on (price, orderkey, linenumber) — a total order, so both
+    * phases and the oracle agree on exactly which rows survive ties.
+    */
+  def topkPerGroup(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"))
+    ordered(
+      graft.util.TopK.perGroup(li, Seq(col("l_suppkey")),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+              col("l_linenumber").asc), k)
+        .select(col("l_suppkey"), col("rn").cast("long").as("rk"),
+                col("l_orderkey"), col("l_linenumber"),
+                r4(col("l_extendedprice")).as("l_extendedprice")),
+      "l_suppkey", "rk")
+  }
 }

@@ -46,6 +46,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact cosine top-k: every probe in a SMALL probe set (here the
+    * vec_id < nProbes vectors — stand-in for a query batch) gets its k
+    * nearest corpus neighbors. The realistic serving/eval shape: probe
+    * batches are bounded (requests, eval suites), so the batch broadcasts
+    * and the corpus streams through ONE scan scoring all probes per row —
+    * corpus-side work is O(n·|batch|) flops with zero corpus shuffle.
+    * Per-probe top-k via the two-phase [[graft.util.TopK]] (local k per
+    * partition, merge survivors) — never a global per-probe sort.
+    *
+    * Ranking uses the ROUNDED score with vec_id tiebreak so the order is a
+    * total one computed identically by the oracle — raw-double ranking
+    * would make the k-th slot depend on sub-1e-4 accumulation noise.
+    */
+  def cosineTopKBatch(spark: SparkSession, sfDir: String,
+                      nProbes: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = t(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+              r4(call_function("cosine_sim", col("embedding"), col("probe_emb")))
+                .as("cos_sim"))
+    ordered(
+      graft.util.TopK.perGroup(scored, Seq(col("probe_id")),
+          Seq(col("cos_sim").desc, col("vec_id").asc), k)
+        .select(col("probe_id"), col("vec_id"), col("cos_sim"),
+                col("rn").cast("long").as("rk")),
+      "probe_id", "rk")
+  }
+
   /** Per-vector L2 norms — the normalization pass before cosine-metric
     * indexing (normalized corpus ⇒ cosine ≡ dot, so ANN structures store
     * unit vectors). Pure codegen scan via the native dot kernel

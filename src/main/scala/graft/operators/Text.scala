@@ -110,6 +110,48 @@ object Text {
       "doc_id")
   }
 
+  /** Deterministic train/val/test split assignment — the reproducibility
+    * primitive every dataset release needs: membership must be a pure
+    * function of the stable doc id, never of partitioning, sampling state,
+    * or row order. Bucket = doc_id mod 10 → 8/1/1 split. Zero shuffle
+    * (scan + project up to the output sort); at 100 TB this is a
+    * map-only pass, and any engine (or the oracle) recomputes identical
+    * membership from the ids alone.
+    */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(col("doc_id"), lit(10L))
+    ordered(
+      docs(spark, sfDir).select(
+        col("doc_id"), col("lang"),
+        bucket.as("bucket"),
+        when(bucket < 8, lit("train"))
+          .when(bucket === 8, lit("val"))
+          .otherwise(lit("test")).as("split")),
+      "doc_id")
+  }
+
+  /** Incremental dedup — the daily-batch shape of exact dedup: only docs
+    * from the NEW increment (stand-in: doc_id mod 5 = 4) whose normalized
+    * fingerprint never appeared in the already-ingested corpus survive.
+    * One anti-join on the digest: the shuffle carries (digest, id) pairs,
+    * never text, and the "seen" side is the fingerprint column of the
+    * existing corpus snapshot — at 100 TB that's the persisted fingerprint
+    * table [[docFingerprint]] writes, re-read here, so each increment pays
+    * one digest scan + one hash anti-join, not a full-corpus recompute.
+    */
+  def incrDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val fp = docs(spark, sfDir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(5L)).as("m"),
+              md5(norm).as("fingerprint"))
+    val batch = fp.filter(col("m") === 4)
+    val seen = fp.filter(col("m") =!= 4).select(col("fingerprint"))
+    ordered(
+      batch.join(seen, Seq("fingerprint"), "left_anti")
+        .select(col("doc_id"), col("fingerprint")),
+      "doc_id")
+  }
+
   /** Exact/normalized deduplication: group documents by normalized-content
     * fingerprint, keep the lowest doc_id as canonical. Hash-groupBy on the
     * digest — the only shuffle carries (digest, doc_id), never text, which

@@ -160,4 +160,41 @@ object Windows {
                 last(col("event_id")).over(full).as("last_event")),
       "user_id", "ts_us", "event_id")
   }
+
+  /** Rolling exact median of the last 7 events per user — the robust-moving-
+    * statistic twin of [[windowFrame]]'s moving average (medians shrug off
+    * the value spikes that drag a mean). Exact `percentile` over a 7-row
+    * frame: per-frame cost is constant, the only shuffle is the per-user
+    * window sort on a high-cardinality key. Interpolation semantics match
+    * DuckDB's quantile_cont (proven portable by q_quantiles_exact).
+    */
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(-6, Window.currentRow)
+    ordered(
+      events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                r4(expr("percentile(value, 0.5)").over(w)).as("med7")),
+      "user_id", "ts_us", "event_id")
+  }
+
+  /** cume_dist per customer over order value — the last window function the
+    * §2.2 family lacked (rank/dense_rank/ntile/percent_rank live in
+    * [[windowRanks]]). Partitioned on o_custkey — high cardinality, so the
+    * window sort spreads across the cluster instead of funneling through a
+    * handful of reducers. The order is total (totalprice + orderkey), so
+    * every row is its own peer group and cume_dist is exactly rank/n — a
+    * rational both engines compute bit-identically.
+    */
+  def windowCume(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    ordered(
+      t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                r4(col("o_totalprice")).as("o_totalprice"),
+                r4(cume_dist().over(w)).as("cume")),
+      "o_custkey", "o_orderkey")
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Invariants for the round-5 operators (exact values are covered by the
+  * DuckDB oracle via graft.Verify; these pin semantic properties the hash
+  * gate can't see).
+  */
+class Round5OpsSpec extends SparkSpec {
+
+  test("ann_batch: k rows per probe, descending scores, probe 0 agrees with single-probe topk") {
+    val r = SparkEntry.queries("q_ann_batch")(spark, Sf).collect()
+    val byProbe = r.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.keySet === (0L until 8L).toSet)
+    byProbe.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to 5L).toSeq)
+      val scores = g.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(g.forall(row => row.getAs[Long]("vec_id") != row.getAs[Long]("probe_id")))
+    }
+    // batched probe 0 ≡ the single-probe brute-force query's head
+    val single = operators.Similarity.cosineTopK(spark, Sf, 5).collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Double]("cos_sim"))).toSeq
+    val batch0 = byProbe(0L).sortBy(_.getAs[Long]("rk"))
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Double]("cos_sim"))).toSeq
+    assert(batch0 === single)
+  }
+
+  test("split_assign: pure function of doc_id, full coverage, 8/1/1 buckets") {
+    val r = SparkEntry.queries("q_split_assign")(spark, Sf).collect()
+    val total = graft.util.Tables.t(spark, Sf, "documents").count()
+    assert(r.length.toLong === total)
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id"); val b = row.getAs[Long]("bucket")
+      assert(b === id % 10)
+      val expected = if (b < 8) "train" else if (b == 8) "val" else "test"
+      assert(row.getAs[String]("split") === expected)
+    }
+  }
+
+  test("incr_dedup: survivors are from the increment and share no fingerprint with the seen corpus") {
+    val fp = operators.Text.docFingerprint(spark, Sf)
+      .select(col("doc_id"), col("fingerprint"))
+    val seenFps = fp.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+      .select("fingerprint").collect().map(_.getString(0)).toSet
+    val r = SparkEntry.queries("q_incr_dedup")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("doc_id") % 5 === 4)
+      assert(!seenFps.contains(row.getAs[String]("fingerprint")),
+        s"doc ${row.getAs[Long]("doc_id")} duplicates a seen fingerprint")
+    }
+  }
+
+  test("topk_per_group: two-phase result identical to the single-window formulation") {
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val naive = li.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("l_suppkey"), col("rk"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(_.toSeq).toSet
+    val twoPhase = SparkEntry.queries("q_topk_per_group")(spark, Sf)
+      .select(col("l_suppkey"), col("rk"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(_.toSeq).toSet
+    assert(twoPhase === naive)
+  }
+
+  test("rolling median: bounded by the frame's min/max and robust to a spike") {
+    val r = SparkEntry.queries("q_rolling_median")(spark, Sf)
+    // median of any window lies within the per-user global [min,max]
+    val bounds = graft.util.Tables.events(spark, Sf)
+      .groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+    val joined = r.join(bounds, "user_id")
+      .filter(col("med7") < col("lo") - 1e-4 || col("med7") > col("hi") + 1e-4)
+    assert(joined.count() === 0)
+  }
+
+  test("window cume_dist: in (0,1], 1.0 at each customer's priciest order") {
+    val r = SparkEntry.queries("q_window_cume")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getAs[Double]("cume") > 0.0 && x.getAs[Double]("cume") <= 1.0))
+    val maxPerCust = r.groupBy(_.getAs[Long]("o_custkey"))
+      .values.map(_.maxBy(x => (x.getAs[Double]("o_totalprice"), x.getAs[Long]("o_orderkey"))))
+    assert(maxPerCust.forall(_.getAs[Double]("cume") === 1.0))
+  }
+}
