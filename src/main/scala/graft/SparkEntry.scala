@@ -80,6 +80,7 @@ object SparkEntry {
     "q_dq_profile"        -> q(Quality.dqProfile),
     "q_histogram"         -> q(Quality.histogram(_, _, 11000.0, 10)),
     "q_corr_agg"          -> q(Relational.corrAgg),
+    "q_regr_agg"          -> q(Relational.regrAgg),
     "q_quantiles_exact"   -> q(Relational.quantilesExact),
     "q_mode_agg"          -> q(Relational.modeAgg),
     "q_group_concat"      -> q(Relational.groupConcat),
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_doc_dedup_embed"   -> q(Similarity.dedupEmbed(_, _, 0.95)), // embedding-cosine near-dup clusters
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
     "q_near_dup_editdist" -> q(Dedup.editDistPairs(_, _, 40, 8)), // blocked+thresholded Levenshtein — the oracled dedup modality
+    "q_dedup_components_editdist" -> q(Dedup.dedupComponentsEditdist), // CC tail under the hash gate (recursive-CTE oracle)
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
     "q_ann_batch"         -> q(Similarity.cosineTopKBatch(_, _, 8, 5)),
     "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
@@ -591,6 +593,22 @@ object SparkEntry {
         | floor((n * sxy - sx * sy) /
         |       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
         |       * 10000.0 + 0.5) / 10000.0 AS corr_disc_qty
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "q_regr_agg" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000.0 + 0.5) / 10000.0 AS slope,
+        | floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 10000.0 + 0.5) / 10000.0 AS intercept,
+        | floor(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |       ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 10000.0 + 0.5) / 10000.0 AS r2
         |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "q_update_conditional" ->
@@ -1059,5 +1077,27 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.head, b.head) <= 8
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_components_editdist" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 8 AS blk,
+        |                            substr(text, 1, 40) AS head
+        |                     FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk
+        |                       AND a.doc_id < b.doc_id
+        |      WHERE levenshtein(a.head, b.head) <= 8),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT src AS node, dst AS label FROM e
+        |  UNION
+        |  SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.label = e2.src),
+        |comp AS (SELECT node, least(node, min(label)) AS component_id
+        |         FROM reach GROUP BY node)
+        |SELECT doc.doc_id,
+        |       coalesce(c.component_id, doc.doc_id) AS component_id,
+        |       doc.doc_id = coalesce(c.component_id, doc.doc_id) AS is_canonical
+        |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
+        |ORDER BY doc.doc_id""".stripMargin,
   )
 }

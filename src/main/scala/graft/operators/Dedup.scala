@@ -238,6 +238,21 @@ object Dedup {
     canonicalAssignment(docs, "doc_id", connectedComponents(pairs, "doc_a", "doc_b"))
   }
 
+  /** Canonical cluster assignment over the EDIT-DISTANCE pair graph — the
+    * one dedup pipeline whose every stage is ANSI-SQL-expressible, so the
+    * distributed connected-components + canonical-assignment tail itself
+    * runs under the driver's hash gate (the minhash/simhash/embed variants
+    * are gated only up to their signature stage). The oracle recomputes the
+    * clustering with a recursive-CTE transitive closure; hash equality
+    * proves the O(log d) label-propagation loop reaches the exact same
+    * fixpoint as sequential closure.
+    */
+  def dedupComponentsEditdist(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val pairs = editDistPairs(spark, sfDir, 40, 8)
+    canonicalAssignment(docs, "doc_id", connectedComponents(pairs, "a_id", "b_id"))
+  }
+
   /** Per-doc 64-bit SimHash over word hashes: bit b is the sign of
     * Σ_words (±1 by bit b of xxhash64(word)). One native codegen pass via
     * [[graft.functions.SimHash64]] — zero shuffle; the

@@ -371,6 +371,37 @@ object Relational {
       "l_returnflag")
   }
 
+  /** Per-group ordinary-least-squares regression (slope / intercept / R²)
+    * of order value on quantity, from the same exact-DECIMAL moment sums as
+    * [[corrAgg]] — the built-in regr_* aggregates fold doubles in
+    * partition order, which the hash gate can't accept. One partial+final
+    * hash aggregate; the five moments are associative, so the shuffle
+    * carries one 5-number row per (group × partition) at any scale.
+    */
+  def regrAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    def x = money(col("l_quantity")); def y = money(col("l_extendedprice"))
+    val g = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+           sum((x * y).cast("decimal(30,4)")).cast("double").as("sxy"),
+           sum((x * x).cast("decimal(30,4)")).cast("double").as("sxx"),
+           sum((y * y).cast("decimal(30,4)")).cast("double").as("syy"))
+    // num/A/B spelled once and combined EXACTLY as the oracle SQL does —
+    // r2 = num²/(A·B), not (num/(√A·√B))², whose different fp path could
+    // land across an r4 boundary
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val a = col("n") * col("sxx") - col("sx") * col("sx")
+    val b = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = num / a
+    ordered(
+      g.select(col("l_returnflag"), col("n"),
+        r4(slope).as("slope"),
+        r4((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+        r4((num * num) / (a * b)).as("r2")),
+      "l_returnflag")
+  }
+
   /** CUBE over two dims with exact count-distinct — grouping-set execution
     * expands rows map-side; count(distinct) plans as a two-phase expand+agg.
     */

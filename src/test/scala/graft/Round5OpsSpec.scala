@@ -77,6 +77,44 @@ class Round5OpsSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("regr_agg: agrees with Spark's built-in regr_* within rounding tolerance") {
+    val r = SparkEntry.queries("q_regr_agg")(spark, Sf).collect()
+      .map(x => x.getAs[String]("l_returnflag") ->
+        (x.getAs[Double]("slope"), x.getAs[Double]("intercept"), x.getAs[Double]("r2"))).toMap
+    val builtin = graft.util.Tables.t(spark, Sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("s"),
+           expr("regr_intercept(l_extendedprice, l_quantity)").as("i"),
+           expr("regr_r2(l_extendedprice, l_quantity)").as("r"))
+      .collect()
+    assert(builtin.nonEmpty)
+    builtin.foreach { row =>
+      val (s, i, r2) = r(row.getAs[String]("l_returnflag"))
+      assert(math.abs(s - row.getAs[Double]("s")) < 1e-3)
+      assert(math.abs(i - row.getAs[Double]("i")) < 1e-2)
+      assert(math.abs(r2 - row.getAs[Double]("r")) < 1e-3)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("dedup_components_editdist: paired docs share a component, canonical is the min member") {
+    val pairs = operators.Dedup.editDistPairs(spark, Sf, 40, 8).collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")))
+    val assign = SparkEntry.queries("q_dedup_components_editdist")(spark, Sf).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("component_id"), x.getAs[Boolean]("is_canonical"))).toMap
+    // full-corpus coverage
+    assert(assign.size.toLong === graft.util.Tables.t(spark, Sf, "documents").count())
+    // every edge's endpoints share a component
+    pairs.foreach { case (a, b) => assert(assign(a)._1 === assign(b)._1) }
+    // canonical ⇔ id equals its component's min member
+    val members = assign.groupBy(_._2._1).map { case (c, m) => c -> m.keys.min }
+    assign.foreach { case (id, (comp, canon)) =>
+      assert(comp <= id)
+      assert(canon === (id == members(comp)), s"canonical flag wrong for $id")
+    }
+  }
+
   test("window cume_dist: in (0,1], 1.0 at each customer's priciest order") {
     val r = SparkEntry.queries("q_window_cume")(spark, Sf).collect()
     assert(r.nonEmpty)
