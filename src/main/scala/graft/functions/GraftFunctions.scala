@@ -64,5 +64,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))))
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
   }
 }

@@ -1,6 +1,14 @@
 package graft
 
-/** Custom logical/physical plan nodes — intentionally empty.
+/** Custom planning tier: optimizer rules live here; plan NODES are
+  * intentionally absent.
+  *
+  * Round 5 added the first `Rule[LogicalPlan]`
+  * ([[graft.plans.BandedLevenshteinRule]]): a value-preserving rewrite of
+  * naive `levenshtein(a,b) <= k` predicates into the O(k·len) banded
+  * 3-arg form — an optimization that belongs in the planner (every SQL
+  * call site benefits) rather than in operator code. The audit below for
+  * plan *nodes* still stands.
   *
   * SURVEY.md §4 audited every behavior the reference relies on against
   * stock Catalyst: predicate pushdown, column pruning, broadcast choice,

@@ -33,6 +33,14 @@ object Sessions {
     // counts any sane 100 TB partitioning produces, and the sort of the
     // (much larger) pre-aggregate shingle stream never happens.
     c.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    // Engine optimizer rules for already-built sessions (the
+    // spark.sql.extensions=GraftExtensions path needs to be set at session
+    // build; experimental.extraOptimizations is the runtime-injectable
+    // equivalent). Idempotent: adding the same rule object twice would run
+    // it twice per plan for no benefit.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedLevenshteinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandedLevenshteinRule
     spark
   }
 }

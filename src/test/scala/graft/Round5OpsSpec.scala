@@ -115,6 +115,36 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("BandedLevenshteinRule: naive lev<=k predicates plan banded, results identical") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    // parquet-backed input: a local relation would be constant-folded away
+    // (ConvertToLocalRelation) before the expression could be inspected
+    val df = graft.util.Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 12).as("h"))
+    def bandedLevs(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.optimizedPlan
+        .collect { case p => p.expressions.flatMap(_.collect { case l: Levenshtein => l }) }
+        .flatten
+    // unbanded ground truth computed WITHOUT a comparison (nothing to rewrite)
+    val dist = df.select(col("doc_id"), expr("levenshtein(h, 'the quick br')").as("d"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("d")).toMap
+    for ((pred, bound) <- Seq("levenshtein(h, 'the quick br') <= 6" -> 6,
+                              "levenshtein(h, 'the quick br') < 7" -> 6,
+                              "6 >= levenshtein(h, 'the quick br')" -> 6)) {
+      val q = df.filter(expr(pred))
+      val levs = bandedLevs(q)
+      assert(levs.nonEmpty && levs.forall(_.threshold.isDefined),
+        s"'$pred' not rewritten to the banded form")
+      val got = q.collect().map(_.getAs[Long]("doc_id")).toSet
+      val want = dist.collect { case (id, d) if d <= bound => id }.toSet
+      assert(got === want, s"'$pred' changed results")
+    }
+    // unbounded uses stay untouched
+    assert(bandedLevs(df.select(expr("levenshtein(h, 'the quick br')"))).nonEmpty)
+    assert(bandedLevs(df.select(expr("levenshtein(h, 'the quick br')")))
+      .forall(_.threshold.isEmpty))
+  }
+
   test("window cume_dist: in (0,1], 1.0 at each customer's priciest order") {
     val r = SparkEntry.queries("q_window_cume")(spark, Sf).collect()
     assert(r.nonEmpty)
