@@ -81,6 +81,8 @@ object SparkEntry {
     "q_histogram"         -> q(Quality.histogram(_, _, 11000.0, 10)),
     "q_corr_agg"          -> q(Relational.corrAgg),
     "q_regr_agg"          -> q(Relational.regrAgg),
+    "q_percent_total"     -> q(Relational.percentTotal),
+    "q_gaps_islands"      -> q(Windows.gapsIslands),
     "q_quantiles_exact"   -> q(Relational.quantilesExact),
     "q_mode_agg"          -> q(Relational.modeAgg),
     "q_group_concat"      -> q(Relational.groupConcat),
@@ -610,6 +612,29 @@ object SparkEntry {
         | floor(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
         |       ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 10000.0 + 0.5) / 10000.0 AS r2
         |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "q_percent_total" ->
+      """WITH cell AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_d
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |tot AS (SELECT l_returnflag, sum(rev_d) AS tot_d
+        |        FROM cell GROUP BY l_returnflag)
+        |SELECT cell.l_returnflag, cell.l_linestatus,
+        | floor(CAST(rev_d AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(CAST(rev_d AS DOUBLE) / CAST(tot_d AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM cell JOIN tot ON cell.l_returnflag = tot.l_returnflag
+        |ORDER BY cell.l_returnflag, cell.l_linestatus""".stripMargin,
+
+    "q_gaps_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |        day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |                   AS INTEGER) AS grp
+        |      FROM d)
+        |SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |       count(*) AS n_days
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, start_day""".stripMargin,
 
     "q_update_conditional" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,

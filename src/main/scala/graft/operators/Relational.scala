@@ -402,6 +402,28 @@ object Relational {
       "l_returnflag")
   }
 
+  /** Ratio-to-report: each (returnflag, linestatus) cell's share of its
+    * returnflag group's revenue. Both levels are hash aggregates over
+    * exact-DECIMAL sums; the share division happens on the already-
+    * aggregated (tiny) frame via a same-key join of the two aggregate
+    * outputs — at 100 TB the fact table is touched once, and no window
+    * ever sees pre-aggregate rows.
+    */
+  def percentTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val cell = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(money(col("l_extendedprice"))).as("rev_d"))
+    val tot = cell.groupBy(col("l_returnflag"))
+      .agg(sum(col("rev_d")).as("tot_d"))
+    ordered(
+      cell.join(tot, "l_returnflag")
+        .select(col("l_returnflag"), col("l_linestatus"),
+                r4(col("rev_d").cast("double")).as("revenue"),
+                r4(col("rev_d").cast("double") / col("tot_d").cast("double"))
+                  .as("share")),
+      "l_returnflag", "l_linestatus")
+  }
+
   /** CUBE over two dims with exact count-distinct — grouping-set execution
     * expands rows map-side; count(distinct) plans as a two-phase expand+agg.
     */

@@ -179,6 +179,29 @@ object Windows {
       "user_id", "ts_us", "event_id")
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per user —
+    * the grid-aligned twin of [[sessionGaps]]' time-gap sessions (calendar
+    * streaks vs activity bursts). Classic rn-difference technique: within a
+    * user, `day − row_number` is constant exactly along a consecutive run,
+    * so one distinct + one window + one hash agg finds every island. The
+    * window partitions on user_id (high cardinality) over the per-user
+    * DISTINCT day set — bounded by the calendar, not the event volume.
+    */
+  def gapsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = events(spark, sfDir)
+      .select(col("user_id"), to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+    ordered(
+      d.withColumn("grp",
+          datediff(col("day"), lit("1970-01-01").cast("date")) - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+             count(lit(1)).as("n_days"))
+        .drop("grp"),
+      "user_id", "start_day")
+  }
+
   /** cume_dist per customer over order value — the last window function the
     * §2.2 family lacked (rank/dense_rank/ntile/percent_rank live in
     * [[windowRanks]]). Partitioned on o_custkey — high cardinality, so the

@@ -145,6 +145,33 @@ class Round5OpsSpec extends SparkSpec {
       .forall(_.threshold.isEmpty))
   }
 
+  test("percent_total: shares within each returnflag sum to 1") {
+    val r = SparkEntry.queries("q_percent_total")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("l_returnflag")).values.foreach { g =>
+      val s = g.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-3 * g.length, s"shares sum to $s")
+    }
+  }
+
+  test("gaps_islands: islands are consecutive runs with at least a one-day gap between them") {
+    val r = SparkEntry.queries("q_gaps_islands")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val len = row.getAs[java.sql.Date]("end_day").toLocalDate.toEpochDay -
+                row.getAs[java.sql.Date]("start_day").toLocalDate.toEpochDay + 1
+      assert(len === row.getAs[Long]("n_days"), "island length must equal its day count")
+    }
+    r.groupBy(_.getAs[Long]("user_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[java.sql.Date]("start_day").toLocalDate.toEpochDay)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        val gap = b.getAs[java.sql.Date]("start_day").toLocalDate.toEpochDay -
+                  a.getAs[java.sql.Date]("end_day").toLocalDate.toEpochDay
+        assert(gap >= 2, "adjacent islands must be separated by a missing day")
+      }
+    }
+  }
+
   test("window cume_dist: in (0,1], 1.0 at each customer's priciest order") {
     val r = SparkEntry.queries("q_window_cume")(spark, Sf).collect()
     assert(r.nonEmpty)
