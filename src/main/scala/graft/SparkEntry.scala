@@ -69,6 +69,7 @@ object SparkEntry {
     "q_cdc_changes"       -> q(Warehouse.cdcChanges),
     "q_date_dim_generate" -> q(Warehouse.dateDimGenerate),
     "q_scd2_versions"     -> q(Warehouse.scd2Versions),
+    "q_scd2_asof"         -> q(Warehouse.scd2AsOf(_, _, 1705276800000000L)),
     "q_incr_agg_merge"    -> q(Warehouse.incrAggMerge), // oracle = full recompute → merge ≡ recompute proven by hash
     "q_funnel"            -> q(Windows.funnel),
     "q_retention"         -> q(Windows.retentionCohorts),
@@ -134,6 +135,7 @@ object SparkEntry {
     "q_dedup_components_editdist" -> q(Dedup.dedupComponentsEditdist), // CC tail under the hash gate (recursive-CTE oracle)
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
     "q_ann_batch"         -> q(Similarity.cosineTopKBatch(_, _, 8, 5)),
+    "q_knn_classify"      -> q(Similarity.knnClassify(_, _, 8, 5)),
     "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
     "q_ann_ivf"           -> q(Ivf.ivfTopK(_, _, 10, 16, 8)), // no-oracle: k-means internals engine-specific
     // multimodal plumbing tier
@@ -465,6 +467,18 @@ object SparkEntry {
         |       lead(ts_us) OVER w IS NULL AS is_current
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'signup'),
+        |v AS (SELECT user_id, event_id, ts_us AS valid_from_us,
+        |             lead(ts_us) OVER w AS valid_to_us,
+        |             lead(ts_us) OVER w IS NULL AS is_current
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT * FROM v
+        |WHERE valid_from_us <= 1705276800000000
+        |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
+        |ORDER BY user_id""".stripMargin,
 
     "q_incr_agg_merge" ->
       """SELECT o_custkey,
@@ -975,6 +989,36 @@ object SparkEntry {
         |      FROM r)
         |SELECT probe_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
         |FROM k WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    "q_knn_classify" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(unnest(embedding) AS DOUBLE) AS pv,
+        |                  generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |d AS (SELECT p.probe_id, c.vec_id, sum(c.cv * p.pv) AS dp,
+        |             sqrt(sum(c.cv * c.cv)) AS cn, sqrt(sum(p.pv * p.pv)) AS pn
+        |      FROM c JOIN p ON c.i = p.i AND c.vec_id <> p.probe_id
+        |      GROUP BY p.probe_id, c.vec_id),
+        |r AS (SELECT probe_id, vec_id,
+        |             floor(dp / (cn * pn) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |      FROM d),
+        |k AS (SELECT probe_id, vec_id,
+        |             row_number() OVER (PARTITION BY probe_id
+        |                                ORDER BY cos_sim DESC, vec_id) AS rk
+        |      FROM r),
+        |v AS (SELECT k.probe_id, e.label, count(*) AS votes
+        |      FROM k JOIN embeddings e ON k.vec_id = e.vec_id
+        |      WHERE k.rk <= 5 GROUP BY k.probe_id, e.label),
+        |best AS (SELECT probe_id, label AS predicted, votes,
+        |                row_number() OVER (PARTITION BY probe_id
+        |                                   ORDER BY votes DESC, label) AS rn
+        |         FROM v)
+        |SELECT b.probe_id, b.predicted, CAST(b.votes AS BIGINT) AS votes,
+        |       e.label AS true_label
+        |FROM best b JOIN embeddings e ON b.probe_id = e.vec_id
+        |WHERE b.rn = 1 ORDER BY b.probe_id""".stripMargin,
 
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, 1 + doc_id % 30 AS n_frames FROM documents),

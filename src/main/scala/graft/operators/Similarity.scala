@@ -78,6 +78,30 @@ object Similarity {
       "probe_id", "rk")
   }
 
+  /** kNN classification on top of [[cosineTopKBatch]]: each probe takes the
+    * majority label among its k nearest neighbors (ties → smallest label,
+    * pinned via max_by struct ordering — no window). The end-to-end "what
+    * is ANN for" query: neighbor search + a per-probe hash aggregate whose
+    * vote table is k·|batch| rows — driver-scale regardless of corpus size.
+    */
+  def knnClassify(spark: SparkSession, sfDir: String,
+                  nProbes: Int = 8, k: Int = 5): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings").select(col("vec_id"), col("label"))
+    val votes = cosineTopKBatch(spark, sfDir, nProbes, k)
+      .join(emb, "vec_id")
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val picked = votes.groupBy(col("probe_id"))
+      .agg(max_by(struct(col("label").as("predicted"), col("votes")),
+                  struct(col("votes"), -col("label"))).as("p"))
+      .select(col("probe_id"), col("p.predicted").as("predicted"),
+              col("p.votes").as("votes"))
+    ordered(
+      picked.join(emb.select(col("vec_id").as("probe_id"),
+                             col("label").as("true_label")), "probe_id"),
+      "probe_id")
+  }
+
   /** Per-vector L2 norms — the normalization pass before cosine-metric
     * indexing (normalized corpus ⇒ cosine ≡ dot, so ANN structures store
     * unit vectors). Pure codegen scan via the native dot kernel

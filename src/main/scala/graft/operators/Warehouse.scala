@@ -263,4 +263,21 @@ object Warehouse {
         .withColumn("is_current", col("valid_to_us").isNull),
       "user_id", "valid_from_us", "event_id")
   }
+
+  /** Point-in-time dimension lookup — SQL Server's `FOR SYSTEM_TIME AS OF`
+    * (the query shape the reference's system-versioned dim_city exists to
+    * serve, README.md:88–91) over the explicit [[scd2Versions]] intervals:
+    * the one version per key whose half-open [valid_from, valid_to)
+    * interval covers the as-of instant. The interval predicate lands on the
+    * version table AFTER its per-key window — at 100 TB the version table
+    * is the small one (one row per change, not per event), so this is a
+    * cheap filtered scan, and a time-travel join against it broadcasts.
+    */
+  def scd2AsOf(spark: SparkSession, sfDir: String,
+               asOfUs: Long = 1705276800000000L /* 2024-01-15T00:00Z */): DataFrame =
+    ordered(
+      scd2Versions(spark, sfDir)
+        .filter(col("valid_from_us") <= asOfUs &&
+                (col("valid_to_us").isNull || col("valid_to_us") > asOfUs)),
+      "user_id")
 }

@@ -145,6 +145,39 @@ class Round5OpsSpec extends SparkSpec {
       .forall(_.threshold.isEmpty))
   }
 
+  test("scd2_asof: exactly one covering version per user signed up by the as-of instant") {
+    val T = 1705276800000000L
+    val asof = SparkEntry.queries("q_scd2_asof")(spark, Sf).collect()
+    asof.foreach { row =>
+      assert(row.getAs[Long]("valid_from_us") <= T)
+      assert(row.isNullAt(row.fieldIndex("valid_to_us")) ||
+             row.getAs[Long]("valid_to_us") > T)
+    }
+    assert(asof.map(_.getAs[Long]("user_id")).distinct.length === asof.length,
+      "at most one version per user can cover the instant")
+    val expected = operators.Warehouse.scd2Versions(spark, Sf)
+      .filter(col("valid_from_us") <= T)
+      .select("user_id").distinct().count()
+    assert(asof.length.toLong === expected,
+      "every user with any version before T has exactly one covering version")
+  }
+
+  test("knn_classify: prediction is a neighbor label with a winning vote count") {
+    val nb = operators.Similarity.cosineTopKBatch(spark, Sf, 8, 5)
+      .join(graft.util.Tables.t(spark, Sf, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+      .collect().groupBy(_.getAs[Long]("probe_id"))
+    val r = SparkEntry.queries("q_knn_classify")(spark, Sf).collect()
+    assert(r.map(_.getAs[Long]("probe_id")).toSet === (0L until 8L).toSet)
+    r.foreach { row =>
+      val labels = nb(row.getAs[Long]("probe_id")).map(_.getAs[Int]("label"))
+      val counts = labels.groupBy(identity).view.mapValues(_.length)
+      val pred = row.getAs[Int]("predicted")
+      assert(labels.contains(pred))
+      assert(counts(pred).toLong === row.getAs[Long]("votes"))
+      assert(counts.values.forall(_ <= counts(pred)), "prediction must take the max vote")
+    }
+  }
+
   test("percent_total: shares within each returnflag sum to 1") {
     val r = SparkEntry.queries("q_percent_total")(spark, Sf).collect()
     assert(r.nonEmpty)
