@@ -51,6 +51,30 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), anti.take(1500))
   }
 
+  test("batched ANN broadcasts the probe batch — the corpus never shuffles for scoring") {
+    val p = plan(SparkEntry.queries("q_ann_batch")(spark, Sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "probe scoring must broadcast, never a shuffled cartesian:\n" + p.take(2000))
+  }
+
+  test("percent_total joins two aggregate outputs — no window over pre-aggregate rows") {
+    val p = plan(SparkEntry.queries("q_percent_total")(spark, Sf))
+    assert(!p.contains("Window"), "share division must not window the fact:\n" + p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("knn_classify picks the majority label via max_by aggregate, not a ranking window") {
+    // the only windows allowed are the two-phase TopK's neighbor ranking
+    // (partitioned on probe_id); the vote argmax itself must be max_by
+    val p = plan(SparkEntry.queries("q_knn_classify")(spark, Sf))
+    assert(p.contains("max_by"), "vote argmax must be a max_by aggregate:\n" + p.take(2000))
+    val windowLines = p.linesIterator.filter(_.contains("Arguments: [row_number()")).toSeq
+    assert(windowLines.forall(_.contains("probe_id")),
+      s"only the TopK per-probe ranking may window: $windowLines")
+  }
+
   test("imputation computes group stats via aggregate + broadcast join, not a window") {
     // a Window over (l_returnflag, month) would sort the whole fact on ≤36
     // reducers at 100 TB — the plan must show groupBy + broadcast join-back
