@@ -102,4 +102,56 @@ object StreamOps {
           else { state.update(next); Iterator.single(next) }
       }
   }
+
+  /** Continuous warehouse maintenance — the streaming↔warehouse bridge:
+    * each micro-batch is key-deduped (latest row per key wins) and MERGEd
+    * into a VERSIONED parquet snapshot via foreachBatch, the reference's
+    * daily MERGE lifecycle (transform_load.sql:50–70) made incremental.
+    *
+    * Exactly-once without a transactional table format: the output dir is
+    * named by the deterministic micro-batch id and written with overwrite,
+    * so a batch replayed after failure rewrites the SAME version with the
+    * SAME content instead of double-applying; readers pick the highest
+    * complete version ([[latestSnapshot]]). This id-keyed idempotent-sink
+    * pattern is the standard foreachBatch discipline on plain object
+    * storage. Scale: the merge is [[graft.operators.Warehouse.mergeUpsert]]
+    * — with the snapshot bucketed on the key only the micro-batch shuffles.
+    */
+  def mergeStreamToSnapshot(stream: DataFrame, baseDir: String,
+                            keys: Seq[String], updateCols: Seq[String],
+                            orderCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val deduped = batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val cur = latestSnapshot(batch.sparkSession, baseDir, batch.schema)
+        graft.operators.Warehouse
+          .mergeUpsert(cur, deduped, keys, updateCols, nullSafeKeys = false)
+          .write.mode("overwrite").parquet(f"$baseDir/v$id%05d")
+        ()
+      }
+      .start()
+
+  /** Highest version under `baseDir`, or an empty frame of `schema` before
+    * the first commit. Version dirs are zero-padded so lexicographic max ==
+    * numeric max — one cheap listing, no manifest needed.
+    */
+  def latestSnapshot(spark: SparkSession, baseDir: String,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (fs.exists(path))
+        fs.listStatus(path).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("v")).sorted
+      else Array.empty[String]
+    if (versions.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(s"$baseDir/${versions.last}")
+  }
 }

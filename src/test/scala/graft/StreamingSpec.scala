@@ -139,4 +139,34 @@ class StreamingSpec extends SparkSpec {
     // state holds the key within the watermark horizon: exactly one row each
     assert(keys.sorted === Seq((1L, "click"), (1L, "view")))
   }
+
+  test("foreachBatch merge: streamed micro-batches converge to the batch merge, versioned per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("merge_stream").toString
+    val mem = MemoryStream[(Long, String, Double, Long)]
+    val q = StreamOps.mergeStreamToSnapshot(
+      mem.toDF().toDF("k", "status", "value", "seq"),
+      base, keys = Seq("k"), updateCols = Seq("status", "value", "seq"),
+      orderCol = "seq")
+    // batch 0: two inserts, one key duplicated in-batch (latest seq wins)
+    mem.addData((1L, "new", 10.0, 1L), (2L, "new", 20.0, 2L), (1L, "upd", 11.0, 3L))
+    q.processAllAvailable()
+    // batch 1: one update, one insert
+    mem.addData((2L, "upd", 21.0, 4L), (3L, "new", 30.0, 5L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$base/v00001")
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("status"),
+                 r.getAs[Double]("value"), r.getAs[Long]("seq"))).toSeq
+    assert(got === Seq((1L, "upd", 11.0, 3L), (2L, "upd", 21.0, 4L), (3L, "new", 30.0, 5L)))
+    // both versions exist (id-keyed idempotent publication), and the reader
+    // helper picks the latest
+    assert(new java.io.File(s"$base/v00000").isDirectory)
+    val latest = StreamOps.latestSnapshot(spark, base,
+        spark.read.parquet(s"$base/v00001").schema)
+      .orderBy("k").collect().map(_.getAs[Long]("k")).toSeq
+    assert(latest === Seq(1L, 2L, 3L))
+  }
 }
