@@ -53,4 +53,32 @@ class SourcesSpec extends SparkSpec {
     assert(newDim.count() === 1)
     assert(newFact.count() === 3) // all three days inserted
   }
+
+  test("CSV quarantine: clean rows typed, malformed lines quarantined verbatim, nothing lost") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("csvq")
+    val lines = Seq(
+      "city,temp,day",
+      "London,12.5,2024-01-01",
+      "Paris,NOT_A_NUMBER,2024-01-02",   // type failure → quarantine
+      "Lagos,31.0,2024-01-03",
+      "Tokyo,8.25")                       // missing column → quarantine
+    java.nio.file.Files.write(dir.resolve("load.csv"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("city", StringType), StructField("temp", DoubleType),
+      StructField("day", DateType)))
+    val r = sources.CsvQuarantine.readTyped(spark, dir.toString, schema)
+    val clean = r.clean.orderBy("city").collect()
+    assert(clean.map(_.getAs[String]("city")).toSeq === Seq("Lagos", "London"))
+    assert(clean.forall(!_.anyNull))
+    assert(r.clean.schema.fieldNames.toSeq === Seq("city", "temp", "day"))
+    val bad = r.quarantine.collect()
+    assert(bad.map(_.getAs[String]("raw_line")).sorted.toSeq ===
+      Seq("Paris,NOT_A_NUMBER,2024-01-02", "Tokyo,8.25"))
+    assert(bad.forall(_.getAs[String]("source_file").contains("load.csv")))
+    // conservation: every input data line is exactly one of clean/quarantine
+    assert(clean.length + bad.length === 4)
+    r.unpersist()
+  }
 }
