@@ -27,6 +27,39 @@ class ScaleInfraSpec extends SparkSpec {
     assert(snap.count() === expected)
   }
 
+  test("value-clustered snapshot skips row groups: the scan reads a fraction of the rows") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case s: FileSourceScanExec => Seq(s)
+        }.flatten
+      scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+    }
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val total = li.count()
+    val clustered = Files.createTempDirectory("graft_clu").toString
+    val unclustered = Files.createTempDirectory("graft_unc").toString
+    SnapshotStore.writeFactClustered(li, clustered, "l_extendedprice",
+      files = 8, rowGroupBytes = 64L * 1024)
+    li.repartition(8).write.mode("overwrite").parquet(unclustered) // every file spans the full range
+    val pred = col("l_extendedprice") > 900.0 && col("l_extendedprice") < 1100.0
+    val cluRead = scanRows(spark.read.parquet(clustered).filter(pred))
+    val uncRead = scanRows(spark.read.parquet(unclustered).filter(pred))
+    // same answer either way
+    assert(spark.read.parquet(clustered).filter(pred).count() ===
+           spark.read.parquet(unclustered).filter(pred).count())
+    // unclustered layout defeats min/max skipping (every group spans the range);
+    // clustered layout lets the pushed predicate eliminate most groups
+    assert(uncRead.toDouble >= total * 0.9, s"expected near-full read, got $uncRead/$total")
+    assert(cluRead.toDouble <= total * 0.5,
+      s"clustered scan must skip most row groups: read $cluRead of $total rows")
+  }
+
   test("compaction collapses small files and preserves rows + pruning layout") {
     import scala.jdk.CollectionConverters._
     val inDir = Files.createTempDirectory("graft_frag").toString
