@@ -70,6 +70,10 @@ object SparkEntry {
     "q_date_dim_generate" -> q(Warehouse.dateDimGenerate),
     "q_scd2_versions"     -> q(Warehouse.scd2Versions),
     "q_scd2_asof"         -> q(Warehouse.scd2AsOf(_, _, 1705276800000000L)),
+    "q_late_arriving"     -> q(Warehouse.lateArrivingDim),
+    "q_surrogate_key"     -> q(Warehouse.surrogateKeys), // oracle = global row_number → two-phase ≡ window proven by hash
+    "q_star_join"         -> q(Relational.starJoinRevenue),
+    "q_percentile_disc"   -> q(Relational.percentileDisc),
     "q_incr_agg_merge"    -> q(Warehouse.incrAggMerge), // oracle = full recompute → merge ≡ recompute proven by hash
     "q_funnel"            -> q(Windows.funnel),
     "q_retention"         -> q(Windows.retentionCohorts),
@@ -479,6 +483,46 @@ object SparkEntry {
         |WHERE valid_from_us <= 1705276800000000
         |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
         |ORDER BY user_id""".stripMargin,
+
+    "q_late_arriving" ->
+      """WITH dim AS (SELECT c_custkey, c_name, c_nationkey FROM customer
+        |             WHERE c_custkey % 10 <> 0),
+        |inf AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |        WHERE o_custkey NOT IN (SELECT c_custkey FROM dim))
+        |SELECT c_custkey, c_name, c_nationkey, 0 AS is_inferred FROM dim
+        |UNION ALL
+        |SELECT c_custkey, 'UNKNOWN#' || c_custkey AS c_name,
+        |       CAST(-1 AS INTEGER) AS c_nationkey, 1 AS is_inferred FROM inf
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_surrogate_key" ->
+      """SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS sk
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT n_name,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal, c_custkey) AS rn,
+        |         count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM customer)
+        |SELECT c_nationkey, max(n) AS n,
+        | floor(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN c_acctbal END) * 10000.0 + 0.5) / 10000.0 AS p50_disc,
+        | floor(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN c_acctbal END) * 10000.0 + 0.5) / 10000.0 AS p90_disc
+        |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_incr_agg_merge" ->
       """SELECT o_custkey,

@@ -513,4 +513,62 @@ object Relational {
                 r4(col("l_extendedprice")).as("l_extendedprice")),
       "l_suppkey", "rk")
   }
+
+  /** Star-schema flagship: discounted revenue per ASIA nation — the
+    * TPC-H-Q5 shape every Kimball warehouse query reduces to (fact ⋈
+    * snowflaked dims ⋈ fact). Join geometry is the point: region⋈nation is
+    * driver-tiny and customer-after-dim-filter is the small side, so both
+    * ride BROADCAST joins (zero shuffle on the probe side); the only
+    * repartitioning in the whole plan is the lineitem⋈orders fact-fact
+    * join on l_orderkey — one shuffle of each fact, which is the floor for
+    * co-locating two facts without bucketed layout (SnapshotStore's
+    * bucketed path removes even that when the snapshot is pre-bucketed).
+    * Revenue sums as exact DECIMAL (associative across any partial-agg
+    * tree), cast to double only at the output boundary.
+    */
+  def starJoinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaNations = t(spark, sfDir, "nation")
+      .join(broadcast(t(spark, sfDir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val custDim = t(spark, sfDir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val ord = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val rev = money(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - money(col("l_discount")))
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), rev.as("rev"))
+    ordered(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(r4(sum(col("rev")).cast("double")).as("revenue"),
+             count(lit(1)).as("n_items")),
+      "n_name")
+  }
+
+  /** Discrete per-group percentile: the ACTUAL group value at rank
+    * ⌈p·n⌉ in (value, id) order — not the interpolated midpoint
+    * [[quantilesExact]] returns. The rank rule is spelled explicitly
+    * (sort by (c_acctbal, c_custkey), pick rank ⌈p·n⌉) so both engines
+    * agree bit-for-bit even on duplicate values; engines' native
+    * quantile_disc functions pin ties differently, which is why neither
+    * side uses one. Sort-based per group like quantilesExact — the exact
+    * tier; the approx sketch stays the 100 TB path.
+    */
+  def percentileDisc(spark: SparkSession, sfDir: String): DataFrame = {
+    val sorted = array_sort(collect_list(struct(col("c_acctbal"), col("c_custkey"))))
+    def at(arr: org.apache.spark.sql.Column, p: Double): org.apache.spark.sql.Column =
+      element_at(arr, ceil(size(arr) * lit(p)).cast("int")).getField("c_acctbal")
+    ordered(
+      t(spark, sfDir, "customer")
+        .select(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sorted.as("arr"), count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("n"),
+                r4(at(col("arr"), 0.5)).as("p50_disc"),
+                r4(at(col("arr"), 0.9)).as("p90_disc")),
+      "c_nationkey")
+  }
 }

@@ -280,4 +280,48 @@ object Warehouse {
         .filter(col("valid_from_us") <= asOfUs &&
                 (col("valid_to_us").isNull || col("valid_to_us") > asOfUs)),
       "user_id")
+
+  /** Late-arriving dimension handling (Kimball "inferred members"): facts
+    * referencing customer keys the dimension feed hasn't delivered yet get
+    * placeholder dim rows instead of being dropped or failing the FK. The
+    * delivered dim here is customers with custkey % 10 ≠ 0 (a deterministic
+    * stand-in for the late 10%); missing keys observed in orders
+    * materialize as UNKNOWN# rows flagged `is_inferred = 1`, to be
+    * type-1-overwritten when the real row lands ([[mergeUpsert]]).
+    * Scale shape: distinct fact keys is one hash agg on the fact, the
+    * missing set arrives via left-anti join, and the union appends — no
+    * step touches more than (distinct keys) rows after the first agg.
+    */
+  def lateArrivingDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = t(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val inferred = t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+      .join(dim.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"),
+              concat(lit("UNKNOWN#"), col("c_custkey")).as("c_name"),
+              lit(-1).cast("int").as("c_nationkey"))
+    ordered(
+      dim.withColumn("is_inferred", lit(0))
+        .unionByName(inferred.withColumn("is_inferred", lit(1))),
+      "c_custkey")
+  }
+
+  /** Dense surrogate-key assignment for a dimension load: sk =
+    * row_number() over the natural-key order, WITHOUT the single-reducer
+    * global window that formulation implies — [[graft.util.PrefixSum]]'s
+    * two-phase scan (parallel per-range-partition windows + broadcast
+    * per-partition offsets) computes the identical numbering with every
+    * stage distributed. The oracle IS the naive global window, so the
+    * hash gate proves two-phase ≡ row_number exactly. SQL Server hands
+    * this to IDENTITY; at 100 TB nothing may serialize through one task.
+    */
+  def surrogateKeys(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      graft.util.PrefixSum.exclusive(
+          t(spark, sfDir, "customer").select(col("c_custkey")),
+          "c_custkey", lit(1L), "sk0")
+        .select(col("c_custkey"), (col("sk0") + lit(1L)).as("sk")),
+      "c_custkey")
 }

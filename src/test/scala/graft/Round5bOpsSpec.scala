@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Invariants for the second round-5 operator batch (exact values are under
+  * the DuckDB oracle via graft.Verify; these pin the semantic and PLAN
+  * properties the hash gate can't see).
+  */
+class Round5bOpsSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("star join: dims ride broadcast joins; only the fact-fact join shuffles") {
+    val df = SparkEntry.queries("q_star_join")(spark, Sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "dim joins must broadcast")
+    // exactly one non-broadcast (shuffled) join: lineitem ⋈ orders
+    val shuffled = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).length
+    assert(shuffled <= 1, s"only the fact-fact join may shuffle:\n$p")
+    val r = df.collect()
+    assert(r.length === 5, "ASIA has 5 nations")
+    assert(r.forall(_.getAs[Double]("revenue") > 0.0))
+  }
+
+  test("late-arriving dim: no fact key is dropped, inferred exactly the missing ones") {
+    val r = SparkEntry.queries("q_late_arriving")(spark, Sf).collect()
+    val factKeys = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val outKeys = r.map(_.getAs[Long]("c_custkey")).toSet
+    assert(factKeys.subsetOf(outKeys), "every fact key must resolve in the dim")
+    val inferred = r.filter(_.getAs[Int]("is_inferred") == 1)
+    assert(inferred.nonEmpty, "the %10 carve-out must produce inferred members")
+    inferred.foreach { row =>
+      assert(row.getAs[Long]("c_custkey") % 10 === 0L)
+      assert(row.getAs[String]("c_name").startsWith("UNKNOWN#"))
+      assert(row.getAs[Int]("c_nationkey") === -1)
+      assert(factKeys.contains(row.getAs[Long]("c_custkey")),
+        "inferred members may only come from observed fact keys")
+    }
+  }
+
+  test("surrogate keys: dense 1..n bijection in natural-key order") {
+    val r = SparkEntry.queries("q_surrogate_key")(spark, Sf).collect()
+    val n = r.length.toLong
+    assert(r.map(_.getAs[Long]("sk")).sorted.toSeq === (1L to n).toSeq)
+    val byNatural = r.sortBy(_.getAs[Long]("c_custkey")).map(_.getAs[Long]("sk")).toSeq
+    assert(byNatural === (1L to n).toSeq, "sk order must follow natural-key order")
+  }
+
+  test("percentile_disc: returns actual group members at the ⌈p·n⌉ rank") {
+    val r = SparkEntry.queries("q_percentile_disc")(spark, Sf).collect()
+    val vals = graft.util.Tables.t(spark, Sf, "customer")
+      .select(col("c_nationkey"), col("c_acctbal")).collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val g = vals(row.getAs[Int]("c_nationkey"))
+      val (p50, p90) = (row.getAs[Double]("p50_disc"), row.getAs[Double]("p90_disc"))
+      // r4-rounded members: check against the rounded sorted list
+      def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+      val rounded = g.map(r4)
+      assert(rounded.contains(p50) && rounded.contains(p90),
+        "discrete percentile must be an actual group value")
+      assert(rounded(math.ceil(g.length * 0.5).toInt - 1) === p50)
+      assert(rounded(math.ceil(g.length * 0.9).toInt - 1) === p90)
+      assert(p50 <= p90)
+    }
+  }
+}
