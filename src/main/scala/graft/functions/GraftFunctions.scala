@@ -65,5 +65,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))))
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

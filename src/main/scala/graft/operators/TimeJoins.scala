@@ -52,4 +52,37 @@ object TimeJoins {
                 col("last_signup.event_id").as("signup_id")),
       "purchase_id")
   }
+
+  /** The same as-of query through the engine's CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofJoinExec]]): children clustered on user_id, sorted
+    * (user_id, ts_us), one streaming merge pass with O(1) state per
+    * partition — no tagged union, no window frames. Registered against the
+    * IDENTICAL oracle as [[asofJoin]], so the driver's hash gate proves
+    * the custom operator row-for-row exact; the plan-shape spec proves it
+    * actually executes (AsofJoinExec present, window/union absent).
+    */
+  def asofJoinNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    // right side unique per (key, time) — the as-of contract (see
+    // AsofJoinPlan scaladoc); same max-event_id tie rule as the oracle
+    val signups = Quality.dedupLatest(
+        ev.filter(col("event_type") === "signup"), Seq("user_id", "ts_us"), Seq("event_id"))
+      .select(col("user_id").as("s_user_id"), col("ts_us").as("signup_ts_us"),
+              col("event_id").as("signup_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts_us").as("purchase_ts_us"))
+    val lPlan = purchases.queryExecution.analyzed
+    val rPlan = signups.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.AsofJoinPlan(lPlan, rPlan,
+        Seq(attr(lPlan, "user_id")), Seq(attr(rPlan, "s_user_id")),
+        attr(lPlan, "purchase_ts_us"), attr(rPlan, "signup_ts_us")))
+    ordered(
+      joined.select(col("purchase_id"), col("user_id"),
+                    col("purchase_ts_us"), col("signup_ts_us"), col("signup_id")),
+      "purchase_id")
+  }
 }

@@ -41,6 +41,11 @@ object Sessions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedLevenshteinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BandedLevenshteinRule
+    // Engine planner strategies (the custom-physical-operator tier): same
+    // runtime-injectable path as the optimizer rules above.
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
     spark
   }
 }
