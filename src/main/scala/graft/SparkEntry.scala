@@ -51,6 +51,7 @@ object SparkEntry {
     "q_unpivot"           -> q(Relational.unpivotMeasures),
     "q_asof_join"         -> q(TimeJoins.asofJoin),
     "q_asof_join_native"  -> q(TimeJoins.asofJoinNative), // custom AsofJoinExec; same oracle as q_asof_join → operator proven exact
+    "q_asof_tolerance"    -> q(TimeJoins.asofJoinTolerance(_, _, 604800000000L)),
     "q_interval_join"     -> q(RangeJoins.intervalJoin),
     "q_range_band_join"   -> q(RangeJoins.rangeBandJoin),
     "q_window_ranks"      -> q(Windows.windowRanks),
@@ -302,6 +303,21 @@ object SparkEntry {
         |SELECT p.event_id AS purchase_id, p.user_id,
         |       p.ts_us AS purchase_ts_us,
         |       s.ts_us AS signup_ts_us, s.event_id AS signup_id
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND s.ts_us <= p.ts_us
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, epoch_us(ts)),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       p.ts_us AS purchase_ts_us,
+        |       CASE WHEN p.ts_us - s.ts_us <= 604800000000 THEN s.ts_us END AS signup_ts_us,
+        |       CASE WHEN p.ts_us - s.ts_us <= 604800000000 THEN s.event_id END AS signup_id
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND s.ts_us <= p.ts_us
         |ORDER BY purchase_id""".stripMargin,

@@ -85,4 +85,37 @@ object TimeJoins {
                     col("purchase_ts_us"), col("signup_ts_us"), col("signup_id")),
       "purchase_id")
   }
+
+  /** Tolerance-bounded as-of (pandas merge_asof `tolerance`): a signup
+    * older than `tolUs` before the purchase does NOT count — the row keeps
+    * its left side and nulls the match. Same custom operator, one more
+    * pushed-down parameter; the emission-time check is sound because the
+    * candidate is already the LATEST in-window right row (anything else is
+    * older still). Oracle spells the identical semantics as ASOF LEFT JOIN
+    * + CASE, so the gate proves the parameterized operator too.
+    */
+  def asofJoinTolerance(spark: SparkSession, sfDir: String,
+                        tolUs: Long = 604800000000L /* 7 days */): DataFrame = {
+    val ev = events(spark, sfDir)
+    val signups = Quality.dedupLatest(
+        ev.filter(col("event_type") === "signup"), Seq("user_id", "ts_us"), Seq("event_id"))
+      .select(col("user_id").as("s_user_id"), col("ts_us").as("signup_ts_us"),
+              col("event_id").as("signup_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts_us").as("purchase_ts_us"))
+    val lPlan = purchases.queryExecution.analyzed
+    val rPlan = signups.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.AsofJoinPlan(lPlan, rPlan,
+        Seq(attr(lPlan, "user_id")), Seq(attr(rPlan, "s_user_id")),
+        attr(lPlan, "purchase_ts_us"), attr(rPlan, "signup_ts_us"),
+        toleranceUs = Some(tolUs)))
+    ordered(
+      joined.select(col("purchase_id"), col("user_id"),
+                    col("purchase_ts_us"), col("signup_ts_us"), col("signup_id")),
+      "purchase_id")
+  }
 }

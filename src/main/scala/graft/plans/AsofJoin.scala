@@ -39,9 +39,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty equi-key lists")
+  require(toleranceUs.forall(_ >= 0L), "tolerance must be non-negative")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -54,8 +56,8 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -78,6 +80,7 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
+    toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -116,9 +119,11 @@ case class AsofJoinExec(
       // O(1) merge state: the row under the right cursor (NOT copied — only
       // read before the cursor moves) and the best candidate so far (copied:
       // it must outlive cursor advancement over reused row buffers).
+      val tol = toleranceUs.getOrElse(Long.MaxValue)
       var rCurrent: InternalRow = if (rIter.hasNext) rIter.next() else null
       var candidate: InternalRow = null
       var candidateKey: UnsafeRow = null
+      var candidateTime = 0L
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
@@ -134,11 +139,16 @@ case class AsofJoinExec(
                      rTimeEval.eval(rCurrent).asInstanceOf[Long] <= lTimeV) {
             candidate = rCurrent.copy() // sorted ⇒ each overwrite is later
             candidateKey = rKey.copy()
+            candidateTime = rTimeEval.eval(rCurrent).asInstanceOf[Long]
             rCurrent = if (rIter.hasNext) rIter.next() else null
             advancing = rCurrent != null
           } else advancing = false // right run is ahead: stop for this left row
         }
-        val matched = candidate != null && keyOrd.compare(candidateKey, lKey) == 0
+        // tolerance checks only at emission: the candidate is already the
+        // LATEST right time <= lTime, so if it's out of band no other row
+        // can be in band (anything else is even earlier)
+        val matched = candidate != null &&
+          keyOrd.compare(candidateKey, lKey) == 0 && lTimeV - candidateTime <= tol
         resultProj(joined(lRow, if (matched) candidate else nullRight))
       }
     }

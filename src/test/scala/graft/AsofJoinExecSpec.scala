@@ -50,5 +50,14 @@ class AsofJoinExecSpec extends SparkSpec {
       (1L, 25L, "b"),      // latest at-or-before wins
       (2L, 40L, null),     // right exists for key but only later
       (3L, 100L, null)))   // key absent from right entirely
+
+    // tolerance: the (1, 25) match is 5 ticks old — in band at 5, out at 4
+    def withTol(tol: Long) = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        graft.plans.AsofJoinPlan(lp, rp, Seq(a(lp, "k")), Seq(a(rp, "rk")),
+          a(lp, "t"), a(rp, "rt"), toleranceUs = Some(tol)))
+      .filter(col("k") === 1L && col("t") === 25L)
+      .select(col("v")).collect().map(_.getString(0)).toSeq
+    assert(withTol(5L) === Seq("b"))
+    assert(withTol(4L) === Seq(null))
   }
 }
