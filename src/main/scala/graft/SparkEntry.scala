@@ -76,6 +76,8 @@ object SparkEntry {
     "q_surrogate_key"     -> q(Warehouse.surrogateKeys), // oracle = global row_number → two-phase ≡ window proven by hash
     "q_star_join"         -> q(Relational.starJoinRevenue),
     "q_percentile_disc"   -> q(Relational.percentileDisc),
+    "q_winsorize"         -> q(Quality.winsorize(_, _, 0.05, 0.95)),
+    "q_collocations"      -> q(Text.collocations(_, _, 5)),
     "q_incr_agg_merge"    -> q(Warehouse.incrAggMerge), // oracle = full recompute → merge ≡ recompute proven by hash
     "q_funnel"            -> q(Windows.funnel),
     "q_retention"         -> q(Windows.retentionCohorts),
@@ -531,6 +533,46 @@ object SparkEntry {
     "q_surrogate_key" ->
       """SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS sk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |edges AS (SELECT event_type,
+        |            quantile_cont(value, 0.05) AS p_lo,
+        |            quantile_cont(value, 0.95) AS p_hi
+        |          FROM e GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        | floor(value * 10000.0 + 0.5) / 10000.0 AS value,
+        | floor((CASE WHEN value < p_lo THEN p_lo
+        |             WHEN value > p_hi THEN p_hi
+        |             ELSE value END) * 10000.0 + 0.5) / 10000.0 AS value_w
+        |FROM e JOIN edges ON e.event_type = edges.event_type
+        |ORDER BY event_id""".stripMargin,
+
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS word,
+        |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT word AS w1,
+        |           lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM toks)
+        |  WHERE length(w1) > 0 AND length(w2) > 0),
+        |uni AS (SELECT word, count(*) AS c FROM toks
+        |        WHERE length(word) > 0 GROUP BY word),
+        |tw AS (SELECT sum(c) AS w_total FROM uni),
+        |tb AS (SELECT count(*) AS b_total FROM pairs),
+        |big AS (SELECT w1, w2, count(*) AS c_xy FROM pairs
+        |        GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT b.w1, b.w2, b.c_xy,
+        | floor(ln((CAST(b.c_xy AS DOUBLE) * w_total * w_total)
+        |          / (CAST(b_total AS DOUBLE) * u1.c * u2.c)) * 10000.0 + 0.5) / 10000.0 AS pmi
+        |FROM big b
+        |JOIN uni u1 ON b.w1 = u1.word
+        |JOIN uni u2 ON b.w2 = u2.word, tw, tb
+        |ORDER BY w1, w2""".stripMargin,
 
     "q_star_join" ->
       """SELECT n_name,

@@ -188,4 +188,28 @@ object Quality {
                .as("n_outliers")),
       "event_type")
   }
+
+  /** Winsorization: cap values at the per-type [p05, p95] band instead of
+    * dropping them — the outlier treatment that preserves row count (vs
+    * [[outlierZscore]]/[[outlierMad]] which only FLAG). Same two-pass shape
+    * as [[imputeAvg]]: one grouped aggregate for the edges (exact
+    * percentile — portable interpolation proven by q_quantiles_exact),
+    * broadcast join-back, per-row clamp. The corpus never reshuffles; at
+    * 100 TB the second pass is a map over the scan with a tiny dim join.
+    */
+  def winsorize(spark: SparkSession, sfDir: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val ev = graft.util.Tables.t(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val edges = ev.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(lo)).as("p_lo"),
+      percentile(col("value"), lit(hi)).as("p_hi"))
+    ordered(
+      ev.join(broadcast(edges), "event_type")
+        .select(col("event_id"), col("event_type"), r4(col("value")).as("value"),
+                r4(when(col("value") < col("p_lo"), col("p_lo"))
+                  .when(col("value") > col("p_hi"), col("p_hi"))
+                  .otherwise(col("value"))).as("value_w")),
+      "event_id")
+  }
 }

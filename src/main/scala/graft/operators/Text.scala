@@ -478,4 +478,43 @@ object Text {
         .select(col("doc_id"), col("lang"), r4(col("q")).as("quality_score")),
       "doc_id")
   }
+
+  /** Collocation extraction: corpus bigrams scored by pointwise mutual
+    * information — the phrase-mining pass (multi-word expressions, entity
+    * names) a tokenizer-training pipeline runs over raw text. Bigrams come
+    * from posexplode + a per-document lead() window (windows keyed by
+    * doc_id: millions of partitions, fully parallel — never a corpus-wide
+    * sort); unigram and bigram counts are two hash aggregates, and PMI
+    * assembles from EXACT integer counts with one double expression at the
+    * end, spelled identically in the oracle:
+    * ln((c_xy·W·W)/(B·c_x·c_y)). Empty tokens (split artifacts) never form
+    * bigrams but also never bridge one: a pair with an empty side is
+    * dropped AFTER adjacency, so "a□□b" yields no (a,b) bigram on either
+    * engine. min-count threshold keeps the long tail out of the join.
+    */
+  def collocations(spark: SparkSession, sfDir: String, minCount: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+    val pairs = toks
+      .withColumn("nxt", lead(col("word"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(length(col("word")) > 0 && length(col("nxt")) > 0)
+      .select(col("word").as("w1"), col("nxt").as("w2"))
+    val uni = toks.filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val totalW = uni.agg(sum(col("c")).as("w_total"))
+    val totalB = pairs.groupBy().agg(count(lit(1)).as("b_total"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy")).filter(col("c_xy") >= minCount)
+    ordered(
+      big
+        .join(uni.select(col("word").as("w1"), col("c").as("c_x")), "w1")
+        .join(uni.select(col("word").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(broadcast(totalW)).crossJoin(broadcast(totalB))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          r4(log((col("c_xy").cast("double") * col("w_total") * col("w_total")) /
+                 (col("b_total").cast("double") * col("c_x") * col("c_y")))).as("pmi")),
+      "w1", "w2")
+  }
 }

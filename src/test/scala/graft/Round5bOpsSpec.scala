@@ -68,4 +68,29 @@ class Round5bOpsSpec extends SparkSpec {
       assert(p50 <= p90)
     }
   }
+
+  test("winsorize: row count preserved, values clamped into the per-type band") {
+    val r = SparkEntry.queries("q_winsorize")(spark, Sf).collect()
+    val total = graft.util.Tables.t(spark, Sf, "events").count()
+    assert(r.length.toLong === total, "winsorization must never drop rows")
+    r.groupBy(_.getAs[String]("event_type")).values.foreach { g =>
+      val w = g.map(_.getAs[Double]("value_w"))
+      val raw = g.map(_.getAs[Double]("value"))
+      assert(w.min >= raw.min && w.max <= raw.max)
+      // clamping moves at most ~10% of rows (p05/p95 band), never the bulk
+      val moved = g.count(x => x.getAs[Double]("value_w") != x.getAs[Double]("value"))
+      assert(moved <= math.ceil(g.length * 0.11), s"clamped $moved of ${g.length}")
+    }
+  }
+
+  test("collocations: PMI from exact counts, thresholded, no empty tokens") {
+    val r = SparkEntry.queries("q_collocations")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("c_xy") >= 5L)
+      assert(row.getAs[String]("w1").nonEmpty && row.getAs[String]("w2").nonEmpty)
+    }
+    // shuffled-word near-dup corpus: frequent pairs recur, so some PMI > 0
+    assert(r.exists(_.getAs[Double]("pmi") > 0.0))
+  }
 }
