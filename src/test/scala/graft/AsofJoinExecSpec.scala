@@ -60,4 +60,42 @@ class AsofJoinExecSpec extends SparkSpec {
     assert(withTol(5L) === Seq("b"))
     assert(withTol(4L) === Seq(null))
   }
+
+  test("randomized differential: operator ≡ in-memory reference on 5 generated datasets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val leftGen = Gen.listOfN(200, for {
+      k <- Gen.choose(0L, 8L); t <- Gen.choose(0L, 50L)
+    } yield (k, t))
+    val rightGen = Gen.listOfN(60, for {
+      k <- Gen.choose(0L, 8L); t <- Gen.choose(0L, 50L); v <- Gen.choose(0L, 999L)
+    } yield (k, t, v))
+    (1 to 5).foreach { i =>
+      val ls = leftGen(Gen.Parameters.default, Seed(7L * i)).get.zipWithIndex
+        .map { case ((k, t), id) => (id.toLong, k, t) }
+      // as-of contract: right unique per (key, time)
+      val rs = rightGen(Gen.Parameters.default, Seed(11L * i)).get
+        .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+      val tol = if (i % 2 == 0) Some(7L) else None
+      // in-memory reference: latest right at-or-before, within tolerance
+      val expect = ls.map { case (id, k, t) =>
+        val m = rs.filter(r => r._1 == k && r._2 <= t &&
+                               tol.forall(b => t - r._2 <= b))
+        (id, k, t, if (m.isEmpty) null else m.maxBy(_._2)._3.asInstanceOf[Any])
+      }.sortBy(_._1)
+      val lp = ls.toDF("id", "k", "t").repartition(3).queryExecution.analyzed
+      val rp = rs.toDF("rk", "rt", "v").repartition(2).queryExecution.analyzed
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val got = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+          graft.plans.AsofJoinPlan(lp, rp, Seq(a(lp, "k")), Seq(a(rp, "rk")),
+            a(lp, "t"), a(rp, "rt"), tol))
+        .select(col("id"), col("k"), col("t"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             if (r.isNullAt(3)) null else r.getLong(3).asInstanceOf[Any]))
+        .sortBy(_._1).toSeq
+      assert(got === expect, s"dataset $i (tol=$tol) diverged from the reference")
+    }
+  }
 }
