@@ -78,6 +78,8 @@ object SparkEntry {
     "q_percentile_disc"   -> q(Relational.percentileDisc),
     "q_winsorize"         -> q(Quality.winsorize(_, _, 0.05, 0.95)),
     "q_collocations"      -> q(Text.collocations(_, _, 5)),
+    "q_seasonal_anomaly"  -> q(Quality.seasonalAnomaly(_, _, 2.0)),
+    "q_media_chunk"       -> q(Multimodal.mediaChunk(_, _, 30000L, 25000L)),
     "q_incr_agg_merge"    -> q(Warehouse.incrAggMerge), // oracle = full recompute → merge ≡ recompute proven by hash
     "q_funnel"            -> q(Windows.funnel),
     "q_retention"         -> q(Windows.retentionCohorts),
@@ -533,6 +535,33 @@ object SparkEntry {
     "q_surrogate_key" ->
       """SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS sk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |                  (epoch_us(ts) // 3600000000) % 24 AS hour
+        |           FROM events),
+        |s AS (SELECT event_type, hour,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS mu,
+        |        stddev_samp(value) AS sigma
+        |      FROM e GROUP BY event_type, hour)
+        |SELECT event_id, e.event_type, e.hour,
+        | floor(value * 10000.0 + 0.5) / 10000.0 AS value,
+        | floor(mu * 10000.0 + 0.5) / 10000.0 AS mu
+        |FROM e JOIN s USING (event_type, hour)
+        |WHERE sigma IS NOT NULL AND sigma > 0
+        |  AND abs(value - mu) > 2.0 * sigma
+        |ORDER BY event_id""".stripMargin,
+
+    "q_media_chunk" ->
+      """WITH m AS (SELECT doc_id, 1000 + (doc_id * 7919) % 600000 AS duration_ms
+        |           FROM documents),
+        |c AS (SELECT doc_id, duration_ms,
+        |        unnest(generate_series(0, duration_ms - 1, 25000)) AS chunk_start
+        |      FROM m)
+        |SELECT doc_id, duration_ms, chunk_start // 25000 AS chunk_idx,
+        |       chunk_start,
+        |       least(chunk_start + 30000, duration_ms) AS chunk_end
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_winsorize" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),

@@ -124,4 +124,28 @@ object Multimodal {
           r4(((col("doc_id") * 31L + col("frame_idx") * 7L) % 256L).cast("double")
              / lit(255.0))),
       "doc_id", "frame_idx")
+
+  /** Audio-style segmentation planning: cut each media's duration into
+    * overlapping windows (30 s window, 25 s stride — the standard ASR
+    * chunking shape) as (chunk_idx, start, end) rows. Stub duration derives
+    * from doc_id (the decode stand-in, same policy as decodeStub); the
+    * fan-out is sequence+explode — distributed, zero shuffle, each chunk
+    * row ready for the per-chunk decode/transcribe UDF downstream. The
+    * final short window clamps to the duration; strides beyond it generate
+    * nothing (start stays < duration by construction).
+    */
+  def mediaChunk(spark: SparkSession, sfDir: String,
+                 winMs: Long = 30000L, strideMs: Long = 25000L): DataFrame =
+    ordered(
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"),
+                (lit(1000L) + (col("doc_id") * 7919L) % 600000L).as("duration_ms"))
+        .select(col("doc_id"), col("duration_ms"),
+                explode(sequence(lit(0L), col("duration_ms") - 1L, lit(strideMs)))
+                  .as("chunk_start"))
+        .withColumn("chunk_idx", expr(s"chunk_start div ${strideMs}L"))
+        .withColumn("chunk_end", least(col("chunk_start") + winMs, col("duration_ms")))
+        .select(col("doc_id"), col("duration_ms"), col("chunk_idx"),
+                col("chunk_start"), col("chunk_end")),
+      "doc_id", "chunk_idx")
 }

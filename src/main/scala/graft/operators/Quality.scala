@@ -197,6 +197,31 @@ object Quality {
     * broadcast join-back, per-row clamp. The corpus never reshuffles; at
     * 100 TB the second pass is a map over the scan with a tiny dim join.
     */
+  /** Seasonality-adjusted anomaly detection: a flat per-type z-score
+    * ([[outlierZscore]]) flags every nightly batch spike; baselining per
+    * (event_type, hour-of-day) compares each value against its OWN season.
+    * Same scale shape as the other two-pass quality ops — grouped baseline
+    * aggregate (24×types rows), broadcast join-back, per-row test; the
+    * event stream never reshuffles. mu is exact-decimal-sum/count (the
+    * emitted column); sigma gates only the |x−mu| > 2σ comparison
+    * (zscore-precedent: double stddev, far from boundaries in practice).
+    */
+  def seasonalAnomaly(spark: SparkSession, sfDir: String, k: Double = 2.0): DataFrame = {
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .withColumn("hour", expr("ts_us div 3600000000L") % 24L)
+      .select(col("event_id"), col("event_type"), col("hour"), col("value"))
+    val base = ev.groupBy(col("event_type"), col("hour"))
+      .agg((sum(money(col("value"))).cast("double") / count(col("value"))).as("mu"),
+           stddev_samp(col("value")).as("sigma"))
+    ordered(
+      ev.join(broadcast(base), Seq("event_type", "hour"))
+        .filter(col("sigma").isNotNull && col("sigma") > 0.0 &&
+                abs(col("value") - col("mu")) > lit(k) * col("sigma"))
+        .select(col("event_id"), col("event_type"), col("hour"),
+                r4(col("value")).as("value"), r4(col("mu")).as("mu")),
+      "event_id")
+  }
+
   def winsorize(spark: SparkSession, sfDir: String,
                 lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     val ev = graft.util.Tables.t(spark, sfDir, "events")

@@ -93,4 +93,41 @@ class Round5bOpsSpec extends SparkSpec {
     // shuffled-word near-dup corpus: frequent pairs recur, so some PMI > 0
     assert(r.exists(_.getAs[Double]("pmi") > 0.0))
   }
+
+  test("media_chunk: windows tile the duration with the stride, ends clamped") {
+    val r = SparkEntry.queries("q_media_chunk")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      val d = g.head.getAs[Long]("duration_ms")
+      val sorted = g.sortBy(_.getAs[Long]("chunk_idx"))
+      sorted.zipWithIndex.foreach { case (row, i) =>
+        assert(row.getAs[Long]("chunk_idx") === i.toLong)
+        assert(row.getAs[Long]("chunk_start") === i.toLong * 25000L)
+        assert(row.getAs[Long]("chunk_end") ===
+          math.min(row.getAs[Long]("chunk_start") + 30000L, d))
+        assert(row.getAs[Long]("chunk_start") < d, "no chunk starts past the end")
+      }
+      assert(sorted.last.getAs[Long]("chunk_end") === d, "tiling must reach the end")
+    }
+  }
+
+  test("seasonal_anomaly: flagged rows really deviate >2 sigma from their season") {
+    val ev = graft.util.Tables.events(spark, Sf)
+      .select(col("event_id"), col("event_type"),
+              (expr("ts_us div 3600000000L") % 24L).as("hour"), col("value"))
+      .collect()
+    val bySeason = ev.groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour")))
+    val flagged = SparkEntry.queries("q_seasonal_anomaly")(spark, Sf).collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { row =>
+      val g = bySeason((row.getAs[String]("event_type"), row.getAs[Long]("hour")))
+        .map(_.getAs[Double]("value"))
+      val mu = g.sum / g.length
+      val sigma = math.sqrt(g.map(v => (v - mu) * (v - mu)).sum / (g.length - 1))
+      val v = row.getAs[Double]("value")
+      // r4-rounded output vs naive double recompute: generous tolerance
+      assert(math.abs(v - mu) > 1.9 * sigma,
+        s"flagged value $v is not anomalous for mu=$mu sigma=$sigma")
+    }
+  }
 }

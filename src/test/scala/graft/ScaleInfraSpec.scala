@@ -27,6 +27,28 @@ class ScaleInfraSpec extends SparkSpec {
     assert(snap.count() === expected)
   }
 
+  test("dim-filtered join triggers dynamic partition pruning on the fact scan") {
+    // The runtime twin of static pruning: the fact's partition filter isn't
+    // known until the dim side is evaluated — DPP broadcasts the dim's
+    // surviving partition keys into the fact scan. At 100 TB this is the
+    // difference between scanning the whole fact and scanning the handful
+    // of dates a dim predicate selects.
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    val orders = graft.util.Tables.t(spark, Sf, "orders")
+    SnapshotStore.writeFact(orders, dir, "o_orderdate")
+    val dim = orders.select(to_date(col("o_orderdate")).as("d")).distinct()
+      .withColumn("is_hot", col("d") === lit("1997-03-01").cast("date"))
+    val fact = SnapshotStore.read(spark, dir)
+    val joined = fact.join(dim.filter(col("is_hot")), fact("part_date") === dim("d"))
+    val n = joined.count()
+    val expected = orders
+      .filter(to_date(col("o_orderdate")) === lit("1997-03-01").cast("date")).count()
+    assert(n === expected)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan must carry a dynamic pruning subquery:\n${plan.take(1500)}")
+  }
+
   test("value-clustered snapshot skips row groups: the scan reads a fraction of the rows") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
