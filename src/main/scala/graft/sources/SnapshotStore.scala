@@ -91,6 +91,33 @@ object SnapshotStore {
     * would funnel a 100M-row date through one task (one straggler writing
     * 100 sequential files).
     */
+  /** Versions present under a versioned snapshot root (`v00000`,
+    * `v00001`, … as written by the streaming merge bridge), ascending.
+    * Zero-padded names make lexicographic order numeric; one directory
+    * listing, no manifest — the poor-man's transaction log that suffices
+    * when writers serialize (foreachBatch guarantees that).
+    */
+  def snapshotVersions(spark: SparkSession, baseDir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+      .map(_.drop(1).toLong).sorted.toSeq
+  }
+
+  /** Table-level time travel — `FOR SYSTEM_TIME AS OF` at snapshot
+    * granularity (the dimension-row twin is Warehouse.scd2AsOf): read the
+    * highest version <= `asOf`, i.e. the table exactly as the pipeline
+    * left it after that batch. Each version is a full self-contained
+    * snapshot, so time travel is one pruned read — no log replay.
+    */
+  def readSnapshotAsOf(spark: SparkSession, baseDir: String, asOf: Long): DataFrame = {
+    val vs = snapshotVersions(spark, baseDir).filter(_ <= asOf)
+    require(vs.nonEmpty, s"no snapshot version <= $asOf under $baseDir")
+    spark.read.parquet(f"$baseDir/v${vs.max}%05d")
+  }
+
   def compactFact(spark: SparkSession, inPath: String, outPath: String,
                   targetRowsPerFile: Long): Unit = {
     val df = spark.read.parquet(inPath)
