@@ -79,6 +79,7 @@ object SparkEntry {
     "q_winsorize"         -> q(Quality.winsorize(_, _, 0.05, 0.95)),
     "q_collocations"      -> q(Text.collocations(_, _, 5)),
     "q_seasonal_anomaly"  -> q(Quality.seasonalAnomaly(_, _, 2.0)),
+    "q_gap_fill_locf"     -> q(Windows.gapFillLocf),
     "q_media_chunk"       -> q(Multimodal.mediaChunk(_, _, 30000L, 25000L)),
     "q_incr_agg_merge"    -> q(Warehouse.incrAggMerge), // oracle = full recompute → merge ≡ recompute proven by hash
     "q_funnel"            -> q(Windows.funnel),
@@ -535,6 +536,25 @@ object SparkEntry {
     "q_surrogate_key" ->
       """SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS sk
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_gap_fill_locf" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+        |           FROM events),
+        |daily AS (SELECT user_id, day,
+        |            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |          FROM e GROUP BY user_id, day),
+        |spine AS (SELECT user_id,
+        |            unnest(generate_series(min(day), max(day))) AS day
+        |          FROM daily GROUP BY user_id),
+        |j AS (SELECT s.user_id, s.day, d.v
+        |      FROM spine s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day,
+        | floor((last_value(v IGNORE NULLS) OVER (
+        |          PARTITION BY user_id ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |       * 10000.0 + 0.5) / 10000.0 AS v_filled,
+        | CAST(v IS NULL AS INT) AS is_filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
 
     "q_seasonal_anomaly" ->
       """WITH e AS (SELECT event_id, event_type, value,

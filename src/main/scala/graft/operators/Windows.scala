@@ -220,4 +220,36 @@ object Windows {
                 r4(cume_dist().over(w)).as("cume")),
       "o_custkey", "o_orderkey")
   }
+
+  /** Temporal gap-fill with LOCF (last observation carried forward): every
+    * user's daily value series densified to a gapless day spine, missing
+    * days filled from the most recent observed day — the time-series
+    * completion every reporting layer needs before window math (a moving
+    * average over a gappy series silently weights active days).
+    *
+    * Shape: daily totals are one hash aggregate (exact-decimal sums); the
+    * per-user spine fans out from a (min_day, max_day) pair via
+    * sequence+explode — no calendar cross join; the fill is one
+    * last(ignoreNulls) pass per user timeline (user-keyed windows: as many
+    * partitions as users). Days are epoch-day integers end to end —
+    * no timezone, no date-type cross-engine drift.
+    */
+  def gapFillLocf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = events(spark, sfDir)
+      .withColumn("day", expr("ts_us div 86400000000L"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(money(col("value"))).cast("double").as("v"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+              explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered(
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+                r4(last(col("v"), ignoreNulls = true).over(w)).as("v_filled"),
+                col("v").isNull.cast("int").as("is_filled")),
+      "user_id", "day")
+  }
 }

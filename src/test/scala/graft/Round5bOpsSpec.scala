@@ -130,4 +130,24 @@ class Round5bOpsSpec extends SparkSpec {
         s"flagged value $v is not anomalous for mu=$mu sigma=$sigma")
     }
   }
+
+  test("gap fill: spine is gapless per user, filled days carry the last observed value") {
+    val r = SparkEntry.queries("q_gap_fill_locf")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("user_id")).values.foreach { g =>
+      val days = g.map(_.getAs[Long]("day")).sorted
+      assert(days.last - days.head + 1 === days.length.toLong, "no missing days")
+      assert(g.head.getAs[Int]("is_filled") === 0 ||
+             g.minBy(_.getAs[Long]("day")).getAs[Int]("is_filled") === 0,
+        "spine starts on an observed day")
+      val sorted = g.sortBy(_.getAs[Long]("day"))
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if cur.getAs[Int]("is_filled") == 1 =>
+          assert(cur.getAs[Double]("v_filled") === prev.getAs[Double]("v_filled"),
+            "filled day must carry the previous day's value")
+        case _ => ()
+      }
+      assert(!sorted.exists(_.isNullAt(sorted.head.fieldIndex("v_filled"))))
+    }
+  }
 }
