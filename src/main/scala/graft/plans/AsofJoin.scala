@@ -34,7 +34,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Time columns must be non-null LongType (epoch-µs per the engine's
   * events contract, Tables.events); key types are unrestricted (compared
-  * through Catalyst's natural row ordering).
+  * through Catalyst's natural row ordering). Note the ordering-based
+  * comparison gives NULL-SAFE key semantics (`<=>`): a null left key
+  * matches a null right key, unlike an SQL equi-join's ON — filter or
+  * dedup null keys upstream when plain equi semantics are required (the
+  * registered queries' keys are non-null by construction).
   */
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
