@@ -136,6 +136,15 @@ object SparkEntry {
     "q_tfidf"             -> q(Text.tfidf(_, _, 3)),
     "q_token_entropy"     -> q(Text.tokenEntropy),
     "q_quality_band"      -> q(Text.qualityBand(_, _, 0.1, 0.9)),
+    "q_ngram_lm"          -> q(Text.ngramLm(_, _, 5, 3)),
+    "q_domain_cap"        -> q(Text.domainCap(_, _, 10)), // two-phase per-source quota; oracle = window
+    "q_embed_centroid"    -> q(Similarity.embedCentroid), // fixed-point exact vector mean under the hash gate
+    // round-6 relational/analytic completions
+    "q_exists_subquery"   -> q(Relational.existsSubquery),
+    "q_conditional_agg"   -> q(Relational.conditionalAgg),
+    "q_crosstab_dense"    -> q(Relational.denseCrosstab),
+    "q_resample_weekly"   -> q(Warehouse.resampleWeekly),
+    "q_wma"               -> q(Windows.wma),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1336,5 +1345,119 @@ object SparkEntry {
         |       doc.doc_id = coalesce(c.component_id, doc.doc_id) AS is_canonical
         |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
         |ORDER BY doc.doc_id""".stripMargin,
+
+    "q_ngram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS word,
+        |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT w1, w2 FROM (
+        |    SELECT word AS w1,
+        |           lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM toks)
+        |  WHERE length(w1) > 0 AND length(w2) > 0),
+        |uni AS (SELECT word, count(*) AS c FROM toks
+        |        WHERE length(word) > 0 GROUP BY word),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |big AS (SELECT w1, w2, count(*) AS c_xy FROM pairs
+        |        GROUP BY w1, w2 HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT b.w1, b.w2, b.c_xy,
+        |         CAST(b.c_xy + 1 AS DOUBLE) / CAST(u.c + v.v AS DOUBLE) AS p_smooth
+        |  FROM big b JOIN uni u ON b.w1 = u.word, v),
+        |ranked AS (
+        |  SELECT w1, w2, c_xy, p_smooth,
+        |         row_number() OVER (PARTITION BY w1
+        |                            ORDER BY p_smooth DESC, w2) AS rk
+        |  FROM scored)
+        |SELECT w1, CAST(rk AS BIGINT) AS rk, w2, c_xy,
+        | floor(p_smooth * 10000.0 + 0.5) / 10000.0 AS p_smooth
+        |FROM ranked WHERE rk <= 3 ORDER BY w1, rk""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY n_chars DESC, doc_id) AS rk
+        | FROM documents)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    "q_embed_centroid" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT label, pos, count(*) AS n,
+        | floor(CAST(sum(q) AS DOUBLE) / 10000.0 / count(*) * 10000.0 + 0.5) / 10000.0
+        |   AS centroid_val
+        |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        | count(*) AS n_rows,
+        | count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        | count(*) FILTER (WHERE l_discount = 0.0) AS n_undiscounted,
+        | floor(CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |              FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS disc_revenue,
+        | floor(max(l_quantity) FILTER (WHERE l_tax > 0.04) * 10000.0 + 0.5) / 10000.0
+        |   AS max_taxed_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_crosstab_dense" ->
+      """WITH grid AS (
+        |  SELECT r_regionkey, r_name, o_orderpriority
+        |  FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)),
+        |cells AS (
+        |  SELECT n_regionkey AS r_regionkey, o_orderpriority,
+        |         count(*) AS n_orders_raw,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT g.r_name, g.o_orderpriority,
+        | coalesce(c.n_orders_raw, 0) AS n_orders,
+        | floor(coalesce(CAST(c.rev_dec AS DOUBLE), 0.0) * 10000.0 + 0.5) / 10000.0
+        |   AS revenue
+        |FROM grid g LEFT JOIN cells c
+        |  ON g.r_regionkey = c.r_regionkey AND g.o_orderpriority = c.o_orderpriority
+        |ORDER BY g.r_name, g.o_orderpriority""".stripMargin,
+
+    "q_resample_weekly" ->
+      """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+        | o_orderstatus, count(*) AS n_orders,
+        | floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS max_price
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY week_start, o_orderstatus""".stripMargin,
+
+    "q_wma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS q,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT a.user_id, a.event_id, a.ts_us,
+        | floor(CAST(sum(b.q * (5 - (a.rn - b.rn))) AS DOUBLE) / 10000.0
+        |       / CAST(sum(5 - (a.rn - b.rn)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS wma5
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |                 AND a.rn - b.rn >= 0 AND a.rn - b.rn < 5
+        |GROUP BY a.user_id, a.event_id, a.ts_us
+        |ORDER BY a.user_id, a.ts_us, a.event_id""".stripMargin,
   )
 }

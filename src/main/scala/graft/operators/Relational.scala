@@ -571,4 +571,76 @@ object Relational {
                 r4(at(col("arr"), 0.9)).as("p90_disc")),
       "c_nationkey")
   }
+
+  /** Correlated EXISTS / NOT EXISTS subqueries through the SQL front end:
+    * customers with at least one big order and no failed-status order.
+    * Written as subqueries (not explicit joins) deliberately — Catalyst's
+    * RewritePredicateSubquery turns them into LEFT SEMI and LEFT ANTI hash
+    * joins (PlanSpec asserts both appear, so the rewrite is verified, not
+    * assumed): the correlated probe never re-executes per row the way the
+    * reference's scalar-subquery watermark pattern does on SQL Server.
+    */
+  def existsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Conditional aggregation — the FILTER-clause family: per return flag,
+    * counts and sums restricted by per-row predicates inside ONE pass
+    * (count_if / sum(CASE)). The single-scan replacement for the reference's
+    * sequence of per-predicate UPDATE ... WHERE statements: at 100 TB each
+    * extra pass is a full table read, so collapsing n predicates into one
+    * scan with n conditional accumulators is the core trick of profiling
+    * queries. Money sums stay DECIMAL until the output boundary.
+    */
+  def conditionalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("l_quantity") > 25, lit(1))).as("n_bulk"),
+          count(when(col("l_discount") === 0.0, lit(1))).as("n_undiscounted"),
+          sum(when(col("l_discount") > 0.05, money(col("l_extendedprice")))
+            .otherwise(money(lit(0.0)))).as("disc_rev_dec"),
+          max(when(col("l_tax") > 0.04, col("l_quantity"))).as("max_taxed_qty"))
+        .select(col("l_returnflag"), col("n_rows"), col("n_bulk"),
+                col("n_undiscounted"),
+                r4(col("disc_rev_dec").cast("double")).as("disc_revenue"),
+                r4(col("max_taxed_qty")).as("max_taxed_qty")),
+      "l_returnflag")
+
+  /** Dense cross-tab with zero fill: EVERY (region, order-priority) cell,
+    * including empty ones — reporting surfaces need the full grid, and an
+    * inner join silently drops absent combinations. The dimension grid is a
+    * cross join of two driver-tiny frames (5×5 rows — broadcast, never a
+    * corpus cartesian); facts aggregate FIRST (region×priority cells), then
+    * left-join onto the grid, so the outer join touches |grid| rows, not
+    * |orders|.
+    */
+  def denseCrosstab(spark: SparkSession, sfDir: String): DataFrame = {
+    val regions = t(spark, sfDir, "region").select(col("r_regionkey"), col("r_name"))
+    val prios = t(spark, sfDir, "orders").select(col("o_orderpriority")).distinct()
+    val cells = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("r_regionkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders_raw"),
+           sum(money(col("o_totalprice"))).as("rev_dec"))
+    ordered(
+      regions.crossJoin(prios)
+        .join(cells, Seq("r_regionkey", "o_orderpriority"), "left")
+        .select(col("r_name"), col("o_orderpriority"),
+                coalesce(col("n_orders_raw"), lit(0L)).as("n_orders"),
+                r4(coalesce(col("rev_dec").cast("double"), lit(0.0))).as("revenue")),
+      "r_name", "o_orderpriority")
+  }
 }

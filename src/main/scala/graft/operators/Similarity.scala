@@ -151,6 +151,33 @@ object Similarity {
     cand.select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"), r4(cos).as("cos_sim"))
   }
 
+  /** Per-label mean embedding (the k-means M-step / class-prototype
+    * computation) as a GATED query: posexplode the vectors to
+    * (label, pos, val) and aggregate per (label, dimension). Cross-row
+    * float sums are partition-order dependent in IEEE arithmetic, so the
+    * values are first quantized to exact fixed-point longs
+    * (floor(val·10⁴ + 0.5) — same portable rounding as r4) and summed as
+    * integers: the aggregation is associative, any partial-agg tree yields
+    * the identical centroid, and DuckDB's sequential fold hash-matches a
+    * 32-way parallel one. One explode + one hash aggregate; the shuffle
+    * carries (label, pos, partial sum) — 64·|labels| accumulators total,
+    * independent of corpus size.
+    */
+  def embedCentroid(spark: SparkSession, sfDir: String): DataFrame = {
+    val exploded = t(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+              floor(col("val").cast("double") * lit(10000.0) + lit(0.5))
+                .cast("long").as("q"))
+    ordered(
+      exploded.groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+        .select(col("label"), col("pos"), col("n"),
+                r4(col("sq").cast("double") / lit(10000.0) / col("n").cast("double"))
+                  .as("centroid_val")),
+      "label", "pos")
+  }
+
   /** Embedding-cosine near-duplicate canonical assignment: LSH-bucketed
     * candidates at exact cosine ≥ minCos, clustered via connected
     * components, joined back to the FULL corpus — every vector reports its

@@ -517,4 +517,67 @@ object Text {
                  (col("b_total").cast("double") * col("c_x") * col("c_y")))).as("pmi")),
       "w1", "w2")
   }
+
+  /** Bigram language model: for each context word, the top-k next words by
+    * add-one-smoothed conditional probability P(w2|w1) = (c12+1)/(c1+V) —
+    * the n-gram LM every tokenizer-training / perplexity-filtering pipeline
+    * builds before a neural one exists. Counts come from two hash aggregates
+    * over the same tokenized stream (bigrams via per-doc lead() windows —
+    * doc-keyed, fully parallel); V (vocabulary size) is a 1-row broadcast.
+    * The probability is a single IEEE division of exact integers, so both
+    * engines rank on bit-identical doubles; (p desc, w2 asc) is total within
+    * each w1. The per-context rank runs on the AGGREGATED bigram frame
+    * (|distinct bigrams| rows, not corpus tokens), where a plain window is
+    * the right tool — two-phase TopK buys nothing after aggregation.
+    */
+  def ngramLm(spark: SparkSession, sfDir: String,
+              minCount: Int = 5, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+    val pairs = toks
+      .withColumn("nxt", lead(col("word"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(length(col("word")) > 0 && length(col("nxt")) > 0)
+      .select(col("word").as("w1"), col("nxt").as("w2"))
+    val uni = toks.filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val vocab = uni.groupBy().agg(count(lit(1)).as("v"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy")).filter(col("c_xy") >= minCount)
+    val scored = big
+      .join(uni.select(col("word").as("w1"), col("c").as("c_x")), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("c_xy"),
+              ((col("c_xy") + 1).cast("double") / (col("c_x") + col("v")).cast("double"))
+                .as("p_smooth"))
+    ordered(
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("w1")).orderBy(col("p_smooth").desc, col("w2").asc)))
+        .filter(col("rk") <= k)
+        .select(col("w1"), col("rk").cast("long").as("rk"), col("w2"),
+                col("c_xy"), r4(col("p_smooth")).as("p_smooth")),
+      "w1", "rk")
+  }
+
+  /** Per-domain quota sampling: keep at most `cap` documents per source,
+    * ranked by (n_chars desc, doc_id asc) — the per-domain cap every
+    * web-crawl corpus applies so one mega-site can't dominate the training
+    * mix. Ranking runs through the two-phase [[graft.util.TopK]] (local
+    * top-cap per partition, then merge survivors), so no single reducer
+    * ever sorts a whole domain — the exact failure mode a 100 TB crawl
+    * with a 10⁹-page domain hits with a naive window. Oracle is the
+    * single-window formulation: the hash gate proves two-phase ≡ window
+    * on the (source) grouping too.
+    */
+  def domainCap(spark: SparkSession, sfDir: String, cap: Int = 10): DataFrame =
+    ordered(
+      graft.util.TopK.perGroup(
+          docs(spark, sfDir).select(col("doc_id"), col("source"), col("n_chars")),
+          Seq(col("source")),
+          Seq(col("n_chars").desc, col("doc_id").asc), cap)
+        .select(col("source"), col("rn").cast("long").as("rk"),
+                col("doc_id"), col("n_chars")),
+      "source", "rk")
 }

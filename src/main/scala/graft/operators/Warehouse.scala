@@ -324,4 +324,24 @@ object Warehouse {
           "c_custkey", lit(1L), "sk0")
         .select(col("c_custkey"), (col("sk0") + lit(1L)).as("sk")),
       "c_custkey")
+
+  /** Calendar resampling — the periodic-snapshot rollup: daily order events
+    * downsampled to (ISO week, status) grain. `date_trunc('week')` starts
+    * weeks on Monday on both engines, so the bucket boundary is portable;
+    * money sums stay DECIMAL through the aggregate. One hash aggregate over
+    * the fact — the week column is derived per-row, so partition pruning on
+    * the underlying date column still applies when the scan is bounded.
+    */
+  def resampleWeekly(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "orders")
+        .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+                 col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(money(col("o_totalprice"))).as("rev_dec"),
+             max(money(col("o_totalprice"))).as("max_dec"))
+        .select(col("week_start"), col("o_orderstatus"), col("n_orders"),
+                r4(col("rev_dec").cast("double")).as("revenue"),
+                r4(col("max_dec").cast("double")).as("max_price")),
+      "week_start", "o_orderstatus")
 }

@@ -252,4 +252,40 @@ object Windows {
                 col("v").isNull.cast("int").as("is_filled")),
       "user_id", "day")
   }
+
+  /** Linearly-decaying weighted moving average per user: the current event
+    * plus its 4 predecessors weighted 5,4,3,2,1 — the time-decay smoother
+    * (EWMA's role) whose weights are exact small INTEGERS, so both engines
+    * compute bit-identical weighted sums (pow(1-α, d) would hit libm ULP
+    * differences between the JVM and C). A window frame can't vary a weight
+    * by offset-within-frame, so the frame is expressed as a banded
+    * row-number self-join (0 ≤ rnᵃ−rnᵇ < 5): per-user sequence numbers
+    * first (parallel windows), then an equi-join on user_id with the band
+    * as a residual predicate — the join fans each row out at most 5×,
+    * partition-partitioned by user, never a global sort. Early rows
+    * normalize by the weights actually present.
+    */
+  def wma(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val e = events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .withColumn("rn", row_number().over(seq))
+    val cur = e.select(col("user_id"), col("event_id"), col("ts_us"), col("rn"))
+    // values quantized to fixed-point longs (floor(v·10⁴+0.5), the portable
+    // r4 rounding) so the weighted sum is INTEGER arithmetic — associative,
+    // partition-order independent, hash-identical to DuckDB's fold
+    val hist = e.select(col("user_id"), col("rn").as("rn_b"),
+      floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("q_b"))
+    ordered(
+      cur.join(hist, Seq("user_id"))
+        .filter(col("rn") - col("rn_b") >= 0 && col("rn") - col("rn_b") < 5)
+        .withColumn("w", (lit(5) - (col("rn") - col("rn_b"))).cast("long"))
+        .groupBy(col("user_id"), col("event_id"), col("ts_us"))
+        .agg(sum(col("q_b") * col("w")).as("sq"), sum(col("w")).as("sw"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+                r4(col("sq").cast("double") / lit(10000.0) / col("sw").cast("double"))
+                  .as("wma5")),
+      "user_id", "ts_us", "event_id")
+  }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Invariants for the round-6 operator batch (exact values are under the
+  * DuckDB oracle via graft.Verify; these pin semantic and PLAN properties
+  * the hash gate can't see).
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("ngram_lm: probabilities are valid, ranks contiguous, context counts honored") {
+    val r = SparkEntry.queries("q_ngram_lm")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val p = row.getAs[Double]("p_smooth")
+      assert(p > 0.0 && p < 1.0, s"smoothed probability out of range: $p")
+      assert(row.getAs[Long]("c_xy") >= 5L, "min-count threshold must hold")
+    }
+    // per-context ranks are 1..k with no gaps and descending probability
+    r.groupBy(_.getAs[String]("w1")).foreach { case (_, g) =>
+      val byRk = g.sortBy(_.getAs[Long]("rk"))
+      assert(byRk.map(_.getAs[Long]("rk")).toSeq === (1L to byRk.length).toSeq)
+      val ps = byRk.map(_.getAs[Double]("p_smooth"))
+      assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("domain cap: no source exceeds the cap, survivors are the largest docs") {
+    val cap = 10
+    val r = SparkEntry.queries("q_domain_cap")(spark, Sf).collect()
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    assert(bySrc.values.forall(_.length <= cap))
+    val docs = graft.util.Tables.t(spark, Sf, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+    val docsBySrc = docs.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, kept) =>
+      val all = docsBySrc(src)
+      assert(kept.length === math.min(cap, all.length),
+        s"$src must keep min(cap, available)")
+      // survivors == top-cap by (n_chars desc, doc_id asc)
+      val expect = all.sortBy(x => (-x.getAs[Long]("n_chars"), x.getAs[Long]("doc_id")))
+        .take(cap).map(_.getAs[Long]("doc_id")).toSet
+      assert(kept.map(_.getAs[Long]("doc_id")).toSet === expect)
+    }
+  }
+
+  test("embed centroid: one row per (label, dim); centroid inside value envelope") {
+    val r = SparkEntry.queries("q_embed_centroid")(spark, Sf).collect()
+    val labels = graft.util.Tables.t(spark, Sf, "embeddings")
+      .select(col("label")).distinct().count()
+    assert(r.length === labels * 64, "64 dimensions per label")
+    r.foreach { row =>
+      val c = row.getAs[Double]("centroid_val")
+      assert(c >= -1.5 && c <= 1.5, s"centroid far outside embedding range: $c")
+      assert(row.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("exists subquery: Catalyst rewrites to semi + anti joins (no per-row re-execution)") {
+    val df = SparkEntry.queries("q_exists_subquery")(spark, Sf)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as a left-anti join:\n$p")
+    // semantic cross-check against explicit set arithmetic
+    val orders = graft.util.Tables.t(spark, Sf, "orders")
+    val big = orders.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val failed = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val got = df.collect().map(_.getAs[Long]("c_custkey")).toSet
+    assert(got === big.diff(failed))
+  }
+
+  test("conditional agg: one scan, accumulators match per-predicate recomputation") {
+    val df = SparkEntry.queries("q_conditional_agg")(spark, Sf)
+    // single pass: exactly one relation scan in the optimized plan
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.length
+    assert(scans === 1, "conditional aggregation must not rescan per predicate")
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+    val r = df.collect().map(x => x.getAs[String]("l_returnflag") -> x).toMap
+    val bulk = li.filter(col("l_quantity") > 25).groupBy(col("l_returnflag")).count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.foreach { case (flag, row) =>
+      assert(row.getAs[Long]("n_bulk") === bulk.getOrElse(flag, 0L))
+    }
+  }
+
+  test("dense crosstab: full grid present, empty cells zero-filled") {
+    val r = SparkEntry.queries("q_crosstab_dense")(spark, Sf).collect()
+    val nR = graft.util.Tables.t(spark, Sf, "region").count()
+    val nP = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_orderpriority")).distinct().count()
+    assert(r.length === nR * nP, "every (region, priority) cell must exist")
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_orders")
+      val rev = row.getAs[Double]("revenue")
+      assert(n >= 0L)
+      if (n == 0L) assert(rev === 0.0, "empty cells must read 0, not NULL")
+    }
+  }
+
+  test("weekly resample: buckets start Monday and partition the order count") {
+    val r = SparkEntry.queries("q_resample_weekly")(spark, Sf).collect()
+    r.foreach { row =>
+      val d = row.getAs[java.sql.Date]("week_start").toLocalDate
+      assert(d.getDayOfWeek === java.time.DayOfWeek.MONDAY)
+    }
+    val total = r.map(_.getAs[Long]("n_orders")).sum
+    assert(total === graft.util.Tables.t(spark, Sf, "orders").count())
+  }
+
+  test("wma: warm-up rows use only present weights; steady state matches by hand") {
+    val r = SparkEntry.queries("q_wma")(spark, Sf)
+    val one = r.filter(col("user_id") === 1).collect()
+    val vals = graft.util.Tables.events(spark, Sf)
+      .filter(col("user_id") === 1)
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .select(col("value")).collect().map(_.getDouble(0))
+    assert(one.length === vals.length, "one output row per input event")
+    def q(x: Double) = math.floor(x * 10000.0 + 0.5)
+    def expect(i: Int): Double = {
+      val lo = math.max(0, i - 4)
+      val terms = (lo to i).map(j => (q(vals(j)), (5 - (i - j)).toLong))
+      val raw = terms.map { case (qv, w) => qv * w }.sum / 10000.0 / terms.map(_._2).sum
+      math.floor(raw * 10000.0 + 0.5) / 10000.0
+    }
+    one.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getAs[Double]("wma5") === expect(i), s"row $i")
+    }
+  }
+}
