@@ -59,6 +59,68 @@ object SnapshotStore {
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)
 
+  /** Z-ORDER clustered fact layout — data skipping on TWO columns at once.
+    * Linear clustering ([[writeFactClustered]]) gives perfect min/max bands
+    * on one column and none on any other; interleaving the bits of both
+    * columns' scaled values (the Morton / Z-curve) makes every contiguous
+    * z-range a small rectangle in (A,B) space, so each file and row group
+    * gets a NARROW min/max band on BOTH columns and pushed-down range
+    * predicates on either column skip most granules (ScaleInfraSpec proves
+    * both directions through scan metrics, plus the ~full read that linear
+    * clustering pays on its non-clustered column).
+    *
+    * Columns are scaled to `bits`-bit integers by linear min/max mapping —
+    * one tiny pre-pass aggregate (two scalars per column, any scale). For
+    * heavily skewed columns swap the linear map for quantile-rank bucketing
+    * (approxQuantile edges, broadcast) — the interleave and layout below are
+    * unchanged; uniform-ish keys like the TPC-H surrogates don't need it.
+    * The z value itself is `2·bits` OR/shift terms — pure codegen, and it is
+    * dropped before the write (layout metadata, not data).
+    */
+  def writeFactZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                        files: Int = 8, rowGroupBytes: Long = 1L << 20,
+                        bits: Int = 12): Unit = {
+    import org.apache.spark.sql.Column
+    val hi = (1L << bits) - 1
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def scaled(c: Column, lo: Double, up: Double): Column = {
+      val span = if (up > lo) up - lo else 1.0
+      least(lit(hi), greatest(lit(0L),
+        floor((coalesce(c.cast("double"), lit(lo)) - lit(lo)) / lit(span) * lit(hi.toDouble))
+          .cast("long")))
+    }
+    val a = scaled(col(colA), r.getDouble(0), r.getDouble(1))
+    val b = scaled(col(colB), r.getDouble(2), r.getDouble(3))
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+  }
+
+  /** ORC interchange snapshots — same layout contract as the parquet fact
+    * path, for pipelines whose upstream or downstream speaks ORC (the other
+    * columnar format Spark ships a vectorized, predicate-pushing reader
+    * for). SourcesSpec proves filters reach the ORC scan like they do the
+    * parquet one.
+    */
+  def writeFactOrc(df: DataFrame, path: String, dateCol: String): Unit =
+    df.withColumn("part_date", to_date(col(dateCol)))
+      .write.mode("overwrite")
+      .partitionBy("part_date")
+      .orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Bucketed fact table: rows hash-distributed into `buckets` files by the
     * join/merge key at WRITE time, so every subsequent join or aggregation
     * on that key is exchange-free — the shuffle is paid once when the

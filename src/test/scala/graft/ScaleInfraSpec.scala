@@ -82,6 +82,44 @@ class ScaleInfraSpec extends SparkSpec {
       s"clustered scan must skip most row groups: read $cluRead of $total rows")
   }
 
+  test("z-order layout skips row groups on BOTH clustering columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case s: FileSourceScanExec => Seq(s)
+        }.flatten
+      scans(df.queryExecution.executedPlan).map(_.metrics("numOutputRows").value).sum
+    }
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val total = li.count()
+    val zDir = Files.createTempDirectory("graft_z").toString
+    val linDir = Files.createTempDirectory("graft_lin").toString
+    SnapshotStore.writeFactZOrdered(li, zDir, "l_partkey", "l_suppkey",
+      files = 8, rowGroupBytes = 16L * 1024)
+    // linear clustering on partkey only — the layout z-order improves on
+    SnapshotStore.writeFactClustered(li, linDir, "l_partkey",
+      files = 8, rowGroupBytes = 16L * 1024)
+    val predA = col("l_partkey") < 50L           // ~quarter of the partkey range
+    val predB = col("l_suppkey") === 3L          // one supplier
+    val zA = scanRows(spark.read.parquet(zDir).filter(predA))
+    val zB = scanRows(spark.read.parquet(zDir).filter(predB))
+    val linB = scanRows(spark.read.parquet(linDir).filter(predB))
+    // correctness first: layouts never change answers
+    assert(spark.read.parquet(zDir).filter(predA).count() === li.filter(predA).count())
+    assert(spark.read.parquet(zDir).filter(predB).count() === li.filter(predB).count())
+    // z-order skips on both dimensions…
+    assert(zA.toDouble <= total * 0.6, s"z-order must skip on col A: read $zA/$total")
+    assert(zB.toDouble <= total * 0.6, s"z-order must skip on col B: read $zB/$total")
+    // …where single-column clustering reads ~everything on the other column
+    assert(linB.toDouble >= total * 0.8,
+      s"linear clustering shouldn't skip on the non-clustered column: read $linB/$total")
+  }
+
   test("compaction collapses small files and preserves rows + pruning layout") {
     import scala.jdk.CollectionConverters._
     val inDir = Files.createTempDirectory("graft_frag").toString

@@ -81,4 +81,26 @@ class SourcesSpec extends SparkSpec {
     assert(clean.length + bad.length === 4)
     r.unpersist()
   }
+
+  test("ORC snapshot round-trips with partition pruning and filter pushdown") {
+    import java.nio.file.Files
+    import graft.sources.SnapshotStore
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val orders = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    SnapshotStore.writeFactOrc(orders, dir, "o_orderdate")
+    val back = SnapshotStore.readOrc(spark, dir)
+    assert(back.count() === orders.count())
+    // date partition pruning: one day's directory only
+    val oneDay = back.filter(col("part_date") === lit("1995-06-17").cast("date"))
+    val pruned = oneDay.queryExecution.executedPlan.toString
+    assert(!pruned.contains("PartitionFilters: []") || oneDay.count() == 0,
+      "date filter must reach PartitionFilters on the ORC scan")
+    // predicate pushdown reaches the ORC reader
+    val q = back.filter(col("o_totalprice") > 300000.0).select(col("o_orderkey"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,300000.0)]"),
+      s"filter must push into the ORC scan:\n${plan.take(1500)}")
+    assert(q.count() === orders.filter(col("o_totalprice") > 300000.0).count())
+  }
 }
