@@ -19,6 +19,7 @@ object GraftFunctions {
     "shingles"   -> (es => DistinctShingles(es(0), es(1))),
     "hyperplane_bands" -> (es => HyperplaneBands(es(0))),
     "simhash64"  -> (es => SimHash64(es(0))),
+    "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
   )
 
   /** Register on a live session (tests, notebooks). */
@@ -64,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es(0), es(1))))
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -78,11 +78,91 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** minhash_sig(text): the full 32-permutation MinHash signature of a
+  * document's word 3-gram shingles in ONE codegen pass — bit-identical to
+  * `explode(shingles(text,3))` → 32× `min(xxhash64(lit(s), sh))` (same
+  * split semantics, same Catalyst XXH64 fold: the int permutation id
+  * hashes first with seed 42, its result seeds the shingle-bytes hash),
+  * but with ZERO aggregation: the signature is a per-row map, so nothing
+  * shuffles until LSH banding. Duplicate shingles need no dedup set —
+  * min() is idempotent over repeats — so the per-row state is exactly
+  * 32 longs. Docs too short for a shingle return an empty array (the
+  * exploded formulation simply emits no rows for them); callers filter
+  * `size(sig) > 0`.
+  */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int literal) arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(t: Any, nh: Any): Any =
+    ShingleKernel.minhashSig(t.asInstanceOf[UTF8String], nh.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, nh) =>
+      s"${ev.value} = graft.functions.ShingleKernel.minhashSig($t, $nh);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : MinHashSig = copy(left = l, right = r)
+  override def prettyName: String = "minhash_sig"
+}
+
 /** Static kernel called from both interpreted eval and generated code (Scala
   * emits static forwarders for top-level objects, so janino links
   * `ShingleKernel.compute` directly).
   */
 object ShingleKernel {
+
+  /** Per-permutation salts: XXH64.hashInt(s, 42) — exactly what Catalyst's
+    * XxHash64 computes for the leading int child of xxhash64(lit(s), sh).
+    * Cached per numHashes (in practice one width per JVM).
+    */
+  private[this] val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seeds(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes, nh =>
+      Array.tabulate(nh)(s =>
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(s, 42L)))
+
+  def minhashSig(text: UTF8String, numHashes: Int): ArrayData = {
+    val salt = seeds(numHashes)
+    val words = text.toString.split(" ", -1)
+    val n = 3
+    if (words.length < n)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      var s = 0
+      while (s < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, salt(s))
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
   def compute(text: UTF8String, n: Int): ArrayData = {
     // identical to Spark's split(text, " "): Java regex, limit -1
     val words = text.toString.split(" ", -1)

@@ -67,11 +67,29 @@ object Dedup {
       .dropDuplicates(s"${idCol}_a", s"${idCol}_b")
   }
 
-  /** Per-doc MinHash signature: explode distinct 3-gram shingles, take the
-    * min of xxhash64(seed, shingle) per seed. One explode + one hash-agg;
-    * partial min runs map-side so the shuffle carries one row per doc.
+  /** Per-doc MinHash signature in ONE codegen map pass — the fused
+    * [[graft.functions.MinHashSig]] expression walks a document's shingles
+    * keeping 32 running minimums, so signature generation involves NO
+    * aggregation and NO shuffle at all: the first exchange in the whole
+    * dedup pipeline is the LSH band shuffle of 256-byte signatures. At
+    * 100 TB this removes the exploded-shingle aggregation state entirely.
+    * Bit-identical to [[minhashSignaturesExploded]] (DedupSimilaritySpec
+    * cross-checks all three paths).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+                call_function("minhash_sig", col("text"), lit(NumHashes)).as("sig"))
+      .filter(size(col("sig")) > 0)
+  }
+
+  /** The compositional formulation the fused expression replaces: explode
+    * distinct 3-gram shingles, take the min of xxhash64(seed, shingle) per
+    * seed (one explode + one hash-agg with map-side partial min). Kept as
+    * the differential twin for the kernel — and as the shape a plain-SQL
+    * user without the extension jar would write.
+    */
+  def minhashSignaturesExploded(docs: DataFrame): DataFrame = {
     val sh = Text.shingleRows(docs).withColumnRenamed("s", "sh")
     val minExprs = (0 until NumHashes).map(s => min(xxhash64(lit(s), col("sh"))).as(s"h$s"))
     sh.groupBy(col("doc_id"))

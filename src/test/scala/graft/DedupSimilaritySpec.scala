@@ -25,6 +25,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("fused minhash_sig expression is bit-identical to the exploded agg formulation") {
+    val docs = graft.util.Tables.t(spark, Sf, "documents")
+    val fused = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exploded = Dedup.minhashSignaturesExploded(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet === exploded.keySet,
+      "short-doc exclusion must match the exploded path's absent rows")
+    fused.foreach { case (id, sig) =>
+      assert(sig === exploded(id), s"signature mismatch for doc $id")
+    }
+    // and the fused path must plan with no exchange before banding
+    val p = Dedup.minhashSignatures(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"signature generation must not shuffle:\n$p")
+  }
+
   test("typed MinHashAggregator matches the expression-based signatures") {
     import spark.implicits._
     val docs = graft.util.Tables.t(spark, Sf, "documents").limit(50)
