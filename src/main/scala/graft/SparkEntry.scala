@@ -141,9 +141,14 @@ object SparkEntry {
     "q_embed_centroid"    -> q(Similarity.embedCentroid), // fixed-point exact vector mean under the hash gate
     // round-6 relational/analytic completions
     "q_exists_subquery"   -> q(Relational.existsSubquery),
+    "q_scalar_subquery"   -> q(Relational.scalarSubquery),
+    "q_lateral_topn"      -> q(Relational.lateralTopN),
     "q_conditional_agg"   -> q(Relational.conditionalAgg),
     "q_crosstab_dense"    -> q(Relational.denseCrosstab),
     "q_resample_weekly"   -> q(Warehouse.resampleWeekly),
+    "q_role_playing_dim"  -> q(Warehouse.rolePlayingDim),
+    "q_benford"           -> q(Relational.benfordProfile),
+    "q_perplexity_filter" -> q(Text.perplexityFilter(_, _, 8.0)),
     "q_wma"               -> q(Windows.wma),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
@@ -1444,6 +1449,84 @@ object SparkEntry {
         | floor(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS max_price
         |FROM orders
         |GROUP BY 1, 2 ORDER BY week_start, o_orderstatus""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  CAST((SELECT max(o_orderdate) FROM orders
+        |        WHERE o_custkey = c_custkey) AS DATE) AS last_order,
+        |  coalesce((SELECT count(*) FROM orders
+        |            WHERE o_custkey = c_custkey), 0) AS n_orders
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT n_name, ln.c_custkey,
+        |       floor(ln.c_acctbal * 10000.0 + 0.5) / 10000.0 AS c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) ln
+        |ORDER BY n_name, c_custkey""".stripMargin,
+
+    "q_benford" ->
+      """WITH counted AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         count(*) AS n
+        |  FROM orders WHERE o_totalprice > 0.0
+        |  GROUP BY 1),
+        |total AS (SELECT sum(n) AS total FROM counted)
+        |SELECT digit, n,
+        | floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS obs_ratio,
+        | floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 10000.0 + 0.5) / 10000.0 AS exp_ratio
+        |FROM counted, total
+        |ORDER BY digit""".stripMargin,
+
+    "q_role_playing_dim" ->
+      """WITH dd AS (
+        |  SELECT CAST(g AS DATE) AS d,
+        |         CAST(year(CAST(g AS DATE)) AS INT) AS yr,
+        |         CAST(quarter(CAST(g AS DATE)) AS INT) AS qtr
+        |  FROM generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY) t(g))
+        |SELECT od.yr AS order_yr, od.qtr AS order_qtr,
+        |       sd.yr AS ship_yr, sd.qtr AS ship_qtr,
+        |       count(*) AS n_items,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN dd od ON CAST(o_orderdate AS DATE) = od.d
+        |JOIN dd sd ON CAST(l_shipdate AS DATE) = sd.d
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY order_yr, order_qtr, ship_yr, ship_qtr""".stripMargin,
+
+    "q_perplexity_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS word,
+        |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, word AS w1,
+        |           lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM toks)
+        |  WHERE length(w1) > 0 AND length(w2) > 0),
+        |uni AS (SELECT word, count(*) AS c FROM toks
+        |        WHERE length(word) > 0 GROUP BY word),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |big AS (SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         CAST(floor(-ln(CAST(b.c_xy + 1 AS DOUBLE)
+        |                        / CAST(u.c + v.v AS DOUBLE)) * 1000000.0 + 0.5)
+        |              AS BIGINT) AS nll_q
+        |  FROM pairs p
+        |  JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  JOIN uni u ON p.w1 = u.word, v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | floor(CAST(sum(nll_q) AS DOUBLE) / 1000000.0 / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_nll,
+        | sum(nll_q) < 8000000 * count(*) AS is_kept
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_wma" ->
       """WITH e AS (

@@ -593,6 +593,71 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated scalar subqueries — the reference's watermark pattern
+    * (transform_load.sql's SELECT MAX(...) scalar lookups) generalized to
+    * per-row correlation: each customer's last order date and order count
+    * as inline scalars. Catalyst's RewriteCorrelatedScalarSubquery turns
+    * both into ONE aggregate + left outer join — the subquery never
+    * re-executes per row (SQL Server evaluates these as per-row probes
+    * unless it finds the same rewrite). coalesce is spelled on both
+    * engines so the no-orders case is a portable 0, not an engine-specific
+    * NULL fix-up.
+    */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST((SELECT max(o_orderdate) FROM orders
+        |        WHERE o_custkey = c_custkey) AS DATE) AS last_order,
+        |  coalesce((SELECT count(*) FROM orders
+        |            WHERE o_custkey = c_custkey), 0) AS n_orders
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery — per-nation top-2 customers by balance,
+    * written as the SQL-standard `, LATERAL (... ORDER BY ... LIMIT k)`
+    * instead of a window: the shape every "top-n related rows per outer
+    * row" report takes. Catalyst plans the correlation as a domain join +
+    * per-group limit — no per-outer-row re-execution.
+    */
+  def lateralTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT n_name, ln.c_custkey,
+        |       floor(ln.c_acctbal * 1e4 + 0.5D) / 1e4 AS c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) ln
+        |ORDER BY n_name, c_custkey""".stripMargin)
+  }
+
+  /** Benford first-digit profile — the data-quality screen for fabricated
+    * numeric columns: observed leading-digit frequencies of o_totalprice
+    * against Benford's log₁₀(1+1/d) expectation. Digits extract as exact
+    * integer/string ops; ratios are single IEEE divisions of exact counts,
+    * so both engines emit bit-identical doubles. One hash aggregate with
+    * a 9-row result — any scale.
+    */
+  def benfordProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+      .cast("int").as("digit")
+    val counted = t(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 0.0)
+      .groupBy(digit).agg(count(lit(1)).as("n"))
+    val total = counted.agg(sum(col("n")).as("total"))
+    ordered(
+      counted.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+                r4(col("n").cast("double") / col("total").cast("double")).as("obs_ratio"),
+                r4(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+                  .as("exp_ratio")),
+      "digit")
+  }
+
   /** Conditional aggregation — the FILTER-clause family: per return flag,
     * counts and sums restricted by per-row predicates inside ONE pass
     * (count_if / sum(CASE)). The single-scan replacement for the reference's

@@ -561,6 +561,52 @@ object Text {
       "w1", "rk")
   }
 
+  /** Perplexity filtering — score every document by its average bigram
+    * negative log-likelihood under the corpus's own add-one-smoothed LM
+    * (the CCNet/Wikipedia-LM quality gate, here self-trained so no external
+    * model ships). Per-bigram NLL = -ln((c₁₂+1)/(c₁+V)) is computed from
+    * exact integer counts, then QUANTIZED to 1e-6 fixed-point longs before
+    * the per-doc sum — integer summation is associative, so the score is
+    * partition-order independent and the keep/drop decision is an EXACT
+    * integer comparison (sum < maxNll·10⁶·n), immune to float boundary
+    * flips. Scale shape: the tokenized corpus shuffles once to join the
+    * count tables (at 100 TB you'd broadcast a top-V pruned count table
+    * instead — same plan minus the exchange); everything after is one
+    * per-doc hash aggregate.
+    */
+  def perplexityFilter(spark: SparkSession, sfDir: String,
+                       maxNll: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+    val pairs = toks
+      .withColumn("nxt", lead(col("word"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(length(col("word")) > 0 && length(col("nxt")) > 0)
+      .select(col("doc_id"), col("word").as("w1"), col("nxt").as("w2"))
+    val uni = toks.filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val vocab = uni.groupBy().agg(count(lit(1)).as("v"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val nllQ = floor(-log((col("c_xy") + 1).cast("double") /
+                          (col("c_x") + col("v")).cast("double")) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    ordered(
+      pairs
+        .join(big, Seq("w1", "w2"))
+        .join(uni.select(col("word").as("w1"), col("c").as("c_x")), "w1")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), nllQ.as("nll_q"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("snll"))
+        .select(col("doc_id"), col("n_bigrams"),
+                r4(col("snll").cast("double") / lit(1000000.0) /
+                   col("n_bigrams").cast("double")).as("avg_nll"),
+                (col("snll") < lit((maxNll * 1000000.0).toLong) * col("n_bigrams"))
+                  .as("is_kept")),
+      "doc_id")
+  }
+
   /** Per-domain quota sampling: keep at most `cap` documents per source,
     * ranked by (n_chars desc, doc_id asc) — the per-domain cap every
     * web-crawl corpus applies so one mega-site can't dominate the training

@@ -325,6 +325,34 @@ object Warehouse {
         .select(col("c_custkey"), (col("sk0") + lit(1L)).as("sk")),
       "c_custkey")
 
+  /** Role-playing date dimension — ONE generated calendar joined twice
+    * under different roles (order date, ship date), the Kimball pattern
+    * the reference's planned date dim (README.md:88) exists to serve.
+    * Both role joins BROADCAST (a 7-year calendar is ~2.5k rows at any
+    * fact scale), so the only exchange in the plan is the fact-fact
+    * lineitem⋈orders join; the grouped result is (order-quarter ×
+    * ship-quarter) revenue — the shipping-lag matrix.
+    */
+  def rolePlayingDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val dd = dateDim(spark, "1995-01-01", "2001-12-31")
+    val od = dd.select(col("d").as("o_d"), col("yr").as("order_yr"), col("qtr").as("order_qtr"))
+    val sd = dd.select(col("d").as("s_d"), col("yr").as("ship_yr"), col("qtr").as("ship_qtr"))
+    val f = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderdate").cast("date").as("o_d"),
+              col("l_shipdate").cast("date").as("s_d"),
+              col("l_extendedprice"), col("l_discount"))
+    ordered(
+      f.join(broadcast(od), "o_d").join(broadcast(sd), "s_d")
+        .groupBy(col("order_yr"), col("order_qtr"), col("ship_yr"), col("ship_qtr"))
+        .agg(count(lit(1)).as("n_items"),
+             sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+               .as("rev_dec"))
+        .select(col("order_yr"), col("order_qtr"), col("ship_yr"), col("ship_qtr"),
+                col("n_items"), r4(col("rev_dec").cast("double")).as("revenue")),
+      "order_yr", "order_qtr", "ship_yr", "ship_qtr")
+  }
+
   /** Calendar resampling — the periodic-snapshot rollup: daily order events
     * downsampled to (ISO week, status) grain. `date_trunc('week')` starts
     * weeks on Monday on both engines, so the bucket boundary is portable;

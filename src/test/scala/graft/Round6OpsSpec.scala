@@ -115,6 +115,86 @@ class Round6OpsSpec extends SparkSpec {
     assert(total === graft.util.Tables.t(spark, Sf, "orders").count())
   }
 
+  test("scalar subquery: rewritten to aggregate+join; customers without orders get 0/null") {
+    val df = SparkEntry.queries("q_scalar_subquery")(spark, Sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("scalar-subquery"),
+      s"correlated scalars must be rewritten away, not re-executed per row:\n${p.take(1200)}")
+    val r = df.collect()
+    val withOrders = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    r.foreach { row =>
+      val ck = row.getAs[Long]("c_custkey")
+      if (withOrders.contains(ck)) {
+        assert(row.getAs[Long]("n_orders") > 0L)
+        assert(row.getAs[java.sql.Date]("last_order") != null)
+      } else {
+        assert(row.getAs[Long]("n_orders") === 0L, s"customer $ck")
+        assert(row.getAs[java.sql.Date]("last_order") == null, s"customer $ck")
+      }
+    }
+  }
+
+  test("lateral top-n: at most k rows per outer row, matching the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val r = SparkEntry.queries("q_lateral_topn")(spark, Sf).collect()
+    assert(r.groupBy(_.getAs[String]("n_name")).values.forall(_.length <= 2))
+    val expect = graft.util.Tables.t(spark, Sf, "customer")
+      .join(graft.util.Tables.t(spark, Sf, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("n_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+      .filter(col("rk") <= 2)
+      .select(col("n_name"), col("c_custkey")).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(r.map(x => (x.getAs[String]("n_name"), x.getAs[Long]("c_custkey"))).toSet
+      === expect)
+  }
+
+  test("benford: ratios are a distribution and expectation follows log10(1+1/d)") {
+    val r = SparkEntry.queries("q_benford")(spark, Sf).collect()
+    assert(r.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
+    val obsSum = r.map(_.getAs[Double]("obs_ratio")).sum
+    assert(math.abs(obsSum - 1.0) < 0.001, s"observed ratios must sum to ~1, got $obsSum")
+    r.foreach { row =>
+      val d = row.getAs[Int]("digit")
+      val expected = math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 10000.0 + 0.5) / 10000.0
+      assert(row.getAs[Double]("exp_ratio") === expected)
+    }
+  }
+
+  test("role-playing dim: items conserved across the quarter matrix, roles independent") {
+    val r = SparkEntry.queries("q_role_playing_dim")(spark, Sf).collect()
+    val total = r.map(_.getAs[Long]("n_items")).sum
+    assert(total === graft.util.Tables.t(spark, Sf, "lineitem").count(),
+      "every lineitem lands in exactly one (order-q, ship-q) cell")
+    // both roles resolve through the SAME calendar yet vary independently:
+    // the matrix is genuinely 2-D, not a degenerate diagonal
+    val orderQs = r.map(x => (x.getAs[Int]("order_yr"), x.getAs[Int]("order_qtr"))).toSet
+    val shipQs = r.map(x => (x.getAs[Int]("ship_yr"), x.getAs[Int]("ship_qtr"))).toSet
+    assert(orderQs.size > 1 && shipQs.size > 1)
+    assert(r.exists(x => (x.getAs[Int]("order_yr"), x.getAs[Int]("order_qtr")) !=
+                         (x.getAs[Int]("ship_yr"), x.getAs[Int]("ship_qtr"))),
+      "some shipments must cross a quarter boundary")
+    r.foreach(row => assert(row.getAs[Long]("n_items") > 0L))
+  }
+
+  test("perplexity filter: keep flag is the exact integer rule, scores positive") {
+    val r = SparkEntry.queries("q_perplexity_filter")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    var kept = 0
+    r.foreach { row =>
+      val nll = row.getAs[Double]("avg_nll")
+      assert(nll > 0.0 && row.getAs[Long]("n_bigrams") > 0L)
+      val isKept = row.getAs[Boolean]("is_kept")
+      if (isKept) kept += 1
+      // keep decision must be consistent with the (rounded) average score
+      if (isKept) assert(nll <= 8.0001) else assert(nll >= 7.9999)
+    }
+    assert(kept > 0, "threshold should keep some of the corpus")
+  }
+
   test("wma: warm-up rows use only present weights; steady state matches by hand") {
     val r = SparkEntry.queries("q_wma")(spark, Sf)
     val one = r.filter(col("user_id") === 1).collect()
