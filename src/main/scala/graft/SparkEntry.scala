@@ -150,6 +150,10 @@ object SparkEntry {
     "q_benford"           -> q(Relational.benfordProfile),
     "q_perplexity_filter" -> q(Text.perplexityFilter(_, _, 8.0)),
     "q_wma"               -> q(Windows.wma),
+    "q_abtest"            -> q(Relational.abTest(_, _, 250.0)),
+    "q_markov_transitions"-> q(Windows.markovTransitions),
+    "q_yoy_delta"         -> q(Windows.yoyDelta),
+    "q_bpe_merges"        -> q(Text.bpeMerges(_, _, 20)),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1527,6 +1531,80 @@ object SparkEntry {
         | floor(CAST(sum(nll_q) AS DOUBLE) / 1000000.0 / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_nll,
         | sum(nll_q) < 8000000 * count(*) AS is_kept
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_abtest" ->
+      """WITH per_user AS (
+        |  SELECT user_id % 2 = 0 AS is_a,
+        |         max(CASE WHEN value > 250.0 THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+        |         sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n_b,
+        |         sum(CASE WHEN is_a THEN converted ELSE 0 END) AS conv_a,
+        |         sum(CASE WHEN NOT is_a THEN converted ELSE 0 END) AS conv_b
+        |  FROM per_user)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+        | floor(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rate_a,
+        | floor(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS rate_b,
+        | CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL ELSE
+        | floor((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |       / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |              * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 END AS z_score,
+        | CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL ELSE
+        | abs((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |     / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |            * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > 1.96
+        |   END AS significant
+        |FROM t""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |trans AS (SELECT cur, nxt, count(*) AS n FROM seq
+        |          WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |outgoing AS (SELECT cur, sum(n) AS n_out FROM trans GROUP BY cur)
+        |SELECT t.cur, t.nxt, t.n,
+        | floor(CAST(t.n AS DOUBLE) / CAST(o.n_out AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS p
+        |FROM trans t JOIN outgoing o ON t.cur = o.cur
+        |ORDER BY t.cur, t.nxt""".stripMargin,
+
+    "q_yoy_delta" ->
+      """WITH yearly AS (
+        |  SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT c_mktsegment, yr, rev_dec,
+        |         lag(rev_dec) OVER (PARTITION BY c_mktsegment ORDER BY yr) AS prev_dec
+        |  FROM yearly)
+        |SELECT c_mktsegment, yr,
+        | floor(CAST(rev_dec AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(CAST(rev_dec - prev_dec AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS delta,
+        | floor(CAST(rev_dec - prev_dec AS DOUBLE) / CAST(prev_dec AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS pct_change
+        |FROM lagged ORDER BY c_mktsegment, yr""".stripMargin,
+
+    "q_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT word, count(*) AS wc FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |pairs AS (
+        |  SELECT substr(word, CAST(i AS INT), 2) AS pair, wc
+        |  FROM words, LATERAL unnest(generate_series(1, length(word) - 1)) t(i))
+        |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
 
     "q_wma" ->
       """WITH e AS (

@@ -572,6 +572,43 @@ object Relational {
       "c_nationkey")
   }
 
+  /** Two-proportion A/B test — the experiment-analysis aggregate: users
+    * split into variants by a pure id hash (reproducible assignment, no RNG
+    * state), conversion = any event with value above threshold, and the
+    * pooled two-proportion z-score decides significance. Counts are exact
+    * integers; every double after them is a single mirrored expression, so
+    * both engines compute a bit-identical z and the |z| > 1.96 verdict can't
+    * flip on accumulation noise. Two hash aggregates (per-user conversion,
+    * then per-variant tallies) — the user table never sorts.
+    */
+  def abTest(spark: SparkSession, sfDir: String, threshold: Double = 250.0): DataFrame = {
+    val perUser = graft.util.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max((col("value") > threshold).cast("int")).as("converted"))
+      .select((col("user_id") % 2 === 0).as("is_a"), col("converted"))
+    val tallies = perUser.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("is_a"), col("converted").cast("long")).otherwise(0L)).as("conv_a"),
+      sum(when(!col("is_a"), col("converted").cast("long")).otherwise(0L)).as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")
+    // degenerate pools (nobody / everybody converted) have zero variance —
+    // z is undefined there, and ANSI mode would raise on the division
+    val degenerate = (col("conv_a") + col("conv_b") === lit(0L)) ||
+      (col("conv_a") + col("conv_b") === col("n_a") + col("n_b"))
+    val z = when(degenerate, lit(null).cast("double")).otherwise(
+      (pA - pB) /
+        sqrt(pPool * (lit(1.0) - pPool) *
+             (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))))
+    tallies.select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      r4(pA).as("rate_a"), r4(pB).as("rate_b"),
+      r4(z).as("z_score"), (abs(z) > lit(1.96)).as("significant"))
+  }
+
   /** Correlated EXISTS / NOT EXISTS subqueries through the SQL front end:
     * customers with at least one big order and no failed-status order.
     * Written as subqueries (not explicit joins) deliberately — Catalyst's

@@ -561,6 +561,29 @@ object Text {
       "w1", "rk")
   }
 
+  /** BPE merge mining — the first iteration of byte-pair-encoding tokenizer
+    * training at corpus scale: count adjacent CHARACTER pairs inside words,
+    * weighted by word frequency (exactly what BPE's merge-selection step
+    * computes over its word-count table). The heavy lift is one hash
+    * aggregate to the word-count table — pairs then explode off |vocab|
+    * rows, not corpus tokens, so a 100 TB corpus pays the pair fan-out on
+    * its (tiny) vocabulary. Top-k merges ranked on exact integer counts.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val words = docs(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val pairs = words
+      .select(col("word"), col("wc"),
+              explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(col("wc"), expr("substring(word, i, 2)").as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+    pairs
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Perplexity filtering — score every document by its average bigram
     * negative log-likelihood under the corpus's own add-one-smoothed LM
     * (the CCNet/Wikipedia-LM quality gate, here self-trained so no external

@@ -253,6 +253,55 @@ object Windows {
       "user_id", "day")
   }
 
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence — the clickstream model behind next-action prediction and
+    * funnel leak analysis. Successor pairs come from per-user lead()
+    * windows (user-keyed: fully parallel, no global sort); transition
+    * probability P(next|cur) = pair count / outgoing count is a single
+    * division of exact integers. Output is |event types|² rows — driver
+    * scale at any corpus size.
+    */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val pairs = events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("cur"), col("next_type").as("nxt"))
+    val trans = pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val outgoing = trans.groupBy(col("cur")).agg(sum(col("n")).as("n_out"))
+    ordered(
+      trans.join(outgoing, "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+                r4(col("n").cast("double") / col("n_out").cast("double")).as("p")),
+      "cur", "nxt")
+  }
+
+  /** Year-over-year delta per market segment — the period-over-period
+    * report: revenue by (segment, order year), previous year via lag()
+    * over the AGGREGATED frame (|segments|·|years| rows — a window here
+    * costs nothing; the fact table only ever hash-aggregates). Deltas
+    * subtract exact DECIMALs; the percent change is one mirrored double
+    * division at the output boundary.
+    */
+  def yoyDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val yearly = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(money(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("yr").asc)
+    ordered(
+      yearly
+        .withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
+        .select(col("c_mktsegment"), col("yr"),
+                r4(col("rev_dec").cast("double")).as("revenue"),
+                r4((col("rev_dec") - col("prev_dec")).cast("double")).as("delta"),
+                r4((col("rev_dec") - col("prev_dec")).cast("double") /
+                   col("prev_dec").cast("double")).as("pct_change")),
+      "c_mktsegment", "yr")
+  }
+
   /** Linearly-decaying weighted moving average per user: the current event
     * plus its 4 predecessors weighted 5,4,3,2,1 — the time-decay smoother
     * (EWMA's role) whose weights are exact small INTEGERS, so both engines

@@ -195,6 +195,73 @@ class Round6OpsSpec extends SparkSpec {
     assert(kept > 0, "threshold should keep some of the corpus")
   }
 
+  test("abtest: exhaustive variant split, z-score sign matches rate difference") {
+    val r = SparkEntry.queries("q_abtest")(spark, Sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val users = graft.util.Tables.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(row.getAs[Long]("n_a") + row.getAs[Long]("n_b") === users,
+      "every user lands in exactly one variant")
+    assert(row.getAs[Long]("conv_a") <= row.getAs[Long]("n_a"))
+    assert(row.getAs[Long]("conv_b") <= row.getAs[Long]("n_b"))
+    val z = row.getAs[Double]("z_score")
+    val dRate = row.getAs[Double]("rate_a") - row.getAs[Double]("rate_b")
+    if (math.abs(dRate) > 1e-9) assert(math.signum(z) === math.signum(dRate))
+  }
+
+  test("markov transitions: rows form a stochastic matrix (outgoing probs sum to 1)") {
+    val r = SparkEntry.queries("q_markov_transitions")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("cur")).foreach { case (cur, g) =>
+      val sum = g.map(_.getAs[Double]("p")).sum
+      assert(math.abs(sum - 1.0) < 0.001, s"P(·|$cur) must sum to ~1, got $sum")
+    }
+    r.foreach(row => assert(row.getAs[Long]("n") > 0L))
+  }
+
+  test("yoy delta: first year per segment has null delta, later deltas reconcile") {
+    val r = SparkEntry.queries("q_yoy_delta")(spark, Sf).collect()
+    r.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, g) =>
+      val byYr = g.sortBy(_.getAs[Int]("yr"))
+      assert(byYr.head.isNullAt(byYr.head.fieldIndex("delta")),
+        "no previous year ⇒ null delta")
+      byYr.sliding(2).foreach {
+        case Array(prev, curr) =>
+          val expect = math.floor(
+            (curr.getAs[Double]("revenue") - prev.getAs[Double]("revenue")) * 10000.0 + 0.5
+          ) / 10000.0
+          assert(math.abs(curr.getAs[Double]("delta") - expect) < 0.001,
+            s"delta must be revenue difference: $curr")
+        case _ =>
+      }
+    }
+  }
+
+  test("bpe merges: pairs are 2 chars, counts weighted by word frequency, rank total") {
+    val r = SparkEntry.queries("q_bpe_merges")(spark, Sf).collect()
+    assert(r.length === 20)
+    r.foreach { row =>
+      assert(row.getAs[String]("pair").length === 2)
+      assert(row.getAs[Long]("n") > 0L)
+    }
+    val ns = r.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "descending count order")
+    // hand-check the top pair's count on a tiny slice of the corpus logic:
+    // every adjacent char pair of every word occurrence is counted once
+    val docsText = graft.util.Tables.t(spark, Sf, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    docsText.foreach { t =>
+      t.toLowerCase.split(" ", -1).filter(_.length >= 2).foreach { w =>
+        w.sliding(2).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1L)
+      }
+    }
+    val top = r.head
+    assert(counts(top.getAs[String]("pair")) === top.getAs[Long]("n"),
+      "top merge count must equal the brute-force count")
+  }
+
   test("wma: warm-up rows use only present weights; steady state matches by hand") {
     val r = SparkEntry.queries("q_wma")(spark, Sf)
     val one = r.filter(col("user_id") === 1).collect()
