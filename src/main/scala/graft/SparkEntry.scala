@@ -36,7 +36,9 @@ object SparkEntry {
     "q_agg_group"         -> q(Relational.aggGroup),
     "q_join_inner_equi"   -> q(Relational.joinInnerEqui),
     "q_join_left_outer"   -> q(Relational.joinLeftOuter),
+    "q_join_right_outer"  -> q(Relational.joinRightOuter),
     "q_join_full_outer"   -> q(Relational.joinFullOuter),
+    "q_cross_join"        -> q(Relational.crossJoinDims),
     "q_salted_join"       -> q(Relational.saltedJoinAgg), // skew path, oracle-identical to plain join
     "q_join_semi"         -> q(Relational.joinSemi),
     "q_join_anti"         -> q(Relational.joinAnti),
@@ -154,6 +156,17 @@ object SparkEntry {
     "q_markov_transitions"-> q(Windows.markovTransitions),
     "q_yoy_delta"         -> q(Windows.yoyDelta),
     "q_bpe_merges"        -> q(Text.bpeMerges(_, _, 20)),
+    // round-5 insight tier: BI/statistics over the star schema
+    "q_assoc_rules"       -> q(Insights.assocRules),
+    "q_rfm"               -> q(Insights.rfmSegments), // exact NTILE via two-phase distributed rank
+    "q_attribution"       -> q(Insights.attributionLastTouch),
+    "q_pareto_front"      -> q(Insights.paretoFront), // skyline via price-collapsed cummax, not O(n²)
+    "q_equi_depth_hist"   -> q(Insights.equiDepthHist),
+    "q_stratified_sample" -> q(Insights.stratifiedSample(_, _, 20)),
+    "q_ks_test"           -> q(Insights.ksTest),
+    "q_gini"              -> q(Insights.giniByNation),
+    "q_chi2"              -> q(Insights.chi2Independence),
+    "q_curriculum"        -> q(Insights.curriculumPhases),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1620,5 +1633,188 @@ object SparkEntry {
         |                 AND a.rn - b.rn >= 0 AND a.rn - b.rn < 5
         |GROUP BY a.user_id, a.event_id, a.ts_us
         |ORDER BY a.user_id, a.ts_us, a.event_id""".stripMargin,
+
+    "q_join_right_outer" ->
+      """SELECT p_partkey, count(l_orderkey) AS n_lineitems,
+        | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS total_qty
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name,
+        |       CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_member
+        |FROM region r CROSS JOIN nation n
+        |ORDER BY r.r_regionkey, n.n_nationkey""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS spaces,
+        |    CAST(len(regexp_extract_all(text, '\bthe\b|\ba\b|\bof\b')) AS DOUBLE) AS stops
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    floor((0.5 * (alpha / n) + 0.3 * least(1.0, ((n - spaces) / (spaces + 1.0)) / 8.0)
+        |           + 0.2 * least(1.0, stops / 10.0)) * 10000.0 + 0.5) / 10000.0 AS quality_score
+        |  FROM f)
+        |SELECT doc_id, quality_score,
+        |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS br
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |ic AS (SELECT br, count(*) AS c FROM b GROUP BY br),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+        |pr AS (
+        |  SELECT a.br AS brand_a, c.br AS brand_b, count(*) AS pair_n
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.br < c.br
+        |  GROUP BY 1, 2)
+        |SELECT pr.brand_a, pr.brand_b, pr.pair_n,
+        | floor(CAST(pr.pair_n AS DOUBLE) / CAST(n.n_orders AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS support,
+        | floor(CAST(pr.pair_n AS DOUBLE) / CAST(ia.c AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS confidence,
+        | floor(CAST(pr.pair_n * n.n_orders AS DOUBLE)
+        |       / CAST(ia.c * ib.c AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS lift
+        |FROM pr
+        |JOIN ic ia ON pr.brand_a = ia.br
+        |JOIN ic ib ON pr.brand_b = ib.br
+        |CROSS JOIN n
+        |ORDER BY pr.brand_a, pr.brand_b""".stripMargin,
+
+    "q_rfm" ->
+      """WITH c0 AS (
+        |  SELECT o_custkey AS custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |         count(*) AS f, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT custkey,
+        |         NTILE(5) OVER (ORDER BY last_d, custkey) AS r_score,
+        |         NTILE(5) OVER (ORDER BY f, custkey) AS f_score,
+        |         NTILE(5) OVER (ORDER BY m, custkey) AS m_score
+        |  FROM c0)
+        |SELECT custkey, r_score, f_score, m_score,
+        |       r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM s ORDER BY custkey""".stripMargin,
+
+    "q_attribution" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, '(direct)') AS channel, count(*) AS conversions,
+        | floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS revenue
+        |FROM s WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pareto_front" ->
+      """WITH pp AS (
+        |  SELECT p_retailprice AS pr, max(p_size) AS meq FROM part GROUP BY 1),
+        |f AS (
+        |  SELECT pr, meq,
+        |         max(meq) OVER (ORDER BY pr
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+        |  FROM pp)
+        |SELECT p.p_partkey, p.p_name,
+        |       floor(p.p_retailprice * 10000.0 + 0.5) / 10000.0 AS price, p.p_size
+        |FROM part p JOIN f ON p.p_retailprice = f.pr AND p.p_size = f.meq
+        |WHERE f.mprev IS NULL OR f.meq > f.mprev
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    "q_equi_depth_hist" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS p,
+        |         NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |                         l_linenumber) AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS n,
+        | floor(min(p) * 10000.0 + 0.5) / 10000.0 AS lo,
+        | floor(max(p) * 10000.0 + 0.5) / 10000.0 AS hi,
+        | floor(CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS amount
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_name FROM (
+        |  SELECT c_mktsegment, c_custkey, c_name,
+        |         row_number() OVER (
+        |           PARTITION BY c_mktsegment
+        |           ORDER BY (c_custkey * 2654435761) % 1000000007, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 20
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH v AS (
+        |  SELECT c_acctbal AS val,
+        |         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ga,
+        |         CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS gb
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |d AS (SELECT val, sum(ga) AS ca, sum(gb) AS cb FROM v GROUP BY val),
+        |c AS (
+        |  SELECT val,
+        |         sum(ca) OVER (ORDER BY val
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |         sum(cb) OVER (ORDER BY val
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM d),
+        |t AS (SELECT CAST(sum(ga) AS BIGINT) AS n1,
+        |             CAST(sum(gb) AS BIGINT) AS n2 FROM v)
+        |SELECT t.n1, t.n2,
+        | floor(max(abs(CAST(c.cuma AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+        |             - CAST(c.cumb AS DOUBLE) / CAST(t.n2 AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS ks_d
+        |FROM c CROSS JOIN t GROUP BY t.n1, t.n2""".stripMargin,
+
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT n.n_name, o.o_custkey AS ck,
+        |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, o.o_custkey),
+        |ranked AS (
+        |  SELECT n_name, cents,
+        |         row_number() OVER (PARTITION BY n_name
+        |                            ORDER BY cents, ck) AS i
+        |  FROM spend)
+        |SELECT n_name, count(*) AS n,
+        | floor((2.0 * CAST(sum(i * cents) AS DOUBLE)
+        |        / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+        |      - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS gini
+        |FROM ranked GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_chi2" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pr, o_orderstatus AS st, count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT pr, sum(obs) AS r FROM o GROUP BY pr),
+        |ct AS (SELECT st, sum(obs) AS c FROM o GROUP BY st),
+        |n AS (SELECT sum(obs) AS nn FROM o),
+        |k AS (
+        |  SELECT o.pr, o.st, o.obs,
+        |         CAST(rt.r * ct.c AS DOUBLE) / CAST(n.nn AS DOUBLE) AS ex,
+        |         (CAST(o.obs AS DOUBLE) - CAST(rt.r * ct.c AS DOUBLE) / CAST(n.nn AS DOUBLE))
+        |         * (CAST(o.obs AS DOUBLE) - CAST(rt.r * ct.c AS DOUBLE) / CAST(n.nn AS DOUBLE))
+        |         / (CAST(rt.r * ct.c AS DOUBLE) / CAST(n.nn AS DOUBLE)) AS contrib
+        |  FROM o JOIN rt ON o.pr = rt.pr JOIN ct ON o.st = ct.st CROSS JOIN n),
+        |t AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(28,8))) AS DOUBLE) AS chi2 FROM k)
+        |SELECT k.pr AS o_orderpriority, k.st AS o_orderstatus, k.obs,
+        |       floor(k.ex * 10000.0 + 0.5) / 10000.0 AS expected,
+        |       floor(k.contrib * 10000.0 + 0.5) / 10000.0 AS contrib,
+        |       floor(t.chi2 * 10000.0 + 0.5) / 10000.0 AS chi2_total
+        |FROM k CROSS JOIN t
+        |ORDER BY k.pr, k.st""".stripMargin,
   )
 }

@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.{PrefixSum, TopK}
+
+/** Analytics-insight tier: the BI/statistics operators a warehouse's
+  * consumers run on top of the star schema the reference builds
+  * (ref: /root/reference/README.md:48–51 star schema; :344–351 "analytics
+  * ready" goal) — market-basket association rules, RFM segmentation,
+  * marketing attribution, skyline/Pareto queries, equi-depth histograms,
+  * stratified sampling, two-sample KS tests, Gini concentration and
+  * chi-square independence.
+  *
+  * Determinism discipline (SURVEY §2 preamble): counts and sums stay
+  * integer/DECIMAL-exact through every aggregation; doubles appear only at
+  * the output boundary as single divisions (or mirrored IEEE op chains) of
+  * exact inputs, r4-rounded. Where a sum OF doubles is semantically
+  * unavoidable (chi-square total), each term is cast to DECIMAL(28,8) first
+  * so the sum is associative — the same pattern q_token_entropy uses.
+  */
+object Insights {
+
+  /** Exact global NTILE(k) without the single-reducer global window: a
+    * two-phase distributed rank ([[PrefixSum.exclusiveCols]] — range
+    * partition + local window + tiny offsets join) followed by the closed
+    * NTILE formula on (rank, N). Output column `outCol` matches
+    * `NTILE(k) OVER (ORDER BY orderCols)` bucket-for-bucket: the first
+    * N mod k buckets get ⌈N/k⌉ rows, the rest ⌊N/k⌋.
+    *
+    * Runs one count() job for N — metadata-cheap on parquet, and it makes
+    * q/m literal constants so bucket arithmetic is integer `div`, never a
+    * rounding-prone double division.
+    */
+  def ntileGlobal(df: DataFrame, orderCols: Seq[Column], k: Int,
+                  outCol: String): DataFrame =
+    ntileGlobalN(df, df.count(), orderCols, k, outCol)
+
+  /** [[ntileGlobal]] with a caller-supplied row count — callers that ntile
+    * the same frame several times (RFM's three quintiles) count once
+    * instead of re-running the upstream lineage per pass.
+    */
+  def ntileGlobalN(df: DataFrame, n: Long, orderCols: Seq[Column], k: Int,
+                   outCol: String): DataFrame = {
+    val q = n / k
+    val m = n % k
+    val rn = PrefixSum.exclusiveCols(df, orderCols, lit(1L), "_nt_rn0")
+      .withColumn("_nt_rn", col("_nt_rn0") + lit(1L)).drop("_nt_rn0")
+    val bucket =
+      if (q == 0L) col("_nt_rn") // N < k: row i is bucket i
+      else expr(s"CASE WHEN _nt_rn <= ${m * (q + 1)} " +
+                s"THEN ((_nt_rn - 1) div ${q + 1}) + 1 " +
+                s"ELSE ${m} + ((_nt_rn - ${m * (q + 1)} - 1) div ${q}) + 1 END")
+    rn.withColumn(outCol, bucket.cast("int")).drop("_nt_rn")
+  }
+
+  /** Market-basket association rules over (order, part-brand) baskets —
+    * support / confidence / lift for every co-occurring brand pair. The
+    * self-join is keyed on the order (baskets are TPC-H-small, ≤ ~7 lines),
+    * so pair expansion is bounded per order and the plan is one shuffle on
+    * l_orderkey; brand counts and the order total are broadcast scalars.
+    * All three metrics are single divisions of exact BIGINT counts
+    * (lift as np·N / (ca·cb) — integer products, one division).
+    */
+  def assocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE shuffle on the order key builds each basket as a sorted distinct
+    // brand array (collect_set dedups in the aggregate — no separate
+    // DISTINCT pass, no basket self-join); pair expansion is an array HOF
+    // over the ≤-basket-sized array, and Catalyst's ReuseExchange serves
+    // the basket exchange to all three consuming branches.
+    val baskets = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("br"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("br"))).as("brs"))
+    val itemCounts = baskets.select(explode(col("brs")).as("br"))
+      .groupBy(col("br")).agg(count(lit(1)).as("c"))
+    val totals = baskets.agg(count(lit(1)).as("n_orders"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(brs, (x, i) -> " +
+        "transform(slice(brs, i + 2, size(brs)), y -> struct(x AS bra, y AS brb))))"))
+        .as("p"))
+      .select(col("p.bra").as("bra"), col("p.brb").as("brb"))
+      .groupBy(col("bra"), col("brb")).agg(count(lit(1)).as("np"))
+    val ia = itemCounts.select(col("br").as("bra"), col("c").as("ca"))
+    val ib = itemCounts.select(col("br").as("brb"), col("c").as("cb"))
+    ordered(
+      pairs.join(broadcast(ia), "bra").join(broadcast(ib), "brb")
+        .crossJoin(broadcast(totals))
+        .select(
+          col("bra").as("brand_a"), col("brb").as("brand_b"),
+          col("np").as("pair_n"),
+          r4(col("np").cast("double") / col("n_orders").cast("double")).as("support"),
+          r4(col("np").cast("double") / col("ca").cast("double")).as("confidence"),
+          r4((col("np") * col("n_orders")).cast("double") /
+             (col("ca") * col("cb")).cast("double")).as("lift")),
+      "brand_a", "brand_b")
+  }
+
+  /** RFM customer segmentation — recency/frequency/monetary quintiles, the
+    * classic mart query over the fact table. Per-customer R/F/M aggregate
+    * first (facts never see a window), then three exact global NTILE(5)
+    * passes via [[ntileGlobal]] — each a two-phase distributed rank, so no
+    * global single-reducer sort even when the customer dimension is 100M
+    * rows. Tie-breaks on custkey make every quintile assignment total-order
+    * deterministic.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val c0 = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+           count(lit(1)).as("f"),
+           sum(money(col("o_totalprice"))).as("m"))
+    // count ONCE, rank the three metrics independently off the same base
+    // aggregate (no rank-over-rank lineage: chaining the passes would make
+    // each count() re-run everything upstream), then join the slim
+    // (custkey, score) tables back — three cheap same-key shuffles.
+    val n = c0.count()
+    def score(orderCol: Column, out: String) =
+      ntileGlobalN(c0, n, Seq(orderCol.asc, col("custkey").asc), 5, out)
+        .select(col("custkey"), col(out))
+    ordered(
+      score(col("last_d"), "r_score")
+        .join(score(col("f"), "f_score"), "custkey")
+        .join(score(col("m"), "m_score"), "custkey")
+        .select(col("custkey"), col("r_score"), col("f_score"), col("m_score"),
+                (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm")),
+      "custkey")
+  }
+
+  /** Last-touch attribution — each purchase credits the user's most recent
+    * preceding non-purchase event type ("channel"); purchases with no prior
+    * touch fall to '(direct)'. One window per user (parallel across users —
+    * the natural event-stream partitioning), then a grouped rollup of
+    * conversion counts and DECIMAL-exact revenue.
+    */
+  def attributionLastTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events(spark, sfDir)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+             ignoreNulls = true).over(w))
+    ordered(
+      touched.filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("(direct)")).as("channel"))
+        .agg(count(lit(1)).as("conversions"),
+             r4(sum(money(col("value"))).cast("double")).as("revenue")),
+      "channel")
+  }
+
+  /** Pareto frontier (skyline) of parts on (price ↓ better, size ↑ better):
+    * parts no other part beats on both axes. NOT the O(n²) NOT-EXISTS
+    * formulation — a part is on the frontier iff it has the max size at its
+    * price AND that size strictly exceeds the running max over all cheaper
+    * prices. One groupBy(price) collapses the table to distinct prices; the
+    * cummax window runs over that collapsed frame only (price-grid
+    * cardinality, not row count), then a join back tags frontier parts.
+    */
+  def paretoFront(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = t(spark, sfDir, "part")
+    val perPrice = part.groupBy(col("p_retailprice").as("pr"))
+      .agg(max(col("p_size")).as("meq"))
+    val w = Window.orderBy(col("pr").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("mprev", max(col("meq")).over(w))
+      .filter(col("mprev").isNull || col("meq") > col("mprev"))
+      .select(col("pr"), col("meq"))
+    ordered(
+      part.join(frontier,
+                part("p_retailprice") === frontier("pr") &&
+                part("p_size") === frontier("meq"))
+        .select(col("p_partkey"), col("p_name"),
+                r4(col("p_retailprice")).as("price"), col("p_size")),
+      "p_partkey")
+  }
+
+  /** Equi-depth (equi-height) histogram of l_extendedprice — 10 buckets of
+    * equal row count, the optimizer-statistics primitive every engine
+    * builds. Bucket assignment is an exact global NTILE(10) via
+    * [[ntileGlobal]]'s distributed rank (total order: price, orderkey,
+    * linenumber), so the 100 TB path never funnels through one reducer;
+    * per-bucket bounds and DECIMAL-exact amounts follow from one hash
+    * aggregation.
+    */
+  def equiDepthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_extendedprice").as("p"), col("l_orderkey"), col("l_linenumber"))
+    val bucketed = ntileGlobal(
+      li, Seq(col("p").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+      10, "bucket")
+    ordered(
+      bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             r4(min(col("p"))).as("lo"),
+             r4(max(col("p"))).as("hi"),
+             r4(sum(money(col("p"))).cast("double")).as("amount")),
+      "bucket")
+  }
+
+  /** Deterministic stratified sample — fixed n per stratum (market
+    * segment), ordered by a keyed multiplicative-hash pseudo-random
+    * permutation ((custkey·2654435761) mod 1000000007, the Knuth scheme)
+    * so both engines draw the identical "random" sample with no RNG.
+    * Rank-per-stratum runs through [[TopK.perGroup]]'s two-phase top-k:
+    * per-physical-partition candidates first, then a merge of ≤ k·parts
+    * survivors — never a full sort of a stratum on one reducer.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val pseudo = (col("c_custkey") * lit(2654435761L)) % lit(1000000007L)
+    ordered(
+      TopK.perGroup(
+          t(spark, sfDir, "customer")
+            .select(col("c_mktsegment"), col("c_custkey"), col("c_name")),
+          Seq(col("c_mktsegment")),
+          Seq(pseudo.asc, col("c_custkey").asc), k)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_name")),
+      "c_mktsegment", "rn")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic (BUILDING vs MACHINERY
+    * account balances): D = max over the pooled support of |F₁(x) − F₂(x)|.
+    * The support collapses to distinct values by a hash aggregation; both
+    * cumulative counts come from the two-phase [[PrefixSum]] scan (no
+    * global single-reducer window); each ECDF gap is two exact-count
+    * divisions and one subtraction, and max() is order-independent — the
+    * whole statistic is bit-deterministic.
+    */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = t(spark, sfDir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_acctbal").as("val"),
+              when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("ga"),
+              when(col("c_mktsegment") === "MACHINERY", 1L).otherwise(0L).as("gb"))
+    val byVal = v.groupBy(col("val"))
+      .agg(sum(col("ga")).as("ca"), sum(col("gb")).as("cb"))
+    val cumA = PrefixSum.exclusiveCols(byVal, Seq(col("val").asc), col("ca"), "ea")
+    val cum = PrefixSum.exclusiveCols(cumA, Seq(col("val").asc), col("cb"), "eb")
+      .withColumn("cuma", col("ea") + col("ca"))
+      .withColumn("cumb", col("eb") + col("cb"))
+    val totals = v.agg(sum(col("ga")).as("n1"), sum(col("gb")).as("n2"))
+    cum.crossJoin(broadcast(totals))
+      .groupBy(col("n1"), col("n2"))
+      .agg(r4(max(abs(col("cuma").cast("double") / col("n1").cast("double") -
+                      col("cumb").cast("double") / col("n2").cast("double")))).as("ks_d"))
+  }
+
+  /** Gini coefficient of customer spend per nation — inequality of the
+    * revenue distribution, by the exact rank formula
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending spend. Both moments
+    * stay integer-exact to the end: spend in BIGINT cents, Σ i·xᵢ summed as
+    * DECIMAL(38,0) (mirrors DuckDB's HUGEINT sum), so G is a fixed chain of
+    * four IEEE ops on exact inputs. The rank window partitions by nation
+    * over the per-customer AGGREGATE (dimension-sized, facts never sorted).
+    */
+  def giniByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey")).agg(sum(money(col("o_totalprice"))).as("m"))
+      .join(t(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey").as("ck"),
+              (col("m") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("cents").asc, col("ck").asc)
+    val ranked = spend.withColumn("i", row_number().over(w).cast("long"))
+    ordered(
+      ranked.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"),
+             sum((col("i") * col("cents")).cast("decimal(38,0)")).as("s1"),
+             sum(col("cents").cast("decimal(38,0)")).as("s2"))
+        .select(col("n_name"), col("n"),
+                r4(lit(2.0) * col("s1").cast("double") /
+                     (col("n").cast("double") * col("s2").cast("double")) -
+                   (col("n").cast("double") + lit(1.0)) / col("n").cast("double"))
+                  .as("gini")),
+      "n_name")
+  }
+
+  /** Curriculum bucketing — order the corpus by quality score and cut it
+    * into 4 equal-depth curriculum phases (easy→hard scheduling for LLM
+    * training). The score is [[Text.QScore]]'s exact expression mix (scored
+    * identically to q_quality_score by construction); phase assignment is
+    * an exact global NTILE(4) on (r4(score), doc_id) via [[ntileGlobal]]'s
+    * two-phase distributed rank — the 100 TB corpus never funnels through
+    * one reducer to get its curriculum order.
+    */
+  def curriculumPhases(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = t(spark, sfDir, "documents")
+      .select(col("doc_id"), r4(Text.QScore.score).as("quality_score"))
+    ordered(
+      ntileGlobal(scored, Seq(col("quality_score").asc, col("doc_id").asc),
+                  4, "phase")
+        .select(col("doc_id"), col("quality_score"), col("phase")),
+      "doc_id")
+  }
+
+  /** Chi-square independence cells for order priority × status: observed
+    * count, expected under independence (row·col/N — one division of exact
+    * BIGINT products), per-cell contribution (obs−exp)²/exp, and the grand
+    * χ² total. The total is a sum OF doubles, so each contribution is cast
+    * to DECIMAL(28,8) before summing (associative, partition-order-proof —
+    * the q_token_entropy pattern). The contingency table is |priorities|×
+    * |statuses| rows; everything after the first groupBy is broadcast-sized.
+    */
+  def chi2Independence(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = o.groupBy(col("pr")).agg(sum(col("obs")).as("r"))
+    val ct = o.groupBy(col("st")).agg(sum(col("obs")).as("c"))
+    val nn = o.agg(sum(col("obs")).as("nn"))
+    val cells = o.join(broadcast(rt), "pr").join(broadcast(ct), "st")
+      .crossJoin(broadcast(nn))
+      .withColumn("ex", (col("r") * col("c")).cast("double") / col("nn").cast("double"))
+      .withColumn("contrib",
+        (col("obs").cast("double") - col("ex")) *
+        (col("obs").cast("double") - col("ex")) / col("ex"))
+    val total = cells.agg(
+      sum(col("contrib").cast("decimal(28,8)")).cast("double").as("chi2"))
+    ordered(
+      cells.crossJoin(broadcast(total))
+        .select(col("pr").as("o_orderpriority"), col("st").as("o_orderstatus"),
+                col("obs"), r4(col("ex")).as("expected"),
+                r4(col("contrib")).as("contrib"),
+                r4(col("chi2")).as("chi2_total")),
+      "o_orderpriority", "o_orderstatus")
+  }
+}

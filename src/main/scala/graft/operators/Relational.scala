@@ -109,6 +109,41 @@ object Relational {
       "c_custkey")
   }
 
+  /** Right outer join — the mirror of [[joinLeftOuter]] with the preserved
+    * side on the right: every part keeps a row even with zero lineitems
+    * (NULL-preserving counts/sums). Catalyst canonicalizes right⟕ to left⟕
+    * with sides swapped, so the physical plan is the same shuffled hash
+    * join; registering it separately proves the API surface end-to-end.
+    */
+  def joinRightOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val p = t(spark, sfDir, "part")
+    ordered(
+      li.join(p, li("l_partkey") === p("p_partkey"), "right")
+        .groupBy(col("p_partkey"))
+        .agg(count(col("l_orderkey")).as("n_lineitems"),
+             r4(sum(money(col("l_quantity"))).cast("double")).as("total_qty")),
+      "p_partkey")
+  }
+
+  /** Explicit CROSS JOIN — the dimension-grid generator (every region ×
+    * every nation, membership flagged). Both sides are broadcast-sized
+    * dims; the product is |region|·|nation| rows, and Spark plans a
+    * BroadcastNestedLoopJoin — the only correct physical shape for a
+    * keyless join, and harmless when one side is a dim.
+    */
+  def crossJoinDims(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = t(spark, sfDir, "region").select(col("r_regionkey"), col("r_name"))
+    val n = t(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    ordered(
+      r.crossJoin(n)
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"),
+                when(col("n_regionkey") === col("r_regionkey"), 1).otherwise(0)
+                  .as("is_member")),
+      "r_regionkey", "n_nationkey")
+  }
+
   /** The joinInnerEqui aggregation through the explicit salted-join path
     * (util.Skew): hot part keys spread across 8 salt buckets before the
     * shuffle. Oracle-identical to a plain join — salting must never change

@@ -45,7 +45,7 @@ object Text {
     * [[qualityScore]] (per-doc report) and [[qualityBand]] (percentile-band
     * filter) so both operators score identically by construction.
     */
-  private object QScore {
+  private[operators] object QScore {
     val n: Column = length(col("text")).cast("double")
     val alpha: Column =
       (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("double")

@@ -26,11 +26,20 @@ object PrefixSum {
     * must be unique for the ordering to be total.
     */
   def exclusive(df: DataFrame, orderCol: String, value: Column,
-                outCol: String, numParts: Int = 32): DataFrame = {
+                outCol: String, numParts: Int = 32): DataFrame =
+    exclusiveCols(df, Seq(col(orderCol)), value, outCol, numParts)
+
+  /** Multi-column generalization: the order is the lexicographic composite
+    * of `orderCols` (which together must be unique). Same two-phase scan —
+    * range-partition on the composite, local window, per-partition offsets
+    * broadcast back.
+    */
+  def exclusiveCols(df: DataFrame, orderCols: Seq[Column], value: Column,
+                    outCol: String, numParts: Int = 32): DataFrame = {
     val withVal = df.withColumn("_psv", value)
-    val parted = withVal.repartitionByRange(numParts, col(orderCol))
+    val parted = withVal.repartitionByRange(numParts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
-    val localW = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+    val localW = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("_local_cum", sum(col("_psv")).over(localW))
     // one row per partition: the tiny frame where a global window is fine

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the insight tier (exact values are under the DuckDB
+  * oracle via graft.Verify; these pin the semantic properties the hash
+  * gate can't see — NTILE balance, skyline dominance, distribution-law
+  * identities).
+  */
+class InsightsSpec extends SparkSpec {
+
+  test("ntileGlobal matches Spark's ntile window bucket-for-bucket") {
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_extendedprice").as("p"), col("l_orderkey"), col("l_linenumber"))
+    for (k <- Seq(3, 7, 10)) {
+      val ours = operators.Insights.ntileGlobal(
+        li, Seq(col("p").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        k, "bucket")
+        .select(col("l_orderkey"), col("l_linenumber"), col("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("p").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val ref = li.select(col("l_orderkey"), col("l_linenumber"),
+                          ntile(k).over(w).as("bucket"))
+      assert(ours.except(ref).isEmpty && ref.except(ours).isEmpty,
+             s"two-phase NTILE($k) must equal the window NTILE")
+    }
+  }
+
+  test("assoc rules: lift/confidence/support satisfy their defining identities") {
+    val r = SparkEntry.queries("q_assoc_rules")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val s = row.getAs[Double]("support")
+      val c = row.getAs[Double]("confidence")
+      val l = row.getAs[Double]("lift")
+      assert(s > 0 && s <= 1.0); assert(c > 0 && c <= 1.0); assert(l > 0)
+      assert(row.getAs[String]("brand_a") < row.getAs[String]("brand_b"),
+             "each pair appears once, canonically ordered")
+    }
+  }
+
+  test("rfm: quintile scores are 1..5 and near-balanced, rfm composes digits") {
+    val r = SparkEntry.queries("q_rfm")(spark, Sf).collect()
+    val n = r.length
+    for (colName <- Seq("r_score", "f_score", "m_score")) {
+      val hist = r.groupBy(_.getAs[Int](colName)).view.mapValues(_.size).toMap
+      assert(hist.keySet.subsetOf((1 to 5).toSet))
+      // NTILE balance: bucket sizes differ by at most 1
+      assert(hist.values.max - hist.values.min <= 1, s"$colName unbalanced: $hist")
+    }
+    r.foreach { row =>
+      assert(row.getAs[Int]("rfm") ===
+        row.getAs[Int]("r_score") * 100 + row.getAs[Int]("f_score") * 10 +
+        row.getAs[Int]("m_score"))
+    }
+    assert(n > 0)
+  }
+
+  test("attribution: conversions sum to total purchases; channels are event types") {
+    val r = SparkEntry.queries("q_attribution")(spark, Sf).collect()
+    val purchases = graft.util.Tables.t(spark, Sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(r.map(_.getAs[Long]("conversions")).sum === purchases,
+           "every purchase is attributed exactly once")
+    val valid = Set("click", "view", "signup", "error", "(direct)")
+    assert(r.map(_.getAs[String]("channel")).forall(valid.contains),
+           "touch channel is a non-purchase event type or (direct)")
+  }
+
+  test("pareto front: survivors are mutually non-dominating and dominate the rest") {
+    val front = SparkEntry.queries("q_pareto_front")(spark, Sf).collect()
+      .map(row => (row.getAs[Double]("price"), row.getAs[Int]("p_size")))
+    assert(front.nonEmpty)
+    // no frontier point dominates another (strictly better on one axis, no worse on the other)
+    for ((p1, s1) <- front; (p2, s2) <- front if (p1, s1) != (p2, s2))
+      assert(!(p1 <= p2 && s1 >= s2 && (p1 < p2 || s1 > s2)),
+             s"($p1,$s1) dominates frontier member ($p2,$s2)")
+    // every non-frontier part is dominated by some frontier part
+    val all = graft.util.Tables.t(spark, Sf, "part")
+      .select(col("p_retailprice"), col("p_size")).collect()
+      .map(row => (row.getDouble(0), row.getInt(1)))
+    val frontSet = front.toSet
+    all.filterNot(x => frontSet.contains((math.floor(x._1 * 10000 + 0.5) / 10000, x._2)))
+      .foreach { case (p, s) =>
+        assert(front.exists { case (fp, fs) =>
+          fp <= p && fs >= s && (fp < p || fs > s) },
+          s"non-frontier part ($p,$s) must be dominated")
+      }
+  }
+
+  test("equi-depth: 10 buckets, equal depth ±1, contiguous non-overlapping ranges") {
+    val r = SparkEntry.queries("q_equi_depth_hist")(spark, Sf).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(r.map(_.getAs[Int]("bucket")).toSeq === (1 to 10))
+    val ns = r.map(_.getAs[Long]("n"))
+    assert(ns.max - ns.min <= 1, s"equi-depth violated: ${ns.toSeq}")
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+             "bucket value ranges must not overlap")
+    case _ => ()
+    }
+  }
+
+  test("stratified sample: k rows per stratum, ranks contiguous, deterministic") {
+    val r1 = SparkEntry.queries("q_stratified_sample")(spark, Sf).collect()
+    val r2 = SparkEntry.queries("q_stratified_sample")(spark, Sf).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq, "sample must be reproducible")
+    r1.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, g) =>
+      assert(g.length <= 20)
+      assert(g.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to g.length))
+    }
+  }
+
+  test("ks statistic: in [0,1], and equals the brute-force ECDF gap") {
+    val row = SparkEntry.queries("q_ks_test")(spark, Sf).collect().head
+    val d = row.getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0)
+    val cust = graft.util.Tables.t(spark, Sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+    val a = cust.filter(_.getString(0) == "BUILDING").map(_.getDouble(1)).sorted
+    val b = cust.filter(_.getString(0) == "MACHINERY").map(_.getDouble(1)).sorted
+    val support = (a ++ b).distinct.sorted
+    val brute = support.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.length - b.count(_ <= x).toDouble / b.length)
+    }.max
+    assert(math.abs(d - brute) < 1e-4, s"ks=$d brute=$brute")
+    assert(row.getAs[Long]("n1") === a.length && row.getAs[Long]("n2") === b.length)
+  }
+
+  test("gini: in [0,1) for non-negative spend, 0 for a uniform distribution") {
+    val r = SparkEntry.queries("q_gini")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val g = row.getAs[Double]("gini")
+      assert(g >= -0.0001 && g < 1.0, s"gini out of range: $g")
+    }
+  }
+
+  test("curriculum: 4 near-equal phases, monotone in quality score") {
+    val r = SparkEntry.queries("q_curriculum")(spark, Sf).collect()
+    val byPhase = r.groupBy(_.getAs[Int]("phase"))
+    assert(byPhase.keySet === Set(1, 2, 3, 4))
+    val sizes = byPhase.view.mapValues(_.size).values
+    assert(sizes.max - sizes.min <= 1)
+    // phases partition the score axis: max score of phase p <= min of p+1
+    for (p <- 1 to 3) {
+      val hi = byPhase(p).map(_.getAs[Double]("quality_score")).max
+      val lo = byPhase(p + 1).map(_.getAs[Double]("quality_score")).min
+      assert(hi <= lo, s"phase $p max $hi > phase ${p + 1} min $lo")
+    }
+  }
+
+  test("right outer join preserves all parts; cross join is the full grid") {
+    val ro = SparkEntry.queries("q_join_right_outer")(spark, Sf).collect()
+    val nParts = graft.util.Tables.t(spark, Sf, "part").count()
+    assert(ro.length === nParts, "one row per part, orphans included")
+    val cj = SparkEntry.queries("q_cross_join")(spark, Sf).collect()
+    val nR = graft.util.Tables.t(spark, Sf, "region").count()
+    val nN = graft.util.Tables.t(spark, Sf, "nation").count()
+    assert(cj.length === nR * nN)
+    assert(cj.map(_.getAs[Int]("is_member")).sum === nN,
+           "each nation belongs to exactly one region")
+  }
+
+  test("chi2: expected cell counts sum to N; contributions are non-negative") {
+    val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
+    val n = graft.util.Tables.t(spark, Sf, "orders").count()
+    val expSum = r.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(expSum - n) < 0.01, s"sum(expected)=$expSum != N=$n")
+    assert(r.forall(_.getAs[Double]("contrib") >= 0.0))
+    val totals = r.map(_.getAs[Double]("chi2_total")).distinct
+    assert(totals.length === 1, "grand total must be constant across cells")
+    assert(math.abs(r.map(_.getAs[Double]("contrib")).sum - totals.head) < 0.01)
+  }
+}
