@@ -167,6 +167,13 @@ object SparkEntry {
     "q_gini"              -> q(Insights.giniByNation),
     "q_chi2"              -> q(Insights.chi2Independence),
     "q_curriculum"        -> q(Insights.curriculumPhases),
+    "q_bm25"              -> q(Text.bm25(_, _, 20)),
+    "q_triangles"         -> q(Insights.triangles(_, _, 5)),
+    "q_sliding_distinct"  -> q(Windows.slidingDistinct),
+    "q_hierarchy"         -> q(Warehouse.hierarchyFlatten), // log-round pointer jumping vs WITH RECURSIVE oracle
+    "q_cusum"             -> q(Quality.cusumChangepoint),
+    "q_moments"           -> q(Quality.momentsProfile),
+    "q_sessionize_typed"  -> q(Windows.sessionizeTyped), // typed flatMapGroups ≡ window gaps-and-islands, proven by hash
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1663,6 +1670,125 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_sessionize_typed" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                          OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |                     ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_hierarchy" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT p_partkey AS node, p_partkey AS cur, CAST(0 AS BIGINT) AS depth
+        |  FROM part
+        |  UNION ALL
+        |  SELECT node, cur // 10, depth + 1 FROM h WHERE cur >= 10)
+        |SELECT node AS p_partkey, cur AS root_key, depth
+        |FROM h WHERE cur < 10 ORDER BY node""".stripMargin,
+
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT d, cents,
+        |         sum(cents) OVER (ORDER BY d
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        |  FROM daily),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(cents) AS total FROM daily),
+        |s AS (SELECT c.d, c.cents, (t.n * c.prefix - c.i * t.total) AS dev, t.n
+        |      FROM c CROSS JOIN t),
+        |p AS (SELECT max(abs(dev)) AS peak_dev FROM s)
+        |SELECT s.d,
+        | floor(CAST(s.cents AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(CAST(s.dev AS DOUBLE) / (100.0 * CAST(s.n AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS cusum,
+        | CASE WHEN abs(s.dev) = p.peak_dev THEN 1 ELSE 0 END AS is_peak
+        |FROM s CROSS JOIN p ORDER BY s.d""".stripMargin,
+
+    "q_moments" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM customer),
+        |s AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS s1,
+        |         sum(CAST(x AS HUGEINT) * x) AS s2,
+        |         sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |         sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM b GROUP BY 1),
+        |m AS (
+        |  SELECT c_mktsegment, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS a4
+        |  FROM s),
+        |k AS (
+        |  SELECT c_mktsegment, n, mu,
+        |    a2 - mu * mu AS m2,
+        |    a3 - 3.0 * mu * a2 + 2.0 * mu * mu * mu AS m3,
+        |    a4 - 4.0 * mu * a3 + 6.0 * mu * mu * a2 - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m)
+        |SELECT c_mktsegment, n,
+        | floor(mu / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean,
+        | CASE WHEN m2 > 0 THEN floor(m3 / (m2 * sqrt(m2)) * 10000.0 + 0.5) / 10000.0 END AS skewness,
+        | CASE WHEN m2 > 0 THEN floor(m4 / (m2 * m2) * 10000.0 + 0.5) / 10000.0 END AS kurtosis
+        |FROM k ORDER BY c_mktsegment""".stripMargin,
+
+    "q_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS len
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM dl),
+        |tf AS (
+        |  SELECT doc_id, len, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len, unnest(string_split(lower(text), ' ')) AS term FROM dl) u
+        |  WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, len, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |              / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.len AS DOUBLE)
+        |         / (CAST(st.sum_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS sc
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st)
+        |SELECT doc_id,
+        | floor(CAST(sum(CAST(sc AS DECIMAL(28,8))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS bm25
+        |FROM s GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_triangles" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS br
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |e AS (
+        |  SELECT x.br AS a, y.br AS b FROM b x JOIN b y ON x.ok = y.ok AND x.br < y.br
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT e1.a AS brand_a, e1.b AS brand_b, e2.b AS brand_c
+        |FROM e e1
+        |JOIN e e2 ON e1.b = e2.a
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |ORDER BY brand_a, brand_b, brand_c""".stripMargin,
+
+    "q_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |ds AS (SELECT DISTINCT d AS anchor FROM ud)
+        |SELECT ds.anchor, count(DISTINCT ud.user_id) AS active_7d
+        |FROM ds JOIN ud ON ud.d >= ds.anchor - 6 AND ud.d <= ds.anchor
+        |GROUP BY ds.anchor ORDER BY ds.anchor""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH b AS (

@@ -279,6 +279,38 @@ object Insights {
       "n_name")
   }
 
+  /** Triangle enumeration on the brand co-occurrence graph — the graph-
+    * analytics primitive (clustering coefficient, community seeds) run on
+    * the market-basket edge list. Edges are brand pairs co-occurring in
+    * ≥ minSup orders, canonically a<b; triangles come from the standard
+    * two-hop edge-edge-edge join with the a<b<c orientation, so each
+    * triangle is emitted exactly once and the join fan-out is bounded by
+    * the (support-thresholded) edge list — the same degree-bounding that
+    * makes distributed triangle counting viable on web-scale graphs.
+    */
+  def triangles(spark: SparkSession, sfDir: String, minSup: Int = 5): DataFrame = {
+    val baskets = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("br"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("br"))).as("brs"))
+    val edges = baskets
+      .select(explode(expr(
+        "flatten(transform(brs, (x, i) -> " +
+        "transform(slice(brs, i + 2, size(brs)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("np"))
+      .filter(col("np") >= minSup)
+      .select(col("a"), col("b"))
+    val e1 = edges.select(col("a").as("x"), col("b").as("y"))
+    val e2 = edges.select(col("a").as("y"), col("b").as("z"))
+    val e3 = edges.select(col("a").as("x"), col("b").as("z"))
+    ordered(
+      e1.join(e2, "y").join(e3, Seq("x", "z"))
+        .select(col("x").as("brand_a"), col("y").as("brand_b"), col("z").as("brand_c")),
+      "brand_a", "brand_b", "brand_c")
+  }
+
   /** Curriculum bucketing — order the corpus by quality score and cut it
     * into 4 equal-depth curriculum phases (easy→hard scheduling for LLM
     * training). The score is [[Text.QScore]]'s exact expression mix (scored

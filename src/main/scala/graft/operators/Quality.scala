@@ -237,4 +237,76 @@ object Quality {
                   .otherwise(col("value"))).as("value_w")),
       "event_id")
   }
+
+  /** CUSUM changepoint scan over daily revenue — the drift detector for
+    * incremental loads (did the upstream feed shift mid-month?). The CUSUM
+    * curve Σ_{j≤i}(x_j − μ) is computed SCALED BY n so it stays integer-
+    * exact: dev_i = n·prefix_i − i·total (BIGINT cents through DECIMAL(38,0)
+    * products — mirrors DuckDB's HUGEINT), divided back out only at the
+    * output boundary. The window runs over the DAILY AGGREGATE (≤ ~10⁴ rows
+    * at any fact scale), never the fact table; the peak |dev| day — the
+    * changepoint estimate — is flagged by an exact integer comparison.
+    */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("decimal(38,0)").as("cents"))
+    val w = Window.orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("prefix", sum(col("cents")).over(w))
+      .withColumn("i", row_number().over(Window.orderBy(col("d").asc)).cast("long"))
+    val totals = daily.agg(count(lit(1)).as("n"),
+                           sum(col("cents")).as("total"))
+    val dev = (col("n") * col("prefix") - col("i") * col("total"))
+      .cast("decimal(38,0)")
+    val scored = cum.crossJoin(broadcast(totals)).withColumn("dev", dev)
+    val peak = scored.agg(max(abs(col("dev"))).as("peak_dev"))
+    ordered(
+      scored.crossJoin(broadcast(peak))
+        .select(col("d"),
+                r4(col("cents").cast("double") / lit(100.0)).as("revenue"),
+                r4(col("dev").cast("double") /
+                   (lit(100.0) * col("n").cast("double"))).as("cusum"),
+                when(abs(col("dev")) === col("peak_dev"), 1).otherwise(0)
+                  .as("is_peak")),
+      "d")
+  }
+
+  /** Higher-moment distribution profile per market segment — skewness and
+    * excess-free kurtosis of account balances, the DQ screen that catches
+    * a distribution-shape drift a mean/σ profile misses. The four power
+    * sums are EXACT: balances as BIGINT cents, x² and x³ still in BIGINT,
+    * x⁴ through DECIMAL(38,0) (1e24 per row needs 128-bit — DuckDB sums
+    * the same in HUGEINT), so both engines feed bit-identical inputs into
+    * one mirrored IEEE chain (σ^1.5 as m2·√m2 — never pow(), whose libm
+    * results differ across runtimes).
+    */
+  def momentsProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = (money(col("c_acctbal")) * 100).cast("long")
+    val sums = t(spark, sfDir, "customer")
+      .select(col("c_mktsegment"), x.as("x"))
+      .withColumn("x2", col("x") * col("x"))
+      .withColumn("x3", col("x2") * col("x"))
+      .withColumn("x4", (col("x2").cast("decimal(38,0)") * col("x2")).cast("decimal(38,0)"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x").cast("decimal(38,0)")).as("s1"),
+           sum(col("x2").cast("decimal(38,0)")).as("s2"),
+           sum(col("x3").cast("decimal(38,0)")).as("s3"),
+           sum(col("x4")).as("s4"))
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val m2 = col("s2").cast("double") / nd - mu * mu
+    val m3 = col("s3").cast("double") / nd - lit(3.0) * mu * (col("s2").cast("double") / nd) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nd - lit(4.0) * mu * (col("s3").cast("double") / nd) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / nd) - lit(3.0) * mu * mu * mu * mu
+    ordered(
+      sums.select(col("c_mktsegment"), col("n"),
+                  r4(mu / lit(100.0)).as("mean"),
+                  when(m2 > 0, r4(m3 / (m2 * sqrt(m2)))).as("skewness"),
+                  when(m2 > 0, r4(m4 / (m2 * m2))).as("kurtosis")),
+      "c_mktsegment")
+  }
 }

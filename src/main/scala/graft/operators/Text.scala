@@ -649,4 +649,47 @@ object Text {
         .select(col("source"), col("rn").cast("long").as("rk"),
                 col("doc_id"), col("n_chars")),
       "source", "rk")
+
+  /** BM25 document ranking for a fixed term set — the retrieval scorer the
+    * contamination/dedup tier's exact-match cousins feed into. Standard
+    * Robertson/Sparck-Jones shape: idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    * per-term score idf·tf·(k₁+1)/(tf + k₁·(1−b+b·len/avglen)).
+    *
+    * Every input to the IEEE chain is an exact count (tf, df, N, len,
+    * Σlen), each per-(doc,term) score is one mirrored expression, and the
+    * per-doc SUM of term scores goes through the DECIMAL(28,8) cast so the
+    * partial-aggregate tree is associative. Plan: one token explode
+    * filtered to the query terms (predicate applied before the tf
+    * aggregate — the shuffle carries only query-term hits, a tiny slice of
+    * the corpus), df and corpus stats broadcast, global top-k as
+    * TakeOrderedAndProject.
+    */
+  def bm25(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val terms = Seq("join", "hash", "scan")
+    val k1 = 1.2
+    val b = 0.75
+    val withLen = docs(spark, sfDir).select(
+      col("doc_id"), col("text"),
+      size(filter(split(col("text"), " "), x => x =!= lit(""))).cast("long").as("len"))
+    val stats = withLen.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    val tf = withLen
+      .select(col("doc_id"), col("len"),
+              explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("len"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val avglen = col("sum_len").cast("double") / nd
+    val idf = log(lit(1.0) + (nd - dfd + lit(0.5)) / (dfd + lit(0.5)))
+    val score = idf * (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len").cast("double") / avglen))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("s", score)
+      .groupBy(col("doc_id"))
+      .agg(r4(sum(col("s").cast("decimal(28,8)")).cast("double")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

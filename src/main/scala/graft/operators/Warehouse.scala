@@ -372,4 +372,43 @@ object Warehouse {
                 r4(col("rev_dec").cast("double")).as("revenue"),
                 r4(col("max_dec").cast("double")).as("max_price")),
       "week_start", "o_orderstatus")
+
+  /** Hierarchy flattening — every node's root ancestor and depth, the
+    * parent-child → flattened-dimension transform behind ragged org
+    * charts, BOM explosions and account rollups (the recursive-CTE
+    * workload a warehouse on SQL Server would hand to WITH RECURSIVE).
+    *
+    * The hierarchy is derived deterministically from the part dimension
+    * (parent(k) = k div 10, roots are keys < 10 — a 10-ary forest ~5 deep
+    * at any scale), and traversal is POINTER JUMPING, not per-level
+    * iteration: each round joins the (node → ancestor, steps) mapping to
+    * itself, doubling the pointer distance, so a depth-d hierarchy
+    * converges in ⌈log₂ d⌉ rounds of same-key shuffles instead of d —
+    * at 100 TB the round count, not the row count, is what hurts. Rounds
+    * are lineage-truncated (localCheckpoint) like the connected-components
+    * loop; convergence is an exact emptiness check, and composing through
+    * a root is stable (root maps to itself with 0 steps). The oracle is
+    * DuckDB's WITH RECURSIVE — the hash gate proves log-round jumping ≡
+    * row-at-a-time recursion.
+    */
+  def hierarchyFlatten(spark: SparkSession, sfDir: String): DataFrame = {
+    var m = t(spark, sfDir, "part")
+      .select(col("p_partkey").as("node"))
+      .withColumn("anc", when(col("node") < 10, col("node"))
+                           .otherwise(expr("node div 10")))
+      .withColumn("d", when(col("node") < 10, lit(0L)).otherwise(lit(1L)))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val j = m.select(col("node").as("jn"), col("anc").as("janc"), col("d").as("jd"))
+      val next = m.join(j, m("anc") === col("jn"))
+        .select(m("node"), col("janc").as("anc"), (m("d") + col("jd")).as("d"))
+        .localCheckpoint(true)
+      converged = next.filter(col("anc") >= 10).isEmpty
+      m = next
+    }
+    ordered(m.select(col("node").as("p_partkey"), col("anc").as("root_key"),
+                     col("d").as("depth")),
+            "p_partkey")
+  }
 }

