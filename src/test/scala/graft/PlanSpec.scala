@@ -115,6 +115,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("cross join of dims plans as BroadcastNestedLoopJoin — never a shuffled cartesian") {
+    val p = plan(SparkEntry.queries("q_cross_join")(spark, Sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "keyless dim join must broadcast")
+  }
+
+  test("bm25 pushes the term filter below the tf aggregate and takes top-k ordered") {
+    val df = SparkEntry.queries("q_bm25")(spark, Sf)
+    val simple = df.queryExecution.executedPlan.toString
+    assert(simple.contains("TakeOrderedAndProject"), "global top-k must not sort the corpus")
+    // the IN(join,hash,scan) predicate must sit BELOW the tf aggregate in the
+    // tree (descendants print after ancestors), so the shuffle carries only
+    // query-term hits
+    val filterIdx = simple.linesIterator.indexWhere(l => l.contains("Filter") && l.contains(" IN ("))
+    val aggIdx = simple.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(filterIdx >= 0 && aggIdx >= 0 && filterIdx > aggIdx,
+           s"term predicate must feed the aggregate (filter@$filterIdx agg@$aggIdx):\n" +
+           simple.take(1500))
+  }
+
+  test("equi-depth ntile rank is range-partitioned, never a window NTILE") {
+    val p = plan(SparkEntry.queries("q_equi_depth_hist")(spark, Sf))
+    assert(!p.contains("ntile("), "must use the two-phase rank, not window NTILE")
+    assert(p.contains("rangepartitioning"),
+           "distributed rank is range-partitioned: " + p.take(1500))
+  }
+
+  test("attribution windows partition by user — no global event-stream sort") {
+    val p = plan(SparkEntry.queries("q_attribution")(spark, Sf))
+    assert(p.contains("Window"), p.take(1200))
+    assert(p.contains("hashpartitioning(user_id"), "window must shard by user_id")
+  }
+
+  test("sliding distinct broadcasts the day calendar, not the activity table") {
+    val p = plan(SparkEntry.queries("q_sliding_distinct")(spark, Sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the scalar-function hot path") {
     // AQE shows codegen spans only in the executed (final) plan
     val df = SparkEntry.queries("q_scalar_math_funcs")(spark, Sf)
