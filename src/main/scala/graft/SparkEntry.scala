@@ -174,6 +174,9 @@ object SparkEntry {
     "q_cusum"             -> q(Quality.cusumChangepoint),
     "q_moments"           -> q(Quality.momentsProfile),
     "q_sessionize_typed"  -> q(Windows.sessionizeTyped), // typed flatMapGroups ≡ window gaps-and-islands, proven by hash
+    "q_division"          -> q(Relational.relationalDivision),
+    "q_not_in_nulls"      -> q(Relational.notInNulls), // 3VL: NOT IN vs NOT EXISTS under subquery NULLs
+    "q_agg_of_agg"        -> q(Relational.aggOfAgg),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1670,6 +1673,46 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_division" ->
+      """WITH wanted AS (
+        |  SELECT p_partkey, p_brand FROM part WHERE p_brand LIKE 'Brand#1%'),
+        |divisor AS (SELECT count(DISTINCT p_brand) AS n_brands FROM wanted),
+        |dividend AS (
+        |  SELECT DISTINCT o.o_custkey AS custkey, w.p_brand
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN wanted w ON l.l_partkey = w.p_partkey)
+        |SELECT custkey, CAST(count(DISTINCT p_brand) AS BIGINT) AS n_bought
+        |FROM dividend CROSS JOIN divisor
+        |GROUP BY custkey, divisor.n_brands
+        |HAVING count(DISTINCT p_brand) = divisor.n_brands
+        |ORDER BY custkey""".stripMargin,
+
+    "q_not_in_nulls" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_totalprice > 450000.0 THEN o_custkey END
+        |      FROM orders)) AS n_not_in,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |   WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o
+        |      WHERE o.o_totalprice > 450000.0
+        |        AND o.o_custkey = c.c_custkey)) AS n_not_exists""".stripMargin,
+
+    "q_agg_of_agg" ->
+      """WITH pc AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, o_custkey)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        | floor(CAST(sum(spend) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS avg_clv,
+        | floor(CAST(min(spend) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS min_clv,
+        | floor(CAST(max(spend) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS max_clv
+        |FROM pc GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_sessionize_typed" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

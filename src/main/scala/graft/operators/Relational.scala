@@ -665,6 +665,81 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Relational division — "customers who bought EVERY brand in the
+    * divisor set", the classic operator SQL has no keyword for. Shape:
+    * dividend = distinct (customer, brand) purchases, divisor = the
+    * filtered brand set; a customer qualifies when its distinct-brand
+    * count over the divisor equals |divisor| (a broadcast scalar). Two
+    * hash aggregates and one broadcast — never a per-customer set
+    * comparison; the fact table shuffles once on (custkey, brand).
+    */
+  def relationalDivision(spark: SparkSession, sfDir: String): DataFrame = {
+    val prefix = "Brand#1"
+    val wanted = t(spark, sfDir, "part")
+      .filter(col("p_brand").startsWith(prefix))
+      .select(col("p_partkey"), col("p_brand"))
+    val divisor = wanted.agg(countDistinct(col("p_brand")).as("n_brands"))
+    val dividend = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(wanted, col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("custkey"), col("p_brand"))
+      .distinct()
+    ordered(
+      dividend.groupBy(col("custkey"))
+        .agg(countDistinct(col("p_brand")).as("n_bought"))
+        .crossJoin(broadcast(divisor))
+        .filter(col("n_bought") === col("n_brands"))
+        .select(col("custkey"), col("n_bought")),
+      "custkey")
+  }
+
+  /** The NOT IN null trap — three-valued logic made visible: a NOT IN
+    * whose subquery yields ANY NULL returns zero rows (x <> NULL is
+    * UNKNOWN for every x), while the NOT EXISTS spelling of "the same"
+    * predicate returns the expected set. Registered as a gated query so
+    * the engine's null-aware anti-join semantics (Spark plans a
+    * null-aware anti join; SQL Server users hit this exact trap when
+    * porting) are proven equal to DuckDB's, not just documented. Output
+    * is both counts side by side.
+    */
+  def notInNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_totalprice > 450000.0 THEN o_custkey END
+        |      FROM orders)) AS n_not_in,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |   WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders o
+        |      WHERE o.o_totalprice > 450000.0
+        |        AND o.o_custkey = c.c_custkey)) AS n_not_exists""".stripMargin)
+  }
+
+  /** Aggregate-of-aggregate — per-segment statistics OF per-customer
+    * totals (average customer lifetime value, not average order value):
+    * the two-level rollup every mart report needs and every naive GROUP BY
+    * gets wrong. Inner aggregate is DECIMAL-exact per customer; the outer
+    * level re-aggregates the (much smaller) per-customer frame, and the
+    * average is one mirrored double division of exact sums.
+    */
+  def aggOfAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(sum(money(col("o_totalprice"))).as("spend"))
+    ordered(
+      perCust.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+             r4(sum(col("spend")).cast("double") / count(lit(1)).cast("double"))
+               .as("avg_clv"),
+             r4(min(col("spend")).cast("double")).as("min_clv"),
+             r4(max(col("spend")).cast("double")).as("max_clv")),
+      "c_mktsegment")
+  }
+
   /** Correlated scalar subqueries — the reference's watermark pattern
     * (transform_load.sql's SELECT MAX(...) scalar lookups) generalized to
     * per-row correlation: each customer's last order date and order count

@@ -70,6 +70,19 @@ object StreamOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-static dimension enrichment — the streaming half of the
+    * reference's fact-load join against dim_city (transform_load.sql:52–58):
+    * each micro-batch joins the unbounded stream against a bounded
+    * dimension snapshot. The static side is explicitly broadcast — on a
+    * cluster the dim ships once per executor and the stream NEVER
+    * shuffles for the join (stateless, no watermark needed; the dim is
+    * re-resolvable per micro-batch, which is how dimension updates become
+    * visible mid-stream). Runs identically on batch frames.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String = "user_id"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   case class UserEvent(ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
                          first_seen_us: Long, last_seen_us: Long)

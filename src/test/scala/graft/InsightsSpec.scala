@@ -245,6 +245,34 @@ class InsightsSpec extends SparkSpec {
     assert(typed.except(window).isEmpty && window.except(typed).isEmpty)
   }
 
+  test("relational division: qualifiers bought every divisor brand, non-qualifiers missing one") {
+    val r = SparkEntry.queries("q_division")(spark, Sf).collect()
+    val nBrands = graft.util.Tables.t(spark, Sf, "part")
+      .filter(col("p_brand").startsWith("Brand#1"))
+      .select(col("p_brand")).distinct().count()
+    assert(r.forall(_.getAs[Long]("n_bought") === nBrands))
+  }
+
+  test("NOT IN with subquery NULLs returns zero rows while NOT EXISTS does not") {
+    val row = SparkEntry.queries("q_not_in_nulls")(spark, Sf).collect().head
+    assert(row.getAs[Long]("n_not_in") === 0L,
+           "a NULL in the NOT IN subquery must poison every comparison")
+    assert(row.getAs[Long]("n_not_exists") > 0L)
+  }
+
+  test("agg-of-agg: per-segment CLV average sits inside [min,max], counts partition customers") {
+    val r = SparkEntry.queries("q_agg_of_agg")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (lo, avg, hi) = (row.getAs[Double]("min_clv"), row.getAs[Double]("avg_clv"),
+                           row.getAs[Double]("max_clv"))
+      assert(lo <= avg && avg <= hi)
+    }
+    val totalCustomers = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(r.map(_.getAs[Long]("n_customers")).sum === totalCustomers)
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()

@@ -169,4 +169,26 @@ class StreamingSpec extends SparkSpec {
       .orderBy("k").collect().map(_.getAs[Long]("k")).toSeq
     assert(latest === Seq(1L, 2L, 3L))
   }
+
+  test("stream-static dim join: every micro-batch row enriched, stream equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val streamDf = mem.toDF().toDF("ts", "user_id", "value")
+    val q = StreamOps.enrichWithDim(streamDf, dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    mem.addData(sample: _*)
+    mem.addData((ts("2024-01-01 03:00:00"), 9L, 1.0)) // no dim row → left join keeps it
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich_out")
+      .orderBy("user_id", "ts").collect().toSeq
+    val batch = StreamOps.enrichWithDim(
+        (sample :+ ((ts("2024-01-01 03:00:00"), 9L, 1.0))).toDF("ts", "user_id", "value"), dim)
+      .orderBy("user_id", "ts").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.count(_.isNullAt(3)) === 1, "unmatched key survives the left join")
+  }
 }
