@@ -177,6 +177,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ntileGlobal equals the window NTILE on random sizes, ks and partitionings") {
+    import spark.implicits._
+    val rowsGen = for {
+      n <- Gen.choose(1, 300)
+      k <- Gen.choose(1, 12)
+      vs <- Gen.listOfN(n, Gen.choose(0, 20)) // heavy ties — the tie-break must decide
+    } yield (k, vs.zipWithIndex.map { case (v, i) => (v.toLong, i.toLong) })
+    forAll(rowsGen) { case (k, rows) =>
+      val df = rows.toDF("v", "id").repartition(5)
+      val ours = operators.Insights
+        .ntileGlobal(df, Seq(col("v").asc, col("id").asc), k, "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v").asc, col("id").asc)
+      val naive = df.select(col("v"), col("id"), ntile(k).over(w).as("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(ours === naive, s"k=$k n=${rows.length}")
+    }
+  }
+
+  test("PrefixSum.exclusiveCols orders by the lexicographic composite on random data") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(300, for {
+      a <- Gen.choose(0, 5); v <- Gen.choose(0L, 100L)
+    } yield (a.toLong, v))
+    forAll(rowsGen) { rs =>
+      val rows = rs.zipWithIndex.map { case ((a, v), i) => (a, i.toLong, v) }
+      val df = rows.toDF("a", "id", "v").repartition(7)
+      val dist = graft.util.PrefixSum
+        .exclusiveCols(df, Seq(col("a").asc, col("id").asc), col("v"), "ps")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val sorted = rows.sortBy(r => (r._1, r._2))
+      val naive = sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+        .map { case ((a, id, _), ps) => (a, id, ps) }.toSet
+      assert(dist === naive)
+    }
+  }
+
   test("bucketCandidates keeps every bucket's membership connected, hot or not") {
     import spark.implicits._
     val rowsGen = for {
