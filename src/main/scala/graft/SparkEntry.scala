@@ -177,6 +177,8 @@ object SparkEntry {
     "q_division"          -> q(Relational.relationalDivision),
     "q_not_in_nulls"      -> q(Relational.notInNulls), // 3VL: NOT IN vs NOT EXISTS under subquery NULLs
     "q_agg_of_agg"        -> q(Relational.aggOfAgg),
+    "q_oov_rate"          -> q(Text.oovRate(_, _, 200)),
+    "q_embed_quantize"    -> q(Similarity.embedQuantize), // int8 vector compression, checksum-gated
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1673,6 +1675,41 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents) u
+        |  WHERE word <> ''),
+        |vocab AS (
+        |  SELECT word, 1 AS in_vocab FROM (
+        |    SELECT word, count(*) AS n FROM toks GROUP BY word
+        |    ORDER BY n DESC, word ASC LIMIT 200) v)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(vocab.in_vocab) AS BIGINT) AS n_in_vocab,
+        | floor((1.0 - CAST(count(vocab.in_vocab) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS oov_rate
+        |FROM toks t LEFT JOIN vocab ON t.word = vocab.word
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         list_aggregate(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))), 'max') AS scale,
+        |         embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM s WHERE scale > 0)
+        |SELECT vec_id,
+        | floor(scale * 10000.0 + 0.5) / 10000.0 AS scale,
+        | CAST(list_aggregate(qv, 'sum') AS BIGINT) AS checksum,
+        | CAST(len(list_filter(qv, v -> v <> 0)) AS BIGINT) AS nnz
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_division" ->
       """WITH wanted AS (

@@ -191,4 +191,29 @@ object Similarity {
     Dedup.canonicalAssignment(emb, "vec_id",
       Dedup.connectedComponents(pairs, "vec_a", "vec_b"))
   }
+
+  /** Symmetric int8 quantization per embedding — the 4× memory compression
+    * every billion-vector ANN index applies before sharding. Per vector:
+    * scale = max |xᵢ| (order-free max of exactly-widened floats), qᵢ =
+    * floor(xᵢ/scale·127 + 0.5) — one mirrored IEEE chain per element inside
+    * a codegen'd array HOF, zero shuffle. The gated output is the quantized
+    * payload's integer checksum and nnz (exact, associative), plus the
+    * scale — enough for the oracle to prove every qᵢ without shipping 64
+    * columns.
+    */
+  def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val xd = transform(col("embedding"), x => abs(x.cast("double")))
+    val scale = array_max(xd)
+    val qArr = transform(col("embedding"),
+      x => floor(x.cast("double") / col("scale") * lit(127.0) + lit(0.5)).cast("long"))
+    ordered(
+      t(spark, sfDir, "embeddings")
+        .withColumn("scale", scale)
+        .filter(col("scale") > 0)
+        .withColumn("q", qArr)
+        .select(col("vec_id"), r4(col("scale")).as("scale"),
+                aggregate(col("q"), lit(0L), (a, b) => a + b).as("checksum"),
+                size(filter(col("q"), v => v =!= 0L)).cast("long").as("nnz")),
+      "vec_id")
+  }
 }

@@ -664,6 +664,30 @@ object Text {
     * the corpus), df and corpus stats broadcast, global top-k as
     * TakeOrderedAndProject.
     */
+  /** Out-of-vocabulary rate per document against the corpus's own top-k
+    * vocabulary — the tokenizer-coverage report run before committing a
+    * vocab size. The vocab (top `vocabSize` words by frequency, word-asc
+    * tie-break) is BROADCAST — at any corpus scale the vocab is small by
+    * construction; per-doc hits come from one left join + conditional
+    * count, and the rate is one mirrored division of exact counts.
+    */
+  def oovRate(spark: SparkSession, sfDir: String, vocabSize: Int = 200): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(vocabSize)
+      .select(col("word"), lit(1).as("in_vocab"))
+    ordered(
+      toks.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+             count(col("in_vocab")).as("n_in_vocab"),
+             r4(lit(1.0) - count(col("in_vocab")).cast("double") /
+                count(lit(1)).cast("double")).as("oov_rate")),
+      "doc_id")
+  }
+
   def bm25(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     val terms = Seq("join", "hash", "scan")
     val k1 = 1.2

@@ -273,6 +273,34 @@ class InsightsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_customers")).sum === totalCustomers)
   }
 
+  test("oov rate: in [0,1], hits never exceed tokens, covers every doc") {
+    val r = SparkEntry.queries("q_oov_rate")(spark, Sf).collect()
+    val nDocs = graft.util.Tables.t(spark, Sf, "documents").count()
+    assert(r.length === nDocs)
+    r.foreach { row =>
+      val (nt, hit) = (row.getAs[Long]("n_tokens"), row.getAs[Long]("n_in_vocab"))
+      assert(hit <= nt && nt > 0)
+      val rate = row.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("embed quantize: checksums match a driver-side requantization") {
+    val r = SparkEntry.queries("q_embed_quantize")(spark, Sf).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    val vecs = graft.util.Tables.t(spark, Sf, "embeddings").collect()
+    assert(r.size === vecs.length)
+    vecs.take(50).foreach { row =>
+      val id = row.getAs[Long]("vec_id")
+      val xs = row.getSeq[Float](row.fieldIndex("embedding")).map(_.toDouble)
+      val scale = xs.map(math.abs).max
+      val q = xs.map(x => math.floor(x / scale * 127.0 + 0.5).toLong)
+      assert(r(id).getAs[Long]("checksum") === q.sum, s"vec $id checksum")
+      assert(r(id).getAs[Long]("nnz") === q.count(_ != 0L), s"vec $id nnz")
+      assert(q.forall(v => v >= -127 && v <= 128), "int8 range")
+    }
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()
