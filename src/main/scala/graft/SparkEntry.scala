@@ -179,6 +179,8 @@ object SparkEntry {
     "q_agg_of_agg"        -> q(Relational.aggOfAgg),
     "q_oov_rate"          -> q(Text.oovRate(_, _, 200)),
     "q_embed_quantize"    -> q(Similarity.embedQuantize), // int8 vector compression, checksum-gated
+    "q_except_all"        -> q(Relational.exceptAll), // bag semantics: multiplicity-preserving difference
+    "q_ref_integrity"     -> q(Relational.refIntegrity),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1675,6 +1677,47 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_except_all" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+        |SELECT o_orderpriority, count(*) AS surplus
+        |FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_ref_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS n_dup_pk
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey -> part',
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+        |    (SELECT count(*) - count(DISTINCT p_partkey) FROM part)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey -> supplier',
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+        |    (SELECT count(*) - count(DISTINCT s_suppkey) FROM supplier)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey -> customer',
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |    (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey -> nation',
+        |    (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+        |    (SELECT count(*) - count(DISTINCT n_nationkey) FROM nation)
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey -> region',
+        |    (SELECT count(*) FROM nation n WHERE n.n_regionkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)),
+        |    (SELECT count(*) - count(DISTINCT r_regionkey) FROM region)
+        |) t ORDER BY fk_edge""".stripMargin,
 
     "q_oov_rate" ->
       """WITH toks AS (

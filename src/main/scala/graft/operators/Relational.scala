@@ -665,6 +665,54 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Multiset EXCEPT ALL — bag semantics the DISTINCT set ops can't
+    * express: each duplicate survives as many times as it outnumbers the
+    * subtrahend (SQL's EXCEPT ALL). Here: order-priority rows of 'F'
+    * orders minus those of 'O' orders — the result counts per-priority
+    * surplus with multiplicity. Spark's exceptAll plans as a
+    * count-difference aggregate + generate, never a row-pairing join.
+    */
+  def exceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_orderpriority"))
+    ordered(
+      f.exceptAll(p).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("surplus")),
+      "o_orderpriority")
+  }
+
+  /** Referential-integrity audit — orphan counts across every FK edge of
+    * the star schema (the PK/FK checks a warehouse on SQL Server gets from
+    * constraints; on a lake they must be ASSERTED by query). Each edge is
+    * one anti-join (left-anti = rows whose FK misses every PK) aggregated
+    * to a count; dimension sides broadcast. Also validates PK uniqueness
+    * of each parent by count-vs-distinct.
+    */
+  def refIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    def orphans(child: DataFrame, fk: String, parent: DataFrame, pk: String): Long =
+      child.select(col(fk)).filter(col(fk).isNotNull)
+        .join(broadcast(parent.select(col(pk))), col(fk) === col(pk), "left_anti")
+        .count()
+    def dupPk(parent: DataFrame, pk: String): Long =
+      parent.count() - parent.select(col(pk)).distinct().count()
+    val li = t(spark, sfDir, "lineitem"); val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer"); val n = t(spark, sfDir, "nation")
+    val r = t(spark, sfDir, "region"); val p = t(spark, sfDir, "part")
+    val s = t(spark, sfDir, "supplier")
+    val rows = Seq(
+      ("lineitem.l_orderkey -> orders", orphans(li, "l_orderkey", o, "o_orderkey"), dupPk(o, "o_orderkey")),
+      ("lineitem.l_partkey -> part", orphans(li, "l_partkey", p, "p_partkey"), dupPk(p, "p_partkey")),
+      ("lineitem.l_suppkey -> supplier", orphans(li, "l_suppkey", s, "s_suppkey"), dupPk(s, "s_suppkey")),
+      ("orders.o_custkey -> customer", orphans(o, "o_custkey", c, "c_custkey"), dupPk(c, "c_custkey")),
+      ("customer.c_nationkey -> nation", orphans(c, "c_nationkey", n, "n_nationkey"), dupPk(n, "n_nationkey")),
+      ("nation.n_regionkey -> region", orphans(n, "n_regionkey", r, "r_regionkey"), dupPk(r, "r_regionkey")))
+    val spark2 = spark
+    import spark2.implicits._
+    ordered(rows.toDF("fk_edge", "n_orphans", "n_dup_pk"), "fk_edge")
+  }
+
   /** Relational division — "customers who bought EVERY brand in the
     * divisor set", the classic operator SQL has no keyword for. Shape:
     * dividend = distinct (customer, brand) purchases, divisor = the

@@ -301,6 +301,27 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("except all: surplus equals per-priority count difference clamped at zero") {
+    val r = SparkEntry.queries("q_except_all")(spark, Sf).collect()
+      .map(x => x.getAs[String]("o_orderpriority") -> x.getAs[Long]("surplus")).toMap
+    val o = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority")).collect()
+    val f = o.filter(_.getString(0) == "F").groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val p = o.filter(_.getString(0) == "O").groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val expect = f.map { case (k, nf) => k -> (nf - p.getOrElse(k, 0)).toLong }
+      .filter(_._2 > 0)
+    assert(r === expect)
+  }
+
+  test("referential integrity: synthetic star schema has no orphans or dup PKs") {
+    val r = SparkEntry.queries("q_ref_integrity")(spark, Sf).collect()
+    assert(r.length === 6)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_orphans") === 0L, row.getAs[String]("fk_edge"))
+      assert(row.getAs[Long]("n_dup_pk") === 0L, row.getAs[String]("fk_edge"))
+    }
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()
