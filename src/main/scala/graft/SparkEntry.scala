@@ -181,6 +181,7 @@ object SparkEntry {
     "q_embed_quantize"    -> q(Similarity.embedQuantize), // int8 vector compression, checksum-gated
     "q_except_all"        -> q(Relational.exceptAll), // bag semantics: multiplicity-preserving difference
     "q_ref_integrity"     -> q(Relational.refIntegrity),
+    "q_mult_means"        -> q(Relational.multMeans), // geometric + harmonic means, decimal-folded Σs
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1677,6 +1678,19 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_mult_means" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        | floor(exp(CAST(sum(CAST(ln(x) AS DECIMAL(28,8))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS geo_mean,
+        | floor(CAST(count(*) AS DOUBLE)
+        |       / CAST(sum(CAST(1.0 / x AS DECIMAL(28,8))) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS harmonic_mean
+        |FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_except_all" ->
       """WITH d AS (

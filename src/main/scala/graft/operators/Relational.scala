@@ -665,6 +665,33 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Geometric and harmonic means of order value per segment — the
+    * multiplicative/rate-average aggregates (CAGR-style growth, average of
+    * ratios) that arithmetic mean gets wrong. G = exp(Σln x / n),
+    * H = n / Σ(1/x); both Σs are sums OF doubles, so each term is cast to
+    * DECIMAL(28,8) before aggregation (associative, partial-tree-proof —
+    * the q_token_entropy pattern), and exp/ln/division are mirrored IEEE
+    * calls on exact-by-construction inputs.
+    */
+  def multMeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = money(col("o_totalprice")).cast("double")
+    ordered(
+      t(spark, sfDir, "orders")
+        .join(broadcast(t(spark, sfDir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+                log(x).cast("decimal(28,8)").as("lnx"),
+                (lit(1.0) / x).cast("decimal(28,8)").as("invx"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+             r4(exp(sum(col("lnx")).cast("double") / count(lit(1)).cast("double")))
+               .as("geo_mean"),
+             r4(count(lit(1)).cast("double") / sum(col("invx")).cast("double"))
+               .as("harmonic_mean")),
+      "c_mktsegment")
+  }
+
   /** Multiset EXCEPT ALL — bag semantics the DISTINCT set ops can't
     * express: each duplicate survives as many times as it outnumbers the
     * subtrahend (SQL's EXCEPT ALL). Here: order-priority rows of 'F'

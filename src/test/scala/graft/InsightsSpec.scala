@@ -322,6 +322,22 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("mult means: harmonic <= geometric <= arithmetic (AM-GM-HM inequality)") {
+    val r = SparkEntry.queries("q_mult_means")(spark, Sf).collect()
+    val am = graft.util.Tables.t(spark, Sf, "orders")
+      .join(graft.util.Tables.t(spark, Sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(avg(col("o_totalprice")).as("a")).collect()
+      .map(x => x.getAs[String]("c_mktsegment") -> x.getAs[Double]("a")).toMap
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val seg = row.getAs[String]("c_mktsegment")
+      val (g, h) = (row.getAs[Double]("geo_mean"), row.getAs[Double]("harmonic_mean"))
+      assert(h <= g + 1e-9 && g <= am(seg) + 1e-6, s"$seg: H=$h G=$g AM=${am(seg)}")
+    }
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()
