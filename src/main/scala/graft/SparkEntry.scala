@@ -182,6 +182,7 @@ object SparkEntry {
     "q_except_all"        -> q(Relational.exceptAll), // bag semantics: multiplicity-preserving difference
     "q_ref_integrity"     -> q(Relational.refIntegrity),
     "q_mult_means"        -> q(Relational.multMeans), // geometric + harmonic means, decimal-folded Σs
+    "q_outlier_iqr"       -> q(Quality.outlierIqr),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1678,6 +1679,26 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_outlier_iqr" ->
+      """WITH f AS (
+        |  SELECT c_mktsegment,
+        |         quantile_cont(c_acctbal, 0.25) AS q1,
+        |         quantile_cont(c_acctbal, 0.75) AS q3
+        |  FROM customer GROUP BY c_mktsegment),
+        |fe AS (
+        |  SELECT c_mktsegment,
+        |         q1 - 1.5 * (q3 - q1) AS lo,
+        |         q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM f)
+        |SELECT c.c_mktsegment, c.c_custkey,
+        | floor(c.c_acctbal * 10000.0 + 0.5) / 10000.0 AS c_acctbal,
+        | floor(fe.lo * 10000.0 + 0.5) / 10000.0 AS fence_lo,
+        | floor(fe.hi * 10000.0 + 0.5) / 10000.0 AS fence_hi,
+        | CASE WHEN c.c_acctbal < fe.lo THEN 'low' ELSE 'high' END AS side
+        |FROM customer c JOIN fe ON c.c_mktsegment = fe.c_mktsegment
+        |WHERE c.c_acctbal < fe.lo OR c.c_acctbal > fe.hi
+        |ORDER BY c.c_mktsegment, c.c_custkey""".stripMargin,
 
     "q_mult_means" ->
       """WITH j AS (

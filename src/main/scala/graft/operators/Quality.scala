@@ -238,6 +238,34 @@ object Quality {
       "event_id")
   }
 
+  /** IQR-fence (Tukey) outlier detection per segment — the third member of
+    * the outlier family (z-score: parametric; MAD: robust-scale; IQR:
+    * quartile fences, the boxplot rule). Quartiles come from the exact
+    * interpolated percentile aggregate (the pattern q_quantiles_exact
+    * already gates); fences are one mirrored IEEE chain and the verdict is
+    * a plain comparison — group stats broadcast back onto the row stream,
+    * never a window over the fact.
+    */
+  def outlierIqr(spark: SparkSession, sfDir: String): DataFrame = {
+    val fences = t(spark, sfDir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(percentile(col("c_acctbal"), lit(0.25)).as("q1"),
+           percentile(col("c_acctbal"), lit(0.75)).as("q3"))
+      .select(col("c_mktsegment"),
+              (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+              (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    ordered(
+      t(spark, sfDir, "customer")
+        .join(broadcast(fences), "c_mktsegment")
+        .filter(col("c_acctbal") < col("lo") || col("c_acctbal") > col("hi"))
+        .select(col("c_mktsegment"), col("c_custkey"),
+                r4(col("c_acctbal")).as("c_acctbal"),
+                r4(col("lo")).as("fence_lo"), r4(col("hi")).as("fence_hi"),
+                when(col("c_acctbal") < col("lo"), "low").otherwise("high")
+                  .as("side")),
+      "c_mktsegment", "c_custkey")
+  }
+
   /** CUSUM changepoint scan over daily revenue — the drift detector for
     * incremental loads (did the upstream feed shift mid-month?). The CUSUM
     * curve Σ_{j≤i}(x_j − μ) is computed SCALED BY n so it stays integer-

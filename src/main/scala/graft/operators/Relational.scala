@@ -717,27 +717,33 @@ object Relational {
     * of each parent by count-vs-distinct.
     */
   def refIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    def orphans(child: DataFrame, fk: String, parent: DataFrame, pk: String): Long =
-      child.select(col(fk)).filter(col(fk).isNotNull)
+    // one composed plan, ONE action: each edge contributes a single-row
+    // (orphans × dup-pk) frame and the report is their union — no
+    // count()-per-edge driver loop (12 sequential jobs → 1)
+    def edge(name: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(fk)).filter(col(fk).isNotNull)
         .join(broadcast(parent.select(col(pk))), col(fk) === col(pk), "left_anti")
-        .count()
-    def dupPk(parent: DataFrame, pk: String): Long =
-      parent.count() - parent.select(col(pk)).distinct().count()
+        .agg(count(lit(1)).as("n_orphans"))
+      val dup = parent.agg(
+        (count(lit(1)) - countDistinct(col(pk))).as("n_dup_pk"))
+      orphans.crossJoin(dup).select(lit(name).as("fk_edge"),
+                                    col("n_orphans"), col("n_dup_pk"))
+    }
     val li = t(spark, sfDir, "lineitem"); val o = t(spark, sfDir, "orders")
     val c = t(spark, sfDir, "customer"); val n = t(spark, sfDir, "nation")
     val r = t(spark, sfDir, "region"); val p = t(spark, sfDir, "part")
     val s = t(spark, sfDir, "supplier")
-    val rows = Seq(
-      ("lineitem.l_orderkey -> orders", orphans(li, "l_orderkey", o, "o_orderkey"), dupPk(o, "o_orderkey")),
-      ("lineitem.l_partkey -> part", orphans(li, "l_partkey", p, "p_partkey"), dupPk(p, "p_partkey")),
-      ("lineitem.l_suppkey -> supplier", orphans(li, "l_suppkey", s, "s_suppkey"), dupPk(s, "s_suppkey")),
-      ("orders.o_custkey -> customer", orphans(o, "o_custkey", c, "c_custkey"), dupPk(c, "c_custkey")),
-      ("customer.c_nationkey -> nation", orphans(c, "c_nationkey", n, "n_nationkey"), dupPk(n, "n_nationkey")),
-      ("nation.n_regionkey -> region", orphans(n, "n_regionkey", r, "r_regionkey"), dupPk(r, "r_regionkey")))
-    val spark2 = spark
-    import spark2.implicits._
-    ordered(rows.toDF("fk_edge", "n_orphans", "n_dup_pk"), "fk_edge")
+    ordered(
+      Seq(
+        edge("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey -> supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("nation.n_regionkey -> region", n, "n_regionkey", r, "r_regionkey"))
+        .reduce(_.unionAll(_)),
+      "fk_edge")
   }
 
   /** Relational division — "customers who bought EVERY brand in the

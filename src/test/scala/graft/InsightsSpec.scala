@@ -338,6 +338,17 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("iqr outliers: every flagged row is outside its segment fence, fences ordered") {
+    val r = SparkEntry.queries("q_outlier_iqr")(spark, Sf).collect()
+    r.foreach { row =>
+      val (x, lo, hi) = (row.getAs[Double]("c_acctbal"),
+                         row.getAs[Double]("fence_lo"), row.getAs[Double]("fence_hi"))
+      assert(lo < hi)
+      assert(x < lo || x > hi)
+      assert(row.getAs[String]("side") === (if (x < lo) "low" else "high"))
+    }
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()
