@@ -183,6 +183,7 @@ object SparkEntry {
     "q_ref_integrity"     -> q(Relational.refIntegrity),
     "q_mult_means"        -> q(Relational.multMeans), // geometric + harmonic means, decimal-folded Σs
     "q_outlier_iqr"       -> q(Quality.outlierIqr),
+    "q_cms_heavyhitters"  -> q(Text.cmsHeavyHitters(_, _, 20)), // no-oracle: sketch hash layout engine-specific; bounds spec-checked
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output

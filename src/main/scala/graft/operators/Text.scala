@@ -688,6 +688,39 @@ object Text {
       "doc_id")
   }
 
+  /** Count-Min heavy hitters — approximate frequencies of the corpus's
+    * top-k words from ONE 32 KB sketch ([[graft.functions.CountMinAggregator]],
+    * partial+final merged like any aggregate: the shuffle carries the
+    * sketch, never token counts). At 100 TB this replaces a groupBy whose
+    * distinct-token key space (billions) would swamp the shuffle; here the
+    * exact counts are ALSO computed so the gate-visible output carries the
+    * estimate alongside its ground truth and the CMS one-sided error
+    * (est ≥ exact, est ≤ exact + εN) is checkable row by row. No oracle:
+    * the sketch's hash layout is engine-specific (same category as the
+    * HLL/MinHash ops); DedupSimilaritySpec-style bounds live in
+    * InsightsSpec.
+    */
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val depth = 4
+    val width = 1024
+    val cms = udaf(new graft.functions.CountMinAggregator(depth, width),
+                   org.apache.spark.sql.Encoders.BINARY)
+    val toks = docs(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val sketch = toks.agg(cms(col("word").cast("binary")).as("s"))
+      .head().getSeq[Long](0)
+    val exact = toks.groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("word").asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = exact.map { case (w, n) =>
+      (w, n, graft.functions.CountMinAggregator.estimate(sketch, depth, width, w))
+    }.toSeq
+    val spark2 = spark
+    import spark2.implicits._
+    ordered(rows.toDF("word", "exact_n", "cms_est"), "word")
+  }
+
   def bm25(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     val terms = Seq("join", "hash", "scan")
     val k1 = 1.2

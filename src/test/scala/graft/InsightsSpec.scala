@@ -349,6 +349,21 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates are one-sided: est >= exact, over-error within εN") {
+    val r = SparkEntry.queries("q_cms_heavyhitters")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    val totalTokens = graft.util.Tables.t(spark, Sf, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    val epsN = math.ceil(totalTokens * (math.E / 1024)).toLong // ε = e/width
+    r.foreach { row =>
+      val (exact, est) = (row.getAs[Long]("exact_n"), row.getAs[Long]("cms_est"))
+      assert(est >= exact, s"${row.getString(0)}: CMS must never under-estimate")
+      assert(est - exact <= epsN,
+             s"${row.getString(0)}: over-error ${est - exact} beyond εN=$epsN")
+    }
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()
