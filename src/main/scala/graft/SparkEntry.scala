@@ -184,6 +184,7 @@ object SparkEntry {
     "q_mult_means"        -> q(Relational.multMeans), // geometric + harmonic means, decimal-folded Σs
     "q_outlier_iqr"       -> q(Quality.outlierIqr),
     "q_cms_heavyhitters"  -> q(Text.cmsHeavyHitters(_, _, 20)), // no-oracle: sketch hash layout engine-specific; bounds spec-checked
+    "q_nth_value_bool"    -> q(Windows.nthValueBoolAgg),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1680,6 +1681,21 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_nth_value_bool" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type
+        |  FROM events),
+        |w AS (
+        |  SELECT *, nth_value(value, 3) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_value
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        | floor(min(third_value) * 10000.0 + 0.5) / 10000.0 AS third_value,
+        | CAST(min(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS INT) AS all_positive,
+        | CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT) AS any_error
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_outlier_iqr" ->
       """WITH f AS (

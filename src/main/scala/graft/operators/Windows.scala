@@ -343,6 +343,32 @@ object Windows {
       "user_id", "ts_us", "event_id")
   }
 
+  /** nth_value + boolean-aggregate completions — the last members of the
+    * window/aggregate families: per user, the value of their 3rd event
+    * (nth_value over the full partition frame), whether ALL their events
+    * carry positive value and whether ANY is an error (bool_and/bool_or as
+    * min/max over int flags — exact, engine-portable). One user-sharded
+    * window plus one hash aggregate.
+    */
+  def nthValueBoolAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ordered(
+      events(spark, sfDir)
+        .withColumn("third_value", nth_value(col("value"), 3).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             // every row in the group carries the same full-frame nth value;
+             // min() collapses it portably (first() is order-dependent in
+             // the oracle engine). Flags surface as INT 1/0 — boolean
+             // serialization differs between engines' python bridges.
+             r4(min(col("third_value"))).as("third_value"),
+             min(when(col("value") > 0, 1).otherwise(0)).as("all_positive"),
+             max(when(col("event_type") === "error", 1).otherwise(0)).as("any_error")),
+      "user_id")
+  }
+
   /** Sessionization through the TYPED Dataset API — groupByKey +
     * flatMapGroups with compiled per-group Scala, the escape hatch for
     * per-entity logic no window frame expresses (multi-state machines,

@@ -70,6 +70,28 @@ object StreamOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** LEFT OUTER stream-stream interval join — the outer variant of
+    * [[intervalJoin]]: stream-A events with NO matching B event within the
+    * hour still emit (NULL-extended) once the watermark proves no match
+    * can arrive. This is the semantically hard streaming join — the
+    * NULL row can only be emitted when event-time has passed the join
+    * window, so BOTH watermarks and the time-bound condition are load-
+    * bearing (they bound state AND gate the null emission). Runs on batch
+    * frames as a plain left outer range join.
+    */
+  def intervalJoinOuter(evA: DataFrame, evB: DataFrame): DataFrame = {
+    val a = evA.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("a_ts"))
+    val b = evB.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("value"))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("interval 1 hour"),
+        "left_outer")
+      .select(col("user_id"), col("a_ts"), col("b_ts"), col("value"))
+  }
+
   /** Stream-static dimension enrichment — the streaming half of the
     * reference's fact-load join against dim_city (transform_load.sql:52–58):
     * each micro-batch joins the unbounded stream against a bounded

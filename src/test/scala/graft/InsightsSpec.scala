@@ -364,6 +364,17 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("nth_value/bool aggs: third value null iff <3 events, flags consistent") {
+    val r = SparkEntry.queries("q_nth_value_bool")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_events")
+      assert(row.isNullAt(row.fieldIndex("third_value")) === (n < 3))
+      val (allPos, anyErr) = (row.getAs[Int]("all_positive"), row.getAs[Int]("any_error"))
+      assert(allPos == 0 || allPos == 1); assert(anyErr == 0 || anyErr == 1)
+    }
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()

@@ -170,6 +170,33 @@ class StreamingSpec extends SparkSpec {
     assert(latest === Seq(1L, 2L, 3L))
   }
 
+  test("left-outer interval join: unmatched rows emit NULL once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Timestamp, Long, Double)]
+    val memB = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamOps.intervalJoinOuter(
+        memA.toDF().toDF("ts", "user_id", "value"),
+        memB.toDF().toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("outer_join_out")
+      .outputMode("append").start()
+    // user 1: A at 00:05 with B match at 00:45; user 7: A at 00:10, no B ever
+    memA.addData((ts("2024-01-01 00:05:00"), 1L, 1.0), (ts("2024-01-01 00:10:00"), 7L, 2.0))
+    memB.addData((ts("2024-01-01 00:45:00"), 1L, 99.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past the join window so the null emits
+    memA.addData((ts("2024-01-01 09:00:00"), 99L, 0.0))
+    memB.addData((ts("2024-01-01 09:00:00"), 98L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("outer_join_out").collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L)
+    val u7 = out.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u1.length === 1 && u1.head.getAs[Double]("value") === 99.0)
+    assert(u7.length === 1 && u7.head.isNullAt(u7.head.fieldIndex("b_ts")),
+           "watermark-expired unmatched row must emit NULL-extended")
+  }
+
   test("stream-static dim join: every micro-batch row enriched, stream equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
