@@ -185,6 +185,9 @@ object SparkEntry {
     "q_outlier_iqr"       -> q(Quality.outlierIqr),
     "q_cms_heavyhitters"  -> q(Text.cmsHeavyHitters(_, _, 20)), // no-oracle: sketch hash layout engine-specific; bounds spec-checked
     "q_nth_value_bool"    -> q(Windows.nthValueBoolAgg),
+    "q_seqlen_percentiles"-> q(Text.seqlenPercentiles),
+    "q_dedup_savings"     -> q(Text.dedupSavings),
+    "q_first_touch"       -> q(Insights.attributionFirstTouch),
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1681,6 +1684,41 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_seqlen_percentiles" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | floor(quantile_cont(n_tokens, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        | floor(quantile_cont(n_tokens, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+        | floor(quantile_cont(n_tokens, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99,
+        | max(n_tokens) AS max_tokens
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_savings" ->
+      """WITH c AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_key,
+        |         count(*) AS sz
+        |  FROM documents GROUP BY 1)
+        |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(sum(sz - 1) AS BIGINT) AS docs_removed
+        |FROM c GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "q_first_touch" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, value,
+        |         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |                     IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, '(direct)') AS channel, count(*) AS conversions,
+        | floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS revenue
+        |FROM s WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_nth_value_bool" ->
       """WITH e AS (

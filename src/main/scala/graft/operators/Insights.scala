@@ -279,6 +279,29 @@ object Insights {
       "n_name")
   }
 
+  /** First-touch attribution — the acquisition-channel twin of
+    * [[attributionLastTouch]]: each purchase credits the user's EARLIEST
+    * preceding non-purchase event (first(..., ignoreNulls) over the same
+    * user-sharded frame). Registered separately because the two models
+    * answer different questions (acquisition vs conversion) and their
+    * grouped outputs differ.
+    */
+  def attributionFirstTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events(spark, sfDir)
+      .withColumn("touch",
+        first(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+    ordered(
+      touched.filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("(direct)")).as("channel"))
+        .agg(count(lit(1)).as("conversions"),
+             r4(sum(money(col("value"))).cast("double")).as("revenue")),
+      "channel")
+  }
+
   /** Triangle enumeration on the brand co-occurrence graph — the graph-
     * analytics primitive (clustering coefficient, community seeds) run on
     * the market-basket edge list. Edges are brand pairs co-occurring in

@@ -688,6 +688,44 @@ object Text {
       "doc_id")
   }
 
+  /** Sequence-length distribution per language — the context-window sizing
+    * report (p50/p90/p99/max token counts) every packing/truncation policy
+    * is tuned against. Token counts are exact ints from one expression
+    * scan; percentiles are the exact interpolated aggregate the
+    * q_quantiles_exact pattern already proves portable.
+    */
+  def seqlenPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(filter(split(col("text"), " "), x => x =!= lit("")))
+      .cast("long")
+    ordered(
+      docs(spark, sfDir).select(col("lang"), nTok.as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             r4(percentile(col("n_tokens"), lit(0.5))).as("p50"),
+             r4(percentile(col("n_tokens"), lit(0.9))).as("p90"),
+             r4(percentile(col("n_tokens"), lit(0.99))).as("p99"),
+             max(col("n_tokens")).as("max_tokens")),
+      "lang")
+  }
+
+  /** Dedup-savings report — the cluster-size distribution of exact
+    * duplicates ("how much smaller does the corpus get"): for each cluster
+    * size s, how many clusters and how many documents dedup removes
+    * ((s−1) per cluster). Two hash aggregations over the [[docDedupExact]]
+    * normalization; all counts exact.
+    */
+  def dedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val clusters = docs(spark, sfDir)
+      .select(md5(norm).as("content_key"))
+      .groupBy(col("content_key")).agg(count(lit(1)).as("sz"))
+    ordered(
+      clusters.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+             (sum(col("sz") - 1)).as("docs_removed")),
+      "cluster_size")
+  }
+
   /** Count-Min heavy hitters — approximate frequencies of the corpus's
     * top-k words from ONE 32 KB sketch ([[graft.functions.CountMinAggregator]],
     * partial+final merged like any aggregate: the shuffle carries the

@@ -375,6 +375,29 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("seqlen percentiles are monotone p50<=p90<=p99<=max; savings account for all docs") {
+    val r = SparkEntry.queries("q_seqlen_percentiles")(spark, Sf).collect()
+    r.foreach { row =>
+      val (a, b, c) = (row.getAs[Double]("p50"), row.getAs[Double]("p90"), row.getAs[Double]("p99"))
+      assert(a <= b && b <= c && c <= row.getAs[Long]("max_tokens").toDouble)
+    }
+    val sv = SparkEntry.queries("q_dedup_savings")(spark, Sf).collect()
+    val nDocs = graft.util.Tables.t(spark, Sf, "documents").count()
+    val accounted = sv.map(x => x.getAs[Long]("cluster_size") * x.getAs[Long]("n_clusters")).sum
+    assert(accounted === nDocs, "every document belongs to exactly one cluster")
+    sv.foreach { x =>
+      assert(x.getAs[Long]("docs_removed") ===
+        (x.getAs[Long]("cluster_size") - 1) * x.getAs[Long]("n_clusters"))
+    }
+  }
+
+  test("first-touch conversions total equals last-touch total (same purchases)") {
+    val ft = SparkEntry.queries("q_first_touch")(spark, Sf).collect()
+    val lt = SparkEntry.queries("q_attribution")(spark, Sf).collect()
+    assert(ft.map(_.getAs[Long]("conversions")).sum ===
+           lt.map(_.getAs[Long]("conversions")).sum)
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()
