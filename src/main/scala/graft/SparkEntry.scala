@@ -188,6 +188,7 @@ object SparkEntry {
     "q_seqlen_percentiles"-> q(Text.seqlenPercentiles),
     "q_dedup_savings"     -> q(Text.dedupSavings),
     "q_first_touch"       -> q(Insights.attributionFirstTouch),
+    "q_incr_join_merge"   -> q(Warehouse.incrJoinMerge), // join-delta algebra ≡ full recompute, proven by hash
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1684,6 +1685,16 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_incr_join_merge" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       count(*) AS n_items,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_seqlen_percentiles" ->
       """WITH d AS (

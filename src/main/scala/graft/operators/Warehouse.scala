@@ -373,6 +373,42 @@ object Warehouse {
                 r4(col("max_dec").cast("double")).as("max_price")),
       "week_start", "o_orderstatus")
 
+  /** Incremental JOIN maintenance — the delta algebra behind every
+    * materialized join view: with each side split into base ∪ delta (the
+    * nightly increment), A⋈B ≡ Aᵦ⋈Bᵦ ∪ Aᵦ⋈Bᵈ ∪ Aᵈ⋈Bᵦ ∪ Aᵈ⋈Bᵈ, so the
+    * refresh only joins DELTA-sized inputs against the other side — at
+    * 100 TB the three delta terms shuffle a day's increment, never the
+    * base×base re-join the oracle performs. Registered with the FULL
+    * recompute as its oracle: the hash gate proves the delta algebra
+    * exactly, not approximately. Split is by order date (orders) /
+    * ship date (lineitem) — deltas are what "arrived" after the cutoff.
+    */
+  def incrJoinMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("date")
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+    val oB = o.filter(col("o_orderdate") < cutoff)
+    val oD = o.filter(col("o_orderdate") >= cutoff)
+    val lB = li.filter(col("l_shipdate") < cutoff)
+    val lD = li.filter(col("l_shipdate") >= cutoff)
+    def j(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+                col("l_extendedprice"), col("l_discount"))
+    val incremental = j(oB, lB).unionAll(j(oB, lD))
+      .unionAll(j(oD, lB)).unionAll(j(oD, lD))
+    ordered(
+      incremental
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_items"),
+             r4(sum(money(col("l_extendedprice")) *
+                    (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
+               .cast("double")).as("revenue")),
+      "yr", "mo")
+  }
+
   /** Hierarchy flattening — every node's root ancestor and depth, the
     * parent-child → flattened-dimension transform behind ragged org
     * charts, BOM explosions and account rollups (the recursive-CTE

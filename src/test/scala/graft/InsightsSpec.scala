@@ -398,6 +398,17 @@ class InsightsSpec extends SparkSpec {
            lt.map(_.getAs[Long]("conversions")).sum)
   }
 
+  test("incremental join maintenance equals the monolithic join rollup") {
+    val incr = SparkEntry.queries("q_incr_join_merge")(spark, Sf)
+    val full = graft.util.Tables.t(spark, Sf, "orders")
+      .join(graft.util.Tables.t(spark, Sf, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_items"))
+    val got = incr.select(col("yr"), col("mo"), col("n_items"))
+    assert(got.except(full).isEmpty && full.except(got).isEmpty)
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()
