@@ -23,37 +23,31 @@ import graft.util.{PrefixSum, TopK}
   */
 object Insights {
 
-  /** Exact global NTILE(k) without the single-reducer global window: a
-    * two-phase distributed rank ([[PrefixSum.exclusiveCols]] — range
-    * partition + local window + tiny offsets join) followed by the closed
-    * NTILE formula on (rank, N). Output column `outCol` matches
-    * `NTILE(k) OVER (ORDER BY orderCols)` bucket-for-bucket: the first
-    * N mod k buckets get ⌈N/k⌉ rows, the rest ⌊N/k⌋.
-    *
-    * Runs one count() job for N — metadata-cheap on parquet, and it makes
-    * q/m literal constants so bucket arithmetic is integer `div`, never a
-    * rounding-prone double division.
+  /** Exact global NTILE(k) without the single-reducer global window — and
+    * SINGLE-PASS: one two-phase distributed rank
+    * ([[PrefixSum.exclusiveColsTotal]] — range partition + local window +
+    * tiny offsets join) whose offsets frame already yields N, so no
+    * separate count() scan of the input. The closed NTILE formula on
+    * (rank, N) runs as pure integer column arithmetic (`div`, never a
+    * rounding-prone double division); output matches
+    * `NTILE(k) OVER (ORDER BY orderCols)` bucket-for-bucket — the first
+    * N mod k buckets get ⌈N/k⌉ rows, the rest ⌊N/k⌋ (cross-checked
+    * against Spark's window ntile in InsightsSpec + PropertySpec).
     */
   def ntileGlobal(df: DataFrame, orderCols: Seq[Column], k: Int,
-                  outCol: String): DataFrame =
-    ntileGlobalN(df, df.count(), orderCols, k, outCol)
-
-  /** [[ntileGlobal]] with a caller-supplied row count — callers that ntile
-    * the same frame several times (RFM's three quintiles) count once
-    * instead of re-running the upstream lineage per pass.
-    */
-  def ntileGlobalN(df: DataFrame, n: Long, orderCols: Seq[Column], k: Int,
-                   outCol: String): DataFrame = {
-    val q = n / k
-    val m = n % k
-    val rn = PrefixSum.exclusiveCols(df, orderCols, lit(1L), "_nt_rn0")
+                  outCol: String): DataFrame = {
+    val rn = PrefixSum
+      .exclusiveColsTotal(df, orderCols, lit(1L), "_nt_rn0", "_nt_n")
       .withColumn("_nt_rn", col("_nt_rn0") + lit(1L)).drop("_nt_rn0")
-    val bucket =
-      if (q == 0L) col("_nt_rn") // N < k: row i is bucket i
-      else expr(s"CASE WHEN _nt_rn <= ${m * (q + 1)} " +
-                s"THEN ((_nt_rn - 1) div ${q + 1}) + 1 " +
-                s"ELSE ${m} + ((_nt_rn - ${m * (q + 1)} - 1) div ${q}) + 1 END")
-    rn.withColumn(outCol, bucket.cast("int")).drop("_nt_rn")
+    // q = N div k, m = N mod k; the ELSE arm divides by q and is only
+    // reachable when N >= k (q >= 1) — the N < k guard keeps ANSI mode
+    // from ever seeing a div-by-zero
+    val bucket = when(col("_nt_n") < k, col("_nt_rn")).otherwise(expr(
+      s"CASE WHEN _nt_rn <= (_nt_n % $k) * ((_nt_n div $k) + 1) " +
+      s"THEN ((_nt_rn - 1) div ((_nt_n div $k) + 1)) + 1 " +
+      s"ELSE (_nt_n % $k) + ((_nt_rn - (_nt_n % $k) * ((_nt_n div $k) + 1) - 1) " +
+      s"div (_nt_n div $k)) + 1 END"))
+    rn.withColumn(outCol, bucket.cast("int")).drop("_nt_rn", "_nt_n")
   }
 
   /** Market-basket association rules over (order, part-brand) baskets —
@@ -113,13 +107,12 @@ object Insights {
       .agg(max(col("o_orderdate").cast("date")).as("last_d"),
            count(lit(1)).as("f"),
            sum(money(col("o_totalprice"))).as("m"))
-    // count ONCE, rank the three metrics independently off the same base
-    // aggregate (no rank-over-rank lineage: chaining the passes would make
-    // each count() re-run everything upstream), then join the slim
-    // (custkey, score) tables back — three cheap same-key shuffles.
-    val n = c0.count()
+    // rank the three metrics independently off the same base aggregate
+    // (no rank-over-rank lineage — chaining would recompute everything
+    // upstream per pass), then join the slim (custkey, score) tables
+    // back — three cheap same-key shuffles, zero count() jobs.
     def score(orderCol: Column, out: String) =
-      ntileGlobalN(c0, n, Seq(orderCol.asc, col("custkey").asc), 5, out)
+      ntileGlobal(c0, Seq(orderCol.asc, col("custkey").asc), 5, out)
         .select(col("custkey"), col(out))
     ordered(
       score(col("last_d"), "r_score")

@@ -35,21 +35,38 @@ object PrefixSum {
     * broadcast back.
     */
   def exclusiveCols(df: DataFrame, orderCols: Seq[Column], value: Column,
-                    outCol: String, numParts: Int = 32): DataFrame = {
+                    outCol: String, numParts: Int = 32): DataFrame =
+    exclusiveColsTotal(df, orderCols, value, outCol, null, numParts)
+
+  /** [[exclusiveCols]] that ALSO attaches the grand total Σvalue as
+    * `totalCol` (skipped when null) — free: the per-partition offsets frame
+    * already sums every partition's total, so callers that need both the
+    * prefix AND the total (exact NTILE's rank + N) avoid a second scan of
+    * the input.
+    */
+  def exclusiveColsTotal(df: DataFrame, orderCols: Seq[Column], value: Column,
+                         outCol: String, totalCol: String,
+                         numParts: Int = 32): DataFrame = {
     val withVal = df.withColumn("_psv", value)
     val parted = withVal.repartitionByRange(numParts, orderCols: _*)
       .withColumn("_pid", spark_partition_id())
     val localW = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("_local_cum", sum(col("_psv")).over(localW))
-    // one row per partition: the tiny frame where a global window is fine
-    val offsets = local.groupBy(col("_pid"))
+    // one row per partition: the tiny frame where global windows are fine
+    val offsets0 = local.groupBy(col("_pid"))
       .agg(sum(col("_psv")).as("_part_total"))
       .withColumn("_offset",
         coalesce(sum(col("_part_total")).over(
           Window.orderBy(col("_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_offset"))
+    val offsets =
+      if (totalCol == null) offsets0.select(col("_pid"), col("_offset"))
+      else offsets0
+        .withColumn(totalCol, sum(col("_part_total")).over(
+          Window.orderBy(col("_pid")).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("_pid"), col("_offset"), col(totalCol))
     local.join(broadcast(offsets), "_pid")
       .withColumn(outCol, col("_offset") + col("_local_cum") - col("_psv"))
       .drop("_pid", "_psv", "_local_cum", "_offset")
