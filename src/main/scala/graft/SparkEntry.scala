@@ -189,6 +189,9 @@ object SparkEntry {
     "q_dedup_savings"     -> q(Text.dedupSavings),
     "q_first_touch"       -> q(Insights.attributionFirstTouch),
     "q_incr_join_merge"   -> q(Warehouse.incrJoinMerge), // join-delta algebra ≡ full recompute, proven by hash
+    "q_decile_lift"       -> q(Insights.decileLift),
+    "q_abc_class"         -> q(Insights.abcClassification),
+    "q_explode_outer"     -> q(Enrichment.explodeOuter), // generator null contract ≡ LEFT JOIN, proven by hash
     // near-dup + similarity tier (no-oracle: signatures not SQL-expressible)
     "q_doc_dedup_minhash" -> q(Dedup.minhashPairs(_, _, 20)),
     "q_doc_dedup_minhash_udaf" -> q(Dedup.minhashPairsUdaf(_, _, 20)), // typed Aggregator path, same output
@@ -1685,6 +1688,52 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |       NTILE(4) OVER (ORDER BY quality_score, doc_id) AS phase
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_decile_lift" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS ck, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT ck, m, NTILE(10) OVER (ORDER BY m DESC, ck) AS decile FROM spend),
+        |pd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |              sum(m) AS rev_dec FROM r GROUP BY 1),
+        |tt AS (SELECT sum(rev_dec) AS total_dec FROM pd),
+        |cc AS (SELECT pd.decile, pd.n_customers, pd.rev_dec, tt.total_dec,
+        |              sum(pd.rev_dec) OVER (ORDER BY pd.decile
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+        |       FROM pd CROSS JOIN tt)
+        |SELECT decile, n_customers,
+        | floor(CAST(rev_dec AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS pct_of_total,
+        | floor(CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS cum_pct
+        |FROM cc ORDER BY decile""".stripMargin,
+
+    "q_abc_class" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS pk, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT pk, rev,
+        |         sum(rev) OVER (ORDER BY rev DESC, pk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(rev) OVER () AS total
+        |  FROM rev)
+        |SELECT pk AS p_partkey,
+        | floor(CAST(rev AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS cum_share,
+        | CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |      WHEN cum * 100 <= total * 95 THEN 'B'
+        |      ELSE 'C' END AS abc_class
+        |FROM c ORDER BY pk""".stripMargin,
+
+    "q_explode_outer" ->
+      """SELECT o.o_orderkey, l.l_linenumber AS item
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_discount > 0.09) l
+        |ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o.o_orderkey, item NULLS FIRST""".stripMargin,
 
     "q_incr_join_merge" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 
@@ -158,5 +158,24 @@ object Enrichment {
         count(lit(1)).over(w).as("n_last_30m"),
         r4(sum(money(col("value"))).over(w).cast("double")).as("sum_last_30m")),
       "user_id", "ts_us", "event_id")
+  }
+
+  /** explode_outer null semantics — the generator-side outer join: orders
+    * whose big-discount item array is NULL (no qualifying lineitems) still
+    * emit one NULL-extended row, exactly the rows an inner explode drops.
+    * The oracle is the equivalent LEFT JOIN formulation, so the hash gate
+    * pins the generator's null contract to standard outer-join semantics.
+    */
+  def explodeOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = t(spark, sfDir, "lineitem")
+      .filter(col("l_discount") > 0.09)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("arr"))
+    ordered(
+      t(spark, sfDir, "orders")
+        .select(col("o_orderkey"))
+        .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), explode_outer(col("arr")).as("item")),
+      "o_orderkey", "item")
   }
 }

@@ -272,6 +272,63 @@ object Insights {
       "n_name")
   }
 
+  /** Decile lift (gains) table — the marketing-analytics staple: customers
+    * ranked into spend deciles (via the single-pass exact [[ntileGlobal]]),
+    * each decile reporting its revenue share and the cumulative share
+    * ("top 10% of customers carry X% of revenue"). Per-decile sums stay
+    * DECIMAL-exact; shares are single divisions; the cumulative runs over
+    * the 10-row decile frame — free at any scale.
+    */
+  def decileLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(money(col("o_totalprice"))).as("m"))
+    val ranked = ntileGlobal(spend, Seq(col("m").desc, col("ck").asc), 10, "decile")
+    val perDecile = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("rev_dec"))
+    val total = perDecile.agg(sum(col("rev_dec")).as("total_dec"))
+    val w = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered(
+      perDecile.crossJoin(broadcast(total))
+        .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+        .select(col("decile"), col("n_customers"),
+                r4(col("rev_dec").cast("double")).as("revenue"),
+                r4(col("rev_dec").cast("double") / col("total_dec").cast("double"))
+                  .as("pct_of_total"),
+                r4(col("cum_dec").cast("double") / col("total_dec").cast("double"))
+                  .as("cum_pct")),
+      "decile")
+  }
+
+  /** ABC inventory classification — parts bucketed by cumulative revenue
+    * share (A ≤ 80%, B ≤ 95%, C the tail), the Pareto-analysis operator
+    * every inventory mart ships. The cumulative share comes from the
+    * two-phase [[PrefixSum]] over the per-part aggregate (parts ranked by
+    * revenue desc, key-tiebroken) — no single-reducer window even when the
+    * part dimension is 10⁹ rows; class thresholds compare exact DECIMAL
+    * cumulative sums against DECIMAL-scaled totals (80·total ≤ 100·cum —
+    * integer-exact, no double boundary flips).
+    */
+  def abcClassification(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(money(col("l_extendedprice"))).as("rev"))
+    val cum = graft.util.PrefixSum
+      .exclusiveColsTotal(rev, Seq(col("rev").desc, col("pk").asc),
+                          col("rev"), "cum0", "total")
+      .withColumn("cum", col("cum0") + col("rev"))
+    ordered(
+      cum.select(col("pk").as("p_partkey"),
+                 r4(col("rev").cast("double")).as("revenue"),
+                 r4(col("cum").cast("double") / col("total").cast("double"))
+                   .as("cum_share"),
+                 when(col("cum") * 100 <= col("total") * 80, "A")
+                   .when(col("cum") * 100 <= col("total") * 95, "B")
+                   .otherwise("C").as("abc_class")),
+      "p_partkey")
+  }
+
   /** First-touch attribution — the acquisition-channel twin of
     * [[attributionLastTouch]]: each purchase credits the user's EARLIEST
     * preceding non-purchase event (first(..., ignoreNulls) over the same

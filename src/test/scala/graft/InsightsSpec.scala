@@ -409,6 +409,38 @@ class InsightsSpec extends SparkSpec {
     assert(got.except(full).isEmpty && full.except(got).isEmpty)
   }
 
+  test("decile lift: shares sum to 1, cum_pct monotone, top decile carries most") {
+    val r = SparkEntry.queries("q_decile_lift")(spark, Sf).collect().sortBy(_.getAs[Int]("decile"))
+    assert(r.map(_.getAs[Int]("decile")).toSeq === (1 to 10))
+    assert(math.abs(r.map(_.getAs[Double]("pct_of_total")).sum - 1.0) < 0.001)
+    val cums = r.map(_.getAs[Double]("cum_pct"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(cums.last - 1.0) < 0.001)
+    assert(r.head.getAs[Double]("pct_of_total") >= r.last.getAs[Double]("pct_of_total"))
+  }
+
+  test("abc classification: classes ordered by cumulative share, all parts covered") {
+    val r = SparkEntry.queries("q_abc_class")(spark, Sf).collect()
+    val nParts = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_partkey")).distinct().count()
+    assert(r.length === nParts)
+    r.foreach { row =>
+      val (share, cls) = (row.getAs[Double]("cum_share"), row.getAs[String]("abc_class"))
+      if (share <= 0.79) assert(cls === "A", s"share=$share")
+      if (share > 0.96) assert(cls !== "A")
+    }
+    assert(r.map(_.getAs[String]("abc_class")).toSet.subsetOf(Set("A", "B", "C")))
+  }
+
+  test("explode_outer emits exactly one NULL row per match-less order") {
+    val r = SparkEntry.queries("q_explode_outer")(spark, Sf).collect()
+    val orders = graft.util.Tables.t(spark, Sf, "orders").count()
+    val matchless = r.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    val matched = r.filterNot(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(matchless.intersect(matched).isEmpty, "an order is matched XOR null-extended")
+    assert(matchless.size + matched.size === orders, "every order survives")
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()
