@@ -205,6 +205,7 @@ object SparkEntry {
     "q_knn_classify"      -> q(Similarity.knnClassify(_, _, 8, 5)),
     "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
     "q_ann_ivf"           -> q(Ivf.ivfTopK(_, _, 10, 16, 8)), // no-oracle: k-means internals engine-specific
+    "q_ann_ivf_quantized" -> q(Ivf.ivfTopKQuantized(_, _, 10, 16, 8)), // int8-scored shortlist + full-precision re-rank; no-oracle, recall spec
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
     "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),

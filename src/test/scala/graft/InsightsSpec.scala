@@ -441,6 +441,24 @@ class InsightsSpec extends SparkSpec {
     assert(matchless.size + matched.size === orders, "every order survives")
   }
 
+  test("quantized IVF: recall vs exact brute-force top-k stays high, rerank exactness") {
+    val approx = SparkEntry.queries("q_ann_ivf_quantized")(spark, Sf).collect()
+      .map(_.getAs[Long]("vec_id"))
+    val exact = SparkEntry.queries("q_embed_cosine_topk")(spark, Sf).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(approx.length === exact.length)
+    val recall = approx.toSet.intersect(exact.toSet).size.toDouble / exact.length
+    assert(recall >= 0.5, s"quantized-IVF recall collapsed: $recall")
+    // whatever survives the shortlist is scored EXACTLY: any id in both lists
+    // must carry the same full-precision similarity
+    val exactSim = SparkEntry.queries("q_embed_cosine_topk")(spark, Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    SparkEntry.queries("q_ann_ivf_quantized")(spark, Sf).collect().foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      exactSim.get(id).foreach(s => assert(r.getAs[Double]("cos_sim") === s))
+    }
+  }
+
   test("chi2: expected cell counts sum to N; contributions are non-negative") {
     val r = SparkEntry.queries("q_chi2")(spark, Sf).collect()
     val n = graft.util.Tables.t(spark, Sf, "orders").count()
