@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   */
 class InsightsSpec extends SparkSpec {
 
+  test("driver smoke: SparkEntry.entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0, "the t1 smoke gate must pass")
+  }
+
   test("ntileGlobal matches Spark's ntile window bucket-for-bucket") {
     val li = graft.util.Tables.t(spark, Sf, "lineitem")
       .select(col("l_extendedprice").as("p"), col("l_orderkey"), col("l_linenumber"))
