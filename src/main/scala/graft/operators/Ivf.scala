@@ -115,7 +115,7 @@ object Ivf {
     val centroids = trainCentroids(spark, emb, nLists)
     val lists = assignLists(emb, centroids)
     val probe = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("probe_emb"))
+      .select(col("embedding").as("probe_emb")).limit(1)
     // nprobe nearest lists for the probe
     val probeLists = centroids.crossJoin(broadcast(probe))
       .withColumn("sim", call_function("cosine_sim", col("centroid"), col("probe_emb")))
@@ -158,11 +158,11 @@ object Ivf {
     val lists = assignLists(emb, centroids)
       .select(col("vec_id"), col("centroid_id"))
     val probeQ = quant.filter(col("vec_id") === 0)
-      .select(col("qvec").as("probe_q"))
+      .select(col("qvec").as("probe_q")).limit(1)
     val probeF = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("probe_emb"))
+      .select(col("embedding").as("probe_emb")).limit(1)
     val probeLists = centroids.crossJoin(broadcast(
-        emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))))
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("p")).limit(1)))
       .withColumn("sim", call_function("cosine_sim", col("centroid"), col("p")))
       .orderBy(col("sim").desc, col("centroid_id").asc)
       .limit(nprobe)

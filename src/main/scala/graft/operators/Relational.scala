@@ -76,14 +76,16 @@ object Relational {
       "l_returnflag", "l_linestatus")
 
   /** Equi inner join fact ⋈ dim (ref transform_load.sql:58–59 — stg JOIN
-    * dim_city ON city_name). `part` is a dimension: explicitly broadcast so
-    * the 100 TB fact never shuffles for this join — a shuffled sort-merge
-    * join here would be the single largest cost in the pipeline.
+    * dim_city ON city_name). No broadcast HINT on `part`: it scales with
+    * the data (~20 B rows at 100 TB), so a forced broadcast would hit the
+    * 8 GB ceiling and kill the query at scale. AQE broadcasts it at small
+    * SF where it fits and falls back to a shuffled join (ideally against a
+    * part-bucketed snapshot — SnapshotStore) when it doesn't.
     */
   def joinInnerEqui(spark: SparkSession, sfDir: String): DataFrame =
     ordered(
       t(spark, sfDir, "lineitem")
-        .join(broadcast(t(spark, sfDir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
           r4(sum(money(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - money(col("l_discount"))))
@@ -552,8 +554,10 @@ object Relational {
   /** Star-schema flagship: discounted revenue per ASIA nation — the
     * TPC-H-Q5 shape every Kimball warehouse query reduces to (fact ⋈
     * snowflaked dims ⋈ fact). Join geometry is the point: region⋈nation is
-    * driver-tiny and customer-after-dim-filter is the small side, so both
-    * ride BROADCAST joins (zero shuffle on the probe side); the only
+    * driver-tiny and carries an explicit broadcast HINT (static dims —
+    * bounded at any SF); customer-after-dim-filter SCALES with the data,
+    * so it gets no hint — AQE broadcasts it while it fits and degrades to
+    * a shuffled join past the ceiling instead of dying. The only forced
     * repartitioning in the whole plan is the lineitem⋈orders fact-fact
     * join on l_orderkey — one shuffle of each fact, which is the floor for
     * co-locating two facts without bucketed layout (SnapshotStore's
@@ -576,7 +580,7 @@ object Relational {
       .select(col("l_orderkey"), rev.as("rev"))
     ordered(
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+        .join(custDim, col("o_custkey") === col("c_custkey"))
         .groupBy(col("n_name"))
         .agg(r4(sum(col("rev")).cast("double")).as("revenue"),
              count(lit(1)).as("n_items")),
@@ -677,8 +681,8 @@ object Relational {
     val x = money(col("o_totalprice")).cast("double")
     ordered(
       t(spark, sfDir, "orders")
-        .join(broadcast(t(spark, sfDir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(spark, sfDir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment"),
                 log(x).cast("decimal(28,8)").as("lnx"),
@@ -713,17 +717,23 @@ object Relational {
     * the star schema (the PK/FK checks a warehouse on SQL Server gets from
     * constraints; on a lake they must be ASSERTED by query). Each edge is
     * one anti-join (left-anti = rows whose FK misses every PK) aggregated
-    * to a count; dimension sides broadcast. Also validates PK uniqueness
-    * of each parent by count-vs-distinct.
+    * to a count. Broadcast HINTS only on the static dims (nation, region —
+    * bounded at any SF); the SF-scaling parents (orders, part, supplier,
+    * customer) go through AQE-chosen joins — at 100 TB the
+    * lineitem→orders edge is a fact-fact anti-join whose parent key set is
+    * itself fact-sized, and a forced broadcast there would OOM the driver.
+    * Also validates PK uniqueness of each parent by count-vs-distinct.
     */
   def refIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
     // one composed plan, ONE action: each edge contributes a single-row
     // (orphans × dup-pk) frame and the report is their union — no
     // count()-per-edge driver loop (12 sequential jobs → 1)
     def edge(name: String, child: DataFrame, fk: String,
-             parent: DataFrame, pk: String): DataFrame = {
+             parent: DataFrame, pk: String, smallDim: Boolean): DataFrame = {
+      val keys = parent.select(col(pk))
       val orphans = child.select(col(fk)).filter(col(fk).isNotNull)
-        .join(broadcast(parent.select(col(pk))), col(fk) === col(pk), "left_anti")
+        .join(if (smallDim) broadcast(keys) else keys,
+              col(fk) === col(pk), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
       val dup = parent.agg(
         (count(lit(1)) - countDistinct(col(pk))).as("n_dup_pk"))
@@ -736,12 +746,12 @@ object Relational {
     val s = t(spark, sfDir, "supplier")
     ordered(
       Seq(
-        edge("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey"),
-        edge("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey"),
-        edge("lineitem.l_suppkey -> supplier", li, "l_suppkey", s, "s_suppkey"),
-        edge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
-        edge("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"),
-        edge("nation.n_regionkey -> region", n, "n_regionkey", r, "r_regionkey"))
+        edge("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey", smallDim = false),
+        edge("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey", smallDim = false),
+        edge("lineitem.l_suppkey -> supplier", li, "l_suppkey", s, "s_suppkey", smallDim = false),
+        edge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey", smallDim = false),
+        edge("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey", smallDim = true),
+        edge("nation.n_regionkey -> region", n, "n_regionkey", r, "r_regionkey", smallDim = true))
         .reduce(_.unionAll(_)),
       "fk_edge")
   }

@@ -34,8 +34,11 @@ object Similarity {
   def cosineTopK(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = t(spark, sfDir, "embeddings")
+    // limit(1) states the point-lookup bound in the PLAN (vec_id is unique,
+    // so it drops nothing) — the broadcast hint below is legal because the
+    // hinted subtree is provably ≤1 row at any corpus scale
     val probe = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("probe_emb"))
+      .select(col("embedding").as("probe_emb")).limit(1)
     // native codegen kernel (graft.functions.CosineSimilarity): bit-identical
     // to the zip_with/aggregate formulation, ~3× faster (VectorFunctionsSpec)
     val cos = call_function("cosine_sim", col("embedding"), col("probe_emb"))
@@ -63,8 +66,12 @@ object Similarity {
                       nProbes: Int = 8, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = t(spark, sfDir, "embeddings")
+    // limit(nProbes) = the batch bound, in the plan (vec_id unique ⇒ the
+    // filter already yields ≤ nProbes rows; the limit just makes the
+    // broadcast hint's legality assertable)
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      .limit(nProbes)
     val scored = emb.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),

@@ -267,10 +267,12 @@ object Text {
 
   /** Benchmark-contamination screen: fraction of each document's distinct
     * 3-gram shingles that appear in a benchmark set's shingles (here: the
-    * doc_id % mod == 0 documents stand in for the benchmark suite). The
-    * benchmark side is broadcast — benchmark suites are small fixed
-    * artifacts, corpus-size-independent — so the corpus never shuffles;
-    * per-doc overlap is one hash-agg.
+    * doc_id % mod == 0 documents stand in for the benchmark suite). No
+    * broadcast HINT on the benchmark side: a REAL benchmark suite is a
+    * small fixed artifact AQE will broadcast on its own, but this stand-in
+    * is a 1/mod sample of the corpus and scales with it — a forced
+    * broadcast would die at 100 TB while AQE degrades to a shuffled join.
+    * Per-doc overlap is one hash-agg either way.
     */
   def contamination(spark: SparkSession, sfDir: String,
                     mod: Long = 97, tau: Double = 0.5): DataFrame = {
@@ -280,7 +282,7 @@ object Text {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = sh.filter(col("doc_id") % mod === 0).select(col("s")).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val ov = sh.join(broadcast(bench), "s")
+    val ov = sh.join(bench, "s")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap"))
     ordered(
       sizes.join(ov, Seq("doc_id"), "left")

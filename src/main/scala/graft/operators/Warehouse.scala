@@ -63,12 +63,15 @@ object Warehouse {
 
   /** Incremental watermark: scalar MAX with an equality-filtered dimension
     * lookup (ref extract_weather.py:26–28). The dim filter reduces to one
-    * key before touching the fact — broadcast semi-join, no fact shuffle.
+    * key before touching the fact; no broadcast HINT — customer scales
+    * with SF, and AQE sees the post-filter size (~1 row) at runtime and
+    * broadcasts it on its own, so the hint buys nothing and would force a
+    * broadcast even if the predicate were loosened to match millions.
     */
   def watermarkMax(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = t(spark, sfDir, "customer").filter(col("c_name") === "Customer#000000042")
     t(spark, sfDir, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
       .agg(max(col("o_orderdate").cast("date")).as("max_date"))
   }
 
@@ -79,7 +82,7 @@ object Warehouse {
   def coalesceDefault(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = t(spark, sfDir, "customer").filter(col("c_name") === "Customer#NOSUCH")
     t(spark, sfDir, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
       .agg(coalesce(max(col("o_orderdate").cast("date")),
                     lit("2000-01-01").cast("date")).as("since_date"))
   }

@@ -245,4 +245,45 @@ class ScaleInfraSpec extends SparkSpec {
       .orderBy("event_type").collect().map(r => (r.getString(0), r.getAs[Long]("n_rows")))
     assert(direct.toSeq === salted.toSeq)
   }
+
+  test("no registry plan carries a broadcast HINT on an SF-scaling relation") {
+    // A broadcast *hint* (unlike AQE's runtime choice) does not degrade: at
+    // 100 TB it hits the 8 GB broadcast ceiling / driver OOM and the query
+    // dies. Hints are therefore only legal on subtrees whose output is
+    // bounded at ANY scale factor: (a) subtrees reading only the static
+    // dims nation/region, or (b) subtrees that pass through an Aggregate or
+    // a Limit before the hint (1-row totals, top-k vocab, bounded-key
+    // stats frames — each audited at its definition site). Anything else —
+    // a raw scan of customer/orders/part/... under a hint — is a
+    // scale-killer and fails here.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val staticDims = Set("nation", "region")
+
+    // SF-scaling leaf tables reachable from `p` without crossing an
+    // Aggregate or Limit (both bound output cardinality independent of SF).
+    def unboundedScalingLeaves(p: LogicalPlan): Seq[String] = p match {
+      case _: Aggregate   => Nil
+      case _: GlobalLimit => Nil
+      case _: LocalLimit  => Nil
+      case _: Deduplicate => Nil // distinct() pre-optimizer (e.g. a calendar)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+            .filterNot(staticDims).toSeq
+        case _ => Seq("non-fs-relation")
+      }
+      case other => other.children.flatMap(unboundedScalingLeaves)
+    }
+
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, build) =>
+      val df = build(spark, Sf)
+      df.queryExecution.analyzed.collectWithSubqueries {
+        case ResolvedHint(child, hints) if hints.strategy.contains(BROADCAST) =>
+          unboundedScalingLeaves(child).map(tbl => s"$name: broadcast hint over $tbl")
+      }.flatten
+    }
+    assert(violations.isEmpty,
+      s"forced broadcasts on SF-scaling relations:\n${violations.mkString("\n")}")
+  }
 }
