@@ -26,8 +26,15 @@ object Bench {
     // EXCLUDED from the total, plus listed in "failed" and on stderr; exit
     // stays 0 so the driver still parses the line
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run — fresh-JVM isolation
+    // for attributing a single query's wall without the 170-query suite's
+    // scheduler/JIT interference
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val results = picked.map { case (name, fn) =>
+      val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>

@@ -198,6 +198,7 @@ object SparkEntry {
     "q_doc_dedup_components" -> q(Dedup.dedupComponents(_, _, 0.8)), // pairs → clusters → canonical ids
     "q_doc_dedup_embed"   -> q(Similarity.dedupEmbed(_, _, 0.95)), // embedding-cosine near-dup clusters
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
+    "q_dedup_simhash_gated" -> q(Dedup.simhashGatedPairs(_, _, 20)), // md5-hashed twin: full pair path under the hash gate
     "q_near_dup_editdist" -> q(Dedup.editDistPairs(_, _, 40, 8)), // blocked+thresholded Levenshtein — the oracled dedup modality
     "q_dedup_components_editdist" -> q(Dedup.dedupComponentsEditdist), // CC tail under the hash gate (recursive-CTE oracle)
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
@@ -1394,6 +1395,44 @@ object SparkEntry {
         |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
         |ORDER BY doc.doc_id""".stripMargin,
 
+    "q_dedup_simhash_gated" -> {
+      // 48 sign-sum bit columns + the bit-pack, generated once — the same
+      // loop the Spark builder (Dedup.simhashGatedPairs) runs
+      val bitSums = (0 until 48).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n        |         ")
+      val pack = (0 until 48).map(b =>
+        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" +\n        |         ")
+      s"""WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |hw AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+        |  FROM words WHERE w <> ''),
+        |sums AS (
+        |  SELECT doc_id,
+        |         $bitSums
+        |  FROM hw GROUP BY doc_id),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         $pack AS sig
+        |  FROM sums),
+        |chunked AS (
+        |  SELECT doc_id, sig, c AS chunk_id, (sig >> (c * 12)) & 4095 AS chunk
+        |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS c)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |                  a.sig AS a_sig, b.sig AS b_sig
+        |  FROM chunked a JOIN chunked b
+        |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+        |   AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |       CAST(bit_count(xor(a_sig, b_sig)) AS BIGINT) AS hamming
+        |FROM pairs
+        |ORDER BY hamming, a_id, b_id LIMIT 20""".stripMargin
+    },
+
     "q_ngram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -2148,7 +2187,7 @@ object SparkEntry {
         |  SELECT c_mktsegment, c_custkey, c_name,
         |         row_number() OVER (
         |           PARTITION BY c_mktsegment
-        |           ORDER BY (c_custkey * 2654435761) % 1000000007, c_custkey) AS rn
+        |           ORDER BY ((c_custkey % 1000000007) * 2654435761) % 1000000007, c_custkey) AS rn
         |  FROM customer) t
         |WHERE rn <= 20
         |ORDER BY c_mktsegment, rn""".stripMargin,

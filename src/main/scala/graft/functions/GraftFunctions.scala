@@ -20,6 +20,21 @@ object GraftFunctions {
     "hyperplane_bands" -> (es => HyperplaneBands(es(0))),
     "simhash64"  -> (es => SimHash64(es(0))),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
+    // xxHash64 with a CALLER-CHOSEN seed (the SQL builtin pins seed=42).
+    // Catalyst's XXH64 is a faithful xxHash64, so over binary input it is
+    // bit-identical to the net.jpountz hash the CMS/MinHash aggregators
+    // use — which is what lets a sketch POINT QUERY run in-plan
+    // (Text.cmsHeavyHitters) instead of on the driver. Seed must be a
+    // foldable literal: it parameterizes the expression, it is not data.
+    "xxh64_seed" -> (es => {
+      val seed = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+          v.toString.toLong
+        case other =>
+          throw new IllegalArgumentException(s"xxh64_seed: seed must be a literal, got $other")
+      }
+      org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(0)), seed)
+    }),
   )
 
   /** Register on a live session (tests, notebooks). */

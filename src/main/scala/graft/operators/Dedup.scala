@@ -307,6 +307,55 @@ object Dedup {
       .limit(k)
   }
 
+  /** Hash-GATED SimHash twin: the same banding + Hamming arithmetic as
+    * [[simhashPairsFor]], but with the per-word hash swapped from the
+    * engine-specific xxhash64 kernel to the first 48 bits of md5(word) —
+    * a hash BOTH engines compute identically — so the whole pair path
+    * (sign-sum signature, 4×12-bit pigeonhole chunks, candidate join,
+    * bit_count(xor) Hamming, total-order top-k) runs under the DuckDB
+    * oracle's row/schema/hash gate. This is the correctness proof for the
+    * production simhash op, whose only non-portable piece is the word
+    * hash; the production path keeps the single-pass codegen kernel and
+    * the hot-bucket cap (the twin's plain in-bucket join states the exact
+    * pair algebra the cap approximates, which is the point of a gate
+    * query, not a scale path).
+    */
+  def simhashGatedPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val B = 48
+    val words = t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    // 48-bit word hash from the md5 hex prefix — portable across engines
+    val hw = words.select(col("doc_id"),
+      conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until B).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"s$b"))
+    val sums = hw.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until B).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val sigs = sums.select(col("doc_id"), sig.as("sig"))
+    val chunked = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 12).bitwiseAND(lit(0xFFFL))): _*))
+        .as(Seq("chunk_id", "chunk")))
+    val a = chunked.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = chunked.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    val pairs = a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .distinct() // a pair may collide on several chunks
+    pairs
+      .select(col("a_id"), col("b_id"),
+              bit_count(col("a_sig").bitwiseXOR(col("b_sig")))
+                .cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col("a_id").asc, col("b_id").asc)
+      .limit(k)
+  }
+
   /** Blocked edit-distance near-dup pairs — the character-level dedup
     * modality (catches small insertions/typos that shuffle-invariant
     * minhash treats as identical-set noise, and vice versa). Unlike the

@@ -149,17 +149,19 @@ object Insights {
     * parts no other part beats on both axes. NOT the O(n²) NOT-EXISTS
     * formulation — a part is on the frontier iff it has the max size at its
     * price AND that size strictly exceeds the running max over all cheaper
-    * prices. One groupBy(price) collapses the table to distinct prices; the
-    * cummax window runs over that collapsed frame only (price-grid
-    * cardinality, not row count), then a join back tags frontier parts.
+    * prices. One groupBy(price) collapses the table to distinct prices;
+    * the running max over the collapsed grid goes through the two-phase
+    * [[graft.util.PrefixSum.exclusiveMax]] scan — prices are nearly unique
+    * per part in TPC-H, so the "collapsed" grid is ~|part| rows and a
+    * single-reducer cummax window would be the whole job at 100×. A join
+    * back then tags frontier parts.
     */
   def paretoFront(spark: SparkSession, sfDir: String): DataFrame = {
     val part = t(spark, sfDir, "part")
     val perPrice = part.groupBy(col("p_retailprice").as("pr"))
       .agg(max(col("p_size")).as("meq"))
-    val w = Window.orderBy(col("pr").asc).rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = perPrice
-      .withColumn("mprev", max(col("meq")).over(w))
+    val frontier = graft.util.PrefixSum
+      .exclusiveMax(perPrice, Seq(col("pr").asc), col("meq"), "mprev")
       .filter(col("mprev").isNull || col("meq") > col("mprev"))
       .select(col("pr"), col("meq"))
     ordered(
@@ -203,7 +205,12 @@ object Insights {
     * survivors — never a full sort of a stratum on one reducer.
     */
   def stratifiedSample(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val pseudo = (col("c_custkey") * lit(2654435761L)) % lit(1000000007L)
+    // key reduced mod p BEFORE the multiply: the product stays < 2⁶³ for any
+    // int64 key, where the unreduced form wraps in Spark but RAISES in
+    // DuckDB at key ranges beyond the tested SFs (engine divergence).
+    // Below p the reduction is the identity, so tested-SF results are
+    // unchanged.
+    val pseudo = ((col("c_custkey") % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
     ordered(
       TopK.perGroup(
           t(spark, sfDir, "customer")

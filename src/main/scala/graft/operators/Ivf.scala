@@ -1,17 +1,18 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.util.Tables._
 
 /** IVF (inverted-file) approximate nearest-neighbor search — the coarse-
   * quantizer scale path for embedding similarity (the LSH alternative lives
   * in Similarity.annLshPairs).
   *
-  * Build: k-means coarse centroids over the corpus (deterministic: fixed
-  * seed, fixed iterations, k-means|| init via Spark ML), then assign every
-  * vector to its nearest centroid — the "inverted list" is just a
-  * `centroid_id` column, i.e. a partition key.
+  * Build: k-means coarse centroids over a bounded corpus sample, then
+  * assign every vector to its nearest centroid — the "inverted list" is
+  * just a `centroid_id` column, i.e. a partition key.
   *
   * Search: a probe scores only the vectors in its `nprobe` nearest lists —
   * at 100 TB with k=4096 lists and nprobe=8, each query touches ~0.2% of
@@ -26,64 +27,66 @@ object Ivf {
     * that a few ×10⁴ vectors pin down just as well (IVF quantizers are
     * conventionally trained on samples, e.g. ≤256·k points).
     */
-  val TrainCap = 20000L
+  val TrainCap = 20000
 
-  /** Centroids as (centroid_id, centroid float array), deterministic.
+  /** Lloyd's iterations — fixed count, not convergence-tested, so the plan
+    * shape is static and deterministic.
+    */
+  val Iters = 5
+
+  /** Centroids as (centroid_id, centroid float array) — a fully LAZY plan:
+    * nothing here runs a job at DataFrame-construction time (the registry's
+    * uniform-laziness contract, asserted in ScaleInfraSpec).
     *
-    * Training is the FAISS shape: ONE cluster job collects the fixed-seed
-    * sample (capped at [[TrainCap]] rows — ≤20k×64 floats ≈ 5 MB, bounded
-    * at ANY corpus size) and Lloyd's iterations run driver-local. A
-    * distributed fit here is the wrong tool: each of its ~15 serial
-    * init/iteration jobs is a cluster-wide barrier to refine centroids
-    * that a 5 MB in-process loop pins down in milliseconds. The corpus-
-    * sized work — list assignment — stays fully distributed in
-    * [[assignLists]].
-    *
-    * Cosine metric throughout (matching assignment + search), spherical
-    * k-means style. Deterministic: sample rows sorted by vec_id, init =
-    * k evenly spaced points of the sorted sample, fixed 5 iterations,
-    * ties to the lowest centroid id.
+    * Training is the FAISS shape re-expressed in-plan. The sample is a
+    * deterministic pseudo-random top-[[TrainCap]]-by-xxhash64(vec_id) —
+    * one `TakeOrderedAndProject` pass over the corpus, bounded output at
+    * ANY corpus size — persisted so the [[Iters]] Lloyd's iterations (each
+    * a subtree referencing it) scan the corpus once, not once per
+    * iteration. Init = k evenly spaced sample points (global ntile window:
+    * single-reducer, but over the CACHED ≤20k-row sample, never the
+    * corpus). Each iteration is two tiny aggregates over the sample
+    * (crossJoin against the broadcast k-row centroid frame, max_by
+    * assignment, then an element-wise DECIMAL mean — decimal sums are
+    * order-independent, so the fit is deterministic under any
+    * partitioning). Empty lists keep their previous centroid via a left
+    * join, exactly like the classical driver-local formulation.
     */
   def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
-    // one cheap count (parquet row-group metadata) to size the sample
-    val n = emb.count()
-    val sampled =
-      if (n <= TrainCap) emb
-      else emb.sample(withReplacement = false, TrainCap.toDouble / n, seed = 42L)
-    val pts: Array[Array[Float]] = sampled.select(col("vec_id"), col("embedding"))
-      .collect()
-      .sortBy(_.getAs[Long]("vec_id"))
-      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
-    val m = pts.length
-    val dim = pts.head.length
-    def cos(a: Array[Float], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    graft.functions.GraftFunctions.register(spark)
+    val sample = emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(TrainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val init = sample
+      .withColumn("tile", ntile(k).over(Window.orderBy(col("vec_id"))))
+      .groupBy(col("tile"))
+      .agg(min_by(col("embedding"), col("vec_id")).as("centroid"))
+      .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
+
+    def step(cent: DataFrame): DataFrame = {
+      val assigned = sample.crossJoin(broadcast(cent))
+        .withColumn("sim", call_function("cosine_sim", col("embedding"), col("centroid")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("centroid_id"), col("embedding")),
+                    struct(col("sim"), (-col("centroid_id")).as("tie"))).as("best"))
+        .select(col("best.centroid_id").as("centroid_id"),
+                col("best.embedding").as("embedding"))
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v").cast("decimal(28,12)")).as("mv"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
+        .select(col("centroid_id"),
+                transform(col("pv"), x => x.getField("mv").cast("float")).as("newc"))
+      cent.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+                coalesce(col("newc"), col("centroid")).as("centroid"))
     }
-    var centroids = Array.tabulate(k)(c => pts((c.toLong * m / k).toInt).map(_.toDouble))
-    for (_ <- 0 until 5) {
-      val sums = Array.fill(k, dim)(0.0)
-      val counts = Array.fill(k)(0L)
-      pts.foreach { p =>
-        var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
-        while (c < k) {
-          val s = cos(p, centroids(c))
-          if (s > bestSim) { bestSim = s; best = c } // strict > ⇒ lowest id wins ties
-          c += 1
-        }
-        var i = 0
-        while (i < dim) { sums(best)(i) += p(i); i += 1 }
-        counts(best) += 1
-      }
-      centroids = Array.tabulate(k)(c =>
-        if (counts(c) == 0L) centroids(c) // empty list: keep the old centroid
-        else sums(c).map(_ / counts(c)))
-    }
-    import spark.implicits._
-    centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }
-      .toDF("centroid_id", "centroid")
+
+    (1 to Iters).foldLeft(init)((c, _) => step(c))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Assign each vector to its nearest centroid by cosine: broadcast the
@@ -104,9 +107,11 @@ object Ivf {
   }
 
   /** End-to-end IVF query: top-k cosine neighbors of probe vec_id=0,
-    * searching only the nprobe nearest inverted lists. No-oracle
-    * (k-means internals are engine-specific); OperatorsSpec checks recall
-    * against the exact brute-force top-k.
+    * searching only the nprobe nearest inverted lists. List pruning
+    * broadcasts only the nprobe-row probe-list frame — the corpus side
+    * never rides a broadcast. No-oracle (k-means internals are
+    * engine-specific); DedupSimilaritySpec checks recall against the
+    * exact brute-force top-k.
     */
   def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
               nLists: Int = 16, nprobe: Int = 4): DataFrame = {
@@ -138,38 +143,42 @@ object Ivf {
     * is re-scored at full precision. Symmetric-quantization insight: the
     * per-vector scale CANCELS in cosine, so quantized cosine needs no
     * dequantization — the int8 codes are cast to float arrays and scored
-    * by the same native codegen kernel as the exact path. No-oracle
-    * (k-means + quantization layouts are engine-specific); the spec
-    * checks recall against brute-force exact top-k.
+    * by the same native codegen kernel as the exact path.
+    *
+    * Scale shape: quantization is computed ON the assigned frame (which
+    * already carries the embedding), so candidate pruning is
+    * corpus ⋈ broadcast(nprobe-row list frame) — the corpus-sized
+    * candidate set itself is NEVER broadcast, and the only bounded
+    * broadcasts are the probe vector and the 3k-row shortlist.
+    * No-oracle (k-means + quantization layouts are engine-specific); the
+    * spec checks recall against brute-force exact top-k.
     */
   def ivfTopKQuantized(spark: SparkSession, sfDir: String, k: Int = 10,
                        nLists: Int = 16, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = t(spark, sfDir, "embeddings")
-    // int8 codes, stored as float[] so the native cosine kernel applies
-    // (every value in [-127,128] is exactly representable in float)
+    val centroids = trainCentroids(spark, emb, nLists)
+    // assignment carries the embedding: quantize it in place — no
+    // corpus-with-corpus join between codes and list ids
     val scale = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
     val qvec = transform(col("embedding"),
       x => floor(x.cast("double") / col("scale") * lit(127.0) + lit(0.5))
         .cast("float"))
-    val quant = emb.withColumn("scale", scale).filter(col("scale") > 0)
+    val quant = assignLists(emb, centroids)
+      .withColumn("scale", scale).filter(col("scale") > 0)
       .withColumn("qvec", qvec)
-    val centroids = trainCentroids(spark, emb, nLists)
-    val lists = assignLists(emb, centroids)
-      .select(col("vec_id"), col("centroid_id"))
     val probeQ = quant.filter(col("vec_id") === 0)
       .select(col("qvec").as("probe_q")).limit(1)
     val probeF = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb")).limit(1)
-    val probeLists = centroids.crossJoin(broadcast(
-        emb.filter(col("vec_id") === 0).select(col("embedding").as("p")).limit(1)))
-      .withColumn("sim", call_function("cosine_sim", col("centroid"), col("p")))
+    val probeLists = centroids.crossJoin(broadcast(probeF))
+      .withColumn("sim", call_function("cosine_sim", col("centroid"), col("probe_emb")))
       .orderBy(col("sim").desc, col("centroid_id").asc)
       .limit(nprobe)
       .select(col("centroid_id"))
-    // stage 1: quantized scoring inside the probed lists only
-    val shortlist = quant.join(broadcast(probeLists.join(lists, "centroid_id")
-        .select(col("vec_id"))), "vec_id")
+    // stage 1: quantized scoring inside the probed lists only — prune by
+    // joining the corpus against the BROADCAST nprobe-row list frame
+    val shortlist = quant.join(broadcast(probeLists), "centroid_id")
       .crossJoin(broadcast(probeQ))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),

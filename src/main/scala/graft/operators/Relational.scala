@@ -508,18 +508,34 @@ object Relational {
     * explicit form for when the build predicate is known up front.
     */
   def bloomPrunedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BloomFilterMightContain, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
     val urgent = t(spark, sfDir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+    // The sketch is built IN-PLAN, not by a builder-time df.stat action:
+    // a scalar subquery aggregating BloomFilterAggregate(xxhash64(key)) —
+    // the exact construction Spark's own InjectRuntimeFilter emits, and
+    // the shape BloomFilterMightContain's type check demands (constant or
+    // scalar subquery). Keeps the registry lazy AND swaps the old
+    // per-row Scala UDF probe for the codegen'd native predicate.
     // expectedNumItems sized generously for the sf sweep (sf0.1 has ~30k
-    // urgent orders); 1% fpp keeps the sketch ~1 MB — broadcast-cheap
-    val bf = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    // urgent orders); default fpp keeps the sketch ~1 MB — broadcast-cheap.
+    val urgentPlan = urgent.queryExecution.analyzed
+    val bfAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(urgentPlan.output.head), 42L), 200000L)
+    val sketchPlan = Aggregate(Nil,
+      Seq(Alias(bfAgg.toAggregateExpression(), "bf")()), urgentPlan)
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+    val liPlan = li.queryExecution.analyzed
+    val probe = new XxHash64(
+      Seq(liPlan.output.find(_.name == "l_orderkey").get), 42L)
+    val pruned = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      Filter(BloomFilterMightContain(ScalarSubquery(sketchPlan), probe), liPlan))
     ordered(
-      t(spark, sfDir, "lineitem")
-        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-        .filter(mightContain(col("l_orderkey")))
+      pruned
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"),

@@ -652,20 +652,6 @@ object Text {
                 col("doc_id"), col("n_chars")),
       "source", "rk")
 
-  /** BM25 document ranking for a fixed term set — the retrieval scorer the
-    * contamination/dedup tier's exact-match cousins feed into. Standard
-    * Robertson/Sparck-Jones shape: idf = ln(1 + (N−df+0.5)/(df+0.5)),
-    * per-term score idf·tf·(k₁+1)/(tf + k₁·(1−b+b·len/avglen)).
-    *
-    * Every input to the IEEE chain is an exact count (tf, df, N, len,
-    * Σlen), each per-(doc,term) score is one mirrored expression, and the
-    * per-doc SUM of term scores goes through the DECIMAL(28,8) cast so the
-    * partial-aggregate tree is associative. Plan: one token explode
-    * filtered to the query terms (predicate applied before the tf
-    * aggregate — the shuffle carries only query-term hits, a tiny slice of
-    * the corpus), df and corpus stats broadcast, global top-k as
-    * TakeOrderedAndProject.
-    */
   /** Out-of-vocabulary rate per document against the corpus's own top-k
     * vocabulary — the tokenizer-coverage report run before committing a
     * vocab size. The vocab (top `vocabSize` words by frequency, word-asc
@@ -741,6 +727,7 @@ object Text {
     * InsightsSpec.
     */
   def cmsHeavyHitters(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val depth = 4
     val width = 1024
     val cms = udaf(new graft.functions.CountMinAggregator(depth, width),
@@ -748,19 +735,40 @@ object Text {
     val toks = docs(spark, sfDir)
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word") =!= "")
+    // ONE lazy composed plan (registry laziness contract, ScaleInfraSpec):
+    // the 1-row 32 KB sketch crossJoins the exact top-k, and the point
+    // query runs IN-PLAN — est = min over rows d of sketch[d·width +
+    // (xxh64(bytes, seed=d) mod width)], exactly CountMinAggregator
+    // .estimate's arithmetic (xxh64_seed ≡ the aggregator's jpountz hash,
+    // proven bit-equal in InsightsSpec).
     val sketch = toks.agg(cms(col("word").cast("binary")).as("s"))
-      .head().getSeq[Long](0)
     val exact = toks.groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("word").asc).limit(k)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val rows = exact.map { case (w, n) =>
-      (w, n, graft.functions.CountMinAggregator.estimate(sketch, depth, width, w))
-    }.toSeq
-    val spark2 = spark
-    import spark2.implicits._
-    ordered(rows.toDF("word", "exact_n", "cms_est"), "word")
+    val est = least((0 until depth).map { d =>
+      val slot = pmod(call_function("xxh64_seed", col("word").cast("binary"), lit(d.toLong)),
+                      lit(width.toLong))
+      element_at(col("s"), (slot + lit(d.toLong * width) + lit(1L)).cast("int"))
+    }: _*)
+    ordered(
+      exact.crossJoin(broadcast(sketch))
+        .select(col("word"), col("exact_n"), est.as("cms_est")),
+      "word")
   }
 
+  /** BM25 document ranking for a fixed term set — the retrieval scorer the
+    * contamination/dedup tier's exact-match cousins feed into. Standard
+    * Robertson/Sparck-Jones shape: idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    * per-term score idf·tf·(k₁+1)/(tf + k₁·(1−b+b·len/avglen)).
+    *
+    * Every input to the IEEE chain is an exact count (tf, df, N, len,
+    * Σlen), each per-(doc,term) score is one mirrored expression, and the
+    * per-doc SUM of term scores goes through the DECIMAL(28,8) cast so the
+    * partial-aggregate tree is associative. Plan: one token explode
+    * filtered to the query terms (predicate applied before the tf
+    * aggregate — the shuffle carries only query-term hits, a tiny slice of
+    * the corpus), df and corpus stats broadcast, global top-k as
+    * TakeOrderedAndProject.
+    */
   def bm25(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
     val terms = Seq("join", "hash", "scan")
     val k1 = 1.2

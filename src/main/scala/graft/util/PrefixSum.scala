@@ -71,4 +71,30 @@ object PrefixSum {
       .withColumn(outCol, col("_offset") + col("_local_cum") - col("_psv"))
       .drop("_pid", "_psv", "_local_cum", "_offset")
   }
+
+  /** Exclusive prefix MAX over a global ordering — the running-max scan
+    * (skyline/cummax), same two-phase shape as [[exclusiveCols]]: local
+    * running max within each range partition, per-partition maxima (one
+    * row each) prefixed on the tiny frame, broadcast back. The first row
+    * in global order gets NULL (max over the empty prefix), matching the
+    * single-window `max().over(rowsBetween(unboundedPreceding, -1))`
+    * semantics row for row; `greatest` skips the NULL sides.
+    */
+  def exclusiveMax(df: DataFrame, orderCols: Seq[Column], value: Column,
+                   outCol: String, numParts: Int = 32): DataFrame = {
+    val withVal = df.withColumn("_pmv", value)
+    val parted = withVal.repartitionByRange(numParts, orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val localW = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("_local_max", max(col("_pmv")).over(localW))
+    val offsets = local.groupBy(col("_pid"))
+      .agg(max(col("_pmv")).as("_part_max"))
+      .withColumn("_offset_max", max(col("_part_max")).over(
+        Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_pid"), col("_offset_max"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(outCol, greatest(col("_local_max"), col("_offset_max")))
+      .drop("_pid", "_pmv", "_local_max", "_offset_max")
+  }
 }

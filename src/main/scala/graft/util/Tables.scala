@@ -18,9 +18,51 @@ object Tables {
     * NOT cache or materialize these: compose lazily and let the optimizer
     * prune. At cluster scale the same call reads a partitioned table; nothing
     * here assumes single-file layout.
+    *
+    * The schema is supplied explicitly, memoized from ONE driver-side footer
+    * read per path: schema-less `spark.read.parquet` runs a Spark
+    * schema-inference JOB on every call, which breaks the registry's
+    * uniform-laziness contract (ScaleInfraSpec: building a frame must start
+    * zero jobs) and, at 170 queries × several tables each, pays hundreds of
+    * redundant footer jobs per suite run. One footer per table is exactly
+    * what inference reads anyway (mergeSchema=false); the conversion goes
+    * through Spark's own ParquetToSparkSchemaConverter driven by the live
+    * SQLConf, so session flags like `parquet.nanosAsLong` (events' NANOS
+    * timestamp) behave identically to built-in inference.
     */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    // nanosAsLong changes the inferred type of events.ts — key the cache on
+    // it so an untuned session can never poison a tuned one (or vice versa)
+    val nanosFlag = spark.sessionState.conf
+      .getConfString("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val schema = schemaCache.computeIfAbsent(s"$nanosFlag:$path",
+      _ => readFooterSchema(spark, path))
+    spark.read.schema(schema).parquet(path)
+  }
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readFooterSchema(spark: SparkSession,
+                               dir: String): org.apache.spark.sql.types.StructType = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val status = fs.getFileStatus(root)
+    val first =
+      if (status.isFile) root
+      else fs.listStatus(root).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).minBy(_.getName)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(first, conf))
+    try {
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(
+        spark.sessionState.conf)
+        .convert(reader.getFooter.getFileMetaData.getSchema)
+    } finally reader.close()
+  }
 
   /** `events` with the nanosecond timestamp normalized to an epoch-microsecond
     * BIGINT column `ts_us` (truncating division, matching DuckDB's ns→µs cast)

@@ -368,6 +368,23 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("in-plan xxh64_seed is bit-identical to the jpountz hash the CMS aggregator uses") {
+    // cmsHeavyHitters' lazy point query stands on this equality: the
+    // Catalyst XxHash64(seed=d) addressing the sketch IN-PLAN must land on
+    // the same slots the jpountz-hashing aggregator incremented
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val words = Seq("join", "hash", "scan", "the", "über", "", "a b c")
+    val df = words.toDF("w")
+    val xx = net.jpountz.xxhash.XXHashFactory.fastestInstance().hash64()
+    for (seed <- 0L to 3L) {
+      val got = df.select(call_function("xxh64_seed", col("w").cast("binary"), lit(seed)).as("h"))
+        .collect().map(_.getLong(0)).toSeq
+      val want = words.map { w => val b = w.getBytes("UTF-8"); xx.hash(b, 0, b.length, seed) }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("nth_value/bool aggs: third value null iff <3 events, flags consistent") {
     val r = SparkEntry.queries("q_nth_value_bool")(spark, Sf).collect()
     assert(r.nonEmpty)

@@ -286,4 +286,54 @@ class ScaleInfraSpec extends SparkSpec {
     assert(violations.isEmpty,
       s"forced broadcasts on SF-scaling relations:\n${violations.mkString("\n")}")
   }
+
+  test("registry is uniformly lazy: building a frame starts zero Spark jobs " +
+       "(iterative fixed-point entries exempt)") {
+    // `SparkEntry.queries` hands out DataFrames — PLANS, not results. A
+    // builder that runs a driver action (count/collect/head) at
+    // construction time breaks that contract: callers that only inspect
+    // the plan pay full jobs. Formerly-eager paths now in-plan:
+    // cmsHeavyHitters' sketch point query, Ivf.trainCentroids' sampled
+    // k-means fit, and Tables.t's schema (memoized driver-side footer read
+    // instead of a per-call inference job).
+    //
+    // Exempt BY NAME: entries built on data-dependent fixed-point loops
+    // (connected-components label propagation, hierarchy pointer jumping).
+    // Their round count is a runtime property of the data — the same
+    // reason GraphX's Pregel runs a job per superstep — so they cannot be
+    // one static plan; each round is lineage-truncated via localCheckpoint
+    // and those checkpoints are the only legal build-time jobs in the
+    // registry.
+    val iterative = Set("q_doc_dedup_components", "q_dedup_components_editdist",
+                        "q_doc_dedup_embed", "q_hierarchy")
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val perEntry = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, build) =>
+        val before = counter.get()
+        build(spark, Sf)
+        // the loops' checkpoint actions BLOCK inside build, so their
+        // onJobStart events are posted before it returns; a short drain
+        // keeps the async listener bus from misattributing to the next entry
+        Thread.sleep(50)
+        name -> (counter.get() - before)
+      }
+      val violations = perEntry.filter { case (name, jobs) =>
+        jobs > 0 && !iterative(name)
+      }
+      assert(violations.isEmpty,
+        s"non-exempt builders ran Spark jobs at construction time: " +
+          violations.map { case (n, j) => s"$n ($j jobs)" }.mkString(", "))
+      // and the exempt set actually needs its exemption — if a loop becomes
+      // lazy someday, shrink the allowlist
+      iterative.foreach { n =>
+        assert(perEntry.toMap.getOrElse(n, 0) > 0, s"$n no longer needs the exemption")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
