@@ -82,6 +82,68 @@ class SourcesSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("graft-http-snapshot: reads one row per payload file, city from filename") {
+    val dir = java.nio.file.Files.createTempDirectory("httpsnap")
+    java.nio.file.Files.write(dir.resolve("London.json"), londonPayload.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("Paris.json"),
+      """{"latitude": 48.8, "longitude": 2.35, "daily": {"time": [], "temperature_2m_max": [], "temperature_2m_min": [], "precipitation_sum": []}}""".getBytes("UTF-8"))
+    val df = spark.read.format("graft-http-snapshot").load(dir.toString)
+    val rows = df.orderBy("city_name").collect()
+    assert(rows.map(_.getAs[String]("city_name")).toSeq === Seq("London", "Paris"))
+    assert(rows.forall(_.getAs[Boolean]("payload_ok")))
+    assert(rows.forall(_.getAs[Int]("fetch_attempts") === 1))
+    assert(rows.head.getAs[String]("payload_json").contains("temperature_2m_max"))
+    // the clean lane feeds the existing JSON staging parse end-to-end
+    val staged = WeatherApiSource.parsePayloads(
+      graft.sources.HttpSnapshotSource.read(spark, dir.toString).clean)
+    assert(staged.count() === 3) // London's three day rows; Paris's arrays are empty
+  }
+
+  test("graft-http-snapshot: malformed payload lands in the quarantine lane") {
+    val dir = java.nio.file.Files.createTempDirectory("httpsnapq")
+    java.nio.file.Files.write(dir.resolve("London.json"), londonPayload.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("Dubai.json"),
+      "<html>Minutely API request limit exceeded</html>".getBytes("UTF-8"))
+    val r = graft.sources.HttpSnapshotSource.read(spark, dir.toString)
+    val clean = r.clean.collect()
+    val quarantined = r.quarantine.collect()
+    assert(clean.map(_.getAs[String]("city_name")).toSeq === Seq("London"))
+    assert(quarantined.length === 1)
+    assert(quarantined.head.getAs[String]("raw_payload").contains("request limit"))
+    assert(quarantined.head.getAs[String]("source_file").contains("Dubai.json"))
+    // conservation: every payload is exactly one of clean/quarantine
+    assert(clean.length + quarantined.length === 2)
+  }
+
+  test("graft-http-snapshot: transient read failures are retried per file") {
+    graft.sources.HttpSnapshotSource.resetInjection()
+    val dir = java.nio.file.Files.createTempDirectory("httpsnapr")
+    java.nio.file.Files.write(dir.resolve("Tokyo.json"),
+      """{"latitude": 35.6}""".getBytes("UTF-8"))
+    // first two attempts throw (injected), third succeeds — the reference's
+    // 3-attempt budget (extract_weather.py:37–54) at the partition reader
+    val df = spark.read.format("graft-http-snapshot")
+      .option("retries", "3")
+      .option("injectFailures", "2")
+      .option("injectPathContains", "Tokyo")
+      .load(dir.toString)
+    val row = df.collect().head
+    assert(row.getAs[String]("city_name") === "Tokyo")
+    assert(row.getAs[Int]("fetch_attempts") === 3, "two injected failures + one success")
+
+    // budget exhausted → the task fails loudly, it does not drop the payload
+    graft.sources.HttpSnapshotSource.resetInjection()
+    val dead = spark.read.format("graft-http-snapshot")
+      .option("retries", "2")
+      .option("injectFailures", "5")
+      .option("injectPathContains", "Tokyo")
+      .load(dir.toString)
+    val err = intercept[org.apache.spark.SparkException] { dead.collect() }
+    assert(err.getMessage.contains("failed after 2 attempts") ||
+           Option(err.getCause).exists(_.getMessage.contains("failed after 2 attempts")))
+    graft.sources.HttpSnapshotSource.resetInjection()
+  }
+
   test("ORC snapshot round-trips with partition pruning and filter pushdown") {
     import java.nio.file.Files
     import graft.sources.SnapshotStore
