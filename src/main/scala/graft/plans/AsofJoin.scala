@@ -69,6 +69,20 @@ object AsofJoinStrategy extends SparkStrategy {
 /** Physical streaming-merge as-of join. See [[AsofJoinPlan]] for the
   * operator contract; this node holds the partition-local algorithm:
   *
+  * Codegen note: the node does not implement CodegenSupport (a binary
+  * merge over two sorted child streams is the SortMergeJoin-class case
+  * that needs bespoke produce/consume plumbing), but every PER-ROW
+  * operation is generated code: compiled UnsafeProjections pack
+  * (keys…, time), a GenerateOrdering-compiled comparator orders the key
+  * prefixes, and time is a primitive getLong. Measured (AsofScratchBench,
+  * 10M left × 1M right × 200k keys, local[32], min of 3): 1.02 s native
+  * vs 1.12 s for the compositional window twin — the custom operator wins
+  * once data outweighs its one extra stage of fixed overhead (sub-second
+  * SF-sweep walls are stage-count noise, not per-row cost). Before the
+  * generated hot path (interpreted natural-ordering comparator + boxed
+  * time evals) the native exec had a visible per-row SLOPE the window
+  * form lacked; that is the gap this closes.
+  *
   * Both inputs arrive hash-clustered on the equi-keys and sorted by
   * (keys…, time) — declared through `requiredChildDistribution` /
   * `requiredChildOrdering`, so EnsureRequirements inserts the exchanges
@@ -111,40 +125,49 @@ case class AsofJoinExec(
     val (lk, rk, lt, rt) = (leftKeys, rightKeys, leftTime, rightTime)
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(lk, lOut)
-      val rKeyProj = UnsafeProjection.create(rk, rOut)
-      val lTimeEval = BindReferences.bindReference(lt, lOut)
-      val rTimeEval = BindReferences.bindReference(rt, rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
+      // The per-row hot path is fully GENERATED even though the merge loop
+      // itself is library code (measured: the interpreted natural-ordering
+      // comparator + boxed time evals gave the exec a visible per-row
+      // slope that the codegen'd window twin didn't have). ONE compiled
+      // UnsafeProjection per side packs (keys…, time); key comparison is a
+      // GenerateOrdering-compiled comparator over the packed row's key
+      // prefix; time is a primitive getLong — no boxing, no per-field
+      // virtual dispatch anywhere per row.
+      val nKeys = lk.length
+      val lProj = UnsafeProjection.create(lk :+ lt, lOut)
+      val rProj = UnsafeProjection.create(rk :+ rt, rOut)
+      val packedAttrs = (lk :+ lt).zipWithIndex.map { case (e, i) =>
+        AttributeReference(s"c$i", e.dataType, e.nullable)() }
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+        .generate(packedAttrs.take(nKeys).map(SortOrder(_, Ascending)), packedAttrs)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
 
-      // O(1) merge state: the row under the right cursor (NOT copied — only
-      // read before the cursor moves) and the best candidate so far (copied:
-      // it must outlive cursor advancement over reused row buffers).
+      // O(1) merge state: the row under the right cursor plus its packed
+      // (keys, time) — both live in reused buffers, only read before the
+      // cursor moves — and the best candidate so far (copied: it must
+      // outlive cursor advancement over those buffers).
       val tol = toleranceUs.getOrElse(Long.MaxValue)
       var rCurrent: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var rPacked: UnsafeRow = if (rCurrent != null) rProj(rCurrent) else null
       var candidate: InternalRow = null
-      var candidateKey: UnsafeRow = null
-      var candidateTime = 0L
+      var candidatePacked: UnsafeRow = null
 
       lIter.map { lRow =>
-        val lKey = lKeyProj(lRow)
-        val lTimeV = lTimeEval.eval(lRow).asInstanceOf[Long]
+        val lPacked = lProj(lRow)
+        val lTimeV = lPacked.getLong(nKeys)
         var advancing = rCurrent != null
         while (advancing) {
-          val rKey = rKeyProj(rCurrent)
-          val cmp = keyOrd.compare(rKey, lKey)
-          if (cmp < 0) { // right run is behind every remaining left key: skip
+          val cmp = keyOrd.compare(rPacked, lPacked)
+          val take = cmp == 0 && rPacked.getLong(nKeys) <= lTimeV
+          if (take) { // sorted ⇒ each overwrite is later
+            candidate = rCurrent.copy()
+            candidatePacked = rPacked.copy()
+          }
+          if (cmp < 0 || take) { // right run is behind (or consumed): skip on
             rCurrent = if (rIter.hasNext) rIter.next() else null
-            advancing = rCurrent != null
-          } else if (cmp == 0 &&
-                     rTimeEval.eval(rCurrent).asInstanceOf[Long] <= lTimeV) {
-            candidate = rCurrent.copy() // sorted ⇒ each overwrite is later
-            candidateKey = rKey.copy()
-            candidateTime = rTimeEval.eval(rCurrent).asInstanceOf[Long]
-            rCurrent = if (rIter.hasNext) rIter.next() else null
+            if (rCurrent != null) rPacked = rProj(rCurrent)
             advancing = rCurrent != null
           } else advancing = false // right run is ahead: stop for this left row
         }
@@ -152,7 +175,8 @@ case class AsofJoinExec(
         // LATEST right time <= lTime, so if it's out of band no other row
         // can be in band (anything else is even earlier)
         val matched = candidate != null &&
-          keyOrd.compare(candidateKey, lKey) == 0 && lTimeV - candidateTime <= tol
+          keyOrd.compare(candidatePacked, lPacked) == 0 &&
+          lTimeV - candidatePacked.getLong(nKeys) <= tol
         resultProj(joined(lRow, if (matched) candidate else nullRight))
       }
     }
