@@ -92,6 +92,7 @@ object SparkEntry {
     "q_outlier_zscore"    -> q(Quality.outlierZscore),
     "q_update_conditional"-> q(Quality.updateConditional),
     "q_dq_profile"        -> q(Quality.dqProfile),
+    "q_dq_rules"          -> q(DqRules.ordersRuleReport), // declarative rule engine: row-level rules fold to ONE aggregate
     "q_histogram"         -> q(Quality.histogram(_, _, 11000.0, 10)),
     "q_corr_agg"          -> q(Relational.corrAgg),
     "q_regr_agg"          -> q(Relational.regrAgg),
@@ -793,6 +794,39 @@ object SparkEntry {
         | floor(max(v) * 10000.0 + 0.5) / 10000.0 AS max_v,
         | count(DISTINCT v) AS n_distinct
         |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin,
+
+    "q_dq_rules" ->
+      """WITH nr AS (SELECT count(*) AS n_rows FROM orders),
+        |rep AS (
+        |  SELECT 'not_null(o_custkey)' AS rule,
+        |         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL SELECT 'not_null(o_orderdate)',
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'in_range(o_totalprice)',
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |                   AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
+        |             THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'in_set(o_orderstatus)',
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |                   AND o_orderstatus NOT IN ('F', 'O', 'P')
+        |             THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'matches_regex(o_orderpriority)',
+        |    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+        |                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+        |             THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'date_in_epoch',
+        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+        |             THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'unique(o_orderkey)',
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'ref_integrity(o_custkey)',
+        |    CAST((SELECT count(*) FROM orders o
+        |          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT))
+        |SELECT rule, n_violations, (SELECT n_rows FROM nr) AS n_rows,
+        |       n_violations = 0 AS pass
+        |FROM rep ORDER BY rule""".stripMargin,
 
     "q_group_concat" ->
       """WITH d AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)

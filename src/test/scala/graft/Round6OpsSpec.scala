@@ -281,4 +281,38 @@ class Round6OpsSpec extends SparkSpec {
       assert(row.getAs[Double]("wma5") === expect(i), s"row $i")
     }
   }
+
+  test("dq rules: clean orders pass every rule; injected violations are counted exactly") {
+    import graft.operators._
+    // the registered report over real orders: all green
+    val report = SparkEntry.queries("q_dq_rules")(spark, Sf).collect()
+    assert(report.length === 8)
+    assert(report.forall(_.getAs[Boolean]("pass")), "driver orders data is clean")
+    // injected violations: each rule class counts its own, exactly
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "F", 10.0, "Clerk#1", "1-URGENT"),            // clean
+      (1L, "F", 10.0, "Clerk#2", "2-HIGH"),              // dup key
+      (2L, "X", -5.0, "nobody", "9-BOGUS"),              // set+range+regex+check
+      (3L, null, 20.0, "Clerk#3", "3-MEDIUM")            // null status passes in_set
+    ).toDF("k", "status", "price", "clerk", "prio")
+    val rules = Seq(
+      Unique("k"),
+      InSet("status", Seq("F", "O", "P")),
+      InRange("price", 0.0, 100.0),
+      MatchesRegex("clerk", "^Clerk#[0-9]+$"),
+      Check("priority_known", !col("prio").rlike("^[1-5]-")))
+    val got = DqRules.validate(dirty, rules).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
+    assert(got === Map(
+      "unique(k)" -> 1L, "in_set(status)" -> 1L, "in_range(price)" -> 1L,
+      "matches_regex(clerk)" -> 1L, "priority_known" -> 1L))
+    // enforcement: the one offending row quarantined with ALL its rule tags
+    val r = DqRules.enforce(dirty, rules)
+    assert(r.clean.count() === 3)
+    val q = r.quarantine.collect()
+    assert(q.length === 1 && q.head.getAs[Long]("k") === 2L)
+    assert(q.head.getAs[scala.collection.Seq[String]]("_dq_violations").sorted ===
+      Seq("in_range(price)", "in_set(status)", "matches_regex(clerk)", "priority_known"))
+  }
 }
