@@ -215,6 +215,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PrefixSum stays self-consistent at partial-sample scale (60k rows)") {
+    // Regression: the pre-round-6 two-phase scan derived bucket ids from
+    // spark_partition_id() over a sampled repartitionByRange; the offsets
+    // branch and the main branch re-execute that subtree with different
+    // sampling seeds, so at inputs large enough for PARTIAL range samples
+    // (invisible below ~2k rows) the branches disagreed on boundaries and
+    // every bucket-boundary row went wrong. Deterministic min/max
+    // bucketing cannot disagree with itself; this pins that at a size
+    // where the old code failed on every run.
+    val df = spark.range(60000).select(col("id").as("k"),
+      (pmod(col("id") * 2654435761L, lit(1000L)) + 1L).as("v"))
+    val got = graft.util.PrefixSum.exclusive(df, "k", col("v"), "ps")
+      .orderBy("k").collect()
+    assert(got.length === 60000)
+    var run = 0L
+    got.foreach { r =>
+      assert(r.getAs[Long]("ps") === run, s"k=${r.getAs[Long]("k")}")
+      run += r.getAs[Long]("v")
+    }
+  }
+
+  test("PrefixSum.exclusiveColsTotal with a DESCENDING leading key matches the naive scan") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(300, Gen.choose(0L, 50L)) // heavy ties in the lead key
+    forAll(rowsGen) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      val df = rows.toDF("rev", "pk").repartition(7)
+      val dist = graft.util.PrefixSum
+        .exclusiveColsTotal(df, Seq(col("rev").desc, col("pk").asc), col("rev"), "ps", "tot")
+        .collect().map(r => (r.getAs[Long]("rev"), r.getAs[Long]("pk"),
+                             r.getAs[Long]("ps"), r.getAs[Long]("tot"))).toSet
+      val sorted = rows.sortBy(r => (-r._1, r._2))
+      val total = vs.sum
+      val naive = sorted.zip(sorted.scanLeft(0L)(_ + _._1))
+        .map { case ((rev, pk), ps) => (rev, pk, ps, total) }.toSet
+      assert(dist === naive)
+    }
+  }
+
   test("bucketCandidates keeps every bucket's membership connected, hot or not") {
     import spark.implicits._
     val rowsGen = for {

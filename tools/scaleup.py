@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Key-shifted replication of a testdata SF directory — the 10x robustness
+sweep's data builder (dev-only tool, same standing as localverify.py; the
+engine never reads its output outside that sweep).
+
+Each table is replicated `replicas` times with every id-like column shifted
+by replica * (max(id)+1), so FK structure is preserved exactly (lineitem's
+shifted l_orderkey matches orders' shifted o_orderkey, etc.) and dense key
+spaces stay dense (p_partkey 0..N-1 becomes 0..replicas*N-1 — the
+hierarchy query's div-10 ancestor chain stays closed). nation/region are
+static dims and are copied untouched. DuckDB does the rewrite so parquet
+physical types survive byte-for-byte (notably events.ts TIMESTAMP_NS,
+which Spark cannot write back).
+
+Usage: python3 tools/scaleup.py <srcDir> <dstDir> [replicas=10]
+"""
+import sys, os
+import duckdb
+
+src, dst = sys.argv[1], sys.argv[2]
+replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+
+def off(table, col):
+    return con.execute(
+        f"SELECT max({col}) + 1 FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchone()[0]
+
+o_orderkey = off("orders", "o_orderkey")
+c_custkey = off("customer", "c_custkey")
+p_partkey = off("part", "p_partkey")
+s_suppkey = off("supplier", "s_suppkey")
+event_id = off("events", "event_id")
+user_id = off("events", "user_id")
+doc_id = off("documents", "doc_id")
+vec_id = off("embeddings", "vec_id")
+
+SHIFTS = {
+    "region": None,   # static dims: copy untouched
+    "nation": None,
+    "customer": {"c_custkey": c_custkey},
+    "supplier": {"s_suppkey": s_suppkey},
+    "part": {"p_partkey": p_partkey},
+    "orders": {"o_orderkey": o_orderkey, "o_custkey": c_custkey},
+    "lineitem": {"l_orderkey": o_orderkey, "l_partkey": p_partkey,
+                 "l_suppkey": s_suppkey},
+    "events": {"event_id": event_id, "user_id": user_id},
+    "documents": {"doc_id": doc_id},
+    "embeddings": {"vec_id": vec_id},
+}
+
+for table, shifts in SHIFTS.items():
+    srcp = f"{src}/{table}.parquet"
+    dstp = f"{dst}/{table}.parquet"
+    if shifts is None:
+        q = f"SELECT * FROM read_parquet('{srcp}')"
+    else:
+        repl = ", ".join(f"{c} + r * {o} AS {c}" for c, o in shifts.items())
+        q = (f"SELECT * REPLACE ({repl}) "
+             f"FROM read_parquet('{srcp}') CROSS JOIN range({replicas}) t(r)")
+    con.execute(f"COPY ({q}) TO '{dstp}' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{dstp}')").fetchone()[0]
+    print(f"{table}: {n} rows -> {dstp}")
