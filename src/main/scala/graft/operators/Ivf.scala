@@ -45,11 +45,10 @@ object Ivf {
     * a subtree referencing it) scan the corpus once, not once per
     * iteration. Init = k evenly spaced sample points (global ntile window:
     * single-reducer, but over the CACHED ≤20k-row sample, never the
-    * corpus). Each iteration is two tiny aggregates over the sample
-    * (crossJoin against the broadcast k-row centroid frame, max_by
-    * assignment, then an element-wise DECIMAL mean — decimal sums are
-    * order-independent, so the fit is deterministic under any
-    * partitioning). Empty lists keep their previous centroid via a left
+    * corpus). Each iteration is a map-only argmax assignment (see
+    * [[assignLists]]) followed by an element-wise DECIMAL mean — decimal
+    * sums are order-independent, so the fit is deterministic under any
+    * partitioning. Empty lists keep their previous centroid via a left
     * join, exactly like the classical driver-local formulation.
     */
   def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
@@ -65,13 +64,8 @@ object Ivf {
       .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
 
     def step(cent: DataFrame): DataFrame = {
-      val assigned = sample.crossJoin(broadcast(cent))
-        .withColumn("sim", call_function("cosine_sim", col("embedding"), col("centroid")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("centroid_id"), col("embedding")),
-                    struct(col("sim"), (-col("centroid_id")).as("tie"))).as("best"))
-        .select(col("best.centroid_id").as("centroid_id"),
-                col("best.embedding").as("embedding"))
+      // map-only argmax assignment (same expression as the index build)
+      val assigned = assignLists(sample, cent)
       val means = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
@@ -89,21 +83,30 @@ object Ivf {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Assign each vector to its nearest centroid by cosine: broadcast the
-    * centroid table, arg-max via max_by aggregation. The partial max_by
-    * folds the n×k scored rows map-side, so the one shuffle carries a single
-    * row per vector — a window row_number here would instead shuffle and
-    * sort all n×k rows. Tie-break: highest sim, then LOWEST centroid_id
-    * (struct max on (sim, -centroid_id)), deterministic.
+  /** Assign each vector to its nearest centroid by cosine — MAP-ONLY.
+    * The k-row centroid table folds into ONE broadcast row of id-sorted
+    * (centroid_id, centroid) structs; each vector then computes its sim
+    * array and takes the first position of the max. Ties resolve to the
+    * LOWEST centroid_id (the struct array is id-sorted and array_position
+    * returns the first hit — same result as max_by on (sim, -id)).
+    * The corpus never shuffles: at 100 TB the index build is a single map
+    * pass, where a crossJoin + groupBy(vec_id) max_by formulation would
+    * re-shuffle the entire corpus with its embedding payload to reduce
+    * the n×k scored rows.
     */
   def assignLists(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb.crossJoin(broadcast(centroids))
-      .withColumn("sim", call_function("cosine_sim", col("embedding"), col("centroid")))
-    scored.groupBy(col("vec_id"))
-      .agg(max_by(struct(col("centroid_id"), col("embedding")),
-                  struct(col("sim"), (-col("centroid_id")).as("tie"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-              col("best.centroid_id").as("centroid_id"))
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("_cents"))
+    val sims = transform(col("_cents"),
+      c => call_function("cosine_sim", col("embedding"), c.getField("centroid")))
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("_sims", sims)
+      .withColumn("centroid_id",
+        element_at(col("_cents"),
+          array_position(col("_sims"), array_max(col("_sims"))).cast("int"))
+          .getField("centroid_id"))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
   }
 
   /** End-to-end IVF query: top-k cosine neighbors of probe vec_id=0,
@@ -167,7 +170,13 @@ object Ivf {
     val quant = assignLists(emb, centroids)
       .withColumn("scale", scale).filter(col("scale") > 0)
       .withColumn("qvec", qvec)
-    val probeQ = quant.filter(col("vec_id") === 0)
+    // the probe's code needs only ITS OWN row — quantize it straight from
+    // the corpus table rather than through `quant`, whose lineage is the
+    // corpus-wide centroid assignment (routing the 1-row probe through it
+    // would run that corpus×k crossJoin+agg a second time per action)
+    val probeQ = emb.filter(col("vec_id") === 0)
+      .withColumn("scale", scale).filter(col("scale") > 0)
+      .withColumn("qvec", qvec)
       .select(col("qvec").as("probe_q")).limit(1)
     val probeF = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe_emb")).limit(1)
