@@ -170,6 +170,7 @@ object SparkEntry {
     "q_curriculum"        -> q(Insights.curriculumPhases),
     "q_bm25"              -> q(Text.bm25(_, _, 20)),
     "q_triangles"         -> q(Insights.triangles(_, _, 5)),
+    "q_pagerank"          -> q(Insights.pageRank), // fixed-point 5-round link analysis vs unrolled oracle
     "q_sliding_distinct"  -> q(Windows.slidingDistinct),
     "q_hierarchy"         -> q(Warehouse.hierarchyFlatten), // log-round pointer jumping vs WITH RECURSIVE oracle
     "q_cusum"             -> q(Quality.cusumChangepoint),
@@ -2129,6 +2130,46 @@ object SparkEntry {
         |JOIN e e2 ON e1.b = e2.a
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         |ORDER BY brand_a, brand_b, brand_c""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM pairs GROUP BY 1, 2),
+        |wout AS (SELECT src, CAST(sum(w) AS BIGINT) AS w_out FROM edges GROUP BY 1),
+        |e AS (SELECT edges.src, dst, w, w_out FROM edges JOIN wout USING (src)),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
+        |base AS (SELECT (15 * (1000000000000 // n)) // 100 AS b FROM nn),
+        |r1 AS (SELECT node, b + (85 * COALESCE(s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN base
+        |       LEFT JOIN (SELECT dst, sum((r * w) // w_out) AS s
+        |                  FROM r0 JOIN e ON r0.node = e.src GROUP BY dst) t
+        |         ON t.dst = node),
+        |r2 AS (SELECT node, b + (85 * COALESCE(s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN base
+        |       LEFT JOIN (SELECT dst, sum((r * w) // w_out) AS s
+        |                  FROM r1 JOIN e ON r1.node = e.src GROUP BY dst) t
+        |         ON t.dst = node),
+        |r3 AS (SELECT node, b + (85 * COALESCE(s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN base
+        |       LEFT JOIN (SELECT dst, sum((r * w) // w_out) AS s
+        |                  FROM r2 JOIN e ON r2.node = e.src GROUP BY dst) t
+        |         ON t.dst = node),
+        |r4 AS (SELECT node, b + (85 * COALESCE(s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN base
+        |       LEFT JOIN (SELECT dst, sum((r * w) // w_out) AS s
+        |                  FROM r3 JOIN e ON r3.node = e.src GROUP BY dst) t
+        |         ON t.dst = node),
+        |r5 AS (SELECT node, b + (85 * COALESCE(s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN base
+        |       LEFT JOIN (SELECT dst, sum((r * w) // w_out) AS s
+        |                  FROM r4 JOIN e ON r4.node = e.src GROUP BY dst) t
+        |         ON t.dst = node)
+        |SELECT node AS part_id, r AS rank_fp FROM r5 ORDER BY part_id""".stripMargin,
 
     "q_sliding_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

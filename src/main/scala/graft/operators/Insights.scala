@@ -391,6 +391,63 @@ object Insights {
       "brand_a", "brand_b", "brand_c")
   }
 
+  /** PageRank over the part co-purchase graph — the iterative link-analysis
+    * primitive (product importance / seed ranking), run for a FIXED
+    * [[Iters]] rounds so the plan shape is static. All arithmetic is
+    * integer fixed-point: total rank mass 10¹² micro-units, per-edge
+    * contribution `(r·w) div w_out`, damping `(85·Σ) div 100` — floor
+    * division on BIGINTs is portable (Spark `div` ≡ DuckDB `//` on
+    * non-negative operands), so a 32-way parallel run hash-matches the
+    * oracle's sequential fold EXACTLY, the same discipline as the
+    * hierarchy/CC gates. Scale shape: each round is one join of the rank
+    * frame (|parts| rows, node+rank only — never the edge payload) with
+    * the persisted edge list plus one hash aggregate; the edge list is
+    * built once (order-basket self-pairs, the assoc-rules shape) and
+    * reused by all rounds. Rank mass ≤10¹² and w ≤ |orders-per-pair|
+    * keep every product far under Long overflow.
+    */
+  val PrIters = 5
+
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val edges = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    val e = edges.join(wout, "src")
+      .select(col("src"), col("dst"), col("w"), col("w_out"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // co-purchase edges are symmetric, so src covers every connected node
+    val nodes = e.select(col("src").as("node")).distinct()
+    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    // per-node share of the 1e12 mass, and the (1-d) teleport base
+    val withN = nodes.crossJoin(broadcast(nN))
+    val r0 = withN.select(col("node"),
+      expr("1000000000000 div n_nodes").as("r"), col("n_nodes"))
+
+    def step(rank: DataFrame): DataFrame = {
+      val contrib = e.join(rank.select(col("node"), col("r")),
+                           col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(r * w) div w_out")).as("s"))
+      rank.select(col("node"), col("n_nodes"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (expr("(15 * (1000000000000 div n_nodes)) div 100") +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("r"),
+          col("n_nodes"))
+    }
+
+    val rFinal = (1 to PrIters).foldLeft(r0)((r, _) => step(r))
+    ordered(rFinal.select(col("node").as("part_id"), col("r").as("rank_fp")),
+            "part_id")
+  }
+
   /** Curriculum bucketing — order the corpus by quality score and cut it
     * into 4 equal-depth curriculum phases (easy→hard scheduling for LLM
     * training). The score is [[Text.QScore]]'s exact expression mix (scored

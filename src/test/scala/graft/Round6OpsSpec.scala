@@ -282,6 +282,20 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: mass conserved within floor-division leak, base rank floors every node") {
+    val r = SparkEntry.queries("q_pagerank")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    val n = r.length.toLong
+    val base = (15L * (1000000000000L / n)) / 100L
+    val mass = r.map(_.getAs[Long]("rank_fp")).sum
+    // floor division only ever DROPS sub-unit mass: total stays in
+    // (1e12 - leak, 1e12], and every node keeps at least its teleport base
+    assert(mass <= 1000000000000L && mass > 999000000000L, s"mass=$mass")
+    assert(r.forall(_.getAs[Long]("rank_fp") >= base))
+    // a popular part must outrank the uniform share (the ranking does rank)
+    assert(r.map(_.getAs[Long]("rank_fp")).max > 1000000000000L / n)
+  }
+
   test("dq rules: clean orders pass every rule; injected violations are counted exactly") {
     import graft.operators._
     // the registered report over real orders: all green
