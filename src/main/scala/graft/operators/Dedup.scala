@@ -141,15 +141,21 @@ object Dedup {
     * (no order/limit), shared by the top-k queries and the component
     * clustering below.
     */
-  def scoredPairs(sigs: DataFrame): DataFrame = {
+  /** Explodes a (doc_id, sig, …) signature frame to one row per LSH band:
+    * band hash = xxhash64 over the band's signature slice. Map-only.
+    */
+  def bandExplode(sigs: DataFrame, carry: Seq[String] = Seq("sig")): DataFrame = {
     val rowsPerBand = NumHashes / Bands
-    // band hash = xxhash64 over the band's signature slice
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
+    sigs.select(
+      col("doc_id") +: carry.map(col) :+
       posexplode(array((0 until Bands).map { b =>
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => element_at(col("sig"), i + 1)): _*)
-      }: _*)).as(Seq("band_id", "band_hash")))
+      }: _*)).as(Seq("band_id", "band_hash")): _*)
+  }
+
+  def scoredPairs(sigs: DataFrame): DataFrame = {
+    val banded = bandExplode(sigs)
     val cand = bucketCandidates(banded, Seq("band_id", "band_hash"), "doc_id", Seq("sig"))
     // native codegen agreement kernel — the zip_with/filter/size HOF chain
     // evaluates interpreted per candidate pair (graft.functions scaladoc)

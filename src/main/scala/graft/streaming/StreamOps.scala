@@ -138,6 +138,67 @@ object StreamOps {
       }
   }
 
+  case class BandHit(band_id: Int, band_hash: Long, doc_id: Long)
+  case class NearDupHit(doc_id: Long, band_id: Int, band_hash: Long,
+                        canon_id: Long)
+
+  /** Streaming incremental near-duplicate detection — the training-data
+    * ingestion gate run CONTINUOUSLY: each arriving document computes its
+    * MinHash signature map-side (the fused [[graft.functions.MinHashSig]]
+    * kernel — streams never shuffle shingles), explodes to its LSH band
+    * buckets, and checks each bucket's state for an earlier occupant.
+    * State per (band, bucket) key is ONE long — the bucket's canonical
+    * (minimum) doc_id — so the state store holds 8 bytes per distinct
+    * band-hash ever seen, sharded by the group key across executors, and
+    * a doc is emitted once per band that links it to an earlier document.
+    *
+    * Semantics: a doc is flagged against the canonical of its bucket as of
+    * its OWN micro-batch (docs inside one micro-batch rank by doc_id, so
+    * the smaller id wins ties exactly like the batch formulation). When
+    * ingestion order follows doc_id — the append-only corpus case — the
+    * emitted set is EXACTLY the batch twin [[nearDupAgainstPriorBatch]],
+    * proven in StreamingSpec; under out-of-order arrival a late small-id
+    * doc becomes the new canonical and is not flagged, the
+    * dup-against-previously-INGESTED contract (arrival defines "prior",
+    * exactly like the batch incremental dedup's seen-corpus anti-join).
+    * Consumers aggregate per doc (`max(1)` over bands) or feed the pairs
+    * to connected components; NoTimeout keeps every bucket's canonical
+    * forever — a production deployment would expire idle buckets by
+    * ingestion-policy timeout instead of keeping 8 B × |buckets|.
+    */
+  def streamingNearDupCandidates(docs: DataFrame): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val banded = graft.operators.Dedup
+      .bandExplode(graft.operators.Dedup.minhashSignatures(docs), carry = Nil)
+      .select(col("band_id"), col("band_hash"), col("doc_id")).as[BandHit]
+    banded.groupByKey(h => (h.band_id, h.band_hash))
+      .flatMapGroupsWithState[Long, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((bandId, bandHash), batch, state) =>
+          val ids = batch.map(_.doc_id).toVector
+          val canon = (state.getOption.toVector ++ ids).min
+          state.update(canon)
+          ids.sorted.iterator.filter(_ > canon)
+            .map(d => NearDupHit(d, bandId, bandHash, canon))
+      }
+  }
+
+  /** The batch twin of [[streamingNearDupCandidates]] under doc_id-ordered
+    * ingestion: a doc is a candidate in each band bucket whose minimum
+    * doc_id is smaller — one banding pass, one aggregate for the bucket
+    * minima, one join back. (This is also the "dedup a new corpus against
+    * itself, oldest doc wins" batch formulation.)
+    */
+  def nearDupAgainstPriorBatch(docs: DataFrame): DataFrame = {
+    val banded = graft.operators.Dedup
+      .bandExplode(graft.operators.Dedup.minhashSignatures(docs), carry = Nil)
+    val canon = banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(min(col("doc_id")).as("canon_id"))
+    banded.join(canon, Seq("band_id", "band_hash"))
+      .filter(col("doc_id") > col("canon_id"))
+      .select(col("doc_id"), col("band_id"), col("band_hash"), col("canon_id"))
+  }
+
   /** Continuous warehouse maintenance — the streaming↔warehouse bridge:
     * each micro-batch is key-deduped (latest row per key wins) and MERGEd
     * into a VERSIONED parquet snapshot via foreachBatch, the reference's

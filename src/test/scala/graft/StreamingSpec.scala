@@ -218,4 +218,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.count(_.isNullAt(3)) === 1, "unmatched key survives the left join")
   }
+
+  test("streaming near-dup: id-ordered ingestion over real docs equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(docs.length > 50)
+    val (h1, rest) = docs.splitAt(docs.length / 3)
+    val (h2, h3) = rest.splitAt(docs.length / 3)
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.streamingNearDupCandidates(streamDf)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    // three id-ordered micro-batches — state carries canonicals across them
+    mem.addData(h1: _*); q.processAllAvailable()
+    mem.addData(h2: _*); q.processAllAvailable()
+    mem.addData(h3: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup_out")
+      .select("doc_id", "band_id", "band_hash", "canon_id")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamOps.nearDupAgainstPriorBatch(
+        docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    // out-of-order: a smaller late id becomes canonical, NOT a dup
+    val big = (900000L, docs.head._2)  // exact text of doc arriving later
+    val small = (1L, "zz completely unrelated text qq ww ee rr tt yy uu ii")
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.streamingNearDupCandidates(
+        mem2.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_ooo")
+      .outputMode("append").start()
+    mem2.addData(big); q2.processAllAvailable()
+    mem2.addData(small); q2.processAllAvailable()
+    mem2.addData((900001L, docs.head._2)); q2.processAllAvailable()
+    q2.stop()
+    val ooo = spark.table("neardup_ooo").collect()
+    assert(!ooo.exists(_.getAs[Long]("doc_id") === 1L),
+           "late small id is a new canonical, never flagged")
+    assert(ooo.exists(r => r.getAs[Long]("doc_id") === 900001L &&
+                           r.getAs[Long]("canon_id") === 900000L),
+           "twin of the first-arrived doc links to the ARRIVAL canonical")
+  }
 }
