@@ -207,6 +207,7 @@ object SparkEntry {
     "q_ann_batch"         -> q(Similarity.cosineTopKBatch(_, _, 8, 5)),
     "q_knn_classify"      -> q(Similarity.knnClassify(_, _, 8, 5)),
     "q_ann_lsh"           -> q(Similarity.annLshPairs(_, _, 20)),
+    "q_ann_lsh_gated"     -> q(Similarity.annLshGatedPairs(_, _, 20)), // md5-plane twin: full LSH path under the hash gate
     "q_ann_ivf"           -> q(Ivf.ivfTopK(_, _, 10, 16, 8)), // no-oracle: k-means internals engine-specific
     "q_ann_ivf_quantized" -> q(Ivf.ivfTopKQuantized(_, _, 10, 16, 8)), // int8-scored shortlist + full-precision re-rank; no-oracle, recall spec
     // multimodal plumbing tier
@@ -1467,6 +1468,36 @@ object SparkEntry {
         |FROM pairs
         |ORDER BY hamming, a_id, b_id LIMIT 20""".stripMargin
     },
+
+    "q_ann_lsh_gated" ->
+      """WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |                       AS BIGINT) AS qv
+        |           FROM embeddings),
+        |pl AS (SELECT p.p, d.d,
+        |              CASE WHEN CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' ||
+        |                                              CAST(d.d AS VARCHAR)), 1, 12))
+        |                        AS BIGINT) % 2 = 1
+        |                   THEN 1 ELSE -1 END AS sg
+        |       FROM range(0, 32) p(p) CROSS JOIN range(1, 129) d(d)),
+        |dots AS (SELECT q.vec_id, pl.p, sum(q.qv * pl.sg) AS dot
+        |         FROM q JOIN pl ON q.d = pl.d GROUP BY 1, 2),
+        |bands AS (SELECT vec_id, p // 8 AS band_id,
+        |                 sum(CASE WHEN dot > 0 THEN 1 << (p % 8) ELSE 0 END) AS band_hash
+        |          FROM dots GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |          FROM bands a JOIN bands b
+        |            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        |           AND a.vec_id < b.vec_id),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |d2 AS (SELECT pr.a_id, pr.b_id, sum(x.v * y.v) AS dp,
+        |              sqrt(sum(x.v * x.v)) AS an, sqrt(sum(y.v * y.v)) AS bn
+        |       FROM pairs pr JOIN e x ON x.vec_id = pr.a_id
+        |                     JOIN e y ON y.vec_id = pr.b_id AND y.i = x.i
+        |       GROUP BY 1, 2)
+        |SELECT a_id, b_id, floor(dp / (an * bn) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |FROM d2 ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin,
 
     "q_ngram_lm" ->
       """WITH toks AS (

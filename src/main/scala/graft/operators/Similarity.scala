@@ -158,6 +158,61 @@ object Similarity {
     cand.select(col("vec_id_a").as("vec_a"), col("vec_id_b").as("vec_b"), r4(cos).as("cos_sim"))
   }
 
+  /** Hyperplane-LSH pair search under the EXACT hash gate — the gated twin
+    * of [[annLshPairs]], shrinking the production op's unverified surface
+    * to exactly its hyperplane source. Two swaps make the full path
+    * portable: (1) hyperplane components are ±1 derived from the md5 hex
+    * prefix of "p_d" (computed ONCE on the driver here, by `md5()` in the
+    * oracle — same function, same bytes), so both engines use the
+    * identical planes; (2) projections run on fixed-point quantized
+    * components (floor(v·10⁴+0.5) longs — the embedCentroid discipline),
+    * so the 32 dot products are INTEGER sums: associative, any partial-agg
+    * tree or fold order yields the same sign bit, and the bucket layout
+    * matches bit-for-bit. Signature+banding is one map pass (32
+    * aggregate-HOF dots per row, no explode before the band shuffle);
+    * candidate pairs re-rank by exact cosine like the production op.
+    * ±1 hyperplanes are a standard random-projection family (signs of a
+    * Rademacher matrix), so the gated twin exercises real LSH geometry,
+    * not a toy.
+    */
+  def annLshGatedPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val P = 32; val BandBits = 8; val NBands = P / BandBits
+    val MaxDim = 128
+    def signs(p: Int): Seq[Long] = (1 to MaxDim).map { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${p}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 12), 16) % 2 == 1) 1L else -1L
+    }
+    def dot(p: Int): Column =
+      aggregate(
+        zip_with(col("qv"), slice(typedLit(signs(p)), lit(1), size(col("qv"))),
+                 (x, s) => x * s),
+        lit(0L), (acc, y) => acc + y)
+    def bandHash(b: Int): Column =
+      (0 until BandBits).map(j =>
+        when(dot(b * BandBits + j) > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    graft.functions.GraftFunctions.register(spark)
+    val banded = t(spark, sfDir, "embeddings")
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long")))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until NBands).map(bandHash): _*))
+          .as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("band_id"), col("band_hash"),
+      col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = banded.select(col("band_id"), col("band_hash"),
+      col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        r4(call_function("cosine_sim", col("a_emb"), col("b_emb"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id").asc, col("b_id").asc)
+      .limit(k)
+  }
+
   /** Per-label mean embedding (the k-means M-step / class-prototype
     * computation) as a GATED query: posexplode the vectors to
     * (label, pos, val) and aggregate per (label, dimension). Cross-row
