@@ -201,6 +201,7 @@ object SparkEntry {
     "q_doc_dedup_embed"   -> q(Similarity.dedupEmbed(_, _, 0.95)), // embedding-cosine near-dup clusters
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
     "q_dedup_simhash_gated" -> q(Dedup.simhashGatedPairs(_, _, 20)), // md5-hashed twin: full pair path under the hash gate
+    "q_doc_dedup_minhash_gated" -> q(Dedup.minhashGatedPairs(_, _, 20)), // Carter-Wegman twin: full minhash path under the hash gate
     "q_near_dup_editdist" -> q(Dedup.editDistPairs(_, _, 40, 8)), // blocked+thresholded Levenshtein — the oracled dedup modality
     "q_dedup_components_editdist" -> q(Dedup.dedupComponentsEditdist), // CC tail under the hash gate (recursive-CTE oracle)
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
@@ -1430,6 +1431,57 @@ object SparkEntry {
         |       doc.doc_id = coalesce(c.component_id, doc.doc_id) AS is_canonical
         |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
         |ORDER BY doc.doc_id""".stripMargin,
+
+    "q_doc_dedup_minhash_gated" -> {
+      // 32 Carter–Wegman minima + 8 band keys, generated once with the
+      // SAME md5-derived coefficients the Spark builder inlines
+      val P = 2147483647L
+      val mins = (0 until 32).map { j =>
+        val a = operators.Dedup.cwCoef("a", j, P - 1, 1L)
+        val b = operators.Dedup.cwCoef("b", j, P, 0L)
+        s"min(($a * h + $b) % $P) AS h$j"
+      }.mkString(",\n        |         ")
+      val bandCases = (0 until 8).map { bnd =>
+        val key = (bnd * 4 until (bnd + 1) * 4)
+          .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
+        s"WHEN b = $bnd THEN $key"
+      }.mkString("\n        |             ")
+      val carryA = (0 until 32).map(j => s"a.h$j AS a_h$j").mkString(", ")
+      val carryB = (0 until 32).map(j => s"b.h$j AS b_h$j").mkString(", ")
+      val matches = (0 until 32)
+        .map(j => s"CASE WHEN a_h$j = b_h$j THEN 1 ELSE 0 END")
+        .mkString(" +\n        |        ")
+      s"""WITH sh0 AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text) - 2)) AS i
+        |  FROM documents WHERE length(text) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS s
+        |  FROM sh0),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % $P AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |         ${mins}
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  SELECT sig.*, b AS band_id,
+        |         CASE $bandCases
+        |         END AS bkey
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |                  $carryA, $carryB
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+        |   AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |       floor(($matches) / 32.0 * 10000.0 + 0.5) / 10000.0 AS jaccard_est
+        |FROM pairs
+        |ORDER BY jaccard_est DESC, a_id, b_id LIMIT 20""".stripMargin
+    },
 
     "q_dedup_simhash_gated" -> {
       // 48 sign-sum bit columns + the bit-pack, generated once — the same

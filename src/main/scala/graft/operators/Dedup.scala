@@ -362,6 +362,80 @@ object Dedup {
       .limit(k)
   }
 
+  /** MinHash near-dup pairs under the EXACT hash gate — the gated twin of
+    * [[minhashPairs]], putting the ENTIRE minhash pipeline (shingling →
+    * permutations → signature minima → banding → candidate pairs →
+    * agreement estimate) under the DuckDB oracle. Two portability swaps,
+    * exactly the simhash/LSH-gate trick:
+    *  - the per-shingle base hash is the md5 hex prefix reduced mod the
+    *    Mersenne prime 2³¹−1 (`md5()` exists in both engines);
+    *  - the 32 permutations are Carter–Wegman `(aⱼ·h + bⱼ) mod p` with
+    *    aⱼ/bⱼ THEMSELVES md5-derived (31-bit), so products stay < 2⁶²:
+    *    exact in both engines' 64-bit integers — no overflow-wrap
+    *    divergence (DuckDB raises where Spark wraps), no float anywhere.
+    * Structure mirrors production: distinct 3-gram shingles (built-in
+    * sequence/substr — the plain-SQL shape), min per permutation in ONE
+    * hash aggregate, 8 bands × 4 rows with string band keys, a<b distinct
+    * candidates, estimate = matching positions / 32. The production op
+    * keeps the faster fused xxhash64 kernel; its unverified surface
+    * shrinks to exactly that hash family.
+    */
+  def minhashGatedPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val P = 2147483647L
+    val banded = bandedGatedSignatures(t(spark, sfDir, "documents"))
+    val a = banded.select(col("band_id"), col("bkey"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band_id"), col("bkey"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band_id", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        r4(size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+                       m => m)).cast("double") / lit(NumHashes.toDouble))
+          .as("jaccard_est"))
+      .orderBy(col("jaccard_est").desc, col("a_id").asc, col("b_id").asc)
+      .limit(k)
+  }
+
+  /** md5-derived Carter–Wegman coefficient (shared by the Spark builder
+    * and the generated oracle SQL, which inlines the same values).
+    */
+  def cwCoef(tag: String, j: Int, mod: Long, offset: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${tag}_$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % mod + offset
+  }
+
+  /** (doc_id, sig array, band_id, bkey) for the gated minhash path —
+    * one map pass to distinct shingles, one hash aggregate to the 32
+    * minima, map-side banding.
+    */
+  private def bandedGatedSignatures(docs: DataFrame): DataFrame = {
+    val P = 2147483647L
+    val rowsPerBand = NumHashes / Bands
+    val sh = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3))))).as("s"))
+    val hashed = sh.select(col("doc_id"),
+      (conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long") % P).as("h"))
+    val mins = (0 until NumHashes).map { j =>
+      val a = cwCoef("a", j, P - 1, 1L)  // [1, p-1]
+      val b = cwCoef("b", j, P, 0L)      // [0, p-1]
+      min((lit(a) * col("h") + lit(b)) % P).as(s"h$j")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    sigs.select(col("doc_id"),
+        array((0 until NumHashes).map(j => col(s"h$j")): _*).as("sig"),
+        posexplode(array((0 until Bands).map { bnd =>
+          concat_ws("_", (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+            .map(j => col(s"h$j")): _*)
+        }: _*)).as(Seq("band_id", "bkey")))
+  }
+
   /** Blocked edit-distance near-dup pairs — the character-level dedup
     * modality (catches small insertions/typos that shuffle-invariant
     * minhash treats as identical-set noise, and vice versa). Unlike the
