@@ -202,6 +202,8 @@ object SparkEntry {
     "q_doc_dedup_simhash" -> q(Dedup.simhashPairs(_, _, 20)),
     "q_dedup_simhash_gated" -> q(Dedup.simhashGatedPairs(_, _, 20)), // md5-hashed twin: full pair path under the hash gate
     "q_doc_dedup_minhash_gated" -> q(Dedup.minhashGatedPairs(_, _, 20)), // Carter-Wegman twin: full minhash path under the hash gate
+    "q_cms_gated"         -> q(Text.cmsGated(_, _, 20)), // count-min mechanism under the hash gate (portable cell hashes)
+    "q_hll_gated"         -> q(Text.hllGated), // HLL mechanism under the hash gate (transcendental-free raw estimator)
     "q_near_dup_editdist" -> q(Dedup.editDistPairs(_, _, 40, 8)), // blocked+thresholded Levenshtein — the oracled dedup modality
     "q_dedup_components_editdist" -> q(Dedup.dedupComponentsEditdist), // CC tail under the hash gate (recursive-CTE oracle)
     "q_embed_cosine_topk" -> q(Similarity.cosineTopK(_, _, 10)),
@@ -1432,6 +1434,67 @@ object SparkEntry {
         |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
         |ORDER BY doc.doc_id""".stripMargin,
 
+    "q_hll_gated" ->
+      """WITH tw AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS word FROM lineitem),
+        |hw AS (
+        |  SELECT DISTINCT word FROM tw),
+        |hh AS (
+        |  SELECT word,
+        |         CAST(('0x' || substr(md5(word), 1, 12)) AS BIGINT) AS h
+        |  FROM hw),
+        |regs AS (
+        |  SELECT h % 1024 AS idx,
+        |         max(CASE WHEN h // 1024 > 0 THEN 39 - length(bin(h // 1024))
+        |                  ELSE 39 END) AS mj
+        |  FROM hh GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS occ,
+        |         sum(1.0 / (CAST(1 AS BIGINT) << mj)) AS hsum
+        |  FROM regs),
+        |ex AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS exact_distinct FROM tw)
+        |SELECT exact_distinct,
+        |       1024 - occ AS empty_registers,
+        |       floor((0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 /
+        |             (hsum + CAST(1024 - occ AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        |         AS hll_est
+        |FROM ex, agg""".stripMargin,
+
+    "q_cms_gated" -> {
+      val P = 2147483647L
+      def slotSql(h: String): String = {
+        val aCase = (0 until 4).map(d =>
+          s"WHEN $d THEN ${operators.Dedup.cwCoef("cmsa", d, P - 1, 1L)}").mkString(" ")
+        val bCase = (0 until 4).map(d =>
+          s"WHEN $d THEN ${operators.Dedup.cwCoef("cmsb", d, P, 0L)}").mkString(" ")
+        s"((CASE d $aCase END) * $h + (CASE d $bCase END)) % $P % 1024"
+      }
+      s"""WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |tw AS (SELECT word FROM toks WHERE word <> ''),
+        |hw AS (
+        |  SELECT word,
+        |         CAST(('0x' || substr(md5(word), 1, 12)) AS BIGINT) % $P AS h
+        |  FROM tw),
+        |cells AS (
+        |  SELECT d, ${slotSql("h")} AS slot, CAST(count(*) AS BIGINT) AS cell
+        |  FROM hw, (SELECT unnest([0, 1, 2, 3]) AS d)
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS exact_n
+        |  FROM tw GROUP BY word ORDER BY exact_n DESC, word LIMIT 20),
+        |eh AS (
+        |  SELECT word, exact_n,
+        |         CAST(('0x' || substr(md5(word), 1, 12)) AS BIGINT) % $P AS h
+        |  FROM exact),
+        |es AS (
+        |  SELECT word, exact_n, d, ${slotSql("h")} AS slot
+        |  FROM eh, (SELECT unnest([0, 1, 2, 3]) AS d))
+        |SELECT word, exact_n, min(cell) AS cms_est
+        |FROM es JOIN cells USING (d, slot)
+        |GROUP BY word, exact_n ORDER BY word""".stripMargin
+    },
+
     "q_doc_dedup_minhash_gated" -> {
       // 32 Carter–Wegman minima + 8 band keys, generated once with the
       // SAME md5-derived coefficients the Spark builder inlines
@@ -2227,29 +2290,29 @@ object SparkEntry {
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
         |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn),
         |base AS (SELECT (15 * (1000000000000 // n)) // 100 AS b FROM nn),
-        |r1 AS (SELECT node, b + (85 * COALESCE(s, 0)) // 100 AS r
+        |r1 AS (SELECT node, CAST(b + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes CROSS JOIN base
-        |       LEFT JOIN (SELECT dst, sum((r * w) // w_out) AS s
+        |       LEFT JOIN (SELECT dst, CAST(sum((r * w) // w_out) AS BIGINT) AS s
         |                  FROM r0 JOIN e ON r0.node = e.src GROUP BY dst) t
         |         ON t.dst = node),
-        |r2 AS (SELECT node, b + (85 * COALESCE(s, 0)) // 100 AS r
+        |r2 AS (SELECT node, CAST(b + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes CROSS JOIN base
-        |       LEFT JOIN (SELECT dst, sum((r * w) // w_out) AS s
+        |       LEFT JOIN (SELECT dst, CAST(sum((r * w) // w_out) AS BIGINT) AS s
         |                  FROM r1 JOIN e ON r1.node = e.src GROUP BY dst) t
         |         ON t.dst = node),
-        |r3 AS (SELECT node, b + (85 * COALESCE(s, 0)) // 100 AS r
+        |r3 AS (SELECT node, CAST(b + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes CROSS JOIN base
-        |       LEFT JOIN (SELECT dst, sum((r * w) // w_out) AS s
+        |       LEFT JOIN (SELECT dst, CAST(sum((r * w) // w_out) AS BIGINT) AS s
         |                  FROM r2 JOIN e ON r2.node = e.src GROUP BY dst) t
         |         ON t.dst = node),
-        |r4 AS (SELECT node, b + (85 * COALESCE(s, 0)) // 100 AS r
+        |r4 AS (SELECT node, CAST(b + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes CROSS JOIN base
-        |       LEFT JOIN (SELECT dst, sum((r * w) // w_out) AS s
+        |       LEFT JOIN (SELECT dst, CAST(sum((r * w) // w_out) AS BIGINT) AS s
         |                  FROM r3 JOIN e ON r3.node = e.src GROUP BY dst) t
         |         ON t.dst = node),
-        |r5 AS (SELECT node, b + (85 * COALESCE(s, 0)) // 100 AS r
+        |r5 AS (SELECT node, CAST(b + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes CROSS JOIN base
-        |       LEFT JOIN (SELECT dst, sum((r * w) // w_out) AS s
+        |       LEFT JOIN (SELECT dst, CAST(sum((r * w) // w_out) AS BIGINT) AS s
         |                  FROM r4 JOIN e ON r4.node = e.src GROUP BY dst) t
         |         ON t.dst = node)
         |SELECT node AS part_id, r AS rank_fp FROM r5 ORDER BY part_id""".stripMargin,

@@ -755,6 +755,90 @@ object Text {
       "word")
   }
 
+  /** Count-min sketch under the EXACT hash gate — the gated twin of
+    * [[cmsHeavyHitters]]: the full CMS mechanism (hash each occurrence to
+    * one cell per depth row, sum cells, point-estimate = min over the
+    * key's cells) expressed as portable relational algebra, with the
+    * engine-specific xxhash64 swapped for md5-base + Carter–Wegman rows
+    * ([[graft.operators.Dedup.cwCoef]] — same coefficients inlined in the
+    * oracle SQL). The cell table IS the sketch: the aggregate shuffles at
+    * most depth·width = 4096 partial rows regardless of corpus size,
+    * exactly the bounded-state argument of the real aggregator; estimates
+    * are hash-gated including their one-sided error (est ≥ exact by
+    * construction, both engines agreeing cell-for-cell).
+    */
+  def cmsGated(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val P = 2147483647L
+    val depth = 4
+    val width = 1024
+    def coefA(d: Int) = graft.operators.Dedup.cwCoef("cmsa", d, P - 1, 1L)
+    def coefB(d: Int) = graft.operators.Dedup.cwCoef("cmsb", d, P, 0L)
+    val toks = docs(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val baseHash = conv(substring(md5(col("word")), 1, 12), 16, 10)
+      .cast("long") % P
+    def slot(d: Int) = (lit(coefA(d)) * col("h") + lit(coefB(d))) % P % width
+    val hw = toks.select(col("word"), baseHash.as("h"))
+    val cells = hw
+      .select(col("h"), posexplode(array((0 until depth).map(slot): _*))
+        .as(Seq("d", "slot")))
+      .groupBy(col("d"), col("slot")).agg(count(lit(1)).as("cell"))
+    val exact = toks.groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("word").asc).limit(k)
+    val eh = exact.withColumn("h", baseHash)
+      .select(col("word"), col("exact_n"),
+        posexplode(array((0 until depth).map(slot): _*)).as(Seq("d", "slot")))
+    ordered(
+      eh.join(cells, Seq("d", "slot"))
+        .groupBy(col("word"), col("exact_n"))
+        .agg(min(col("cell")).as("cms_est")),
+      "word")
+  }
+
+  /** HyperLogLog under the EXACT hash gate — the gated twin of the
+    * approx-distinct sketch: 1024 registers over a 48-bit md5 base hash
+    * (idx = h mod 1024, rho = leading-zero rank of h div 1024 via the
+    * bin()-length trick — identical minimal-width bin() in both engines),
+    * raw HLL estimator αm·m²/Σ2^(−Mⱼ) WITHOUT the small-range ln
+    * correction, so the whole chain stays transcendental-free: 2^(−M) is
+    * computed as 1.0/(1 << M) — an exact dyadic double — and the harmonic
+    * sum of 1024 such terms spans < 53 bits of exponent, so it is EXACT
+    * under any aggregation order; the one multiply/divide at the end is
+    * mirrored IEEE and r4-rounded. The register table shuffles ≤ 1024
+    * rows regardless of corpus size — the sketch's bounded-state argument,
+    * hash-gated. (Production approx ops keep Spark's HLL++
+    * `approx_count_distinct`; this gates the mechanism.)
+    */
+  def hllGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 1024
+    // key set: order keys off the fact table — tens of thousands of
+    // distinct values, so the registers saturate and the RAW estimator is
+    // in its accurate regime (the small-range correction this twin omits
+    // to stay transcendental-free only matters when most registers are
+    // empty)
+    val toks = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("word"))
+    val hw = toks.select(col("word")).distinct()
+      .select(col("word"),
+        conv(substring(md5(col("word")), 1, 12), 16, 10).cast("long").as("h"))
+    val w = expr("h div 1024")
+    val rho = when(w > 0, lit(39) - length(bin(w))).otherwise(lit(39))
+    val regs = hw.select((col("h") % m).as("idx"), rho.as("rho"))
+      .groupBy(col("idx")).agg(max(col("rho")).as("mj"))
+    val agg = regs.agg(count(lit(1)).as("occ"),
+      sum(lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), mj) as double)"))
+        .as("hsum"))
+    val exact = toks.agg(countDistinct(col("word")).as("exact_distinct"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    exact.crossJoin(broadcast(agg))
+      .select(col("exact_distinct"),
+        (lit(m.toLong) - col("occ")).as("empty_registers"),
+        r4(alpha * lit(m.toDouble) * lit(m.toDouble) /
+           (col("hsum") + (lit(m.toLong) - col("occ")).cast("double")))
+          .as("hll_est"))
+  }
+
   /** BM25 document ranking for a fixed term set — the retrieval scorer the
     * contamination/dedup tier's exact-match cousins feed into. Standard
     * Robertson/Sparck-Jones shape: idf = ln(1 + (N−df+0.5)/(df+0.5)),
