@@ -1534,12 +1534,23 @@ object SparkEntry {
         |         CASE $bandCases
         |         END AS bkey
         |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b)),
+        |stats AS (
+        |  SELECT band_id, bkey, count(*) AS bn, min(doc_id) AS anchor
+        |  FROM bands GROUP BY 1, 2),
+        |bs AS (
+        |  SELECT bands.*, stats.bn, stats.anchor
+        |  FROM bands JOIN stats USING (band_id, bkey)),
         |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-        |                  $carryA, $carryB
-        |  FROM bands a JOIN bands b
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, $carryA, $carryB
+        |  FROM bs a JOIN bs b
         |    ON a.band_id = b.band_id AND a.bkey = b.bkey
-        |   AND a.doc_id < b.doc_id)
+        |   AND a.doc_id < b.doc_id
+        |  WHERE a.bn <= 64
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, $carryA, $carryB
+        |  FROM bs a JOIN bs b
+        |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+        |  WHERE a.bn > 64 AND a.doc_id = a.anchor AND b.doc_id <> b.anchor)
         |SELECT a_id, b_id,
         |       floor(($matches) / 32.0 * 10000.0 + 0.5) / 10000.0 AS jaccard_est
         |FROM pairs

@@ -381,18 +381,14 @@ object Dedup {
     * shrinks to exactly that hash family.
     */
   def minhashGatedPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val P = 2147483647L
     val banded = bandedGatedSignatures(t(spark, sfDir, "documents"))
-    val a = banded.select(col("band_id"), col("bkey"),
-      col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("band_id"), col("bkey"),
-      col("doc_id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band_id", "bkey"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
-      .dropDuplicates("a_id", "b_id")
-      .select(col("a_id"), col("b_id"),
-        r4(size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+    // the production hot-bucket cap, mirrored in the oracle SQL: the
+    // synthetic corpus' small trigram vocabulary makes shared minima (and
+    // so giant band buckets) common — exactly the degenerate-corpus case
+    // the cap exists for; uncapped, the sf0.1 self-join is ~30× the wall
+    val cand = bucketCandidates(banded, Seq("band_id", "bkey"), "doc_id", Seq("sig"))
+    cand.select(col("doc_id_a").as("a_id"), col("doc_id_b").as("b_id"),
+        r4(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
                        m => m)).cast("double") / lit(NumHashes.toDouble))
           .as("jaccard_est"))
       .orderBy(col("jaccard_est").desc, col("a_id").asc, col("b_id").asc)
