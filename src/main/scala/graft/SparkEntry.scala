@@ -213,6 +213,7 @@ object SparkEntry {
     "q_ann_lsh_gated"     -> q(Similarity.annLshGatedPairs(_, _, 20)), // md5-plane twin: full LSH path under the hash gate
     "q_ann_ivf"           -> q(Ivf.ivfTopK(_, _, 10, 16, 8)), // no-oracle: k-means internals engine-specific
     "q_ann_ivf_quantized" -> q(Ivf.ivfTopKQuantized(_, _, 10, 16, 8)), // int8-scored shortlist + full-precision re-rank; no-oracle, recall spec
+    "q_ann_ivf_gated"     -> q(Ivf.ivfGatedTopK(_, _, 10, 16, 4)), // integer-L2 k-means twin: sample/init/Lloyd's/lists/probe under the hash gate
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
     "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),
@@ -1433,6 +1434,51 @@ object SparkEntry {
         |       doc.doc_id = coalesce(c.component_id, doc.doc_id) AS is_canonical
         |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
         |ORDER BY doc.doc_id""".stripMargin,
+
+    "q_ann_ivf_gated" -> {
+      // 5 unrolled Lloyd's iterations in long (vec_id, i, qv) form — the
+      // same fixed-point offset arithmetic the Spark builder inlines
+      val iters = (1 to 5).map { i =>
+        s"""|a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+        |b$i AS (SELECT vec_id, cid FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |          FROM a$i) WHERE rk = 1),
+        |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+        |c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+        |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      s"""WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) + 16384 AS qv
+        |  FROM embeddings),
+        |sample AS (SELECT vec_id FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+        |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+        |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+        |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+        |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+        |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+        |$iters
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |pq AS (SELECT i, qv FROM q WHERE vec_id = 0),
+        |pd AS (SELECT c.cid, sum((c.qv - p.qv) * (c.qv - p.qv)) AS d
+        |       FROM c5 c JOIN pq p ON p.i = c.i GROUP BY 1),
+        |pl AS (SELECT cid FROM pd ORDER BY d, cid LIMIT 4),
+        |cand AS (SELECT bf.vec_id FROM bf JOIN pl USING (cid) WHERE bf.vec_id <> 0),
+        |cd AS (SELECT q.vec_id, CAST(sum((q.qv - p.qv) * (q.qv - p.qv)) AS BIGINT) AS l2q
+        |       FROM q JOIN cand USING (vec_id) JOIN pq p ON p.i = q.i GROUP BY 1)
+        |SELECT vec_id, l2q FROM cd ORDER BY l2q, vec_id LIMIT 10""".stripMargin
+    },
 
     "q_hll_gated" ->
       """WITH tw AS (

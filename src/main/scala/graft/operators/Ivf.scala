@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -136,6 +136,95 @@ object Ivf {
       .select(col("vec_id"),
               r4(call_function("cosine_sim", col("embedding"), col("probe_emb"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF under the EXACT hash gate — the gated twin of [[ivfTopK]],
+    * putting the ENTIRE mechanism (bounded sample → spaced init → Lloyd's
+    * iterations → inverted-list assignment → nprobe pruning → re-rank)
+    * under the DuckDB oracle. Portability swaps, one per float hazard:
+    *  - metric: integer SQUARED L2 over fixed-point components
+    *    (floor(v·10⁴+0.5) + 16384 — the offset keeps every value
+    *    positive, so Spark's truncating `div` and DuckDB's flooring `//`
+    *    agree on the centroid means; a common offset cancels in every
+    *    distance). All argmins compare exact BIGINTs — no IEEE anywhere.
+    *  - sample: top-[[TrainCap]] by md5(vec_id) (portable hash order)
+    *    instead of xxhash64.
+    *  - centroid means: integer floor-division, positive domain.
+    * Assignment is the same map-only folded-centroid argmin as
+    * production ([[assignLists]] shape) with ties to the lowest id
+    * (id-sorted struct array + first-position match ≡ the oracle's
+    * row_number over (d, cid)). Output is the integer-L2 top-k — the
+    * twin gates mechanism, not cosine values, which stay the production
+    * path's job.
+    */
+  def ivfGatedTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+                   nLists: Int = 16, nprobe: Int = 4): DataFrame = {
+    val Off = 16384L
+    val emb = t(spark, sfDir, "embeddings")
+    val qemb = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long") +
+              lit(Off))).as("qv"))
+    val sample = qemb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val init = sample
+      .withColumn("tile", ntile(nLists).over(Window.orderBy(col("vec_id"))))
+      .groupBy(col("tile"))
+      .agg(min_by(col("qv"), col("vec_id")).as("centroid"))
+      .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
+
+    // map-only integer argmin against the single-row folded centroid table
+    def withBest(df: DataFrame, cent: DataFrame): DataFrame = {
+      val centArr = cent
+        .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+          .as("_cents"))
+      val dists = transform(col("_cents"),
+        c => aggregate(zip_with(col("qv"), c.getField("centroid"),
+                                (x, y) => (x - y) * (x - y)),
+                       lit(0L), (acc, y) => acc + y))
+      df.crossJoin(broadcast(centArr))
+        .withColumn("_d", dists)
+        .withColumn("centroid_id",
+          element_at(col("_cents"),
+            array_position(col("_d"), array_min(col("_d"))).cast("int"))
+            .getField("centroid_id"))
+        .drop("_cents", "_d")
+    }
+
+    def step(cent: DataFrame): DataFrame = {
+      val means = withBest(sample, cent)
+        .select(col("centroid_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("mv")) // positive ints: floor ≡ trunc
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
+        .select(col("centroid_id"),
+                transform(col("pv"), x => x.getField("mv")).as("newc"))
+      cent.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+                coalesce(col("newc"), col("centroid")).as("centroid"))
+    }
+    val cents = (1 to Iters).foldLeft(init)((c, _) => step(c))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+                lit(0L), (acc, y) => acc + y)
+    val lists = withBest(qemb, cents)
+    val probe = qemb.filter(col("vec_id") === 0).select(col("qv").as("pq")).limit(1)
+    val probeLists = cents.crossJoin(broadcast(probe))
+      .withColumn("d", l2(col("centroid"), col("pq")))
+      .orderBy(col("d").asc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    lists.join(broadcast(probeLists), "centroid_id")
+      .crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), l2(col("qv"), col("pq")).as("l2q"))
+      .orderBy(col("l2q").asc, col("vec_id").asc)
       .limit(k)
   }
 
