@@ -171,6 +171,8 @@ object SparkEntry {
     "q_bm25"              -> q(Text.bm25(_, _, 20)),
     "q_triangles"         -> q(Insights.triangles(_, _, 5)),
     "q_pagerank"          -> q(Insights.pageRank), // fixed-point 5-round link analysis vs unrolled oracle
+    "q_shortest_path"     -> q(Insights.shortestPath), // 4-round Bellman-Ford vs unrolled relaxation oracle
+    "q_jaccard_prefix_join" -> q(Text.jaccardPrefixJoin(_, _)), // lossless PPJoin prefix prune vs NAIVE oracle join
     "q_sliding_distinct"  -> q(Windows.slidingDistinct),
     "q_hierarchy"         -> q(Warehouse.hierarchyFlatten), // log-round pointer jumping vs WITH RECURSIVE oracle
     "q_cusum"             -> q(Quality.cusumChangepoint),
@@ -2373,6 +2375,58 @@ object SparkEntry {
         |                  FROM r4 JOIN e ON r4.node = e.src GROUP BY dst) t
         |         ON t.dst = node)
         |SELECT node AS part_id, r AS rank_fp FROM r5 ORDER BY part_id""".stripMargin,
+
+    "q_shortest_path" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM pairs GROUP BY 1, 2),
+        |e AS (SELECT src, dst, 1 + (1000 // (w + 1)) AS cost FROM edges),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |sn AS (SELECT min(node) AS src_node FROM nodes),
+        |d0 AS (SELECT node, CAST(CASE WHEN node = src_node THEN 0
+        |                         ELSE 1000000000000000 END AS BIGINT) AS dist
+        |       FROM nodes CROSS JOIN sn),
+        |d1 AS (SELECT d0.node, least(d0.dist, COALESCE(c.nd, 1000000000000000)) AS dist
+        |       FROM d0 LEFT JOIN (SELECT dst, min(d0.dist + cost) AS nd
+        |                          FROM d0 JOIN e ON d0.node = e.src GROUP BY dst) c
+        |         ON c.dst = d0.node),
+        |d2 AS (SELECT d1.node, least(d1.dist, COALESCE(c.nd, 1000000000000000)) AS dist
+        |       FROM d1 LEFT JOIN (SELECT dst, min(d1.dist + cost) AS nd
+        |                          FROM d1 JOIN e ON d1.node = e.src GROUP BY dst) c
+        |         ON c.dst = d1.node),
+        |d3 AS (SELECT d2.node, least(d2.dist, COALESCE(c.nd, 1000000000000000)) AS dist
+        |       FROM d2 LEFT JOIN (SELECT dst, min(d2.dist + cost) AS nd
+        |                          FROM d2 JOIN e ON d2.node = e.src GROUP BY dst) c
+        |         ON c.dst = d2.node),
+        |d4 AS (SELECT d3.node, least(d3.dist, COALESCE(c.nd, 1000000000000000)) AS dist
+        |       FROM d3 LEFT JOIN (SELECT dst, min(d3.dist + cost) AS nd
+        |                          FROM d3 JOIN e ON d3.node = e.src GROUP BY dst) c
+        |         ON c.dst = d3.node)
+        |SELECT node AS part_id, CAST(dist AS BIGINT) AS dist_fp
+        |FROM d4 WHERE dist < 1000000000000000 ORDER BY part_id""".stripMargin,
+
+    // NAIVE formulation on purpose: full inverted-index self-join with no
+    // prefix pruning — the gate proves the Spark-side PPJoin prune is lossless
+    "q_jaccard_prefix_join" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sarr AS (SELECT doc_id,
+        |           list_distinct(list_transform(range(1, len(w) - 1),
+        |                         i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |         FROM d),
+        |sz AS (SELECT doc_id, len(sh) AS nsh FROM sarr),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM sarr),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | floor(CAST(c AS DOUBLE) / CAST(za.nsh + zb.nsh - c AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM p JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
+        |WHERE c * 3 >= za.nsh + zb.nsh
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_sliding_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -408,7 +408,11 @@ object Insights {
     */
   val PrIters = 5
 
-  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Weighted co-purchase edge list (src, dst, w): parts sharing an order,
+    * w = number of distinct orders pairing them — the basket self-pair
+    * shape q_assoc_rules uses. Shared by [[pageRank]] and [[shortestPath]].
+    */
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val items = t(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val pairs = items.as("a")
@@ -416,8 +420,11 @@ object Insights {
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-    val edges = pairs.groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
+    pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, sfDir)
     val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
     val e = edges.join(wout, "src")
       .select(col("src"), col("dst"), col("w"), col("w_out"))
@@ -445,6 +452,58 @@ object Insights {
 
     val rFinal = (1 to PrIters).foldLeft(r0)((r, _) => step(r))
     ordered(rFinal.select(col("node").as("part_id"), col("r").as("rank_fp")),
+            "part_id")
+  }
+
+  /** Rounds of Bellman–Ford relaxation in [[shortestPath]]; fixed so the
+    * plan shape is static and the oracle can unroll the same fold.
+    */
+  val SpRounds = 4
+
+  /** Single-source weighted shortest path over the co-purchase graph —
+    * the "how related is this product to the anchor" distance query —
+    * bounded to walks of at most [[SpRounds]] edges. Edge cost is integer
+    * `1 + (1000 div (w + 1))` (more shared baskets → cheaper), the source
+    * is the smallest part id in the graph. Formulated as min-plus FRONTIER
+    * EXPANSION, not textbook relaxation: `f_k(n) = min over k-edge walks`
+    * via `f_k = min-agg(f_{k-1} ⋈ e)`, and the answer is the min across
+    * `f_0..f_R` (min-plus matrix powers; associativity of min makes the
+    * per-round group-min lossless). Equivalent to R rounds of Bellman–Ford
+    * — the oracle IS the unrolled relaxation fold, and the hash gate
+    * proves the two formulations agree — but each round references the
+    * previous frontier exactly ONCE, so the static plan grows linearly in
+    * R where the relaxation form (`d` used both as join input and merge
+    * base) doubled per round: measured 25 s of mostly Catalyst analysis
+    * over 502 Exchanges at sf0.1 vs 1.3 s for this shape. Same lesson as
+    * connectedComponents' localCheckpoint, solved without eager actions —
+    * rounds here are a FIXED constant, so the registry entry stays a pure
+    * lazy plan. Scale shape: each round shuffles a ≤|nodes| frontier of
+    * two BIGINTs against the persisted edge list; all arithmetic is BIGINT
+    * (max cost 1001 per hop), so the 32-way fold hash-matches the oracle's
+    * sequential fold EXACTLY, the q_pagerank discipline.
+    */
+  def shortestPath(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, sfDir)
+      .select(col("src"), col("dst"),
+        (lit(1L) + expr("1000 div (w + 1)")).as("cost"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // symmetric edges: src covers every connected node
+    val srcNode = e.agg(min(col("src")).as("src_node"))
+    val f0 = e.crossJoin(broadcast(srcNode))
+      .filter(col("src") === col("src_node"))
+      .select(col("src").as("node"), lit(0L).as("dist"))
+      .distinct()
+
+    def expand(f: DataFrame): DataFrame =
+      e.join(f, col("src") === col("node"))
+        .groupBy(col("dst").as("n"))
+        .agg(min(col("dist") + col("cost")).as("d"))
+        .select(col("n").as("node"), col("d").as("dist"))
+
+    val frontiers = Iterator.iterate(f0)(expand).take(SpRounds + 1).toSeq
+    val best = frontiers.reduce(_ union _)
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    ordered(best.select(col("node").as("part_id"), col("dist").as("dist_fp")),
             "part_id")
   }
 

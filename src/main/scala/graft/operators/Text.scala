@@ -351,6 +351,68 @@ object Text {
       .limit(50)
   }
 
+  /** Exact Jaccard THRESHOLD self-join (J ≥ num/den) with AllPairs/PPJoin
+    * prefix filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08 — public
+    * textbook algorithms): order each doc's shingles by ascending global
+    * frequency and index only the first `nsh - ceil(t·nsh) + 1` of them.
+    * Any pair with J ≥ t must share an indexed shingle (overlap
+    * c ≥ ceil(t·max(na,nb)) leaves too few unindexed slots to miss), so
+    * pruning is LOSSLESS — the oracle runs the NAIVE full inverted-index
+    * join and the hash gate proves the pruned plan returns the identical
+    * pair set. The final J ≥ t test is the integer cross-multiplication
+    * `c·(num+den) ≥ num·(na+nb)` — no float threshold drift between
+    * engines. Scale shape: the candidate join volume drops from
+    * Σ_shingle count² over ALL postings to the same sum over rare-prefix
+    * postings only (hot shingles — the skew drivers — are exactly the ones
+    * the prefix excludes); verification joins each candidate pair against
+    * per-doc shingle rows, Σ_cand |A| rows, linear in candidates. This is
+    * the exact-similarity-join plan that survives 100 TB: frequency
+    * ranking is one hash agg, prefix selection a per-doc window, and no
+    * stage ever materializes per-pair arrays. Deliberately CORPUS-WIDE —
+    * no lang/length blocking: the synthetic near-dup twins carry
+    * perturbed lang labels (verified: most J≈0.99 pairs straddle langs),
+    * exactly the noisy-metadata situation real crawls have, where a
+    * metadata block silently loses recall. Prefix filtering needs no
+    * metadata and stays lossless.
+    */
+  def jaccardPrefixJoin(spark: SparkSession, sfDir: String,
+                        num: Int = 1, den: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = shingleRows(docs(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val freq = e.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    // rank AND set size from ONE per-doc window pass (same partition key →
+    // one exchange feeds both) instead of joining a separate sizes
+    // aggregate against the full shingle corpus
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val rk = e.join(freq, "s")
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(col("f").asc, col("s").asc)))
+      .withColumn("nsh", count(lit(1)).over(byDoc))
+    // prefix length nsh - ceil(t*nsh) + 1, ceil done in integers
+    val pref = rk
+      .filter(col("rk") <=
+        col("nsh") - expr(s"($num * nsh + ${den - 1}) div $den") + lit(1))
+      .select(col("doc_id"), col("s"))
+    val cand = pref.select(col("s"), col("doc_id").as("doc_a"))
+      .join(pref.select(col("s"), col("doc_id").as("doc_b")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val common = cand
+      .join(e.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val za = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
+    val zb = sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))
+    val jac = col("c").cast("double") /
+              (col("na") + col("nb") - col("c")).cast("double")
+    ordered(common.join(za, "doc_a").join(zb, "doc_b")
+              .filter(col("c") * lit(num + den) >= (col("na") + col("nb")) * lit(num))
+              .select(col("doc_a"), col("doc_b"), r4(jac).as("jaccard")),
+            "doc_a", "doc_b")
+  }
+
   /** Corpus mixture sampling — deterministic per-language keep rates, the
     * blending step that reweights a training mix (downsample the dominant
     * language, keep the rest). Membership is a pure hash of doc_id against

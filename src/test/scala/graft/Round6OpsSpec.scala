@@ -329,4 +329,73 @@ class Round6OpsSpec extends SparkSpec {
     assert(q.head.getAs[scala.collection.Seq[String]]("_dq_violations").sorted ===
       Seq("in_range(price)", "in_set(status)", "matches_regex(clerk)", "priority_known"))
   }
+
+  test("shortest path: matches a sequential 4-round Bellman-Ford fold exactly") {
+    val r = SparkEntry.queries("q_shortest_path")(spark, Sf).collect()
+      .map(x => x.getAs[Long]("part_id") -> x.getAs[Long]("dist_fp")).toMap
+    assert(r.nonEmpty)
+    // exactly one source at distance 0, and it is the smallest node
+    assert(r.count(_._2 == 0L) === 1)
+    assert(r.minBy(_._1)._2 === 0L)
+    // independent sequential reference: same edge definition, same fold
+    val items = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .collect()
+      .map(x => (x.getAs[Long]("src"), x.getAs[Long]("dst"),
+                 1L + 1000L / (x.getAs[Long]("w") + 1L)))
+    val inf = 1000000000000000L
+    val nodes = edges.map(_._1).distinct
+    val srcN = nodes.min
+    var d = nodes.map(n => n -> (if (n == srcN) 0L else inf)).toMap
+    for (_ <- 1 to graft.operators.Insights.SpRounds) {
+      val relaxed = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => d(e._1) + e._3).min
+      }
+      d = d.map { case (n, v) => n -> math.min(v, relaxed.getOrElse(n, inf)) }
+    }
+    assert(r === d.filter(_._2 < inf), "distributed fold must equal sequential fold")
+  }
+
+  test("jaccard prefix join: lossless vs naive all-pairs, and the prefix prunes") {
+    val got = SparkEntry.queries("q_jaccard_prefix_join")(spark, Sf).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+    assert(got.nonEmpty)
+    // naive in-test reference over the SAME shingle sets
+    val sh = graft.operators.Text
+      .shingleRows(graft.util.Tables.t(spark, Sf, "documents"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("s")).toSet).toMap
+    val ids = sh.keys.toArray.sorted
+    val naive = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = sh(ids(i)); b = sh(ids(j))
+      c = (a & b).size
+      // J >= 1/2 as the same integer cross-multiplication the engine uses
+      if c * 3 >= a.size + b.size
+    } yield (ids(i), ids(j))).toSet
+    assert(got === naive, "prefix filtering must be lossless")
+    // the prune is real: candidate pairs (sharing a PREFIX shingle) are
+    // strictly fewer than pairs sharing ANY shingle
+    val freq = sh.values.toSeq.flatten.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val prefixes = sh.map { case (id, s) =>
+      val p = s.size - (s.size + 1) / 2 + 1
+      id -> s.toSeq.sortBy(x => (freq(x), x)).take(p).toSet
+    }
+    def sharing(m: Map[Long, Set[String]]): Int = {
+      val inv = m.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+        .groupBy(_._1).values
+      inv.flatMap(ps => for {
+        a <- ps.map(_._2); b <- ps.map(_._2) if a < b
+      } yield (a, b)).toSet.size
+    }
+    assert(sharing(prefixes) < sharing(sh))
+  }
 }
