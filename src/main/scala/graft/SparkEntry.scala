@@ -173,6 +173,7 @@ object SparkEntry {
     "q_pagerank"          -> q(Insights.pageRank), // fixed-point 5-round link analysis vs unrolled oracle
     "q_shortest_path"     -> q(Insights.shortestPath), // 4-round Bellman-Ford vs unrolled relaxation oracle
     "q_jaccard_prefix_join" -> q(Text.jaccardPrefixJoin(_, _)), // lossless PPJoin prefix prune vs NAIVE oracle join
+    "q_dup_spans"         -> q(Text.dupSpans(_, _, 100)), // corpus-wide repeated 3-gram spans, top-k by doc frequency
     "q_sliding_distinct"  -> q(Windows.slidingDistinct),
     "q_hierarchy"         -> q(Warehouse.hierarchyFlatten), // log-round pointer jumping vs WITH RECURSIVE oracle
     "q_cusum"             -> q(Quality.cusumChangepoint),
@@ -2427,6 +2428,16 @@ object SparkEntry {
         |FROM p JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
         |WHERE c * 3 >= za.nsh + zb.nsh
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |                      i -> array_to_string(w[i:i+2], ' ')))) AS s
+        |       FROM d)
+        |SELECT s, count(*) AS n_docs,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM sh GROUP BY s HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, s ASC LIMIT 100""".stripMargin,
 
     "q_sliding_distinct" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

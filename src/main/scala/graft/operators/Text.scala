@@ -265,6 +265,27 @@ object Text {
       "doc_id")
   }
 
+  /** Corpus-wide repeated-span report — the exact-substring dedup
+    * diagnostic (the ExactSubstr idea at n-gram granularity): which exact
+    * 3-gram spans occur in ≥ 2 DISTINCT documents, ranked by document
+    * frequency, with min/max doc ids as example occurrences. Because the
+    * shared shingle pipeline is distinct-per-doc, `count(*)` per span IS
+    * its document frequency — one wide hash-agg (map-side combined), a
+    * HAVING filter, then global top-k via orderBy+limit
+    * (TakeOrderedAndProject: per-partition heaps, k rows to the driver).
+    * At 100 TB the agg would shuffle span digests rather than text; here
+    * the raw span rides along because the report needs it verbatim.
+    */
+  def dupSpans(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame =
+    shingleRows(docs(spark, sfDir))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("s").asc)
+      .limit(k)
+
   /** Benchmark-contamination screen: fraction of each document's distinct
     * 3-gram shingles that appear in a benchmark set's shingles (here: the
     * doc_id % mod == 0 documents stand in for the benchmark suite). No

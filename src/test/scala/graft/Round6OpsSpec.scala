@@ -48,6 +48,29 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("dup spans: top-k ranking matches a naive in-test recomputation") {
+    val got = SparkEntry.queries("q_dup_spans")(spark, Sf).collect()
+    assert(got.nonEmpty && got.length <= 100)
+    // naive recompute: distinct 3-gram shingles per doc, span -> doc set
+    val perDoc = graft.util.Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+    val spanDocs = perDoc.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .filter(_._2.size >= 2)
+    val expect = spanDocs.toSeq
+      .map { case (s, ds) => (s, ds.size.toLong, ds.min, ds.max) }
+      .sortBy { case (s, n, _, _) => (-n, s) }.take(100)
+    val gotSeq = got.map(r => (r.getAs[String]("s"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toSeq
+    assert(gotSeq === expect)
+    // top-k is a bounded TakeOrderedAndProject, never a full global sort
+    val p = plan(SparkEntry.queries("q_dup_spans")(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$p")
+  }
+
   test("embed centroid: one row per (label, dim); centroid inside value envelope") {
     val r = SparkEntry.queries("q_embed_centroid")(spark, Sf).collect()
     val labels = graft.util.Tables.t(spark, Sf, "embeddings")
