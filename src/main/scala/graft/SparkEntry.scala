@@ -174,6 +174,7 @@ object SparkEntry {
     "q_shortest_path"     -> q(Insights.shortestPath), // 4-round Bellman-Ford vs unrolled relaxation oracle
     "q_jaccard_prefix_join" -> q(Text.jaccardPrefixJoin(_, _)), // lossless PPJoin prefix prune vs NAIVE oracle join
     "q_dup_spans"         -> q(Text.dupSpans(_, _, 100)), // corpus-wide repeated 3-gram spans, top-k by doc frequency
+    "q_containment_join"  -> q(Text.containmentJoin(_, _, 4, 5)), // asymmetric |A∩B|/|A| >= 4/5 vs NAIVE oracle join
     "q_sliding_distinct"  -> q(Windows.slidingDistinct),
     "q_hierarchy"         -> q(Warehouse.hierarchyFlatten), // log-round pointer jumping vs WITH RECURSIVE oracle
     "q_cusum"             -> q(Quality.cusumChangepoint),
@@ -2427,6 +2428,26 @@ object SparkEntry {
         |       * 10000.0 + 0.5) / 10000.0 AS jaccard
         |FROM p JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b
         |WHERE c * 3 >= za.nsh + zb.nsh
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // NAIVE formulation on purpose (as for q_jaccard_prefix_join): the gate
+    // proves the containment prefix prune lossless
+    "q_containment_join" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sarr AS (SELECT doc_id,
+        |           list_distinct(list_transform(range(1, len(w) - 1),
+        |                         i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |         FROM d),
+        |sz AS (SELECT doc_id, len(sh) AS nsh FROM sarr),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM sarr),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | floor(CAST(c AS DOUBLE) / CAST(za.nsh AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS containment
+        |FROM p JOIN sz za ON za.doc_id = doc_a
+        |WHERE c * 5 >= za.nsh * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dup_spans" ->

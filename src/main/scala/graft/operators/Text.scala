@@ -440,6 +440,58 @@ object Text {
             "doc_a", "doc_b")
   }
 
+  /** Asymmetric containment self-join — the quote/subsumption detector:
+    * pairs (a, b), a ≠ b, where C(A,B) = |A∩B|/|A| ≥ t over 3-gram
+    * shingle sets (a document near-fully contained in another, whatever
+    * the container's size — the case Jaccard misses, since J shrinks as
+    * |B| grows). Same prefix-filter machinery as [[jaccardPrefixJoin]]
+    * with the containment-specific bound: C ≥ t forces overlap
+    * c ≥ ceil(t·na), so at most na − ceil(t·na) unindexed slots exist and
+    * indexing the na − ceil(t·na) + 1 globally-rarest shingles of the
+    * CONTAINED side cannot miss a qualifying pair; the container side is
+    * probed via its full posting list (containment puts no lower bound on
+    * what b shares from ITS rare end, so b must stay fully indexed).
+    * Pruning is lossless by the same argument as the Jaccard join, and
+    * the DuckDB oracle runs the NAIVE full inverted-index join to prove
+    * it. Threshold as integer cross-multiplication c·den ≥ num·na.
+    * Scale shape: prefix postings are ~(1−t)·|corpus postings| of the
+    * contained side only, and the verification join is linear in
+    * candidates; hot-shingle skew on the probe side would take the same
+    * bucket cap as Dedup.bucketCandidates at 100 TB.
+    */
+  def containmentJoin(spark: SparkSession, sfDir: String,
+                      num: Int = 4, den: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = shingleRows(docs(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val freq = e.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val rk = e.join(freq, "s")
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(col("f").asc, col("s").asc)))
+      .withColumn("nsh", count(lit(1)).over(byDoc))
+    val pref = rk
+      .filter(col("rk") <=
+        col("nsh") - expr(s"($num * nsh + ${den - 1}) div $den") + lit(1))
+      .select(col("doc_id").as("doc_a"), col("s"))
+    val cand = pref
+      .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val common = cand
+      .join(e.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val za = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
+    ordered(common.join(za, "doc_a")
+              .filter(col("c") * lit(den) >= col("na") * lit(num))
+              .select(col("doc_a"), col("doc_b"),
+                      r4(col("c").cast("double") / col("na").cast("double"))
+                        .as("containment")),
+            "doc_a", "doc_b")
+  }
+
   /** Corpus mixture sampling — deterministic per-language keep rates, the
     * blending step that reweights a training mix (downsample the dominant
     * language, keep the rest). Membership is a pure hash of doc_id against

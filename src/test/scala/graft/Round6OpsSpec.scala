@@ -385,6 +385,38 @@ class Round6OpsSpec extends SparkSpec {
     assert(r === d.filter(_._2 < inf), "distributed fold must equal sequential fold")
   }
 
+  test("containment join: lossless vs naive all-ordered-pairs; asymmetric by construction") {
+    val got = SparkEntry.queries("q_containment_join")(spark, Sf).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+    assert(got.nonEmpty)
+    val sh = graft.operators.Text
+      .shingleRows(graft.util.Tables.t(spark, Sf, "documents"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("s")).toSet).toMap
+    val ids = sh.keys.toArray.sorted
+    // ORDERED pairs: containment is directional
+    val naive = (for {
+      a <- ids.iterator; b <- ids.iterator if a != b
+      c = (sh(a) & sh(b)).size
+      if c * 5 >= sh(a).size * 4
+    } yield (a, b)).toSet
+    assert(got === naive, "containment prefix filtering must be lossless")
+    // directionality is numerically exercised: C(A,B) = c/na, and some
+    // qualifying pair has na != nb so the two directions score differently
+    val vals = SparkEntry.queries("q_containment_join")(spark, Sf).collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")) ->
+        x.getAs[Double]("containment")).toMap
+    vals.foreach { case ((a, b), v) =>
+      val expect = math.floor((sh(a) & sh(b)).size.toDouble / sh(a).size
+        * 10000.0 + 0.5) / 10000.0
+      assert(v === expect, s"containment value mismatch for ($a,$b)")
+    }
+    assert(vals.exists { case ((a, b), v) =>
+      vals.get((b, a)).exists(_ != v)
+    }, "expected some pair scoring differently in the two directions")
+  }
+
   test("jaccard prefix join: lossless vs naive all-pairs, and the prefix prunes") {
     val got = SparkEntry.queries("q_jaccard_prefix_join")(spark, Sf).collect()
       .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
