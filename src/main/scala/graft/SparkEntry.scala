@@ -153,6 +153,7 @@ object SparkEntry {
     "q_benford"           -> q(Relational.benfordProfile),
     "q_perplexity_filter" -> q(Text.perplexityFilter(_, _, 8.0)),
     "q_wma"               -> q(Windows.wma),
+    "q_ewma"              -> q(Windows.ewma), // dyadic α=1/2: exponential weights as exact powers of two
     "q_abtest"            -> q(Relational.abTest(_, _, 250.0)),
     "q_markov_transitions"-> q(Windows.markovTransitions),
     "q_yoy_delta"         -> q(Windows.yoyDelta),
@@ -1936,6 +1937,21 @@ object SparkEntry {
         |SELECT a.user_id, a.event_id, a.ts_us,
         | floor(CAST(sum(b.q * (5 - (a.rn - b.rn))) AS DOUBLE) / 10000.0
         |       / CAST(sum(5 - (a.rn - b.rn)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS wma5
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |                 AND a.rn - b.rn >= 0 AND a.rn - b.rn < 5
+        |GROUP BY a.user_id, a.event_id, a.ts_us
+        |ORDER BY a.user_id, a.ts_us, a.event_id""".stripMargin,
+
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS q,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT a.user_id, a.event_id, a.ts_us,
+        | floor(CAST(sum(b.q * (16 >> (a.rn - b.rn))) AS DOUBLE) / 10000.0
+        |       / CAST(sum(16 >> (a.rn - b.rn)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS ewma5
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |                 AND a.rn - b.rn >= 0 AND a.rn - b.rn < 5
         |GROUP BY a.user_id, a.event_id, a.ts_us

@@ -343,6 +343,37 @@ object Windows {
       "user_id", "ts_us", "event_id")
   }
 
+  /** True EWMA (α = 1/2, truncated at 5 lags) — the exponential-decay
+    * smoother [[wma]] deliberately stood in for: with a dyadic α the lag
+    * weights are exact powers of two (16 >> lag — no pow(), no libm ULP
+    * gap between engines), so the weighted sum stays INTEGER arithmetic
+    * end-to-end and hash-matches DuckDB's fold exactly. Same banded
+    * row-number self-join shape as wma (per-user sequence numbers, band
+    * 0 ≤ lag < 5 as residual predicate, ≤5× fan-out, user-sharded — never
+    * a global sort); early rows normalize by the weights actually present,
+    * which for a truncated EWMA is the standard "adjusted" form.
+    */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val e = events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .withColumn("rn", row_number().over(seq))
+    val cur = e.select(col("user_id"), col("event_id"), col("ts_us"), col("rn"))
+    val hist = e.select(col("user_id"), col("rn").as("rn_b"),
+      floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("q_b"))
+    ordered(
+      cur.join(hist, Seq("user_id"))
+        .filter(col("rn") - col("rn_b") >= 0 && col("rn") - col("rn_b") < 5)
+        .withColumn("w", expr("shiftright(16L, cast(rn - rn_b as int))"))
+        .groupBy(col("user_id"), col("event_id"), col("ts_us"))
+        .agg(sum(col("q_b") * col("w")).as("sq"), sum(col("w")).as("sw"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+                r4(col("sq").cast("double") / lit(10000.0) / col("sw").cast("double"))
+                  .as("ewma5")),
+      "user_id", "ts_us", "event_id")
+  }
+
   /** nth_value + boolean-aggregate completions — the last members of the
     * window/aggregate families: per user, the value of their 3rd event
     * (nth_value over the full partition frame), whether ALL their events

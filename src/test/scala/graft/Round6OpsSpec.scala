@@ -385,6 +385,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(r === d.filter(_._2 < inf), "distributed fold must equal sequential fold")
   }
 
+  test("ewma: matches a sequential per-user exponential recurrence") {
+    val got = SparkEntry.queries("q_ewma")(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Double]("ewma5")).toMap
+    assert(got.nonEmpty)
+    val ev = graft.util.Tables.t(spark, Sf, "events")
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+                 r.getAs[Long]("ts_us"), r.getAs[Double]("value")))
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val q = ordered.map(r => math.floor(r._4 * 10000.0 + 0.5).toLong)
+      ordered.indices.foreach { i =>
+        // truncated adjusted EWMA: weights 16 >> lag over the last <=5 obs
+        val lags = (0 until math.min(5, i + 1))
+        val sq = lags.map(l => q(i - l) * (16L >> l)).sum
+        val sw = lags.map(l => 16L >> l).sum
+        val expect = math.floor(sq.toDouble / 10000.0 / sw.toDouble
+          * 10000.0 + 0.5) / 10000.0
+        assert(got((uid, ordered(i)._2)) === expect,
+          s"ewma mismatch for user $uid event ${ordered(i)._2}")
+      }
+    }
+  }
+
   test("containment join: lossless vs naive all-ordered-pairs; asymmetric by construction") {
     val got = SparkEntry.queries("q_containment_join")(spark, Sf).collect()
       .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
