@@ -85,6 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (es: Seq[Expression]) => MinHashSig(es(0), es(1))))
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BroadcastGuardRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

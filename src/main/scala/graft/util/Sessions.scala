@@ -41,6 +41,13 @@ object Sessions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedLevenshteinRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BandedLevenshteinRule
+    // Broadcast guard: forced broadcast() hints on relations estimated past
+    // spark.graft.broadcastGuard.maxBytes are stripped (AQE then owns the
+    // strategy) — the compile-time backstop for the one hint failure mode
+    // that does not degrade at 100×.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BroadcastGuardRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BroadcastGuardRule
     // Engine planner strategies (the custom-physical-operator tier): same
     // runtime-injectable path as the optimizer rules above.
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))

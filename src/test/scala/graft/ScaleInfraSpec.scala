@@ -287,6 +287,40 @@ class ScaleInfraSpec extends SparkSpec {
       s"forced broadcasts on SF-scaling relations:\n${violations.mkString("\n")}")
   }
 
+  test("broadcast guard: oversized hinted side loses its hint, small dim keeps it, " +
+       "results unchanged") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
+    import org.apache.spark.sql.functions.broadcast
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+    val nat = graft.util.Tables.t(spark, Sf, "nation")
+    val sup = graft.util.Tables.t(spark, Sf, "supplier")
+
+    def hintStrategies(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case Join(_, _, _, _, h) => Seq(h.leftHint, h.rightHint).flatten.flatMap(_.strategy)
+      }.flatten
+
+    spark.conf.set(graft.plans.BroadcastGuardRule.ConfKey, "1024") // 1 KB: everything is oversized
+    try {
+      // a deliberately bad user hint: broadcast the fact table
+      val bad = sup.join(broadcast(li), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_suppkey")).count()
+      assert(!hintStrategies(bad).contains(BROADCAST),
+        "guard must strip the BROADCAST hint off an oversized side")
+      // stripping a hint never changes results (also proven by the oracle
+      // suite running entirely under this rule)
+      val unhinted = sup.join(li, col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_suppkey")).count()
+      assert(bad.orderBy("s_suppkey").collect().toSeq ===
+             unhinted.orderBy("s_suppkey").collect().toSeq)
+    } finally spark.conf.unset(graft.plans.BroadcastGuardRule.ConfKey)
+
+    // default guard (512 MB): a genuinely small dim keeps its hint
+    val dim = sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+    assert(hintStrategies(dim).contains(BROADCAST),
+      "guard must leave hints on genuinely small relations alone")
+  }
+
   test("registry is uniformly lazy: building a frame starts zero Spark jobs " +
        "(iterative fixed-point entries exempt)") {
     // `SparkEntry.queries` hands out DataFrames — PLANS, not results. A
