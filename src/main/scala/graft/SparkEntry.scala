@@ -834,7 +834,12 @@ object SparkEntry {
         |  UNION ALL SELECT 'ref_integrity(o_custkey)',
         |    CAST((SELECT count(*) FROM orders o
         |          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-        |          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT))
+        |          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT)
+        |  UNION ALL SELECT 'k_anonymity(o_orderstatus,o_orderpriority,2)',
+        |    CAST(coalesce((SELECT sum(n) FROM (
+        |            SELECT count(*) AS n FROM orders
+        |            GROUP BY o_orderstatus, o_orderpriority) g
+        |          WHERE n < 2), 0) AS BIGINT))
         |SELECT rule, n_violations, (SELECT n_rows FROM nr) AS n_rows,
         |       n_violations = 0 AS pass
         |FROM rep ORDER BY rule""".stripMargin,

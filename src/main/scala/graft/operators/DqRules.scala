@@ -82,6 +82,18 @@ final case class RefIntegrity(column: String, parent: DataFrame,
   val violation = None
 }
 
+/** k-anonymity audit (table-level): every row whose quasi-identifier
+  * equivalence class holds fewer than k rows is re-identifiable and
+  * counts as a violation — the release-gate check a dataset publisher
+  * runs before sharing. One hash-agg on the quasi columns (map-side
+  * combined) + a bounded class-size filter; NULL quasi values form their
+  * own class, matching SQL GROUP BY.
+  */
+final case class KAnonymity(quasi: Seq[String], k: Int) extends DqRule {
+  val name = s"k_anonymity(${quasi.mkString(",")},$k)"
+  val violation = None
+}
+
 object DqRules {
 
   /** Validation report: one row per rule — (rule, n_violations, n_rows,
@@ -116,6 +128,13 @@ object DqRules {
           .agg(count(lit(1)).as("n_violations"))
         orphans.crossJoin(df.agg(count(lit(1)).as("n_rows")))
           .select(lit(fk.name).as("rule"), col("n_violations"), col("n_rows"))
+      case ka: KAnonymity =>
+        val small = df.groupBy(ka.quasi.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") < lit(ka.k.toLong))
+          .agg(coalesce(sum(col("n")), lit(0L)).as("n_violations"))
+        small.crossJoin(df.agg(count(lit(1)).as("n_rows")))
+          .select(lit(ka.name).as("rule"), col("n_violations"), col("n_rows"))
     }
     val all = (rowFrame.toSeq ++ tableFrames).reduce(_.unionAll(_))
     ordered(
@@ -155,6 +174,7 @@ object DqRules {
       MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$"),
       Check("date_in_epoch", col("o_orderdate").cast("date") < lit("1990-01-01").cast("date")),
       Unique("o_orderkey"),
-      RefIntegrity("o_custkey", t(spark, sfDir, "customer"), "c_custkey")))
+      RefIntegrity("o_custkey", t(spark, sfDir, "customer"), "c_custkey"),
+      KAnonymity(Seq("o_orderstatus", "o_orderpriority"), 2)))
   }
 }

@@ -323,7 +323,7 @@ class Round6OpsSpec extends SparkSpec {
     import graft.operators._
     // the registered report over real orders: all green
     val report = SparkEntry.queries("q_dq_rules")(spark, Sf).collect()
-    assert(report.length === 8)
+    assert(report.length === 9)
     assert(report.forall(_.getAs[Boolean]("pass")), "driver orders data is clean")
     // injected violations: each rule class counts its own, exactly
     import spark.implicits._
@@ -338,12 +338,16 @@ class Round6OpsSpec extends SparkSpec {
       InSet("status", Seq("F", "O", "P")),
       InRange("price", 0.0, 100.0),
       MatchesRegex("clerk", "^Clerk#[0-9]+$"),
-      Check("priority_known", !col("prio").rlike("^[1-5]-")))
+      Check("priority_known", !col("prio").rlike("^[1-5]-")),
+      // status classes: F(2 rows), X(1), null(1) -> the two singletons are
+      // re-identifiable at k=2 (and the null class counts as a class)
+      KAnonymity(Seq("status"), 2))
     val got = DqRules.validate(dirty, rules).collect()
       .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
     assert(got === Map(
       "unique(k)" -> 1L, "in_set(status)" -> 1L, "in_range(price)" -> 1L,
-      "matches_regex(clerk)" -> 1L, "priority_known" -> 1L))
+      "matches_regex(clerk)" -> 1L, "priority_known" -> 1L,
+      "k_anonymity(status,2)" -> 2L))
     // enforcement: the one offending row quarantined with ALL its rule tags
     val r = DqRules.enforce(dirty, rules)
     assert(r.clean.count() === 3)
