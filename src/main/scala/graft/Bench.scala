@@ -46,6 +46,16 @@ object Bench {
       // drop caches the query pinned (LSH signature persists etc.) so the
       // 74-query suite doesn't accumulate pinned blocks across queries
       spark.catalog.clearCache()
+      // Spark's ContextCleaner releases shuffle files and broadcast blocks
+      // only when the driver GCs their references — and a 100+ GB heap can
+      // run a 183-query suite without a single old-gen GC, so block-manager
+      // state from every prior query piles onto whichever memory-hungry
+      // query runs late (observed: the same dedup query swings 2.2 s ↔
+      // 11.5 s purely by suite position). One explicit GC per query keeps
+      // the cleaner current; ~50 ms each, far cheaper than the spills it
+      // prevents. Executors on a real cluster GC naturally under load —
+      // this is a single-JVM bench-harness artifact, not an engine setting.
+      System.gc()
       name -> (if (failed.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
