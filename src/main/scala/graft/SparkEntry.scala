@@ -219,6 +219,10 @@ object SparkEntry {
     "q_ann_ivf"           -> q(Ivf.ivfTopK(_, _, 10, 16, 8)), // no-oracle: k-means internals engine-specific
     "q_ann_ivf_quantized" -> q(Ivf.ivfTopKQuantized(_, _, 10, 16, 8)), // int8-scored shortlist + full-precision re-rank; no-oracle, recall spec
     "q_ann_ivf_gated"     -> q(Ivf.ivfGatedTopK(_, _, 10, 16, 4)), // integer-L2 k-means twin: sample/init/Lloyd's/lists/probe under the hash gate
+    "q_kcore"             -> q(Insights.kcore), // 3-round degree peeling, data-derived k, vs unrolled oracle
+    "q_incr_dedup_minhash" -> q(Dedup.incrMinhashGated), // batch-vs-corpus band-index probe, linear in the batch
+    "q_lsh_recall"        -> q(Dedup.lshRecallGated(_, _, 1, 2)), // measured recall of banded minhash vs exact J>=1/2 truth
+    "q_semantic_dedup"    -> q(Ivf.semanticDedupGated(_, _, 16, 130000000L)), // cluster-then-compare embedding dedup, keep-lowest-id
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
     "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),
@@ -2430,6 +2434,206 @@ object SparkEntry {
         |         ON c.dst = d3.node)
         |SELECT node AS part_id, CAST(dist AS BIGINT) AS dist_fp
         |FROM d4 WHERE dist < 1000000000000000 ORDER BY part_id""".stripMargin,
+
+    "q_kcore" -> {
+      // 3 unrolled peel rounds — same fixed fold the Spark builder runs
+      val rounds = (1 to 3).map { r =>
+        s"""|d$r AS (SELECT src, count(*) AS dg FROM e${r - 1} GROUP BY src),
+        |n$r AS (SELECT src FROM d$r, kv WHERE dg >= k),
+        |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+        |        JOIN n$r a ON e.src = a.src JOIN n$r b ON e.dst = b.src),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |          FROM items a JOIN items b
+        |            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |e0 AS (SELECT DISTINCT src, dst FROM pairs),
+        |kv AS (SELECT CAST((sum(dg) * 3) // (count(*) * 4) AS BIGINT) AS k
+        |       FROM (SELECT src, count(*) AS dg FROM e0 GROUP BY src)),
+        |${rounds.stripSuffix(",")}
+        |SELECT src AS part_id, CAST(count(*) AS BIGINT) AS deg
+        |FROM e3 GROUP BY src ORDER BY part_id""".stripMargin
+    },
+
+    "q_incr_dedup_minhash" -> {
+      // same Carter–Wegman chain as q_doc_dedup_minhash_gated, then the
+      // batch-vs-corpus band-index probe
+      val P = 2147483647L
+      val mins = (0 until 32).map { j =>
+        val a = operators.Dedup.cwCoef("a", j, P - 1, 1L)
+        val b = operators.Dedup.cwCoef("b", j, P, 0L)
+        s"min(($a * h + $b) % $P) AS h$j"
+      }.mkString(",\n        |         ")
+      val bandCases = (0 until 8).map { bnd =>
+        val key = (bnd * 4 until (bnd + 1) * 4)
+          .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
+        s"WHEN b = $bnd THEN $key"
+      }.mkString("\n        |             ")
+      val matches = (0 until 32)
+        .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+        .mkString(" +\n        |               ")
+      s"""WITH sh0 AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text) - 2)) AS i
+        |  FROM documents WHERE length(text) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS s
+        |  FROM sh0),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % $P AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |         ${mins}
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  SELECT sig.*, b AS band_id,
+        |         CASE $bandCases
+        |         END AS bkey
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b)),
+        |corp AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+        |newb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+        |stats AS (SELECT band_id, bkey, min(doc_id) AS first_id
+        |          FROM corp GROUP BY 1, 2),
+        |hits AS (SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands,
+        |                min(s.first_id) AS first_match
+        |         FROM newb n JOIN stats s
+        |           ON n.band_id = s.band_id AND n.bkey = s.bkey
+        |         GROUP BY 1),
+        |est AS (SELECT h.doc_id, h.n_hit_bands, h.first_match,
+        |               ($matches) AS m
+        |        FROM hits h JOIN sig a ON a.doc_id = h.doc_id
+        |                    JOIN sig b ON b.doc_id = h.first_match),
+        |ids AS (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 10 = 0)
+        |SELECT ids.doc_id AS new_id,
+        |       est.doc_id IS NOT NULL AS is_dup,
+        |       COALESCE(est.n_hit_bands, 0) AS n_hit_bands,
+        |       est.first_match,
+        |       CASE WHEN est.doc_id IS NOT NULL
+        |            THEN floor(m / 32.0 * 10000.0 + 0.5) / 10000.0 END AS first_est
+        |FROM ids LEFT JOIN est ON est.doc_id = ids.doc_id
+        |ORDER BY new_id""".stripMargin
+    },
+
+    "q_lsh_recall" -> {
+      // truth = the NAIVE word-shingle inverted-index join (as for
+      // q_jaccard_prefix_join); candidates = the CW minhash band chain on
+      // the SAME word shingles, hot-bucket star cap included
+      val P = 2147483647L
+      val mins = (0 until 32).map { j =>
+        val a = operators.Dedup.cwCoef("a", j, P - 1, 1L)
+        val b = operators.Dedup.cwCoef("b", j, P, 0L)
+        s"min(($a * h + $b) % $P) AS h$j"
+      }.mkString(",\n        |         ")
+      val bandCases = (0 until 8).map { bnd =>
+        val key = (bnd * 4 until (bnd + 1) * 4)
+          .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
+        s"WHEN b = $bnd THEN $key"
+      }.mkString("\n        |             ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sarr AS (SELECT doc_id,
+        |           list_distinct(list_transform(range(1, len(w) - 1),
+        |                         i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |         FROM d),
+        |sz AS (SELECT doc_id, len(sh) AS nsh FROM sarr),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM sarr),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |truth AS (SELECT doc_a, doc_b FROM p
+        |          JOIN sz za ON za.doc_id = doc_a
+        |          JOIN sz zb ON zb.doc_id = doc_b
+        |          WHERE c * 3 >= za.nsh + zb.nsh),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % $P AS h
+        |  FROM e),
+        |sig AS (
+        |  SELECT doc_id,
+        |         ${mins}
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  SELECT sig.*, b AS band_id,
+        |         CASE $bandCases
+        |         END AS bkey
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b)),
+        |stats AS (
+        |  SELECT band_id, bkey, count(*) AS bn, min(doc_id) AS anchor
+        |  FROM bands GROUP BY 1, 2),
+        |bs AS (
+        |  SELECT bands.*, stats.bn, stats.anchor
+        |  FROM bands JOIN stats USING (band_id, bkey)),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bs a JOIN bs b
+        |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+        |   AND a.doc_id < b.doc_id
+        |  WHERE a.bn <= 64
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM bs a JOIN bs b
+        |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+        |  WHERE a.bn > 64 AND a.doc_id = a.anchor AND b.doc_id <> b.anchor),
+        |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        |hn AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |       FROM truth t JOIN cand c ON t.doc_a = c.a_id AND t.doc_b = c.b_id)
+        |SELECT n_truth, n_cand, n_hit,
+        |       floor(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS recall
+        |FROM tn, cn, hn""".stripMargin
+    },
+
+    "q_semantic_dedup" -> {
+      // same unrolled integer k-means as q_ann_ivf_gated, then the
+      // within-cell pair scan and keep-lowest-id dup marking
+      val iters = (1 to 5).map { i =>
+        s"""|a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+        |b$i AS (SELECT vec_id, cid FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |          FROM a$i) WHERE rk = 1),
+        |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+        |c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+        |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      s"""WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) + 16384 AS qv
+        |  FROM embeddings),
+        |sample AS (SELECT vec_id FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+        |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+        |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+        |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+        |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+        |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+        |$iters
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |       FROM bf a JOIN bf b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |pd AS (SELECT pr.a_id, pr.b_id, sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
+        |       FROM pr JOIN q qa ON qa.vec_id = pr.a_id
+        |               JOIN q qb ON qb.vec_id = pr.b_id AND qb.i = qa.i
+        |       GROUP BY 1, 2),
+        |du AS (SELECT b_id, min(a_id) AS dup_of, CAST(min(d2) AS BIGINT) AS min_d2
+        |       FROM pd WHERE d2 <= 130000000 GROUP BY 1)
+        |SELECT bf.vec_id, CAST(bf.cid AS BIGINT) AS cluster_id,
+        |       du.b_id IS NOT NULL AS is_dup, du.dup_of, du.min_d2
+        |FROM bf LEFT JOIN du ON du.b_id = bf.vec_id
+        |ORDER BY vec_id""".stripMargin
+    },
 
     // NAIVE formulation on purpose: full inverted-index self-join with no
     // prefix pruning — the gate proves the Spark-side PPJoin prune is lossless

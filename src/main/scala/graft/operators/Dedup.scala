@@ -408,14 +408,37 @@ object Dedup {
     * one map pass to distinct shingles, one hash aggregate to the 32
     * minima, map-side banding.
     */
-  private def bandedGatedSignatures(docs: DataFrame): DataFrame = {
-    val P = 2147483647L
-    val rowsPerBand = NumHashes / Bands
-    val sh = docs.filter(length(col("text")) >= 3)
+  private def bandedGatedSignatures(docs: DataFrame): DataFrame =
+    bandedGatedFrom(docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(transform(
           sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3))))).as("s"))
+          i => col("text").substr(i, lit(3))))).as("s")))
+
+  /** Distinct word-3-gram shingle rows in the portable (built-in-only)
+    * shape — the SAME shingle definition as [[graft.operators.Text
+    * .jaccardPrefixJoin]]'s native `shingles` kernel, re-expressed with
+    * split/slice/concat_ws so the oracle SQL can mirror it verbatim.
+    * Used where a gated signature chain must share its set definition
+    * with the exact word-shingle joins (recall measurement).
+    */
+  private def wordShingleRows(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", slice(col("w"), i, lit(3)))))).as("s"))
+  }
+
+  /** The Carter–Wegman signature + banding chain over an arbitrary
+    * (doc_id, s) shingle frame — shared by the char-3-gram gated twin,
+    * the word-shingle recall gate, and the incremental gate.
+    */
+  private def bandedGatedFrom(sh: DataFrame): DataFrame = {
+    val P = 2147483647L
+    val rowsPerBand = NumHashes / Bands
     val hashed = sh.select(col("doc_id"),
       (conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long") % P).as("h"))
     val mins = (0 until NumHashes).map { j =>
@@ -430,6 +453,89 @@ object Dedup {
           concat_ws("_", (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
             .map(j => col(s"h$j")): _*)
         }: _*)).as(Seq("band_id", "bkey")))
+  }
+
+  /** Incremental near-dup gate — the nightly-batch shape of minhash dedup:
+    * docs with `doc_id % 10 = 0` stand in for today's batch, the rest for
+    * the already-ingested corpus, and each new doc is checked against the
+    * corpus WITHOUT any corpus-with-corpus work. The trick that makes this
+    * linear in the batch: the corpus side collapses to per-bucket STATS
+    * (min doc_id per (band, bkey) — in production, the persisted band
+    * index maintained across ingests), so flagging is one join of the
+    * batch's ≤8·|batch| band rows against bounded 1-row-per-bucket stats —
+    * no pair explosion, no hot-bucket cap needed, and the first-match
+    * semantics are EXACT (min over bucket minima). The flagged doc's
+    * agreement estimate is computed against that one first-match partner
+    * via a single signature fetch join. Same Carter–Wegman/md5 chain as
+    * [[minhashGatedPairs]], so the whole path sits under the hash gate.
+    */
+  def incrMinhashGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val banded = bandedGatedSignatures(t(spark, sfDir, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isNew = col("doc_id") % 10 === 0
+    val stats = banded.filter(!isNew)
+      .groupBy(col("band_id"), col("bkey"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val hits = banded.filter(isNew)
+      .join(stats, Seq("band_id", "bkey"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_bands"), min(col("first_id")).as("first_match"))
+    val newSigs = banded.filter(isNew)
+      .select(col("doc_id"), col("sig")).dropDuplicates("doc_id")
+    val corpSigs = banded.filter(!isNew)
+      .select(col("doc_id").as("first_match"), col("sig").as("msig"))
+      .dropDuplicates("first_match")
+    val est = size(filter(zip_with(col("sig"), col("msig"), (x, y) => x === y),
+                          m => m))
+    val matched = hits.join(corpSigs, Seq("first_match"))
+      .join(newSigs, Seq("doc_id"))
+      .select(col("doc_id").as("new_id"), col("n_hit_bands"), col("first_match"),
+              r4(est.cast("double") / lit(NumHashes.toDouble)).as("first_est"))
+    ordered(
+      newSigs.select(col("doc_id").as("new_id"))
+        .join(matched, Seq("new_id"), "left")
+        .select(col("new_id"),
+                col("n_hit_bands").isNotNull.as("is_dup"),
+                coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+                col("first_match"), col("first_est")),
+      "new_id")
+  }
+
+  /** Measured LSH recall — the index-quality report every near-dup
+    * pipeline owes its operators: what fraction of the TRUE J ≥ ½ pairs
+    * (exact word-shingle Jaccard, [[graft.operators.Text
+    * .jaccardPrefixJoin]]'s lossless prefix-filtered join) does the
+    * banded-minhash candidate generator actually surface? Both legs run
+    * the SAME word-3-gram shingle definition, and the candidate leg is
+    * the REAL pipeline — Carter–Wegman signatures, 8×4 banding, the
+    * hot-bucket star cap — so the number is the production recall
+    * including the cap's deliberate losses, not a theoretical band
+    * probability. One output row: truth size, candidate volume, hits,
+    * fixed-point recall. Everything is integer counts, so the whole
+    * measurement sits under the hash gate: the oracle recomputes truth
+    * with the NAIVE inverted-index join and candidates from the same
+    * CW chain. Scale shape: the truth leg is the prefix join (postings-
+    * linear), the candidate leg is the banded self-join (bucket-capped);
+    * the comparison itself is one semi-join on pair keys plus three
+    * 1-row aggregates.
+    */
+  def lshRecallGated(spark: SparkSession, sfDir: String,
+                     num: Int = 1, den: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val truth = graft.operators.Text.jaccardPrefixJoin(spark, sfDir, num, den)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedGatedFrom(wordShingleRows(t(spark, sfDir, "documents")))
+    val cand = bucketCandidates(banded, Seq("band_id", "bkey"), "doc_id", Seq())
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+              r4(col("n_hit").cast("double") / col("n_truth").cast("double"))
+                .as("recall"))
   }
 
   /** Blocked edit-distance near-dup pairs — the character-level dedup

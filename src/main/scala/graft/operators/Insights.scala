@@ -518,6 +518,65 @@ object Insights {
             "part_id")
   }
 
+  /** Rounds of peeling in [[kcore]]; fixed so the plan is static and the
+    * oracle can unroll the same fold (the q_shortest_path discipline).
+    */
+  val KcoreRounds = 3
+
+  /** k-core peeling over the co-purchase graph — the graph-density filter
+    * every recommendation/graph-feature pipeline runs to separate the
+    * densely connected "core" catalog from long-tail products: repeatedly
+    * drop nodes whose degree falls below k, where removing a node can
+    * drag its neighbors below k in the next round. k is DATA-DERIVED —
+    * ¾ of the mean degree, computed in-plan with integer div so both
+    * engines floor identically — which keeps the query meaningful at
+    * every SF (a fixed k either peels nothing or empties the graph as
+    * density scales). Bounded to [[KcoreRounds]] peel rounds: the exact
+    * core is the fixpoint, and a fixed round count is the standard
+    * bounded-iteration surrogate (same contract as [[SpRounds]] /
+    * [[PrIters]]) that keeps the plan static for the unrolled oracle.
+    *
+    * Scale shape: each round is one degree hash-aggregate over the
+    * surviving edges plus two semi-joins against the ≤|nodes| keep list —
+    * the shuffles carry (node, degree) pairs and edge endpoints only.
+    * Every round's edge frame is lazily persisted: round r's edges are
+    * referenced by BOTH the next round's degree aggregate and its
+    * semi-joins, the exact double-reference that made the un-persisted
+    * shortest-path plan O(R²) (scaladoc above). Peeling converges
+    * geometrically on real graphs, so small fixed R captures most of the
+    * fixpoint; at 100 TB each round is edge-linear with no all-pairs
+    * stage anywhere.
+    */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e0 = coPurchaseEdges(spark, sfDir)
+      .select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // k = (3/4)·mean degree, exact integer arithmetic (degrees positive)
+    val kv = e0.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .agg(expr("(sum(dg) * 3) div (count(1) * 4)").as("k"))
+
+    def peel(e: DataFrame): DataFrame = {
+      // keep is referenced by BOTH semi-joins — persist it (≤|nodes| rows)
+      // so the degree aggregate runs once per round, not twice
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .crossJoin(broadcast(kv))
+        .filter(col("dg") >= col("k"))
+        .select(col("src").as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    val eFinal = (1 to KcoreRounds).foldLeft(e0)((e, _) => peel(e))
+    ordered(
+      eFinal.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("part_id"), col("deg")),
+      "part_id")
+  }
+
   /** Curriculum bucketing — order the corpus by quality score and cut it
     * into 4 equal-depth curriculum phases (easy→hard scheduling for LLM
     * training). The score is [[Text.QScore]]'s exact expression mix (scored

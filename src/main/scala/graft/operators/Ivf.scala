@@ -158,14 +158,48 @@ object Ivf {
     * twin gates mechanism, not cosine values, which stay the production
     * path's job.
     */
-  def ivfGatedTopK(spark: SparkSession, sfDir: String, k: Int = 10,
-                   nLists: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** Fixed-point positive-offset integer form of the embeddings —
+    * the shared input of every gated integer-L2 path.
+    */
+  private def gatedQemb(emb: DataFrame): DataFrame = {
     val Off = 16384L
-    val emb = t(spark, sfDir, "embeddings")
-    val qemb = emb.select(col("vec_id"),
+    emb.select(col("vec_id"),
       transform(col("embedding"),
         x => (floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long") +
               lit(Off))).as("qv"))
+  }
+
+  /** Map-only integer argmin against the single-row folded centroid table
+    * (the gated twin of [[assignLists]]).
+    */
+  private def gatedWithBest(df: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("_cents"))
+    val dists = transform(col("_cents"),
+      c => aggregate(zip_with(col("qv"), c.getField("centroid"),
+                              (x, y) => (x - y) * (x - y)),
+                     lit(0L), (acc, y) => acc + y))
+    df.crossJoin(broadcast(centArr))
+      .withColumn("_d", dists)
+      .withColumn("centroid_id",
+        element_at(col("_cents"),
+          array_position(col("_d"), array_min(col("_d"))).cast("int"))
+          .getField("centroid_id"))
+      .drop("_cents", "_d")
+  }
+
+  /** Integer squared L2 over two fixed-point arrays. */
+  private def gatedL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, y) => acc + y)
+
+  /** The gated k-means fit: md5-ordered bounded sample, spaced init,
+    * [[Iters]] Lloyd's rounds over exact integers. Returns the persisted
+    * (centroid_id, centroid) frame. Shared by [[ivfGatedTopK]] and
+    * [[semanticDedupGated]].
+    */
+  private def gatedCentroids(qemb: DataFrame, nLists: Int): DataFrame = {
     val sample = qemb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(TrainCap)
@@ -176,26 +210,8 @@ object Ivf {
       .agg(min_by(col("qv"), col("vec_id")).as("centroid"))
       .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
 
-    // map-only integer argmin against the single-row folded centroid table
-    def withBest(df: DataFrame, cent: DataFrame): DataFrame = {
-      val centArr = cent
-        .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
-          .as("_cents"))
-      val dists = transform(col("_cents"),
-        c => aggregate(zip_with(col("qv"), c.getField("centroid"),
-                                (x, y) => (x - y) * (x - y)),
-                       lit(0L), (acc, y) => acc + y))
-      df.crossJoin(broadcast(centArr))
-        .withColumn("_d", dists)
-        .withColumn("centroid_id",
-          element_at(col("_cents"),
-            array_position(col("_d"), array_min(col("_d"))).cast("int"))
-            .getField("centroid_id"))
-        .drop("_cents", "_d")
-    }
-
     def step(cent: DataFrame): DataFrame = {
-      val means = withBest(sample, cent)
+      val means = gatedWithBest(sample, cent)
         .select(col("centroid_id"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(expr("sum(v) div count(1)").as("mv")) // positive ints: floor ≡ trunc
@@ -207,13 +223,17 @@ object Ivf {
         .select(col("centroid_id"),
                 coalesce(col("newc"), col("centroid")).as("centroid"))
     }
-    val cents = (1 to Iters).foldLeft(init)((c, _) => step(c))
+    (1 to Iters).foldLeft(init)((c, _) => step(c))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-                lit(0L), (acc, y) => acc + y)
-    val lists = withBest(qemb, cents)
+  def ivfGatedTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+                   nLists: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val qemb = gatedQemb(emb)
+    val cents = gatedCentroids(qemb, nLists)
+    def l2(a: Column, b: Column): Column = gatedL2(a, b)
+    val lists = gatedWithBest(qemb, cents)
     val probe = qemb.filter(col("vec_id") === 0).select(col("qv").as("pq")).limit(1)
     val probeLists = cents.crossJoin(broadcast(probe))
       .withColumn("d", l2(col("centroid"), col("pq")))
@@ -226,6 +246,57 @@ object Ivf {
       .select(col("vec_id"), l2(col("qv"), col("pq")).as("l2q"))
       .orderBy(col("l2q").asc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Embedding-space (semantic) deduplication under the EXACT hash gate —
+    * the cluster-then-compare shape every large-corpus semantic dedup uses
+    * (cluster the embedding space, compare only WITHIN a cluster, keep one
+    * representative per near-identical group): the gated integer k-means
+    * ([[gatedCentroids]]) partitions the corpus into `nLists` cells, a
+    * within-cell self-join scores pairs by exact integer squared L2, and
+    * a vector is marked duplicate when a LOWER-id vector sits within
+    * `thr` of it in the same cell — the keep-lowest-id rule, so the kept
+    * set is deterministic without computing transitive closure (a doc is
+    * dropped iff its cell contains a closer-than-thr predecessor; the
+    * predecessor chain always bottoms out at a kept doc).
+    *
+    * Scale shape: the all-pairs comparison never happens — pair volume is
+    * Σ_cell |cell|²/2, driven to corpus-linear by raising `nLists` with
+    * corpus size (the standard IVF-cell sizing rule); the fit cost is
+    * bounded by [[TrainCap]] regardless of corpus, and assignment is the
+    * same map-only broadcast-argmin as the gated IVF. Cross-cell
+    * near-dups are the documented recall tradeoff of every clustered
+    * dedup; production raises recall with multi-probe assignment (assign
+    * to the 2 nearest cells), same plan shape at 2× pair volume.
+    * Everything is BIGINT arithmetic, so the whole pipeline — fit,
+    * assignment, pair distances, dup marking — hash-matches the oracle's
+    * unrolled sequential fold.
+    */
+  def semanticDedupGated(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                         thr: Long = 130000000L): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val qemb = gatedQemb(emb)
+    val cents = gatedCentroids(qemb, nLists)
+    // assignments feed three legs (both self-join sides + the final left
+    // join) — persist, or the fit+assign subtree runs once per leg
+    val asg = gatedWithBest(qemb, cents)
+      .select(col("vec_id"), col("qv"), col("centroid_id").as("cid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = asg.select(col("cid"), col("vec_id").as("a_id"), col("qv").as("aq"))
+      .join(asg.select(col("cid"), col("vec_id").as("b_id"), col("qv").as("bq")),
+            Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id"), col("a_id"), gatedL2(col("aq"), col("bq")).as("d2"))
+      .filter(col("d2") <= thr)
+    val dup = pairs.groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), min(col("d2")).as("min_d2"))
+    ordered(
+      asg.select(col("vec_id"), col("cid"))
+        .join(dup, col("vec_id") === col("b_id"), "left")
+        .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+                col("dup_of").isNotNull.as("is_dup"),
+                col("dup_of"), col("min_d2")),
+      "vec_id")
   }
 
   /** IVF search over int8-QUANTIZED vectors with full-precision re-rank —
