@@ -223,6 +223,9 @@ object SparkEntry {
     "q_incr_dedup_minhash" -> q(Dedup.incrMinhashGated), // batch-vs-corpus band-index probe, linear in the batch
     "q_lsh_recall"        -> q(Dedup.lshRecallGated(_, _, 1, 2)), // measured recall of banded minhash vs exact J>=1/2 truth
     "q_semantic_dedup"    -> q(Ivf.semanticDedupGated(_, _, 16, 130000000L)), // cluster-then-compare embedding dedup, keep-lowest-id
+    "q_semantic_dedup_mp" -> q(Ivf.semanticDedupMultiprobe(_, _, 16, 130000000L)), // 2-nearest-cell multi-probe: closes the cross-cell recall gap
+    "q_mannwhitney"       -> q(Insights.mannWhitney), // rank-sum test, tie-averaged doubled-integer ranks via distributed prefix sum
+    "q_skew_report"       -> q(Insights.skewReport), // join-key concentration profile: the salting decision input
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
     "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),
@@ -2584,6 +2587,104 @@ object SparkEntry {
         |       floor(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
         |             * 10000.0 + 0.5) / 10000.0 AS recall
         |FROM tn, cn, hn""".stripMargin
+    },
+
+    "q_mannwhitney" ->
+      """WITH o AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+        |  FROM orders),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |                CAST(sum(ga) AS BIGINT) AS cnta
+        |         FROM o GROUP BY v),
+        |cum AS (SELECT v, cnt, cnta,
+        |               COALESCE(sum(cnt) OVER (ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |        FROM vals),
+        |agg AS (SELECT sum(cnta) AS na, sum(cnt) AS n,
+        |               sum(cnta * (2 * cumb + cnt + 1)) AS w2a,
+        |               sum(cnt * cnt * cnt - cnt) AS ties
+        |        FROM cum)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+        |       CAST(w2a AS BIGINT) AS w2_a,
+        |       CAST(w2a - na * (na + 1) AS BIGINT) AS u2_a,
+        |       CAST(ties AS BIGINT) AS tie_sum,
+        |       floor((CAST(w2a - na * (na + 1) AS DOUBLE) / 2.0
+        |              - CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE) / 2.0)
+        |             / sqrt(CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE) / 12.0
+        |                    * ((CAST(n AS DOUBLE) + 1.0)
+        |                       - CAST(ties AS DOUBLE)
+        |                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+        |             * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM agg""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH cnts AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_partkey),
+        |top20 AS (SELECT CAST(sum(cnt) AS BIGINT) AS top20_rows FROM (
+        |            SELECT cnt FROM cnts ORDER BY cnt DESC, l_partkey LIMIT 20)),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |             CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |             CAST(max(cnt) AS BIGINT) AS max_cnt
+        |      FROM cnts)
+        |SELECT n_keys, n_rows, max_cnt,
+        |       floor(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS mean_cnt,
+        |       floor(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |             / CAST(n_rows AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS skew_ratio,
+        |       floor(CAST(top20_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS top20_share
+        |FROM g, top20""".stripMargin,
+
+    "q_semantic_dedup_mp" -> {
+      // same unrolled integer k-means; assignment keeps the TOP-2 cells
+      // (row_number <= 2), pairs form in any shared cell
+      val iters = (1 to 5).map { i =>
+        s"""|a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+        |b$i AS (SELECT vec_id, cid FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |          FROM a$i) WHERE rk = 1),
+        |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+        |c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+        |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      s"""WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) + 16384 AS qv
+        |  FROM embeddings),
+        |sample AS (SELECT vec_id FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+        |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+        |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+        |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+        |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+        |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+        |$iters
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf2 AS (SELECT vec_id, cid, rk FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |          FROM af) WHERE rk <= 2),
+        |prim AS (SELECT vec_id, cid FROM bf2 WHERE rk = 1),
+        |pr AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |       FROM bf2 a JOIN bf2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |pd AS (SELECT pr.a_id, pr.b_id, sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
+        |       FROM pr JOIN q qa ON qa.vec_id = pr.a_id
+        |               JOIN q qb ON qb.vec_id = pr.b_id AND qb.i = qa.i
+        |       GROUP BY 1, 2),
+        |du AS (SELECT b_id, min(a_id) AS dup_of, CAST(min(d2) AS BIGINT) AS min_d2
+        |       FROM pd WHERE d2 <= 130000000 GROUP BY 1)
+        |SELECT prim.vec_id, CAST(prim.cid AS BIGINT) AS cluster_id,
+        |       du.b_id IS NOT NULL AS is_dup, du.dup_of, du.min_d2
+        |FROM prim LEFT JOIN du ON du.b_id = prim.vec_id
+        |ORDER BY vec_id""".stripMargin
     },
 
     "q_semantic_dedup" -> {

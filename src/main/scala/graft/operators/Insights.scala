@@ -229,6 +229,81 @@ object Insights {
     * divisions and one subtraction, and max() is order-independent — the
     * whole statistic is bit-deterministic.
     */
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    * nonparametric "did group A's distribution shift vs B" test that
+    * doesn't assume normality (the rank-based partner of the A/B z-test
+    * and the KS statistic): urgent-priority orders vs the rest on order
+    * value. Everything up to the final z is EXACT integer arithmetic:
+    * prices collapse to per-VALUE counts (one hash-agg — ranks of a 100 TB
+    * fact reduce to its distinct-value histogram), tie-averaged ranks come
+    * from the two-phase distributed prefix sum over the value histogram —
+    * never a single-reducer global window — and are kept as DOUBLED
+    * integers (2·avgRank = 2·cumBefore + cnt + 1, integral even for .5
+    * ties). The doubled rank-sum and U statistic are gated as BIGINTs; the
+    * z-score is one mirrored IEEE chain (divide + sqrt, both
+    * correctly-rounded ops) over those integers with the tie-correction
+    * term Σ(t³−t). Scale shape: hash-agg → value-histogram prefix sum →
+    * one 1-row aggregate; nothing is ever globally sorted through one
+    * reducer.
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("v"),
+              when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("ga"))
+    val vals = o.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ga")).as("cnta"))
+    val cum = PrefixSum.exclusiveCols(vals, Seq(col("v").asc), col("cnt"), "cumb")
+    val agg = cum.agg(
+      sum(col("cnta")).as("na"),
+      sum(col("cnt")).as("n"),
+      sum(col("cnta") * (lit(2) * col("cumb") + col("cnt") + lit(1))).as("w2a"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val z = (col("u2_a").cast("double") / lit(2.0) - naD * nbD / lit(2.0)) /
+      sqrt(naD * nbD / lit(12.0) *
+           ((nD + lit(1.0)) - col("tie_sum").cast("double") / (nD * (nD - lit(1.0)))))
+    agg
+      .select(col("na").as("n_a"), (col("n") - col("na")).as("n_b"),
+              col("w2a").as("w2_a"),
+              (col("w2a") - col("na") * (col("na") + lit(1))).as("u2_a"),
+              col("ties").as("tie_sum"))
+      .select(col("n_a"), col("n_b"), col("w2_a"), col("u2_a"), col("tie_sum"),
+              r4(z).as("z"))
+  }
+
+  /** Join-key skew report — the diagnostic an operator runs BEFORE picking
+    * a salting factor or trusting AQE's skew-join split (util/Skew's
+    * decision input, promoted to a first-class query): per-key cardinality
+    * profile of a join key collapsed to one metrics row — key count, row
+    * count, the heaviest key, mean rows/key, skew ratio (max/mean — the
+    * straggler multiplier a shuffled join on this key pays), and the share
+    * of all rows held by the top-20 keys (concentration: how much a cap or
+    * salt on just those keys buys). One hash-agg over the fact plus a
+    * bounded TakeOrderedAndProject top-k and two 1-row aggregates — the
+    * profile costs one shuffle of (key, count) partials at any scale.
+    * Ratios are r4 fixed-point over exact integers, so the report is
+    * hash-gated like any other query.
+    */
+  def skewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnts = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top20 = cnts.orderBy(col("cnt").desc, col("l_partkey").asc).limit(20)
+      .agg(sum(col("cnt")).as("top20_rows"))
+    cnts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+             max(col("cnt")).as("max_cnt"))
+      .crossJoin(broadcast(top20))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+              r4(col("n_rows").cast("double") / col("n_keys").cast("double"))
+                .as("mean_cnt"),
+              r4(col("max_cnt").cast("double") * col("n_keys").cast("double") /
+                 col("n_rows").cast("double")).as("skew_ratio"),
+              r4(col("top20_rows").cast("double") / col("n_rows").cast("double"))
+                .as("top20_share"))
+  }
+
   def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
     val v = t(spark, sfDir, "customer")
       .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))

@@ -248,6 +248,82 @@ object Ivf {
       .limit(k)
   }
 
+  /** Top-2 cell assignment against the folded centroid table — the
+    * multi-probe twin of [[gatedWithBest]]: cid1 is the argmin cell, cid2
+    * the runner-up (ties to the lowest centroid_id in both, exactly the
+    * oracle's `row_number() OVER (ORDER BY d, cid) <= 2`). Still map-only:
+    * the second minimum is found by masking the winning slot and re-running
+    * array_min — two passes over a k-element array per row, no extra
+    * shuffle or join.
+    */
+  private def gatedWithBest2(df: DataFrame, cent: DataFrame): DataFrame = {
+    val centArr = cent
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("_cents"))
+    val dists = transform(col("_cents"),
+      c => aggregate(zip_with(col("qv"), c.getField("centroid"),
+                              (x, y) => (x - y) * (x - y)),
+                     lit(0L), (acc, y) => acc + y))
+    df.crossJoin(broadcast(centArr))
+      .withColumn("_d", dists)
+      .withColumn("_p1", array_position(col("_d"), array_min(col("_d"))).cast("int"))
+      .withColumn("_d2arr",
+        zip_with(col("_d"),
+                 sequence(lit(1), size(col("_d"))),
+                 (dv, idx) => when(idx === col("_p1"), lit(Long.MaxValue))
+                   .otherwise(dv)))
+      .withColumn("_p2",
+        array_position(col("_d2arr"), array_min(col("_d2arr"))).cast("int"))
+      .withColumn("cid1",
+        element_at(col("_cents"), col("_p1")).getField("centroid_id"))
+      .withColumn("cid2",
+        element_at(col("_cents"), col("_p2")).getField("centroid_id"))
+      .drop("_cents", "_d", "_d2arr", "_p1", "_p2")
+  }
+
+  /** Multi-probe variant of [[semanticDedupGated]] — closes the cross-cell
+    * recall gap that single-cell clustering documents as its tradeoff:
+    * every vector belongs to its TWO nearest cells, pairs form inside any
+    * shared cell (distinct across the two memberships), and the
+    * keep-lowest-id rule runs on the widened pair set. A near-dup pair
+    * split by a cell boundary is found whenever either doc's second cell
+    * is the other's first — the standard multi-probe argument, at ~4× the
+    * single-probe pair volume (each cell doubles its membership) and
+    * IDENTICAL shuffle shape: the corpus never all-pairs, the fit stays
+    * [[TrainCap]]-bounded, assignment stays map-only. `cluster_id` in the
+    * output remains the PRIMARY cell, so flags are directly comparable
+    * with the single-probe twin (spec asserts the dup set is a superset).
+    */
+  def semanticDedupMultiprobe(spark: SparkSession, sfDir: String,
+                              nLists: Int = 16,
+                              thr: Long = 130000000L): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val qemb = gatedQemb(emb)
+    val cents = gatedCentroids(qemb, nLists)
+    val asg = gatedWithBest2(qemb, cents)
+      .select(col("vec_id"), col("qv"), col("cid1"), col("cid2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // two membership rows per vector, then a per-cell self-join
+    val mem = asg.select(col("vec_id"), col("qv"),
+        explode(array(col("cid1"), col("cid2"))).as("cell"))
+    val pairs = mem.select(col("cell"), col("vec_id").as("a_id"), col("qv").as("aq"))
+      .join(mem.select(col("cell"), col("vec_id").as("b_id"), col("qv").as("bq")),
+            Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id"), col("a_id"), gatedL2(col("aq"), col("bq")).as("d2"))
+      .filter(col("d2") <= thr)
+      .dropDuplicates("b_id", "a_id")
+    val dup = pairs.groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), min(col("d2")).as("min_d2"))
+    ordered(
+      asg.select(col("vec_id"), col("cid1"))
+        .join(dup, col("vec_id") === col("b_id"), "left")
+        .select(col("vec_id"), col("cid1").cast("long").as("cluster_id"),
+                col("dup_of").isNotNull.as("is_dup"),
+                col("dup_of"), col("min_d2")),
+      "vec_id")
+  }
+
   /** Embedding-space (semantic) deduplication under the EXACT hash gate —
     * the cluster-then-compare shape every large-corpus semantic dedup uses
     * (cluster the embedding space, compare only WITHIN a cluster, keep one

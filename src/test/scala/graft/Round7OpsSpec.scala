@@ -103,4 +103,78 @@ class Round7OpsSpec extends SparkSpec {
     }
     assert(got.exists(_.getAs[Boolean]("is_dup")), "threshold must flag something")
   }
+
+  test("multi-probe semantic dedup: dup set strictly contains the single-probe set") {
+    val single = SparkEntry.queries("q_semantic_dedup")(spark, Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val multi = SparkEntry.queries("q_semantic_dedup_mp")(spark, Sf).collect()
+    assert(multi.length === single.size)
+    multi.foreach { row =>
+      val id = row.getAs[Long]("vec_id")
+      val s = single(id)
+      // primary cell is the same argmin — cluster ids must agree
+      assert(row.getAs[Long]("cluster_id") === s.getAs[Long]("cluster_id"))
+      if (s.getAs[Boolean]("is_dup")) {
+        // widening the pair set can only keep or improve a flag
+        assert(row.getAs[Boolean]("is_dup"), s"vec $id lost its flag under multi-probe")
+        assert(row.getAs[Long]("min_d2") <= s.getAs[Long]("min_d2"))
+        assert(row.getAs[Long]("dup_of") <= s.getAs[Long]("dup_of"))
+      }
+    }
+    val nSingle = single.values.count(_.getAs[Boolean]("is_dup"))
+    val nMulti = multi.count(_.getAs[Boolean]("is_dup"))
+    assert(nMulti >= nSingle)
+  }
+
+  test("mann-whitney: exact integers match a sequential rank computation") {
+    val r = SparkEntry.queries("q_mannwhitney")(spark, Sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val o = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_totalprice"), col("o_orderpriority")).collect()
+      .map(x => (math.floor(x.getAs[Double]("o_totalprice") * 100.0 + 0.5).toLong,
+                 x.getAs[String]("o_orderpriority") == "1-URGENT"))
+    val n = o.length.toLong
+    val na = o.count(_._2).toLong
+    // tie-averaged doubled ranks from the sorted value histogram
+    val hist = o.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.count(_._2).toLong)).toSeq.sortBy(_._1)
+    var cumb = 0L; var w2a = 0L; var ties = 0L
+    hist.foreach { case (_, (cnt, cnta)) =>
+      w2a += cnta * (2 * cumb + cnt + 1)
+      ties += cnt * cnt * cnt - cnt
+      cumb += cnt
+    }
+    assert(row.getAs[Long]("n_a") === na)
+    assert(row.getAs[Long]("n_b") === n - na)
+    assert(row.getAs[Long]("w2_a") === w2a)
+    assert(row.getAs[Long]("u2_a") === w2a - na * (na + 1))
+    assert(row.getAs[Long]("tie_sum") === ties)
+    // z must be finite and reproducible from the gated integers
+    val u = (w2a - na * (na + 1)).toDouble / 2.0
+    val nb = (n - na).toDouble
+    val z = (u - na.toDouble * nb / 2.0) /
+      math.sqrt(na.toDouble * nb / 12.0 *
+        ((n.toDouble + 1.0) - ties.toDouble / (n.toDouble * (n.toDouble - 1.0))))
+    assert(row.getAs[Double]("z") === math.floor(z * 10000.0 + 0.5) / 10000.0)
+  }
+
+  test("skew report: metrics match a collected recount") {
+    val r = SparkEntry.queries("q_skew_report")(spark, Sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val cnts = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_partkey")).collect().map(_.getAs[Long]("l_partkey"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nKeys = cnts.size.toLong
+    val nRows = cnts.values.sum
+    val maxCnt = cnts.values.max
+    val top20 = cnts.toSeq.sortBy { case (k, c) => (-c, k) }.take(20).map(_._2).sum
+    assert(row.getAs[Long]("n_keys") === nKeys)
+    assert(row.getAs[Long]("n_rows") === nRows)
+    assert(row.getAs[Long]("max_cnt") === maxCnt)
+    assert(row.getAs[Double]("skew_ratio") >= 1.0)
+    assert(row.getAs[Double]("top20_share") ===
+      math.floor(top20.toDouble / nRows * 10000.0 + 0.5) / 10000.0)
+  }
 }
