@@ -16,6 +16,7 @@ object GraftFunctions {
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_f"      -> (es => DotProductF(es(0), es(1))),
     "sig_match"  -> (es => SignatureMatchCount(es(0), es(1))),
+    "sq_l2"      -> (es => SquaredL2Long(es(0), es(1))),
     "shingles"   -> (es => DistinctShingles(es(0), es(1))),
     "hyperplane_bands" -> (es => HyperplaneBands(es(0))),
     "simhash64"  -> (es => SimHash64(es(0))),
@@ -68,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sig_match"),
       new ExpressionInfo(classOf[SignatureMatchCount].getName, "sig_match"),
       (es: Seq[Expression]) => SignatureMatchCount(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sq_l2"),
+      new ExpressionInfo(classOf[SquaredL2Long].getName, "sq_l2"),
+      (es: Seq[Expression]) => SquaredL2Long(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[DistinctShingles].getName, "shingles"),

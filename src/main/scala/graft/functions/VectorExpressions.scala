@@ -132,6 +132,62 @@ case class SignatureMatchCount(left: Expression, right: Expression)
   override def prettyName: String = "sig_match"
 }
 
+/** sq_l2(a, b): Σ(aᵢ−bᵢ)² over two array<bigint> fixed-point vectors —
+  * the integer squared-L2 metric of the gated semantic-dedup family. Same
+  * measured rationale as the float kernels: the `aggregate(zip_with(...))`
+  * formulation dispatches an interpreted closure per element (~128 calls
+  * per 64-dim pair), which dominates the within-cell pair scans once the
+  * corpus grows (the multi-probe 10× decade runs ~10⁸ pair distances).
+  * Exact integer arithmetic in a primitive loop — bit-identical to the
+  * HOF chain and the DuckDB oracle, drop-in under the hash gate.
+  */
+case class SquaredL2Long(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L; var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : SquaredL2Long = copy(left = l, right = r)
+  override def prettyName: String = "sq_l2"
+}
+
 /** hyperplane_bands(v): the 4 LSH band buckets of a float vector's 32-bit
   * random-hyperplane signature, in ONE pass over the vector. Bit j is the
   * sign of ⟨v, plane_j⟩ (double accumulation over float values — exactly

@@ -173,13 +173,12 @@ object Ivf {
     * (the gated twin of [[assignLists]]).
     */
   private def gatedWithBest(df: DataFrame, cent: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val centArr = cent
       .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
         .as("_cents"))
     val dists = transform(col("_cents"),
-      c => aggregate(zip_with(col("qv"), c.getField("centroid"),
-                              (x, y) => (x - y) * (x - y)),
-                     lit(0L), (acc, y) => acc + y))
+      c => call_function("sq_l2", col("qv"), c.getField("centroid")))
     df.crossJoin(broadcast(centArr))
       .withColumn("_d", dists)
       .withColumn("centroid_id",
@@ -189,10 +188,15 @@ object Ivf {
       .drop("_cents", "_d")
   }
 
-  /** Integer squared L2 over two fixed-point arrays. */
+  /** Integer squared L2 over two fixed-point arrays — the native
+    * [[graft.functions.SquaredL2Long]] codegen kernel (bit-identical to
+    * the `aggregate(zip_with(...))` chain it replaced; the HOF form
+    * dispatches an interpreted closure per element, which dominated the
+    * multi-probe pair scan at the 10× decade). Callers must have
+    * registered GraftFunctions (gatedWithBest/gatedWithBest2 do).
+    */
   private def gatedL2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-              lit(0L), (acc, y) => acc + y)
+    call_function("sq_l2", a, b)
 
   /** The gated k-means fit: md5-ordered bounded sample, spaced init,
     * [[Iters]] Lloyd's rounds over exact integers. Returns the persisted
@@ -229,6 +233,7 @@ object Ivf {
 
   def ivfGatedTopK(spark: SparkSession, sfDir: String, k: Int = 10,
                    nLists: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = t(spark, sfDir, "embeddings")
     val qemb = gatedQemb(emb)
     val cents = gatedCentroids(qemb, nLists)
@@ -257,13 +262,12 @@ object Ivf {
     * shuffle or join.
     */
   private def gatedWithBest2(df: DataFrame, cent: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val centArr = cent
       .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
         .as("_cents"))
     val dists = transform(col("_cents"),
-      c => aggregate(zip_with(col("qv"), c.getField("centroid"),
-                              (x, y) => (x - y) * (x - y)),
-                     lit(0L), (acc, y) => acc + y))
+      c => call_function("sq_l2", col("qv"), c.getField("centroid")))
     df.crossJoin(broadcast(centArr))
       .withColumn("_d", dists)
       .withColumn("_p1", array_position(col("_d"), array_min(col("_d"))).cast("int"))
@@ -297,6 +301,7 @@ object Ivf {
   def semanticDedupMultiprobe(spark: SparkSession, sfDir: String,
                               nLists: Int = 16,
                               thr: Long = 130000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = t(spark, sfDir, "embeddings")
     val qemb = gatedQemb(emb)
     val cents = gatedCentroids(qemb, nLists)
@@ -350,6 +355,7 @@ object Ivf {
     */
   def semanticDedupGated(spark: SparkSession, sfDir: String, nLists: Int = 16,
                          thr: Long = 130000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = t(spark, sfDir, "embeddings")
     val qemb = gatedQemb(emb)
     val cents = gatedCentroids(qemb, nLists)

@@ -47,6 +47,22 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(both.select("native").as[Int].collect().toSeq === Seq(3, 2, 0))
   }
 
+  test("sq_l2 equals the aggregate(zip_with) HOF formulation on random vectors") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      (Seq.fill(64)(rnd.nextInt(32768).toLong), Seq.fill(64)(rnd.nextInt(32768).toLong))
+    } :+ ((Seq(3L, 4L), Seq(3L, 4L)))  // identical → 0
+    val d = rows.toDF("a", "b")
+    val both = d.select(
+      call_function("sq_l2", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+                lit(0L), (acc, y) => acc + y).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    assert(both.orderBy(col("native").asc).select("native").as[Long].head() === 0L)
+  }
+
   test("zero-norm input yields NULL, not NaN") {
     GraftFunctions.register(spark)
     import spark.implicits._
