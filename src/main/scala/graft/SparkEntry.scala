@@ -226,6 +226,7 @@ object SparkEntry {
     "q_semantic_dedup_mp" -> q(Ivf.semanticDedupMultiprobe(_, _, 16, 130000000L)), // 2-nearest-cell multi-probe: closes the cross-cell recall gap
     "q_mannwhitney"       -> q(Insights.mannWhitney), // rank-sum test, tie-averaged doubled-integer ranks via distributed prefix sum
     "q_skew_report"       -> q(Insights.skewReport), // join-key concentration profile: the salting decision input
+    "q_bridge_alloc"      -> q(Warehouse.bridgeAllocation), // Kimball M:N bridge with integer-exact allocation factors
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
     "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),
@@ -2588,6 +2589,27 @@ object SparkEntry {
         |             * 10000.0 + 0.5) / 10000.0 AS recall
         |FROM tn, cn, hn""".stripMargin
     },
+
+    "q_bridge_alloc" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS lr
+        |  FROM lineitem GROUP BY 1, 2),
+        |orv AS (SELECT l_orderkey, sum(lr) AS orv FROM li GROUP BY 1),
+        |otp AS (SELECT o_orderkey,
+        |               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS otp_c
+        |        FROM orders),
+        |al AS (SELECT li.l_partkey,
+        |              (otp_c * CAST(lr * 10000 AS BIGINT))
+        |                // CAST(orv * 10000 AS BIGINT) AS ac
+        |       FROM li JOIN orv USING (l_orderkey)
+        |            JOIN otp ON o_orderkey = l_orderkey)
+        |SELECT l_partkey AS part_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(ac) AS BIGINT) AS alloc_cents,
+        |       floor(CAST(sum(ac) AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |         AS alloc_rev
+        |FROM al GROUP BY 1 ORDER BY part_id""".stripMargin,
 
     "q_mannwhitney" ->
       """WITH o AS (

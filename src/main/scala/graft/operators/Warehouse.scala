@@ -450,4 +450,50 @@ object Warehouse {
                      col("d").as("depth")),
             "p_partkey")
   }
+
+  /** Many-to-many bridge table with allocation factors — the Kimball
+    * pattern for crediting an ORDER-grain measure down to parts when an
+    * order spans several parts (the reference's star schema stops at the
+    * fact grain; this is the standard extension every revenue-attribution
+    * mart needs). The bridge is (order, part, line revenue); each part's
+    * allocation of the order-level `o_totalprice` (which includes
+    * order-grain amounts no line carries) is its line-revenue share.
+    * Exactness discipline: line revenue sums in DECIMAL (associative),
+    * shares are applied as one integer multiply-then-floor-divide in
+    * CENTS — (otp_cents · lr_fp) div orv_fp with positive BIGINTs, so
+    * Spark `div` ≡ DuckDB `//` and no IEEE division ever happens; the
+    * final dollar column is presentation-only r4. Scale shape: two hash
+    * aggregates (bridge grain, order grain) + two shuffled joins on the
+    * order key + one hash aggregate on the part key — fact-linear, no
+    * broadcast of anything data-sized, the exact plan a 100 TB allocation
+    * run wants.
+    */
+  def bridgeAllocation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(sum(money(col("l_extendedprice")) *
+               (lit(1) - money(col("l_discount")))).as("lr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val orv = li.groupBy(col("l_orderkey")).agg(sum(col("lr")).as("orv"))
+    val otp = t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"),
+              floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                .cast("long").as("otp_c"))
+    val alloc = li
+      .join(orv, Seq("l_orderkey"))
+      .join(otp, Seq("l_orderkey"))
+      .select(col("l_partkey"),
+              (col("lr") * lit(10000)).cast("long").as("lr_q"),
+              (col("orv") * lit(10000)).cast("long").as("orv_q"),
+              col("otp_c"))
+      .select(col("l_partkey"),
+              expr("(otp_c * lr_q) div orv_q").as("ac"))
+    ordered(
+      alloc.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("ac")).as("alloc_cents"))
+        .select(col("l_partkey").as("part_id"), col("n_lines"),
+                col("alloc_cents"),
+                r4(col("alloc_cents").cast("double") / lit(100.0)).as("alloc_rev")),
+      "part_id")
+  }
 }

@@ -159,6 +159,38 @@ class Round7OpsSpec extends SparkSpec {
     assert(row.getAs[Double]("z") === math.floor(z * 10000.0 + 0.5) / 10000.0)
   }
 
+  test("bridge allocation: matches an exact sequential recompute, conserves order totals") {
+    val got = SparkEntry.queries("q_bridge_alloc")(spark, Sf).collect()
+      .map(r => r.getAs[Long]("part_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("alloc_cents"))).toMap
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+    val otp = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        math.floor(r.getAs[Double]("o_totalprice") * 100.0 + 0.5).toLong).toMap
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    // bridge grain: exact decimal line revenue per (order, part)
+    val lr = li.groupBy(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+      .view.mapValues(_.map(r =>
+        d2(r.getAs[Double]("l_extendedprice")) *
+          (BigDecimal(1) - d2(r.getAs[Double]("l_discount")))).sum).toMap
+    val orv = lr.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expect = lr.toSeq.map { case ((ok, pk), v) =>
+      val lrQ = (v * 10000).toLongExact
+      val orvQ = (orv(ok) * 10000).toLongExact
+      pk -> (otp(ok) * lrQ / orvQ)
+    }.groupBy(_._1).view.mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    assert(got === expect)
+    // conservation: per-order floors each lose < 1 cent, so the grand total
+    // sits within (bridge rows) cents below the order-total grand sum
+    val totalAlloc = got.values.map(_._2).sum
+    val totalOtp = orv.keys.map(otp).sum
+    val nBridge = got.values.map(_._1).sum
+    assert(totalAlloc <= totalOtp && totalOtp - totalAlloc < nBridge)
+  }
+
   test("skew report: metrics match a collected recount") {
     val r = SparkEntry.queries("q_skew_report")(spark, Sf).collect()
     assert(r.length === 1)
