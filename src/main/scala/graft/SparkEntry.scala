@@ -227,6 +227,7 @@ object SparkEntry {
     "q_mannwhitney"       -> q(Insights.mannWhitney), // rank-sum test, tie-averaged doubled-integer ranks via distributed prefix sum
     "q_skew_report"       -> q(Insights.skewReport), // join-key concentration profile: the salting decision input
     "q_bridge_alloc"      -> q(Warehouse.bridgeAllocation), // Kimball M:N bridge with integer-exact allocation factors
+    "q_ann_join"          -> q(Ivf.annJoinGated(_, _, 16, 130000000L)), // cross-corpus ANN join: B-owned index, per-A argmin, honest misses
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
     "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),
@@ -2658,6 +2659,61 @@ object SparkEntry {
         |       floor(CAST(top20_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
         |             * 10000.0 + 0.5) / 10000.0 AS top20_share
         |FROM g, top20""".stripMargin,
+
+    "q_ann_join" -> {
+      // k-means fit on the EVEN (reference) side only; both sides assigned,
+      // per-A-vector argmin by (d2, b_id), misses stay NULL
+      val iters = (1 to 5).map { i =>
+        s"""|a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+        |b$i AS (SELECT vec_id, cid FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |          FROM a$i) WHERE rk = 1),
+        |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+        |c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+        |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      s"""WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) + 16384 AS qv
+        |  FROM embeddings),
+        |sample AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+        |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+        |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+        |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+        |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+        |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+        |$iters
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |aa AS (SELECT vec_id, cid FROM bf WHERE vec_id % 2 = 1),
+        |bb AS (SELECT vec_id, cid FROM bf WHERE vec_id % 2 = 0),
+        |pd AS (SELECT aa.vec_id AS a_id, bb.vec_id AS b_id,
+        |              sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
+        |       FROM aa JOIN bb ON aa.cid = bb.cid
+        |            JOIN q qa ON qa.vec_id = aa.vec_id
+        |            JOIN q qb ON qb.vec_id = bb.vec_id AND qb.i = qa.i
+        |       GROUP BY 1, 2),
+        |best AS (SELECT a_id, b_id AS match_id, CAST(d2 AS BIGINT) AS match_d2
+        |         FROM (SELECT a_id, b_id, d2,
+        |                      row_number() OVER (PARTITION BY a_id
+        |                        ORDER BY d2, b_id) AS rk
+        |               FROM pd) WHERE rk = 1 AND d2 <= 130000000)
+        |SELECT aa.vec_id, CAST(aa.cid AS BIGINT) AS cell_id,
+        |       best.match_id IS NOT NULL AS is_match,
+        |       best.match_id, best.match_d2
+        |FROM aa LEFT JOIN best ON best.a_id = aa.vec_id
+        |ORDER BY vec_id""".stripMargin
+    },
 
     "q_semantic_dedup_mp" -> {
       // same unrolled integer k-means; assignment keeps the TOP-2 cells

@@ -329,6 +329,54 @@ object Ivf {
       "vec_id")
   }
 
+  /** Cross-corpus approximate-nearest-neighbor JOIN under the EXACT hash
+    * gate — the "align dataset A to dataset B" op (entity matching,
+    * train/eval contamination lookup, embedding-space record linkage)
+    * rather than self-dedup: odd vec_ids stand in for the query corpus A,
+    * even vec_ids for the reference corpus B. The k-means fit runs ON B
+    * ONLY (the reference side owns the index — A must never shift B's
+    * cells), both sides take the map-only cell assignment, candidates are
+    * A⋈B WITHIN a cell, and each A vector keeps its single best match by
+    * lexicographic (d2, b_id) min — a one-aggregate argmin with
+    * deterministic ties, no window. A vectors whose cell holds no B
+    * member (or no match under `thr`) report NULL — the honest miss, not
+    * a silent drop. Scale shape: index cost is B-linear once, lookup cost
+    * is A-linear times the B-cell size (driven down by nLists exactly as
+    * [[semanticDedupGated]] documents); neither corpus ever all-pairs or
+    * broadcasts.
+    */
+  def annJoinGated(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                   thr: Long = 130000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = t(spark, sfDir, "embeddings")
+    val qemb = gatedQemb(emb)
+    val qa = qemb.filter(col("vec_id") % 2 === 1)
+    val qb = qemb.filter(col("vec_id") % 2 === 0)
+    val cents = gatedCentroids(qb, nLists)
+    val asgA = gatedWithBest(qa, cents)
+      .select(col("vec_id"), col("qv"), col("centroid_id").as("cid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val asgB = gatedWithBest(qb, cents)
+      .select(col("vec_id").as("b_id"), col("qv").as("bq"),
+              col("centroid_id").as("cid"))
+    val best = asgA.select(col("cid"), col("vec_id").as("a_id"), col("qv").as("aq"))
+      .join(asgB, Seq("cid"))
+      .select(col("a_id"),
+              struct(gatedL2(col("aq"), col("bq")).as("d2"),
+                     col("b_id")).as("cand"))
+      .groupBy(col("a_id"))
+      .agg(min(col("cand")).as("m"))
+      .select(col("a_id"), col("m.b_id").as("match_id"), col("m.d2").as("match_d2"))
+      .filter(col("match_d2") <= thr)
+    ordered(
+      asgA.select(col("vec_id"), col("cid").cast("long").as("cell_id"))
+        .join(best, col("vec_id") === col("a_id"), "left")
+        .select(col("vec_id"), col("cell_id"),
+                col("match_id").isNotNull.as("is_match"),
+                col("match_id"), col("match_d2")),
+      "vec_id")
+  }
+
   /** Embedding-space (semantic) deduplication under the EXACT hash gate —
     * the cluster-then-compare shape every large-corpus semantic dedup uses
     * (cluster the embedding space, compare only WITHIN a cluster, keep one

@@ -191,6 +191,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(totalAlloc <= totalOtp && totalOtp - totalAlloc < nBridge)
   }
 
+  test("ann join: side contract, threshold, and flag consistency") {
+    val r = SparkEntry.queries("q_ann_join")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    val emb = graft.util.Tables.t(spark, Sf, "embeddings")
+      .select(col("vec_id")).collect().map(_.getAs[Long]("vec_id"))
+    assert(r.length === emb.count(_ % 2 == 1), "one row per query-side vector")
+    r.foreach { row =>
+      assert(row.getAs[Long]("vec_id") % 2 === 1L, "query side is odd ids")
+      val m = row.getAs[Boolean]("is_match")
+      if (m) {
+        assert(row.getAs[Long]("match_id") % 2 === 0L, "matches come from the reference side")
+        val d = row.getAs[Long]("match_d2")
+        assert(d >= 0L && d <= 130000000L)
+      } else {
+        assert(row.isNullAt(row.fieldIndex("match_id")))
+        assert(row.isNullAt(row.fieldIndex("match_d2")))
+      }
+    }
+    assert(r.exists(_.getAs[Boolean]("is_match")), "threshold must match something")
+  }
+
   test("skew report: metrics match a collected recount") {
     val r = SparkEntry.queries("q_skew_report")(spark, Sf).collect()
     assert(r.length === 1)
