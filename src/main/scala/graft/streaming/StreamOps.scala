@@ -250,4 +250,33 @@ object StreamOps {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(s"$baseDir/${versions.last}")
   }
+
+  /** Streaming DQ quarantine lane — the declarative rule engine
+    * ([[graft.operators.DqRules]]) applied at INGEST time instead of after
+    * landing: every micro-batch row is tagged with the row-level rules it
+    * violates, clean rows flow on, violators divert to the quarantine
+    * sink WITH their violation tags (`_dq_violations`) so triage never
+    * re-derives why a row was held. Works unchanged on a streaming frame
+    * because row-level rules are stateless projections — no aggregation,
+    * no watermark, fully pipelined inside the micro-batch (the split is
+    * two sinks over one tagged source). Table-level rules (Unique,
+    * RefIntegrity, KAnonymity) are deliberately rejected here: they have
+    * no single offending row and require cross-batch state — they belong
+    * to the landed-table [[graft.operators.DqRules.validate]] report, the
+    * same split the CsvQuarantine batch lane draws. StreamingSpec proves
+    * micro-batched output ≡ the batch `enforce` twin row-for-row,
+    * tags included.
+    */
+  def dqQuarantineStream(stream: DataFrame,
+                         rules: Seq[graft.operators.DqRule])
+      : (DataFrame, DataFrame) = {
+    require(rules.forall(_.violation.isDefined),
+      "streaming DQ accepts row-level rules only (table-level rules need " +
+      "cross-batch state; run them on the landed table via DqRules.validate)")
+    val tags = array(rules.map(r =>
+      when(r.violation.get, lit(r.name)).otherwise(lit(null))): _*)
+    val tagged = stream.withColumn("_dq_violations", filter(tags, _.isNotNull))
+    (tagged.filter(size(col("_dq_violations")) === 0).drop("_dq_violations"),
+     tagged.filter(size(col("_dq_violations")) > 0))
+  }
 }

@@ -264,4 +264,47 @@ class StreamingSpec extends SparkSpec {
                            r.getAs[Long]("canon_id") === 900000L),
            "twin of the first-arrived doc links to the ARRIVAL canonical")
   }
+
+  test("streaming DQ quarantine: micro-batched split equals the batch enforce twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{NotNull, InRange, InSet}
+    val rules = Seq(NotNull("status"), InRange("amount", 0.0, 1000.0),
+                    InSet("status", Seq("F", "O", "P")))
+    // rows spanning clean, single-rule, and multi-rule violations
+    val rows = Seq(
+      (1L, "F", 10.0), (2L, "O", 999.0),          // clean
+      (3L, null.asInstanceOf[String], 5.0),       // null status (NotNull only: InSet passes NULLs)
+      (4L, "X", 50.0),                            // bad status
+      (5L, "P", -3.0), (6L, "F", 5000.0),         // out of range
+      (7L, null.asInstanceOf[String], 2000.0))    // everything wrong
+    val mem = MemoryStream[(Long, String, Double)]
+    val streamDf = mem.toDF().toDF("id", "status", "amount")
+    val (clean, quar) = StreamOps.dqQuarantineStream(streamDf, rules)
+    val q1 = clean.writeStream.format("memory").queryName("dq_clean")
+      .outputMode("append").start()
+    val q2 = quar.writeStream.format("memory").queryName("dq_quar")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(3)
+    mem.addData(b1: _*); q1.processAllAvailable(); q2.processAllAvailable()
+    mem.addData(b2: _*); q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val batch = graft.operators.DqRules.enforce(
+      rows.toDF("id", "status", "amount"), rules)
+    val sc = spark.table("dq_clean").collect().map(_.getAs[Long]("id")).toSet
+    val bc = batch.clean.collect().map(_.getAs[Long]("id")).toSet
+    assert(sc === bc && sc === Set(1L, 2L))
+    val sq = spark.table("dq_quar")
+      .select(col("id"), col("_dq_violations")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[String](1).toSet).toMap
+    val bq = batch.quarantine
+      .select(col("id"), col("_dq_violations")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[String](1).toSet).toMap
+    assert(sq === bq, "violation tags must match the batch twin")
+    assert(sq(7L).size === 2 && sq(3L).size === 1 && sq(4L).size === 1)
+    // table-level rules are rejected loudly, not silently dropped
+    intercept[IllegalArgumentException] {
+      StreamOps.dqQuarantineStream(streamDf, Seq(graft.operators.Unique("id")))
+    }
+  }
 }
