@@ -228,6 +228,7 @@ object SparkEntry {
     "q_skew_report"       -> q(Insights.skewReport), // join-key concentration profile: the salting decision input
     "q_bridge_alloc"      -> q(Warehouse.bridgeAllocation), // Kimball M:N bridge with integer-exact allocation factors
     "q_ann_join"          -> q(Ivf.annJoinGated(_, _, 16, 130000000L)), // cross-corpus ANN join: B-owned index, per-A argmin, honest misses
+    "q_psi_drift"         -> q(Quality.psiDrift(_, _, 10)), // population stability index: integer bins, fixed-point ln terms
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
     "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),
@@ -2659,6 +2660,34 @@ object SparkEntry {
         |       floor(CAST(top20_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
         |             * 10000.0 + 0.5) / 10000.0 AS top20_share
         |FROM g, top20""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH o AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS vc,
+        |         year(o_orderdate) <= 1997 AS is_base
+        |  FROM orders),
+        |rng AS (SELECT min(vc) AS mn, max(vc) AS mx FROM o),
+        |cnts AS (
+        |  SELECT least(9, ((vc - mn) * 10) // (mx - mn + 1)) AS bin,
+        |         CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
+        |         CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS c_curr
+        |  FROM o, rng GROUP BY 1),
+        |tot AS (SELECT CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |               CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |        FROM o),
+        |ab AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin),
+        |terms AS (
+        |  SELECT ab.bin,
+        |         COALESCE(c_base, 0) AS c_base, COALESCE(c_curr, 0) AS c_curr,
+        |         CAST(floor((CAST(COALESCE(c_base, 0) + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+        |                     - CAST(COALESCE(c_curr, 0) + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+        |                    * ln((CAST(COALESCE(c_base, 0) + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+        |                         / (CAST(COALESCE(c_curr, 0) + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)))
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS psi_term_fp
+        |  FROM ab LEFT JOIN cnts ON cnts.bin = ab.bin, tot)
+        |SELECT bin, c_base, c_curr, psi_term_fp,
+        |       (SELECT CAST(sum(psi_term_fp) AS BIGINT) FROM terms) AS psi_total_fp
+        |FROM terms ORDER BY bin""".stripMargin,
 
     "q_ann_join" -> {
       // k-means fit on the EVEN (reference) side only; both sides assigned,

@@ -275,6 +275,59 @@ object Quality {
     * at any fact scale), never the fact table; the peak |dev| day — the
     * changepoint estimate — is flagged by an exact integer comparison.
     */
+  /** Population Stability Index — the standard "did the feature
+    * distribution drift between two periods" monitor every production ML
+    * pipeline runs before trusting a trained model on new data:
+    * PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) over a shared binning, with the
+    * conventional reading ≥0.2 = significant drift. Baseline = orders
+    * through 1997, current = 1998 on (the testdata date range is
+    * 1995–2001, so both periods are populated). Engineering discipline, all
+    * repo-standard: prices quantize to integer cents, the 10 equi-width
+    * bin edges are INTEGER arithmetic over the in-plan (min,max) range —
+    * `least(9, (vc−mn)·10 div (mx−mn+1))` — so bin membership can never
+    * drift on a float boundary between engines; add-1 smoothing keeps
+    * empty bins finite; every bin row is generated (0..9) so both engines
+    * agree on the row set; the per-bin term runs ONE mirrored IEEE chain
+    * (two divides + ln, both correctly-rounded — the q_perplexity/q_tfidf
+    * precedent) and is floored to 1e-6 fixed point BEFORE the total sums,
+    * making the grand PSI an exact integer sum. Scale shape: one pass to
+    * cents+period flag, one 2-row-bounded range aggregate broadcast, one
+    * 10-group hash-agg — the fact table shuffles (bin, period) partials
+    * only.
+    */
+  def psiDrift(spark: SparkSession, sfDir: String, bins: Int = 10): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                .cast("long").as("vc"),
+              (year(col("o_orderdate")) <= 1997).as("is_base"))
+    val rng = o.agg(min(col("vc")).as("mn"), max(col("vc")).as("mx"))
+    val cnts = o.crossJoin(broadcast(rng))
+      .select(expr(s"least(${bins - 1}, ((vc - mn) * $bins) div (mx - mn + 1))")
+                .as("bin"), col("is_base"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("c_base"),
+           sum(when(!col("is_base"), 1L).otherwise(0L)).as("c_curr"))
+    val tot = o.agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("na"),
+                    sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
+    val allBins = spark.range(bins).select(col("id").cast("long").as("bin"))
+    val pp = (col("c_base") + lit(1)).cast("double") /
+             (col("na") + lit(bins)).cast("double")
+    val pq = (col("c_curr") + lit(1)).cast("double") /
+             (col("nc") + lit(bins)).cast("double")
+    val termFp = floor((pp - pq) * log(pp / pq) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    val terms = allBins
+      .join(cnts, Seq("bin"), "left")
+      .select(col("bin"),
+              coalesce(col("c_base"), lit(0L)).as("c_base"),
+              coalesce(col("c_curr"), lit(0L)).as("c_curr"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("c_base"), col("c_curr"), termFp.as("psi_term_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = terms.agg(sum(col("psi_term_fp")).as("psi_total_fp"))
+    ordered(terms.crossJoin(broadcast(total)), "bin")
+  }
+
   def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = t(spark, sfDir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("d"))

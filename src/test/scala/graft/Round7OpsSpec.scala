@@ -212,6 +212,34 @@ class Round7OpsSpec extends SparkSpec {
     assert(r.exists(_.getAs[Boolean]("is_match")), "threshold must match something")
   }
 
+  test("psi drift: terms match a sequential recompute, total is the term sum") {
+    val r = SparkEntry.queries("q_psi_drift")(spark, Sf).collect()
+    assert(r.length === 10)
+    val o = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_totalprice"), year(col("o_orderdate")).as("y")).collect()
+      .map(x => (math.floor(x.getAs[Double]("o_totalprice") * 100.0 + 0.5).toLong,
+                 x.getAs[Int]("y") <= 1997))
+    val mn = o.map(_._1).min; val mx = o.map(_._1).max
+    def bin(v: Long) = math.min(9L, (v - mn) * 10 / (mx - mn + 1))
+    val base = o.filter(_._2).map(t => bin(t._1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val curr = o.filterNot(_._2).map(t => bin(t._1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val na = o.count(_._2).toLong; val nc = o.length - na
+    val expTerms = (0L to 9L).map { b =>
+      val pp = (base.getOrElse(b, 0L) + 1).toDouble / (na + 10)
+      val pq = (curr.getOrElse(b, 0L) + 1).toDouble / (nc + 10)
+      b -> math.floor((pp - pq) * math.log(pp / pq) * 1000000.0 + 0.5).toLong
+    }.toMap
+    r.foreach { row =>
+      val b = row.getAs[Long]("bin")
+      assert(row.getAs[Long]("c_base") === base.getOrElse(b, 0L))
+      assert(row.getAs[Long]("c_curr") === curr.getOrElse(b, 0L))
+      assert(row.getAs[Long]("psi_term_fp") === expTerms(b))
+      assert(row.getAs[Long]("psi_total_fp") === expTerms.values.sum)
+    }
+  }
+
   test("skew report: metrics match a collected recount") {
     val r = SparkEntry.queries("q_skew_report")(spark, Sf).collect()
     assert(r.length === 1)
