@@ -519,15 +519,26 @@ object Dedup {
     * the comparison itself is one semi-join on pair keys plus three
     * 1-row aggregates.
     */
+  /** Word-shingle Carter–Wegman band candidate pairs (hot-bucket-capped)
+    * for an ARBITRARY (doc_id, text) frame — the candidate leg of
+    * [[lshRecallGated]] exposed at frame level so specs can drive it over
+    * synthetic mass-duplicate corpora where the cap actually bites (the
+    * real testdata's clone groups sit under [[HotBucketCap]], so the
+    * registry query measures recall 1.0 there — the spec proves the
+    * metric MOVES when the cap truncates a 200-member bucket).
+    */
+  def wordMinhashCandidates(docs: DataFrame): DataFrame =
+    bucketCandidates(bandedGatedFrom(wordShingleRows(docs)),
+                     Seq("band_id", "bkey"), "doc_id", Seq())
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+
   def lshRecallGated(spark: SparkSession, sfDir: String,
                      num: Int = 1, den: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val truth = graft.operators.Text.jaccardPrefixJoin(spark, sfDir, num, den)
       .select(col("doc_a"), col("doc_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedGatedFrom(wordShingleRows(t(spark, sfDir, "documents")))
-    val cand = bucketCandidates(banded, Seq("band_id", "bkey"), "doc_id", Seq())
-      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"))
+    val cand = wordMinhashCandidates(t(spark, sfDir, "documents"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))

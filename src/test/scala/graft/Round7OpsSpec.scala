@@ -70,6 +70,30 @@ class Round7OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall implausibly low")
   }
 
+  test("lsh recall: the hot-bucket cap's losses are measured, not hidden") {
+    import spark.implicits._
+    // 200 identical docs collapse into one band bucket per band (>> cap 64),
+    // so the capped generator emits ONLY the anchor star — 199 of the
+    // 200·199/2 true pairs. The recall arithmetic must report that honestly.
+    val clones = (0L until 200L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val distinct = (1000L until 1050L).map(i => (i, s"unique document number $i with its own words entirely"))
+    val docs = (clones ++ distinct).toDF("doc_id", "text")
+    val cand = graft.operators.Dedup.wordMinhashCandidates(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val clonePairs = cand.filter(_._1 < 200L)
+    assert(clonePairs === (1L until 200L).map(b => (0L, b)).toSet,
+      "a >cap bucket must emit exactly the min-id anchor star")
+    val nTruth = 200L * 199L / 2
+    val recall = clonePairs.size.toDouble / nTruth
+    assert(recall < 0.02, s"capped recall over a mass-duplicate corpus is ~1%, got $recall")
+    // downstream clustering still recovers the FULL clone cluster from the star
+    val cc = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.wordMinhashCandidates(docs), "doc_a", "doc_b")
+    val labels = cc.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert((0L until 200L).forall(i => labels.get(i).forall(_ === 0L)),
+      "anchor-star pairs keep the duplicate CLUSTER connected")
+  }
+
   test("semantic dedup: flags match a brute-force within-cluster recompute") {
     val got = SparkEntry.queries("q_semantic_dedup")(spark, Sf).collect()
     val thr = 130000000L
