@@ -229,6 +229,7 @@ object SparkEntry {
     "q_bridge_alloc"      -> q(Warehouse.bridgeAllocation), // Kimball M:N bridge with integer-exact allocation factors
     "q_ann_join"          -> q(Ivf.annJoinGated(_, _, 16, 130000000L)), // cross-corpus ANN join: B-owned index, per-A argmin, honest misses
     "q_psi_drift"         -> q(Quality.psiDrift(_, _, 10)), // population stability index: integer bins, fixed-point ln terms
+    "q_spearman"          -> q(Insights.spearman), // rank correlation: tie-averaged doubled ranks, decimal moment sums
     // multimodal plumbing tier
     "q_multimodal_meta"   -> q(Multimodal.multimodalMeta),
     "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),
@@ -2660,6 +2661,35 @@ object SparkEntry {
         |       floor(CAST(top20_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
         |             * 10000.0 + 0.5) / 10000.0 AS top20_share
         |FROM g, top20""".stripMargin,
+
+    "q_spearman" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |hx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY x),
+        |rx AS (SELECT x,
+        |              2 * COALESCE(sum(cnt) OVER (ORDER BY x
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              + cnt + 1 AS r_x
+        |       FROM hx),
+        |hy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY y),
+        |ry AS (SELECT y,
+        |              2 * COALESCE(sum(cnt) OVER (ORDER BY y
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              + cnt + 1 AS r_y
+        |       FROM hy),
+        |wr AS (SELECT r_x, r_y FROM b JOIN rx USING (x) JOIN ry USING (y)),
+        |agg AS (SELECT count(*) AS n, sum(r_x) AS sa, sum(r_y) AS sb,
+        |               sum(r_x * r_x) AS saa, sum(r_y * r_y) AS sbb,
+        |               sum(r_x * r_y) AS sab
+        |        FROM wr)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |       floor(CAST(n * sab - sa * sb AS DOUBLE)
+        |             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+        |                    * CAST(n * sbb - sb * sb AS DOUBLE))
+        |             * 10000.0 + 0.5) / 10000.0 AS rho
+        |FROM agg""".stripMargin,
 
     "q_psi_drift" ->
       """WITH o AS (

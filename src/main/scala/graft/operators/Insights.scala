@@ -304,6 +304,53 @@ object Insights {
                 .as("top20_share"))
   }
 
+  /** Spearman rank correlation — the nonparametric "does order value move
+    * with customer balance" monotone-association measure (robust to the
+    * outliers and skew that wreck Pearson on raw money columns):
+    * ρ = Pearson correlation of the two variables' tie-averaged ranks.
+    * Exactness discipline: both measures quantize to integer cents;
+    * tie-averaged ranks come per VALUE from the two-phase distributed
+    * prefix sum over each value histogram (the [[mannWhitney]] machinery —
+    * ranks of a 100 TB join collapse to its distinct-value counts, never
+    * a global row sort) and are kept DOUBLED so .5 ties stay integral;
+    * the five moment sums run as DECIMAL(38,0) — Σ(2r)² reaches ~4N³,
+    * past BIGINT at warehouse scale — and ρ is ONE mirrored IEEE chain
+    * (a divide and a sqrt over exactly-agreed integers; the doubling
+    * cancels). Scale shape: one fact-dim join, two value-histogram
+    * aggregates + prefix sums, two shuffled rank joins ON VALUE, one
+    * 1-row moment aggregate.
+    */
+  def spearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+                .cast("long").as("x"),
+              floor(col("c_acctbal") * lit(100.0) + lit(0.5))
+                .cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ranks(v: String): DataFrame = {
+      val h = base.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+      PrefixSum.exclusiveCols(h, Seq(col(v).asc), col("cnt"), "cumb")
+        .select(col(v), (lit(2) * col("cumb") + col("cnt") + lit(1)).as(s"r_$v"))
+    }
+    val d38 = "decimal(38,0)"
+    val agg = base
+      .join(ranks("x"), Seq("x"))
+      .join(ranks("y"), Seq("y"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+           sum(col("r_x").cast(d38)).as("sa"),
+           sum(col("r_y").cast(d38)).as("sb"),
+           sum((col("r_x") * col("r_x")).cast(d38)).as("saa"),
+           sum((col("r_y") * col("r_y")).cast(d38)).as("sbb"),
+           sum((col("r_x") * col("r_y")).cast(d38)).as("sab"))
+    val num = (col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+    val denx = (col("n") * col("saa") - col("sa") * col("sa")).cast("double")
+    val deny = (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")
+    agg.select(col("n").cast("long").as("n_pairs"),
+               r4(num / sqrt(denx * deny)).as("rho"))
+  }
+
   def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
     val v = t(spark, sfDir, "customer")
       .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))

@@ -264,6 +264,37 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("spearman: rho matches a sequential tie-averaged rank recompute") {
+    val r = SparkEntry.queries("q_spearman")(spark, Sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val joined = graft.util.Tables.t(spark, Sf, "orders")
+      .join(graft.util.Tables.t(spark, Sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_totalprice"), col("c_acctbal")).collect()
+      .map(x => (math.floor(x.getAs[Double]("o_totalprice") * 100.0 + 0.5).toLong,
+                 math.floor(x.getAs[Double]("c_acctbal") * 100.0 + 0.5).toLong))
+    def ranks2(vs: Seq[Long]): Map[Long, Long] = {
+      val hist = vs.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      var cumb = 0L
+      hist.map { case (v, cnt) =>
+        val r2 = 2 * cumb + cnt + 1; cumb += cnt; v -> r2
+      }.toMap
+    }
+    val rx = ranks2(joined.map(_._1)); val ry = ranks2(joined.map(_._2))
+    val pairs = joined.map { case (x, y) => (BigInt(rx(x)), BigInt(ry(y))) }
+    val n = BigInt(pairs.length)
+    val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+    val saa = pairs.map(p => p._1 * p._1).sum
+    val sbb = pairs.map(p => p._2 * p._2).sum
+    val sab = pairs.map(p => p._1 * p._2).sum
+    val rho = (n * sab - sa * sb).toDouble /
+      math.sqrt((n * saa - sa * sa).toDouble * (n * sbb - sb * sb).toDouble)
+    assert(row.getAs[Long]("n_pairs") === pairs.length.toLong)
+    assert(row.getAs[Double]("rho") === math.floor(rho * 10000.0 + 0.5) / 10000.0)
+    assert(math.abs(row.getAs[Double]("rho")) <= 1.0)
+  }
+
   test("skew report: metrics match a collected recount") {
     val r = SparkEntry.queries("q_skew_report")(spark, Sf).collect()
     assert(r.length === 1)
