@@ -18,7 +18,9 @@ import org.apache.spark.sql.types._
   *
   * Both evaluate in double precision with index-order accumulation, exactly
   * matching the zip_with/aggregate formulation and the DuckDB oracle — they
-  * are drop-in replacements with identical results.
+  * are drop-in replacements with identical results. All binary kernels
+  * return NULL on a length mismatch (the HOF chain null-poisons there via
+  * zip_with padding) rather than silently truncating to the shorter vector.
   */
 trait FloatVectorBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -44,7 +46,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = a.getFloat(i).toDouble
@@ -62,14 +65,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($n == $b.numElements()) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
          |}
-         |if ($na == 0.0 || $nb == 0.0) {
+         |if ($n != $b.numElements() || $na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -107,7 +112,8 @@ case class SignatureMatchCount(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var m = 0; var i = 0
     while (i < n) { if (a.getLong(i) == b.getLong(i)) m += 1; i += 1 }
     m
@@ -118,12 +124,16 @@ case class SignatureMatchCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val m = ctx.freshName("m")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |int $m = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $m = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |  }
+         |  ${ev.value} = $m;
          |}
-         |${ev.value} = $m;
        """.stripMargin
     })
 
@@ -139,7 +149,10 @@ case class SignatureMatchCount(left: Expression, right: Expression)
   * per 64-dim pair), which dominates the within-cell pair scans once the
   * corpus grows (the multi-probe 10× decade runs ~10⁸ pair distances).
   * Exact integer arithmetic in a primitive loop — bit-identical to the
-  * HOF chain and the DuckDB oracle, drop-in under the hash gate.
+  * HOF chain and the DuckDB oracle, drop-in under the hash gate. A
+  * length mismatch yields NULL, mirroring the HOF chain (zip_with
+  * null-pads the shorter array and acc+null poisons the fold) instead of
+  * silently truncating to the shorter vector.
   */
 case class SquaredL2Long(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -159,7 +172,8 @@ case class SquaredL2Long(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0L; var i = 0
     while (i < n) {
       val d = a.getLong(i) - b.getLong(i)
@@ -173,13 +187,17 @@ case class SquaredL2Long(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $s += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -260,7 +278,8 @@ case class DotProductF(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var i = 0
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     dot
@@ -271,12 +290,16 @@ case class DotProductF(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

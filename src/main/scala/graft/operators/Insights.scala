@@ -239,10 +239,14 @@ object Insights {
     * from the two-phase distributed prefix sum over the value histogram —
     * never a single-reducer global window — and are kept as DOUBLED
     * integers (2·avgRank = 2·cumBefore + cnt + 1, integral even for .5
-    * ties). The doubled rank-sum and U statistic are gated as BIGINTs; the
-    * z-score is one mirrored IEEE chain (divide + sqrt, both
-    * correctly-rounded ops) over those integers with the tie-correction
-    * term Σ(t³−t). Scale shape: hash-agg → value-histogram prefix sum →
+    * ties). The doubled rank-sum, U statistic and tie-correction
+    * Σ(t³−t) ACCUMULATE as DECIMAL(38,0) (w2a reaches ~2·n·na — past
+    * BIGINT once n is in the low billions, the same reason the sibling
+    * spearman moment sums are decimal); the z-score is one mirrored IEEE
+    * chain (divide + sqrt, both correctly-rounded ops) taken straight off
+    * the decimal sums, so z stays exact-input at any scale. The integer
+    * diagnostic columns are cast back to BIGINT for the gate (exact for
+    * n ≲ 2e9; z never saturates). Scale shape: hash-agg → value-histogram prefix sum →
     * one 1-row aggregate; nothing is ever globally sorted through one
     * reducer.
     */
@@ -253,23 +257,31 @@ object Insights {
     val vals = o.groupBy(col("v"))
       .agg(count(lit(1)).as("cnt"), sum(col("ga")).as("cnta"))
     val cum = PrefixSum.exclusiveCols(vals, Seq(col("v").asc), col("cnt"), "cumb")
+    val d38 = "decimal(38,0)"
     val agg = cum.agg(
       sum(col("cnta")).as("na"),
       sum(col("cnt")).as("n"),
-      sum(col("cnta") * (lit(2) * col("cumb") + col("cnt") + lit(1))).as("w2a"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+      sum(col("cnta").cast(d38) *
+          (lit(2).cast(d38) * col("cumb").cast(d38) + col("cnt").cast(d38) +
+           lit(1).cast(d38))).as("w2a"),
+      sum(col("cnt").cast(d38) * col("cnt").cast(d38) * col("cnt").cast(d38) -
+          col("cnt").cast(d38)).as("ties"))
     val naD = col("n_a").cast("double")
     val nbD = col("n_b").cast("double")
     val nD = (col("n_a") + col("n_b")).cast("double")
-    val z = (col("u2_a").cast("double") / lit(2.0) - naD * nbD / lit(2.0)) /
+    val z = (col("u2d").cast("double") / lit(2.0) - naD * nbD / lit(2.0)) /
       sqrt(naD * nbD / lit(12.0) *
-           ((nD + lit(1.0)) - col("tie_sum").cast("double") / (nD * (nD - lit(1.0)))))
+           ((nD + lit(1.0)) - col("tied").cast("double") / (nD * (nD - lit(1.0)))))
     agg
       .select(col("na").as("n_a"), (col("n") - col("na")).as("n_b"),
-              col("w2a").as("w2_a"),
-              (col("w2a") - col("na") * (col("na") + lit(1))).as("u2_a"),
-              col("ties").as("tie_sum"))
-      .select(col("n_a"), col("n_b"), col("w2_a"), col("u2_a"), col("tie_sum"),
+              col("w2a").as("w2d"),
+              (col("w2a") - col("na").cast(d38) *
+                (col("na").cast(d38) + lit(1).cast(d38))).as("u2d"),
+              col("ties").as("tied"))
+      .select(col("n_a"), col("n_b"),
+              col("w2d").cast("long").as("w2_a"),
+              col("u2d").cast("long").as("u2_a"),
+              col("tied").cast("long").as("tie_sum"),
               r4(z).as("z"))
   }
 
@@ -341,9 +353,9 @@ object Insights {
       .agg(count(lit(1)).cast(d38).as("n"),
            sum(col("r_x").cast(d38)).as("sa"),
            sum(col("r_y").cast(d38)).as("sb"),
-           sum((col("r_x") * col("r_x")).cast(d38)).as("saa"),
-           sum((col("r_y") * col("r_y")).cast(d38)).as("sbb"),
-           sum((col("r_x") * col("r_y")).cast(d38)).as("sab"))
+           sum(col("r_x").cast(d38) * col("r_x").cast(d38)).as("saa"),
+           sum(col("r_y").cast(d38) * col("r_y").cast(d38)).as("sbb"),
+           sum(col("r_x").cast(d38) * col("r_y").cast(d38)).as("sab"))
     val num = (col("n") * col("sab") - col("sa") * col("sb")).cast("double")
     val denx = (col("n") * col("saa") - col("sa") * col("sa")).cast("double")
     val deny = (col("n") * col("sbb") - col("sb") * col("sb")).cast("double")
@@ -674,11 +686,23 @@ object Insights {
     val e0 = coPurchaseEdges(spark, sfDir)
       .select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // k = (3/4)·mean degree, exact integer arithmetic (degrees positive)
+    // k = (3/4)·mean degree, exact integer arithmetic (degrees positive).
+    // Eagerly checkpointed 1-row frame: every peel round broadcasts it, and
+    // without the checkpoint each broadcast would re-evaluate the degree
+    // aggregate against e0 — which round 1 unpersists below.
     val kv = e0.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       .agg(expr("(sum(dg) * 3) div (count(1) * 4)").as("k"))
+      .localCheckpoint(true)
 
-    def peel(e: DataFrame): DataFrame = {
+    // Each round materializes eagerly (localCheckpoint, the
+    // connectedComponents pattern) and then drops its inputs: `keep` is
+    // unpersisted once the round's edge frame exists, and the previous
+    // round's edge frame likewise. Superseded checkpoint blocks are
+    // released by ContextCleaner on GC, so long-lived sessions (notebooks,
+    // Verify) no longer accumulate pinned MEMORY_AND_DISK blocks across
+    // calls — the suite's per-query clearCache() is a belt, not a
+    // dependency.
+    def peel(e: DataFrame, eWasPersisted: Boolean): DataFrame = {
       // keep is referenced by BOTH semi-joins — persist it (≤|nodes| rows)
       // so the degree aggregate runs once per round, not twice
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
@@ -686,13 +710,17 @@ object Insights {
         .filter(col("dg") >= col("k"))
         .select(col("src").as("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      e.join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
+      val next = e.join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      keep.unpersist()
+      if (eWasPersisted) e.unpersist()
+      next
     }
 
-    val eFinal = (1 to KcoreRounds).foldLeft(e0)((e, _) => peel(e))
+    val eFinal = (1 to KcoreRounds).zipWithIndex
+      .foldLeft(e0)((e, r) => peel(e, r._2 == 0))
     ordered(
       eFinal.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("part_id"), col("deg")),
