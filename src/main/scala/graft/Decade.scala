@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.{Ivf, Text}
+
+/** Dev main for the scale-decade sweeps (SURVEY robustness notes): runs one
+  * parameterized heavy operator against a `tools/scaleup.py` output dir and
+  * prints a one-line JSON wall/rows record. Parameterized ops cover the
+  * cell-sizing rule the registry's fixed-param queries can't express
+  * (nLists scales with corpus size — 16 at sf0.1, ~2048 at the 100×
+  * decade). Heap via SPARK_DRIVER_MEM (graph/semantic decades need 48g).
+  *
+  * Usage: runMain graft.Decade <sfDir> <op> [params...]
+  *   semantic_flat <nLists> | semantic_hier <nLists> <nCoarse> |
+  *   ann_join <nLists> | <any registry query name>
+  */
+object Decade {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val op = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Sessions.tune(spark)
+    val t0 = System.nanoTime()
+    val df = op match {
+      case "semantic_flat" =>
+        Ivf.semanticDedupGated(spark, sfDir, args(2).toInt, 130000000L)
+      case "semantic_hier" =>
+        Ivf.semanticDedupHier(spark, sfDir, args(2).toInt, args(3).toInt, 130000000L)
+      case "ann_join" =>
+        Ivf.annJoinGated(spark, sfDir, args(2).toInt, 130000000L)
+      case other =>
+        SparkEntry.queries(other)(spark, sfDir)
+    }
+    val n = df.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"op":"$op","sf":"$sfDir","rows":$n,"wall_sec":$wall%.1f}""")
+    spark.stop()
+  }
+}

@@ -299,16 +299,28 @@ object Dedup {
     simhashPairsFor(t(spark, sfDir, "documents"), k)
 
   /** DataFrame-level simhash pipeline (spec entry point). */
-  def simhashPairsFor(docs: DataFrame, k: Int): DataFrame = {
-    val sigs = simhashSignatures(docs)
+  def simhashPairsFor(docs: DataFrame, k: Int): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(docs)
+      .withColumnRenamed("simhash", "sig"), chunkBits = 16, k = k)
+
+  /** The production simhash candidate machinery downstream of the
+    * signature: 4 pigeonhole chunks of `chunkBits` bits, hot-bucket-capped
+    * candidates, exact bit_count(xor) Hamming, total-order top-k. Factored
+    * over (doc_id, sig) so the SAME code path runs over the gated twin's
+    * md5-48 signatures (chunkBits = 12) in the differential spec —
+    * production ≡ gated modulo the word hash, which shrinks the production
+    * op's unverified surface to exactly the xxhash64 word-hash kernel.
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, chunkBits: Int, k: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1L
     val chunked = sigs.select(
-      col("doc_id"), col("simhash"),
+      col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk_id", "chunk")))
-    val cand = bucketCandidates(chunked, Seq("chunk_id", "chunk"), "doc_id", Seq("simhash"))
+    val cand = bucketCandidates(chunked, Seq("chunk_id", "chunk"), "doc_id", Seq("sig"))
     cand.select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
-                bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
+                bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
       .limit(k)
   }
@@ -327,20 +339,7 @@ object Dedup {
     * query, not a scale path).
     */
   def simhashGatedPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    val B = 48
-    val words = t(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-    // 48-bit word hash from the md5 hex prefix — portable across engines
-    val hw = words.select(col("doc_id"),
-      conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long").as("h"))
-    val bitSums = (0 until B).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)).as(s"s$b"))
-    val sums = hw.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until B).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val sigs = sums.select(col("doc_id"), sig.as("sig"))
+    val sigs = simhashGatedSigs(t(spark, sfDir, "documents"))
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
@@ -360,6 +359,30 @@ object Dedup {
                 .cast("long").as("hamming"))
       .orderBy(col("hamming").asc, col("a_id").asc, col("b_id").asc)
       .limit(k)
+  }
+
+  /** The md5-48 signature stage of the gated SimHash twin, exposed for
+    * [[simhashGatedPairs]] and for the differential spec that runs the
+    * PRODUCTION candidate machinery ([[simhashPairsFromSigs]]) over these
+    * portable signatures. Output: (doc_id, sig) — a 48-bit sign-sum
+    * SimHash whose per-word hash is the md5 hex prefix both engines
+    * compute identically.
+    */
+  def simhashGatedSigs(docs: DataFrame): DataFrame = {
+    val B = 48
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    // 48-bit word hash from the md5 hex prefix — portable across engines
+    val hw = words.select(col("doc_id"),
+      conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until B).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)).as(s"s$b"))
+    val sums = hw.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until B).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("sig"))
   }
 
   /** MinHash near-dup pairs under the EXACT hash gate — the gated twin of

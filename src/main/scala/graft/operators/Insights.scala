@@ -727,6 +727,110 @@ object Insights {
       "part_id")
   }
 
+  /** Convergence-detected k-core — the exact fixpoint the bounded
+    * [[kcore]] query approximates with [[KcoreRounds]] rounds: peel nodes
+    * of degree < k repeatedly until a round removes NOTHING (delta-count
+    * termination), the [[graft.operators.Dedup.connectedComponents]]
+    * localCheckpoint pattern. The bounded registry query stays the
+    * oracle-gated surface (a static plan the DuckDB fold can unroll); this
+    * is the lib entry point a real "give me THE k-core" caller wants.
+    *
+    * Per-round shape is identical to [[kcore]]'s peel — one degree
+    * hash-aggregate plus two semi-joins, shuffling only (node, degree)
+    * pairs and edge endpoints — so the 100 TB story is unchanged; the only
+    * addition is one count() per round over the already-checkpointed edge
+    * frame (cached partitions, no recomputation). Termination needs no
+    * extra pass: edges only shrink, so the round-over-round edge count is
+    * the complete convergence signal. Superseded round frames are
+    * unpersisted as soon as their successor is materialized (the leak-free
+    * long-session discipline ADVICE r7 asked for).
+    *
+    * `edges0` must be a symmetric (src, dst) edge list (both directions
+    * present, no self-loops), e.g. the co-purchase graph.
+    */
+  def kcoreFixpoint(edges0: DataFrame, k: Long, maxIter: Int = 50): DataFrame = {
+    var e = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    var nEdges = e.count()
+    var converged = nEdges == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k)
+        .select(col("src").as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = e.join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      keep.unpersist()
+      val nNext = next.count()
+      e.unpersist()
+      converged = nNext == nEdges
+      e = next
+      nEdges = nNext
+      iter += 1
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
+  /** Convergence-detected single-source shortest path — the exact fixpoint
+    * the bounded [[shortestPath]] query approximates with [[SpRounds]]
+    * frontier rounds: Bellman–Ford via min-plus frontier expansion,
+    * iterating until the (node count, dist sum) of the best-known distance
+    * frame stops changing. Distances only DECREASE and the reached set
+    * only GROWS, so that one 2-value aggregate per round is a complete
+    * convergence signal — no self-join against the previous round needed.
+    *
+    * Per-round shape matches the bounded query: the frontier (nodes whose
+    * dist improved last round — Δ-stepping's "only relax what changed")
+    * joins the persisted edge list, a group-min merges candidates into the
+    * running best, both frames localCheckpoint eagerly and superseded
+    * rounds unpersist — the lineage-truncation that keeps round r's plan
+    * O(1) instead of O(r), plus the leak-free session discipline. All
+    * arithmetic BIGINT, so results hash-match the sequential fold at any
+    * partitioning.
+    *
+    * `edges0` must carry (src, dst, cost ≥ 0); unreachable nodes are
+    * absent from the output (the honest miss).
+    */
+  def spFixpoint(edges0: DataFrame, srcNode: Long, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = edges0.select(col("src"), col("dst"), col("cost"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var best = e.sparkSession.range(1)
+      .select(lit(srcNode).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = best
+    var state = (1L, 0L) // (reached count, dist sum) — monotone signal
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val relaxed = e.join(frontier, col("src") === col("node"))
+        .groupBy(col("dst").as("n"))
+        .agg(min(col("dist") + col("cost")).as("d"))
+        .select(col("n").as("node"), col("d").as("dist"))
+      val merged = best.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      // next frontier = nodes whose best improved this round; anti-joining
+      // the (node, dist) PAIRS finds exactly those (dists only decrease)
+      val nextFrontier = merged.join(best, Seq("node", "dist"), "left_anti")
+        .localCheckpoint(true)
+      val agg = merged.agg(count(lit(1)), sum(col("dist"))).head()
+      val nextState = (agg.getLong(0), agg.getLong(1))
+      if (frontier ne best) frontier.unpersist()
+      best.unpersist()
+      converged = nextState == state
+      best = merged
+      frontier = nextFrontier
+      state = nextState
+      iter += 1
+    }
+    e.unpersist()
+    best
+  }
+
   /** Curriculum bucketing — order the corpus by quality score and cut it
     * into 4 equal-depth curriculum phases (easy→hard scheduling for LLM
     * training). The score is [[Text.QScore]]'s exact expression mix (scored

@@ -57,7 +57,17 @@ object Ivf {
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(TrainCap)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val init = sample
+    kmeansFit(sample, k, Iters).persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Cosine Lloyd's fit over an arbitrary (vec_id, embedding) point frame
+    * — the float twin of [[gatedKmeansFit]], factored out of
+    * [[trainCentroids]] so the same fit runs at both levels of the
+    * hierarchical quantizer ([[assignListsHier]] fits the coarse level
+    * over the fine-centroid frame with it).
+    */
+  private def kmeansFit(points: DataFrame, k: Int, iters: Int): DataFrame = {
+    val init = points
       .withColumn("tile", ntile(k).over(Window.orderBy(col("vec_id"))))
       .groupBy(col("tile"))
       .agg(min_by(col("embedding"), col("vec_id")).as("centroid"))
@@ -65,7 +75,7 @@ object Ivf {
 
     def step(cent: DataFrame): DataFrame = {
       // map-only argmax assignment (same expression as the index build)
-      val assigned = assignLists(sample, cent)
+      val assigned = assignLists(points, cent)
       val means = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
@@ -79,8 +89,7 @@ object Ivf {
                 coalesce(col("newc"), col("centroid")).as("centroid"))
     }
 
-    (1 to Iters).foldLeft(init)((c, _) => step(c))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    (1 to iters).foldLeft(init)((c, _) => step(c))
   }
 
   /** Assign each vector to its nearest centroid by cosine — MAP-ONLY.
@@ -106,6 +115,56 @@ object Ivf {
         element_at(col("_cents"),
           array_position(col("_sims"), array_max(col("_sims"))).cast("int"))
           .getField("centroid_id"))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** PRODUCTION hierarchical (coarse→fine) cell assignment — the float/
+    * cosine twin of [[gatedHierAssign]], for the nLists regime where the
+    * flat [[assignLists]] argmax (corpus × nLists kernel calls) dominates:
+    * a [[CoarseIters]]-round cosine k-means over the nLists fine-centroid
+    * VECTORS yields ~√nLists coarse groups; each corpus vector argmaxes
+    * over the (live) coarse groups, then over only that group's fine
+    * centroids — corpus × (nCoarse + nLists/nCoarse) calls, minimized at
+    * nCoarse = √nLists. Both levels fold into ONE broadcast row; the
+    * corpus never shuffles, exactly like the flat path. With nCoarse = 1
+    * the routing is exact (one group holds every fine centroid, arrays
+    * id-sorted so ties resolve identically) — the spec's equivalence
+    * anchor; larger nCoarse buys the kernel-call reduction at the
+    * standard coarse-routing recall tradeoff.
+    */
+  def assignListsHier(emb: DataFrame, fine: DataFrame, nCoarse: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val finePoints = fine.select(col("centroid_id").cast("long").as("vec_id"),
+                                 col("centroid").as("embedding"))
+    val coarse = kmeansFit(finePoints, nCoarse, CoarseIters)
+    val fineTagged = assignLists(finePoints, coarse)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("fcent"),
+              col("centroid_id").as("gid"))
+    val liveCoarse = coarse.join(
+      fineTagged.select(col("gid").as("centroid_id")).distinct(),
+      Seq("centroid_id"), "left_semi")
+    val folded = liveCoarse
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("_g"))
+      .crossJoin(fineTagged
+        .agg(array_sort(collect_list(struct(col("cid"), col("gid"), col("fcent"))))
+          .as("_f")))
+    val gs = transform(col("_g"),
+      c => call_function("cosine_sim", col("embedding"), c.getField("centroid")))
+    emb.crossJoin(broadcast(folded))
+      .withColumn("_gs", gs)
+      .withColumn("_gid",
+        element_at(col("_g"),
+          array_position(col("_gs"), array_max(col("_gs"))).cast("int"))
+          .getField("centroid_id"))
+      .withColumn("_cands",
+        filter(col("_f"), f => f.getField("gid") === col("_gid")))
+      .withColumn("_fs", transform(col("_cands"),
+        f => call_function("cosine_sim", col("embedding"), f.getField("fcent"))))
+      .withColumn("centroid_id",
+        element_at(col("_cands"),
+          array_position(col("_fs"), array_max(col("_fs"))).cast("int"))
+          .getField("cid"))
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
   }
 
@@ -198,24 +257,24 @@ object Ivf {
   private def gatedL2(a: Column, b: Column): Column =
     call_function("sq_l2", a, b)
 
-  /** The gated k-means fit: md5-ordered bounded sample, spaced init,
-    * [[Iters]] Lloyd's rounds over exact integers. Returns the persisted
-    * (centroid_id, centroid) frame. Shared by [[ivfGatedTopK]] and
-    * [[semanticDedupGated]].
+  /** Integer Lloyd's fit over an arbitrary (vec_id, qv) point frame:
+    * spaced init (ntile over vec_id order, min-id representative per
+    * tile), `iters` rounds of map-only argmin assignment + per-dimension
+    * integer-floor means (positive domain, so Spark's `div` ≡ DuckDB's
+    * `//`), empty cells keeping their previous centroid. Factored out of
+    * [[gatedCentroids]] so the SAME fit runs at both levels of the
+    * hierarchical quantizer ([[gatedCoarseOverFine]] fits coarse centroids
+    * over the fine-centroid frame with it).
     */
-  private def gatedCentroids(qemb: DataFrame, nLists: Int): DataFrame = {
-    val sample = qemb
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(TrainCap)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val init = sample
-      .withColumn("tile", ntile(nLists).over(Window.orderBy(col("vec_id"))))
+  private def gatedKmeansFit(points: DataFrame, k: Int, iters: Int): DataFrame = {
+    val init = points
+      .withColumn("tile", ntile(k).over(Window.orderBy(col("vec_id"))))
       .groupBy(col("tile"))
       .agg(min_by(col("qv"), col("vec_id")).as("centroid"))
       .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
 
     def step(cent: DataFrame): DataFrame = {
-      val means = gatedWithBest(sample, cent)
+      val means = gatedWithBest(points, cent)
         .select(col("centroid_id"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(expr("sum(v) div count(1)").as("mv")) // positive ints: floor ≡ trunc
@@ -227,7 +286,20 @@ object Ivf {
         .select(col("centroid_id"),
                 coalesce(col("newc"), col("centroid")).as("centroid"))
     }
-    (1 to Iters).foldLeft(init)((c, _) => step(c))
+    (1 to iters).foldLeft(init)((c, _) => step(c))
+  }
+
+  /** The gated k-means fit: md5-ordered bounded sample, spaced init,
+    * [[Iters]] Lloyd's rounds over exact integers. Returns the persisted
+    * (centroid_id, centroid) frame. Shared by [[ivfGatedTopK]] and
+    * [[semanticDedupGated]].
+    */
+  private def gatedCentroids(qemb: DataFrame, nLists: Int): DataFrame = {
+    val sample = qemb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    gatedKmeansFit(sample, nLists, Iters)
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -324,6 +396,119 @@ object Ivf {
       asg.select(col("vec_id"), col("cid1"))
         .join(dup, col("vec_id") === col("b_id"), "left")
         .select(col("vec_id"), col("cid1").cast("long").as("cluster_id"),
+                col("dup_of").isNotNull.as("is_dup"),
+                col("dup_of"), col("min_d2")),
+      "vec_id")
+  }
+
+  /** Lloyd's rounds for the coarse level of the hierarchical quantizer —
+    * few, because the coarse fit clusters only the nLists fine centroids.
+    */
+  val CoarseIters = 3
+
+  /** Coarse quantizer OVER the fine centroids — level two of the
+    * hierarchical (coarse→fine) IVF assignment: k-means with
+    * [[CoarseIters]] rounds fit on the nLists fine-centroid VECTORS
+    * (nLists points — driver-trivial at any corpus scale), then each fine
+    * centroid tagged with its coarse group by the same map-only integer
+    * argmin as every other gated assignment (ties to the lowest gid).
+    * Returns (coarse (centroid_id, centroid) restricted to NON-EMPTY
+    * groups, fineTagged (cid, fcent, gid)) — restricting to live groups
+    * keeps the corpus-side coarse argmin from ever routing a vector into
+    * a group with no fine members.
+    */
+  private def gatedCoarseOverFine(fine: DataFrame, nCoarse: Int)
+      : (DataFrame, DataFrame) = {
+    val finePoints = fine.select(col("centroid_id").cast("long").as("vec_id"),
+                                 col("centroid").as("qv"))
+    val coarse = gatedKmeansFit(finePoints, nCoarse, CoarseIters)
+    val fineTagged = gatedWithBest(finePoints, coarse)
+      .select(col("vec_id").cast("int").as("cid"), col("qv").as("fcent"),
+              col("centroid_id").as("gid"))
+    val liveCoarse = coarse.join(
+      fineTagged.select(col("gid").as("centroid_id")).distinct(),
+      Seq("centroid_id"), "left_semi")
+    (liveCoarse, fineTagged)
+  }
+
+  /** Hierarchical (coarse→fine) map-only cell assignment — the 100 TB
+    * regime's answer to the flat argmin's corpus × nLists kernel-call
+    * cost: each vector first argmins over the ~√nLists coarse groups,
+    * then over only the fine centroids OF that group — corpus ×
+    * (nCoarse + nLists/nCoarse) kernel calls, minimized at
+    * nCoarse = √nLists (2·√nLists, a 22× reduction at nLists = 2048).
+    * Still strictly map-only: BOTH levels fold into one broadcast row
+    * (coarse array + gid-tagged fine array, each id-sorted so first-
+    * position argmin ties resolve to the lowest id, exactly the oracle's
+    * `row_number() OVER (ORDER BY d, id)`), and the corpus never
+    * shuffles. The price is the standard routing approximation: a vector
+    * whose true nearest fine centroid lives in a runner-up coarse group
+    * is assigned to its routed group's best — the same recall tradeoff
+    * IVF-HNSW-style two-level quantizers accept, and the hash gate
+    * (q_semantic_dedup_hier) pins the exact mechanism, approximation
+    * included.
+    */
+  private def gatedHierAssign(df: DataFrame, fine: DataFrame,
+                              nCoarse: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val (coarse, fineTagged) = gatedCoarseOverFine(fine, nCoarse)
+    val folded = coarse
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("_g"))
+      .crossJoin(fineTagged
+        .agg(array_sort(collect_list(struct(col("cid"), col("gid"), col("fcent"))))
+          .as("_f")))
+    val gd = transform(col("_g"),
+      c => call_function("sq_l2", col("qv"), c.getField("centroid")))
+    df.crossJoin(broadcast(folded))
+      .withColumn("_gd", gd)
+      .withColumn("_gid",
+        element_at(col("_g"),
+          array_position(col("_gd"), array_min(col("_gd"))).cast("int"))
+          .getField("centroid_id"))
+      .withColumn("_cands",
+        filter(col("_f"), f => f.getField("gid") === col("_gid")))
+      .withColumn("_fd", transform(col("_cands"),
+        f => call_function("sq_l2", col("qv"), f.getField("fcent"))))
+      .withColumn("centroid_id",
+        element_at(col("_cands"),
+          array_position(col("_fd"), array_min(col("_fd"))).cast("int"))
+          .getField("cid"))
+      .drop("_g", "_f", "_gd", "_gid", "_cands", "_fd")
+  }
+
+  /** [[semanticDedupGated]] with the HIERARCHICAL corpus assignment —
+    * identical fine fit, identical within-cell pair scan and
+    * keep-lowest-id rule; only the corpus→cell routing changes (flat
+    * argmin → coarse-then-fine, [[gatedHierAssign]]). Registered as its
+    * own gated query so the two-level mechanism — coarse fit over fine
+    * centroids, live-group restriction, two-stage argmin — sits fully
+    * under the DuckDB oracle; at production scale this is the default
+    * assignment once nLists crosses a few hundred (the 100× decade run
+    * showed flat assignment = corpus × nLists kernel calls dominating).
+    */
+  def semanticDedupHier(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                        nCoarse: Int = 4,
+                        thr: Long = 130000000L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = t(spark, sfDir, "embeddings")
+    val qemb = gatedQemb(emb)
+    val cents = gatedCentroids(qemb, nLists)
+    val asg = gatedHierAssign(qemb, cents, nCoarse)
+      .select(col("vec_id"), col("qv"), col("centroid_id").as("cid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = asg.select(col("cid"), col("vec_id").as("a_id"), col("qv").as("aq"))
+      .join(asg.select(col("cid"), col("vec_id").as("b_id"), col("qv").as("bq")),
+            Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id"), col("a_id"), gatedL2(col("aq"), col("bq")).as("d2"))
+      .filter(col("d2") <= thr)
+    val dup = pairs.groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), min(col("d2")).as("min_d2"))
+    ordered(
+      asg.select(col("vec_id"), col("cid"))
+        .join(dup, col("vec_id") === col("b_id"), "left")
+        .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
                 col("dup_of").isNotNull.as("is_dup"),
                 col("dup_of"), col("min_d2")),
       "vec_id")

@@ -150,8 +150,18 @@ object Similarity {
       col("vec_id"), col("embedding"),
       posexplode(call_function("hyperplane_bands", col("embedding")))
         .as(Seq("band_id", "bucket")))
-    // hot-bucket-capped candidates (Dedup.bucketCandidates): degenerate
-    // corpora (many identical vectors → one bucket) stay O(n), not n²
+    lshCandidateRerank(banded)
+  }
+
+  /** The production candidate machinery downstream of banding — hot-bucket-
+    * capped candidates ([[Dedup.bucketCandidates]]: degenerate corpora
+    * with many identical vectors stay O(n), not n²) re-ranked by exact
+    * cosine. Factored so the SAME code path can run over the gated twin's
+    * md5-plane banding in the differential spec: production ≡ gated modulo
+    * the plane hash, which shrinks the production op's unverified surface
+    * to exactly the hyperplane source ([[annLshGatedPairs]] scaladoc).
+    */
+  def lshCandidateRerank(banded: DataFrame): DataFrame = {
     val cand = Dedup.bucketCandidates(banded, Seq("band_id", "bucket"),
                                       "vec_id", Seq("embedding"))
     val cos = call_function("cosine_sim", col("embedding_a"), col("embedding_b"))
@@ -175,7 +185,17 @@ object Similarity {
     * Rademacher matrix), so the gated twin exercises real LSH geometry,
     * not a toy.
     */
-  def annLshGatedPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+  def annLshGatedPairs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    annLshGatedPairsFor(spark, t(spark, sfDir, "embeddings"), k)
+
+  /** The md5-plane integer-projection banding stage of the gated LSH twin,
+    * exposed (a) for [[annLshGatedPairsFor]] and (b) for the differential
+    * spec that runs the PRODUCTION candidate machinery
+    * ([[lshCandidateRerank]]) over this banding — proving production ≡
+    * gated modulo the plane hash on a corpus where the hot-bucket cap
+    * doesn't bind. Output: (vec_id, embedding, band_id, bucket).
+    */
+  def lshGatedBanded(spark: SparkSession, emb: DataFrame): DataFrame = {
     val P = 32; val BandBits = 8; val NBands = P / BandBits
     val MaxDim = 128
     def signs(p: Int): Seq[Long] = (1 to MaxDim).map { d =>
@@ -193,17 +213,22 @@ object Similarity {
         when(dot(b * BandBits + j) > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)
     graft.functions.GraftFunctions.register(spark)
-    val banded = t(spark, sfDir, "embeddings")
+    emb
       .withColumn("qv", transform(col("embedding"),
         x => floor(x.cast("double") * lit(10000.0) + lit(0.5)).cast("long")))
       .select(col("vec_id"), col("embedding"),
         posexplode(array((0 until NBands).map(bandHash): _*))
-          .as(Seq("band_id", "band_hash")))
-    val a = banded.select(col("band_id"), col("band_hash"),
+          .as(Seq("band_id", "bucket")))
+  }
+
+  /** [[annLshGatedPairs]] over an arbitrary embedding frame. */
+  def annLshGatedPairsFor(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    val banded = lshGatedBanded(spark, emb)
+    val a = banded.select(col("band_id"), col("bucket"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = banded.select(col("band_id"), col("band_hash"),
+    val b = banded.select(col("band_id"), col("bucket"),
       col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(b, Seq("band_id", "band_hash"))
+    a.join(b, Seq("band_id", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_emb"), col("b_emb"))
       .dropDuplicates("a_id", "b_id")

@@ -426,8 +426,16 @@ object Text {
               greatest(col("na"), col("nb")) * lit(num) <=
                 least(col("na"), col("nb")) * lit(den))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val common = cand
-      .join(e.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+    // verification: each candidate pair joins the per-doc shingle rows.
+    // The doc_a key is the skew hazard — a clone cluster or mega-doc
+    // appears in MANY candidate pairs, so its shingle fan-out lands on one
+    // reducer. Hot/cold split (q_skew_report's decision applied in-plan):
+    // docs with > 64 candidate pairs take the salted lane, spread by
+    // hash(doc_b); result ≡ the plain join — proven by THIS query's naive
+    // oracle, which is the result-neutrality gate for the salting.
+    val common = graft.util.Skew
+      .hotColdJoin(cand, e.select(col("doc_id").as("doc_a"), col("s")),
+                   "doc_a", "doc_b", salts = 8, hotThreshold = 64L)
       .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
     val za = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
@@ -479,8 +487,12 @@ object Text {
       .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val common = cand
-      .join(e.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+    // same hot/cold salted verification lane as jaccardPrefixJoin (the
+    // containment candidate set is even more probe-side-skewed: a popular
+    // container collects every contained doc as a candidate)
+    val common = graft.util.Skew
+      .hotColdJoin(cand, e.select(col("doc_id").as("doc_a"), col("s")),
+                   "doc_a", "doc_b", salts = 8, hotThreshold = 64L)
       .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
     val za = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))

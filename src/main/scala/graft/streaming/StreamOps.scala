@@ -251,6 +251,102 @@ object StreamOps {
     else spark.read.schema(schema).parquet(s"$baseDir/${versions.last}")
   }
 
+  /** End-to-end streaming corpus ingest — the three gates every
+    * training-data pipeline runs at the door, composed into ONE
+    * foreachBatch pipeline over a document stream:
+    *
+    *  1. **DQ quarantine** ([[dqQuarantineStream]]'s row-level split,
+    *     stateless, runs identically on the micro-batch): violators land
+    *     in `baseDir/quarantine/v<batch>` WITH their violation tags.
+    *  2. **Near-dup gate** against a PERSISTED band index (the
+    *     incremental-minhash batch shape made continuous): each clean
+    *     doc's LSH band buckets probe the index snapshot; a doc is
+    *     dropped when any bucket holds a smaller-id doc from a prior
+    *     batch OR from this batch (within-batch minima rank by doc_id,
+    *     the batch formulation's tie rule). Arrival defines "prior" —
+    *     the dup-against-previously-INGESTED contract
+    *     ([[streamingNearDupCandidates]] scaladoc).
+    *  3. **Merge** of the survivors into `baseDir/accepted/v<batch>` and
+    *     the band index into `baseDir/index/v<batch>` (bucket → min
+    *     doc_id ever seen, the 8-bytes-per-bucket state).
+    *
+    * Exactly-once on plain parquet: every sink dir is keyed by the
+    * deterministic micro-batch id and written with overwrite — a replayed
+    * batch rewrites the SAME versions with the SAME content (the
+    * [[mergeStreamToSnapshot]] idempotent-sink discipline). Scale shape
+    * per batch: signature kernel map-side (no shingle shuffle), one band
+    * shuffle of the BATCH only, one join against the bounded per-bucket
+    * index, one anti-join — batch-linear, corpus never rescanned.
+    * StreamingSpec proves ≡ the batch pipeline (DQ enforce → band-minima
+    * dedup → union) on id-ordered arrival across 3 micro-batches, and
+    * pins the arrival-defines-prior semantics on out-of-order arrival.
+    */
+  def ingestStream(docs: DataFrame, baseDir: String,
+                   rules: Seq[graft.operators.DqRule])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingestBatch(batch, baseDir, rules, id)
+      }
+      .start()
+
+  private val IndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("band_id",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("band_hash",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("canon_id",
+      org.apache.spark.sql.types.LongType)))
+
+  /** One micro-batch of [[ingestStream]] — public so the spec can drive
+    * batches directly and so a nightly BATCH ingest can reuse the exact
+    * same gate (stream/batch parity by construction).
+    */
+  def ingestBatch(batch: Dataset[org.apache.spark.sql.Row], baseDir: String,
+                  rules: Seq[graft.operators.DqRule], id: Long): Unit = {
+    val spark = batch.sparkSession
+    val (clean, quarantined) = dqQuarantineStream(batch.toDF(), rules)
+    val banded = graft.operators.Dedup
+      .bandExplode(graft.operators.Dedup.minhashSignatures(clean), carry = Nil)
+      .select(col("band_id"), col("band_hash"), col("doc_id"))
+      .persist()
+    val prior = latestSnapshot(spark, s"$baseDir/index", IndexSchema)
+    // bucket minima of THIS batch ∪ the prior index, bucket-wise min
+    val batchMin = banded.groupBy(col("band_id"), col("band_hash"))
+      .agg(min(col("doc_id")).as("bmin"))
+    val merged = batchMin
+      .join(prior, Seq("band_id", "band_hash"), "full_outer")
+      .select(col("band_id"), col("band_hash"),
+              least(coalesce(col("bmin"), col("canon_id")),
+                    coalesce(col("canon_id"), col("bmin"))).as("canon_id"))
+    // a doc is a dup when any of its buckets holds a smaller id (prior
+    // batches via the index, this batch via the bucket minimum)
+    val dupDocs = banded
+      .join(merged, Seq("band_id", "band_hash"))
+      .filter(col("doc_id") > col("canon_id"))
+      .select(col("doc_id")).distinct()
+    val accepted = clean.join(dupDocs, Seq("doc_id"), "left_anti")
+    accepted.write.mode("overwrite").parquet(f"$baseDir/accepted/v$id%05d")
+    quarantined.write.mode("overwrite").parquet(f"$baseDir/quarantine/v$id%05d")
+    merged.write.mode("overwrite").parquet(f"$baseDir/index/v$id%05d")
+    banded.unpersist()
+    ()
+  }
+
+  /** The batch twin of the [[ingestStream]] near-dup gate over a STATIC
+    * corpus (id-ordered ingestion): DQ split, then drop every doc whose
+    * band bucket holds a smaller doc_id — [[nearDupAgainstPriorBatch]]'s
+    * flagging inverted into a keep-filter. Returns (accepted, quarantined).
+    */
+  def ingestBatchTwin(docs: DataFrame,
+                      rules: Seq[graft.operators.DqRule])
+      : (DataFrame, DataFrame) = {
+    val (clean, quarantined) = dqQuarantineStream(docs, rules)
+    val dupDocs = nearDupAgainstPriorBatch(clean).select(col("doc_id")).distinct()
+    (clean.join(dupDocs, Seq("doc_id"), "left_anti"), quarantined)
+  }
+
   /** Streaming DQ quarantine lane — the declarative rule engine
     * ([[graft.operators.DqRules]]) applied at INGEST time instead of after
     * landing: every micro-batch row is tagged with the row-level rules it

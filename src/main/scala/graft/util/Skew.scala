@@ -32,6 +32,41 @@ object Skew {
     salted.join(replicated, Seq(key, "salt")).drop("salt")
   }
 
+  /** Large-LARGE equi-join with hot-key splitting — the case
+    * [[saltedJoin]] can't take: both sides scale with the data, so
+    * replicating the full right side ×salts is off the table. Instead the
+    * join splits on the LEFT side's key histogram (the q_skew_report
+    * decision input, computed in-plan): keys holding more than
+    * `hotThreshold` left rows take the salted lane — left rows spread over
+    * `salts` reducers by a stable hash of `spreadCol`, and only the HOT
+    * keys' right rows (a bounded set: ≤ |left|/hotThreshold keys) are
+    * replicated ×salts — while everything else takes the plain shuffled
+    * join. The hot-key frame rides a broadcast legally: it passes through
+    * an Aggregate, so its cardinality is bounded by |left|/hotThreshold
+    * regardless of SF (the ScaleInfraSpec broadcast-hint audit's
+    * exemption rule). Result ≡ plain join exactly — rows are partitioned
+    * into the two lanes by key, each lane joins completely, and the
+    * hash-gated q_jaccard_prefix_join runs through this path against a
+    * NAIVE oracle, which is the result-neutrality proof.
+    */
+  def hotColdJoin(big: DataFrame, right: DataFrame, key: String,
+                  spreadCol: String, salts: Int,
+                  hotThreshold: Long): DataFrame = {
+    val hotKeys = big.groupBy(col(key)).agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") > hotThreshold)
+      .select(col(key))
+    val bigHot = big.join(broadcast(hotKeys), Seq(key), "left_semi")
+    val bigCold = big.join(broadcast(hotKeys), Seq(key), "left_anti")
+    val rightHot = right.join(broadcast(hotKeys), Seq(key), "left_semi")
+      .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+    val hotJoined = bigHot
+      .withColumn("_salt",
+        pmod(xxhash64(col(spreadCol)), lit(salts.toLong)).cast("int"))
+      .join(rightHot, Seq(key, "_salt"))
+      .drop("_salt")
+    hotJoined.unionByName(bigCold.join(right, Seq(key)))
+  }
+
   /** Two-phase (partial → final) aggregation for skewed group keys: first
     * aggregate on (key, salt) — spreading a hot key over `salts` reducers —
     * then combine the partials per key. `partialAggs` must be decomposable

@@ -12,13 +12,24 @@ static dims and are copied untouched. DuckDB does the rewrite so parquet
 physical types survive byte-for-byte (notably events.ts TIMESTAMP_NS,
 which Spark cannot write back).
 
-Usage: python3 tools/scaleup.py <srcDir> <dstDir> [replicas=10]
+With --perturb-docs, every document WORD in replica r > 0 gets the suffix
+'_r<r>': within a replica the near-dup structure is byte-for-byte the base
+corpus's (both members of a pair transform identically), while ACROSS
+replicas shingle sets become fully disjoint — so the true answer of an
+exact similarity self-join is exactly `replicas` x the base pair set
+instead of quadratic in the clone factor, per-shingle posting counts stay
+base-sized, and the 100x decade of the exact joins becomes runnable with a
+bounded output (the round-8 sweep the r7 verdict asked for).
+
+Usage: python3 tools/scaleup.py <srcDir> <dstDir> [replicas=10] [--perturb-docs]
 """
 import sys, os
 import duckdb
 
 src, dst = sys.argv[1], sys.argv[2]
-replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+perturb = "--perturb-docs" in sys.argv
+args = [a for a in sys.argv[3:] if not a.startswith("--")]
+replicas = int(args[0]) if args else 10
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
@@ -57,6 +68,12 @@ for table, shifts in SHIFTS.items():
         q = f"SELECT * FROM read_parquet('{srcp}')"
     else:
         repl = ", ".join(f"{c} + r * {o} AS {c}" for c, o in shifts.items())
+        if table == "documents" and perturb:
+            # suffix every word with _r<r> (r > 0): replica-disjoint shingle
+            # spaces, byte-identical within-replica near-dup structure
+            repl += (", CASE WHEN r = 0 THEN text ELSE array_to_string("
+                     "list_transform(string_split(text, ' '),"
+                     " w -> w || '_r' || r), ' ') END AS text")
         q = (f"SELECT * REPLACE ({repl}) "
              f"FROM read_parquet('{srcp}') CROSS JOIN range({replicas}) t(r)")
     con.execute(f"COPY ({q}) TO '{dstp}' (FORMAT PARQUET)")
