@@ -686,23 +686,22 @@ object Insights {
     val e0 = coPurchaseEdges(spark, sfDir)
       .select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // k = (3/4)·mean degree, exact integer arithmetic (degrees positive).
-    // Eagerly checkpointed 1-row frame: every peel round broadcasts it, and
-    // without the checkpoint each broadcast would re-evaluate the degree
-    // aggregate against e0 — which round 1 unpersists below.
+    // k = (3/4)·mean degree, exact integer arithmetic (degrees positive)
     val kv = e0.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       .agg(expr("(sum(dg) * 3) div (count(1) * 4)").as("k"))
-      .localCheckpoint(true)
 
-    // Each round materializes eagerly (localCheckpoint, the
-    // connectedComponents pattern) and then drops its inputs: `keep` is
-    // unpersisted once the round's edge frame exists, and the previous
-    // round's edge frame likewise. Superseded checkpoint blocks are
-    // released by ContextCleaner on GC, so long-lived sessions (notebooks,
-    // Verify) no longer accumulate pinned MEMORY_AND_DISK blocks across
-    // calls — the suite's per-query clearCache() is a belt, not a
-    // dependency.
-    def peel(e: DataFrame, eWasPersisted: Boolean): DataFrame = {
+    // Rounds are LAZY persist marks (cache boundaries for the
+    // double-referenced frames), not eager checkpoints: an eager
+    // localCheckpoint per round costs one synchronous job + a full
+    // deserialized copy per round and measured 1.6 s → 4.7 s on this
+    // query (round-8 isolation) for zero result difference. The price of
+    // laziness is that superseded round caches live until the session
+    // drops them: bounded-round callers (the bench/Verify harnesses)
+    // clearCache() per query; LONG-LIVED sessions should call
+    // [[kcoreFixpoint]] instead, which materializes per round exactly so
+    // it can unpersist superseded frames as it goes (the ADVICE r7
+    // leak-free contract lives there).
+    def peel(e: DataFrame): DataFrame = {
       // keep is referenced by BOTH semi-joins — persist it (≤|nodes| rows)
       // so the degree aggregate runs once per round, not twice
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
@@ -710,17 +709,13 @@ object Insights {
         .filter(col("dg") >= col("k"))
         .select(col("src").as("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val next = e.join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
+      e.join(keep.select(col("n").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("n").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint(true)
-      keep.unpersist()
-      if (eWasPersisted) e.unpersist()
-      next
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-    val eFinal = (1 to KcoreRounds).zipWithIndex
-      .foldLeft(e0)((e, r) => peel(e, r._2 == 0))
+    val eFinal = (1 to KcoreRounds).foldLeft(e0)((e, _) => peel(e))
     ordered(
       eFinal.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("part_id"), col("deg")),

@@ -412,10 +412,10 @@ object Text {
         byDoc.orderBy(col("f").asc, col("s").asc)))
       .withColumn("nsh", count(lit(1)).over(byDoc))
     // prefix length nsh - ceil(t*nsh) + 1, ceil done in integers
-    val pref = rk
+    val prefF = rk
       .filter(col("rk") <=
         col("nsh") - expr(s"($num * nsh + ${den - 1}) div $den") + lit(1))
-      .select(col("doc_id"), col("s"), col("nsh"))
+    val pref = prefF.select(col("doc_id"), col("s"), col("nsh"))
     // PPJoin length filter: J ≥ num/den and c ≤ min(na,nb) force
     // den·min(na,nb) ≥ num·max(na,nb) — a necessary condition, so the
     // prune stays lossless (24% of sf0.1 candidates die here before the
@@ -428,14 +428,23 @@ object Text {
       .select(col("doc_a"), col("doc_b")).distinct()
     // verification: each candidate pair joins the per-doc shingle rows.
     // The doc_a key is the skew hazard — a clone cluster or mega-doc
-    // appears in MANY candidate pairs, so its shingle fan-out lands on one
-    // reducer. Hot/cold split (q_skew_report's decision applied in-plan):
-    // docs with > 64 candidate pairs take the salted lane, spread by
-    // hash(doc_b); result ≡ the plain join — proven by THIS query's naive
-    // oracle, which is the result-neutrality gate for the salting.
+    // appears in MANY candidate pairs, so its shingle fan-out lands on
+    // one reducer. Hot/cold split (q_skew_report's decision in-plan),
+    // with hotness from the PREFIX-INDEX STATS the pipeline already
+    // computed: a doc's candidate count is ≤ Σ f over its prefix
+    // shingles (rare by construction — a large bound means a clone
+    // cluster), so the hot set costs one small aggregate over prefix
+    // rows, never a second pass over the candidate pipeline. Hot docs'
+    // verification spreads by hash(doc_b) over 8 salted reducers; result
+    // ≡ the plain join — proven by THIS query's naive oracle, which is
+    // the result-neutrality gate for the salting.
+    val hotDocs = prefF.groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("_cb"))
+      .filter(col("_cb") > 1024L)
+      .select(col("doc_id").as("doc_a"))
     val common = graft.util.Skew
-      .hotColdJoin(cand, e.select(col("doc_id").as("doc_a"), col("s")),
-                   "doc_a", "doc_b", salts = 8, hotThreshold = 64L)
+      .hotColdJoinWith(cand, e.select(col("doc_id").as("doc_a"), col("s")),
+                       "doc_a", "doc_b", salts = 8, hotKeys = hotDocs)
       .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
     val za = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
@@ -479,20 +488,25 @@ object Text {
       .withColumn("rk", row_number().over(
         byDoc.orderBy(col("f").asc, col("s").asc)))
       .withColumn("nsh", count(lit(1)).over(byDoc))
-    val pref = rk
+    val prefF = rk
       .filter(col("rk") <=
         col("nsh") - expr(s"($num * nsh + ${den - 1}) div $den") + lit(1))
-      .select(col("doc_id").as("doc_a"), col("s"))
+    val pref = prefF.select(col("doc_id").as("doc_a"), col("s"))
     val cand = pref
       .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // same hot/cold salted verification lane as jaccardPrefixJoin (the
-    // containment candidate set is even more probe-side-skewed: a popular
-    // container collects every contained doc as a candidate)
+    // same hot/cold salted verification lane as jaccardPrefixJoin, same
+    // prefix-stat hotness bound (the containment candidate set is even
+    // more probe-side-skewed: a doc whose prefix shingles are common
+    // collects every posting holder as a candidate container)
+    val hotDocs = prefF.groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("_cb"))
+      .filter(col("_cb") > 1024L)
+      .select(col("doc_id").as("doc_a"))
     val common = graft.util.Skew
-      .hotColdJoin(cand, e.select(col("doc_id").as("doc_a"), col("s")),
-                   "doc_a", "doc_b", salts = 8, hotThreshold = 64L)
+      .hotColdJoinWith(cand, e.select(col("doc_id").as("doc_a"), col("s")),
+                       "doc_a", "doc_b", salts = 8, hotKeys = hotDocs)
       .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
     val za = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))

@@ -337,14 +337,13 @@ class ScaleInfraSpec extends SparkSpec {
     // reason GraphX's Pregel runs a job per superstep — so they cannot be
     // one static plan; each round is lineage-truncated via localCheckpoint
     // and those checkpoints are the only legal build-time jobs in the
-    // registry. q_kcore joins the set for a different reason: its round
-    // count is static, but each round double-references the previous edge
-    // frame, and the leak-free way to cache those rounds in a long-lived
-    // session (unpersist each superseded frame once its successor exists)
-    // requires materializing per round — a lazy persist chain can never
-    // release its intermediates.
+    // registry. (q_kcore briefly joined this set with eager per-round
+    // checkpoints; that cost 1.6 s → 4.7 s isolated for zero result
+    // difference, so its bounded rounds went back to lazy persist marks —
+    // long-lived sessions use Insights.kcoreFixpoint, whose eager rounds
+    // unpersist as they go.)
     val iterative = Set("q_doc_dedup_components", "q_dedup_components_editdist",
-                        "q_doc_dedup_embed", "q_hierarchy", "q_kcore")
+                        "q_doc_dedup_embed", "q_hierarchy")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
