@@ -30,16 +30,24 @@ object Decade {
     val df = op match {
       case "semantic_flat" =>
         Ivf.semanticDedupGated(spark, sfDir, args(2).toInt, 130000000L)
-      case "semantic_hier" =>
+      case "semantic_hier" => // args: nCoarse kPerGroup
         Ivf.semanticDedupHier(spark, sfDir, args(2).toInt, args(3).toInt, 130000000L)
       case "ann_join" =>
         Ivf.annJoinGated(spark, sfDir, args(2).toInt, 130000000L)
+      case "diag_flat" =>
+        Ivf.assignDiag(spark, sfDir, args(2).toInt, 0, hier = false)
+      case "diag_hier" =>
+        Ivf.assignDiag(spark, sfDir, args(2).toInt, args(3).toInt, hier = true)
       case other =>
         SparkEntry.queries(other)(spark, sfDir)
     }
     val n = df.count()
     val wall = (System.nanoTime() - t0) / 1e9
-    println(f"""{"op":"$op","sf":"$sfDir","rows":$n,"wall_sec":$wall%.1f}""")
+    val extra = if (op.startsWith("diag_")) {
+      val r = df.head()
+      s""","stats":"${r.toString}""""
+    } else ""
+    println(f"""{"op":"$op","sf":"$sfDir","rows":$n,"wall_sec":$wall%.1f$extra}""")
     spark.stop()
   }
 }

@@ -224,7 +224,7 @@ object SparkEntry {
     "q_lsh_recall"        -> q(Dedup.lshRecallGated(_, _, 1, 2)), // measured recall of banded minhash vs exact J>=1/2 truth
     "q_semantic_dedup"    -> q(Ivf.semanticDedupGated(_, _, 16, 130000000L)), // cluster-then-compare embedding dedup, keep-lowest-id
     "q_semantic_dedup_mp" -> q(Ivf.semanticDedupMultiprobe(_, _, 16, 130000000L)), // 2-nearest-cell multi-probe: closes the cross-cell recall gap
-    "q_semantic_dedup_hier" -> q(Ivf.semanticDedupHier(_, _, 16, 4, 130000000L)), // coarse→fine two-level assignment: corpus × 2√nLists kernel calls
+    "q_semantic_dedup_hier" -> q(Ivf.semanticDedupHier(_, _, 4, 4, 130000000L)), // two-level fit AND routing: sample×(3√k·3+√k·5) fit, corpus×2√k routing
     "q_mannwhitney"       -> q(Insights.mannWhitney), // rank-sum test, tie-averaged doubled-integer ranks via distributed prefix sum
     "q_skew_report"       -> q(Insights.skewReport), // join-key concentration profile: the salting decision input
     "q_bridge_alloc"      -> q(Warehouse.bridgeAllocation), // Kimball M:N bridge with integer-exact allocation factors
@@ -2826,41 +2826,40 @@ object SparkEntry {
     },
 
     "q_semantic_dedup_hier" -> {
-      // the q_semantic_dedup fine fit (5 unrolled Lloyd's rounds over the
-      // md5-sampled corpus), then the HIERARCHICAL routing unrolled too:
-      // 3 coarse Lloyd's rounds over the 16 fine-centroid vectors, fine
-      // centroids tagged with their coarse group, corpus vectors argmin
-      // over live coarse groups then over that group's fine centroids,
-      // and the same within-cell pair scan + keep-lowest-id tail.
-      // MATERIALIZED on the multiply-referenced CTEs (q/slong/each c$i):
-      // the coarse level re-references c5 ~8×, and with plain CTE inlining
-      // each reference re-expands the doubled c4→c3→… lineage — a 2⁵-fold
-      // blowup per reference that exhausted DuckDB's file handles; the
-      // sibling flat oracles stay un-hinted (fewer refs, pass as-is)
-      val iters = (1 to 5).map { i =>
-        s"""|a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
-        |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
-        |b$i AS (SELECT vec_id, cid FROM (
-        |          SELECT vec_id, cid,
-        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-        |          FROM a$i) WHERE rk = 1),
-        |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
-        |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
-        |c$i AS MATERIALIZED (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
-        |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),
+      // FULLY hierarchical quantizer unrolled: 3 coarse Lloyd's rounds
+      // over the md5-sampled corpus, the sample routed once to its coarse
+      // group, then 5 GROUPED fine Lloyd's rounds (every per-group fit in
+      // the same CTEs, keyed by gid), live-group corpus routing
+      // coarse-then-fine, cells = gid·kPerGroup + fcid, and the
+      // q_semantic_dedup pair-scan + keep-lowest-id tail.
+      // MATERIALIZED on the multiply-referenced CTEs (q/slong/rb/rounds):
+      // plain CTE inlining re-expands the doubled Lloyd's lineage per
+      // reference — a 2^R blowup that exhausted DuckDB's file handles.
+      // drop-empty Lloyd's at BOTH levels (no carry join): each round's
+      // centroids are exactly the means of its non-empty cells — the same
+      // linear-lineage variant the Spark side runs
+      val coarseIters = (1 to 3).map { r =>
+        s"""|ga$r AS (SELECT l.vec_id, g.gid, sum((l.qv - g.qv) * (l.qv - g.qv)) AS d
+        |        FROM slong l JOIN gc${r - 1} g ON g.i = l.i GROUP BY 1, 2),
+        |gb$r AS (SELECT vec_id, gid FROM (
+        |          SELECT vec_id, gid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rk
+        |          FROM ga$r) WHERE rk = 1),
+        |gc$r AS MATERIALIZED (SELECT b.gid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM gb$r b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
         |""".stripMargin.stripSuffix("\n")
       }.mkString("\n")
-      val coarseIters = (1 to 3).map { r =>
-        s"""|ga$r AS (SELECT f.cid, g.gid, sum((f.qv - g.qv) * (f.qv - g.qv)) AS d
-        |        FROM c5 f JOIN g${r - 1} g ON g.i = f.i GROUP BY 1, 2),
-        |gb$r AS (SELECT cid, gid FROM (
-        |          SELECT cid, gid,
-        |                 row_number() OVER (PARTITION BY cid ORDER BY d, gid) AS rk
-        |          FROM ga$r) WHERE rk = 1),
-        |gm$r AS (SELECT b.gid, f.i, CAST(sum(f.qv) // count(*) AS BIGINT) AS qv
-        |        FROM gb$r b JOIN c5 f ON f.cid = b.cid GROUP BY 1, 2),
-        |g$r AS MATERIALIZED (SELECT g.gid, g.i, COALESCE(m.qv, g.qv) AS qv
-        |        FROM g${r - 1} g LEFT JOIN gm$r m ON m.gid = g.gid AND m.i = g.i),
+      val fineIters = (1 to 5).map { r =>
+        s"""|fa$r AS (SELECT rb.gid, l.vec_id, c.fcid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |        FROM slong l JOIN rb ON rb.vec_id = l.vec_id
+        |                     JOIN f${r - 1} c ON c.gid = rb.gid AND c.i = l.i
+        |        GROUP BY 1, 2, 3),
+        |fb$r AS (SELECT gid, vec_id, fcid FROM (
+        |          SELECT gid, vec_id, fcid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, fcid) AS rk
+        |          FROM fa$r) WHERE rk = 1),
+        |f$r AS MATERIALIZED (SELECT b.gid, b.fcid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM fb$r b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2, 3),
         |""".stripMargin.stripSuffix("\n")
       }.mkString("\n")
       s"""WITH q AS MATERIALIZED (
@@ -2871,50 +2870,54 @@ object SparkEntry {
         |sample AS (SELECT vec_id FROM embeddings
         |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
         |slong AS MATERIALIZED (SELECT q.* FROM q JOIN sample USING (vec_id)),
-        |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+        |tiles AS (SELECT vec_id, ntile(4) OVER (ORDER BY vec_id) AS t FROM sample),
         |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
-        |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
-        |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
-        |$iters
-        |gtiles AS (SELECT cid, ntile(4) OVER (ORDER BY cid) AS t
-        |           FROM (SELECT DISTINCT cid FROM c5)),
-        |gchosen AS (SELECT t, min(cid) AS v FROM gtiles GROUP BY t),
-        |g0 AS (SELECT t - 1 AS gid, c.i, c.qv
-        |       FROM gchosen JOIN c5 c ON c.cid = gchosen.v),
+        |gc0 AS (SELECT t - 1 AS gid, l.i, l.qv
+        |        FROM chosen JOIN slong l ON l.vec_id = chosen.v),
         |$coarseIters
-        |gfa AS (SELECT f.cid, g.gid, sum((f.qv - g.qv) * (f.qv - g.qv)) AS d
-        |        FROM c5 f JOIN g3 g ON g.i = f.i GROUP BY 1, 2),
-        |gf AS (SELECT cid, gid FROM (
-        |         SELECT cid, gid,
-        |                row_number() OVER (PARTITION BY cid ORDER BY d, gid) AS rk
-        |         FROM gfa) WHERE rk = 1),
-        |g3live AS (SELECT g.* FROM g3 g WHERE g.gid IN (SELECT DISTINCT gid FROM gf)),
+        |ra AS (SELECT l.vec_id, g.gid, sum((l.qv - g.qv) * (l.qv - g.qv)) AS d
+        |       FROM slong l JOIN gc3 g ON g.i = l.i GROUP BY 1, 2),
+        |rb AS MATERIALIZED (SELECT vec_id, gid FROM (
+        |        SELECT vec_id, gid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rk
+        |        FROM ra) WHERE rk = 1),
+        |ftile AS (SELECT vec_id, gid,
+        |            ntile(4) OVER (PARTITION BY gid ORDER BY vec_id) AS t
+        |          FROM rb),
+        |fch AS (SELECT gid, t, min(vec_id) AS v FROM ftile GROUP BY 1, 2),
+        |f0 AS (SELECT fch.gid, fch.t - 1 AS fcid, l.i, l.qv
+        |       FROM fch JOIN slong l ON l.vec_id = fch.v),
+        |$fineIters
+        |glive AS (SELECT g.* FROM gc3 g
+        |          WHERE g.gid IN (SELECT DISTINCT gid FROM f5)),
         |ca AS (SELECT l.vec_id, g.gid, sum((l.qv - g.qv) * (l.qv - g.qv)) AS d
-        |       FROM q l JOIN g3live g ON g.i = l.i GROUP BY 1, 2),
-        |cb AS (SELECT vec_id, gid FROM (
-        |         SELECT vec_id, gid,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rk
-        |         FROM ca) WHERE rk = 1),
-        |ha AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN glive g ON g.i = l.i GROUP BY 1, 2),
+        |cb AS MATERIALIZED (SELECT vec_id, gid FROM (
+        |        SELECT vec_id, gid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rk
+        |        FROM ca) WHERE rk = 1),
+        |ha AS (SELECT l.vec_id, c.fcid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
         |       FROM q l JOIN cb ON cb.vec_id = l.vec_id
-        |              JOIN gf ON gf.gid = cb.gid
-        |              JOIN c5 c ON c.cid = gf.cid AND c.i = l.i
+        |              JOIN f5 c ON c.gid = cb.gid AND c.i = l.i
         |       GROUP BY 1, 2),
-        |hb AS (SELECT vec_id, cid FROM (
-        |         SELECT vec_id, cid,
-        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |hb AS (SELECT vec_id, fcid FROM (
+        |         SELECT vec_id, fcid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, fcid) AS rk
         |         FROM ha) WHERE rk = 1),
+        |cells AS MATERIALIZED (
+        |  SELECT hb.vec_id, CAST(cb.gid AS BIGINT) * 4 + hb.fcid AS cid
+        |  FROM hb JOIN cb USING (vec_id)),
         |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |       FROM hb a JOIN hb b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |       FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id),
         |pd AS (SELECT pr.a_id, pr.b_id, sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
         |       FROM pr JOIN q qa ON qa.vec_id = pr.a_id
         |               JOIN q qb ON qb.vec_id = pr.b_id AND qb.i = qa.i
         |       GROUP BY 1, 2),
         |du AS (SELECT b_id, min(a_id) AS dup_of, CAST(min(d2) AS BIGINT) AS min_d2
         |       FROM pd WHERE d2 <= 130000000 GROUP BY 1)
-        |SELECT hb.vec_id, CAST(hb.cid AS BIGINT) AS cluster_id,
+        |SELECT cells.vec_id, cells.cid AS cluster_id,
         |       du.b_id IS NOT NULL AS is_dup, du.dup_of, du.min_d2
-        |FROM hb LEFT JOIN du ON du.b_id = hb.vec_id
+        |FROM cells LEFT JOIN du ON du.b_id = cells.vec_id
         |ORDER BY vec_id""".stripMargin
     },
 

@@ -89,6 +89,8 @@ object Ivf {
                 coalesce(col("newc"), col("centroid")).as("centroid"))
     }
 
+    // deliberately uncached per round — see [[gatedKmeansFit]]'s note on
+    // the CacheManager/AQE stall that per-round persist marks caused
     (1 to iters).foldLeft(init)((c, _) => step(c))
   }
 
@@ -143,28 +145,34 @@ object Ivf {
     val liveCoarse = coarse.join(
       fineTagged.select(col("gid").as("centroid_id")).distinct(),
       Seq("centroid_id"), "left_semi")
+    // map-folded fine level — same once-per-row discipline as
+    // [[gatedHierAssign]] (a filter-lambda would re-evaluate the coarse
+    // argmax per array element after CollapseProject inlining)
+    val fmap = fineTagged.groupBy(col("gid"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("fcent")))).as("arr"))
+      .agg(map_from_entries(collect_list(struct(col("gid"), col("arr"))))
+        .as("_fm"))
     val folded = liveCoarse
       .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
         .as("_g"))
-      .crossJoin(fineTagged
-        .agg(array_sort(collect_list(struct(col("cid"), col("gid"), col("fcent"))))
-          .as("_f")))
+      .crossJoin(fmap)
     val gs = transform(col("_g"),
       c => call_function("cosine_sim", col("embedding"), c.getField("centroid")))
+    // single-pass struct-max fine stage (the [[gatedHierAssign]] shape):
+    // max similarity with ties to the LOWEST cid via the negated-cid
+    // struct field — no per-reference copying of candidate vectors
     emb.crossJoin(broadcast(folded))
       .withColumn("_gs", gs)
       .withColumn("_gid",
         element_at(col("_g"),
           array_position(col("_gs"), array_max(col("_gs"))).cast("int"))
           .getField("centroid_id"))
-      .withColumn("_cands",
-        filter(col("_f"), f => f.getField("gid") === col("_gid")))
-      .withColumn("_fs", transform(col("_cands"),
-        f => call_function("cosine_sim", col("embedding"), f.getField("fcent"))))
       .withColumn("centroid_id",
-        element_at(col("_cands"),
-          array_position(col("_fs"), array_max(col("_fs"))).cast("int"))
-          .getField("cid"))
+        -array_max(transform(element_at(col("_fm"), col("_gid")),
+          f => struct(call_function("cosine_sim", col("embedding"),
+                                    f.getField("fcent")).as("s"),
+                      (-f.getField("cid")).as("nc"))))
+          .getField("nc"))
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
   }
 
@@ -286,6 +294,49 @@ object Ivf {
         .select(col("centroid_id"),
                 coalesce(col("newc"), col("centroid")).as("centroid"))
     }
+    // Each round references the previous centroid frame TWICE (argmin
+    // assignment + the empty-cell left join), so the LOGICAL plan doubles
+    // per round — bounded at 2^iters copies of the (persisted) sample
+    // subtree, ~60 s of redundant kernel calls at nLists = 2048. This is
+    // DELIBERATELY left uncached: per-round lazy persist marks were tried
+    // and stalled the driver for >15 min at the 100× decade — every
+    // downstream query construction makes CacheManager canonicalize the
+    // exponential plans once per cache entry, and AQE re-plans at each
+    // InMemoryRelation boundary. Lineage truncation (localCheckpoint)
+    // would fix both but runs jobs at build time, breaking the registry's
+    // laziness contract. The 2^R waste is the lazy-plan price; the final
+    // frame is persisted by every caller, so it is paid once per action.
+    (1 to iters).foldLeft(init)((c, _) => step(c))
+  }
+
+  /** LINEAR-lineage integer Lloyd's fit: like [[gatedKmeansFit]] but
+    * empty cells are DROPPED instead of carried forward — the standard
+    * drop-empty-cluster k-means variant. Dropping the carry removes the
+    * round's SECOND reference to the previous centroid frame (the left
+    * join), so the logical plan grows linearly in rounds instead of
+    * 2^rounds — at the 100× decade the doubled lineage re-executed every
+    * round's windows/broadcasts up to 2^5 times ([[gatedKmeansFit]]'s
+    * note; caching can't fix it without breaking laziness). Used by the
+    * hierarchical pipeline, whose oracle mirrors the drop-empty rule;
+    * the FLAT fits keep the carry variant because their frozen oracles
+    * state it.
+    */
+  private def gatedKmeansFitLinear(points: DataFrame, k: Int,
+                                   iters: Int): DataFrame = {
+    val init = points
+      .withColumn("tile", ntile(k).over(Window.orderBy(col("vec_id"))))
+      .groupBy(col("tile"))
+      .agg(min_by(col("qv"), col("vec_id")).as("centroid"))
+      .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
+    def step(cent: DataFrame): DataFrame =
+      gatedWithBest(points, cent)
+        .select(col("centroid_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("mv"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
+        .select(col("centroid_id"),
+                transform(col("pv"), x => x.getField("mv")).as("centroid"))
     (1 to iters).foldLeft(init)((c, _) => step(c))
   }
 
@@ -452,50 +503,173 @@ object Ivf {
                               nCoarse: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val (coarse, fineTagged) = gatedCoarseOverFine(fine, nCoarse)
+    // the fine level folds as a MAP gid → id-sorted (cid, fcent) array,
+    // NOT a flat array filtered per row: a `filter(_f, gid == _gid)`
+    // lambda gets `_gid`'s whole 45-kernel-call tree inlined INTO the
+    // lambda body by CollapseProject (single-use aliases collapse, and
+    // HOF bodies get no common-subexpression elimination), re-evaluating
+    // it per ARRAY ELEMENT — measured 499 s vs flat's 169 s at the 100×
+    // decade. element_at(map, _gid) keeps every expensive tree at
+    // once-per-row evaluation.
+    val fmap = fineTagged.groupBy(col("gid"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("fcent")))).as("arr"))
+      .agg(map_from_entries(collect_list(struct(col("gid"), col("arr"))))
+        .as("_fm"))
     val folded = coarse
       .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
         .as("_g"))
-      .crossJoin(fineTagged
-        .agg(array_sort(collect_list(struct(col("cid"), col("gid"), col("fcent"))))
-          .as("_f")))
+      .crossJoin(fmap)
     val gd = transform(col("_g"),
       c => call_function("sq_l2", col("qv"), c.getField("centroid")))
+    // fine stage: ONE pass — transform the looked-up candidate array to
+    // (d, cid) structs and take the lexicographic array_min (min distance,
+    // ties to the LOWEST cid — exactly the oracle's ORDER BY d, cid).
+    // The two-column (_cands, _fd) formulation referenced the looked-up
+    // array twice, copying each candidate's 64-long vector per reference
+    // (~46 KB/row at nLists=2048 — measured as the whole hier overhead at
+    // the 100× decade); the struct-min materializes only (long, int)
+    // pairs.
     df.crossJoin(broadcast(folded))
       .withColumn("_gd", gd)
       .withColumn("_gid",
         element_at(col("_g"),
           array_position(col("_gd"), array_min(col("_gd"))).cast("int"))
           .getField("centroid_id"))
-      .withColumn("_cands",
-        filter(col("_f"), f => f.getField("gid") === col("_gid")))
-      .withColumn("_fd", transform(col("_cands"),
-        f => call_function("sq_l2", col("qv"), f.getField("fcent"))))
       .withColumn("centroid_id",
-        element_at(col("_cands"),
-          array_position(col("_fd"), array_min(col("_fd"))).cast("int"))
+        array_min(transform(element_at(col("_fm"), col("_gid")),
+          f => struct(call_function("sq_l2", col("qv"), f.getField("fcent"))
+                        .as("d"),
+                      f.getField("cid").as("cid"))))
           .getField("cid"))
-      .drop("_g", "_f", "_gd", "_gid", "_cands", "_fd")
+      .drop("_g", "_fm", "_gd", "_gid")
   }
 
-  /** [[semanticDedupGated]] with the HIERARCHICAL corpus assignment —
-    * identical fine fit, identical within-cell pair scan and
-    * keep-lowest-id rule; only the corpus→cell routing changes (flat
-    * argmin → coarse-then-fine, [[gatedHierAssign]]). Registered as its
-    * own gated query so the two-level mechanism — coarse fit over fine
-    * centroids, live-group restriction, two-stage argmin — sits fully
-    * under the DuckDB oracle; at production scale this is the default
-    * assignment once nLists crosses a few hundred (the 100× decade run
-    * showed flat assignment = corpus × nLists kernel calls dominating).
+  /** Dev diagnostic (Decade harness): one row of cell statistics for the
+    * flat vs hierarchical assignment paths — cells, max cell, and the
+    * within-cell pair volume Σ n·(n−1)/2 that drives the dedup scan.
+    * Timing the action also isolates fit+assignment wall from the pair
+    * scan.
     */
-  def semanticDedupHier(spark: SparkSession, sfDir: String, nLists: Int = 16,
-                        nCoarse: Int = 4,
+  def assignDiag(spark: SparkSession, sfDir: String, nLists: Int,
+                 nCoarse: Int, hier: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
+    val cents = gatedCentroids(qemb, nLists)
+    val asg = if (hier) gatedHierAssign(qemb, cents, nCoarse)
+              else gatedWithBest(qemb, cents)
+    asg.groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("cells"), max(col("n")).as("max_cell"),
+           sum(col("n") * (col("n") - 1) / 2).as("pair_volume"))
+  }
+
+  /** FULLY hierarchical semantic dedup under the EXACT hash gate — BOTH
+    * quantizer stages are two-level, which is what actually survives the
+    * nLists-scaling rule at the 100× decade:
+    *
+    *  - **fit**: a [[CoarseIters]]-round coarse k-means over the bounded
+    *    sample (sample × nCoarse kernel calls per round), the sample
+    *    routed ONCE to its coarse group, then `nCoarse` INDEPENDENT
+    *    fine k-means run in parallel inside one grouped dataframe —
+    *    per-group spaced init (ntile PARTITION BY group, no global
+    *    window) and [[Iters]] Lloyd's rounds at sample × kPerGroup
+    *    kernel calls per round. Total fit cost sample × (nCoarse·3 +
+    *    kPerGroup·5) vs the flat fit's sample × nLists·5 — ~22× fewer
+    *    kernel calls at the 2048-cell regime, which the 100× decade
+    *    showed was the DOMINANT cost (the flat fit, not the corpus
+    *    assignment, was the wall).
+    *  - **routing**: corpus vectors argmin over the (live) coarse
+    *    groups, then over only that group's fine centroids — corpus ×
+    *    (nCoarse + kPerGroup) calls, both levels folded into one
+    *    broadcast row (coarse array + group-keyed map of fine arrays),
+    *    the corpus never shuffling. Single-pass struct-min per level
+    *    (ties to the lowest id — the oracle's ORDER BY d, id), with the
+    *    expensive coarse-argmin tree kept OUT of any lambda body
+    *    (CollapseProject inlines single-use aliases into HOF lambdas,
+    *    where they re-evaluate per array element — measured 3× the
+    *    whole query).
+    *
+    * Cells are (gid, fcid) pairs, exported as cluster_id = gid·kPerGroup
+    * + fcid; the within-cell pair scan and keep-lowest-id rule are
+    * [[semanticDedupGated]]'s, unchanged. The whole mechanism — both
+    * fits, the routing, live-group restriction, dedup tail — sits under
+    * the DuckDB oracle.
+    */
+  def semanticDedupHier(spark: SparkSession, sfDir: String, nCoarse: Int = 4,
+                        kPerGroup: Int = 4,
                         thr: Long = 130000000L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = t(spark, sfDir, "embeddings")
     val qemb = gatedQemb(emb)
-    val cents = gatedCentroids(qemb, nLists)
-    val asg = gatedHierAssign(qemb, cents, nCoarse)
-      .select(col("vec_id"), col("qv"), col("centroid_id").as("cid"))
+    val sample = qemb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val coarse = gatedKmeansFitLinear(sample, nCoarse, CoarseIters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val routed = gatedWithBest(sample, coarse)
+      .select(col("vec_id"), col("qv"), col("centroid_id").as("gid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // group-keyed fold of a (gid, fcid, centroid) frame into ONE
+    // broadcastable row: map gid → fcid-sorted (fcid, centroid) array
+    def groupMap(cent: DataFrame): DataFrame = cent
+      .groupBy(col("gid"))
+      .agg(array_sort(collect_list(struct(col("fcid"), col("centroid"))))
+        .as("arr"))
+      .agg(map_from_entries(collect_list(struct(col("gid"), col("arr"))))
+        .as("_fm"))
+
+    // in-group argmin: one pass over the group's fine array, lexicographic
+    // struct-min on (d, fcid)
+    def bestInGroup(gidCol: Column): Column =
+      array_min(transform(element_at(col("_fm"), gidCol),
+        f => struct(gatedL2(col("qv"), f.getField("centroid")).as("d"),
+                    f.getField("fcid").as("fcid"))))
+        .getField("fcid")
+
+    val finit = routed
+      .withColumn("tile", ntile(kPerGroup)
+        .over(Window.partitionBy(col("gid")).orderBy(col("vec_id"))))
+      .groupBy(col("gid"), col("tile"))
+      .agg(min_by(col("qv"), col("vec_id")).as("centroid"))
+      .select(col("gid"), (col("tile") - 1).cast("int").as("fcid"),
+              col("centroid"))
+
+    // drop-empty grouped Lloyd's round: the previous centroid frame is
+    // referenced exactly ONCE (the routing broadcast) — linear lineage,
+    // the [[gatedKmeansFitLinear]] discipline, mirrored by the oracle
+    def fstep(cent: DataFrame): DataFrame =
+      routed.crossJoin(broadcast(groupMap(cent)))
+        .withColumn("fcid", bestInGroup(col("gid")))
+        .select(col("gid"), col("fcid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("gid"), col("fcid"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("mv"))
+        .groupBy(col("gid"), col("fcid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
+        .select(col("gid"), col("fcid"),
+                transform(col("pv"), x => x.getField("mv")).as("centroid"))
+    val fine = (1 to Iters).foldLeft(finit)((c, _) => fstep(c))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // corpus routing over LIVE coarse groups only (a group whose sample
+    // slice was empty has no fine cells and must not attract vectors)
+    val live = coarse.join(fine.select(col("gid").as("centroid_id")).distinct(),
+                           Seq("centroid_id"), "left_semi")
+    val folded = live
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("_g"))
+      .crossJoin(groupMap(fine))
+    val gd = transform(col("_g"),
+      c => gatedL2(col("qv"), c.getField("centroid")))
+    val asg = qemb.crossJoin(broadcast(folded))
+      .withColumn("_gd", gd)
+      .withColumn("gid",
+        element_at(col("_g"),
+          array_position(col("_gd"), array_min(col("_gd"))).cast("int"))
+          .getField("centroid_id"))
+      .withColumn("fcid", bestInGroup(col("gid")))
+      .select(col("vec_id"), col("qv"),
+              (col("gid").cast("long") * kPerGroup + col("fcid")).as("cid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = asg.select(col("cid"), col("vec_id").as("a_id"), col("qv").as("aq"))
       .join(asg.select(col("cid"), col("vec_id").as("b_id"), col("qv").as("bq")),

@@ -195,7 +195,7 @@ class Round8OpsSpec extends SparkSpec {
     // plan-level sanity: the hierarchical assignment folds BOTH levels into
     // one broadcast row — no per-vector join against the fine table, no
     // corpus shuffle before the cell self-join
-    val df = graft.operators.Ivf.semanticDedupHier(spark, Sf, 16, 4, 130000000L)
+    val df = graft.operators.Ivf.semanticDedupHier(spark, Sf, 4, 4, 130000000L)
     val plan = df.queryExecution.optimizedPlan.toString
     // the corpus-side assignment must not shuffle the embeddings table on a
     // join key before cells exist: the only non-broadcast exchanges belong
