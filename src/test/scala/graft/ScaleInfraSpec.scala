@@ -236,6 +236,27 @@ class ScaleInfraSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("hotColdJoinWith: hot-lane spreading is result-identical to the plain join") {
+    import spark.implicits._
+    // one genuinely hot key (500 left rows) + cold keys; the driver-chosen
+    // hot set forces the salted lane so this test covers it even where the
+    // production thresholds wouldn't fire at test scale
+    val big = ((1 to 500).map(i => (1L, i.toLong)) ++ Seq((2L, 7L), (3L, 9L)))
+      .toDF("k", "spread")
+    val right = (1L to 3L).flatMap(k => (1 to 40).map(j => (k, s"v${k}_$j")))
+      .toDF("k", "payload")
+    val hot = Seq(Tuple1(1L)).toDF("k")
+    val plain = big.join(right, Seq("k"))
+    val salted = Skew.hotColdJoinWith(big, right, "k", "spread", 8, hot)
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty,
+      "conditional salting must be a physical-only change")
+    assert(salted.count() === 500L * 40 + 2 * 40)
+    // an over-approximate hot set (a cold key marked hot) stays correct
+    val overHot = Seq(1L, 2L).toDF("k")
+    val salted2 = Skew.hotColdJoinWith(big, right, "k", "spread", 8, overHot)
+    assert(plain.exceptAll(salted2).isEmpty && salted2.exceptAll(plain).isEmpty)
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val ev = graft.util.Tables.events(spark, Sf)
     val direct = ev.groupBy("event_type")
