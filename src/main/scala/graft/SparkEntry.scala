@@ -236,6 +236,15 @@ object SparkEntry {
     "q_frame_sample"      -> q(Multimodal.frameSample(_, _, 5)),
     "q_media_resize"      -> q(Multimodal.mediaResize(_, _, 224)),
     "q_media_embed_stub"  -> q(Multimodal.mediaEmbedStub(_, _, 16)),
+    // round-8b additions: corpus-novelty, graph-structure and time-series tier
+    "q_ngram_novelty"     -> q(Text.ngramNovelty), // per-doc first-occurrence shingle fraction: marginal corpus contribution
+    "q_clustering_coeff"  -> q(Insights.clusteringCoeff(_, _, 5)), // per-node lcc over the brand graph, wedge-closure counting
+    "q_degree_dist"       -> q(Insights.degreeDist), // log2-binned co-purchase degree histogram via integer bit length
+    "q_autocorr"          -> q(Insights.autocorr(_, _, 3)), // lag-1..3 ACF of daily revenue, aggregate-first + decimal moments
+    "q_mk_trend"          -> q(Insights.mkTrend), // Mann-Kendall monotone trend per segment, calendar-bounded pair join
+    "q_hhi"               -> q(Insights.hhi), // Herfindahl supplier concentration per nation, decimal-exact shares
+    "q_rank_biserial"     -> q(Insights.rankBiserial), // effect size from mannwhitney's exact doubled-U
+    "q_time_weighted_avg" -> q(Windows.timeWeightedAvg), // irregular-sampling interval-weighted mean per user
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -3179,5 +3188,168 @@ object SparkEntry {
         |       floor(t.chi2 * 10000.0 + 0.5) / 10000.0 AS chi2_total
         |FROM k CROSS JOIN t
         |ORDER BY k.pr, k.st""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |                      i -> array_to_string(w[i:i+2], ' ')))) AS s
+        |       FROM d),
+        |f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        | CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+        | floor(CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS novelty_ratio
+        |FROM sh JOIN f USING (s)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    "q_clustering_coeff" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS br
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |e AS (
+        |  SELECT x.br AS a, y.br AS b FROM b x JOIN b y ON x.ok = y.ok AND x.br < y.br
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |adj AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY v),
+        |tri AS (SELECT w1.v, CAST(count(*) AS BIGINT) AS n_tri
+        |        FROM adj w1 JOIN adj w2 ON w1.v = w2.v AND w1.u < w2.u
+        |        JOIN e ON e.a = w1.u AND e.b = w2.u
+        |        GROUP BY w1.v)
+        |SELECT deg.v AS brand, deg.deg, COALESCE(tri.n_tri, 0) AS n_tri,
+        | CASE WHEN deg.deg < 2 THEN 0.0 ELSE
+        |   floor(2.0 * CAST(COALESCE(tri.n_tri, 0) AS DOUBLE)
+        |         / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
+        |         * 10000.0 + 0.5) / 10000.0 END AS lcc
+        |FROM deg LEFT JOIN tri ON deg.v = tri.v
+        |ORDER BY brand""".stripMargin,
+
+    "q_degree_dist" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pairs GROUP BY src)
+        |SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket,
+        | count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |lagd AS (
+        |  SELECT rev,
+        |         lead(rev, 1) OVER (ORDER BY d) AS rev_1,
+        |         lead(rev, 2) OVER (ORDER BY d) AS rev_2,
+        |         lead(rev, 3) OVER (ORDER BY d) AS rev_3
+        |  FROM daily),
+        |m AS (
+        |  SELECT 1 AS lag, count(*) AS n,
+        |         CAST(sum(rev) AS DOUBLE) AS sx, CAST(sum(rev_1) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(rev * rev_1 AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(rev * rev AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(rev_1 * rev_1 AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM lagd WHERE rev_1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2, count(*),
+        |         CAST(sum(rev) AS DOUBLE), CAST(sum(rev_2) AS DOUBLE),
+        |         CAST(sum(CAST(rev * rev_2 AS DECIMAL(38,4))) AS DOUBLE),
+        |         CAST(sum(CAST(rev * rev AS DECIMAL(38,4))) AS DOUBLE),
+        |         CAST(sum(CAST(rev_2 * rev_2 AS DECIMAL(38,4))) AS DOUBLE)
+        |  FROM lagd WHERE rev_2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 3, count(*),
+        |         CAST(sum(rev) AS DOUBLE), CAST(sum(rev_3) AS DOUBLE),
+        |         CAST(sum(CAST(rev * rev_3 AS DECIMAL(38,4))) AS DOUBLE),
+        |         CAST(sum(CAST(rev * rev AS DECIMAL(38,4))) AS DOUBLE),
+        |         CAST(sum(CAST(rev_3 * rev_3 AS DECIMAL(38,4))) AS DOUBLE)
+        |  FROM lagd WHERE rev_3 IS NOT NULL)
+        |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+        | floor((n * sxy - sx * sy) /
+        |       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |       * 10000.0 + 0.5) / 10000.0 AS acf
+        |FROM m ORDER BY lag""".stripMargin,
+
+    "q_mk_trend" ->
+      """WITH monthly AS (
+        |  SELECT l_returnflag AS grp,
+        |         CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (SELECT a.grp,
+        |             CAST(sum(CASE WHEN b.v > a.v THEN 1
+        |                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |      FROM monthly a JOIN monthly b ON a.grp = b.grp AND a.m < b.m
+        |      GROUP BY a.grp),
+        |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_periods FROM monthly GROUP BY grp),
+        |ties AS (SELECT grp, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |         FROM (SELECT grp, v, CAST(count(*) AS BIGINT) AS t
+        |               FROM monthly GROUP BY grp, v)
+        |         GROUP BY grp),
+        |j AS (SELECT n.grp, n.n_periods, s.s,
+        |             n.n_periods * (n.n_periods - 1) * (2 * n.n_periods + 5) - ties.tsum AS var18
+        |      FROM n JOIN s ON n.grp = s.grp JOIN ties ON n.grp = ties.grp)
+        |SELECT grp AS l_returnflag, n_periods, s, CAST(var18 AS BIGINT) AS var18,
+        | floor((CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |             WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |             ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM j ORDER BY l_returnflag""".stripMargin,
+
+    "q_hhi" ->
+      """WITH rev AS (
+        |  SELECT n.n_name, l.l_suppkey,
+        |         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        | CAST(sum(rev) AS DOUBLE) AS total_rev,
+        | floor(10000.0 * CAST(sum(CAST(CAST(rev AS DECIMAL(19,2)) * rev AS DECIMAL(38,4))) AS DOUBLE)
+        |       / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS hhi
+        |FROM rev GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_rank_biserial" ->
+      """WITH o AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+        |  FROM orders),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |                CAST(sum(ga) AS BIGINT) AS cnta
+        |         FROM o GROUP BY v),
+        |cum AS (SELECT v, cnt, cnta,
+        |               COALESCE(sum(cnt) OVER (ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |        FROM vals),
+        |agg AS (SELECT sum(cnta) AS na, sum(cnt) AS n,
+        |               sum(cnta * (2 * cumb + cnt + 1)) AS w2a
+        |        FROM cum)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+        |       CAST(w2a - na * (na + 1) AS BIGINT) AS u2_a,
+        |       floor((1.0 - CAST(w2a - na * (na + 1) AS DOUBLE)
+        |              / (CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE)))
+        |             * 10000.0 + 0.5) / 10000.0 AS r_rb
+        |FROM agg""".stripMargin,
+
+    "q_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, vc,
+        |         lead(ts_us) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_us, event_id) - ts_us AS dur
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        | CAST(sum(dur) AS BIGINT) AS total_us,
+        | floor(CAST(sum(CAST(vc AS DECIMAL(18,0)) * CAST(dur AS DECIMAL(18,0))) AS DOUBLE)
+        |       / CAST(sum(dur) AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS twa
+        |FROM iv WHERE dur IS NOT NULL
+        |GROUP BY user_id HAVING sum(dur) > 0
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -503,11 +503,30 @@ object Insights {
     * makes distributed triangle counting viable on web-scale graphs.
     */
   def triangles(spark: SparkSession, sfDir: String, minSup: Int = 5): DataFrame = {
+    val edges = brandEdges(spark, sfDir, minSup)
+    val e1 = edges.select(col("a").as("x"), col("b").as("y"))
+    val e2 = edges.select(col("a").as("y"), col("b").as("z"))
+    val e3 = edges.select(col("a").as("x"), col("b").as("z"))
+    ordered(
+      e1.join(e2, "y").join(e3, Seq("x", "z"))
+        .select(col("x").as("brand_a"), col("y").as("brand_b"), col("z").as("brand_c")),
+      "brand_a", "brand_b", "brand_c")
+  }
+
+  /** Support-thresholded brand co-occurrence edge list (canonical a < b),
+    * shared by [[triangles]] and [[clusteringCoeff]]: per-order sorted
+    * brand baskets, in-basket pair fan-out (bounded by basket size — TPC-H
+    * orders hold ≤ ~7 lines, so the explode is constant-factor, never
+    * quadratic in the fact table), one hash-agg on the pair, support
+    * filter. One shuffle on l_orderkey + one on the brand pair.
+    */
+  private[operators] def brandEdges(spark: SparkSession, sfDir: String,
+                                    minSup: Int): DataFrame = {
     val baskets = t(spark, sfDir, "lineitem")
       .join(t(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("br"))
       .groupBy(col("ok")).agg(sort_array(collect_set(col("br"))).as("brs"))
-    val edges = baskets
+    baskets
       .select(explode(expr(
         "flatten(transform(brs, (x, i) -> " +
         "transform(slice(brs, i + 2, size(brs)), y -> struct(x AS a, y AS b))))"))
@@ -516,13 +535,71 @@ object Insights {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("np"))
       .filter(col("np") >= minSup)
       .select(col("a"), col("b"))
-    val e1 = edges.select(col("a").as("x"), col("b").as("y"))
-    val e2 = edges.select(col("a").as("y"), col("b").as("z"))
-    val e3 = edges.select(col("a").as("x"), col("b").as("z"))
+  }
+
+  /** Per-node local clustering coefficient over the brand co-occurrence
+    * graph — lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the standard
+    * neighborhood-density measure triangle counts feed. Wedges centered at
+    * v (ordered neighbor pairs x < y from the undirected adjacency) are
+    * closed against the canonical a<b edge list, so each triangle at v is
+    * counted exactly once; wedge volume is Σ deg(v)² over the SUPPORT-
+    * THRESHOLDED graph, the same degree bounding that makes [[triangles]]
+    * viable at scale. The edge list feeds three legs (two adjacency
+    * copies + the closure probe), so it is persisted — it is an aggregated
+    * pair list, orders of magnitude smaller than the fact table.
+    * deg < 2 nodes have no wedges: lcc is 0.0 by convention (not NULL), so
+    * the output is total on the node set. Exact: tri/deg are BIGINTs, lcc
+    * is one mirrored double expression r4-rounded.
+    */
+  def clusteringCoeff(spark: SparkSession, sfDir: String,
+                      minSup: Int = 5): DataFrame = {
+    val edges = brandEdges(spark, sfDir, minSup)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = edges.select(col("a").as("v"), col("b").as("u"))
+      .union(edges.select(col("b").as("v"), col("a").as("u")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("v"), col("u").as("x"))
+      .join(adj.select(col("v"), col("u").as("y")), "v")
+      .filter(col("x") < col("y"))
+    val tri = wedges
+      .join(edges, wedges("x") === edges("a") && wedges("y") === edges("b"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    val degD = col("deg").cast("double")
     ordered(
-      e1.join(e2, "y").join(e3, Seq("x", "z"))
-        .select(col("x").as("brand_a"), col("y").as("brand_b"), col("z").as("brand_c")),
-      "brand_a", "brand_b", "brand_c")
+      deg.join(tri, Seq("v"), "left")
+        .select(col("v").as("brand"), col("deg"),
+                coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+                when(col("deg") < 2, lit(0.0)).otherwise(
+                  r4(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+                     (degD * (degD - lit(1.0))))).as("lcc")),
+      "brand")
+  }
+
+  /** Log2-binned degree distribution of the part co-purchase graph — the
+    * first diagnostic on any large graph (is it power-law? where does the
+    * skew live?), and the sizing input for the hot-key lanes the salted
+    * joins use. Degree = distinct co-purchase neighbors (the q_pagerank
+    * edge relation); the bucket is the INTEGER bit length of the degree
+    * (length(bin(deg)) − 1 — exact on both engines, where floor(log2(x))
+    * through libm could straddle the floor boundary at powers of two).
+    * Two hash-aggs after the per-order pair fan-out; output is ≤ 64 rows
+    * regardless of graph size.
+    */
+  def degreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val deg = items.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("dst")),
+            "l_orderkey")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    ordered(
+      deg.withColumn("bucket", (length(bin(col("deg"))) - lit(1)).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+             min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg")),
+      "bucket")
   }
 
   /** PageRank over the part co-purchase graph — the iterative link-analysis
@@ -875,4 +952,132 @@ object Insights {
                 r4(col("chi2")).as("chi2_total")),
       "o_orderpriority", "o_orderstatus")
   }
+
+  /** Lag-1..maxLag autocorrelation of the daily revenue series — the
+    * time-series memory diagnostic (seasonality / momentum screening)
+    * behind forecast-model choice. AGGREGATE-FIRST: the 100 TB fact table
+    * collapses to one DECIMAL-exact row per calendar day before any window
+    * touches it, so the single-partition lead() window sorts a calendar-
+    * bounded series (~thousands of rows at any fact scale), never the fact
+    * table. Per-lag Pearson moments follow the [[Relational.corrAgg]]
+    * discipline: DECIMAL(38,4) products summed associatively, doubles only
+    * in the final mirrored corr expression, r4-rounded. The lagged frame
+    * feeds one aggregate per lag, so it is persisted (a ~day-count×4 frame).
+    */
+  def autocorr(spark: SparkSession, sfDir: String, maxLag: Int = 3): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      // down-cast the day sum to (18,2) so the cross products stay inside
+      // DECIMAL(38,4) on BOTH engines (DuckDB errors on (38,2)×(38,2))
+      .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)").as("rev"))
+    val w = Window.orderBy(col("d").asc)
+    val lagged = daily.select(
+      col("d") +: col("rev") +:
+      (1 to maxLag).map(l => lead(col("rev"), l).over(w).as(s"rev_$l")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perLag = (1 to maxLag).map { l =>
+      def x = col("rev"); def y = col(s"rev_$l")
+      lagged.filter(y.isNotNull)
+        .agg(count(lit(1)).as("n"),
+             sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+             sum((x * y).cast("decimal(38,4)")).cast("double").as("sxy"),
+             sum((x * x).cast("decimal(38,4)")).cast("double").as("sxx"),
+             sum((y * y).cast("decimal(38,4)")).cast("double").as("syy"))
+        .select(lit(l).as("lag"), col("n").as("n_pairs"),
+                r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+                   (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                    sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+                  .as("acf"))
+    }
+    ordered(perLag.reduce(_ unionAll _), "lag")
+  }
+
+  /** Mann–Kendall trend test per return-flag segment — the nonparametric
+    * monotone-trend detector (no distributional assumption, robust to
+    * outliers) on the MONTHLY shipped-quantity series. AGGREGATE-FIRST:
+    * the fact table collapses to a DECIMAL-exact (group × month) frame, so
+    * the O(m²) sign-pair self-join runs over calendar-bounded series
+    * (~84 months → ~3.5k pairs per group at ANY fact scale) — the pair
+    * volume is a property of the calendar, not the data. S = Σ_{i<j}
+    * sign(x_j − x_i) on exact DECIMAL comparisons; the tie-corrected
+    * variance numerator var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5) stays
+    * BIGINT (18·VarS, division deferred); z is the one mirrored IEEE
+    * chain (continuity-corrected, 0.0 at S=0), r4-rounded. The monthly
+    * frame feeds four legs (pair join twice, n, ties) → persisted.
+    */
+  def mkTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"),
+               date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(sum(money(col("l_quantity"))).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = monthly.select(col("grp"), col("m").as("mi"), col("v").as("vi"))
+      .join(monthly.select(col("grp"), col("m").as("mj"), col("v").as("vj")),
+            "grp")
+      .filter(col("mi") < col("mj"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("vj") > col("vi"), 1L)
+                 .when(col("vj") < col("vi"), -1L).otherwise(0L)).as("s"))
+    val n = monthly.groupBy(col("grp")).agg(count(lit(1)).as("n_periods"))
+    val ties = monthly.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("grp"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"))
+    val nL = col("n_periods")
+    val var18 = nL * (nL - 1) * (lit(2) * nL + 5) - col("tsum")
+    val sD = col("s").cast("double")
+    val zRaw = when(col("s") > 0, (sD - lit(1.0)) / sqrt(col("var18").cast("double") / lit(18.0)))
+      .when(col("s") < 0, (sD + lit(1.0)) / sqrt(col("var18").cast("double") / lit(18.0)))
+      .otherwise(lit(0.0))
+    ordered(
+      n.join(s, "grp").join(ties, "grp")
+        .withColumn("var18", var18)
+        .select(col("grp").as("l_returnflag"), col("n_periods"), col("s"),
+                col("var18"), r4(zRaw).as("z")),
+      "l_returnflag")
+  }
+
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * nation — the market-concentration screen (monopoly risk / supplier
+    * diversification) over the star schema. HHI = 10000·Σ share_i² =
+    * 10000·Σ rev_i² / (Σ rev_i)²: both sums are DECIMAL-exact (revenue in
+    * exact money, squares at DECIMAL(38,4)), so the index is one mirrored
+    * double expression of two exact inputs, r4-rounded. Two hash-aggs
+    * (supplier grain, then nation grain) after the dimension joins — the
+    * supplier-grain frame is dimension-sized, never fact-sized.
+    */
+  def hhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(t(spark, sfDir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(money(col("l_extendedprice"))).cast("decimal(18,2)").as("rev"))
+    ordered(
+      rev.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+             sum(col("rev")).cast("double").as("total"),
+             sum((col("rev") * col("rev")).cast("decimal(38,4)")).cast("double").as("sq"))
+        .select(col("n_name"), col("n_suppliers"),
+                col("total").as("total_rev"),
+                r4(lit(10000.0) * col("sq") / (col("total") * col("total"))).as("hhi")),
+      "n_name")
+  }
+
+  /** Rank-biserial effect size for the [[mannWhitney]] two-sample test —
+    * the magnitude companion the z-score lacks (how OFTEN does an urgent
+    * order out-price a non-urgent one, as a −1..1 correlation):
+    * r_rb = 1 − 2U/(n_a·n_b), computed from the test's own exact doubled-U
+    * BIGINT so the two queries can never disagree. One extra projection on
+    * the single-row test output; the division is the only double op.
+    */
+  def rankBiserial(spark: SparkSession, sfDir: String): DataFrame =
+    mannWhitney(spark, sfDir)
+      .select(col("n_a"), col("n_b"), col("u2_a"),
+              // n_a·n_b as a DOUBLE product, not LONG·LONG — the BIGINT
+              // product wraps silently once both sides pass ~3e9 rows
+              // (the r7 ADVICE overflow class); the double product is the
+              // same IEEE op the oracle runs, so the mirror holds
+              r4(lit(1.0) - col("u2_a").cast("double") /
+                 (col("n_a").cast("double") * col("n_b").cast("double")))
+                .as("r_rb"))
 }

@@ -1048,4 +1048,33 @@ object Text {
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Per-document n-gram novelty — the marginal-contribution diagnostic a
+    * corpus-curation pipeline ranks sources by (RefinedWeb-style "what does
+    * this doc add that the corpus doesn't already have"): the fraction of a
+    * doc's distinct 3-gram shingles whose FIRST corpus occurrence (minimum
+    * doc_id) is this document. Complements [[contamination]] (overlap with
+    * a fixed benchmark set) and [[dupSpans]] (corpus-wide repeats): novelty
+    * is per-doc and ordered, so near-dup clusters show up as one novel doc
+    * followed by near-zero-novelty copies. Plan: one shingle-keyed hash-agg
+    * for the first-occurrence map, one co-partitioned join back (same key,
+    * AQE reuses the exchange), one doc-keyed agg — no pair stage at all,
+    * linear in shingle volume at any corpus size. The shingle frame feeds
+    * both legs → persisted, the [[contamination]] rationale.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRows(docs(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    ordered(
+      sh.join(firsts, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+               .as("novel"))
+        .select(col("doc_id"), col("n_shingles"), col("novel"),
+                r4(col("novel").cast("double") /
+                   col("n_shingles").cast("double")).as("novelty_ratio")),
+      "doc_id")
+  }
 }

@@ -457,4 +457,38 @@ object Windows {
         .agg(countDistinct(col("user_id")).as("active_7d")),
       "anchor")
   }
+
+  /** Per-user time-weighted average event value — the irregular-sampling
+    * mean (sensor readings, price ticks, engagement states) where each
+    * value holds until the NEXT observation: twa = Σ value·Δt / Σ Δt over
+    * lead() intervals. User-sharded window (ts_us, event_id tie-break —
+    * the [[markovTransitions]] ordering), so the sort is per-user and
+    * shuffles once on user_id. Exact: value → integer cents, Δt → BIGINT
+    * micros, products at DECIMAL(18,0)×DECIMAL(18,0) → DECIMAL-exact sums
+    * (cents·µs reaches ~1e18 and would wrap a BIGINT); the twa is one
+    * mirrored double chain (num/total/100), r4-rounded. Single-event users
+    * have no interval and zero-span users no weight — both drop on the
+    * total_us > 0 guard, mirrored as HAVING in the oracle.
+    */
+  def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val iv = events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+              floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vc"))
+      .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dur", col("next_ts") - col("ts_us"))
+    ordered(
+      iv.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+             sum(col("dur")).as("total_us"),
+             sum(col("vc").cast("decimal(18,0)") *
+                 col("dur").cast("decimal(18,0)")).as("num"))
+        .filter(col("total_us") > 0)
+        .select(col("user_id"), col("n_intervals"), col("total_us"),
+                r4(col("num").cast("double") / col("total_us").cast("double") /
+                   lit(100.0)).as("twa")),
+      "user_id")
+  }
 }

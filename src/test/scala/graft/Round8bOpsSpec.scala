@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Insights, Text, Windows}
+
+/** Round-8b additions: corpus n-gram novelty, graph-structure diagnostics
+  * (per-node clustering coefficient, log2 degree distribution), time-series
+  * statistics (autocorrelation, Mann–Kendall trend), concentration (HHI),
+  * rank-biserial effect size, and the time-weighted average. Each test is a
+  * differential against either a sequential driver fold on the collected
+  * (sf0.001-small) inputs or a structural invariant the DuckDB oracle
+  * cannot express (cross-query consistency).
+  */
+class Round8bOpsSpec extends SparkSpec {
+
+  test("ngramNovelty: novel counts partition the distinct-shingle space, doc 0 is fully novel") {
+    val out = Text.ngramNovelty(spark, Sf).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_shingles"), r.getAs[Long]("novel"))).toMap
+    // the lowest doc_id present can only contain first occurrences
+    val first = byDoc.keys.min
+    assert(byDoc(first)._1 === byDoc(first)._2)
+    // every shingle has exactly one first occurrence: sum(novel) == |distinct shingles|
+    val totalDistinct = Text.shingleRows(
+      graft.util.Tables.t(spark, Sf, "documents"))
+      .select(col("s")).distinct().count()
+    assert(byDoc.values.map(_._2).sum === totalDistinct)
+    // novelty is a fraction of the doc's shingles
+    assert(byDoc.values.forall { case (n, nov) => nov >= 0 && nov <= n })
+  }
+
+  test("clusteringCoeff: node triangle counts sum to 3x the triangle census, lcc in [0,1]") {
+    val lcc = Insights.clusteringCoeff(spark, Sf, minSup = 5).collect()
+    val tri = Insights.triangles(spark, Sf, minSup = 5).count()
+    // each triangle contributes one closed wedge at each of its 3 corners
+    assert(lcc.map(_.getAs[Long]("n_tri")).sum === 3 * tri)
+    lcc.foreach { r =>
+      val v = r.getAs[Double]("lcc")
+      assert(v >= 0.0 && v <= 1.0, s"lcc out of range for ${r.getAs[String]("brand")}: $v")
+      if (r.getAs[Long]("deg") < 2) assert(v === 0.0)
+    }
+  }
+
+  test("degreeDist: buckets are the exact bit-length bins and node counts cover the graph") {
+    val dist = Insights.degreeDist(spark, Sf).collect()
+    dist.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      val lo = 1L << b; val hi = (1L << (b + 1)) - 1
+      assert(r.getAs[Long]("min_deg") >= lo && r.getAs[Long]("max_deg") <= hi,
+        s"bucket $b range [${r.getAs[Long]("min_deg")}, ${r.getAs[Long]("max_deg")}] outside [$lo, $hi]")
+    }
+    // bucket histogram covers every node with >= 1 co-purchase neighbor
+    val items = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nNodes = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey")).distinct().count()
+    assert(dist.map(_.getAs[Long]("n_nodes")).sum === nNodes)
+  }
+
+  test("autocorr: matches a sequential Pearson fold over the daily series") {
+    val out = Insights.autocorr(spark, Sf, maxLag = 3).collect()
+      .map(r => r.getAs[Int]("lag") -> (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    val daily = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(graft.util.Tables.money(col("o_totalprice"))).as("rev"))
+      .orderBy(col("d"))
+      .collect().map(_.getAs[java.math.BigDecimal]("rev").doubleValue())
+    for (lag <- 1 to 3) {
+      val xs = daily.dropRight(lag); val ys = daily.drop(lag)
+      val n = xs.length.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      val r = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(out(lag)._1 === xs.length.toLong)
+      assert(math.abs(out(lag)._2 - r) < 1e-3,
+        s"lag $lag: got ${out(lag)._2}, sequential $r")
+    }
+  }
+
+  test("mkTrend: S, var18 and z match the sequential pairwise fold") {
+    val out = Insights.mkTrend(spark, Sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n_periods"), r.getAs[Long]("s"), r.getAs[Long]("var18"),
+         r.getAs[Double]("z"))).toMap
+    val monthly = graft.util.Tables.t(spark, Sf, "lineitem")
+      .groupBy(col("l_returnflag").as("g"),
+               date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(sum(graft.util.Tables.money(col("l_quantity"))).as("v"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[java.sql.Date]("m").toString,
+                 r.getAs[java.math.BigDecimal]("v")))
+      .groupBy(_._1)
+    monthly.foreach { case (g, rows0) =>
+      val series = rows0.sortBy(_._2).map(_._3)
+      var s = 0L
+      for (i <- series.indices; j <- i + 1 until series.length) {
+        val c = series(j).compareTo(series(i))
+        s += (if (c > 0) 1 else if (c < 0) -1 else 0)
+      }
+      val n = series.length.toLong
+      val tsum = series.groupBy(identity).values
+        .map(g0 => { val t = g0.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tsum
+      val z =
+        if (s > 0) (s - 1.0) / math.sqrt(var18 / 18.0)
+        else if (s < 0) (s + 1.0) / math.sqrt(var18 / 18.0)
+        else 0.0
+      val (gn, gs, gv, gz) = out(g)
+      assert(gn === n); assert(gs === s); assert(gv === var18)
+      assert(math.abs(gz - z) < 1e-3)
+    }
+  }
+
+  test("hhi: matches the sequential share fold and hits 10000/k on equal shares") {
+    val out = Insights.hhi(spark, Sf).collect()
+      .map(r => r.getAs[String]("n_name") ->
+        (r.getAs[Long]("n_suppliers"), r.getAs[Double]("hhi"))).toMap
+    val revs = graft.util.Tables.t(spark, Sf, "lineitem")
+      .join(graft.util.Tables.t(spark, Sf, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(graft.util.Tables.t(spark, Sf, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(graft.util.Tables.money(col("l_extendedprice"))).as("rev"))
+      .collect()
+      .map(r => (r.getAs[String]("n_name"),
+                 r.getAs[java.math.BigDecimal]("rev").doubleValue()))
+      .groupBy(_._1)
+    revs.foreach { case (nat, rows0) =>
+      val xs = rows0.map(_._2)
+      val total = xs.sum
+      val hhi = 10000.0 * xs.map(x => x * x).sum / (total * total)
+      val (k, got) = out(nat)
+      assert(k === xs.size.toLong)
+      assert(math.abs(got - hhi) < 1e-2, s"$nat: got $got, sequential $hhi")
+      // sanity bound: k equal shares give exactly 10000/k, any skew raises it
+      assert(got >= 10000.0 / k - 1e-6 && got <= 10000.0 + 1e-6)
+    }
+  }
+
+  test("rankBiserial: consistent with mannWhitney's exact doubled-U and bounded by 1") {
+    val mw = Insights.mannWhitney(spark, Sf).collect().head
+    val rb = Insights.rankBiserial(spark, Sf).collect().head
+    assert(rb.getAs[Long]("n_a") === mw.getAs[Long]("n_a"))
+    assert(rb.getAs[Long]("u2_a") === mw.getAs[Long]("u2_a"))
+    val expect = 1.0 - mw.getAs[Long]("u2_a").toDouble /
+      (mw.getAs[Long]("n_a").toDouble * mw.getAs[Long]("n_b").toDouble)
+    assert(math.abs(rb.getAs[Double]("r_rb") - expect) < 1e-3)
+    assert(math.abs(rb.getAs[Double]("r_rb")) <= 1.0)
+  }
+
+  test("timeWeightedAvg: matches the sequential interval fold per user") {
+    val out = Windows.timeWeightedAvg(spark, Sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("total_us"),
+         r.getAs[Double]("twa"))).toMap
+    val evs = graft.util.Tables.events(spark, Sf)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+                 r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+    evs.foreach { case (u, rows0) =>
+      val seq0 = rows0.sortBy(r => (r._2, r._3))
+      val ivs = seq0.zip(seq0.tail).map { case (a, b) =>
+        val vc = math.floor(a._4 * 100.0 + 0.5).toLong
+        (vc, b._2 - a._2)
+      }
+      val totalUs = ivs.map(_._2).sum
+      if (ivs.isEmpty || totalUs <= 0) assert(!out.contains(u))
+      else {
+        val num = ivs.map { case (vc, d) => BigInt(vc) * BigInt(d) }.sum
+        val twa = num.toDouble / totalUs.toDouble / 100.0
+        val (n, t, got) = out(u)
+        assert(n === ivs.length.toLong); assert(t === totalUs)
+        assert(math.abs(got - twa) < 1e-3, s"user $u: got $got, sequential $twa")
+      }
+    }
+  }
+}
