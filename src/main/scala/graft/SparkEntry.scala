@@ -245,6 +245,10 @@ object SparkEntry {
     "q_hhi"               -> q(Insights.hhi), // Herfindahl supplier concentration per nation, decimal-exact shares
     "q_rank_biserial"     -> q(Insights.rankBiserial), // effect size from mannwhitney's exact doubled-U
     "q_time_weighted_avg" -> q(Windows.timeWeightedAvg), // irregular-sampling interval-weighted mean per user
+    "q_kendall_tau"       -> q(Insights.kendallTau), // tau-b concordance on calendar-bounded monthly pairs
+    "q_cramers_v"         -> q(Insights.cramersV), // 0..1 association strength companion to q_chi2
+    "q_anova_f"           -> q(Insights.anovaF), // one-way k-sample mean test, decimal moments + chi2-style term sums
+    "q_cohens_d"          -> q(Insights.cohensD), // standardized mean difference, one conditional-agg pass
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -3351,5 +3355,97 @@ object SparkEntry {
         |FROM iv WHERE dur IS NOT NULL
         |GROUP BY user_id HAVING sum(dur) > 0
         |ORDER BY user_id""".stripMargin,
+
+    "q_kendall_tau" ->
+      """WITH monthly AS (
+        |  SELECT l_returnflag AS grp,
+        |         CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS x,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (SELECT a.grp,
+        |             CAST(sum((CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |                    * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)) AS BIGINT) AS s
+        |      FROM monthly a JOIN monthly b ON a.grp = b.grp AND a.m < b.m
+        |      GROUP BY a.grp),
+        |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_periods FROM monthly GROUP BY grp),
+        |tx AS (SELECT grp, CAST(sum(t * (t - 1)) AS BIGINT) AS tx2
+        |       FROM (SELECT grp, x, CAST(count(*) AS BIGINT) AS t FROM monthly GROUP BY grp, x)
+        |       GROUP BY grp),
+        |ty AS (SELECT grp, CAST(sum(t * (t - 1)) AS BIGINT) AS ty2
+        |       FROM (SELECT grp, y, CAST(count(*) AS BIGINT) AS t FROM monthly GROUP BY grp, y)
+        |       GROUP BY grp)
+        |SELECT n.grp AS l_returnflag, n.n_periods, s.s,
+        | tx.tx2 // 2 AS n1, ty.ty2 // 2 AS n2,
+        | floor(CAST(s.s AS DOUBLE) /
+        |       sqrt(CAST(n.n_periods * (n.n_periods - 1) - tx.tx2 AS DOUBLE)
+        |            * CAST(n.n_periods * (n.n_periods - 1) - ty.ty2 AS DOUBLE) / 4.0)
+        |       * 10000.0 + 0.5) / 10000.0 AS tau_b
+        |FROM n JOIN s ON n.grp = s.grp JOIN tx ON n.grp = tx.grp JOIN ty ON n.grp = ty.grp
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_cramers_v" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS pr, o_orderstatus AS st, count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT pr, sum(obs) AS r FROM o GROUP BY pr),
+        |ct AS (SELECT st, sum(obs) AS c FROM o GROUP BY st),
+        |dims AS (SELECT CAST(count(DISTINCT pr) AS BIGINT) AS n_rows_dim,
+        |                CAST(count(DISTINCT st) AS BIGINT) AS n_cols_dim,
+        |                CAST(sum(obs) AS BIGINT) AS n
+        |         FROM o),
+        |k AS (SELECT o.obs, CAST(rt.r * ct.c AS DOUBLE) / CAST(d.n AS DOUBLE) AS ex
+        |      FROM o JOIN rt ON o.pr = rt.pr JOIN ct ON o.st = ct.st CROSS JOIN dims d),
+        |c2 AS (SELECT CAST(sum(CAST((CAST(obs AS DOUBLE) - ex) * (CAST(obs AS DOUBLE) - ex) / ex
+        |                            AS DECIMAL(28,8))) AS DOUBLE) AS chi2
+        |       FROM k)
+        |SELECT d.n_rows_dim, d.n_cols_dim, d.n,
+        | floor(c2.chi2 * 10000.0 + 0.5) / 10000.0 AS chi2,
+        | floor(sqrt(c2.chi2 / (CAST(d.n AS DOUBLE)
+        |                       * CAST(least(d.n_rows_dim - 1, d.n_cols_dim - 1) AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS cramers_v
+        |FROM dims d CROSS JOIN c2""".stripMargin,
+
+    "q_anova_f" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS ng,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sg,
+        |         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS ssg
+        |  FROM lineitem GROUP BY 1),
+        |terms AS (SELECT ng, ssg, sg,
+        |          CAST(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+        |               AS DECIMAL(28,8)) AS sq_over_n
+        |          FROM g),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |             CAST(sum(sg) AS DOUBLE) AS sx,
+        |             CAST(sum(sq_over_n) AS DOUBLE) AS sqn,
+        |             CAST(sum(CAST(ssg AS DECIMAL(28,8))) AS DOUBLE) AS ssq
+        |      FROM terms)
+        |SELECT k, n,
+        | floor((sqn - sx * sx / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS ssb,
+        | floor((ssq - sqn) * 10000.0 + 0.5) / 10000.0 AS ssw,
+        | floor(((sqn - sx * sx / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |       / ((ssq - sqn) / CAST(n - k AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS f
+        |FROM a""".stripMargin,
+
+    "q_cohens_d" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sa,
+        |         CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sb,
+        |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END) AS DOUBLE) AS ssa,
+        |         CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END) AS DOUBLE) AS ssb
+        |  FROM orders)
+        |SELECT n_a, n_b,
+        | floor((sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_diff,
+        | floor((sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE))
+        |       / sqrt(((CAST(n_a AS DOUBLE) - 1.0)
+        |               * ((ssa - sa * sa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0))
+        |              + (CAST(n_b AS DOUBLE) - 1.0)
+        |               * ((ssb - sb * sb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)))
+        |              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))
+        |       * 10000.0 + 0.5) / 10000.0 AS cohens_d
+        |FROM a""".stripMargin,
   )
 }

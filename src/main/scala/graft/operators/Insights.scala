@@ -1063,6 +1063,154 @@ object Insights {
       "n_name")
   }
 
+  /** Kendall's τ-b between the monthly quantity and revenue series per
+    * return-flag segment — the robust rank-concordance companion to
+    * [[Relational.corrAgg]]'s Pearson and spearman's ρ (τ is the one with a
+    * direct probabilistic reading: P(concordant) − P(discordant)).
+    * AGGREGATE-FIRST like [[mkTrend]]: the fact table collapses to
+    * DECIMAL-exact (group × month) rows, so the O(m²) pair join is
+    * calendar-bounded at any fact scale. nc − nd = Σ sign(Δx)·sign(Δy)
+    * from exact DECIMAL comparisons; tie terms n1 = Σt_x(t_x−1)/2 and
+    * n2 = Σt_y(t_y−1)/2 stay BIGINT; τ-b = (nc−nd)/√((n0−n1)(n0−n2)) is
+    * one mirrored double chain, r4-rounded.
+    */
+  def kendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"),
+               date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(sum(money(col("l_quantity"))).as("x"),
+           sum(money(col("l_extendedprice"))).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sign(a: Column, b: Column): Column =
+      when(b > a, 1L).when(b < a, -1L).otherwise(0L)
+    val s = monthly.select(col("grp"), col("m").as("mi"),
+                           col("x").as("xi"), col("y").as("yi"))
+      .join(monthly.select(col("grp"), col("m").as("mj"),
+                           col("x").as("xj"), col("y").as("yj")), "grp")
+      .filter(col("mi") < col("mj"))
+      .groupBy(col("grp"))
+      .agg(sum(sign(col("xi"), col("xj")) * sign(col("yi"), col("yj")))
+             .as("s"))
+    val n = monthly.groupBy(col("grp")).agg(count(lit(1)).as("n_periods"))
+    def tiePairs(c: String, out: String) =
+      monthly.groupBy(col("grp"), col(c)).agg(count(lit(1)).as("t"))
+        .groupBy(col("grp"))
+        .agg(sum(col("t") * (col("t") - 1)).as(out)) // doubled pair count
+    val tx = tiePairs("x", "tx2"); val ty = tiePairs("y", "ty2")
+    val n02 = col("n_periods") * (col("n_periods") - 1) // doubled n0
+    ordered(
+      n.join(s, "grp").join(tx, "grp").join(ty, "grp")
+        .select(col("grp").as("l_returnflag"), col("n_periods"), col("s"),
+                // integer `div`, not `/` (which is a DOUBLE divide on longs)
+                expr("tx2 div 2").as("n1"), expr("ty2 div 2").as("n2"),
+                // doubled counts cancel: (n0−n1)(n0−n2) = (n02−tx2)(n02−ty2)/4
+                r4(col("s").cast("double") /
+                   sqrt((n02 - col("tx2")).cast("double") *
+                        (n02 - col("ty2")).cast("double") / lit(4.0)))
+                  .as("tau_b")),
+      "l_returnflag")
+  }
+
+  /** Cramér's V for the priority × status contingency table — the 0..1
+    * effect-size companion to [[chi2Independence]] (a χ² alone grows with
+    * N; V answers "how strong is the association"). Same exact pipeline:
+    * BIGINT contingency counts, per-cell contributions summed through
+    * DECIMAL(28,8) (associative, partition-order-proof), then
+    * V = √(χ²/(N·min(r−1, c−1))) as one mirrored double chain. Output is
+    * a single row: the table dimensions, χ² and V.
+    */
+  def cramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = o.groupBy(col("pr")).agg(sum(col("obs")).as("r"))
+    val ct = o.groupBy(col("st")).agg(sum(col("obs")).as("c"))
+    val dims = o.agg(countDistinct(col("pr")).as("n_rows_dim"),
+                     countDistinct(col("st")).as("n_cols_dim"),
+                     sum(col("obs")).as("n"))
+    val chi2 = o.join(broadcast(rt), "pr").join(broadcast(ct), "st")
+      .crossJoin(broadcast(dims.select(col("n"))))
+      .withColumn("ex", (col("r") * col("c")).cast("double") / col("n").cast("double"))
+      .withColumn("contrib",
+        (col("obs").cast("double") - col("ex")) *
+        (col("obs").cast("double") - col("ex")) / col("ex"))
+      .agg(sum(col("contrib").cast("decimal(28,8)")).cast("double").as("chi2"))
+    dims.crossJoin(broadcast(chi2))
+      .select(col("n_rows_dim"), col("n_cols_dim"), col("n"),
+              r4(col("chi2")).as("chi2"),
+              r4(sqrt(col("chi2") /
+                 (col("n").cast("double") *
+                  least(col("n_rows_dim") - 1, col("n_cols_dim") - 1)
+                    .cast("double")))).as("cramers_v"))
+  }
+
+  /** One-way ANOVA F-statistic of line quantity across return-flag groups —
+    * the parametric k-sample mean-difference test ([[mannWhitney]]'s
+    * 2-sample nonparametric cousin). Per-group DECIMAL-exact moments
+    * (n, Σx, Σx²) come from ONE map-side-combined hash-agg; SSB and SSW
+    * need per-group double terms (Σx_g²/n_g), so each term is cast to
+    * DECIMAL(28,8) before the k-row sum (associative — the χ² pattern);
+    * F = (SSB/(k−1))/(SSW/(N−k)) is one mirrored chain on two exact-ish
+    * scalars, r4-rounded. Output: k, N, SSB, SSW, F.
+    */
+  def anovaF(spark: SparkSession, sfDir: String): DataFrame = {
+    def x = money(col("l_quantity"))
+    val g = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("ng"),
+           sum(x).as("sg"), // native (28,2) — no down-cast, nothing squares it
+           sum((x * x).cast("decimal(30,4)")).cast("double").as("ssg"))
+    val terms = g.select(
+      col("ng"), col("ssg"), col("sg"),
+      ((col("sg").cast("double") * col("sg").cast("double")) /
+        col("ng").cast("double")).cast("decimal(28,8)").as("sq_over_n"))
+    val agg = terms.agg(
+      count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      // grand sum through DECIMAL (not a sum OF doubles — k-row order
+      // differs between engines and could flip an r4 boundary)
+      sum(col("sg")).cast("double").as("sx"),
+      sum(col("sq_over_n")).cast("double").as("sqn"),
+      sum(col("ssg").cast("decimal(28,8)")).cast("double").as("ssq"))
+    val ssb = col("sqn") - (col("sx") * col("sx")) / col("n").cast("double")
+    val ssw = col("ssq") - col("sqn")
+    agg.select(col("k"), col("n"),
+               r4(ssb).as("ssb"), r4(ssw).as("ssw"),
+               r4((ssb / (col("k") - 1).cast("double")) /
+                  (ssw / (col("n") - col("k")).cast("double"))).as("f"))
+  }
+
+  /** Cohen's d for urgent vs non-urgent order value — the standardized
+    * mean difference (the magnitude companion to a t/z test, in pooled-SD
+    * units). Both groups' moments come from ONE conditional-aggregation
+    * pass over the fact table (no second scan, no join): n/Σx/Σx² per arm
+    * with DECIMAL-exact sums, then pooled variance and d as one mirrored
+    * double chain. Sample variances (n−1 denominators), the textbook
+    * pooled form.
+    */
+  def cohensD(spark: SparkSession, sfDir: String): DataFrame = {
+    def v = money(col("o_totalprice"))
+    val urgent = col("o_orderpriority") === "1-URGENT"
+    val agg = t(spark, sfDir, "orders").agg(
+      sum(when(urgent, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!urgent, 1L).otherwise(0L)).as("n_b"),
+      sum(when(urgent, v).otherwise(lit(null))).cast("double").as("sa"),
+      sum(when(!urgent, v).otherwise(lit(null))).cast("double").as("sb"),
+      sum(when(urgent, (v * v).cast("decimal(30,4)")).otherwise(lit(null)))
+        .cast("double").as("ssa"),
+      sum(when(!urgent, (v * v).cast("decimal(30,4)")).otherwise(lit(null)))
+        .cast("double").as("ssb"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val ma = col("sa") / naD; val mb = col("sb") / nbD
+    val va = (col("ssa") - col("sa") * col("sa") / naD) / (naD - lit(1.0))
+    val vb = (col("ssb") - col("sb") * col("sb") / nbD) / (nbD - lit(1.0))
+    val sp = sqrt(((naD - lit(1.0)) * va + (nbD - lit(1.0)) * vb) /
+                  (naD + nbD - lit(2.0)))
+    agg.select(col("n_a"), col("n_b"),
+               r4(ma - mb).as("mean_diff"),
+               r4((ma - mb) / sp).as("cohens_d"))
+  }
+
   /** Rank-biserial effect size for the [[mannWhitney]] two-sample test —
     * the magnitude companion the z-score lacks (how OFTEN does an urgent
     * order out-price a non-urgent one, as a −1..1 correlation):

@@ -154,6 +154,95 @@ class Round8bOpsSpec extends SparkSpec {
     assert(math.abs(rb.getAs[Double]("r_rb")) <= 1.0)
   }
 
+  test("kendallTau: matches the sequential concordance fold") {
+    val out = Insights.kendallTau(spark, Sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("s"), r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+         r.getAs[Double]("tau_b"))).toMap
+    val monthly = graft.util.Tables.t(spark, Sf, "lineitem")
+      .groupBy(col("l_returnflag").as("g"),
+               date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(sum(graft.util.Tables.money(col("l_quantity"))).as("x"),
+           sum(graft.util.Tables.money(col("l_extendedprice"))).as("y"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[java.sql.Date]("m").toString,
+                 r.getAs[java.math.BigDecimal]("x"), r.getAs[java.math.BigDecimal]("y")))
+      .groupBy(_._1)
+    monthly.foreach { case (g, rows0) =>
+      val series = rows0.sortBy(_._2).map(r => (r._3, r._4))
+      var s = 0L
+      for (i <- series.indices; j <- i + 1 until series.length) {
+        val cx = series(j)._1.compareTo(series(i)._1).sign
+        val cy = series(j)._2.compareTo(series(i)._2).sign
+        s += cx * cy
+      }
+      val n = series.length.toLong
+      val n1 = series.groupBy(_._1).values.map(v => v.size.toLong * (v.size - 1) / 2).sum
+      val n2 = series.groupBy(_._2).values.map(v => v.size.toLong * (v.size - 1) / 2).sum
+      val n0 = n * (n - 1) / 2
+      val tau = s.toDouble / math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+      val (gs, gn1, gn2, gt) = out(g)
+      assert(gs === s); assert(gn1 === n1); assert(gn2 === n2)
+      assert(math.abs(gt - tau) < 1e-3, s"$g: got $gt, sequential $tau")
+      assert(math.abs(gt) <= 1.0)
+    }
+  }
+
+  test("cramersV: consistent with chi2Independence's total, bounded by [0,1]") {
+    val v = Insights.cramersV(spark, Sf).collect().head
+    val chi2FromCells = Insights.chi2Independence(spark, Sf)
+      .select(col("chi2_total")).distinct().collect().head.getAs[Double](0)
+    // cramersV r4-rounds its own chi2; the per-cell query r4-rounds the
+    // same double — identical up to the shared rounding grid
+    assert(math.abs(v.getAs[Double]("chi2") - chi2FromCells) < 2e-4)
+    val cv = v.getAs[Double]("cramers_v")
+    assert(cv >= 0.0 && cv <= 1.0)
+    val n = v.getAs[Long]("n")
+    val r = v.getAs[Long]("n_rows_dim"); val c = v.getAs[Long]("n_cols_dim")
+    val expect = math.sqrt(chi2FromCells / (n.toDouble * math.min(r - 1, c - 1)))
+    assert(math.abs(cv - expect) < 1e-3)
+  }
+
+  test("anovaF: matches the sequential sums-of-squares fold") {
+    val out = Insights.anovaF(spark, Sf).collect().head
+    val vals = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getAs[String](0), math.floor(r.getAs[Double](1) * 100.0 + 0.5) / 100.0))
+      .groupBy(_._1)
+    val k = vals.size; val n = vals.values.map(_.size).sum
+    val grand = vals.values.flatten.map(_._2).sum
+    val sqn = vals.values.map { g => val s = g.map(_._2).sum; s * s / g.size }.sum
+    val ssq = vals.values.flatten.map(v => v._2 * v._2).sum
+    val ssb = sqn - grand * grand / n
+    val ssw = ssq - sqn
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(out.getAs[Long]("k") === k.toLong)
+    assert(out.getAs[Long]("n") === n.toLong)
+    assert(math.abs(out.getAs[Double]("f") - f) < 1e-2,
+      s"got ${out.getAs[Double]("f")}, sequential $f")
+  }
+
+  test("cohensD: matches the sequential two-arm fold") {
+    val out = Insights.cohensD(spark, Sf).collect().head
+    val arms = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getAs[String](0) == "1-URGENT",
+                 math.floor(r.getAs[Double](1) * 100.0 + 0.5) / 100.0))
+      .groupBy(_._1)
+    val a = arms(true).map(_._2); val b = arms(false).map(_._2)
+    def meanVar(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    val (ma, va) = meanVar(a.toSeq); val (mb, vb) = meanVar(b.toSeq)
+    val sp = math.sqrt(((a.size - 1) * va + (b.size - 1) * vb) / (a.size + b.size - 2))
+    val d = (ma - mb) / sp
+    assert(out.getAs[Long]("n_a") === a.size.toLong)
+    assert(math.abs(out.getAs[Double]("mean_diff") - (ma - mb)) < 1e-2)
+    assert(math.abs(out.getAs[Double]("cohens_d") - d) < 1e-3,
+      s"got ${out.getAs[Double]("cohens_d")}, sequential $d")
+  }
+
   test("timeWeightedAvg: matches the sequential interval fold per user") {
     val out = Windows.timeWeightedAvg(spark, Sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
