@@ -249,6 +249,10 @@ object SparkEntry {
     "q_cramers_v"         -> q(Insights.cramersV), // 0..1 association strength companion to q_chi2
     "q_anova_f"           -> q(Insights.anovaF), // one-way k-sample mean test, decimal moments + chi2-style term sums
     "q_cohens_d"          -> q(Insights.cohensD), // standardized mean difference, one conditional-agg pass
+    "q_dup_cluster_hist"  -> q(Dedup.dupClusterHist), // near-dup cluster size histogram over the oracled editdist CC
+    "q_assortativity"     -> q(Insights.assortativity), // degree-degree Pearson over edges, d38 moments
+    "q_burstiness"        -> q(Insights.burstiness), // Fano factor + Goh-Barabasi B of daily arrivals per type
+    "q_new_vs_returning"  -> q(Windows.newVsReturning), // daily acquisition/retention split, windowless
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -3447,5 +3451,86 @@ object SparkEntry {
         |              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))
         |       * 10000.0 + 0.5) / 10000.0 AS cohens_d
         |FROM a""".stripMargin,
+
+    "q_dup_cluster_hist" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 8 AS blk,
+        |                            substr(text, 1, 40) AS head
+        |                     FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk
+        |                       AND a.doc_id < b.doc_id
+        |      WHERE levenshtein(a.head, b.head) <= 8),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT src AS node, dst AS label FROM e
+        |  UNION
+        |  SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.label = e2.src),
+        |comp AS (SELECT node, least(node, min(label)) AS component_id
+        |         FROM reach GROUP BY node),
+        |assign AS (SELECT doc.doc_id,
+        |                  coalesce(c.component_id, doc.doc_id) AS component_id
+        |           FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node),
+        |sz AS (SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM assign GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |       min(component_id) AS example_component
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |         CAST(sum(CAST(da.deg AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(db.deg AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(da.deg AS DECIMAL(38,0)) * CAST(db.deg AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(da.deg AS DECIMAL(38,0)) * CAST(da.deg AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(db.deg AS DECIMAL(38,0)) * CAST(db.deg AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        |  FROM e JOIN deg da ON e.src = da.src JOIN deg db ON e.dst = db.src)
+        |SELECT n_edges,
+        | floor((n_edges * sxy - sx * sy) /
+        |       (sqrt(n_edges * sxx - sx * sx) * sqrt(n_edges * syy - sy * sy))
+        |       * 10000.0 + 0.5) / 10000.0 AS assortativity
+        |FROM g""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(c) AS BIGINT) AS sc,
+        |         CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS scc
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sc AS n_events,
+        | floor(((CAST(n_days AS DOUBLE) * scc - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |        / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+        |       / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS fano,
+        | floor((sqrt((CAST(n_days AS DOUBLE) * scc - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |             / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+        |        - CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |       / (sqrt((CAST(n_days AS DOUBLE) * scc - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |               / (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)))
+        |          + CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS burstiness
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q_new_vs_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+        |SELECT ud.day, count(*) AS active_users,
+        | CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        | count(*) - CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY ud.day ORDER BY ud.day""".stripMargin,
   )
 }

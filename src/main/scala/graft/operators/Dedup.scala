@@ -277,6 +277,26 @@ object Dedup {
     canonicalAssignment(docs, "doc_id", connectedComponents(pairs, "a_id", "b_id"))
   }
 
+  /** Duplicate-cluster size histogram over the (oracled) edit-distance
+    * connected components — the curation diagnostic behind "how much of
+    * the corpus is near-dup mass, and in what shapes": cluster_size 1 is
+    * the unique tail, 2 the twin pairs, heavy sizes are template/boiler
+    * clusters worth inspecting before dedup deletes them. Two hash-aggs
+    * on top of [[dedupComponentsEditdist]]'s assignment (component grain,
+    * then size grain — output bounded by the largest cluster size); the
+    * CC fixpoint is the only iterative piece and is already gated by the
+    * recursive-CTE oracle of q_dedup_components_editdist.
+    */
+  def dupClusterHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = dedupComponentsEditdist(spark, sfDir)
+      .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
+    ordered(
+      sizes.groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+             min(col("component_id")).as("example_component")),
+      "cluster_size")
+  }
+
   /** Per-doc 64-bit SimHash over word hashes: bit b is the sign of
     * Σ_words (±1 by bit b of xxhash64(word)). One native codegen pass via
     * [[graft.functions.SimHash64]] — zero shuffle; the

@@ -1063,6 +1063,76 @@ object Insights {
       "n_name")
   }
 
+  /** Degree assortativity of the part co-purchase graph — the Pearson
+    * correlation of (deg(src), deg(dst)) over the directed edge list, the
+    * standard "do hubs connect to hubs?" diagnostic (positive: social-like;
+    * negative: hub-and-spoke — decides whether hub-targeted salting or
+    * degree-based partitioning pays off). Degrees come from one hash-agg;
+    * two co-keyed joins attach them to both endpoints; the moment sums run
+    * in DECIMAL(38,0) (deg² summed over the edge set wraps a BIGINT once
+    * Σdeg³-ish mass passes ~9e18 — the mannWhitney discipline), and r is
+    * one mirrored double chain on six exact scalars.
+    */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("dst")),
+            "l_orderkey")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val d38 = "decimal(38,0)"
+    val dx = col("dx").cast(d38); val dy = col("dy").cast(d38)
+    val g = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("n_edges"),
+           sum(dx).cast("double").as("sx"), sum(dy).cast("double").as("sy"),
+           sum(dx * dy).cast("double").as("sxy"),
+           sum(dx * dx).cast("double").as("sxx"),
+           sum(dy * dy).cast("double").as("syy"))
+    g.select(col("n_edges"),
+             r4((col("n_edges") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(col("n_edges") * col("sxx") - col("sx") * col("sx")) *
+                 sqrt(col("n_edges") * col("syy") - col("sy") * col("sy"))))
+               .as("assortativity"))
+  }
+
+  /** Per-event-type burstiness of the daily arrival counts — the Fano
+    * factor (variance/mean of active-day counts; 1 = Poisson, >1 =
+    * bursty/clumped) and the Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈
+    * (−1, 1). The capacity-planning screen for event pipelines: a bursty
+    * type needs peak-sized sinks, a regular one doesn't. AGGREGATE-FIRST:
+    * the event stream collapses to (type × epoch-day) BIGINT counts (the
+    * day key is integer epoch-µs div, bit-identical in the oracle), then
+    * one tiny moments agg per type; count squares sum in DECIMAL(38,0)
+    * (a 1e10-events/day key wraps BIGINT at the square). Active-day
+    * dispersion by design — zero-event days are not imputed.
+    */
+  def burstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val daily = events(spark, sfDir)
+      .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val d38 = "decimal(38,0)"
+    val g = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("c")).as("sc"),
+           sum(col("c").cast(d38) * col("c").cast(d38)).cast("double").as("scc"))
+    val nD = col("n_days").cast("double")
+    val mean = col("sc").cast("double") / nD
+    val variance = (nD * col("scc") -
+                    col("sc").cast("double") * col("sc").cast("double")) /
+                   (nD * (nD - lit(1.0)))
+    val sigma = sqrt(variance)
+    ordered(
+      g.select(col("event_type"), col("n_days"), col("sc").as("n_events"),
+               r4(variance / mean).as("fano"),
+               r4((sigma - mean) / (sigma + mean)).as("burstiness")),
+      "event_type")
+  }
+
   /** Kendall's τ-b between the monthly quantity and revenue series per
     * return-flag segment — the robust rank-concordance companion to
     * [[Relational.corrAgg]]'s Pearson and spearman's ρ (τ is the one with a

@@ -470,6 +470,30 @@ object Windows {
     * have no interval and zero-span users no weight — both drop on the
     * total_us > 0 guard, mirrored as HAVING in the oracle.
     */
+  /** Daily new-vs-returning user split — the growth-accounting primitive
+    * (is today's traffic acquisition or retention?) that q_retention's
+    * cohort matrix summarizes but doesn't expose day-by-day. Two hash-aggs
+    * and one user-keyed join: distinct (user, epoch-day) pairs, min-day
+    * first-seen per user, then a per-day conditional count — no window at
+    * all, so the plan is flat at any event volume. The epoch-day key is
+    * integer µs division, bit-identical in the oracle.
+    */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = events(spark, sfDir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ordered(
+      ud.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("active_users"),
+             sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+               .as("new_users"))
+        .select(col("day"), col("active_users"), col("new_users"),
+                (col("active_users") - col("new_users")).as("returning_users")),
+      "day")
+  }
+
   def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)

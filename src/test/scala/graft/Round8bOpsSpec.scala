@@ -243,6 +243,80 @@ class Round8bOpsSpec extends SparkSpec {
       s"got ${out.getAs[Double]("cohens_d")}, sequential $d")
   }
 
+  test("dupClusterHist: sizes partition the corpus and match the CC assignment") {
+    val hist = graft.operators.Dedup.dupClusterHist(spark, Sf).collect()
+    val nDocs = graft.util.Tables.t(spark, Sf, "documents").count()
+    assert(hist.map(r => r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")).sum === nDocs)
+    // recompute from the assignment directly
+    val sizes = graft.operators.Dedup.dedupComponentsEditdist(spark, Sf)
+      .collect().groupBy(_.getAs[Long]("component_id")).values
+      .map(_.length.toLong).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = hist.map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    assert(got === sizes)
+  }
+
+  test("assortativity: matches the sequential degree-correlation fold") {
+    val out = Insights.assortativity(spark, Sf).collect().head
+    val items = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val xs = edges.map(e => deg(e._1)); val ys = edges.map(e => deg(e._2))
+    val n = edges.length.toDouble
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+    val r = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(out.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(math.abs(out.getAs[Double]("assortativity") - r) < 1e-3,
+      s"got ${out.getAs[Double]("assortativity")}, sequential $r")
+  }
+
+  test("burstiness: matches the sequential dispersion fold, B in (-1, 1)") {
+    val out = Insights.burstiness(spark, Sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_events"),
+         r.getAs[Double]("fano"), r.getAs[Double]("burstiness"))).toMap
+    val daily = graft.util.Tables.events(spark, Sf)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .collect().map(r => (r.getAs[String](0), r.getAs[Long](1)))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).values.map(_.size.toDouble).toSeq).toMap
+    daily.foreach { case (et, cs) =>
+      val n = cs.size.toDouble
+      val mean = cs.sum / n
+      val variance = cs.map(c => (c - mean) * (c - mean)).sum / (n - 1)
+      val sigma = math.sqrt(variance)
+      val (gn, ge, gf, gb) = out(et)
+      assert(gn === cs.size.toLong)
+      assert(ge === cs.map(_.toLong).sum)
+      assert(math.abs(gf - variance / mean) < 1e-2)
+      assert(math.abs(gb - (sigma - mean) / (sigma + mean)) < 1e-3)
+      assert(gb > -1.0 && gb < 1.0)
+    }
+  }
+
+  test("newVsReturning: day totals balance and new users cover each user once") {
+    val out = Windows.newVsReturning(spark, Sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("active_users") ===
+        r.getAs[Long]("new_users") + r.getAs[Long]("returning_users"))
+    }
+    // every user is new exactly once
+    val nUsers = graft.util.Tables.events(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(out.map(_.getAs[Long]("new_users")).sum === nUsers)
+    // the first day of the window has no returning users
+    val first = out.minBy(_.getAs[Long]("day"))
+    assert(first.getAs[Long]("returning_users") === 0L)
+  }
+
   test("timeWeightedAvg: matches the sequential interval fold per user") {
     val out = Windows.timeWeightedAvg(spark, Sf).collect()
       .map(r => r.getAs[Long]("user_id") ->
