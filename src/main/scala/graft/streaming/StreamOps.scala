@@ -138,6 +138,51 @@ object StreamOps {
       }
   }
 
+  case class UserDayEvent(user_id: Long, day: Long)
+  case class UserDayFlag(user_id: Long, day: Long, is_new: Boolean)
+  case class DaysSeen(first_day: Long, days: Set[Long])
+
+  /** Streaming new-vs-returning classification — the continuously-updated
+    * twin of [[graft.operators.Windows.newVsReturning]]: each arriving
+    * (user, epoch-day) activity emits ONE flag the first time that day is
+    * seen for that user, is_new iff the day is the user's FIRST seen day.
+    * Aggregating flags per day yields the live acquisition/retention
+    * dashboard the batch query computes nightly.
+    *
+    * State per user is (first_day, seen-day set) — bounded by the CALENDAR
+    * (days per user, not events per user), the same aggregate-first bound
+    * the batch twin rides; a production deployment would cap it with an
+    * idle-user timeout. Arrival defines "first": when events arrive in
+    * day order (the append-only log case) the emitted flags aggregate to
+    * EXACTLY the batch answer (StreamingSpec); a late out-of-order
+    * earlier-day event classifies as returning — the same
+    * arrival-defines-prior contract as [[streamingNearDupCandidates]].
+    */
+  def newVsReturningStream(events: Dataset[UserDayEvent]): Dataset[UserDayFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DaysSeen, UserDayFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[UserDayEvent], state: GroupState[DaysSeen]) =>
+          val prev = state.getOption.getOrElse(DaysSeen(Long.MaxValue, Set.empty))
+          // in-batch days rank ascending so the smallest unseen day is
+          // "first" exactly like the batch min(day) when state is empty
+          val newDays = batch.map(_.day).toSeq.distinct.sorted
+            .filterNot(prev.days.contains)
+          if (newDays.isEmpty) Iterator.empty
+          else {
+            // arrival defines "first": once a user has state, every later
+            // day — even an out-of-order EARLIER calendar day — returns
+            val isFirstEver = prev.days.isEmpty
+            val firstDay = if (isFirstEver) newDays.head else prev.first_day
+            state.update(DaysSeen(firstDay, prev.days ++ newDays))
+            newDays.iterator.map(d =>
+              UserDayFlag(userId, d, isFirstEver && d == firstDay))
+          }
+      }
+  }
+
   case class BandHit(band_id: Int, band_hash: Long, doc_id: Long)
   case class NearDupHit(doc_id: Long, band_id: Int, band_hash: Long,
                         canon_id: Long)

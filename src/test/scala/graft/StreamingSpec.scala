@@ -373,4 +373,52 @@ class StreamingSpec extends SparkSpec {
       .select("canon_id").collect().map(_.getLong(0)).toSet
     assert(idx === Set(2L), "the index canonical must move to the smallest id seen")
   }
+
+  test("newVsReturningStream: in-order flags aggregate to the batch twin, " +
+       "late earlier days classify as returning") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // in-order feed over the real testdata, split into 3 micro-batches by day
+    val ud = graft.util.Tables.events(spark, Sf)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct().orderBy("day", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ud.map(_._2).distinct.sorted
+    val cut1 = days(days.length / 3); val cut2 = days(2 * days.length / 3)
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.newVsReturningStream(
+        mem.toDF().toDF("user_id", "day").as[StreamOps.UserDayEvent])
+      .toDF()
+      .writeStream.format("memory").queryName("nvr_out")
+      .outputMode("append").start()
+    mem.addData(ud.filter(_._2 <= cut1).toSeq); q.processAllAvailable()
+    mem.addData(ud.filter(r => r._2 > cut1 && r._2 <= cut2).toSeq); q.processAllAvailable()
+    mem.addData(ud.filter(_._2 > cut2).toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("nvr_out")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"),
+           sum(when(col("is_new"), 1L).otherwise(0L)).as("new_users"))
+      .withColumn("returning_users", col("active_users") - col("new_users"))
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Windows.newVsReturning(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+
+    // out-of-order contract: a user's late EARLIER day returns, not news
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = StreamOps.newVsReturningStream(
+        mem2.toDF().toDF("user_id", "day").as[StreamOps.UserDayEvent])
+      .toDF()
+      .writeStream.format("memory").queryName("nvr_ooo")
+      .outputMode("append").start()
+    mem2.addData((1L, 10L)); q2.processAllAvailable()
+    mem2.addData((1L, 3L)); q2.processAllAvailable()  // late earlier day
+    mem2.addData((1L, 10L)); q2.processAllAvailable() // repeat: no re-emit
+    q2.stop()
+    val ooo = spark.table("nvr_ooo")
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Boolean]("is_new"))).toSeq
+    assert(ooo === Seq((3L, false), (10L, true)))
+  }
 }
