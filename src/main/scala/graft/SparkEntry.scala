@@ -253,6 +253,8 @@ object SparkEntry {
     "q_assortativity"     -> q(Insights.assortativity), // degree-degree Pearson over edges, d38 moments
     "q_burstiness"        -> q(Insights.burstiness), // Fano factor + Goh-Barabasi B of daily arrivals per type
     "q_new_vs_returning"  -> q(Windows.newVsReturning), // daily acquisition/retention split, windowless
+    "q_gopher_rules"      -> q(Text.gopherRules), // published composite quality filter with per-rule flags
+    "q_heaps_law"         -> q(Text.heapsLaw), // vocabulary growth curve via distributed prefix sum
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -3532,5 +3534,47 @@ object SparkEntry {
         | count(*) - CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
         |FROM ud JOIN f USING (user_id)
         |GROUP BY ud.day ORDER BY ud.day""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |         CAST(list_contains(string_split(text, ' '), 'the') AS INT)
+        |         + CAST(list_contains(string_split(text, ' '), 'a') AS INT)
+        |         + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
+        |         + CAST(list_contains(string_split(text, ' '), 'and') AS INT)
+        |         + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
+        |         + CAST(list_contains(string_split(text, ' '), 'with') AS INT) AS n_stops
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n_words, n_alpha, CAST(n_stops AS BIGINT) AS n_stopwords,
+        |         CAST(length(text) - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mwl
+        |  FROM d)
+        |SELECT doc_id, n_words,
+        | floor(mwl * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+        | n_alpha AS n_alpha_words, n_stopwords,
+        | (n_words >= 20 AND n_words <= 1000) AS r_word_count,
+        | (mwl >= 3.0 AND mwl <= 10.0) AS r_mean_word_len,
+        | (n_alpha * 5 >= n_words * 4) AS r_alpha_ratio,
+        | (n_stopwords >= 2) AS r_stopwords,
+        | ((n_words >= 20 AND n_words <= 1000) AND (mwl >= 3.0 AND mwl <= 10.0)
+        |  AND (n_alpha * 5 >= n_words * 4) AND (n_stopwords >= 2)) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_heaps_law" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |                      i -> array_to_string(w[i:i+2], ' ')))) AS s
+        |       FROM d),
+        |f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s),
+        |novel AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles,
+        |         CAST(sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel
+        |  FROM sh JOIN f USING (s) GROUP BY sh.doc_id)
+        |SELECT doc_id, n_shingles, novel,
+        | CAST(sum(novel) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM novel ORDER BY doc_id""".stripMargin,
   )
 }

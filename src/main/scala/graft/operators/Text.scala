@@ -1062,6 +1062,69 @@ object Text {
     * linear in shingle volume at any corpus size. The shingle frame feeds
     * both legs → persisted, the [[contamination]] rationale.
     */
+  /** Gopher-style composite quality filter (Rae et al. 2021, "Scaling
+    * Language Models", Appendix A — the published repetition/format rule
+    * set every LLM curation pipeline starts from) with PER-RULE boolean
+    * flags, not just a verdict — the operator a curation run needs to
+    * answer "WHY was this doc dropped". Thresholds adapted to the
+    * synthetic corpus's scale (docs are ~50 words): word count in
+    * [20, 1000] (Gopher: [50, 100k]), mean word length in [3, 10]
+    * (Gopher's own bounds), ≥80% alphabetic words, ≥2 distinct common
+    * stop words (Gopher: ≥2 of a fixed 8-word list). Everything is exact
+    * integer/string arithmetic over one projection — no shuffle at all
+    * until the output sort; mean word length exploits the single-space
+    * corpus (chars − (words−1) = total word chars), mirrored as one
+    * double division.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val mwl = (length(col("text")).cast("long") - (words - 1)).cast("double") /
+      words.cast("double")
+    val alphaWords =
+      size(expr("filter(split(text, ' '), w -> w rlike '[A-Za-z]')")).cast("long")
+    val stopHits = Seq("the", "a", "of", "and", "to", "with")
+      .map(w => array_contains(split(col("text"), " "), w).cast("int"))
+      .reduce(_ + _)
+    ordered(
+      docs(spark, sfDir).select(
+        col("doc_id"), words.as("n_words"), r4(mwl).as("mean_word_len"),
+        alphaWords.as("n_alpha_words"), stopHits.cast("long").as("n_stopwords"),
+        (words >= 20 && words <= 1000).as("r_word_count"),
+        (mwl >= 3.0 && mwl <= 10.0).as("r_mean_word_len"),
+        (alphaWords * 5 >= words * 4).as("r_alpha_ratio"), // ≥80%, integer cross-mult
+        (stopHits >= 2).as("r_stopwords"))
+        .withColumn("keep",
+          col("r_word_count") && col("r_mean_word_len") &&
+          col("r_alpha_ratio") && col("r_stopwords")),
+      "doc_id")
+  }
+
+  /** Heaps'-law vocabulary growth curve — cumulative distinct 3-gram
+    * shingles as the corpus is read in doc_id order, the scaling-law
+    * diagnostic (is vocabulary still growing sublinearly, or has the
+    * corpus saturated?) curation runs plot before sizing a tokenizer.
+    * Novel-per-doc counts come from the [[ngramNovelty]] first-occurrence
+    * map (one shingle hash-agg + join back); the cumulative sum is the
+    * two-phase distributed [[PrefixSum]] — never a single-reducer global
+    * window, so the curve computes at any corpus size.
+    */
+  def heapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRows(docs(spark, sfDir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    val novel = sh.join(firsts, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+             .as("novel"))
+    val cum = graft.util.PrefixSum
+      .exclusiveCols(novel, Seq(col("doc_id").asc), col("novel"), "cum0")
+    ordered(
+      cum.select(col("doc_id"), col("n_shingles"), col("novel"),
+                 (col("cum0") + col("novel")).as("cum_vocab")),
+      "doc_id")
+  }
+
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleRows(docs(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -243,6 +243,52 @@ class Round8bOpsSpec extends SparkSpec {
       s"got ${out.getAs[Double]("cohens_d")}, sequential $d")
   }
 
+  test("gopherRules: flags match a sequential string fold, keep is their conjunction") {
+    val out = Text.gopherRules(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = graft.util.Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    assert(out.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ", -1)
+      val mwl = (text.length - (words.length - 1)).toDouble / words.length
+      val alpha = words.count(_.exists(_.isLetter))
+      val stops = Seq("the", "a", "of", "and", "to", "with").count(words.contains)
+      val r = out(id)
+      assert(r.getAs[Long]("n_words") === words.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean_word_len") - mwl) < 1e-3)
+      assert(r.getAs[Long]("n_alpha_words") === alpha.toLong)
+      assert(r.getAs[Long]("n_stopwords") === stops.toLong)
+      val flags = Seq(
+        words.length >= 20 && words.length <= 1000,
+        mwl >= 3.0 && mwl <= 10.0,
+        alpha * 5 >= words.length * 4,
+        stops >= 2)
+      assert(r.getAs[Boolean]("r_word_count") === flags(0))
+      assert(r.getAs[Boolean]("r_mean_word_len") === flags(1))
+      assert(r.getAs[Boolean]("r_alpha_ratio") === flags(2))
+      assert(r.getAs[Boolean]("r_stopwords") === flags(3))
+      assert(r.getAs[Boolean]("keep") === flags.forall(identity))
+    }
+  }
+
+  test("heapsLaw: curve is monotone, per-doc novelty agrees, endpoint is the vocabulary size") {
+    val curve = Text.heapsLaw(spark, Sf).collect()
+    val novelty = Text.ngramNovelty(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("novel")).toMap
+    var prev = 0L
+    curve.foreach { r =>
+      assert(r.getAs[Long]("novel") === novelty(r.getAs[Long]("doc_id")))
+      val c = r.getAs[Long]("cum_vocab")
+      assert(c === prev + r.getAs[Long]("novel"))
+      prev = c
+    }
+    val vocab = Text.shingleRows(graft.util.Tables.t(spark, Sf, "documents"))
+      .select(col("s")).distinct().count()
+    assert(prev === vocab)
+  }
+
   test("dupClusterHist: sizes partition the corpus and match the CC assignment") {
     val hist = graft.operators.Dedup.dupClusterHist(spark, Sf).collect()
     val nDocs = graft.util.Tables.t(spark, Sf, "documents").count()
