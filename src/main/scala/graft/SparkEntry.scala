@@ -255,6 +255,10 @@ object SparkEntry {
     "q_new_vs_returning"  -> q(Windows.newVsReturning), // daily acquisition/retention split, windowless
     "q_gopher_rules"      -> q(Text.gopherRules), // published composite quality filter with per-rule flags
     "q_heaps_law"         -> q(Text.heapsLaw), // vocabulary growth curve via distributed prefix sum
+    // round-8c additions (Kimball fact-grain completions + stats/graph/corpus)
+    "q_scd3"              -> q(Warehouse.scd3CurrentPrior), // current+prior attribute per key, one window + one agg
+    "q_periodic_snapshot" -> q(Warehouse.periodicSnapshot), // dense monthly balance per supplier, in-plan calendar spine
+    "q_accumulating_snapshot" -> q(Warehouse.accumulatingSnapshot), // order milestone fact with lag measures
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -3576,5 +3580,59 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, novel,
         | CAST(sum(novel) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
         |FROM novel ORDER BY doc_id""".stripMargin,
+
+    "q_scd3" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT user_id,
+        | max(CASE WHEN rn = 1 THEN cents END) AS cur_cents,
+        | max(CASE WHEN rn = 2 THEN cents END) AS prior_cents,
+        | max(CASE WHEN rn = 1 THEN ts_us END) AS changed_at_us,
+        | CAST(count(*) AS BIGINT) AS n_versions
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_periodic_snapshot" ->
+      """WITH monthly AS (
+        |  SELECT l_suppkey AS s_suppkey,
+        |         CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(date_trunc('month', min(l_shipdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('month', max(l_shipdate)) AS DATE) AS hi
+        |  FROM lineitem),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS m
+        |  FROM bounds),
+        |grid AS (SELECT s.s_suppkey, sp.m FROM supplier s CROSS JOIN spine sp),
+        |filled AS (
+        |  SELECT g.s_suppkey, g.m,
+        |         COALESCE(mo.qty, CAST(0 AS DECIMAL(18,2))) AS q
+        |  FROM grid g LEFT JOIN monthly mo
+        |    ON g.s_suppkey = mo.s_suppkey AND g.m = mo.m)
+        |SELECT s_suppkey, m, CAST(q AS DOUBLE) AS qty_shipped,
+        | CAST(sum(q) OVER (PARTITION BY s_suppkey ORDER BY m
+        |                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS balance
+        |FROM filled ORDER BY s_suppkey, m""".stripMargin,
+
+    "q_accumulating_snapshot" ->
+      """WITH ms AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         min(CAST(l_shipdate AS DATE)) AS first_ship,
+        |         max(CAST(l_shipdate AS DATE)) AS last_ship,
+        |         CAST(count(*) AS BIGINT) AS n_lines,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS placed,
+        | ms.first_ship, ms.last_ship, ms.n_lines,
+        | CAST(ms.qty AS DOUBLE) AS total_qty,
+        | CAST(date_diff('day', CAST(o.o_orderdate AS DATE), ms.first_ship) AS BIGINT) AS days_to_first_ship,
+        | CAST(date_diff('day', ms.first_ship, ms.last_ship) AS BIGINT) AS ship_span_days
+        |FROM orders o JOIN ms ON o.o_orderkey = ms.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
   )
 }

@@ -496,4 +496,109 @@ object Warehouse {
                 r4(col("alloc_cents").cast("double") / lit(100.0)).as("alloc_rev")),
       "part_id")
   }
+
+  /** SCD Type 3 dimension build — current + prior attribute in ONE row per
+    * key, the Kimball "alternate reality" pattern that completes the SCD
+    * trio the reference's warehouse design implies (Type 1 = overwrite is
+    * [[mergeUpsert]], Type 2 = full history is [[scd2Versions]]; Type 3
+    * keeps exactly one step of history as a column, the shape BI tools
+    * want for "current vs previous segment" reports). Change stream = each
+    * user's signup events ordered by (ts, event_id); the tracked attribute
+    * is the event value in exact CENTS (floor(v·100+0.5) BIGINT — the
+    * portable double→cents fold used throughout). One user-sharded window
+    * computes the per-key recency rank, then one hash-agg folds rank 1 and
+    * rank 2 into (current, prior) via conditional MAX — no self-join, no
+    * second scan, and the output is dimension-sized (one row per key) at
+    * any event volume. Keys with a single version surface prior = NULL and
+    * changed_at = their only version's timestamp, exactly like a Type 3
+    * column that has never been overwritten.
+    */
+  def scd3CurrentPrior(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val versions = graft.util.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+              floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+    ordered(
+      versions.groupBy(col("user_id"))
+        .agg(max(when(col("rn") === 1, col("cents"))).as("cur_cents"),
+             max(when(col("rn") === 2, col("cents"))).as("prior_cents"),
+             max(when(col("rn") === 1, col("ts_us"))).as("changed_at_us"),
+             count(lit(1)).as("n_versions")),
+      "user_id")
+  }
+
+  /** Periodic snapshot fact — the Kimball monthly-balance table (one row
+    * per supplier per calendar month: quantity shipped that month + running
+    * balance to date), the second of the three fact-table grains the
+    * reference's transactional fact ladder is missing. DENSE calendar: the
+    * month spine is generated IN-PLAN from a 1-row min/max aggregate of the
+    * fact (sequence + explode — no driver-side collect), cross-joined with
+    * the supplier dimension, so months with zero movement still snapshot
+    * (qty 0, balance carried) — the property that makes period-over-period
+    * queries windowless downstream. Scale shape: one fact-linear hash-agg
+    * to (supplier × month) grain, one dim × calendar cross join (the
+    * snapshot's DEFINED output size — |dim|·|months|, never fact-sized),
+    * one left join back, and a per-supplier running sum whose window is
+    * calendar-bounded (≤ months rows per key, regardless of fact volume).
+    * Balances accumulate in DECIMAL (associative, partition-order-proof);
+    * doubles only at the output boundary.
+    */
+  def periodicSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(spark, sfDir, "lineitem")
+    val monthly = li
+      .groupBy(col("l_suppkey").as("s_suppkey"),
+               date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg(sum(money(col("l_quantity"))).as("qty"))
+    val spine = li
+      .agg(date_trunc("month", min(col("l_shipdate"))).cast("date").as("lo"),
+           date_trunc("month", max(col("l_shipdate"))).cast("date").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("m"))
+    val grid = t(spark, sfDir, "supplier").select(col("s_suppkey")).crossJoin(spine)
+    val w = Window.partitionBy(col("s_suppkey")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered(
+      grid.join(monthly, Seq("s_suppkey", "m"), "left")
+        .select(col("s_suppkey"), col("m"),
+                coalesce(col("qty"), lit(0).cast("decimal(18,2)")).as("q"))
+        .withColumn("balance", sum(col("q")).over(w))
+        .select(col("s_suppkey"), col("m"),
+                col("q").cast("double").as("qty_shipped"),
+                col("balance").cast("double").as("balance")),
+      "s_suppkey", "m")
+  }
+
+  /** Accumulating snapshot fact — the Kimball milestone table (one row per
+    * order carrying every lifecycle milestone date + the lag measures
+    * between them), the third fact grain: placed (order date), first ship,
+    * last ship, line count, total quantity, days-to-first-ship and
+    * ship-span. In a mutable warehouse this row is UPDATEd as milestones
+    * land; in the immutable engine it is a pure fold — one fact-linear
+    * hash-agg on the order key (min/max dates + counts combine map-side)
+    * joined to the order header, output order-grain. Lags are integer day
+    * differences of DATEs (exact on both engines); quantity sums in
+    * DECIMAL, double only at the boundary.
+    */
+  def accumulatingSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val ms = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(min(col("l_shipdate").cast("date")).as("first_ship"),
+           max(col("l_shipdate").cast("date")).as("last_ship"),
+           count(lit(1)).as("n_lines"),
+           sum(money(col("l_quantity"))).as("qty"))
+    ordered(
+      t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("placed"))
+        .join(ms, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("placed"), col("first_ship"),
+                col("last_ship"), col("n_lines"),
+                col("qty").cast("double").as("total_qty"),
+                datediff(col("first_ship"), col("placed")).cast("long").as("days_to_first_ship"),
+                datediff(col("last_ship"), col("first_ship")).cast("long").as("ship_span_days")),
+      "o_orderkey")
+  }
 }
