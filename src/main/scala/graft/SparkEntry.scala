@@ -259,6 +259,8 @@ object SparkEntry {
     "q_scd3"              -> q(Warehouse.scd3CurrentPrior), // current+prior attribute per key, one window + one agg
     "q_periodic_snapshot" -> q(Warehouse.periodicSnapshot), // dense monthly balance per supplier, in-plan calendar spine
     "q_accumulating_snapshot" -> q(Warehouse.accumulatingSnapshot), // order milestone fact with lag measures
+    "q_welch_t"           -> q(Insights.welchT), // unequal-variance two-sample t + Satterthwaite df, one conditional agg
+    "q_theil_sen"         -> q(Insights.theilSen), // robust trend slope: exact lower-median of calendar-bounded pair slopes
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -3634,5 +3636,55 @@ object SparkEntry {
         | CAST(date_diff('day', ms.first_ship, ms.last_ship) AS BIGINT) AS ship_span_days
         |FROM orders o JOIN ms ON o.o_orderkey = ms.o_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_welch_t" ->
+      """WITH agg AS (
+        |  SELECT CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sa,
+        |         CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+        |                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sb,
+        |         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END) AS DOUBLE) AS ssa,
+        |         CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+        |                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END) AS DOUBLE) AS ssb
+        |  FROM orders),
+        |m AS (
+        |  SELECT n_a, n_b, sa, sb, ssa, ssb,
+        |         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+        |  FROM agg),
+        |v AS (
+        |  SELECT n_a, n_b, nad, nbd, sa / nad AS ma, sb / nbd AS mb,
+        |         ((ssa - sa * sa / nad) / (nad - 1.0)) / nad AS sea,
+        |         ((ssb - sb * sb / nbd) / (nbd - 1.0)) / nbd AS seb
+        |  FROM m)
+        |SELECT n_a, n_b,
+        | floor(ma * 10000.0 + 0.5) / 10000.0 AS mean_a,
+        | floor(mb * 10000.0 + 0.5) / 10000.0 AS mean_b,
+        | floor(((ma - mb) / sqrt(sea + seb)) * 10000.0 + 0.5) / 10000.0 AS t,
+        | floor(((sea + seb) * (sea + seb)
+        |        / (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0))) * 10000.0 + 0.5) / 10000.0 AS df
+        |FROM v""".stripMargin,
+
+    "q_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT l_returnflag AS grp,
+        |         year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.grp, a.mi, b.mi AS mj,
+        |         CAST(b.v - a.v AS DOUBLE) / CAST(b.mi - a.mi AS DOUBLE) AS slope
+        |  FROM monthly a JOIN monthly b ON a.grp = b.grp AND a.mi < b.mi),
+        |ranked AS (
+        |  SELECT grp, slope,
+        |         row_number() OVER (PARTITION BY grp ORDER BY slope, mi, mj) AS rn,
+        |         count(*) OVER (PARTITION BY grp) AS k
+        |  FROM pairs)
+        |SELECT grp AS l_returnflag, CAST(k AS BIGINT) AS n_pairs,
+        | floor(slope * 10000.0 + 0.5) / 10000.0 AS sen_slope
+        |FROM ranked WHERE rn * 2 = k OR rn * 2 = k + 1
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

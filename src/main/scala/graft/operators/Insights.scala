@@ -1298,4 +1298,80 @@ object Insights {
               r4(lit(1.0) - col("u2_a").cast("double") /
                  (col("n_a").cast("double") * col("n_b").cast("double")))
                 .as("r_rb"))
+
+  /** Welch's t-test for urgent vs non-urgent order value — the
+    * unequal-variance two-sample mean test (the form that stays valid when
+    * the arms' spreads differ, which [[cohensD]]'s pooled SD assumes away)
+    * with the Welch–Satterthwaite degrees of freedom. Same single
+    * conditional-aggregation pass as cohensD: n/Σx/Σx² per arm, sums
+    * DECIMAL-exact (squares at (30,4)), then t and df as one mirrored
+    * double chain of the six exact aggregates — a 1-row output whose cost
+    * is one map-side-combined scan at any fact volume.
+    */
+  def welchT(spark: SparkSession, sfDir: String): DataFrame = {
+    def v = money(col("o_totalprice"))
+    val urgent = col("o_orderpriority") === "1-URGENT"
+    val agg = t(spark, sfDir, "orders").agg(
+      sum(when(urgent, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!urgent, 1L).otherwise(0L)).as("n_b"),
+      sum(when(urgent, v).otherwise(lit(null))).cast("double").as("sa"),
+      sum(when(!urgent, v).otherwise(lit(null))).cast("double").as("sb"),
+      sum(when(urgent, (v * v).cast("decimal(30,4)")).otherwise(lit(null)))
+        .cast("double").as("ssa"),
+      sum(when(!urgent, (v * v).cast("decimal(30,4)")).otherwise(lit(null)))
+        .cast("double").as("ssb"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val ma = col("sa") / naD; val mb = col("sb") / nbD
+    val va = (col("ssa") - col("sa") * col("sa") / naD) / (naD - lit(1.0))
+    val vb = (col("ssb") - col("sb") * col("sb") / nbD) / (nbD - lit(1.0))
+    val sea = va / naD; val seb = vb / nbD
+    val tStat = (ma - mb) / sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (naD - lit(1.0)) + seb * seb / (nbD - lit(1.0)))
+    agg.select(col("n_a"), col("n_b"),
+               r4(ma).as("mean_a"), r4(mb).as("mean_b"),
+               r4(tStat).as("t"), r4(df).as("df"))
+  }
+
+  /** Theil–Sen slope of the monthly quantity series per return-flag
+    * segment — the robust trend MAGNITUDE estimator that pairs with
+    * [[mkTrend]]'s Mann–Kendall direction test (the standard published
+    * combination: MK says "is there a monotone trend", Sen says "how steep",
+    * both immune to outliers a least-squares fit would chase). Same
+    * AGGREGATE-FIRST shape as mkTrend: the fact table collapses to ≤ months
+    * rows per group before the O(m²) pair join, so pair volume is a
+    * CALENDAR property at any fact scale. Slope per pair = Δvalue/Δmonths
+    * with Δvalue DECIMAL-exact and Δmonths an exact integer month index
+    * difference (year·12+month — never a day-count approximation), the
+    * division being the single IEEE op, mirrored in the oracle. The median
+    * slope is the exact lower median (element ⌈k/2⌉ of the slope sort,
+    * tie-broken by pair id) picked by a per-group window over the
+    * calendar-bounded pair frame — deterministic, hashable, no
+    * interpolation between doubles.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"),
+               (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("mi"))
+      .agg(sum(money(col("l_quantity"))).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = monthly.select(col("grp"), col("mi"), col("v").as("vi"))
+      .join(monthly.select(col("grp"), col("mi").as("mj"), col("v").as("vj")),
+            "grp")
+      .filter(col("mi") < col("mj"))
+      .select(col("grp"), col("mi"), col("mj"),
+              ((col("vj") - col("vi")).cast("double") /
+               (col("mj") - col("mi")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("slope").asc, col("mi").asc, col("mj").asc)
+    val ranked = pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    ordered(
+      ranked.filter(col("rn") * 2 === col("k") || col("rn") * 2 === col("k") + 1)
+        .select(col("grp").as("l_returnflag"), col("k").as("n_pairs"),
+                r4(col("slope")).as("sen_slope")),
+      "l_returnflag")
+  }
 }
