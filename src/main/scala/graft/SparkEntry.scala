@@ -261,6 +261,9 @@ object SparkEntry {
     "q_accumulating_snapshot" -> q(Warehouse.accumulatingSnapshot), // order milestone fact with lag measures
     "q_welch_t"           -> q(Insights.welchT), // unequal-variance two-sample t + Satterthwaite df, one conditional agg
     "q_theil_sen"         -> q(Insights.theilSen), // robust trend slope: exact lower-median of calendar-bounded pair slopes
+    "q_adamic_adar"       -> q(Insights.adamicAdar(_, _, 2)), // common-neighbor link prediction, wedge-bounded candidates
+    "q_js_divergence"     -> q(Text.jsDivergence), // per-source lexical drift vs the corpus blend, vocab-bounded grid
+    "q_zipf_slope"        -> q(Text.zipfSlope), // rank-frequency OLS slope via distributed ranks, 1-row output
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -3686,5 +3689,83 @@ object SparkEntry {
         | floor(slope * 10000.0 + 0.5) / 10000.0 AS sen_slope
         |FROM ranked WHERE rn * 2 = k OR rn * 2 = k + 1
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_adamic_adar" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM items x JOIN items y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY v),
+        |sc AS (
+        |  SELECT w1.u AS x, w2.u AS y, CAST(count(*) AS BIGINT) AS n_common,
+        |         sum(CAST(1.0 / ln(CAST(deg.deg AS DOUBLE)) AS DECIMAL(28,8))) AS aa_sum
+        |  FROM adj w1 JOIN adj w2 ON w1.v = w2.v AND w1.u < w2.u
+        |  JOIN deg ON deg.v = w1.v
+        |  GROUP BY 1, 2)
+        |SELECT sc.x AS part_a, sc.y AS part_b, sc.n_common,
+        | floor(CAST(aa_sum AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS aa_score
+        |FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.x AND e.b = sc.y)
+        |ORDER BY part_a, part_b""".stripMargin,
+
+    "q_js_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |cs AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cs
+        |       FROM tok WHERE term <> '' GROUP BY 1, 2),
+        |vocab AS (SELECT term, CAST(sum(cs) AS BIGINT) AS cg FROM cs GROUP BY term),
+        |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM cs GROUP BY source),
+        |ngt AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM vocab),
+        |grid AS (
+        |  SELECT st.source, st.ns,
+        |         CAST(COALESCE(c2.cs, 0) AS DOUBLE) AS csd,
+        |         CAST(v.cg AS DOUBLE) AS cgd,
+        |         CAST(ngt.ng AS DOUBLE) AS ngd
+        |  FROM st CROSS JOIN vocab v CROSS JOIN ngt
+        |  LEFT JOIN cs c2 ON c2.source = st.source AND c2.term = v.term),
+        |terms AS (
+        |  SELECT source, ns,
+        |    CAST(CASE WHEN csd > 0 THEN (csd / CAST(ns AS DOUBLE))
+        |         * ln((csd / CAST(ns AS DOUBLE))
+        |              / (((csd / CAST(ns AS DOUBLE)) + (cgd / ngd)) / 2.0))
+        |         ELSE 0.0 END AS DECIMAL(28,8)) AS tp,
+        |    CAST((cgd / ngd)
+        |         * ln((cgd / ngd)
+        |              / (((csd / CAST(ns AS DOUBLE)) + (cgd / ngd)) / 2.0))
+        |         AS DECIMAL(28,8)) AS tq
+        |  FROM grid)
+        |SELECT source, max(ns) AS n_tokens,
+        | floor(0.5 * (CAST(sum(tp) AS DOUBLE) + CAST(sum(tq) AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS js_nats
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_zipf_slope" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |         FROM tok WHERE term <> '' GROUP BY term),
+        |ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM freq),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |         sum(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,8))) AS sx,
+        |         sum(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,8))) AS sy,
+        |         sum(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,8))) AS sxy,
+        |         sum(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) AS DECIMAL(28,8))) AS sxx
+        |  FROM ranked),
+        |sl AS (
+        |  SELECT n_terms,
+        |         CAST(n_terms AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |         CAST(sy AS DOUBLE) AS syd,
+        |         (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM agg)
+        |SELECT n_terms,
+        | floor(slope * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+        | floor(((syd - slope * sxd) / nd) * 10000.0 + 0.5) / 10000.0 AS intercept
+        |FROM sl""".stripMargin,
   )
 }

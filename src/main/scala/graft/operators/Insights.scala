@@ -1349,6 +1349,57 @@ object Insights {
     * calendar-bounded pair frame — deterministic, hashable, no
     * interpolation between doubles.
     */
+  /** Adamic–Adar link prediction over the part co-purchase graph — the
+    * standard common-neighbor score AA(x,y) = Σ_{v ∈ N(x)∩N(y)} 1/ln(deg v)
+    * (Adamic & Adar 2003), ranking NON-adjacent part pairs by how many
+    * rare shared neighbors connect them ("customers who bought both X and
+    * V, and V and Y — will X and Y co-purchase next?"). The graph is the
+    * SUPPORT-THRESHOLDED co-purchase graph (parts co-ordered ≥ minSup
+    * times; the 25-brand graph the other graph ops use is a near-clique —
+    * complete graphs have no links to predict — while the part graph is
+    * sparse at every scale). Candidate pairs come from the same wedge
+    * enumeration as [[clusteringCoeff]] (ordered neighbor pairs around
+    * each center), so candidate volume is Σ deg² over the thresholded
+    * graph, and existing edges are removed with one anti-join on the
+    * canonical a<b edge list. Each wedge center contributes 1/ln(deg v)
+    * (deg ≥ 2 for any wedge center, so ln > 0); terms are cast
+    * DECIMAL(28,8) before the per-pair sum so the double additions are
+    * associative (the chi-square/entropy discipline). The edge frame feeds
+    * four legs → persisted.
+    */
+  def adamicAdar(spark: SparkSession, sfDir: String,
+                 minSup: Int = 2): DataFrame = {
+    val items = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("np"))
+      .filter(col("np") >= minSup)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = edges.select(col("a").as("v"), col("b").as("u"))
+      .union(edges.select(col("b").as("v"), col("a").as("u")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("v"), col("u").as("x"))
+      .join(adj.select(col("v"), col("u").as("y")), "v")
+      .filter(col("x") < col("y"))
+    val scored = wedges
+      .join(deg, "v")
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"),
+           sum((lit(1.0) / log(col("deg").cast("double")))
+             .cast("decimal(28,8)")).as("aa_sum"))
+    ordered(
+      scored
+        .join(edges, scored("x") === edges("a") && scored("y") === edges("b"),
+              "left_anti")
+        .select(col("x").as("part_a"), col("y").as("part_b"),
+                col("n_common"), r4(col("aa_sum").cast("double")).as("aa_score")),
+      "part_a", "part_b")
+  }
+
   def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val monthly = t(spark, sfDir, "lineitem")

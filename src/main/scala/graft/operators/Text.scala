@@ -1140,4 +1140,86 @@ object Text {
                    col("n_shingles").cast("double")).as("novelty_ratio")),
       "doc_id")
   }
+
+  /** Jensen–Shannon divergence of each source's unigram distribution from
+    * the whole-corpus distribution — the per-domain drift report a corpus
+    * mix decision reads (which crawl slices are lexically far from the
+    * blend; symmetric, bounded ≤ ln 2, finite even on disjoint support —
+    * everything KL is not). JS(p‖q) = ½Σp·ln(p/m) + ½Σq·ln(q/m), m=(p+q)/2
+    * with p the source's term distribution and q the corpus-wide one. The
+    * second sum runs over the FULL vocabulary per source (q>0 terms
+    * contribute even where the source lacks the term), so the compute frame
+    * is the source × vocabulary grid — VOCABULARY-bounded, not
+    * corpus-bounded, and built as one cross join of the (tiny) per-source
+    * totals against the vocab frame with a left join back for the source
+    * counts. Probabilities are single IEEE divisions of exact BIGINT
+    * counts; each ln term is cast DECIMAL(28,8) before the per-source sum
+    * (associative — the entropy/chi² discipline), doubles only in the
+    * final ½·(Σ+Σ) boundary expression.
+    */
+  def jsDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val cs = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("cs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = cs.groupBy(col("term")).agg(sum(col("cs")).as("cg"))
+    val srcTotals = cs.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val ng = vocab.agg(sum(col("cg")).as("ng"))
+    val grid = srcTotals.crossJoin(vocab).crossJoin(ng)
+      .join(cs, Seq("source", "term"), "left")
+      .select(col("source"), col("ns"),
+              coalesce(col("cs"), lit(0L)).cast("double").as("csd"),
+              col("cg").cast("double").as("cgd"), col("ng").cast("double").as("ngd"))
+    val p = col("csd") / col("ns").cast("double")
+    val qq = col("cgd") / col("ngd")
+    val m = (p + qq) / lit(2.0)
+    ordered(
+      grid.select(col("source"), col("ns"),
+                  when(col("csd") > 0, p * log(p / m)).otherwise(lit(0.0))
+                    .cast("decimal(28,8)").as("tp"),
+                  (qq * log(qq / m)).cast("decimal(28,8)").as("tq"))
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"),
+             sum(col("tp")).as("sp"), sum(col("tq")).as("sq"))
+        .select(col("source"), col("n_tokens"),
+                r4(lit(0.5) * (col("sp").cast("double") + col("sq").cast("double")))
+                  .as("js_nats")),
+      "source")
+  }
+
+  /** Zipf's-law fit of the corpus rank–frequency curve — the OLS slope of
+    * ln(freq) on ln(rank) over the full vocabulary (natural text ≈ −1; a
+    * flat slope flags synthetic/templated corpora, the companion diagnostic
+    * to [[heapsLaw]]'s vocabulary-growth curve). Ranks are exact and
+    * deterministic (ORDER BY freq DESC, term — ties broken lexically) and
+    * come from the two-phase distributed [[graft.util.PrefixSum]], never a
+    * single-reducer global window, so the rank assignment scales with the
+    * vocabulary. The regression moments are sums of DECIMAL(28,8)-cast
+    * ln-terms (associative), and slope/intercept are one mirrored double
+    * chain over the five exact aggregates; 1-row output.
+    */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val ranked = graft.util.PrefixSum
+      .exclusiveCols(freq, Seq(col("c").desc, col("term").asc), lit(1L), "r0")
+      .withColumn("r", col("r0") + lit(1L))
+    val x = log(col("r").cast("double")); val y = log(col("c").cast("double"))
+    val agg = ranked.agg(
+      count(lit(1)).as("n_terms"),
+      sum(x.cast("decimal(28,8)")).as("sx"),
+      sum(y.cast("decimal(28,8)")).as("sy"),
+      sum((x * y).cast("decimal(28,8)")).as("sxy"),
+      sum((x * x).cast("decimal(28,8)")).as("sxx"))
+    val nD = col("n_terms").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val slope = (nD * col("sxy").cast("double") - sxD * syD) /
+      (nD * col("sxx").cast("double") - sxD * sxD)
+    agg.select(col("n_terms"),
+               r4(slope).as("zipf_slope"),
+               r4((syD - slope * sxD) / nD).as("intercept"))
+  }
 }
