@@ -264,6 +264,12 @@ object SparkEntry {
     "q_adamic_adar"       -> q(Insights.adamicAdar(_, _, 2)), // common-neighbor link prediction, wedge-bounded candidates
     "q_js_divergence"     -> q(Text.jsDivergence), // per-source lexical drift vs the corpus blend, vocab-bounded grid
     "q_zipf_slope"        -> q(Text.zipfSlope), // rank-frequency OLS slope via distributed ranks, 1-row output
+    // round-8d additions (communities, decomposition, lifecycle, weighted selection)
+    "q_label_prop"        -> q(Insights.labelProp(_, _, 5, 3)), // synchronous LPA communities, bounded supersteps, all-integer
+    "q_seasonal_decompose"-> q(Insights.seasonalDecompose), // additive trend/seasonal/residual split, calendar-bounded windows
+    "q_churn"             -> q(Windows.churnMonthly), // monthly active/churned/rate, windowless shifted self-join
+    "q_weighted_median"   -> q(Insights.weightedMedian), // exact weight-mass selection via offset prefix sums
+    "q_tokenizer_fertility" -> q(Text.tokenizerFertility), // bytes/token + tokens/word per lang, one agg pass
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -3767,5 +3773,105 @@ object SparkEntry {
         | floor(slope * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
         | floor(((syd - slope * sxd) / nd) * 10000.0 + 0.5) / 10000.0 AS intercept
         |FROM sl""".stripMargin,
+
+    "q_label_prop" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS br
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |e AS (
+        |  SELECT x.br AS a, y.br AS b FROM b x JOIN b y ON x.ok = y.ok AND x.br < y.br
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |adj AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+        |l0 AS (SELECT DISTINCT v, v AS lab FROM adj),
+        |n1 AS (SELECT adj.v, l0.lab, count(*) AS cnt FROM adj JOIN l0 ON l0.v = adj.u GROUP BY 1, 2),
+        |l1 AS (SELECT v, min(lab) AS lab FROM (
+        |         SELECT v, lab, cnt, max(cnt) OVER (PARTITION BY v) AS mc FROM n1)
+        |       WHERE cnt = mc GROUP BY v),
+        |n2 AS (SELECT adj.v, l1.lab, count(*) AS cnt FROM adj JOIN l1 ON l1.v = adj.u GROUP BY 1, 2),
+        |l2 AS (SELECT v, min(lab) AS lab FROM (
+        |         SELECT v, lab, cnt, max(cnt) OVER (PARTITION BY v) AS mc FROM n2)
+        |       WHERE cnt = mc GROUP BY v),
+        |n3 AS (SELECT adj.v, l2.lab, count(*) AS cnt FROM adj JOIN l2 ON l2.v = adj.u GROUP BY 1, 2),
+        |l3 AS (SELECT v, min(lab) AS lab FROM (
+        |         SELECT v, lab, cnt, max(cnt) OVER (PARTITION BY v) AS mc FROM n3)
+        |       WHERE cnt = mc GROUP BY v)
+        |SELECT v AS brand, lab AS community FROM l3 ORDER BY brand""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |tr AS (
+        |  SELECT m, rev,
+        |         sum(rev) OVER (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS s1,
+        |         count(*) OVER (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS c1,
+        |         sum(rev) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS s2,
+        |         count(*) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS c2
+        |  FROM monthly),
+        |dt AS (
+        |  SELECT m, rev,
+        |         CASE WHEN c1 = 12 AND c2 = 12
+        |              THEN CAST(s1 + s2 AS DOUBLE) / 24.0 END AS trend
+        |  FROM tr),
+        |dt2 AS (SELECT m, rev, trend, CAST(rev AS DOUBLE) - trend AS det FROM dt),
+        |sidx AS (
+        |  SELECT month(m) AS moy,
+        |         CAST(sum(CAST(det AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS raw
+        |  FROM dt2 WHERE det IS NOT NULL GROUP BY 1),
+        |m0 AS (SELECT CAST(sum(CAST(raw AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS m0 FROM sidx),
+        |season AS (SELECT moy, raw - m0.m0 AS seasonal FROM sidx CROSS JOIN m0)
+        |SELECT dt2.m,
+        | floor(CAST(rev AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(trend * 10000.0 + 0.5) / 10000.0 AS trend,
+        | floor(seasonal * 10000.0 + 0.5) / 10000.0 AS seasonal,
+        | floor((det - seasonal) * 10000.0 + 0.5) / 10000.0 AS resid
+        |FROM dt2 LEFT JOIN season ON month(dt2.m) = season.moy
+        |ORDER BY dt2.m""".stripMargin,
+
+    "q_churn" ->
+      """WITH cm AS (
+        |  SELECT DISTINCT o_custkey AS ck,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        |  FROM orders),
+        |nxt AS (SELECT ck, CAST(m - INTERVAL 1 MONTH AS DATE) AS m, 1 AS nx FROM cm),
+        |j AS (
+        |  SELECT cm.m, count(*) AS active,
+        |         CAST(sum(CASE WHEN nxt.nx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS churned
+        |  FROM cm LEFT JOIN nxt ON cm.ck = nxt.ck AND cm.m = nxt.m
+        |  GROUP BY cm.m),
+        |mx AS (SELECT max(m) AS max_m FROM cm)
+        |SELECT m, active, churned,
+        | floor((CAST(churned AS DOUBLE) / CAST(active AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS churn_rate
+        |FROM j CROSS JOIN mx WHERE m < max_m ORDER BY m""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH grain AS (
+        |  SELECT l_returnflag AS grp,
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |         CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT grp, v, w,
+        |         sum(w) OVER (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+        |         sum(w) OVER (PARTITION BY grp) AS tw
+        |  FROM grain)
+        |SELECT grp AS l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
+        | floor((CAST(min(v) AS DOUBLE) / 100.0) * 10000.0 + 0.5) / 10000.0 AS weighted_median
+        |FROM c WHERE 2 * cw >= tw GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(strlen(text) AS BIGINT) AS nb,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nb) AS BIGINT) AS total_bytes,
+        | CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        | CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        | floor((CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS fertility,
+        | floor((CAST(sum(nb) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS bytes_per_token
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -413,6 +413,129 @@ object Insights {
       "n_name")
   }
 
+  /** Exact weighted median — the quantity-weighted median extended price
+    * per return-flag segment ("the price level at which half the shipped
+    * VOLUME sits below", which the unweighted q_quantiles_exact cannot
+    * answer). Scale-safe exact selection by weight mass WITHOUT a
+    * fact-sized per-group window: the fact collapses to (group, value)
+    * grain first, the in-group cumulative weight comes from ONE global
+    * two-phase [[graft.util.PrefixSum]] over (group, value) order minus a
+    * per-group offset (min prefix within the group = mass before the
+    * group starts — exact because the prefix is monotone along the global
+    * order), and the lower weighted median is the minimum value whose
+    * inclusive in-group cumulative weight reaches half the group total
+    * (2·cum ≥ W in exact BIGINT centi-units — no double boundary flips).
+    * Values and weights both fold to exact integer units at read. The
+    * global order rides a NUMERIC composite key gidx·10¹² + value (the
+    * PrefixSum bucketer needs a numeric leading key, and the composite
+    * also splits LARGE groups across range buckets instead of pinning
+    * each group to one reducer); gidx comes from a window over the
+    * group-count-sized distinct frame, broadcast back.
+    */
+  def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val grain = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+              floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long").as("v"),
+              floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long").as("wq"))
+      .groupBy(col("grp"), col("v")).agg(sum(col("wq")).as("w"))
+    val gidx = grain.select(col("grp")).distinct()
+      .withColumn("gidx",
+        row_number().over(Window.orderBy(col("grp"))).cast("long"))
+    val keyed = grain.join(broadcast(gidx), "grp")
+      .withColumn("ck", col("gidx") * lit(1000000000000L) + col("v"))
+    val ps = graft.util.PrefixSum
+      .exclusiveCols(keyed, Seq(col("ck").asc), col("w"), "cum0")
+    val off = ps.groupBy(col("grp")).agg(min(col("cum0")).as("off"))
+    val tot = grain.groupBy(col("grp")).agg(sum(col("w")).as("tw"))
+    ordered(
+      ps.join(off, "grp").join(tot, "grp")
+        .filter((col("cum0") - col("off") + col("w")) * 2 >= col("tw"))
+        .groupBy(col("grp"))
+        .agg(min(col("v")).as("mc"), max(col("tw")).as("total_weight"))
+        .select(col("grp").as("l_returnflag"), col("total_weight"),
+                r4(col("mc").cast("double") / lit(100.0)).as("weighted_median")),
+      "l_returnflag")
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the brand
+    * co-occurrence graph — the near-linear community-detection baseline
+    * (PageRank ranks nodes, LPA GROUPS them), run for a FIXED `rounds`
+    * supersteps so the plan shape is static (the bounded-gated-query
+    * discipline of q_pagerank/q_kcore). Each superstep: one join of the
+    * node-sized label frame against the adjacency, one (node, label)
+    * count, one max-count per node, and a deterministic min-label
+    * tie-break — all hash-aggs on exact counts, no windows, no doubles
+    * anywhere, so a 32-way parallel run hash-matches the oracle's
+    * sequential unrolled rounds EXACTLY. Per-superstep cost is one
+    * edge-linear shuffle; label state is node-sized.
+    */
+  def labelProp(spark: SparkSession, sfDir: String,
+                minSup: Int = 5, rounds: Int = 3): DataFrame = {
+    val edges = brandEdges(spark, sfDir, minSup)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = edges.select(col("a").as("v"), col("b").as("u"))
+      .union(edges.select(col("b").as("v"), col("a").as("u")))
+    var labels = adj.select(col("v")).distinct().withColumn("lab", col("v"))
+    for (_ <- 1 to rounds) {
+      val nl = adj
+        .join(labels.withColumnRenamed("v", "u"), "u")
+        .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("cnt"))
+      val mc = nl.groupBy(col("v")).agg(max(col("cnt")).as("mc"))
+      labels = nl.join(mc, "v").filter(col("cnt") === col("mc"))
+        .groupBy(col("v")).agg(min(col("lab")).as("lab"))
+    }
+    ordered(labels.select(col("v").as("brand"), col("lab").as("community")),
+            "brand")
+  }
+
+  /** Classical additive seasonal decomposition of the monthly revenue
+    * series — revenue = trend + seasonal + residual, the first report any
+    * time-series consumer asks for (and the input to deseasonalized
+    * comparisons; [[Quality.seasonalAnomaly]] flags points, this exposes
+    * the components). AGGREGATE-FIRST: facts collapse to one DECIMAL
+    * row per month before any window, so every window below runs over a
+    * CALENDAR-BOUNDED frame. Trend is the standard centered 12-month
+    * moving average for an even period — the mean of the two off-by-one
+    * 12-windows, computed as (Σ[-6,+5] + Σ[-5,+6])/24 with BOTH sums
+    * DECIMAL-exact and defined only where both windows are full (the
+    * first/last 6 months surface NULL trend/residual, as the textbook
+    * method does). The seasonal index is the mean detrended value per
+    * month-of-year (terms DECIMAL(28,8) for associativity), centered by
+    * subtracting the index mean so the components sum back to the series.
+    */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = t(spark, sfDir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val w1 = Window.orderBy(col("m")).rowsBetween(-6, 5)
+    val w2 = Window.orderBy(col("m")).rowsBetween(-5, 6)
+    val tr = monthly
+      .withColumn("s1", sum(col("rev")).over(w1))
+      .withColumn("c1", count(lit(1)).over(w1))
+      .withColumn("s2", sum(col("rev")).over(w2))
+      .withColumn("c2", count(lit(1)).over(w2))
+      .withColumn("trend",
+        when(col("c1") === 12 && col("c2") === 12,
+             (col("s1") + col("s2")).cast("double") / lit(24.0)))
+      .withColumn("det", col("rev").cast("double") - col("trend"))
+    val sidx = tr.filter(col("det").isNotNull)
+      .groupBy(month(col("m")).as("moy"))
+      .agg((sum(col("det").cast("decimal(28,8)")).cast("double") /
+            count(lit(1))).as("raw"))
+    val meanRaw = sidx.agg(
+      (sum(col("raw").cast("decimal(28,8)")).cast("double") /
+       count(lit(1))).as("m0"))
+    val season = sidx.crossJoin(broadcast(meanRaw))
+      .select(col("moy"), (col("raw") - col("m0")).as("seasonal"))
+    ordered(
+      tr.join(season, month(col("m")) === col("moy"), "left")
+        .select(col("m"), r4(col("rev").cast("double")).as("revenue"),
+                r4(col("trend")).as("trend"),
+                r4(col("seasonal")).as("seasonal"),
+                r4(col("det") - col("seasonal")).as("resid")),
+      "m")
+  }
+
   /** Decile lift (gains) table — the marketing-analytics staple: customers
     * ranked into spend deciles (via the single-pass exact [[ntileGlobal]]),
     * each decile reporting its revenue share and the cumulative share

@@ -1188,6 +1188,35 @@ object Text {
       "source")
   }
 
+  /** Tokenizer fertility per language — the bytes-per-token and
+    * BPE-tokens-per-word ratios a tokenizer sizing decision reads
+    * (fertility > 1 means the pre-tokenizer splits words; high
+    * bytes/token means the vocabulary underfits the language — the
+    * standard multilingual-tokenizer efficiency report). One shuffle-free
+    * projection (byte length + the two token counts q_token_count
+    * defines) into one map-side-combined hash-agg; ratios are single
+    * divisions of exact BIGINT sums, r4 at the boundary.
+    */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      docs(spark, sfDir)
+        .select(col("lang"), octet_length(col("text")).cast("long").as("nb"),
+                size(split(col("text"), " ")).cast("long").as("ws"),
+                regexp_count(col("text"),
+                  lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("nb")).as("total_bytes"),
+             sum(col("ws")).as("ws_tokens"),
+             sum(col("bpe")).as("bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("total_bytes"),
+                col("ws_tokens"), col("bpe_tokens"),
+                r4(col("bpe_tokens").cast("double") /
+                   col("ws_tokens").cast("double")).as("fertility"),
+                r4(col("total_bytes").cast("double") /
+                   col("bpe_tokens").cast("double")).as("bytes_per_token")),
+      "lang")
+
   /** Zipf's-law fit of the corpus rank–frequency curve — the OLS slope of
     * ln(freq) on ln(rank) over the full vocabulary (natural text ≈ −1; a
     * flat slope flags synthetic/templated corpora, the companion diagnostic

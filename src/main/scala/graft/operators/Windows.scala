@@ -494,6 +494,39 @@ object Windows {
       "day")
   }
 
+  /** Monthly customer churn — per month: active customers, how many of
+    * them place NO order the following month (churned), and the churn
+    * rate; the month-grain lifecycle report [[newVsReturning]]'s daily
+    * acquisition split and [[retentionCohorts]]'s cohort matrix both
+    * leave out ("how many did we LOSE, month by month"). WINDOWLESS like
+    * newVsReturning: distinct (customer, month) activity pairs, one
+    * self-join shifted by a month (add_months on the month-start DATE —
+    * exact integer calendar arithmetic on both engines), one per-month
+    * conditional count — flat plan at any order volume. The last month is
+    * excluded in-plan via a 1-row max aggregate (churn is undefined
+    * without a following month), no driver collect.
+    */
+  def churnMonthly(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = graft.util.Tables.t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("ck"),
+              date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nxt = cm.select(col("ck"), add_months(col("m"), -1).as("m"), lit(1).as("nx"))
+    val maxM = cm.agg(max(col("m")).as("max_m"))
+    ordered(
+      cm.join(nxt, Seq("ck", "m"), "left")
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("active"),
+             sum(when(col("nx").isNull, 1L).otherwise(0L)).as("churned"))
+        .crossJoin(broadcast(maxM))
+        .filter(col("m") < col("max_m"))
+        .select(col("m"), col("active"), col("churned"),
+                r4(col("churned").cast("double") / col("active").cast("double"))
+                  .as("churn_rate")),
+      "m")
+  }
+
   def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
