@@ -433,6 +433,10 @@ object Insights {
     * group-count-sized distinct frame, broadcast back.
     */
   def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    // deliberately NOT persisted: the value-grain agg feeds four legs
+    // (PrefixSum stats + body, offsets, totals) but is one cheap
+    // map-side-combined scan — caching it measured 2.3 s → 6.1 s at sf0.1
+    // (cache-write cost + lost pipelining exceed three recomputes)
     val grain = t(spark, sfDir, "lineitem")
       .select(col("l_returnflag").as("grp"),
               floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long").as("v"),
@@ -476,12 +480,17 @@ object Insights {
     val adj = edges.select(col("a").as("v"), col("b").as("u"))
       .union(edges.select(col("b").as("v"), col("a").as("u")))
     var labels = adj.select(col("v")).distinct().withColumn("lab", col("v"))
+    // per-round: one edge-linear join-shuffle, one (node,label) hash-agg,
+    // then the argmax-with-min-tiebreak as ONE window over the node key
+    // (degree-bounded partitions) whose exchange the final same-key
+    // hash-agg reuses — no second aggregate-and-join-back pass
+    val wv = Window.partitionBy(col("v"))
     for (_ <- 1 to rounds) {
       val nl = adj
         .join(labels.withColumnRenamed("v", "u"), "u")
         .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("cnt"))
-      val mc = nl.groupBy(col("v")).agg(max(col("cnt")).as("mc"))
-      labels = nl.join(mc, "v").filter(col("cnt") === col("mc"))
+      labels = nl.withColumn("mc", max(col("cnt")).over(wv))
+        .filter(col("cnt") === col("mc"))
         .groupBy(col("v")).agg(min(col("lab")).as("lab"))
     }
     ordered(labels.select(col("v").as("brand"), col("lab").as("community")),
