@@ -420,4 +420,50 @@ object StreamOps {
     (tagged.filter(size(col("_dq_violations")) === 0).drop("_dq_violations"),
      tagged.filter(size(col("_dq_violations")) > 0))
   }
+
+  case class LineArrival(o_orderkey: Long, ship_day: Long, qty_cents: Long)
+  case class Milestone(o_orderkey: Long, first_ship_day: Long,
+                       last_ship_day: Long, n_lines: Long, qty_cents: Long)
+
+  /** Streaming accumulating snapshot — the Kimball milestone fact
+    * (q_accumulating_snapshot) maintained INCREMENTALLY as line shipments
+    * arrive: per-order typed state holds (first ship, last ship, line
+    * count, quantity) and each micro-batch folds its arrivals in and
+    * emits the REVISED milestone row — exactly the "UPDATE the fact row
+    * as milestones land" semantics the mutable reference warehouse would
+    * run, expressed as mapGroupsWithState in update mode. State per order
+    * is four longs; all folds are min/max/add, so arrival order — across
+    * or within micro-batches — cannot change the final row, and the
+    * latest emission per key equals the batch twin on the same input
+    * (StreamingSpec, including out-of-order arrivals). At scale the state
+    * store shards by the order key across executors; orders stop
+    * arriving after fulfilment, so idle state can be aged out with a
+    * ProcessingTimeTimeout in a long-running deployment.
+    */
+  def milestoneStream(lines: Dataset[LineArrival]): Dataset[Milestone] = {
+    import lines.sparkSession.implicits._
+    lines.groupByKey(_.o_orderkey)
+      .mapGroupsWithState[Milestone, Milestone](GroupStateTimeout.NoTimeout()) {
+        (ok: Long, batch: Iterator[LineArrival], state: GroupState[Milestone]) =>
+          val init = state.getOption
+            .getOrElse(Milestone(ok, Long.MaxValue, Long.MinValue, 0L, 0L))
+          val ms = batch.foldLeft(init) { (m, l) =>
+            Milestone(ok, math.min(m.first_ship_day, l.ship_day),
+                      math.max(m.last_ship_day, l.ship_day),
+                      m.n_lines + 1L, m.qty_cents + l.qty_cents)
+          }
+          state.update(ms)
+          ms
+      }
+  }
+
+  /** Batch twin of [[milestoneStream]] — the same milestone fold as one
+    * hash-agg (the integer-day core of q_accumulating_snapshot).
+    */
+  def milestoneBatch(lines: DataFrame): DataFrame =
+    lines.groupBy(col("o_orderkey"))
+      .agg(min(col("ship_day")).as("first_ship_day"),
+           max(col("ship_day")).as("last_ship_day"),
+           count(lit(1)).as("n_lines"),
+           sum(col("qty_cents")).as("qty_cents"))
 }

@@ -421,4 +421,56 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("day"), r.getAs[Boolean]("is_new"))).toSeq
     assert(ooo === Seq((3L, false), (10L, true)))
   }
+
+  test("milestoneStream: latest emission per order equals the batch milestone fold, " +
+       "arrival order immaterial, and matches q_accumulating_snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real lineitem rows at integer-day/cents grain, split into 3
+    // micro-batches by a NON-chronological key (linenumber) so later
+    // batches revise earlier milestones — the accumulating-snapshot case
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+              datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+                .cast("long").as("ship_day"),
+              floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long").as("qty_cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"),
+                 r.getAs[Long]("ship_day"), r.getAs[Long]("qty_cents")))
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = StreamOps.milestoneStream(
+        mem.toDF().toDF("o_orderkey", "ship_day", "qty_cents")
+          .as[StreamOps.LineArrival])
+      .toDF()
+      .writeStream.format("memory").queryName("ms_out")
+      .outputMode("update").start()
+    for (ln <- Seq(Seq(1, 4, 6), Seq(3, 5, 7), Seq(2))) {
+      mem.addData(li.filter(r => ln.contains(r._2)).map(r => (r._1, r._3, r._4)).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // per-key LATEST emission: n_lines is strictly increasing per key, so
+    // the max-n_lines row is the final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("n_lines").desc)
+    val streamed = spark.table("ms_out")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val batch = StreamOps.milestoneBatch(
+        li.toSeq.toDF("o_orderkey", "l_linenumber", "ship_day", "qty_cents"))
+      .select(col("o_orderkey"), col("first_ship_day"), col("last_ship_day"),
+              col("n_lines"), col("qty_cents"))
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    // and the fold IS the oracled accumulating snapshot's lineitem core
+    val snap = graft.operators.Warehouse.accumulatingSnapshot(spark, Sf)
+      .select(col("o_orderkey"),
+              datediff(col("first_ship"), lit("1970-01-01").cast("date"))
+                .cast("long").as("first_ship_day"),
+              datediff(col("last_ship"), lit("1970-01-01").cast("date"))
+                .cast("long").as("last_ship_day"),
+              col("n_lines"))
+      .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(streamed.map(_.take(4)) === snap)
+  }
 }
