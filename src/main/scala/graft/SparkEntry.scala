@@ -270,6 +270,10 @@ object SparkEntry {
     "q_churn"             -> q(Windows.churnMonthly), // monthly active/churned/rate, windowless shifted self-join
     "q_weighted_median"   -> q(Insights.weightedMedian), // exact weight-mass selection via offset prefix sums
     "q_tokenizer_fertility" -> q(Text.tokenizerFertility), // bytes/token + tokens/word per lang, one agg pass
+    // round-8e additions (paths, survival, cohort economics)
+    "q_event_trigrams"    -> q(Windows.eventTrigrams), // three-step journey counts, one window exchange for both leads
+    "q_survival_km"       -> q(Insights.survivalKm(_, _, 90)), // Kaplan-Meier with honest censoring, duration-grain prefix sums
+    "q_cohort_ltv"        -> q(Insights.cohortLtv), // cohort x month-age cumulative revenue per head
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -3873,5 +3877,78 @@ object SparkEntry {
         | floor((CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS fertility,
         | floor((CAST(sum(nb) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS bytes_per_token
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_event_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |tri AS (
+        |  SELECT event_type AS e1,
+        |         lead(event_type, 1) OVER w AS e2,
+        |         lead(event_type, 2) OVER w AS e3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |c AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        |      FROM tri WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT sum(n) AS n_total FROM c)
+        |SELECT e1, e2, e3, n,
+        | floor((CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM c CROSS JOIN tot ORDER BY e1, e2, e3""".stripMargin,
+
+    "q_survival_km" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+        |         max(CAST(o_orderdate AS DATE)) AS l
+        |  FROM orders GROUP BY 1),
+        |hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS hz FROM orders),
+        |dur AS (
+        |  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+        |         CASE WHEN date_diff('day', l, hz) > 90 THEN 1 ELSE 0 END AS ev
+        |  FROM pc CROSS JOIN hz),
+        |grain AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c
+        |          FROM dur GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM grain),
+        |curve AS (
+        |  SELECT t, d, c,
+        |         n_total - COALESCE(sum(c) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM grain CROSS JOIN tot),
+        |terms AS (
+        |  SELECT t, d, n_risk,
+        |         CASE WHEN d > 0 AND n_risk > d
+        |              THEN CAST(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS DECIMAL(28,8))
+        |              ELSE CAST(0 AS DECIMAL(28,8)) END AS term,
+        |         CASE WHEN n_risk = d THEN 1 ELSE 0 END AS z0
+        |  FROM curve),
+        |acc AS (
+        |  SELECT t, d, n_risk,
+        |         max(z0) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zero,
+        |         sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum
+        |  FROM terms)
+        |SELECT t AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+        | d AS deaths,
+        | CASE WHEN zero = 1 THEN 0.0
+        |      ELSE floor(exp(CAST(lnsum AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END AS survival
+        |FROM acc WHERE d > 0 ORDER BY duration_days""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS ck, year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders),
+        |first AS (SELECT ck, min(mi) AS cohort FROM o GROUP BY ck),
+        |cells AS (
+        |  SELECT f.cohort, o.mi - f.cohort AS age, sum(o.v) AS rev
+        |  FROM o JOIN first f ON o.ck = f.ck GROUP BY 1, 2),
+        |sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+        |          FROM first GROUP BY cohort)
+        |SELECT CAST(c.cohort AS BIGINT) AS cohort, CAST(c.age AS BIGINT) AS age,
+        | s.n_customers,
+        | CAST(c.rev AS DOUBLE) AS revenue,
+        | CAST(sum(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.age
+        |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue,
+        | floor((CAST(sum(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.age
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(s.n_customers AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS ltv_per_customer
+        |FROM cells c JOIN sizes s ON c.cohort = s.cohort
+        |ORDER BY cohort, age""".stripMargin,
   )
 }

@@ -545,6 +545,92 @@ object Insights {
       "m")
   }
 
+  /** Kaplan–Meier survival curve over customer lifetimes — THE
+    * right-censored time-to-event estimator (Kaplan & Meier 1958): how
+    * long do customers stay active, accounting honestly for the ones
+    * still active at observation end (censoring naive "average lifetime"
+    * reports get wrong). Lifetime = days from first to last order; a
+    * customer whose last order is within 90 days of the global horizon
+    * is CENSORED (still at risk), else their lifetime ended. The fact
+    * table collapses to per-customer (duration, event) rows, then to
+    * DURATION-grain (calendar-bounded — ≤ span-in-days rows at any fact
+    * volume), where the at-risk count n_t = N − (#lifetimes < t) is an
+    * exclusive prefix sum and S(t) = Π(1 − dᵢ/nᵢ) becomes
+    * exp(Σ ln((nᵢ−dᵢ)/nᵢ)) — the product as a cumulative sum of
+    * DECIMAL(28,8)-cast ln terms (associative), with the n = d terminal
+    * case handled by an explicit hit-zero flag (ln 0 never evaluated).
+    * Output: one row per event time with at-risk, deaths, and survival.
+    */
+  def survivalKm(spark: SparkSession, sfDir: String,
+                 censorDays: Int = 90): DataFrame = {
+    val perCust = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("f"),
+           max(col("o_orderdate").cast("date")).as("l"))
+    val horizon = t(spark, sfDir, "orders")
+      .agg(max(col("o_orderdate").cast("date")).as("hz"))
+    val dur = perCust.crossJoin(broadcast(horizon))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+              when(datediff(col("hz"), col("l")) > censorDays, 1L)
+                .otherwise(0L).as("ev"))
+    val grain = dur.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("c"))
+    val wOrd = Window.orderBy(col("t").asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val total = grain.agg(sum(col("c")).as("n_total"))
+    val curve = grain.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+      .withColumn("term",
+        when(col("d") > 0 && col("n_risk") > col("d"),
+             log((col("n_risk") - col("d")).cast("double") /
+                 col("n_risk").cast("double")).cast("decimal(28,8)"))
+          .otherwise(lit(0).cast("decimal(28,8)")))
+      .withColumn("zero",
+        max(when(col("n_risk") === col("d"), 1).otherwise(0)).over(wCum))
+      .withColumn("lnsum", sum(col("term")).over(wCum))
+    ordered(
+      curve.filter(col("d") > 0)
+        .select(col("t").as("duration_days"), col("n_risk"), col("d").as("deaths"),
+                when(col("zero") === 1, lit(0.0))
+                  .otherwise(r4(exp(col("lnsum").cast("double")))).as("survival")),
+      "duration_days")
+  }
+
+  /** Cohort lifetime-value matrix — customers cohorted by first-order
+    * month, each cohort's revenue accumulated by month-age: the LTV
+    * curve ("how much has the Jan-2023 cohort spent per head by month
+    * 6") that q_retention's activity matrix prices out. Aggregate-first:
+    * facts collapse to (cohort, age) DECIMAL cells before the cumulative
+    * window, which then runs over a CALENDAR² -bounded frame; per-head
+    * LTV divides by the cohort's fixed size (first-month headcount).
+    * Ages are exact integer month-index differences.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("ck"),
+              (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"),
+              money(col("o_totalprice")).as("v"))
+    val first = o.groupBy(col("ck")).agg(min(col("mi")).as("cohort"))
+    val cells = o.join(first, "ck")
+      .groupBy(col("cohort"), (col("mi") - col("cohort")).as("age"))
+      .agg(sum(col("v")).as("rev"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_customers"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered(
+      cells.join(sizes, "cohort")
+        .withColumn("cum_rev", sum(col("rev")).over(w))
+        .select(col("cohort").cast("long").as("cohort"),
+                col("age").cast("long").as("age"), col("n_customers"),
+                col("rev").cast("double").as("revenue"),
+                col("cum_rev").cast("double").as("cum_revenue"),
+                r4(col("cum_rev").cast("double") /
+                   col("n_customers").cast("double")).as("ltv_per_customer")),
+      "cohort", "age")
+  }
+
   /** Decile lift (gains) table — the marketing-analytics staple: customers
     * ranked into spend deciles (via the single-pass exact [[ntileGlobal]]),
     * each decile reporting its revenue share and the cumulative share

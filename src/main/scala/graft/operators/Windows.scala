@@ -283,6 +283,35 @@ object Windows {
       "cur", "nxt")
   }
 
+  /** Top event-path trigrams — the path-analysis extension of
+    * [[markovTransitions]]'s pair matrix: the most common three-step
+    * journeys (signup → view → purchase beats two disconnected pair
+    * counts for funnel design). Two lead() taps on the same user-keyed
+    * window (ONE window exchange serves both), filter to complete
+    * triples, one hash-agg; output is ≤ |event types|³ rows — driver
+    * scale at any event volume. Share = trigram count / total triples,
+    * a single division of exact counts.
+    */
+  def eventTrigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val triples = events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(col("event_type").as("e1"), col("e2"), col("e3"))
+    val counts = triples.groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    ordered(
+      counts.crossJoin(broadcast(total))
+        .select(col("e1"), col("e2"), col("e3"), col("n"),
+                r4(col("n").cast("double") / col("n_total").cast("double"))
+                  .as("share")),
+      "e1", "e2", "e3")
+  }
+
   /** Year-over-year delta per market segment — the period-over-period
     * report: revenue by (segment, order year), previous year via lag()
     * over the AGGREGATED frame (|segments|·|years| rows — a window here
