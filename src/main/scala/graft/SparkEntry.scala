@@ -274,6 +274,12 @@ object SparkEntry {
     "q_event_trigrams"    -> q(Windows.eventTrigrams), // three-step journey counts, one window exchange for both leads
     "q_survival_km"       -> q(Insights.survivalKm(_, _, 90)), // Kaplan-Meier with honest censoring, duration-grain prefix sums
     "q_cohort_ltv"        -> q(Insights.cohortLtv), // cohort x month-age cumulative revenue per head
+    // round-8f additions (bands, risk, strength, metadata QA, scale percentiles)
+    "q_bollinger"         -> q(Insights.bollingerBands(_, _, 20, 2.0)), // rolling mean +/- 2 sigma envelope, dual decimal moments
+    "q_drawdown"          -> q(Insights.drawdown), // running-peak dip series, decimal cummax
+    "q_seasonal_strength" -> q(Insights.seasonalStrength), // Hyndman F_seasonal/F_trend over the decompose components
+    "q_langid_confusion"  -> q(Text.langIdConfusion), // declared-vs-predicted language matrix with per-lang shares
+    "q_percentile_cont"   -> q(Relational.percentileContDistributed), // interpolated percentiles via value-grain prefix ranges
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -3950,5 +3956,143 @@ object SparkEntry {
         |       * 10000.0 + 0.5) / 10000.0 AS ltv_per_customer
         |FROM cells c JOIN sizes s ON c.cohort = s.cohort
         |ORDER BY cohort, age""".stripMargin,
+
+    "q_bollinger" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT d, rc,
+        |         sum(rc) OVER win AS s,
+        |         sum(CAST(CAST(rc AS DECIMAL(19,0)) * rc AS DECIMAL(38,0))) OVER win AS ss,
+        |         count(*) OVER win AS c
+        |  FROM daily WINDOW win AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT d, rc,
+        |         CAST(s AS DOUBLE) / 20.0 / 100.0 AS mean,
+        |         sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 20.0) / 20.0) / 100.0 AS sd
+        |  FROM w WHERE c = 20)
+        |SELECT d,
+        | floor(CAST(rc AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(mean * 10000.0 + 0.5) / 10000.0 AS mid,
+        | floor((mean + 2.0 * sd) * 10000.0 + 0.5) / 10000.0 AS upper,
+        | floor((mean - 2.0 * sd) * 10000.0 + 0.5) / 10000.0 AS lower,
+        | (CAST(rc AS DOUBLE) / 100.0 > mean + 2.0 * sd OR CAST(rc AS DOUBLE) / 100.0 < mean - 2.0 * sd) AS breakout
+        |FROM m ORDER BY d""".stripMargin,
+
+    "q_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT d, rev,
+        |         max(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM daily)
+        |SELECT d,
+        | floor(CAST(rev AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(CAST(peak AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS peak,
+        | floor((CAST(peak - rev AS DOUBLE) / CAST(peak AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS drawdown
+        |FROM p ORDER BY d""".stripMargin,
+
+    "q_seasonal_strength" ->
+      """WITH monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |tr AS (
+        |  SELECT m, rev,
+        |         sum(rev) OVER (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS s1,
+        |         count(*) OVER (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS c1,
+        |         sum(rev) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS s2,
+        |         count(*) OVER (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING) AS c2
+        |  FROM monthly),
+        |dt2 AS (
+        |  SELECT m, rev,
+        |         CASE WHEN c1 = 12 AND c2 = 12
+        |              THEN CAST(s1 + s2 AS DOUBLE) / 24.0 END AS trend,
+        |         CAST(rev AS DOUBLE) - CASE WHEN c1 = 12 AND c2 = 12
+        |              THEN CAST(s1 + s2 AS DOUBLE) / 24.0 END AS det
+        |  FROM tr),
+        |sidx AS (
+        |  SELECT month(m) AS moy,
+        |         CAST(sum(CAST(det AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS raw
+        |  FROM dt2 WHERE det IS NOT NULL GROUP BY 1),
+        |m0 AS (SELECT CAST(sum(CAST(raw AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS m0 FROM sidx),
+        |comp AS (
+        |  SELECT floor(trend * 10000.0 + 0.5) / 10000.0 AS trend,
+        |         floor((raw - m0.m0) * 10000.0 + 0.5) / 10000.0 AS seasonal,
+        |         floor((det - (raw - m0.m0)) * 10000.0 + 0.5) / 10000.0 AS resid
+        |  FROM dt2 LEFT JOIN sidx ON month(dt2.m) = sidx.moy CROSS JOIN m0
+        |  WHERE det IS NOT NULL AND sidx.raw IS NOT NULL),
+        |mo AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |         sum(CAST(resid AS DECIMAL(28,8))) AS r_s,
+        |         sum(CAST(resid * resid AS DECIMAL(28,8))) AS r_ss,
+        |         sum(CAST(seasonal + resid AS DECIMAL(28,8))) AS sr_s,
+        |         sum(CAST((seasonal + resid) * (seasonal + resid) AS DECIMAL(28,8))) AS sr_ss,
+        |         sum(CAST(trend + resid AS DECIMAL(28,8))) AS tr_s,
+        |         sum(CAST((trend + resid) * (trend + resid) AS DECIMAL(28,8))) AS tr_ss
+        |  FROM comp)
+        |SELECT n_months,
+        | floor(greatest(0.0, 1.0 -
+        |   ((CAST(r_ss AS DOUBLE) - CAST(r_s AS DOUBLE) * CAST(r_s AS DOUBLE) / CAST(n_months AS DOUBLE)) / CAST(n_months AS DOUBLE))
+        |   / ((CAST(sr_ss AS DOUBLE) - CAST(sr_s AS DOUBLE) * CAST(sr_s AS DOUBLE) / CAST(n_months AS DOUBLE)) / CAST(n_months AS DOUBLE)))
+        |   * 10000.0 + 0.5) / 10000.0 AS f_seasonal,
+        | floor(greatest(0.0, 1.0 -
+        |   ((CAST(r_ss AS DOUBLE) - CAST(r_s AS DOUBLE) * CAST(r_s AS DOUBLE) / CAST(n_months AS DOUBLE)) / CAST(n_months AS DOUBLE))
+        |   / ((CAST(tr_ss AS DOUBLE) - CAST(tr_s AS DOUBLE) * CAST(tr_s AS DOUBLE) / CAST(n_months AS DOUBLE)) / CAST(n_months AS DOUBLE)))
+        |   * 10000.0 + 0.5) / 10000.0 AS f_trend
+        |FROM mo""".stripMargin,
+
+    "q_langid_confusion" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CASE WHEN CAST((length(text) - length(replace(text, 'th', ''))) // 2
+        |              + len(regexp_extract_all(text, '\bthe\b|\band\b|\bis\b')) AS DOUBLE)
+        |              * 100.0 / CAST(length(text) AS DOUBLE) >= 3.0
+        |         THEN 'en' ELSE 'other' END AS lang_pred
+        |  FROM documents),
+        |cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |          FROM f GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n) AS n_lang FROM cells GROUP BY lang)
+        |SELECT c.lang, c.lang_pred, c.n,
+        | floor((CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM cells c JOIN tot t ON c.lang = t.lang
+        |ORDER BY c.lang, c.lang_pred""".stripMargin,
+
+    "q_percentile_cont" ->
+      """WITH grain AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |ps AS (
+        |  SELECT v, c,
+        |         COALESCE(sum(c) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0,
+        |         sum(c) OVER () AS n
+        |  FROM grain),
+        |pp AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p),
+        |j AS (
+        |  SELECT ps.*, pp.p,
+        |         CAST(n - 1 AS DOUBLE) * p AS h,
+        |         CAST(floor(CAST(n - 1 AS DOUBLE) * p) AS BIGINT) AS k
+        |  FROM ps CROSS JOIN pp),
+        |j2 AS (
+        |  SELECT *, least(k + 1, n - 1) AS k2,
+        |         (cum0 <= k AND k < cum0 + c) AS in_k,
+        |         (cum0 <= least(k + 1, n - 1) AND least(k + 1, n - 1) < cum0 + c) AS in_k2
+        |  FROM j),
+        |sel AS (
+        |  SELECT p, CAST(max(n) AS BIGINT) AS n, max(h) AS h,
+        |         min(CASE WHEN in_k THEN v END) AS vlo,
+        |         min(CASE WHEN in_k2 THEN v END) AS vhi
+        |  FROM j2 WHERE in_k OR in_k2 GROUP BY p)
+        |SELECT p, n,
+        | floor((CAST(vlo AS DOUBLE) / 100.0
+        |        + (h - floor(h)) * (CAST(vhi AS DOUBLE) / 100.0 - CAST(vlo AS DOUBLE) / 100.0))
+        |       * 10000.0 + 0.5) / 10000.0 AS value
+        |FROM sel ORDER BY p""".stripMargin,
   )
 }

@@ -631,6 +631,105 @@ object Insights {
       "cohort", "age")
   }
 
+  /** Bollinger bands on the daily revenue series — the rolling
+    * mean ± k·σ envelope (Bollinger 1980s; the volatility-normalized
+    * anomaly screen [[Quality.seasonalAnomaly]]'s per-weekday z-score
+    * doesn't give). AGGREGATE-FIRST: facts collapse to one DECIMAL row
+    * per day, then one calendar-bounded 20-day window carries BOTH
+    * moments (Σ, Σ² — the square sums DECIMAL(38,4), associative);
+    * bands and the breakout flag are one mirrored double chain on exact
+    * window sums, emitted only where the window is full (count = 20).
+    */
+  def bollingerBands(spark: SparkSession, sfDir: String,
+                     winDays: Int = 20, k: Double = 2.0): DataFrame = {
+    // daily revenue folds to exact CENTS before the window, so both
+    // moments are INTEGER sums (squares in DECIMAL(38,0)) — the
+    // decimal-multiply route rounds its (28,2)×(28,2) product on one
+    // engine and not the other (one sub-ulp flip at sf0.01 surfaced it)
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rc"))
+    val w = Window.orderBy(col("d")).rowsBetween(-(winDays - 1), 0)
+    val nD = lit(winDays.toDouble)
+    val wf = daily
+      .withColumn("s", sum(col("rc")).over(w))
+      // cents cast to DECIMAL *before* the square — a LONG·LONG product
+      // wraps past rc ≈ 3e9 (the r7 ADVICE overflow class); (19,0)×(19,0)
+      // is exact at (38,0) on both engines
+      .withColumn("ss",
+        sum((col("rc").cast("decimal(19,0)") * col("rc")).cast("decimal(38,0)"))
+          .over(w))
+      .withColumn("c", count(lit(1)).over(w))
+      .filter(col("c") === winDays)
+    val mean = col("s").cast("double") / nD / lit(100.0)
+    val sd = sqrt((col("ss").cast("double") - col("s").cast("double") *
+                   col("s").cast("double") / nD) / nD) / lit(100.0)
+    val revD = col("rc").cast("double") / lit(100.0)
+    ordered(
+      wf.select(col("d"), r4(revD).as("revenue"),
+                r4(mean).as("mid"),
+                r4(mean + lit(k) * sd).as("upper"),
+                r4(mean - lit(k) * sd).as("lower"),
+                (revD > mean + lit(k) * sd || revD < mean - lit(k) * sd)
+                  .as("breakout")),
+      "d")
+  }
+
+  /** Drawdown series of daily revenue — running peak and percentage
+    * drawdown from it (the worst-dip-so-far risk measure finance runs on
+    * every equity curve; here: how far below the best day-so-far each
+    * day's revenue sits). The running peak is a cumulative MAX of exact
+    * DECIMALs over the calendar-bounded daily frame — no doubles until
+    * the one mirrored division at the boundary.
+    */
+  def drawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered(
+      daily.withColumn("peak", max(col("rev")).over(wCum))
+        .select(col("d"), r4(col("rev").cast("double")).as("revenue"),
+                r4(col("peak").cast("double")).as("peak"),
+                r4((col("peak") - col("rev")).cast("double") /
+                   col("peak").cast("double")).as("drawdown")),
+      "d")
+  }
+
+  /** Seasonality and trend STRENGTH of the monthly revenue series —
+    * Hyndman's F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) over the
+    * [[seasonalDecompose]] components: the 0..1 summary that says
+    * whether the decomposition's seasonal/trend parts carry signal
+    * (the decompose emits the curves; this is the decision number).
+    * Variances are assembled from DECIMAL(28,8) term sums over the
+    * calendar-bounded component frame; one 1-row output.
+    */
+  def seasonalStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = seasonalDecompose(spark, sfDir)
+      .filter(col("resid").isNotNull)
+      .select(col("resid").as("r"),
+              (col("seasonal") + col("resid")).as("sr"),
+              (col("trend") + col("resid")).as("tr"))
+    def moments(c: Column, p: String) = Seq(
+      sum(c.cast("decimal(28,8)")).as(s"${p}_s"),
+      sum((c * c).cast("decimal(28,8)")).as(s"${p}_ss"))
+    val agg = f.agg(count(lit(1)).as("n_months"),
+      (moments(col("r"), "r") ++ moments(col("sr"), "sr") ++
+       moments(col("tr"), "tr")): _*)
+    def varOf(p: String) = {
+      val nD = col("n_months").cast("double")
+      (col(s"${p}_ss").cast("double") -
+       col(s"${p}_s").cast("double") * col(s"${p}_s").cast("double") / nD) / nD
+    }
+    agg.select(col("n_months"),
+               r4(greatest(lit(0.0), lit(1.0) - varOf("r") / varOf("sr")))
+                 .as("f_seasonal"),
+               r4(greatest(lit(0.0), lit(1.0) - varOf("r") / varOf("tr")))
+                 .as("f_trend"))
+  }
+
   /** Decile lift (gains) table — the marketing-analytics staple: customers
     * ranked into spend deciles (via the single-pass exact [[ntileGlobal]]),
     * each decile reporting its revenue share and the cumulative share

@@ -627,6 +627,45 @@ object Relational {
       "c_nationkey")
   }
 
+  /** Interpolated (PERCENTILE_CONT) percentiles at scale — the linear
+    * interpolation h = (n−1)·p between the two bracketing order
+    * statistics, computed WITHOUT sorting facts or holding all values in
+    * one aggregation buffer (what [[quantilesExact]]'s built-in
+    * percentile() does — fine per group, wrong shape for one 10¹⁰-row
+    * distribution). The fact collapses to VALUE grain (cents, count),
+    * one two-phase [[graft.util.PrefixSum]] assigns each distinct value
+    * its global sort-position range [cum, cum+count), and each requested
+    * percentile broadcast-joins in to pick the order statistics at
+    * ⌊h⌋ and ⌊h⌋+1 by range containment — two lookups per percentile,
+    * no global window. The interpolation is one mirrored double chain.
+    */
+  def percentileContDistributed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grain = t(spark, sfDir, "orders")
+      .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val ps = graft.util.PrefixSum
+      .exclusiveColsTotal(grain, Seq(col("v").asc), col("c"), "cum0", "n")
+    val pcts = Seq(0.25, 0.5, 0.75, 0.9).toDF("p")
+    val j = ps.crossJoin(broadcast(pcts))
+      .withColumn("h", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("k", floor(col("h")).cast("long"))
+      .withColumn("k2", least(col("k") + 1, col("n") - 1))
+      .withColumn("in_k", col("cum0") <= col("k") && col("k") < col("cum0") + col("c"))
+      .withColumn("in_k2", col("cum0") <= col("k2") && col("k2") < col("cum0") + col("c"))
+    val lo = col("vlo").cast("double") / lit(100.0)
+    val hi = col("vhi").cast("double") / lit(100.0)
+    ordered(
+      j.filter(col("in_k") || col("in_k2"))
+        .groupBy(col("p"))
+        .agg(max(col("n")).as("n"), max(col("h")).as("h"),
+             min(when(col("in_k"), col("v"))).as("vlo"),
+             min(when(col("in_k2"), col("v"))).as("vhi"))
+        .select(col("p"), col("n"),
+                r4(lo + (col("h") - floor(col("h"))) * (hi - lo)).as("value")),
+      "p")
+  }
+
   /** Two-proportion A/B test — the experiment-analysis aggregate: users
     * split into variants by a pure id hash (reproducible assignment, no RNG
     * state), conversion = any event with value above threshold, and the

@@ -1188,6 +1188,26 @@ object Text {
       "source")
   }
 
+  /** Language-ID confusion matrix — declared `lang` vs [[langId]]'s
+    * predicted label, with each cell's share of its declared-language
+    * row: the corpus-metadata QA report ("how much of the zh slice does
+    * the detector think is English") that decides whether the lang
+    * column can be trusted for routing/filtering. One projection (the
+    * langId expressions) into two hash-aggs; output is
+    * |langs| × |predictions| — driver scale at any corpus size.
+    */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = langId(spark, sfDir)
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    ordered(
+      cells.join(totals, "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+                r4(col("n").cast("double") / col("n_lang").cast("double"))
+                  .as("share")),
+      "lang", "lang_pred")
+  }
+
   /** Tokenizer fertility per language — the bytes-per-token and
     * BPE-tokens-per-word ratios a tokenizer sizing decision reads
     * (fertility > 1 means the pre-tokenizer splits words; high
