@@ -280,6 +280,10 @@ object SparkEntry {
     "q_seasonal_strength" -> q(Insights.seasonalStrength), // Hyndman F_seasonal/F_trend over the decompose components
     "q_langid_confusion"  -> q(Text.langIdConfusion), // declared-vs-predicted language matrix with per-lang shares
     "q_percentile_cont"   -> q(Relational.percentileContDistributed), // interpolated percentiles via value-grain prefix ranges
+    // round-8g additions (conversion latency, topic drift, multi-touch credit)
+    "q_funnel_time"       -> q(Windows.funnelTime), // signup->purchase lag quartiles + conversion rate, user-grain state
+    "q_emerging_terms"    -> q(Text.emergingTerms(_, _, 50)), // steepest early->late frequency growth, smoothed ratio top-k
+    "q_attribution_decay" -> q(Insights.attributionTimeDecay(_, _, 7)), // exp-decay multi-touch credit, share-normalized per conversion
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -4094,5 +4098,74 @@ object SparkEntry {
         |        + (h - floor(h)) * (CAST(vhi AS DOUBLE) / 100.0 - CAST(vlo AS DOUBLE) / 100.0))
         |       * 10000.0 + 0.5) / 10000.0 AS value
         |FROM sel ORDER BY p""".stripMargin,
+
+    "q_funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s0 AS (SELECT user_id, min(ts_us) AS t_signup
+        |       FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |p0 AS (
+        |  SELECT e.user_id, s0.t_signup, min(e.ts_us) AS t_purchase
+        |  FROM e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s0.t_signup
+        |  GROUP BY e.user_id, s0.t_signup),
+        |lags AS (SELECT t_purchase - t_signup AS lag_us FROM p0),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |         floor(quantile_cont(lag_us, 0.25) / 60000000.0 * 10000.0 + 0.5) / 10000.0 AS p25_minutes,
+        |         floor(quantile_cont(lag_us, 0.5) / 60000000.0 * 10000.0 + 0.5) / 10000.0 AS p50_minutes,
+        |         floor(quantile_cont(lag_us, 0.75) / 60000000.0 * 10000.0 + 0.5) / 10000.0 AS p75_minutes,
+        |         floor(quantile_cont(lag_us, 0.9) / 60000000.0 * 10000.0 + 0.5) / 10000.0 AS p90_minutes
+        |  FROM lags),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_signup FROM s0)
+        |SELECT n_signup, n_converted,
+        | floor((CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS conv_rate,
+        | p25_minutes, p50_minutes, p75_minutes, p90_minutes
+        |FROM agg CROSS JOIN ns""".stripMargin,
+
+    "q_emerging_terms" ->
+      """WITH mid AS (SELECT quantile_cont(doc_id, 0.5) AS mid FROM documents),
+        |tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term, doc_id <= mid.mid AS early
+        |  FROM documents CROSS JOIN mid),
+        |counts AS (
+        |  SELECT term,
+        |         CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS early_n,
+        |         CAST(sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS late_n
+        |  FROM tok WHERE term <> '' GROUP BY term)
+        |SELECT term, early_n, late_n,
+        | floor((CAST(late_n + 1 AS DOUBLE) / CAST(early_n + 1 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS growth
+        |FROM counts
+        |ORDER BY CAST(late_n + 1 AS DOUBLE) / CAST(early_n + 1 AS DOUBLE) DESC, term
+        |LIMIT 50""".stripMargin,
+
+    "q_attribution_decay" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+        |conv AS (
+        |  SELECT user_id, ts_us AS tc, event_id AS cid,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+        |  FROM e WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, ts_us AS tt, event_type AS channel
+        |  FROM e WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT conv.user_id, conv.cid, conv.vc, touch.channel,
+        |         exp(CAST(touch.tt - conv.tc AS DOUBLE) / 86400000000.0) AS w
+        |  FROM conv JOIN touch ON conv.user_id = touch.user_id
+        |  WHERE touch.tt < conv.tc AND conv.tc - touch.tt <= 604800000000),
+        |ct AS (
+        |  SELECT user_id, cid, vc, channel,
+        |         sum(CAST(w AS DECIMAL(28,8))) AS wt,
+        |         CAST(count(*) AS BIGINT) AS n_touches
+        |  FROM j GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT user_id, cid, sum(wt) AS wtot FROM ct GROUP BY 1, 2),
+        |credit AS (
+        |  SELECT ct.channel, ct.n_touches,
+        |         CAST(CAST(ct.wt AS DOUBLE) / CAST(tot.wtot AS DOUBLE)
+        |              * (CAST(ct.vc AS DOUBLE) / 100.0) AS DECIMAL(28,8)) AS cr
+        |  FROM ct JOIN tot ON ct.user_id = tot.user_id AND ct.cid = tot.cid)
+        |SELECT channel, CAST(sum(n_touches) AS BIGINT) AS n_touches,
+        | CAST(count(*) AS BIGINT) AS n_conversion_links,
+        | floor(CAST(sum(cr) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS credited_revenue
+        |FROM credit GROUP BY channel ORDER BY channel""".stripMargin,
   )
 }

@@ -145,6 +145,48 @@ object Insights {
       "channel")
   }
 
+  /** Time-decay attribution — each purchase credits EVERY prior touch in
+    * a 7-day lookback, weighted exp(−Δt/τ) with τ = 1 day (the standard
+    * third attribution model next to [[attributionLastTouch]] and
+    * first-touch: recency-weighted multi-touch instead of
+    * winner-takes-all). Per-conversion weights normalize to shares, so a
+    * conversion's revenue is split exactly once; weight and credit sums
+    * go through DECIMAL(28,8) terms (associative), the exp/division
+    * chain is mirrored, and the conversion×touch join is user-sharded
+    * with a time-band predicate — per-user fan-out is bounded by the
+    * lookback window, the same shape every production attribution job
+    * runs at fact scale.
+    */
+  def attributionTimeDecay(spark: SparkSession, sfDir: String,
+                           lookbackDays: Int = 7): DataFrame = {
+    val ev = events(spark, sfDir)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("tc"), col("event_id").as("cid"),
+              floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vc"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts_us").as("tt"), col("event_type").as("channel"))
+    val band = lit(lookbackDays.toLong * 86400000000L)
+    val tau = lit(86400000000.0)
+    val j = conv.join(touch, Seq("user_id"))
+      .filter(col("tt") < col("tc") && col("tc") - col("tt") <= band)
+      .withColumn("w", exp((col("tt") - col("tc")).cast("double") / tau))
+    val ct = j.groupBy(col("user_id"), col("cid"), col("vc"), col("channel"))
+      .agg(sum(col("w").cast("decimal(28,8)")).as("wt"),
+           count(lit(1)).as("n_touches"))
+    val tot = ct.groupBy(col("user_id"), col("cid"))
+      .agg(sum(col("wt")).as("wtot"))
+    val credit = ct.join(tot, Seq("user_id", "cid"))
+      .withColumn("cr",
+        (col("wt").cast("double") / col("wtot").cast("double") *
+         (col("vc").cast("double") / lit(100.0))).cast("decimal(28,8)"))
+    ordered(
+      credit.groupBy(col("channel"))
+        .agg(sum(col("n_touches")).as("n_touches"),
+             count(lit(1)).as("n_conversion_links"),
+             r4(sum(col("cr")).cast("double")).as("credited_revenue")),
+      "channel")
+  }
+
   /** Pareto frontier (skyline) of parts on (price ↓ better, size ↑ better):
     * parts no other part beats on both axes. NOT the O(n²) NOT-EXISTS
     * formulation — a part is on the frontier iff it has the max size at its

@@ -1188,6 +1188,34 @@ object Text {
       "source")
   }
 
+  /** Emerging terms — the vocabulary with the steepest frequency growth
+    * between the early and late corpus halves (split at the median
+    * doc_id, the arrival proxy): the topic-drift screen a recurring
+    * crawl runs before re-balancing its mix ([[jsDivergence]] says THAT
+    * a slice drifted; this says WHICH words). Add-1-smoothed growth
+    * ratio (late+1)/(early+1) on exact counts; top-50 by the UNROUNDED
+    * ratio with a lexical tie-break, ratio r4 at the boundary. Two
+    * hash-aggs over the token stream; the median id is a 1-row
+    * broadcast.
+    */
+  def emergingTerms(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    val mid = docs(spark, sfDir).agg(percentile(col("doc_id"), lit(0.5)).as("mid"))
+    val halves = docs(spark, sfDir).crossJoin(broadcast(mid))
+      .select(explode(split(col("text"), " ")).as("term"),
+              (col("doc_id") <= col("mid")).as("early"))
+      .filter(col("term") =!= "")
+    val counts = halves.groupBy(col("term"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("early_n"),
+           sum(when(!col("early"), 1L).otherwise(0L)).as("late_n"))
+    val growth = (col("late_n") + 1).cast("double") /
+      (col("early_n") + 1).cast("double")
+    counts
+      .withColumn("g", growth)
+      .orderBy(col("g").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("early_n"), col("late_n"), r4(col("g")).as("growth"))
+  }
+
   /** Language-ID confusion matrix — declared `lang` vs [[langId]]'s
     * predicted label, with each cell's share of its declared-language
     * row: the corpus-metadata QA report ("how much of the zh slice does

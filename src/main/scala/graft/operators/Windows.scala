@@ -124,6 +124,37 @@ object Windows {
     ordered(p0, "user_id")
   }
 
+  /** Funnel conversion-time distribution — how LONG signup→purchase takes
+    * ([[funnel]] counts who converts; this is the latency side every
+    * activation team actually tunes). Per user: first signup, first
+    * strictly-later purchase; the conversion lag distribution summarized
+    * as interpolated quartiles + p90 in minutes, plus the conversion
+    * rate. Lags stay exact BIGINT µs until the percentile; the converted
+    * population is user-grain (aggregate-first), so the percentile state
+    * is dimension-sized — at 100 TB the same plan swaps in
+    * approx_percentile, unchanged shape.
+    */
+  def funnelTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_signup"))
+    val p0 = ev.filter(col("event_type") === "purchase")
+      .join(s0, "user_id").filter(col("ts_us") > col("t_signup"))
+      .groupBy(col("user_id"), col("t_signup")).agg(min(col("ts_us")).as("t_purchase"))
+      .withColumn("lag_us", col("t_purchase") - col("t_signup"))
+    val nSignup = s0.agg(count(lit(1)).as("n_signup"))
+    def pMin(p: Double) = r4(percentile(col("lag_us"), lit(p)) / lit(6.0e7))
+    p0.agg(count(lit(1)).as("n_converted"),
+           pMin(0.25).as("p25_minutes"), pMin(0.5).as("p50_minutes"),
+           pMin(0.75).as("p75_minutes"), pMin(0.9).as("p90_minutes"))
+      .crossJoin(broadcast(nSignup))
+      .select(col("n_signup"), col("n_converted"),
+              r4(col("n_converted").cast("double") / col("n_signup").cast("double"))
+                .as("conv_rate"),
+              col("p25_minutes"), col("p50_minutes"),
+              col("p75_minutes"), col("p90_minutes"))
+  }
+
   /** Frame-spec moving average (SURVEY §2.2 window completion): per user,
     * ordered by event time, mean of the current + 3 preceding values.
     * Exact-decimal frame sum ÷ frame count (value is 2-decimal data), one
