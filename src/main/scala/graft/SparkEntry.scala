@@ -284,6 +284,11 @@ object SparkEntry {
     "q_funnel_time"       -> q(Windows.funnelTime), // signup->purchase lag quartiles + conversion rate, user-grain state
     "q_emerging_terms"    -> q(Text.emergingTerms(_, _, 50)), // steepest early->late frequency growth, smoothed ratio top-k
     "q_attribution_decay" -> q(Insights.attributionTimeDecay(_, _, 7)), // exp-decay multi-touch credit, share-normalized per conversion
+    // round-8h additions (level shifts, inventory matrix, elasticity, stream disorder)
+    "q_changepoint"       -> q(Insights.changepoint), // binary-segmentation mean-shift split via one prefix-sum pass
+    "q_abc_xyz"           -> q(Insights.abcXyz), // revenue importance x demand variability 9-cell matrix
+    "q_price_elasticity"  -> q(Insights.priceElasticity), // ln-ln OLS slope per brand, decimal term sums
+    "q_disorder_rate"     -> q(Windows.disorderRate), // arrival-order time inversions + lateness percentiles
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -4167,5 +4172,116 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_conversion_links,
         | floor(CAST(sum(cr) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS credited_revenue
         |FROM credit GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |pre AS (
+        |  SELECT d,
+        |         count(*) OVER w AS i,
+        |         sum(rc) OVER w AS s,
+        |         sum(CAST(CAST(rc AS DECIMAL(19,0)) * rc AS DECIMAL(38,0))) OVER w AS q
+        |  FROM daily WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+        |tot AS (SELECT max(i) AS n, max(s) AS st, max(q) AS qt FROM pre),
+        |cand AS (
+        |  SELECT d, i, s, n, st, qt,
+        |         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(i AS DOUBLE))
+        |         + ((CAST(qt AS DOUBLE) - CAST(q AS DOUBLE))
+        |            - (CAST(st AS DOUBLE) - CAST(s AS DOUBLE)) * (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))) AS cost
+        |  FROM pre CROSS JOIN tot WHERE i < n)
+        |SELECT d AS split_after, CAST(i AS BIGINT) AS n_left,
+        | CAST(n - i AS BIGINT) AS n_right,
+        | floor(CAST(s AS DOUBLE) / CAST(i AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_left,
+        | floor((CAST(st AS DOUBLE) - CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)) / 100.0
+        |       * 10000.0 + 0.5) / 10000.0 AS mean_right,
+        | floor((((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) - cost)
+        |        / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS improvement_ratio
+        |FROM cand ORDER BY cost, d LIMIT 1""".stripMargin,
+
+    "q_abc_xyz" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS pk, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT pk, rev,
+        |         sum(rev) OVER (ORDER BY rev DESC, pk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(rev) OVER () AS total
+        |  FROM rev),
+        |abc AS (
+        |  SELECT pk,
+        |         floor(CAST(rev AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        |         CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |              WHEN cum * 100 <= total * 95 THEN 'B'
+        |              ELSE 'C' END AS abc_class
+        |  FROM c),
+        |monthly AS (
+        |  SELECT l_partkey AS pk, CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qc
+        |  FROM lineitem GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS nm,
+        |         CAST(sum(qc) AS BIGINT) AS sq,
+        |         sum(CAST(CAST(qc AS DECIMAL(19,0)) * qc AS DECIMAL(38,0))) AS qq
+        |  FROM monthly GROUP BY pk),
+        |xyz AS (
+        |  SELECT pk,
+        |         CASE WHEN nm < 2 THEN 'Z'
+        |              WHEN sqrt((CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE))
+        |                        / (CAST(nm AS DOUBLE) - 1.0))
+        |                   / (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE)) < 0.5 THEN 'X'
+        |              WHEN sqrt((CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE))
+        |                        / (CAST(nm AS DOUBLE) - 1.0))
+        |                   / (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE)) < 1.0 THEN 'Y'
+        |              ELSE 'Z' END AS xyz_class
+        |  FROM stats)
+        |SELECT abc.abc_class, xyz.xyz_class, CAST(count(*) AS BIGINT) AS n_parts,
+        | floor(CAST(sum(CAST(abc.revenue AS DECIMAL(18,4))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue
+        |FROM abc JOIN xyz ON abc.pk = xyz.pk
+        |GROUP BY 1, 2 ORDER BY abc_class, xyz_class""".stripMargin,
+
+    "q_price_elasticity" ->
+      """WITH li AS (
+        |  SELECT p_brand,
+        |         CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5) AS BIGINT) AS upc,
+        |         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(ln(CAST(upc AS DOUBLE) / 100.0) AS DECIMAL(28,8))) AS sx,
+        |         sum(CAST(ln(CAST(qc AS DOUBLE) / 100.0) AS DECIMAL(28,8))) AS sy,
+        |         sum(CAST(ln(CAST(upc AS DOUBLE) / 100.0) * ln(CAST(qc AS DOUBLE) / 100.0) AS DECIMAL(28,8))) AS sxy,
+        |         sum(CAST(ln(CAST(upc AS DOUBLE) / 100.0) * ln(CAST(upc AS DOUBLE) / 100.0) AS DECIMAL(28,8))) AS sxx
+        |  FROM li GROUP BY 1),
+        |sl AS (
+        |  SELECT p_brand, n,
+        |         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM g)
+        |SELECT p_brand, n,
+        | floor(slope * 10000.0 + 0.5) / 10000.0 AS elasticity,
+        | floor(((syd - slope * sxd) / nd) * 10000.0 + 0.5) / 10000.0 AS intercept
+        |FROM sl ORDER BY p_brand""".stripMargin,
+
+    "q_disorder_rate" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |p AS (
+        |  SELECT ts_us, lag(ts_us) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |  FROM e),
+        |pairs AS (
+        |  SELECT CASE WHEN ts_us < prev_ts THEN prev_ts - ts_us END AS late_us
+        |  FROM p WHERE prev_ts IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(count(late_us) AS BIGINT) AS n_inversions,
+        | floor((CAST(count(late_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS disorder_rate,
+        | max(late_us) AS max_late_us,
+        | floor(quantile_cont(late_us, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99_late_us
+        |FROM pairs""".stripMargin,
   )
 }

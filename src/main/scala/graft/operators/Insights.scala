@@ -829,6 +829,130 @@ object Insights {
       "p_partkey")
   }
 
+  /** Single most-likely changepoint of the daily revenue series under a
+    * mean-shift model (binary segmentation, the building block of every
+    * changepoint detector): the split k minimizing SSE_left + SSE_right,
+    * equivalently maximizing the variance explained by splitting — the
+    * "when did the level change" question [[cusum]]'s control chart
+    * flags but doesn't localize. AGGREGATE-FIRST to exact daily CENTS;
+    * all candidate costs come from ONE pass of prefix sums (count, Σ,
+    * Σ² — squares DECIMAL(38,0) via pre-multiply DECIMAL cast) over the
+    * calendar-bounded daily frame, and the argmin is a deterministic
+    * struct-min on (cost, day) — doubles computed identically on both
+    * engines, day as the tie-break. Output: the split with both
+    * segment means and the SSE improvement.
+    */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rc"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("i", count(lit(1)).over(wCum))
+      .withColumn("s", sum(col("rc")).over(wCum))
+      .withColumn("q",
+        sum((col("rc").cast("decimal(19,0)") * col("rc")).cast("decimal(38,0)"))
+          .over(wCum))
+    val tot = pre.agg(max(col("i")).as("n"), max(col("s")).as("st"),
+                      max(col("q")).as("qt"))
+    val iD = col("i").cast("double"); val nD = col("n").cast("double")
+    val sD = col("s").cast("double"); val qD = col("q").cast("double")
+    val stD = col("st").cast("double"); val qtD = col("qt").cast("double")
+    val sseL = qD - sD * sD / iD
+    val sseR = (qtD - qD) - (stD - sD) * (stD - sD) / (nD - iD)
+    val cand = pre.crossJoin(broadcast(tot))
+      .filter(col("i") < col("n"))
+      .withColumn("cost", sseL + sseR)
+    val best = cand
+      .agg(min(struct(col("cost"), col("d"), col("i"), col("s"),
+                      col("n"), col("st"), col("qt"))).as("b"))
+      .select(col("b.*"))
+    val bi = col("i").cast("double"); val bn = col("n").cast("double")
+    val bs = col("s").cast("double"); val bst = col("st").cast("double")
+    val sseTotal = col("qt").cast("double") - bst * bst / bn
+    // dimensionless variance-explained ratio, not raw SSE: cents² SSE
+    // magnitudes overflow Spark's floor(double)→LONG inside r4 (DuckDB's
+    // floor stays double — the mirror breaks exactly there), and the
+    // ratio is the number a changepoint consumer wants anyway
+    best.select(col("d").as("split_after"),
+                col("i").as("n_left"), (col("n") - col("i")).as("n_right"),
+                r4(bs / bi / lit(100.0)).as("mean_left"),
+                r4((bst - bs) / (bn - bi) / lit(100.0)).as("mean_right"),
+                r4((sseTotal - col("cost")) / sseTotal).as("improvement_ratio"))
+  }
+
+  /** ABC–XYZ inventory matrix — the two-axis classification every
+    * inventory planner crosses: revenue importance ([[abcClassification]]
+    * reused verbatim — same gate, same classes) × demand VARIABILITY
+    * (XYZ by the coefficient of variation of monthly shipped quantity:
+    * X < 0.5 steady, Y < 1.0 variable, Z erratic or too thin to assess).
+    * Monthly stats are per-part DECIMAL moments (aggregate-first, months
+    * calendar-bounded); CV is one mirrored double chain; parts with a
+    * single active month have no sample variance and land in Z
+    * explicitly. Output: the 9-cell matrix with part counts and revenue.
+    */
+  def abcXyz(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"),
+               date_trunc("month", col("l_shipdate")).cast("date").as("m"))
+      .agg((sum(money(col("l_quantity"))) * 100).cast("long").as("qc"))
+    val stats = monthly.groupBy(col("pk"))
+      .agg(count(lit(1)).as("nm"), sum(col("qc")).as("sq"),
+           sum((col("qc").cast("decimal(19,0)") * col("qc")).cast("decimal(38,0)"))
+             .as("qq"))
+    val nmD = col("nm").cast("double"); val sqD = col("sq").cast("double")
+    val mean = sqD / nmD
+    val sd = sqrt((col("qq").cast("double") - sqD * sqD / nmD) / (nmD - lit(1.0)))
+    val cv = sd / mean
+    val xyz = stats.withColumn("xyz_class",
+      when(col("nm") < 2, "Z")
+        .when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z"))
+    ordered(
+      abcClassification(spark, sfDir)
+        .select(col("p_partkey").as("pk"), col("abc_class"), col("revenue"))
+        .join(xyz.select(col("pk"), col("xyz_class")), "pk")
+        .groupBy(col("abc_class"), col("xyz_class"))
+        .agg(count(lit(1)).as("n_parts"),
+             r4(sum(col("revenue").cast("decimal(18,4)")).cast("double"))
+               .as("revenue")),
+      "abc_class", "xyz_class")
+  }
+
+  /** Price elasticity of demand per brand — the OLS slope of ln(quantity)
+    * on ln(unit price) over line items (the log-log specification whose
+    * slope IS the elasticity; [[Relational.regrAgg]] fits the plain
+    * linear model — economics wants this one). Unit price folds to exact
+    * cents before the logs; every regression moment is a DECIMAL(28,8)
+    * term sum (associative), the slope/intercept one mirrored chain per
+    * brand. One map-side-combined hash-agg; brand-grain output.
+    */
+  def priceElasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+              floor(col("l_extendedprice") / col("l_quantity") * lit(100.0) + lit(0.5))
+                .cast("long").as("upc"),
+              floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long").as("qc"))
+    val x = log(col("upc").cast("double") / lit(100.0))
+    val y = log(col("qc").cast("double") / lit(100.0))
+    val g = li.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+           sum(x.cast("decimal(28,8)")).as("sx"),
+           sum(y.cast("decimal(28,8)")).as("sy"),
+           sum((x * y).cast("decimal(28,8)")).as("sxy"),
+           sum((x * x).cast("decimal(28,8)")).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val slope = (nD * col("sxy").cast("double") - sxD * syD) /
+      (nD * col("sxx").cast("double") - sxD * sxD)
+    ordered(
+      g.select(col("p_brand"), col("n"),
+               r4(slope).as("elasticity"),
+               r4((syD - slope * sxD) / nD).as("intercept")),
+      "p_brand")
+  }
+
   /** First-touch attribution — the acquisition-channel twin of
     * [[attributionLastTouch]]: each purchase credits the user's EARLIEST
     * preceding non-purchase event (first(..., ignoreNulls) over the same

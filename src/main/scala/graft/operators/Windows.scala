@@ -155,6 +155,33 @@ object Windows {
               col("p75_minutes"), col("p90_minutes"))
   }
 
+  /** Event-stream disorder rate — how out-of-order the stream actually
+    * arrives: among consecutive events in ARRIVAL order (event_id, the
+    * ingestion sequence) per user, the share whose event TIME runs
+    * backwards, plus the worst and p99 lateness — THE number that sizes
+    * every watermark in the streaming tier (a 1-hour watermark is a
+    * guess until this query says what lateness the stream really has).
+    * Per-user lag() windows (user-sharded, no global sort); lateness
+    * stays exact BIGINT µs; the p99 runs over the inversion population
+    * (a small frame by construction — only late pairs enter it).
+    */
+  def disorderRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+    val pairs = events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("late_us",
+        when(col("ts_us") < col("prev_ts"), col("prev_ts") - col("ts_us")))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      count(col("late_us")).as("n_inversions"),
+      r4(count(col("late_us")).cast("double") / count(lit(1)).cast("double"))
+        .as("disorder_rate"),
+      max(col("late_us")).as("max_late_us"),
+      r4(percentile(col("late_us"), lit(0.99))).as("p99_late_us"))
+  }
+
   /** Frame-spec moving average (SURVEY §2.2 window completion): per user,
     * ordered by event time, mean of the current + 3 preceding values.
     * Exact-decimal frame sum ÷ frame count (value is 2-decimal data), one
