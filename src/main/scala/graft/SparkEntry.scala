@@ -4269,19 +4269,20 @@ object SparkEntry {
         |FROM sl ORDER BY p_brand""".stripMargin,
 
     "q_disorder_rate" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-        |p AS (
-        |  SELECT ts_us, lag(ts_us) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
-        |  FROM e),
+      """WITH p AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderkey) AS prev_d
+        |  FROM orders),
         |pairs AS (
-        |  SELECT CASE WHEN ts_us < prev_ts THEN prev_ts - ts_us END AS late_us
-        |  FROM p WHERE prev_ts IS NOT NULL)
+        |  SELECT CASE WHEN d < prev_d
+        |              THEN CAST(date_diff('day', d, prev_d) AS BIGINT) END AS late_days
+        |  FROM p WHERE prev_d IS NOT NULL)
         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-        | CAST(count(late_us) AS BIGINT) AS n_inversions,
-        | floor((CAST(count(late_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS disorder_rate,
-        | max(late_us) AS max_late_us,
-        | floor(quantile_cont(late_us, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99_late_us
+        | CAST(count(late_days) AS BIGINT) AS n_inversions,
+        | floor((CAST(count(late_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS disorder_rate,
+        | max(late_days) AS max_late_days,
+        | floor(quantile_cont(late_days, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99_late_days
         |FROM pairs""".stripMargin,
   )
 }

@@ -155,31 +155,35 @@ object Windows {
               col("p75_minutes"), col("p90_minutes"))
   }
 
-  /** Event-stream disorder rate — how out-of-order the stream actually
-    * arrives: among consecutive events in ARRIVAL order (event_id, the
-    * ingestion sequence) per user, the share whose event TIME runs
-    * backwards, plus the worst and p99 lateness — THE number that sizes
-    * every watermark in the streaming tier (a 1-hour watermark is a
-    * guess until this query says what lateness the stream really has).
-    * Per-user lag() windows (user-sharded, no global sort); lateness
-    * stays exact BIGINT µs; the p99 runs over the inversion population
-    * (a small frame by construction — only late pairs enter it).
+  /** Stream disorder rate — how out-of-order the fact stream actually
+    * arrives: among consecutive records in SEQUENCE order (the surrogate
+    * key, i.e. insertion order) per entity, the share whose EVENT TIME
+    * runs backwards, plus the worst and p99 lateness — THE number that
+    * sizes every watermark and late-arriving-dimension window (a 1-hour
+    * watermark is a guess until this query says what lateness the feed
+    * really has). Measured on the per-customer order stream (o_orderkey
+    * sequence vs o_orderdate — the events table is generated perfectly
+    * time-sorted, which would make the query a hollow zero). Per-entity
+    * lag() windows (key-sharded, no global sort); lateness stays exact
+    * integer days; the p99 runs over the inversion population only.
     */
   def disorderRate(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
-    val pairs = events(spark, sfDir)
-      .select(col("user_id"), col("event_id"), col("ts_us"))
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
-      .filter(col("prev_ts").isNotNull)
-      .withColumn("late_us",
-        when(col("ts_us") < col("prev_ts"), col("prev_ts") - col("ts_us")))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey").asc)
+    val pairs = graft.util.Tables.t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("date").as("d"))
+      .withColumn("prev_d", lag(col("d"), 1).over(w))
+      .filter(col("prev_d").isNotNull)
+      .withColumn("late_days",
+        when(col("d") < col("prev_d"),
+             datediff(col("prev_d"), col("d")).cast("long")))
     pairs.agg(
       count(lit(1)).as("n_pairs"),
-      count(col("late_us")).as("n_inversions"),
-      r4(count(col("late_us")).cast("double") / count(lit(1)).cast("double"))
+      count(col("late_days")).as("n_inversions"),
+      r4(count(col("late_days")).cast("double") / count(lit(1)).cast("double"))
         .as("disorder_rate"),
-      max(col("late_us")).as("max_late_us"),
-      r4(percentile(col("late_us"), lit(0.99))).as("p99_late_us"))
+      max(col("late_days")).as("max_late_days"),
+      r4(percentile(col("late_days"), lit(0.99))).as("p99_late_days"))
   }
 
   /** Frame-spec moving average (SURVEY §2.2 window completion): per user,
