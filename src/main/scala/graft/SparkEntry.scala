@@ -289,6 +289,11 @@ object SparkEntry {
     "q_abc_xyz"           -> q(Insights.abcXyz), // revenue importance x demand variability 9-cell matrix
     "q_price_elasticity"  -> q(Insights.priceElasticity), // ln-ln OLS slope per brand, decimal term sums
     "q_disorder_rate"     -> q(Windows.disorderRate), // arrival-order time inversions + lateness percentiles
+    // round-8i additions (dup concentration, cadence, filter economics, vocab sizing)
+    "q_dup_by_source"     -> q(Dedup.dupBySource), // per-source near-dup drop rates over the oracled CC
+    "q_interpurchase"     -> q(Windows.interPurchase), // purchase-cadence gap stats per segment
+    "q_filter_budget"     -> q(Text.filterBudget), // per-rule doc/token cost of the Gopher filter
+    "q_vocab_coverage"    -> q(Text.vocabCoverage(_, _, Seq(5, 10, 20, 50))), // top-k token coverage curve
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -4284,5 +4289,112 @@ object SparkEntry {
         | max(late_days) AS max_late_days,
         | floor(quantile_cont(late_days, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99_late_days
         |FROM pairs""".stripMargin,
+
+    "q_dup_by_source" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 8 AS blk,
+        |                            substr(text, 1, 40) AS head
+        |                     FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk
+        |                       AND a.doc_id < b.doc_id
+        |      WHERE levenshtein(a.head, b.head) <= 8),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT src AS node, dst AS label FROM e
+        |  UNION
+        |  SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.label = e2.src),
+        |comp AS (SELECT node, least(node, min(label)) AS component_id
+        |         FROM reach GROUP BY node),
+        |assign AS (
+        |  SELECT doc.doc_id, doc.source,
+        |         coalesce(c.component_id, doc.doc_id) AS component_id,
+        |         doc.doc_id = coalesce(c.component_id, doc.doc_id) AS is_canonical
+        |  FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node),
+        |sizes AS (SELECT component_id, count(*) AS csize FROM assign GROUP BY 1)
+        |SELECT a.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN s.csize >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+        | CAST(sum(CASE WHEN NOT a.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | floor((CAST(sum(CASE WHEN NOT a.is_canonical THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS drop_rate
+        |FROM assign a JOIN sizes s ON a.component_id = s.component_id
+        |GROUP BY a.source ORDER BY a.source""".stripMargin,
+
+    "q_interpurchase" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day',
+        |           lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |             ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        |           CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        |  FROM orders),
+        |gg AS (SELECT o_custkey, gap_days FROM g WHERE gap_days IS NOT NULL)
+        |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        | floor((CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_gap_days,
+        | floor(quantile_cont(gap_days, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_gap_days,
+        | floor(quantile_cont(gap_days, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_gap_days
+        |FROM gg JOIN customer c ON gg.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    "q_filter_budget" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |         CAST(list_contains(string_split(text, ' '), 'the') AS INT)
+        |         + CAST(list_contains(string_split(text, ' '), 'a') AS INT)
+        |         + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
+        |         + CAST(list_contains(string_split(text, ' '), 'and') AS INT)
+        |         + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
+        |         + CAST(list_contains(string_split(text, ' '), 'with') AS INT) AS n_stops,
+        |         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mwl
+        |  FROM documents),
+        |f AS (
+        |  SELECT n_words,
+        |         (n_words >= 20 AND n_words <= 1000) AS r_wc,
+        |         (mwl >= 3.0 AND mwl <= 10.0) AS r_mwl,
+        |         (n_alpha * 5 >= n_words * 4) AS r_ar,
+        |         (n_stops >= 2) AS r_sw
+        |  FROM d),
+        |agg AS (
+        |  SELECT CAST(sum(n_words) AS BIGINT) AS total_tokens,
+        |         CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS d_wc,
+        |         CAST(sum(CASE WHEN NOT r_wc THEN n_words ELSE 0 END) AS BIGINT) AS t_wc,
+        |         CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS d_mwl,
+        |         CAST(sum(CASE WHEN NOT r_mwl THEN n_words ELSE 0 END) AS BIGINT) AS t_mwl,
+        |         CAST(sum(CASE WHEN NOT r_ar THEN 1 ELSE 0 END) AS BIGINT) AS d_ar,
+        |         CAST(sum(CASE WHEN NOT r_ar THEN n_words ELSE 0 END) AS BIGINT) AS t_ar,
+        |         CAST(sum(CASE WHEN NOT r_sw THEN 1 ELSE 0 END) AS BIGINT) AS d_sw,
+        |         CAST(sum(CASE WHEN NOT r_sw THEN n_words ELSE 0 END) AS BIGINT) AS t_sw,
+        |         CAST(sum(CASE WHEN NOT (r_wc AND r_mwl AND r_ar AND r_sw) THEN 1 ELSE 0 END) AS BIGINT) AS d_all,
+        |         CAST(sum(CASE WHEN NOT (r_wc AND r_mwl AND r_ar AND r_sw) THEN n_words ELSE 0 END) AS BIGINT) AS t_all
+        |  FROM f),
+        |rows_ AS (
+        |  SELECT 'alpha_ratio' AS rule, d_ar AS n_docs_failing, t_ar AS tokens_removed, total_tokens FROM agg
+        |  UNION ALL SELECT 'composite', d_all, t_all, total_tokens FROM agg
+        |  UNION ALL SELECT 'mean_word_len', d_mwl, t_mwl, total_tokens FROM agg
+        |  UNION ALL SELECT 'stopwords', d_sw, t_sw, total_tokens FROM agg
+        |  UNION ALL SELECT 'word_count', d_wc, t_wc, total_tokens FROM agg)
+        |SELECT rule, n_docs_failing, tokens_removed, total_tokens,
+        | floor((CAST(tokens_removed AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS pct_tokens
+        |FROM rows_ ORDER BY rule""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |         FROM tok WHERE term <> '' GROUP BY term),
+        |r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r,
+        |         sum(c) OVER (ORDER BY c DESC, term ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER () AS total
+        |  FROM freq),
+        |n AS (SELECT CAST(max(r) AS BIGINT) AS n_terms FROM r),
+        |kk AS (
+        |  SELECT k, least(CAST(k AS BIGINT), n_terms) AS r
+        |  FROM (SELECT unnest([5, 10, 20, 50]) AS k) CROSS JOIN n)
+        |SELECT CAST(kk.k AS INTEGER) AS k, kk.r AS vocab_used,
+        | floor((CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS coverage
+        |FROM r JOIN kk ON r.r = kk.r ORDER BY k""".stripMargin,
   )
 }

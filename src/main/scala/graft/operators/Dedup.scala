@@ -277,6 +277,32 @@ object Dedup {
     canonicalAssignment(docs, "doc_id", connectedComponents(pairs, "a_id", "b_id"))
   }
 
+  /** Duplicate concentration by source — which crawl slices ARE the
+    * near-dup problem: per source, how many docs sit in multi-doc
+    * clusters of the (oracled) edit-distance components, how many a
+    * keep-one-per-cluster dedup would drop, and the drop rate. The
+    * report that turns a corpus-wide dedup number into a per-supplier
+    * action ("src7 is 40% boilerplate — renegotiate or drop the feed").
+    * Two hash-aggs on the assignment (component sizes, then source
+    * grain) + one doc-keyed join to the source column.
+    */
+  def dupBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = dedupComponentsEditdist(spark, sfDir)
+    val sizes = assign.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("csize"))
+    ordered(
+      assign.join(sizes, "component_id")
+        .join(t(spark, sfDir, "documents").select(col("doc_id"), col("source")),
+              "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("csize") >= 2, 1L).otherwise(0L)).as("n_clustered"),
+             sum(when(!col("is_canonical"), 1L).otherwise(0L)).as("n_dropped"))
+        .withColumn("drop_rate",
+          r4(col("n_dropped").cast("double") / col("n_docs").cast("double"))),
+      "source")
+  }
+
   /** Duplicate-cluster size histogram over the (oracled) edit-distance
     * connected components — the curation diagnostic behind "how much of
     * the corpus is near-dup mass, and in what shapes": cluster_size 1 is

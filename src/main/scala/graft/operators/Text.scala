@@ -1188,6 +1188,76 @@ object Text {
       "source")
   }
 
+  /** Quality-filter token budget — for each [[gopherRules]] rule, the
+    * docs it fails alone and the TOKENS that fail with them, plus the
+    * composite: the "what does each filter cost us" report a curation
+    * run reads before tuning thresholds (a rule that kills 40% of
+    * tokens gets re-examined; one that kills 0.1% is free). One
+    * projection reusing the gopherRules flags, one conditional
+    * aggregate, unpivoted to one row per rule via stack — no second
+    * corpus scan per rule.
+    */
+  def filterBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gopherRules(spark, sfDir)
+      .select(col("n_words"), col("r_word_count"), col("r_mean_word_len"),
+              col("r_alpha_ratio"), col("r_stopwords"), col("keep"))
+    val agg = g.agg(
+      sum(col("n_words")).as("total_tokens"),
+      sum(when(!col("r_word_count"), 1L).otherwise(0L)).as("d_wc"),
+      sum(when(!col("r_word_count"), col("n_words")).otherwise(lit(0L))).as("t_wc"),
+      sum(when(!col("r_mean_word_len"), 1L).otherwise(0L)).as("d_mwl"),
+      sum(when(!col("r_mean_word_len"), col("n_words")).otherwise(lit(0L))).as("t_mwl"),
+      sum(when(!col("r_alpha_ratio"), 1L).otherwise(0L)).as("d_ar"),
+      sum(when(!col("r_alpha_ratio"), col("n_words")).otherwise(lit(0L))).as("t_ar"),
+      sum(when(!col("r_stopwords"), 1L).otherwise(0L)).as("d_sw"),
+      sum(when(!col("r_stopwords"), col("n_words")).otherwise(lit(0L))).as("t_sw"),
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("d_all"),
+      sum(when(!col("keep"), col("n_words")).otherwise(lit(0L))).as("t_all"))
+    ordered(
+      agg.select(expr(
+        "stack(5, 'alpha_ratio', d_ar, t_ar, 'composite', d_all, t_all, " +
+        "'mean_word_len', d_mwl, t_mwl, 'stopwords', d_sw, t_sw, " +
+        "'word_count', d_wc, t_wc) AS (rule, n_docs_failing, tokens_removed)"),
+        col("total_tokens"))
+        .withColumn("pct_tokens",
+          r4(col("tokens_removed").cast("double") /
+             col("total_tokens").cast("double"))),
+      "rule")
+  }
+
+  /** Vocabulary coverage curve — what share of all corpus tokens the
+    * top-k vocabulary covers, at several k: THE tokenizer-sizing curve
+    * ([[vocabTopK]] lists the words; this says when to stop adding
+    * them — 95% coverage at k=30 means a 10k vocab buys nothing here).
+    * Ranks and the cumulative token mass come from the same two-phase
+    * distributed [[graft.util.PrefixSum]] as [[zipfSlope]] (no global
+    * window); each requested k picks the row at rank min(k, |vocab|)
+    * via a broadcast join — one lookup per k.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String,
+                    ks: Seq[Int] = Seq(5, 10, 20, 50)): DataFrame = {
+    import spark.implicits._
+    val freq = docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val withRank = graft.util.PrefixSum
+      .exclusiveCols(
+        graft.util.PrefixSum.exclusiveColsTotal(
+          freq, Seq(col("c").desc, col("term").asc), col("c"), "cum0", "total"),
+        Seq(col("c").desc, col("term").asc), lit(1L), "r0")
+      .withColumn("r", col("r0") + lit(1L))
+    val nTerms = withRank.agg(max(col("r")).as("n_terms"))
+    val kdf = ks.toDF("k").crossJoin(broadcast(nTerms))
+      .withColumn("r", least(col("k").cast("long"), col("n_terms")))
+    ordered(
+      withRank.join(broadcast(kdf), "r")
+        .select(col("k"), col("r").as("vocab_used"),
+                r4((col("cum0") + col("c")).cast("double") /
+                   col("total").cast("double")).as("coverage")),
+      "k")
+  }
+
   /** Emerging terms — the vocabulary with the steepest frequency growth
     * between the early and late corpus halves (split at the median
     * doc_id, the arrival proxy): the topic-drift screen a recurring

@@ -155,6 +155,38 @@ object Windows {
               col("p75_minutes"), col("p90_minutes"))
   }
 
+  /** Inter-purchase interval distribution per market segment — the
+    * purchase-cadence statistics (mean / median / p90 gap days) behind
+    * replenishment forecasts and churn-risk windows ("a customer 2×
+    * past their segment's p90 gap is at risk"; [[churnMonthly]] counts
+    * the lost, this prices WHEN to worry). Gaps come from per-customer
+    * lag() over the order stream ordered by (date, key) — customer-
+    * sharded, no global sort; day gaps stay exact integers into the
+    * mean (exact sum ÷ count) and interpolated percentiles.
+    */
+  def interPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d").asc, col("o_orderkey").asc)
+    val gaps = graft.util.Tables.t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+              col("o_orderdate").cast("date").as("d"))
+      .withColumn("prev_d", lag(col("d"), 1).over(w))
+      .filter(col("prev_d").isNotNull)
+      .select(col("o_custkey"),
+              datediff(col("d"), col("prev_d")).cast("long").as("gap_days"))
+    ordered(
+      gaps
+        .join(graft.util.Tables.t(spark, sfDir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_gaps"),
+             r4(sum(col("gap_days")).cast("double") / count(lit(1)))
+               .as("mean_gap_days"),
+             r4(percentile(col("gap_days"), lit(0.5))).as("p50_gap_days"),
+             r4(percentile(col("gap_days"), lit(0.9))).as("p90_gap_days")),
+      "c_mktsegment")
+  }
+
   /** Stream disorder rate — how out-of-order the fact stream actually
     * arrives: among consecutive records in SEQUENCE order (the surrogate
     * key, i.e. insertion order) per entity, the share whose EVENT TIME

@@ -366,8 +366,8 @@ class ScaleInfraSpec extends SparkSpec {
     val iterative = Set("q_doc_dedup_components", "q_dedup_components_editdist",
                         "q_doc_dedup_embed", "q_hierarchy",
                         // built ON dedupComponentsEditdist's CC fixpoint, so
-                        // it inherits the loop's build-time checkpoints
-                        "q_dup_cluster_hist")
+                        // they inherit the loop's build-time checkpoints
+                        "q_dup_cluster_hist", "q_dup_by_source")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
