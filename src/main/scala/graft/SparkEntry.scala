@@ -294,6 +294,11 @@ object SparkEntry {
     "q_interpurchase"     -> q(Windows.interPurchase), // purchase-cadence gap stats per segment
     "q_filter_budget"     -> q(Text.filterBudget), // per-rule doc/token cost of the Gopher filter
     "q_vocab_coverage"    -> q(Text.vocabCoverage(_, _, Seq(5, 10, 20, 50))), // top-k token coverage curve
+    // round-8j additions (uncertainty-aware rates, SLAs, profiling, threshold curves)
+    "q_return_rate_ci"    -> q(Insights.returnRateCi), // Wilson 95% interval per brand, mirrored double chain
+    "q_leadtime_percentiles" -> q(Insights.leadtimePercentiles), // order->ship lag p50/p90/max per nation
+    "q_basket_size_hist"  -> q(Relational.basketSizeHist), // order line-count histogram, fan-out sizing input
+    "q_dedup_threshold_curve" -> q(Text.dedupThresholdCurve(_, _, Seq(50, 60, 70, 80, 90))), // exact-Jaccard pairs per threshold
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -4396,5 +4401,77 @@ object SparkEntry {
         |SELECT CAST(kk.k AS INTEGER) AS k, kk.r AS vocab_used,
         | floor((CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS coverage
         |FROM r JOIN kk ON r.r = kk.r ORDER BY k""".stripMargin,
+
+    "q_return_rate_ci" ->
+      """WITH g AS (
+        |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |w AS (
+        |  SELECT p_brand, n, k,
+        |         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |         1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE) AS denom
+        |  FROM g)
+        |SELECT p_brand, n, k AS returns,
+        | floor(p * 10000.0 + 0.5) / 10000.0 AS return_rate,
+        | floor((((p + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))) / denom)
+        |        - (1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+        |                       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / denom))
+        |       * 10000.0 + 0.5) / 10000.0 AS wilson_lo,
+        | floor((((p + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))) / denom)
+        |        + (1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+        |                       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / denom))
+        |       * 10000.0 + 0.5) / 10000.0 AS wilson_hi
+        |FROM w ORDER BY p_brand""".stripMargin,
+
+    "q_leadtime_percentiles" ->
+      """WITH lags AS (
+        |  SELECT l_suppkey,
+        |         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |                        CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_lines,
+        | floor((CAST(sum(lag_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean_days,
+        | floor(quantile_cont(lag_days, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50_days,
+        | floor(quantile_cont(lag_days, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90_days,
+        | max(lag_days) AS max_days
+        |FROM lags
+        |JOIN supplier s ON lags.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "q_basket_size_hist" ->
+      """WITH sizes AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_orders_total FROM sizes)
+        |SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders,
+        | floor((CAST(count(*) AS DOUBLE) / CAST(n_orders_total AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM sizes CROSS JOIN tot GROUP BY n_lines, n_orders_total
+        |ORDER BY n_lines""".stripMargin,
+
+    "q_dedup_threshold_curve" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars // 200 AS blk, string_split(text, ' ') AS w
+        |           FROM documents),
+        |sarr AS (SELECT doc_id, lang, blk,
+        |           list_distinct(list_transform(range(1, len(w) - 1),
+        |                         i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |         FROM d),
+        |sz AS (SELECT doc_id, len(sh) AS nsh FROM sarr),
+        |e AS (SELECT doc_id, lang, blk, unnest(sh) AS s FROM sarr),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+        |      FROM e a JOIN e b ON a.lang = b.lang AND a.blk = b.blk AND a.s = b.s
+        |                        AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b, c, CAST(za.nsh + zb.nsh - c AS BIGINT) AS u
+        |  FROM p JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b),
+        |th AS (SELECT unnest([50, 60, 70, 80, 90]) AS threshold_pct)
+        |SELECT CAST(th.threshold_pct AS INTEGER) AS threshold_pct,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(count(DISTINCT doc_b) AS BIGINT) AS n_droppable
+        |FROM pairs CROSS JOIN th
+        |WHERE c * 100 >= th.threshold_pct * u
+        |GROUP BY th.threshold_pct ORDER BY threshold_pct""".stripMargin,
   )
 }

@@ -953,6 +953,63 @@ object Insights {
       "p_brand")
   }
 
+  /** Return rate per brand with a Wilson 95% interval — the
+    * proportion-with-uncertainty report (a 30% return rate on 10 lines
+    * and on 10,000 lines are different facts; the Wilson score interval
+    * is the standard small-n-safe CI, never leaving [0,1] like the
+    * normal approximation does). Counts are one conditional hash-agg;
+    * the Wilson chain is pure mirrored doubles on two exact integers.
+    */
+  def returnRateCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double"); val kD = col("k").cast("double")
+    val z = lit(1.96); val z2 = z * z
+    val p = kD / nD
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / nD +
+                        z2 / (lit(4.0) * nD * nD)) / denom
+    ordered(
+      g.select(col("p_brand"), col("n"), col("k").as("returns"),
+               r4(p).as("return_rate"),
+               r4(center - half).as("wilson_lo"),
+               r4(center + half).as("wilson_hi")),
+      "p_brand")
+  }
+
+  /** Supplier lead-time distribution per nation — order date → ship date
+    * lag percentiles, the fulfilment-SLA report (mean hides the tail; a
+    * p90 of 120 days is the number the contract argues about). Lags are
+    * exact integer days from one fact-linear join; stats per nation
+    * (dimension-grain output) with exact mean and interpolated
+    * percentiles — the approx_percentile swap applies at 100 TB, same
+    * shape.
+    */
+  def leadtimePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val lags = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+              datediff(col("l_shipdate").cast("date"),
+                       col("o_orderdate").cast("date")).cast("long").as("lag_days"))
+    ordered(
+      lags
+        .join(t(spark, sfDir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(spark, sfDir, "nation")),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+             r4(sum(col("lag_days")).cast("double") / count(lit(1)))
+               .as("mean_days"),
+             r4(percentile(col("lag_days"), lit(0.5))).as("p50_days"),
+             r4(percentile(col("lag_days"), lit(0.9))).as("p90_days"),
+             max(col("lag_days")).as("max_days")),
+      "n_name")
+  }
+
   /** First-touch attribution — the acquisition-channel twin of
     * [[attributionLastTouch]]: each purchase credits the user's EARLIEST
     * preceding non-purchase event (first(..., ignoreNulls) over the same

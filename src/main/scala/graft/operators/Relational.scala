@@ -627,6 +627,25 @@ object Relational {
       "c_nationkey")
   }
 
+  /** Basket-size histogram — orders by line count, the first profiling
+    * number on any order fact (it sizes the per-order fan-out every
+    * basket-keyed operator in this engine depends on: the assoc-rules /
+    * co-purchase pair explosions are quadratic in THIS histogram's tail).
+    * Two hash-aggs; output bounded by the max basket size.
+    */
+  def basketSizeHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+    val total = sizes.agg(count(lit(1)).as("n_orders_total"))
+    ordered(
+      sizes.groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(total))
+        .select(col("n_lines"), col("n_orders"),
+                r4(col("n_orders").cast("double") /
+                   col("n_orders_total").cast("double")).as("share")),
+      "n_lines")
+  }
+
   /** Interpolated (PERCENTILE_CONT) percentiles at scale — the linear
     * interpolation h = (n−1)·p between the two bracketing order
     * statistics, computed WITHOUT sorting facts or holding all values in

@@ -1188,6 +1188,46 @@ object Text {
       "source")
   }
 
+  /** Dedup threshold curve — how many near-dup pairs (and docs) an EXACT
+    * set-Jaccard dedup would act on at each candidate threshold: the
+    * decision curve behind "dedup at 0.8 or 0.7?" that a single-threshold
+    * run never shows. Pairs come from the same inverted-index
+    * formulation as [[ngramJaccard]] (blocked by (lang, length band),
+    * distinct shingles, pair volume Σ count² over within-block postings);
+    * the threshold test is INTEGER cross-multiplication
+    * (100·|A∩B| ≥ t·|A∪B|) — no double boundary flips at exactly-t
+    * pairs. One pair frame feeds every threshold row.
+    */
+  def dedupThresholdCurve(spark: SparkSession, sfDir: String,
+                          thresholds: Seq[Int] = Seq(50, 60, 70, 80, 90)): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), expr("n_chars div 200").as("blk"))
+    // shingles() already emits the distinct shingle SET per doc (the
+    // ngramJaccard oracle's list_distinct hash-matches it) — no dedup pass
+    val e = shingleRows(docs(spark, sfDir)).join(d, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val a = e.select(col("lang"), col("blk"), col("s"), col("doc_id").as("doc_a"))
+    val b = e.select(col("lang"), col("blk"), col("s"), col("doc_id").as("doc_b"))
+    val common = a.join(b, Seq("lang", "blk", "s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val pairs = common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("c"),
+              (col("na") + col("nb") - col("c")).as("u"))
+    val th = thresholds.toDF("threshold_pct")
+    ordered(
+      pairs.crossJoin(broadcast(th))
+        .filter(col("c") * 100 >= col("threshold_pct") * col("u"))
+        .groupBy(col("threshold_pct"))
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct(col("doc_b")).as("n_droppable")),
+      "threshold_pct")
+  }
+
   /** Quality-filter token budget — for each [[gopherRules]] rule, the
     * docs it fails alone and the TOKENS that fail with them, plus the
     * composite: the "what does each filter cost us" report a curation
