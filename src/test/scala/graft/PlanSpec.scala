@@ -153,6 +153,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("scd3 pushes the change-stream type filter down to the events scan") {
+    val p = plan(SparkEntry.queries("q_scd3")(spark, Sf))
+    assert(p.contains("EqualTo(event_type,signup)"),
+      "the signup filter must reach the Parquet scan:\n" + p.take(2000))
+  }
+
+  test("accumulating snapshot prunes the lineitem read to its three milestone columns") {
+    val p = plan(SparkEntry.queries("q_accumulating_snapshot")(spark, Sf))
+    val readSchemas = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).mkString("\n")
+    assert(readSchemas.contains("l_shipdate") && readSchemas.contains("l_quantity"))
+    assert(!readSchemas.contains("l_extendedprice") && !readSchemas.contains("l_discount"),
+      s"milestone fold must not read measure columns it never touches: $readSchemas")
+  }
+
+  test("welch t-test is ONE conditional-aggregation pass: a single scan of orders") {
+    val df = SparkEntry.queries("q_welch_t")(spark, Sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1,
+      s"both arms' moments must come from one scan, found ${scans.size}")
+  }
+
   test("whole-stage codegen covers the scalar-function hot path") {
     // AQE shows codegen spans only in the executed (final) plan
     val df = SparkEntry.queries("q_scalar_math_funcs")(spark, Sf)
