@@ -299,6 +299,10 @@ object SparkEntry {
     "q_leadtime_percentiles" -> q(Insights.leadtimePercentiles), // order->ship lag p50/p90/max per nation
     "q_basket_size_hist"  -> q(Relational.basketSizeHist), // order line-count histogram, fan-out sizing input
     "q_dedup_threshold_curve" -> q(Text.dedupThresholdCurve(_, _, Seq(50, 60, 70, 80, 90))), // exact-Jaccard pairs per threshold
+    // round-8k additions (seasonal trend test, extreme-value test, long memory)
+    "q_seasonal_mk"       -> q(Insights.seasonalMk), // Hirsch-Slack seasonal MK: per-season S + total z, calendar-bounded pairs
+    "q_grubbs"            -> q(Insights.grubbs), // max-deviation outlier statistic with the day it names
+    "q_hurst"             -> q(Insights.hurstExponent(_, _, Seq(8, 16, 32, 64))), // R/S long-memory exponent from 4-point log-log fit
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -4473,5 +4477,105 @@ object SparkEntry {
         |FROM pairs CROSS JOIN th
         |WHERE c * 100 >= th.threshold_pct * u
         |GROUP BY th.threshold_pct ORDER BY threshold_pct""".stripMargin,
+
+    "q_seasonal_mk" ->
+      """WITH monthly AS (
+        |  SELECT month(o_orderdate) AS moy, year(o_orderdate) AS yr,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT a.moy,
+        |             CAST(sum(CASE WHEN b.v > a.v THEN 1
+        |                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |      FROM monthly a JOIN monthly b ON a.moy = b.moy AND a.yr < b.yr
+        |      GROUP BY a.moy),
+        |n AS (SELECT moy, CAST(count(*) AS BIGINT) AS n_years FROM monthly GROUP BY moy),
+        |ties AS (SELECT moy, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |         FROM (SELECT moy, v, CAST(count(*) AS BIGINT) AS t
+        |               FROM monthly GROUP BY moy, v)
+        |         GROUP BY moy),
+        |per AS (
+        |  SELECT n.moy, n.n_years, s.s,
+        |         CAST(n.n_years * (n.n_years - 1) * (2 * n.n_years + 5) - ties.tsum AS BIGINT) AS var18
+        |  FROM n JOIN s ON n.moy = s.moy JOIN ties ON n.moy = ties.moy),
+        |tot AS (
+        |  SELECT 0 AS moy, CAST(sum(n_years) AS BIGINT) AS n_years,
+        |         CAST(sum(s) AS BIGINT) AS s, CAST(sum(var18) AS BIGINT) AS var18
+        |  FROM per)
+        |SELECT CAST(moy AS BIGINT) AS moy, n_years, s, var18, CAST(NULL AS DOUBLE) AS z FROM per
+        |UNION ALL
+        |SELECT CAST(moy AS BIGINT), n_years, s, var18,
+        | floor((CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |             WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |             ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0
+        |FROM tot ORDER BY moy""".stripMargin,
+
+    "q_grubbs" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(rc) AS BIGINT) AS s,
+        |             sum(CAST(CAST(rc AS DECIMAL(19,0)) * rc AS DECIMAL(38,0))) AS ss
+        |      FROM daily),
+        |sc AS (
+        |  SELECT d, rc, n, s, ss,
+        |         abs(CAST(rc AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS dev,
+        |         sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) - 1.0)) AS sd,
+        |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+        |  FROM daily CROSS JOIN m)
+        |SELECT n AS n_days,
+        | floor(mean / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_rev,
+        | floor(sd / 100.0 * 10000.0 + 0.5) / 10000.0 AS sd_rev,
+        | d AS outlier_day,
+        | floor(CAST(rc AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS outlier_rev,
+        | floor((dev / sd) * 10000.0 + 0.5) / 10000.0 AS g
+        |FROM sc ORDER BY -dev, d LIMIT 1""".stripMargin,
+
+    "q_hurst" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT rc, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM daily),
+        |sizes AS (SELECT unnest([8, 16, 32, 64]) AS bn),
+        |blk AS (
+        |  SELECT s.bn, (i - 1) // s.bn AS b, i, rc FROM idx CROSS JOIN sizes s),
+        |full_ AS (
+        |  SELECT bn, b, i, rc,
+        |         count(*) OVER (PARTITION BY bn, b) AS cnt,
+        |         sum(rc) OVER (PARTITION BY bn, b) AS s,
+        |         sum(CAST(CAST(rc AS DECIMAL(19,0)) * rc AS DECIMAL(38,0)))
+        |           OVER (PARTITION BY bn, b) AS ss,
+        |         sum(rc) OVER (PARTITION BY bn, b ORDER BY i ROWS UNBOUNDED PRECEDING) AS cum,
+        |         count(*) OVER (PARTITION BY bn, b ORDER BY i ROWS UNBOUNDED PRECEDING) AS k
+        |  FROM blk),
+        |z AS (
+        |  SELECT bn, b, s, ss,
+        |         CAST(cum AS DOUBLE) - CAST(k AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(bn AS DOUBLE)) AS zv
+        |  FROM full_ WHERE cnt = bn),
+        |rs AS (
+        |  SELECT bn,
+        |         (max(zv) - min(zv))
+        |         / sqrt((CAST(max(ss) AS DOUBLE) - CAST(max(s) AS DOUBLE) * CAST(max(s) AS DOUBLE)
+        |                 / CAST(bn AS DOUBLE)) / CAST(bn AS DOUBLE)) AS rsv
+        |  FROM z GROUP BY bn, b),
+        |per AS (
+        |  SELECT bn AS block_n, CAST(count(*) AS BIGINT) AS n_blocks,
+        |         CAST(sum(CAST(rsv AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mean_rs
+        |  FROM rs WHERE rsv IS NOT NULL GROUP BY bn),
+        |fit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS np,
+        |         sum(CAST(ln(CAST(block_n AS DOUBLE)) AS DECIMAL(28,8))) AS sx,
+        |         sum(CAST(ln(mean_rs) AS DECIMAL(28,8))) AS sy,
+        |         sum(CAST(ln(CAST(block_n AS DOUBLE)) * ln(mean_rs) AS DECIMAL(28,8))) AS sxy,
+        |         sum(CAST(ln(CAST(block_n AS DOUBLE)) * ln(CAST(block_n AS DOUBLE)) AS DECIMAL(28,8))) AS sxx
+        |  FROM per)
+        |SELECT CAST(per.block_n AS INTEGER) AS block_n, per.n_blocks,
+        | floor(per.mean_rs * 10000.0 + 0.5) / 10000.0 AS mean_rs,
+        | floor(((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS hurst
+        |FROM per CROSS JOIN fit ORDER BY block_n""".stripMargin,
   )
 }

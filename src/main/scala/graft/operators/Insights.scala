@@ -1577,6 +1577,161 @@ object Insights {
       "l_returnflag")
   }
 
+  /** Seasonal Mann–Kendall (Hirsch & Slack 1984) on the monthly revenue
+    * series — the published fix for [[mkTrend]]'s blind spot: a strong
+    * seasonal cycle swamps the plain MK statistic, so the test runs
+    * WITHIN each season (month-of-year) and sums the per-season S and
+    * variance (seasons are independent under H₀). Output: one row per
+    * season (moy 1–12: years compared, S_m, var18_m) plus the TOTAL row
+    * (moy 0) carrying the continuity-corrected z — the only row a
+    * decision reads, the per-season rows being the diagnostic. Same
+    * AGGREGATE-FIRST shape as mkTrend: pair volume is years²·12, a
+    * calendar property at any fact scale; S from exact DECIMAL
+    * comparisons, variances BIGINT, z one mirrored chain.
+    */
+  def seasonalMk(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = t(spark, sfDir, "orders")
+      .groupBy(month(col("o_orderdate")).as("moy"),
+               year(col("o_orderdate")).as("yr"))
+      .agg(sum(money(col("o_totalprice"))).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = monthly.select(col("moy"), col("yr").as("yi"), col("v").as("vi"))
+      .join(monthly.select(col("moy"), col("yr").as("yj"), col("v").as("vj")),
+            "moy")
+      .filter(col("yi") < col("yj"))
+      .groupBy(col("moy"))
+      .agg(sum(when(col("vj") > col("vi"), 1L)
+                 .when(col("vj") < col("vi"), -1L).otherwise(0L)).as("s"))
+    val n = monthly.groupBy(col("moy")).agg(count(lit(1)).as("n_years"))
+    val ties = monthly.groupBy(col("moy"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("moy"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"))
+    val nL = col("n_years")
+    val perSeason = n.join(s, "moy").join(ties, "moy")
+      .select(col("moy"), col("n_years"), col("s"),
+              (nL * (nL - 1) * (lit(2) * nL + 5) - col("tsum")).as("var18"))
+    val total = perSeason.agg(sum(col("n_years")).as("n_years"),
+                              sum(col("s")).as("s"),
+                              sum(col("var18")).as("var18"))
+      .withColumn("moy", lit(0))
+    val sD = col("s").cast("double")
+    val zExpr = when(col("s") > 0,
+                     (sD - lit(1.0)) / sqrt(col("var18").cast("double") / lit(18.0)))
+      .when(col("s") < 0,
+            (sD + lit(1.0)) / sqrt(col("var18").cast("double") / lit(18.0)))
+      .otherwise(lit(0.0))
+    ordered(
+      perSeason.withColumn("z", lit(null).cast("double"))
+        .unionByName(total.withColumn("z", r4(zExpr)))
+        .select(col("moy"), col("n_years"), col("s"), col("var18"), col("z")),
+      "moy")
+  }
+
+  /** Grubbs' outlier statistic on the daily revenue series — "is the most
+    * extreme day a statistical outlier": G = max|xᵢ − x̄|/s (Grubbs
+    * 1950), with WHICH day it is. [[outlierZscore]] flags every point
+    * against a threshold; this reports the single worst one with its
+    * test statistic. Moments from exact cents (squares DECIMAL(38,0) via
+    * the pre-multiply cast); the argmax is a deterministic struct-min on
+    * (−deviation, day) — exact-tie days resolve to the earliest.
+    */
+  def grubbs(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rc"))
+    val m = daily.agg(count(lit(1)).as("n"), sum(col("rc")).as("s"),
+                      sum((col("rc").cast("decimal(19,0)") * col("rc"))
+                        .cast("decimal(38,0)")).as("ss"))
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / nD
+    val sd = sqrt((col("ss").cast("double") -
+                   col("s").cast("double") * col("s").cast("double") / nD) /
+                  (nD - lit(1.0)))
+    val dev = abs(col("rc").cast("double") - mean)
+    val best = daily.crossJoin(broadcast(m))
+      .withColumn("negdev", -dev)
+      .agg(min(struct(col("negdev"), col("d"), col("rc"),
+                      col("n"), col("s"), col("ss"))).as("b"))
+      .select(col("b.*"))
+    best.select(col("n").as("n_days"),
+                r4(mean / lit(100.0)).as("mean_rev"),
+                r4(sd / lit(100.0)).as("sd_rev"),
+                col("d").as("outlier_day"),
+                r4(col("rc").cast("double") / lit(100.0)).as("outlier_rev"),
+                r4(-col("negdev") / sd).as("g"))
+  }
+
+  /** Hurst exponent of the daily revenue series by rescaled-range (R/S)
+    * analysis (Hurst 1951; Mandelbrot's long-memory diagnostic — H ≈ 0.5
+    * is a random walk, H > 0.5 persistent trends, H < 0.5 mean
+    * reversion; the companion [[autocorr]] sees only fixed small lags).
+    * The series splits into FULL blocks of n ∈ {8,16,32,64} days; per
+    * block, R = range of the cumulative deviations from the block mean
+    * and S = the population sd, both assembled from exact-cents prefix
+    * sums (block windows are ≤ 64 rows by construction); H is the OLS
+    * slope of ln(mean R/S) on ln(n) — the regression runs over FOUR
+    * rows. Everything before the per-block windows is the one
+    * aggregate-first daily frame, calendar-bounded at any fact volume.
+    */
+  def hurstExponent(spark: SparkSession, sfDir: String,
+                    blockSizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import spark.implicits._
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rc"))
+      .withColumn("i", row_number().over(Window.orderBy(col("d"))).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perN = blockSizes.map { bn =>
+      val blk = daily.withColumn("b", expr(s"(i - 1) div $bn"))
+      val wCum = Window.partitionBy(col("b")).orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("b"))
+      val withStats = blk
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .filter(col("cnt") === bn)
+        .withColumn("s", sum(col("rc")).over(wAll))
+        .withColumn("ss", sum((col("rc").cast("decimal(19,0)") * col("rc"))
+          .cast("decimal(38,0)")).over(wAll))
+        .withColumn("cum", sum(col("rc")).over(wCum))
+        .withColumn("k", count(lit(1)).over(wCum))
+      val meanB = col("s").cast("double") / lit(bn.toDouble)
+      val z = col("cum").cast("double") - col("k").cast("double") * meanB
+      val rs = withStats
+        .groupBy(col("b"))
+        .agg(max(z).as("zmax"), min(z).as("zmin"),
+             // s/ss are block constants — max() is just the deterministic pick
+             max(col("s")).as("bs"), max(col("ss")).as("bss"))
+        .select(((col("zmax") - col("zmin")) /
+                 sqrt((col("bss").cast("double") -
+                       col("bs").cast("double") * col("bs").cast("double") /
+                         lit(bn.toDouble)) / lit(bn.toDouble))).as("rs"))
+        .filter(col("rs").isNotNull)
+      rs.agg(count(lit(1)).as("n_blocks"),
+             (sum(col("rs").cast("decimal(28,8)")).cast("double") /
+              count(lit(1))).as("mean_rs"))
+        .select(lit(bn).as("block_n"), col("n_blocks"), col("mean_rs"))
+    }.reduce(_ unionAll _)
+    val pts = perN
+      .withColumn("x", log(col("block_n").cast("double")))
+      .withColumn("y", log(col("mean_rs")))
+    val fit = pts.agg(count(lit(1)).as("np"),
+                      sum(col("x").cast("decimal(28,8)")).as("sx"),
+                      sum(col("y").cast("decimal(28,8)")).as("sy"),
+                      sum((col("x") * col("y")).cast("decimal(28,8)")).as("sxy"),
+                      sum((col("x") * col("x")).cast("decimal(28,8)")).as("sxx"))
+    val npD = col("np").cast("double")
+    val slope = (npD * col("sxy").cast("double") -
+                 col("sx").cast("double") * col("sy").cast("double")) /
+      (npD * col("sxx").cast("double") -
+       col("sx").cast("double") * col("sx").cast("double"))
+    ordered(
+      pts.crossJoin(broadcast(fit.select(r4(slope).as("hurst"))))
+        .select(col("block_n"), col("n_blocks"),
+                r4(col("mean_rs")).as("mean_rs"), col("hurst")),
+      "block_n")
+  }
+
   /** Herfindahl–Hirschman concentration index of supplier revenue per
     * nation — the market-concentration screen (monopoly risk / supplier
     * diversification) over the star schema. HHI = 10000·Σ share_i² =
