@@ -303,6 +303,11 @@ object SparkEntry {
     "q_seasonal_mk"       -> q(Insights.seasonalMk), // Hirsch-Slack seasonal MK: per-season S + total z, calendar-bounded pairs
     "q_grubbs"            -> q(Insights.grubbs), // max-deviation outlier statistic with the day it names
     "q_hurst"             -> q(Insights.hurstExponent(_, _, Seq(8, 16, 32, 64))), // R/S long-memory exponent from 4-point log-log fit
+    // round-8l additions (k-sample ranks, normality, randomness, variance homogeneity)
+    "q_kruskal_wallis"    -> q(Insights.kruskalWallis), // k-sample rank test via the value-histogram rank machinery
+    "q_jarque_bera"       -> q(Insights.jarqueBera), // anchored-deviation moment normality test on daily revenue
+    "q_runs_test"         -> q(Insights.runsTest), // above/below-median run clustering with exact null moments
+    "q_levene"            -> q(Insights.leveneBrownForsythe), // Brown-Forsythe spread homogeneity on the quantity histogram
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -4577,5 +4582,154 @@ object SparkEntry {
         |        / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
         |       * 10000.0 + 0.5) / 10000.0 AS hurst
         |FROM per CROSS JOIN fit ORDER BY block_n""".stripMargin,
+
+    "q_kruskal_wallis" ->
+      """WITH o AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |         o_orderpriority AS grp
+        |  FROM orders),
+        |gv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS cgv FROM o GROUP BY 1, 2),
+        |vals AS (SELECT v, CAST(sum(cgv) AS BIGINT) AS cnt FROM gv GROUP BY v),
+        |cum AS (SELECT v, cnt,
+        |               COALESCE(sum(cnt) OVER (ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |        FROM vals),
+        |per AS (SELECT grp, CAST(sum(cgv) AS BIGINT) AS nj,
+        |               sum(cgv * (2 * cumb + cnt + 1)) AS r2j
+        |        FROM gv JOIN cum USING (v) GROUP BY grp),
+        |ties AS (SELECT sum(cnt * cnt * cnt - cnt) AS tie3 FROM cum),
+        |tot AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
+        |               CAST(sum(CAST(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+        |                             / 4.0 / CAST(nj AS DOUBLE)
+        |                             AS DECIMAL(28,8))) AS DOUBLE) AS rsum
+        |        FROM per)
+        |SELECT grp AS o_orderpriority, nj AS n,
+        |       floor(CAST(r2j AS DOUBLE) / (2.0 * CAST(nj AS DOUBLE))
+        |             * 10000.0 + 0.5) / 10000.0 AS mean_rank,
+        |       CAST(NULL AS DOUBLE) AS h, CAST(NULL AS DOUBLE) AS h_tie
+        |FROM per
+        |UNION ALL
+        |SELECT 'ALL', n, CAST(NULL AS DOUBLE),
+        |       floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * rsum
+        |              - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 10000.0 + 0.5) / 10000.0,
+        |       floor(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * rsum
+        |               - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |              / (1.0 - CAST(tie3 AS DOUBLE)
+        |                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                    - CAST(n AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
+        |FROM tot CROSS JOIN ties
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_jarque_bera" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |anchor AS (SELECT CAST(sum(rc) // count(*) AS BIGINT) AS a FROM daily),
+        |xs AS (SELECT CAST(rc - a AS DOUBLE) / 1000000.0 AS x
+        |       FROM daily CROSS JOIN anchor),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(x AS DECIMAL(38,8))) AS s1,
+        |             sum(CAST(x * x AS DECIMAL(38,8))) AS s2,
+        |             sum(CAST(x * x * x AS DECIMAL(38,8))) AS s3,
+        |             sum(CAST(x * x * x * x AS DECIMAL(38,8))) AS s4
+        |      FROM xs),
+        |c AS (SELECT n,
+        |             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS dl,
+        |             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |      FROM m),
+        |cm AS (SELECT n,
+        |              r2 - dl * dl AS m2,
+        |              r3 - 3.0 * dl * r2 + 2.0 * dl * dl * dl AS m3,
+        |              r4 - 4.0 * dl * r3 + 6.0 * dl * dl * r2
+        |                 - 3.0 * dl * dl * dl * dl AS m4
+        |       FROM c),
+        |sk AS (SELECT n, m3 / (m2 * sqrt(m2)) AS skew,
+        |              m4 / (m2 * m2) - 3.0 AS kx
+        |       FROM cm)
+        |SELECT n AS n_days,
+        | floor(skew * 10000.0 + 0.5) / 10000.0 AS skewness,
+        | floor(kx * 10000.0 + 0.5) / 10000.0 AS kurtosis_excess,
+        | floor(CAST(n AS DOUBLE) / 6.0 * (skew * skew + kx * kx / 4.0)
+        |       * 10000.0 + 0.5) / 10000.0 AS jb
+        |FROM sk""".stripMargin,
+
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT rc, d,
+        |                  CAST(row_number() OVER (ORDER BY rc, d) AS BIGINT) AS rn,
+        |                  count(*) OVER () AS nn
+        |           FROM daily),
+        |med AS (SELECT rc AS med FROM ranked
+        |        WHERE (rn * 2 = nn OR rn * 2 = nn + 1) AND rn * 2 <= nn + 1),
+        |signs AS (SELECT d, CASE WHEN rc > med THEN 1 ELSE 0 END AS sg
+        |          FROM daily CROSS JOIN med WHERE rc <> med),
+        |brk AS (SELECT sg,
+        |               CASE WHEN lag(sg) OVER (ORDER BY d) IS NULL
+        |                      OR lag(sg) OVER (ORDER BY d) <> sg
+        |                    THEN 1 ELSE 0 END AS b
+        |        FROM signs),
+        |agg AS (SELECT CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |               CAST(sum(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |               CAST(sum(b) AS BIGINT) AS runs
+        |        FROM brk)
+        |SELECT n_above, n_below, runs,
+        | floor((CAST(runs AS DOUBLE)
+        |        - (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |           / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) + 1.0))
+        |       / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |              * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+        |                 - (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)))
+        |              / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |                 * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+        |                 * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0)))
+        |       * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM agg""".stripMargin,
+
+    "q_levene" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS qv,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |wc AS (SELECT grp, qv, c,
+        |              sum(c) OVER (PARTITION BY grp ORDER BY qv
+        |                ROWS UNBOUNDED PRECEDING) AS cum,
+        |              sum(c) OVER (PARTITION BY grp) AS ng
+        |       FROM hist),
+        |meds AS (SELECT grp, min(qv) AS med FROM wc WHERE cum * 2 >= ng GROUP BY grp),
+        |zc AS (SELECT h.grp, c, abs(qv - med) AS z
+        |       FROM hist h JOIN meds USING (grp)),
+        |per AS (SELECT grp, CAST(sum(c) AS BIGINT) AS nj,
+        |               CAST(sum(c * z) AS BIGINT) AS sz,
+        |               sum(CAST(c AS HUGEINT) * z * z) AS szz
+        |        FROM zc GROUP BY grp),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nj) AS BIGINT) AS n,
+        |               CAST(sum(sz) AS BIGINT) AS sz_all,
+        |               CAST(sum(CAST(CAST(szz AS DOUBLE)
+        |                             - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+        |                               / CAST(nj AS DOUBLE)
+        |                             AS DECIMAL(28,8))) AS DOUBLE) AS ssw,
+        |               CAST(sum(CAST(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+        |                             / CAST(nj AS DOUBLE)
+        |                             AS DECIMAL(28,8))) AS DOUBLE) AS sb
+        |        FROM per)
+        |SELECT per.grp AS l_returnflag, per.nj AS n, meds.med AS median_qty,
+        |       floor(CAST(per.sz AS DOUBLE) / CAST(per.nj AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS mean_absdev,
+        |       CAST(NULL AS DOUBLE) AS f
+        |FROM per JOIN meds ON per.grp = meds.grp
+        |UNION ALL
+        |SELECT 'ALL', n, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |       floor(((sb - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE)
+        |                    / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+        |             / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |             * 10000.0 + 0.5) / 10000.0
+        |FROM tot
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -2127,4 +2127,224 @@ object Insights {
                 r4(col("slope")).as("sen_slope")),
       "l_returnflag")
   }
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — "do the k order
+    * priorities draw from the same revenue distribution": the k-sample
+    * generalization of [[mannWhitney]], on exactly its machinery. Ranks
+    * come from the VALUE HISTOGRAM (one hash-agg + [[PrefixSum]] — a
+    * 100 TB fact ranks via its distinct-value counts, never a global row
+    * sort) and stay DOUBLED so .5 mid-ranks are integral; per-group
+    * doubled rank sums 2R_j accumulate as DECIMAL(38,0) (2R_j reaches
+    * ~N² — past BIGINT at warehouse scale, the [[mannWhitney]]/ spearman
+    * discipline). The k per-group terms (2R_j)²/n_j are each ONE IEEE
+    * division of exactly-agreed integers, cast to DECIMAL(28,8) so the
+    * cross-group sum is associative (the chi2 pattern); H and its
+    * tie-corrected twin are one mirrored double chain. Output: one row
+    * per priority (n_j, mean rank) plus the 'ALL' decision row carrying
+    * H — per-group rows are the diagnostic, H the decision.
+    */
+  def kruskalWallis(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = t(spark, sfDir, "orders")
+      .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("v"),
+              col("o_orderpriority").as("grp"))
+    val gv = o.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cgv"))
+    val vals = gv.groupBy(col("v")).agg(sum(col("cgv")).as("cnt"))
+    val cum = PrefixSum.exclusiveCols(vals, Seq(col("v").asc), col("cnt"), "cumb")
+    // doubled mid-rank of every row holding value v: 2r(v) = 2·cumb + cnt + 1
+    val perGroup = gv.join(cum, "v")
+      .groupBy(col("grp"))
+      .agg(sum(col("cgv")).as("nj"),
+           sum(col("cgv").cast(d38) *
+               (lit(2).cast(d38) * col("cumb").cast(d38) + col("cnt").cast(d38) +
+                lit(1).cast(d38))).as("r2j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ties = cum.agg(
+      sum(col("cnt").cast(d38) * col("cnt").cast(d38) * col("cnt").cast(d38) -
+          col("cnt").cast(d38)).as("tie3"))
+    // Σ_j R_j²/n_j with R_j = r2j/2: each term one IEEE divide, then the
+    // associative DECIMAL(28,8) sum (terms ~N²·mean-rank² / n_j — far
+    // inside (28,8) even at the decade)
+    val term = (col("r2j").cast("double") * col("r2j").cast("double") /
+                lit(4.0) / col("nj").cast("double")).cast("decimal(28,8)")
+    val tot = perGroup.agg(sum(col("nj")).as("n"),
+                           sum(term).cast("double").as("rsum"))
+      .crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val hRaw = lit(12.0) / (nD * (nD + lit(1.0))) * col("rsum") -
+               lit(3.0) * (nD + lit(1.0))
+    val hTie = hRaw / (lit(1.0) - col("tie3").cast("double") /
+                       (nD * nD * nD - nD))
+    val groupRows = perGroup.select(
+      col("grp").as("o_orderpriority"), col("nj").as("n"),
+      r4(col("r2j").cast("double") / (lit(2.0) * col("nj").cast("double")))
+        .as("mean_rank"),
+      lit(null).cast("double").as("h"), lit(null).cast("double").as("h_tie"))
+    val totalRow = tot.select(
+      lit("ALL").as("o_orderpriority"), col("n"),
+      lit(null).cast("double").as("mean_rank"),
+      r4(hRaw).as("h"), r4(hTie).as("h_tie"))
+    ordered(groupRows.unionByName(totalRow), "o_orderpriority")
+  }
+
+  /** Jarque–Bera normality test (Jarque & Bera 1980) on the daily revenue
+    * series — JB = n/6·(S² + K²/4) from sample skewness S and excess
+    * kurtosis K: "are the daily totals normal enough for z-score-based
+    * monitoring" (the formal companion to [[outlierZscore]]/[[grubbs]],
+    * which ASSUME normality). AGGREGATE-FIRST + CENTERED + SCALED: the
+    * fact collapses to exact day cents, a first 1-row pass picks the
+    * integer anchor a = ⌊Σ/n⌋ (exact `div` on both engines), and the
+    * moment sums run over SCALED deviations x = (rc−a)/10⁶ — anchoring
+    * kills the catastrophic cancellation of raw moments, scaling keeps
+    * Σx⁴ orders of magnitude inside DECIMAL(38,8) at any revenue decade
+    * (raw Σd⁴ in cents overflowed 38 digits at the 10× sweep), and S, K
+    * and JB are scale-invariant so the output is unchanged. Each power
+    * term is one deterministic IEEE chain cast to DECIMAL(38,8) so the
+    * cross-day sums are associative (the chi2 pattern); central moments
+    * about the true mean follow from the binomial shift by δ = (mean−a)
+    * /10⁶ in one mirrored double chain. Both passes scan the CALENDAR-
+    * bounded daily frame, not the fact.
+    */
+  def jarqueBera(spark: SparkSession, sfDir: String): DataFrame = {
+    val d388 = "decimal(38,8)"
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // integer floor division (Spark `/` on longs is DOUBLE division —
+    // inexact past 2^53; `div` keeps the anchor exact on both engines)
+    val anchor = daily.agg(expr("sum(rc) div count(1)").cast("long").as("a"))
+    val xCol = (col("rc") - col("a")).cast("double") / lit(1.0e6)
+    val m = daily.crossJoin(broadcast(anchor)).select(xCol.as("x"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x").cast(d388)).as("s1"),
+           sum((col("x") * col("x")).cast(d388)).as("s2"),
+           sum((col("x") * col("x") * col("x")).cast(d388)).as("s3"),
+           sum((col("x") * col("x") * col("x") * col("x")).cast(d388)).as("s4"))
+    val nD = col("n").cast("double")
+    val dl = col("s1").cast("double") / nD // δ = (mean − a)/1e6
+    val r2 = col("s2").cast("double") / nD
+    val r3 = col("s3").cast("double") / nD
+    val r4c = col("s4").cast("double") / nD
+    val m2 = r2 - dl * dl
+    val m3 = r3 - lit(3.0) * dl * r2 + lit(2.0) * dl * dl * dl
+    val m4 = r4c - lit(4.0) * dl * r3 + lit(6.0) * dl * dl * r2 -
+             lit(3.0) * dl * dl * dl * dl
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurtX = m4 / (m2 * m2) - lit(3.0)
+    m.select(col("n").as("n_days"),
+             graft.util.Tables.r4(skew).as("skewness"),
+             graft.util.Tables.r4(kurtX).as("kurtosis_excess"),
+             graft.util.Tables.r4(nD / lit(6.0) *
+               (skew * skew + kurtX * kurtX / lit(4.0))).as("jb"))
+  }
+
+  /** Wald–Wolfowitz runs test (1940) on the daily revenue series — "is
+    * the above/below-median sign sequence random, or does revenue cluster
+    * in streaks": counts maximal runs of same-sign days around the
+    * discrete median and scores R against its exact null mean/variance.
+    * The trend tests ([[mkTrend]], [[seasonalMk]]) ask about MONOTONIC
+    * drift; this asks about serial clustering at any shape. The median is
+    * the rank-⌈n/2⌉ value via one row_number window; equal-to-median days
+    * drop (the standard dichotomization); run boundaries come from one
+    * lag() — all three windows run on the CALENDAR-bounded daily frame.
+    */
+  def runsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("rc").asc,
+                                                         col("d").asc)))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+    val med = ranked.filter(col("rn") * 2 === col("nn") ||
+                            col("rn") * 2 === col("nn") + 1)
+      .filter(col("rn") * 2 <= col("nn") + 1) // lower middle: rank ⌈n/2⌉
+      .select(col("rc").as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .filter(col("rc") =!= col("med"))
+      .select(col("d"), when(col("rc") > col("med"), 1L).otherwise(0L).as("sg"))
+    val w = Window.orderBy(col("d").asc)
+    val runs = signs
+      .withColumn("brk", when(lag(col("sg"), 1).over(w).isNull ||
+                              lag(col("sg"), 1).over(w) =!= col("sg"), 1L)
+                           .otherwise(0L))
+      .agg(sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n_above"),
+           sum(when(col("sg") === 0L, 1L).otherwise(0L)).as("n_below"),
+           sum(col("brk")).as("runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val nD = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / nD + lit(1.0)
+    val sg2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nD) /
+              (nD * nD * (nD - lit(1.0)))
+    runs.select(col("n_above"), col("n_below"), col("runs"),
+                r4((col("runs").cast("double") - mu) / sqrt(sg2)).as("z"))
+  }
+
+  /** Brown–Forsythe test (1974) — the median-centered Levene test for
+    * VARIANCE homogeneity across groups: "do the return-flag classes
+    * differ in quantity SPREAD, not just level" (the assumption behind
+    * any pooled-variance comparison, [[multMeans]]' ANOVA included,
+    * checked with the robust median-centered variant). Runs ENTIRELY on
+    * the (flag, quantity) HISTOGRAM — quantity's value domain is ~50
+    * integers, so the per-group discrete medians, the absolute
+    * deviations z = |q − med_g|, and the one-way ANOVA F on z all come
+    * from weighted integer arithmetic over a ~150-cell frame; the fact
+    * is touched by exactly one hash-agg. Deviation sums stay BIGINT /
+    * DECIMAL(38,0); F is one mirrored double chain with the
+    * DECIMAL(28,8) cross-group term sums (the chi2 pattern).
+    */
+  def leveneBrownForsythe(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val hist = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"),
+               col("l_quantity").cast("long").as("qv"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wg = Window.partitionBy(col("grp")).orderBy(col("qv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = hist
+      .withColumn("cum", sum(col("c")).over(wg))
+      .withColumn("ng", sum(col("c")).over(Window.partitionBy(col("grp"))))
+    // discrete median: the least value whose cumulative count reaches ⌈n/2⌉
+    val meds = withCum.filter(col("cum") * 2 >= col("ng"))
+      .groupBy(col("grp")).agg(min(col("qv")).as("med"))
+    val zc = hist.join(broadcast(meds), "grp")
+      .select(col("grp"), col("c"),
+              abs(col("qv") - col("med")).as("z"))
+    val perGroup = zc.groupBy(col("grp"))
+      .agg(sum(col("c")).as("nj"),
+           sum(col("c") * col("z")).as("sz"),
+           sum((col("c").cast("decimal(19,0)") * col("z") * col("z"))
+             .cast(d38)).as("szz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SSW_j = Σz² − (Σz)²/n_j and the grand pieces, each term one IEEE
+    // divide over exact integers then the associative decimal sum
+    val sswTerm = (col("szz").cast("double") -
+                   col("sz").cast("double") * col("sz").cast("double") /
+                   col("nj").cast("double")).cast("decimal(28,8)")
+    val sbTerm = (col("sz").cast("double") * col("sz").cast("double") /
+                  col("nj").cast("double")).cast("decimal(28,8)")
+    val tot = perGroup.agg(
+      count(lit(1)).as("k"), sum(col("nj")).as("n"), sum(col("sz")).as("szAll"),
+      sum(sswTerm).cast("double").as("ssw"),
+      sum(sbTerm).cast("double").as("sb"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("sb") - col("szAll").cast("double") *
+              col("szAll").cast("double") / nD
+    val f = (ssb / (kD - lit(1.0))) / (col("ssw") / (nD - kD))
+    val groupRows = perGroup.join(broadcast(meds), "grp").select(
+      col("grp").as("l_returnflag"), col("nj").as("n"),
+      col("med").as("median_qty"),
+      r4(col("sz").cast("double") / col("nj").cast("double")).as("mean_absdev"),
+      lit(null).cast("double").as("f"))
+    val totalRow = tot.select(
+      lit("ALL").as("l_returnflag"), col("n"),
+      lit(null).cast("long").as("median_qty"),
+      lit(null).cast("double").as("mean_absdev"), r4(f).as("f"))
+    ordered(groupRows.unionByName(totalRow), "l_returnflag")
+  }
 }
