@@ -308,6 +308,10 @@ object SparkEntry {
     "q_jarque_bera"       -> q(Insights.jarqueBera), // anchored-deviation moment normality test on daily revenue
     "q_runs_test"         -> q(Insights.runsTest), // above/below-median run clustering with exact null moments
     "q_levene"            -> q(Insights.leveneBrownForsythe), // Brown-Forsythe spread homogeneity on the quantity histogram
+    // round-8m additions (interval algebra + directed-graph mutuality)
+    "q_concurrent_sessions" -> q(Windows.concurrentSessions), // per-day peak live-session count via the +-1 boundary sweep
+    "q_interval_coverage" -> q(Windows.intervalCoverage), // per-user union length of overlapping activity intervals
+    "q_reciprocity"       -> q(Insights.reciprocity), // directed co-purchase mutuality, count- and flow-weighted
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -4731,5 +4735,75 @@ object SparkEntry {
         |             * 10000.0 + 0.5) / 10000.0
         |FROM tot
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_concurrent_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                          OR ts_us - lag(ts_us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |                 ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM g),
+        |sess AS (SELECT user_id, session_id, min(ts_us) AS st, max(ts_us) AS en
+        |         FROM s GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT st AS bts, CAST(1 AS BIGINT) AS delta FROM sess
+        |  UNION ALL
+        |  SELECT en + 1, CAST(-1 AS BIGINT) FROM sess),
+        |run AS (SELECT bts,
+        |               CAST(sum(delta) OVER (ORDER BY bts, delta DESC
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |        FROM bounds)
+        |SELECT CAST(make_timestamp(bts) AS DATE) AS day,
+        |       CAST(max(run) AS BIGINT) AS peak_concurrency,
+        |       CAST(count(*) AS BIGINT) AS n_boundaries
+        |FROM run GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |                   epoch_us(ts) + 600000000 AS e
+        |            FROM events),
+        |marked AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |                OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              THEN 1 ELSE 0 END AS new_island,
+        |         event_id
+        |  FROM iv),
+        |isl AS (SELECT user_id, s, e,
+        |               sum(new_island) OVER (PARTITION BY user_id
+        |                 ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM marked),
+        |islands AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS n_ev,
+        |                   min(s) AS i_s, max(e) AS i_e
+        |            FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+        |       CAST(max(n_ev) AS BIGINT) AS max_island_events
+        |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_reciprocity" ->
+      """WITH seq AS (
+        |  SELECT l_partkey AS a,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_suppkey) AS b
+        |  FROM lineitem),
+        |edges AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w
+        |          FROM seq WHERE b IS NOT NULL AND b <> a GROUP BY 1, 2),
+        |j AS (SELECT e.w, r.w AS wr
+        |      FROM edges e LEFT JOIN edges r ON e.a = r.b AND e.b = r.a)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |       CAST(sum(CASE WHEN wr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recip,
+        |       CAST(sum(w) AS BIGINT) AS total_w,
+        |       CAST(sum(least(w, COALESCE(wr, 0))) AS BIGINT) AS recip_w,
+        |       floor(CAST(sum(CASE WHEN wr IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS reciprocity,
+        |       floor(CAST(sum(least(w, COALESCE(wr, 0))) AS DOUBLE)
+        |             / CAST(sum(w) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS weighted_reciprocity
+        |FROM j""".stripMargin,
   )
 }

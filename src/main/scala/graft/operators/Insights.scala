@@ -2347,4 +2347,46 @@ object Insights {
       lit(null).cast("double").as("mean_absdev"), r4(f).as("f"))
     ordered(groupRows.unionByName(totalRow), "l_returnflag")
   }
+
+  /** Directed-graph reciprocity over the sequential co-purchase graph —
+    * edge (a→b) when part b follows part a on consecutive lines of one
+    * order, weighted by how often. Reciprocity r = share of directed
+    * edges whose reverse also exists; the weighted variant
+    * Σ min(w_ab, w_ba) / Σ w_ab (Garlaschelli & Loffredo 2004) measures
+    * how much of the FLOW is mutual. The undirected co-purchase ops
+    * ([[clusteringCoeff]], [[adamicAdar]], q_triangles) can't see edge
+    * direction at all — this is the one statistic that needs the
+    * directed multigraph kept directed. Scale shape: one lead() window
+    * per order (orders are ≤7 lines; the key is high-cardinality), one
+    * hash-agg to the weighted edge list, ONE self-join on the reversed
+    * key, one 1-row aggregate. Ratios are r4 single divisions of exact
+    * BIGINT counts.
+    */
+  def reciprocity(spark: SparkSession, sfDir: String): DataFrame = {
+    // (linenumber, partkey, suppkey): linenumber alone is NOT unique per
+    // order in this testdata — the lead() order must be total or the
+    // edge set is permutation-dependent (Tables.scala sort-key rule)
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
+               col("l_suppkey").asc)
+    val edges = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_suppkey"))
+      .withColumn("nxt", lead(col("l_partkey"), 1).over(byOrder))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+      .groupBy(col("l_partkey").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val rev = edges.select(col("b").as("a"), col("a").as("b"),
+                           col("w").as("wr"))
+    edges.join(rev, Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+           sum(col("w")).as("total_w"),
+           sum(when(col("wr").isNotNull, 1L).otherwise(0L)).as("n_recip"),
+           sum(least(col("w"), coalesce(col("wr"), lit(0L)))).as("recip_w"))
+      .select(col("n_edges"), col("n_recip"), col("total_w"), col("recip_w"),
+              r4(col("n_recip").cast("double") / col("n_edges").cast("double"))
+                .as("reciprocity"),
+              r4(col("recip_w").cast("double") / col("total_w").cast("double"))
+                .as("weighted_reciprocity"))
+  }
 }

@@ -671,4 +671,83 @@ object Windows {
                    lit(100.0)).as("twa")),
       "user_id")
   }
+
+  /** Peak concurrency per day — "how many sessions were live at once":
+    * the classic ±1 boundary sweep over the 30-minute-gap sessions
+    * ([[sessionGaps]]' construction). Every session contributes a +1 at
+    * its start and a −1 one µs after its last event (inclusive ends);
+    * the running boundary sum IS the live-session count, and its per-day
+    * max is the capacity-planning number. The sweep's global order runs
+    * through [[graft.util.PrefixSum]] (range partition + local window +
+    * tiny offsets join), NEVER a single-reducer global window — the
+    * boundary frame is 2 rows per session at any event scale. Equal
+    * timestamps order +1 before −1, so back-to-back sessions at the same
+    * µs count as overlapping (the conservative capacity answer); the max
+    * is permutation-invariant within exact (ts, delta) ties.
+    */
+  def concurrentSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val sessions = events(spark, sfDir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("e"))
+    val bounds = sessions.select(col("s").as("bts"), lit(1L).as("delta"))
+      .unionByName(sessions.select((col("e") + 1L).as("bts"),
+                                   lit(-1L).as("delta")))
+    val run = graft.util.PrefixSum
+      .exclusiveCols(bounds, Seq(col("bts").asc, col("delta").desc),
+                     col("delta"), "run0")
+      .withColumn("run", col("run0") + col("delta"))
+    ordered(
+      run.groupBy(to_date(timestamp_micros(col("bts"))).as("day"))
+        .agg(max(col("run")).as("peak_concurrency"),
+             count(lit(1)).as("n_boundaries")),
+      "day")
+  }
+
+  /** Per-user interval-union coverage — each event opens a half-open
+    * 10-minute activity interval [ts, ts+10m); overlapping and adjacent
+    * intervals merge, and the user's covered time is the union length
+    * (the "active minutes" metric every engagement dashboard wants; the
+    * [[sessionGaps]] sessions can't express it because gap-split sessions
+    * NEVER overlap — this is the genuinely interval-algebraic op). The
+    * classic running-max-end merge: within a user ordered by start, a new
+    * island begins exactly when the start clears every previous end; one
+    * user-partitioned window (high-cardinality key — the sort spreads),
+    * one hash-agg per island, one per user. Also reports the largest
+    * island's event count (how bursty the activity is) from the same
+    * ordered pass.
+    */
+  def intervalCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val lenUs = 10L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("s").asc, col("event_id").asc)
+    val prevMax = max(col("e")).over(
+      byUser.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us").as("s"),
+              (col("ts_us") + lenUs).as("e"))
+      .withColumn("pmax", prevMax)
+      .withColumn("new_island",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = marked.groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_ev"), min(col("s")).as("is"),
+           max(col("e")).as("ie"))
+    ordered(
+      islands.groupBy(col("user_id"))
+        .agg(sum(col("n_ev")).as("n_events"),
+             count(lit(1)).as("n_islands"),
+             sum(col("ie") - col("is")).as("covered_us"),
+             max(col("n_ev")).as("max_island_events")),
+      "user_id")
+  }
 }
