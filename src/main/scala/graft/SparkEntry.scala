@@ -312,6 +312,10 @@ object SparkEntry {
     "q_concurrent_sessions" -> q(Windows.concurrentSessions), // per-day peak live-session count via the +-1 boundary sweep
     "q_interval_coverage" -> q(Windows.intervalCoverage), // per-user union length of overlapping activity intervals
     "q_reciprocity"       -> q(Insights.reciprocity), // directed co-purchase mutuality, count- and flow-weighted
+    // round-8n additions (information-theory tier)
+    "q_mutual_info"       -> q(Insights.mutualInfo), // lang-source MI + NMI in nats via exact c-ln-c entropy sums
+    "q_entropy_rate"      -> q(Text.entropyRate), // bigram conditional entropy H(w2|w1) of the token stream
+    "q_theil_index"       -> q(Insights.theilIndex), // decomposable entropy inequality (T and L) over customer revenue
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -4805,5 +4809,80 @@ object SparkEntry {
         |       floor(CAST(sum(least(w, COALESCE(wr, 0))) AS DOUBLE)
         |             / CAST(sum(w) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS weighted_reciprocity
         |FROM j""".stripMargin,
+
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |               FROM documents GROUP BY 1, 2),
+        |joint AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |                 sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |                          AS DECIMAL(28,8))) AS slj
+        |          FROM cells),
+        |lm AS (SELECT sum(CAST(CAST(cl AS DOUBLE) * ln(CAST(cl AS DOUBLE))
+        |                       AS DECIMAL(28,8))) AS sll
+        |       FROM (SELECT sum(c) AS cl FROM cells GROUP BY lang)),
+        |sm AS (SELECT sum(CAST(CAST(cs AS DOUBLE) * ln(CAST(cs AS DOUBLE))
+        |                       AS DECIMAL(28,8))) AS sls
+        |       FROM (SELECT sum(c) AS cs FROM cells GROUP BY source)),
+        |h AS (SELECT n,
+        |             ln(CAST(n AS DOUBLE)) - CAST(sll AS DOUBLE) / CAST(n AS DOUBLE) AS hl,
+        |             ln(CAST(n AS DOUBLE)) - CAST(sls AS DOUBLE) / CAST(n AS DOUBLE) AS hs,
+        |             ln(CAST(n AS DOUBLE)) - CAST(slj AS DOUBLE) / CAST(n AS DOUBLE) AS hj
+        |      FROM joint CROSS JOIN lm CROSS JOIN sm)
+        |SELECT n AS n_docs,
+        | floor(hl * 10000.0 + 0.5) / 10000.0 AS h_lang,
+        | floor(hs * 10000.0 + 0.5) / 10000.0 AS h_source,
+        | floor(hj * 10000.0 + 0.5) / 10000.0 AS h_joint,
+        | floor((hl + hs - hj) * 10000.0 + 0.5) / 10000.0 AS mi_nats,
+        | floor((hl + hs - hj) / sqrt(hl * hs) * 10000.0 + 0.5) / 10000.0 AS nmi
+        |FROM h""".stripMargin,
+
+    "q_entropy_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(text), ' ')) AS word,
+        |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT word AS w1,
+        |           lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM toks)
+        |  WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2),
+        |joint AS (SELECT CAST(sum(c) AS BIGINT) AS b,
+        |                 CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |                 sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |                          AS DECIMAL(28,8))) AS slj
+        |          FROM pairs),
+        |first_ AS (SELECT sum(CAST(CAST(cf AS DOUBLE) * ln(CAST(cf AS DOUBLE))
+        |                          AS DECIMAL(28,8))) AS slf
+        |           FROM (SELECT sum(c) AS cf FROM pairs GROUP BY w1)),
+        |h AS (SELECT b, n_distinct_bigrams,
+        |             ln(CAST(b AS DOUBLE)) - CAST(slj AS DOUBLE) / CAST(b AS DOUBLE) AS hj,
+        |             ln(CAST(b AS DOUBLE)) - CAST(slf AS DOUBLE) / CAST(b AS DOUBLE) AS hf
+        |      FROM joint CROSS JOIN first_)
+        |SELECT b AS n_bigrams, n_distinct_bigrams,
+        | floor(hj * 10000.0 + 0.5) / 10000.0 AS h_joint,
+        | floor(hf * 10000.0 + 0.5) / 10000.0 AS h_first,
+        | floor((hj - hf) * 10000.0 + 0.5) / 10000.0 AS h_cond
+        |FROM h""".stripMargin,
+
+    "q_theil_index" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |               sum(CAST(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))
+        |                        AS DECIMAL(28,8))) AS sxlx,
+        |               sum(CAST(ln(CAST(x AS DOUBLE)) AS DECIMAL(28,8))) AS slx
+        |        FROM cust)
+        |SELECT n AS n_customers,
+        | floor((CAST(sxlx AS DOUBLE) / CAST(s AS DOUBLE)
+        |        - ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) * 10000.0 + 0.5)
+        |   / 10000.0 AS theil_t,
+        | floor((ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        - CAST(slx AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0 + 0.5)
+        |   / 10000.0 AS theil_l
+        |FROM agg""".stripMargin,
   )
 }

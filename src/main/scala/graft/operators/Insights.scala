@@ -2389,4 +2389,67 @@ object Insights {
               r4(col("recip_w").cast("double") / col("total_w").cast("double"))
                 .as("weighted_reciprocity"))
   }
+
+  /** Mutual information between a document's language and its source —
+    * "does WHERE a doc comes from predict WHAT language it's in": the
+    * information-theoretic association measure, in nats, next to the
+    * frequency-domain [[chi2Independence]]/[[cramersV]] pair (MI is the
+    * one that composes with the corpus entropy ops: MI = H(L) + H(S) −
+    * H(L,S)). Every entropy uses the EXACT Σc·ln c form (H = ln N −
+    * Σ c ln c / N — one associative DECIMAL(28,8) sum of per-cell IEEE
+    * terms, the tokenEntropy idiom, no per-cell division); NMI normalizes
+    * by √(H_L·H_S). The contingency table is one hash-agg of the corpus
+    * (|langs|×|sources| cells), marginals two tiny re-aggs of it.
+    */
+  def mutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val d288 = "decimal(28,8)"
+    val clnc = (c: Column) => (c.cast("double") * log(c.cast("double"))).cast(d288)
+    val cells = t(spark, sfDir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joint = cells.agg(sum(col("c")).as("n"),
+                          sum(clnc(col("c"))).as("slj"))
+    val lm = cells.groupBy(col("lang")).agg(sum(col("c")).as("cl"))
+      .agg(sum(clnc(col("cl"))).as("sll"))
+    val sm = cells.groupBy(col("source")).agg(sum(col("c")).as("cs"))
+      .agg(sum(clnc(col("cs"))).as("sls"))
+    val nD = col("n").cast("double")
+    val hL = log(nD) - col("sll").cast("double") / nD
+    val hS = log(nD) - col("sls").cast("double") / nD
+    val hJ = log(nD) - col("slj").cast("double") / nD
+    val mi = hL + hS - hJ
+    joint.crossJoin(broadcast(lm)).crossJoin(broadcast(sm))
+      .select(col("n").as("n_docs"),
+              r4(hL).as("h_lang"), r4(hS).as("h_source"),
+              r4(hJ).as("h_joint"), r4(mi).as("mi_nats"),
+              r4(mi / sqrt(hL * hS)).as("nmi"))
+  }
+
+  /** Theil inequality indices of per-customer revenue — T = (1/n)Σ
+    * (xᵢ/μ)ln(xᵢ/μ) (top-sensitive) and L = (1/n)Σ ln(μ/xᵢ)
+    * (bottom-sensitive), the entropy-based decomposable companions to
+    * [[gini]] (Theil's T is the one that ADDS across population
+    * subgroups — the property concentration dashboards want). Closed
+    * forms over two exact sums: T = Σx·ln x/S − ln μ and L = ln μ −
+    * Σln x/n, each term one IEEE chain over exact cents cast to
+    * DECIMAL(28,8) for associativity; one fact hash-agg to customer
+    * grain, one 1-row aggregate after.
+    */
+  def theilIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val d288 = "decimal(28,8)"
+    val cust = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("x"))
+    val xD = col("x").cast("double")
+    val agg = cust.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum((xD * log(xD)).cast(d288)).as("sxlx"),
+      sum(log(xD).cast(d288)).as("slx"))
+    val nD = col("n").cast("double")
+    val lnMu = log(col("s").cast("double") / nD)
+    agg.select(col("n").as("n_customers"),
+               r4(col("sxlx").cast("double") / col("s").cast("double") - lnMu)
+                 .as("theil_t"),
+               r4(lnMu - col("slx").cast("double") / nD).as("theil_l"))
+  }
 }

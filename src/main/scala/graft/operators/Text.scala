@@ -1409,4 +1409,44 @@ object Text {
                r4(slope).as("zipf_slope"),
                r4((syD - slope * sxD) / nD).as("intercept"))
   }
+
+  /** Corpus entropy rate — the conditional entropy H(w₂|w₁) of the token
+    * stream, in nats: how predictable the NEXT token is given the
+    * current one. [[tokenEntropy]] measures the unigram distribution;
+    * the gap H(w) − H(w₂|w₁) is exactly the sequential structure a
+    * 1-gram LM can't see ([[ngramLm]] holds the probabilities, this
+    * holds the single corpus-level number). Chain rule over the bigram
+    * multiset: H(w₂|w₁) = H(w₁,w₂) − H(w₁), both entropies in the exact
+    * Σc·ln c form (one associative DECIMAL(28,8) sum each — the
+    * tokenEntropy idiom), both marginals hash-re-aggs of the ONE bigram
+    * count frame; bigrams from one lead() per doc (documents are
+    * bounded-length, the key is high-cardinality).
+    */
+  def entropyRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d288 = "decimal(28,8)"
+    val clnc = (c: Column) => (c.cast("double") * log(c.cast("double"))).cast(d288)
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"),
+              posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+    val pairs = toks
+      .withColumn("nxt", lead(col("word"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(length(col("word")) > 0 && length(col("nxt")) > 0)
+      .groupBy(col("word").as("w1"), col("nxt").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joint = pairs.agg(sum(col("c")).as("b"),
+                          count(lit(1)).as("n_distinct_bigrams"),
+                          sum(clnc(col("c"))).as("slj"))
+    val first = pairs.groupBy(col("w1")).agg(sum(col("c")).as("cf"))
+      .agg(sum(clnc(col("cf"))).as("slf"))
+    val bD = col("b").cast("double")
+    val hJoint = log(bD) - col("slj").cast("double") / bD
+    val hFirst = log(bD) - col("slf").cast("double") / bD
+    joint.crossJoin(broadcast(first))
+      .select(col("b").as("n_bigrams"), col("n_distinct_bigrams"),
+              r4(hJoint).as("h_joint"), r4(hFirst).as("h_first"),
+              r4(hJoint - hFirst).as("h_cond"))
+  }
 }
