@@ -316,6 +316,10 @@ object SparkEntry {
     "q_mutual_info"       -> q(Insights.mutualInfo), // lang-source MI + NMI in nats via exact c-ln-c entropy sums
     "q_entropy_rate"      -> q(Text.entropyRate), // bigram conditional entropy H(w2|w1) of the token stream
     "q_theil_index"       -> q(Insights.theilIndex), // decomposable entropy inequality (T and L) over customer revenue
+    // round-8o additions (stationarity, tail risk, blocked ranks)
+    "q_adf"               -> q(Insights.adfTest), // Dickey-Fuller unit-root gamma + t-stat, anchored OLS moments
+    "q_var_es"            -> q(Insights.varEs), // historical VaR + expected shortfall of daily log-returns
+    "q_friedman"          -> q(Insights.friedman), // blocked rank test: month blocks x priority treatments
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -4884,5 +4888,100 @@ object SparkEntry {
         |        - CAST(slx AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0 + 0.5)
         |   / 10000.0 AS theil_l
         |FROM agg""".stripMargin,
+
+    "q_adf" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |anchor AS (SELECT CAST(sum(rc) // count(*) AS BIGINT) AS a FROM daily),
+        |pairs AS (
+        |  SELECT prev - a AS x, rc - prev AS y
+        |  FROM (SELECT rc, lag(rc) OVER (ORDER BY d) AS prev FROM daily)
+        |       CROSS JOIN anchor
+        |  WHERE prev IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |             sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |             sum(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM pairs),
+        |c AS (SELECT n,
+        |             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |               / CAST(n AS DOUBLE) AS sxxc,
+        |             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |               / CAST(n AS DOUBLE) AS sxyc,
+        |             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |               / CAST(n AS DOUBLE) AS syyc
+        |      FROM m),
+        |g AS (SELECT n, sxyc / sxxc AS gamma,
+        |             sqrt((syyc - (sxyc / sxxc) * sxyc)
+        |                  / (CAST(n AS DOUBLE) - 2.0) / sxxc) AS se
+        |      FROM c)
+        |SELECT n AS n_pairs,
+        | floor(gamma * 10000.0 + 0.5) / 10000.0 AS gamma,
+        | floor(se * 10000.0 + 0.5) / 10000.0 AS se,
+        | floor(gamma / se * 10000.0 + 0.5) / 10000.0 AS t_stat
+        |FROM g""".stripMargin,
+
+    "q_var_es" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |rets AS (
+        |  SELECT d, ln(CAST(rc AS DOUBLE) / CAST(prev AS DOUBLE)) AS r
+        |  FROM (SELECT d, rc, lag(rc) OVER (ORDER BY d) AS prev FROM daily)
+        |  WHERE prev IS NOT NULL),
+        |ranked AS (
+        |  SELECT r, CAST(row_number() OVER (ORDER BY r, d) AS BIGINT) AS rn,
+        |         count(*) OVER () AS nn,
+        |         CAST(ceil(count(*) OVER () * 0.05) AS BIGINT) AS k
+        |  FROM rets),
+        |v AS (SELECT r AS var5, nn, k FROM ranked WHERE rn = k),
+        |tail AS (SELECT CAST(sum(CAST(r AS DECIMAL(28,8))) AS DOUBLE) AS tsum,
+        |                CAST(count(*) AS BIGINT) AS tc
+        |         FROM ranked WHERE rn <= k)
+        |SELECT CAST(nn AS BIGINT) AS n_returns, k AS n_tail,
+        | floor(var5 * 10000.0 + 0.5) / 10000.0 AS var_5,
+        | floor(tsum / CAST(tc AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS es_5
+        |FROM v CROSS JOIN tail""".stripMargin,
+
+    "q_friedman" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS blk,
+        |         o_orderpriority AS trt,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k FROM monthly),
+        |complete AS (
+        |  SELECT m.* FROM monthly m CROSS JOIN kk
+        |  QUALIFY count(*) OVER (PARTITION BY blk) = k),
+        |ranked AS (
+        |  SELECT trt,
+        |         2 * rank() OVER (PARTITION BY blk ORDER BY v)
+        |           + count(*) OVER (PARTITION BY blk, v) - 1 AS r2
+        |  FROM complete),
+        |per AS (SELECT trt, CAST(count(*) AS BIGINT) AS n_blocks,
+        |               CAST(sum(r2) AS BIGINT) AS r2j
+        |        FROM ranked GROUP BY trt),
+        |tot AS (SELECT CAST(max(n_blocks) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS kk2,
+        |               CAST(sum(CAST(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / 4.0
+        |                             AS DECIMAL(28,8))) AS DOUBLE) AS rsum
+        |        FROM per)
+        |SELECT trt AS o_orderpriority, n_blocks,
+        |       floor(CAST(r2j AS DOUBLE) / (2.0 * CAST(n_blocks AS DOUBLE))
+        |             * 10000.0 + 0.5) / 10000.0 AS mean_rank,
+        |       CAST(NULL AS DOUBLE) AS chi2_f
+        |FROM per
+        |UNION ALL
+        |SELECT 'ALL', n, CAST(NULL AS DOUBLE),
+        |       floor((12.0 / (CAST(n AS DOUBLE) * CAST(kk2 AS DOUBLE)
+        |                      * (CAST(kk2 AS DOUBLE) + 1.0)) * rsum
+        |              - 3.0 * CAST(n AS DOUBLE) * (CAST(kk2 AS DOUBLE) + 1.0))
+        |             * 10000.0 + 0.5) / 10000.0
+        |FROM tot
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

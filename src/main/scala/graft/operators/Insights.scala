@@ -2452,4 +2452,144 @@ object Insights {
                  .as("theil_t"),
                r4(lnMu - col("slx").cast("double") / nD).as("theil_l"))
   }
+
+  /** Dickey–Fuller unit-root regression on the daily revenue series —
+    * Δxₜ = α + γ·xₜ₋₁ + ε, reporting γ̂ and its t-statistic (the DF test
+    * statistic; strongly negative ⇒ mean-reverting/stationary, near 0 ⇒
+    * random walk). [[autocorr]] describes the memory, [[hurstExponent]]
+    * its long-range decay; this is the formal stationarity decision in
+    * the family. The ANCHOR discipline of jarqueBera applies to the
+    * LEVEL side (xₜ₋₁ spans the revenue magnitude, so raw moment
+    * cross-products would cancel catastrophically): levels are centered
+    * by the integer ⌊mean⌋ before the OLS moments, differences are small
+    * by construction, and all five sums are exact integer products
+    * (DECIMAL(38,0) here, HUGEINT in the oracle). The lag() window runs
+    * on the calendar-bounded daily frame; γ̂, SE and t are one mirrored
+    * double chain over the exact sums.
+    */
+  def adfTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchor = daily.agg(expr("sum(rc) div count(1)").cast("long").as("a"))
+    val w = Window.orderBy(col("d").asc)
+    val pairs = daily
+      .withColumn("prev", lag(col("rc"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .crossJoin(broadcast(anchor))
+      .select((col("prev") - col("a")).as("x"),
+              (col("rc") - col("prev")).as("y"))
+    val m = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x").cast("decimal(19,0)") * col("y")).cast(d38)).as("sxy"),
+      sum((col("x").cast("decimal(19,0)") * col("x")).cast(d38)).as("sxx"),
+      sum((col("y").cast("decimal(19,0)") * col("y")).cast(d38)).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxxC = col("sxx").cast("double") - sxD * sxD / nD
+    val sxyC = col("sxy").cast("double") - sxD * syD / nD
+    val syyC = col("syy").cast("double") - syD * syD / nD
+    val gamma = sxyC / sxxC
+    val sse = syyC - gamma * sxyC
+    val se = sqrt(sse / (nD - lit(2.0)) / sxxC)
+    m.select(col("n").as("n_pairs"),
+             r4(gamma).as("gamma"),
+             r4(se).as("se"),
+             r4(gamma / se).as("t_stat"))
+  }
+
+  /** Historical Value-at-Risk and expected shortfall of the daily
+    * revenue log-returns — "how bad is the worst 5% of day-over-day
+    * swings": VaR₅ is the return at ascending rank ⌈0.05·n⌉ (discrete,
+    * a member of the data — the [[runsTest]] median convention at the
+    * tail), ES₅ the mean of the returns at or below that rank (the
+    * coherent tail measure VaR alone isn't). [[drawdown]] tracks the
+    * cumulative path; this prices the single-day tail. Returns are one
+    * mirrored ln(rcₜ/rcₜ₋₁) chain over exact day cents; the rank pass
+    * and the ⌈αn⌉-row tail mean both run on the calendar-bounded return
+    * frame, tail terms DECIMAL(28,8) for the associative mean.
+    */
+  def varEs(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("rc"))
+    val w = Window.orderBy(col("d").asc)
+    val rets = daily
+      .withColumn("prev", lag(col("rc"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("d"),
+              log(col("rc").cast("double") / col("prev").cast("double"))
+                .as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = rets
+      .withColumn("rn", row_number().over(Window.orderBy(col("r").asc,
+                                                         col("d").asc)))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("k", ceil(col("nn") * lit(0.05)).cast("long"))
+    val varRow = ranked.filter(col("rn") === col("k"))
+      .select(col("r").as("var_5"), col("nn").as("n_returns"), col("k"))
+    val tail = ranked.filter(col("rn") <= col("k"))
+      .agg(sum(col("r").cast("decimal(28,8)")).cast("double").as("tsum"),
+           count(lit(1)).as("tc"))
+    varRow.crossJoin(broadcast(tail))
+      .select(col("n_returns"), col("k").as("n_tail"),
+              r4(col("var_5")).as("var_5"),
+              r4(col("tsum") / col("tc").cast("double")).as("es_5"))
+  }
+
+  /** Friedman test (1937) — the BLOCKED rank test: month-blocks ×
+    * priority-treatments on exact monthly revenue, "do the priorities
+    * rank consistently within months" (the repeated-measures companion
+    * to [[kruskalWallis]]' independent-samples design; blocking removes
+    * the between-month level shifts KW would absorb into noise). Ranks
+    * are DOUBLED midranks within each complete block — 2·mid = 2·rank +
+    * (ties−1) from one rank() + count() over the (block, value) frame,
+    * both windows on the calendar-bounded monthly aggregate; χ²_F =
+    * 12/(nk(k+1))·ΣR_j² − 3n(k+1) with the (2R_j)²/4 terms summed
+    * DECIMAL(28,8). Per-treatment diagnostic rows + the 'ALL' decision
+    * row, the KW output shape.
+    */
+  def friedman(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = t(spark, sfDir, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+                 .as("blk"),
+               col("o_orderpriority").as("trt"))
+      .agg(sum(money(col("o_totalprice"))).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = monthly.select(col("trt")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val complete = monthly
+      .withColumn("bc", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .crossJoin(broadcast(k))
+      .filter(col("bc") === col("k"))
+    val ranked = complete
+      .withColumn("rnk", rank().over(
+        Window.partitionBy(col("blk")).orderBy(col("v").asc)))
+      .withColumn("tie", count(lit(1)).over(
+        Window.partitionBy(col("blk"), col("v"))))
+      .withColumn("r2", lit(2) * col("rnk") + col("tie") - 1) // doubled midrank
+    val perTrt = ranked.groupBy(col("trt"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("r2")).as("r2j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val term = (col("r2j").cast("double") * col("r2j").cast("double") /
+                lit(4.0)).cast("decimal(28,8)")
+    val tot = perTrt.agg(max(col("n_blocks")).as("n"),
+                         count(lit(1)).as("kk"),
+                         sum(term).cast("double").as("rsum"))
+    val nD = col("n").cast("double"); val kD = col("kk").cast("double")
+    val chi2 = lit(12.0) / (nD * kD * (kD + lit(1.0))) * col("rsum") -
+               lit(3.0) * nD * (kD + lit(1.0))
+    val trtRows = perTrt.select(
+      col("trt").as("o_orderpriority"), col("n_blocks"),
+      r4(col("r2j").cast("double") /
+         (lit(2.0) * col("n_blocks").cast("double"))).as("mean_rank"),
+      lit(null).cast("double").as("chi2_f"))
+    val totalRow = tot.select(
+      lit("ALL").as("o_orderpriority"), col("n").as("n_blocks"),
+      lit(null).cast("double").as("mean_rank"), r4(chi2).as("chi2_f"))
+    ordered(trtRows.unionByName(totalRow), "o_orderpriority")
+  }
 }
