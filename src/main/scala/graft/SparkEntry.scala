@@ -320,6 +320,10 @@ object SparkEntry {
     "q_adf"               -> q(Insights.adfTest), // Dickey-Fuller unit-root gamma + t-stat, anchored OLS moments
     "q_var_es"            -> q(Insights.varEs), // historical VaR + expected shortfall of daily log-returns
     "q_friedman"          -> q(Insights.friedman), // blocked rank test: month blocks x priority treatments
+    // round-8p additions (Kimball dimensional completions)
+    "q_scd4_minidim"      -> q(Warehouse.scd4MiniDim), // rapidly-changing attrs split to a bounded mini-dimension
+    "q_factless_coverage" -> q(Warehouse.factlessCoverage), // eligibility spine vs activity: the what-didn't-happen fact
+    "q_junk_dim"          -> q(Warehouse.junkDim), // low-cardinality flags + fact-derived flag as one junk dimension
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -4983,5 +4987,53 @@ object SparkEntry {
         |             * 10000.0 + 0.5) / 10000.0
         |FROM tot
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_scd4_minidim" ->
+      """WITH combos AS (
+        |  SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |         c_mktsegment AS segment,
+        |         CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(row_number() OVER (ORDER BY bal_band, segment) AS BIGINT) AS mini_key,
+        |       bal_band, segment, n_customers
+        |FROM combos ORDER BY mini_key""".stripMargin,
+
+    "q_factless_coverage" ->
+      """WITH cm AS (
+        |  SELECT DISTINCT o_custkey AS ck,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        |  FROM orders),
+        |spine AS (
+        |  SELECT ck, CAST(unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS DATE) AS m
+        |  FROM (SELECT ck, min(m) AS m0, max(m) AS m1 FROM cm GROUP BY ck)),
+        |j AS (SELECT s.m, CASE WHEN cm.ck IS NULL THEN 0 ELSE 1 END AS active
+        |      FROM spine s LEFT JOIN cm ON s.ck = cm.ck AND s.m = cm.m)
+        |SELECT m, CAST(count(*) AS BIGINT) AS n_eligible,
+        |       CAST(sum(active) AS BIGINT) AS n_active,
+        |       CAST(count(*) - sum(active) AS BIGINT) AS n_silent,
+        |       floor(CAST(count(*) - sum(active) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS silent_rate
+        |FROM j GROUP BY m ORDER BY m""".stripMargin,
+
+    "q_junk_dim" ->
+      """WITH hr AS (
+        |  SELECT l_orderkey,
+        |         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_returns
+        |  FROM lineitem GROUP BY 1),
+        |flags AS (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |         CAST(COALESCE(hr.has_returns, 0) AS BIGINT) AS has_returns,
+        |         o_totalprice
+        |  FROM orders LEFT JOIN hr ON o_orderkey = hr.l_orderkey),
+        |combos AS (
+        |  SELECT status, priority, has_returns,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM flags GROUP BY 1, 2, 3)
+        |SELECT CAST(row_number() OVER (ORDER BY status, priority, has_returns)
+        |            AS BIGINT) AS junk_key,
+        |       status, priority, has_returns, n_orders,
+        |       floor(CAST(rev AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue
+        |FROM combos ORDER BY junk_key""".stripMargin,
   )
 }

@@ -601,4 +601,106 @@ object Warehouse {
                 datediff(col("last_ship"), col("first_ship")).cast("long").as("ship_span_days")),
       "o_orderkey")
   }
+
+  /** SCD Type-4 mini-dimension — the Kimball answer to RAPIDLY-changing
+    * customer attributes (ref transform_load.sql's type-1 overwrite
+    * would thrash, SCD2 would version-explode): the volatile attributes
+    * (account-balance band, market segment) split into their OWN small
+    * dimension of distinct combinations with surrogate keys, and the
+    * customer row carries just the FK. Surrogate keys are deterministic
+    * dense ranks over the combination's natural order (the
+    * [[surrogateKeys]] discipline — no monotonically_increasing_id,
+    * which is partition-layout-dependent); the mini-dim is bounded by
+    * the attribute domain (bands × segments), NOT the customer count, so
+    * the frame stays broadcastable at any scale. Output: the mini-dim
+    * with per-combo membership counts — the profile a dimension
+    * designer reads to validate the split.
+    */
+  def scd4MiniDim(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val combos = t(spark, sfDir, "customer")
+      .select(floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_band"),
+              col("c_mktsegment").as("segment"))
+      .groupBy(col("bal_band"), col("segment"))
+      .agg(count(lit(1)).as("n_customers"))
+    // the window runs over the ~70-row combo frame, never the customers
+    ordered(
+      combos.withColumn("mini_key",
+        row_number().over(Window.orderBy(col("bal_band").asc,
+                                         col("segment").asc)).cast("long"))
+        .select(col("mini_key"), col("bal_band"), col("segment"),
+                col("n_customers")),
+      "mini_key")
+  }
+
+  /** Factless coverage fact — the Kimball "what DIDN'T happen" pattern:
+    * the eligibility spine (customer × month between their first and
+    * last order) is a factless fact, and the question it exists for is
+    * the anti-join against actual activity — eligible-but-SILENT cells.
+    * Per month: eligible customers, active customers, silent count and
+    * rate. The spine fans out via sequence() over each customer's
+    * [first, last] month pair — calendar-bounded per customer (≤ ~85
+    * cells at 7 years), so the explode is linear in customers, never
+    * customers × calendar; activity joins back on the (customer, month)
+    * grain. [[Windows.churnMonthly]] asks "active last month, gone now";
+    * this asks "inside their lifetime, how often silent" — the coverage
+    * question.
+    */
+  def factlessCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cm = t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("ck"),
+              date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = cm.groupBy(col("ck"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("ck"),
+              explode(expr("sequence(m0, m1, interval 1 month)")).as("m"))
+    ordered(
+      spine.join(cm.withColumn("active", lit(1L)), Seq("ck", "m"), "left")
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_eligible"),
+             sum(coalesce(col("active"), lit(0L))).as("n_active"))
+        .select(col("m"), col("n_eligible"), col("n_active"),
+                (col("n_eligible") - col("n_active")).as("n_silent"),
+                r4((col("n_eligible") - col("n_active")).cast("double") /
+                   col("n_eligible").cast("double")).as("silent_rate")),
+      "m")
+  }
+
+  /** Junk dimension — the Kimball pattern for unrelated low-cardinality
+    * flags: order status, priority, and a FACT-DERIVED has-returns flag
+    * (any lineitem returned) combine into one junk dimension of observed
+    * combinations with deterministic surrogate keys, instead of three
+    * near-empty dimensions or three fact columns. The has-returns flag
+    * costs one map-side-combined lineitem aggregate joined at order
+    * grain; the junk frame itself is bounded by the flag domain
+    * (statuses × priorities × 2), broadcastable forever. Output: junk
+    * rows with order counts and revenue — the designer's validation
+    * profile.
+    */
+  def junkDim(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hasRet = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_returns"))
+    val flags = t(spark, sfDir, "orders")
+      .join(hasRet, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderstatus").as("status"),
+              col("o_orderpriority").as("priority"),
+              coalesce(col("has_returns"), lit(0L)).as("has_returns"),
+              col("o_totalprice"))
+    val combos = flags
+      .groupBy(col("status"), col("priority"), col("has_returns"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(money(col("o_totalprice"))).as("rev"))
+    ordered(
+      combos.withColumn("junk_key",
+        row_number().over(Window.orderBy(col("status").asc, col("priority").asc,
+                                         col("has_returns").asc)).cast("long"))
+        .select(col("junk_key"), col("status"), col("priority"),
+                col("has_returns"), col("n_orders"),
+                r4(col("rev").cast("double")).as("revenue")),
+      "junk_key")
+  }
 }
