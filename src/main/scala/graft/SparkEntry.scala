@@ -4762,14 +4762,24 @@ object SparkEntry {
         |bounds AS (
         |  SELECT st AS bts, CAST(1 AS BIGINT) AS delta FROM sess
         |  UNION ALL
-        |  SELECT en + 1, CAST(-1 AS BIGINT) FROM sess),
-        |run AS (SELECT bts,
+        |  SELECT en + 1, CAST(-1 AS BIGINT) FROM sess
+        |  UNION ALL
+        |  SELECT epoch_us(CAST(d AS TIMESTAMP)), CAST(0 AS BIGINT)
+        |  FROM (SELECT unnest(generate_series(
+        |                 CAST(make_timestamp(st) AS DATE) + 1,
+        |                 CAST(make_timestamp(en) AS DATE),
+        |                 INTERVAL 1 DAY)) AS d
+        |        FROM sess
+        |        WHERE CAST(make_timestamp(en) AS DATE)
+        |              > CAST(make_timestamp(st) AS DATE))),
+        |run AS (SELECT bts, delta,
         |               CAST(sum(delta) OVER (ORDER BY bts, delta DESC
         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
         |        FROM bounds)
         |SELECT CAST(make_timestamp(bts) AS DATE) AS day,
         |       CAST(max(run) AS BIGINT) AS peak_concurrency,
-        |       CAST(count(*) AS BIGINT) AS n_boundaries
+        |       CAST(sum(CASE WHEN delta <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_boundaries
         |FROM run GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_interval_coverage" ->

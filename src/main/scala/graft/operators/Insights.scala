@@ -1297,6 +1297,12 @@ object Insights {
     * geometrically on real graphs, so small fixed R captures most of the
     * fixpoint; at 100 TB each round is edge-linear with no all-pairs
     * stage anywhere.
+    *
+    * Cache contract: the per-round persist marks are lazy and are NOT
+    * unpersisted by this builder — callers that run many queries in one
+    * session (the Verify/Bench harnesses do) must `spark.catalog
+    * .clearCache()` between queries, or use [[kcoreFixpoint]], whose
+    * eager rounds unpersist superseded frames as they go.
     */
   def kcore(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -1503,6 +1509,15 @@ object Insights {
     * discipline: DECIMAL(38,4) products summed associatively, doubles only
     * in the final mirrored corr expression, r4-rounded. The lagged frame
     * feeds one aggregate per lag, so it is persisted (a ~day-count×4 frame).
+    *
+    * Estimator choice (deliberate): each lag's value is the PEARSON
+    * CORRELATION OF THE (x_t, x_{t+l}) PAIRS — per-lag means and
+    * variances over the overlap window — not the textbook ACF that
+    * normalizes every lag's autocovariance by the full-series variance
+    * about the global mean (statsmodels/R `acf`). The Pearson form is
+    * exactly SQL-expressible with the mirrored-moment discipline (so the
+    * oracle hash-gates it) and the two agree asymptotically; expect
+    * small finite-sample differences vs `acf` output at the tails.
     */
   def autocorr(spark: SparkSession, sfDir: String, maxLag: Int = 3): DataFrame = {
     val daily = t(spark, sfDir, "orders")

@@ -1197,6 +1197,16 @@ object Text {
     * the threshold test is INTEGER cross-multiplication
     * (100·|A∩B| ≥ t·|A∪B|) — no double boundary flips at exactly-t
     * pairs. One pair frame feeds every threshold row.
+    *
+    * `n_droppable` counts DIRECT-PAIR droppable docs — docs with at
+    * least one above-threshold neighbor of smaller id — NOT the
+    * transitive keep-one-per-cluster count a connected-components dedup
+    * ([[graft.operators.Dedup.dedupComponents]]) would drop: chain-
+    * connected docs whose only above-threshold edges point to larger
+    * ids are not counted, so the curve LOWER-BOUNDS CC-based drops at
+    * each threshold. The direct-pair form needs no fixpoint, which is
+    * what lets one lazy pair frame price every threshold in a single
+    * pass.
     */
   def dedupThresholdCurve(spark: SparkSession, sfDir: String,
                           thresholds: Seq[Int] = Seq(50, 60, 70, 80, 90)): DataFrame = {

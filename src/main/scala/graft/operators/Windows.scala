@@ -684,6 +684,19 @@ object Windows {
     * timestamps order +1 before −1, so back-to-back sessions at the same
     * µs count as overlapping (the conservative capacity answer); the max
     * is permutation-invariant within exact (ts, delta) ties.
+    *
+    * Cross-midnight carry-in (the ADVICE r8 fix): a day whose first ±1
+    * boundary is a session END would otherwise miss the concurrency
+    * carried in from the previous day, and a day fully inside one long
+    * session would emit no row at all. Every midnight a session spans
+    * therefore seeds a ZERO-DELTA boundary — it changes no running sum,
+    * but materializes the carry-in run at 00:00 so the per-day max sees
+    * it, and gives boundary-free covered days their row
+    * (`n_boundaries` = 0; the column counts real ±1 boundaries only).
+    * Seeds order between +1 and −1 at an equal µs, so a session
+    * starting exactly at midnight is counted live at that midnight —
+    * the same conservative tie rule as above. Seed volume is
+    * days-spanned per session, so the frame stays event-scale-free.
     */
   def concurrentSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val gapUs = 30L * 60 * 1000 * 1000
@@ -698,9 +711,26 @@ object Windows {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts_us")).as("s"), max(col("ts_us")).as("e"))
-    val bounds = sessions.select(col("s").as("bts"), lit(1L).as("delta"))
-      .unionByName(sessions.select((col("e") + 1L).as("bts"),
-                                   lit(-1L).as("delta")))
+    // one pass per session row emits start (+1), end (−1), and a
+    // zero-delta seed at every midnight strictly inside [s, e] — a
+    // 3-way union would reference the unpersisted window pipeline three
+    // times. The de > ds guard keeps sequence() ascending (Spark's
+    // default step flips to -1 day when start > stop — a silent
+    // reversed range); the per-session seed array is days-spanned long,
+    // so the interpreted transform() lambda runs over session counts,
+    // never event counts.
+    val ds = to_date(timestamp_micros(col("s")))
+    val de = to_date(timestamp_micros(col("e")))
+    val bounds = sessions
+      .select(explode(concat(
+        array(struct(col("s").as("bts"), lit(1L).as("delta")),
+              struct((col("e") + 1L).as("bts"), lit(-1L).as("delta"))),
+        transform(
+          when(de > ds, sequence(date_add(ds, 1), de))
+            .otherwise(array().cast("array<date>")),
+          d => struct((unix_date(d).cast("long") * lit(86400000000L)).as("bts"),
+                      lit(0L).as("delta"))))).as("b"))
+      .select(col("b.bts").as("bts"), col("b.delta").as("delta"))
     val run = graft.util.PrefixSum
       .exclusiveCols(bounds, Seq(col("bts").asc, col("delta").desc),
                      col("delta"), "run0")
@@ -708,7 +738,7 @@ object Windows {
     ordered(
       run.groupBy(to_date(timestamp_micros(col("bts"))).as("day"))
         .agg(max(col("run")).as("peak_concurrency"),
-             count(lit(1)).as("n_boundaries")),
+             sum(when(col("delta") =!= 0L, 1L).otherwise(0L)).as("n_boundaries")),
       "day")
   }
 

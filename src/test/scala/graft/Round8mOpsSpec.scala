@@ -39,9 +39,14 @@ class Round8mOpsSpec extends SparkSpec {
       .map(r => r.getAs[java.sql.Date]("day").toLocalDate ->
         (r.getAs[Long]("peak_concurrency"), r.getAs[Long]("n_boundaries"))).toMap
     val sess = userEvents.values.flatMap(sessionsOf).toSeq
-    // sweep: +1 at start, -1 at end+1, ties +1 first
-    val bounds = sess.flatMap { case (s, e) => Seq((s, 1L), (e + 1, -1L)) }
-      .sortBy { case (ts, d) => (ts, -d) }
+    // sweep: +1 at start, -1 at end+1, zero-delta seed at every midnight
+    // strictly inside [s, e] (the cross-midnight carry-in fix); ties
+    // order +1, then 0, then -1
+    val DayUs = 86400000000L
+    val bounds = sess.flatMap { case (s, e) =>
+      val seeds = ((s / DayUs + 1) to (e / DayUs)).map(d => (d * DayUs, 0L))
+      Seq((s, 1L), (e + 1, -1L)) ++ seeds
+    }.sortBy { case (ts, d) => (ts, -d) }
     var run = 0L
     val peaks = scala.collection.mutable.Map.empty[java.time.LocalDate, Long]
     val counts = scala.collection.mutable.Map.empty[java.time.LocalDate, Long]
@@ -50,13 +55,13 @@ class Round8mOpsSpec extends SparkSpec {
       val day = java.time.Instant.ofEpochSecond(ts / 1000000)
         .atZone(java.time.ZoneOffset.UTC).toLocalDate
       peaks(day) = math.max(peaks.getOrElse(day, Long.MinValue), run)
-      counts(day) = counts.getOrElse(day, 0L) + 1
+      if (d != 0L) counts(day) = counts.getOrElse(day, 0L) + 1
     }
     assert(run === 0L) // every +1 has its -1
     assert(out.keySet === peaks.keySet)
     out.foreach { case (day, (p, nb)) =>
       assert(p === peaks(day), s"peak of $day")
-      assert(nb === counts(day), s"boundaries of $day")
+      assert(nb === counts.getOrElse(day, 0L), s"boundaries of $day")
     }
     assert(out.values.map(_._2).sum === 2L * sess.size)
   }
