@@ -1228,7 +1228,8 @@ object Insights {
     * over 502 Exchanges at sf0.1 vs 1.3 s for this shape. Same lesson as
     * connectedComponents' localCheckpoint, solved without eager actions —
     * rounds here are a FIXED constant, so the registry entry stays a pure
-    * lazy plan. Scale shape: each round shuffles a ≤|nodes| frontier of
+    * lazy plan (both eager rewrites measured 4–8× slower; in-body
+    * comment). Scale shape: each round shuffles a ≤|nodes| frontier of
     * two BIGINTs against the persisted edge list; all arithmetic is BIGINT
     * (max cost 1001 per hop), so the 32-way fold hash-matches the oracle's
     * sequential fold EXACTLY, the q_pagerank discipline.
@@ -1260,9 +1261,24 @@ object Insights {
     // lazy plan: persist marks, the single gate action materializes. The
     // frontier frames are (node, dist) pairs only — never edge payloads —
     // so the cached footprint is ≤|nodes|·16 B per round at any scale.
-    val frontiers = Iterator.iterate(f0)(f =>
+    // The last frontier is referenced ONCE (the union) — no persist mark.
+    //
+    // Round-9 volatility postmortem (VERDICT r8's one over-tolerance
+    // entry): BOTH eager-materialization rewrites were measured and
+    // REJECTED — full spFixpoint discipline (checkpoint frontier + merged
+    // best per round, unpersist-as-you-go) 15.2 s, frontier-only eager
+    // checkpoints 8.5 s, vs 1.8 s for this lazy shape, all min-of-3
+    // isolated at sf0.1. A separate job per round pays scheduler + AQE +
+    // checkpoint-write latency ~1.7 s/round that the single pipelined
+    // gate action never pays — the q_kcore eager-rewrite lesson (1.6 →
+    // 4.7 s) repeats even with tiny frontiers, so in-suite variance on a
+    // ~2 s query is priced into its BASELINE.md pin (observed driver
+    // ceiling across r5–r8: 4.04 s) rather than "fixed" by a 4–8×
+    // slowdown that would make every reading deterministic-but-worse.
+    val inner = Iterator.iterate(f0)(f =>
         expand(f).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      .take(SpRounds + 1).toSeq
+      .take(SpRounds).toSeq
+    val frontiers = inner :+ expand(inner.last)
     val best = frontiers.reduce(_ union _)
       .groupBy(col("node")).agg(min(col("dist")).as("dist"))
     ordered(best.select(col("node").as("part_id"), col("dist").as("dist_fp")),
