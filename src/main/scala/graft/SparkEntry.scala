@@ -175,6 +175,7 @@ object SparkEntry {
     "q_shortest_path"     -> q(Insights.shortestPath), // 4-round Bellman-Ford vs unrolled relaxation oracle
     "q_jaccard_prefix_join" -> q(Text.jaccardPrefixJoin(_, _)), // lossless PPJoin prefix prune vs NAIVE oracle join
     "q_dup_spans"         -> q(Text.dupSpans(_, _, 100)), // corpus-wide repeated 3-gram spans, top-k by doc frequency
+    "q_dedup_exact_substr" -> q(Text.dedupExactSubstr), // ExactSubstr span-granular removal: cross-doc duplicated 3-gram spans cut out of every doc
     "q_containment_join"  -> q(Text.containmentJoin(_, _, 4, 5)), // asymmetric |A∩B|/|A| >= 4/5 vs NAIVE oracle join
     "q_sliding_distinct"  -> q(Windows.slidingDistinct),
     "q_hierarchy"         -> q(Warehouse.hierarchyFlatten), // log-round pointer jumping vs WITH RECURSIVE oracle
@@ -3097,6 +3098,30 @@ object SparkEntry {
         |FROM p JOIN sz za ON za.doc_id = doc_a
         |WHERE c * 5 >= za.nsh * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_exact_substr" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
+        |        FROM d),
+        |toks AS (SELECT doc_id, pos, w[pos] AS word FROM tok),
+        |sp AS (SELECT doc_id, pos, array_to_string(w[pos:pos+2], ' ') AS s
+        |       FROM tok WHERE pos + 2 <= len(w)),
+        |dup AS (SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT sp.doc_id, sp.pos + k.k AS cpos
+        |        FROM sp JOIN dup USING (s),
+        |             LATERAL unnest(generate_series(0, 2)) k(k)),
+        |kept AS (SELECT t.doc_id, t.pos, t.word
+        |         FROM toks t LEFT JOIN cov c
+        |           ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        |         WHERE c.doc_id IS NULL),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |              string_agg(word, ' ' ORDER BY pos) AS kept_text
+        |       FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+        |       CAST(len(d.w) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+        |       coalesce(ka.kept_text, '') AS kept_text
+        |FROM d LEFT JOIN ka USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dup_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -18,6 +18,7 @@ object GraftFunctions {
     "sig_match"  -> (es => SignatureMatchCount(es(0), es(1))),
     "sq_l2"      -> (es => SquaredL2Long(es(0), es(1))),
     "shingles"   -> (es => DistinctShingles(es(0), es(1))),
+    "pos_shingles" -> (es => PositionalShingles(es(0), es(1))),
     "hyperplane_bands" -> (es => HyperplaneBands(es(0))),
     "simhash64"  -> (es => SimHash64(es(0))),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
@@ -77,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[DistinctShingles].getName, "shingles"),
       (es: Seq[Expression]) => DistinctShingles(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pos_shingles"),
+      new ExpressionInfo(classOf[PositionalShingles].getName, "pos_shingles"),
+      (es: Seq[Expression]) => PositionalShingles(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_bands"),
       new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),

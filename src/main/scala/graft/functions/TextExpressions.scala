@@ -47,6 +47,43 @@ case class DistinctShingles(left: Expression, right: Expression)
   override def prettyName: String = "shingles"
 }
 
+/** pos_shingles(text, n): ALL space-joined word n-grams of `text` in
+  * POSITIONAL order — element i is the n-gram starting at word i, so
+  * `posexplode(pos_shingles(text, 3))` yields (pos, span) rows whose pos
+  * indexes directly into `split(text, " ")`. The positional sibling of
+  * [[DistinctShingles]] (same split semantics, duplicates KEPT): span-
+  * granular operators (ExactSubstr-style duplicate-span removal) need to
+  * know WHERE a span sits, not just that the doc contains it. One codegen
+  * pass, zero shuffles — replaces the posexplode → per-doc windowed
+  * lead(k) formulation that sorts the exploded corpus inside per-doc
+  * windows.
+  */
+case class PositionalShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int literal) arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    ShingleKernel.positional(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.ShingleKernel.positional($t, $n);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : PositionalShingles = copy(left = l, right = r)
+  override def prettyName: String = "pos_shingles"
+}
+
 /** simhash64(text): the 64-bit SimHash of a document's words in ONE codegen
   * pass — bit b is the sign of Σ_words (±1 by bit b of xxhash64(word)),
   * counting every occurrence. Bit-identical to the
@@ -163,6 +200,29 @@ object ShingleKernel {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
+  /** All n-grams in positional order (duplicates kept; element i = n-gram
+    * at word i). Same split semantics as [[compute]].
+    */
+  def positional(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def compute(text: UTF8String, n: Int): ArrayData = {
     // identical to Spark's split(text, " "): Java regex, limit -1
     val words = text.toString.split(" ", -1)

@@ -286,6 +286,64 @@ object Text {
       .orderBy(col("n_docs").desc, col("s").asc)
       .limit(k)
 
+  /** ExactSubstr span-removal dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" span-granular family, at
+    * word-3-gram granularity): a span occurring in ≥ 2 DISTINCT documents
+    * is duplicated TEXT, and every word covered by such a span is removed
+    * from every document containing it — keeping the rest of the doc,
+    * the half of the dedup story whole-doc operators can't express.
+    * [[dupSpans]] reports these spans; this operator removes them.
+    *
+    * Pipeline: positional spans via the native `pos_shingles` codegen
+    * kernel ([[graft.functions.PositionalShingles]] — one pass, zero
+    * shuffle, element i is the span at word i so positions index
+    * directly into `split(text, " ")`); the duplicated-span set by one
+    * hash-agg (count(DISTINCT doc_id) ≥ 2 — within-doc repetition alone
+    * is [[repetitionRatio]]'s business, not corpus duplication); covered
+    * word positions by exploding each flagged span occurrence to its 3
+    * indices; then a left-anti join tokens × covered and one per-doc
+    * reassembly aggregate (array_sort over (pos, word) structs —
+    * aggregate state bounded by DOCUMENT length, never corpus size).
+    *
+    * Scale shape: every stage is token-linear — no pairwise anything.
+    * The span frame is consumed twice (agg + flag join), costing one
+    * extra codegen corpus scan instead of caching an exploded corpus
+    * (scans beat materializing token-grain state at 100 TB). The span
+    * hash-agg shuffles raw span text for oracle parity; at real scale
+    * you'd shuffle xxhash64(span) digests (the [[docFingerprint]]
+    * trade) and sacrifice the human-readable report column.
+    */
+  def dedupExactSubstr(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+    val spans = d.select(col("doc_id"),
+      posexplode(call_function("pos_shingles", col("text"), lit(3)))
+        .as(Seq("pos", "s")))
+    val dup = spans.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("s"))
+    val covered = spans.join(dup, "s")
+      .select(col("doc_id"),
+              explode(sequence(col("pos"), col("pos") + 2)).as("pos"))
+      .distinct()
+    val toks = d.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(
+             expr("transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"),
+             " ").as("kept_text"))
+    ordered(
+      d.select(col("doc_id"),
+               size(split(col("text"), " ")).cast("long").as("n_words"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+                (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+                coalesce(col("kept_text"), lit("")).as("kept_text")),
+      "doc_id")
+  }
+
   /** Benchmark-contamination screen: fraction of each document's distinct
     * 3-gram shingles that appear in a benchmark set's shingles (here: the
     * doc_id % mod == 0 documents stand in for the benchmark suite). No
