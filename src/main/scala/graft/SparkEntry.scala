@@ -158,6 +158,7 @@ object SparkEntry {
     "q_markov_transitions"-> q(Windows.markovTransitions),
     "q_yoy_delta"         -> q(Windows.yoyDelta),
     "q_bpe_merges"        -> q(Text.bpeMerges(_, _, 20)),
+    "q_bpe_train"         -> q(Text.bpeTrain), // 5-round iterated BPE merge loop; unrolled oracle fold
     // round-5 insight tier: BI/statistics over the star schema
     "q_assoc_rules"       -> q(Insights.assocRules),
     "q_rfm"               -> q(Insights.rfmSegments), // exact NTILE via two-phase distributed rank
@@ -2020,6 +2021,51 @@ object SparkEntry {
         | floor(CAST(rev_dec - prev_dec AS DOUBLE) / CAST(prev_dec AS DOUBLE)
         |       * 10000.0 + 0.5) / 10000.0 AS pct_change
         |FROM lagged ORDER BY c_mktsegment, yr""".stripMargin,
+
+    "q_bpe_train" ->
+      """WITH w0 AS (
+        |  SELECT count(*) AS wc, regexp_replace(word, '(.)', '(\1)', 'g') AS repr
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]{2,}$')
+        |  GROUP BY word),
+        |c1 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(wc) AS BIGINT) AS n
+        |       FROM (SELECT wc, string_split(repr[2:-2], ')(') AS sym FROM w0),
+        |            LATERAL unnest(generate_series(1, len(sym)-1)) t(i)
+        |       GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, n FROM c1 ORDER BY n DESC, a, b LIMIT 1),
+        |w1 AS (SELECT wc, replace(repr, '(' || b1.a || ')(' || b1.b || ')',
+        |                          '(' || b1.a || b1.b || ')') AS repr FROM w0, b1),
+        |c2 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(wc) AS BIGINT) AS n
+        |       FROM (SELECT wc, string_split(repr[2:-2], ')(') AS sym FROM w1),
+        |            LATERAL unnest(generate_series(1, len(sym)-1)) t(i)
+        |       GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, n FROM c2 ORDER BY n DESC, a, b LIMIT 1),
+        |w2 AS (SELECT wc, replace(repr, '(' || b2.a || ')(' || b2.b || ')',
+        |                          '(' || b2.a || b2.b || ')') AS repr FROM w1, b2),
+        |c3 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(wc) AS BIGINT) AS n
+        |       FROM (SELECT wc, string_split(repr[2:-2], ')(') AS sym FROM w2),
+        |            LATERAL unnest(generate_series(1, len(sym)-1)) t(i)
+        |       GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, n FROM c3 ORDER BY n DESC, a, b LIMIT 1),
+        |w3 AS (SELECT wc, replace(repr, '(' || b3.a || ')(' || b3.b || ')',
+        |                          '(' || b3.a || b3.b || ')') AS repr FROM w2, b3),
+        |c4 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(wc) AS BIGINT) AS n
+        |       FROM (SELECT wc, string_split(repr[2:-2], ')(') AS sym FROM w3),
+        |            LATERAL unnest(generate_series(1, len(sym)-1)) t(i)
+        |       GROUP BY 1, 2),
+        |b4 AS (SELECT a, b, n FROM c4 ORDER BY n DESC, a, b LIMIT 1),
+        |w4 AS (SELECT wc, replace(repr, '(' || b4.a || ')(' || b4.b || ')',
+        |                          '(' || b4.a || b4.b || ')') AS repr FROM w3, b4),
+        |c5 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(wc) AS BIGINT) AS n
+        |       FROM (SELECT wc, string_split(repr[2:-2], ')(') AS sym FROM w4),
+        |            LATERAL unnest(generate_series(1, len(sym)-1)) t(i)
+        |       GROUP BY 1, 2),
+        |b5 AS (SELECT a, b, n FROM c5 ORDER BY n DESC, a, b LIMIT 1)
+        |SELECT CAST(r AS BIGINT) AS merge_round, a, b, a || b AS merged, n
+        |FROM (SELECT 1 AS r, * FROM b1 UNION ALL SELECT 2, * FROM b2
+        |      UNION ALL SELECT 3, * FROM b3 UNION ALL SELECT 4, * FROM b4
+        |      UNION ALL SELECT 5, * FROM b5)
+        |ORDER BY merge_round""".stripMargin,
 
     "q_bpe_merges" ->
       """WITH words AS (

@@ -811,6 +811,78 @@ object Text {
       .limit(k)
   }
 
+  /** Merge rounds in [[bpeTrain]]; fixed so the plan shape is static and
+    * the oracle can unroll the same fold (the q_pagerank / SpRounds
+    * discipline).
+    */
+  val BpeRounds = 5
+
+  /** Iterated BPE training — [[bpeMerges]] mines ONE merge step; this runs
+    * the actual tokenizer-training loop for [[BpeRounds]] rounds: count
+    * adjacent SYMBOL pairs weighted by word frequency, adopt the most
+    * frequent pair as a merge rule (ties → lexicographically smallest
+    * (a, b) — deterministic on both engines), apply it everywhere, repeat.
+    * Output is the ordered merge table (round, a, b, merged, n) — the
+    * artifact a BPE tokenizer ships.
+    *
+    * The symbol sequence of each vocab word is one STRING `"(a)(b)(c)"`
+    * (chars wrapped at init; merged symbols concatenate inside one paren
+    * pair), because literal `replace(repr, "(a)(b)", "(ab)")` IS greedy
+    * left-to-right non-overlapping merge application — exactly BPE's
+    * apply step, identical in Spark and DuckDB, no per-row loop. Vocab is
+    * restricted to lowercase alphabetic words (parens stay meta-safe; the
+    * classic clean-vocab BPE setup).
+    *
+    * Scale shape: ONE corpus-scale hash-agg builds the word-frequency
+    * table; every round after that works on |vocab| rows — pair counts
+    * explode off the vocab, the argmax is a 1-row limit, and the merge
+    * rule applies via a broadcast cross join (1 row × vocab). Rounds are
+    * lazy persist marks on the vocab frame ([[graft.operators.Insights]]
+    * shortestPath discipline — each round's frame is referenced by both
+    * the next round's pair count and the merge application, so an
+    * unpersisted chain recomputes geometrically); the registry entry
+    * stays a pure lazy plan.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val w0 = docs(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]{2,}$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), regexp_replace(col("word"), "(.)", "($1)").as("repr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def pairCounts(w: DataFrame): DataFrame =
+      w.select(col("wc"),
+          split(expr("substring(repr, 2, length(repr) - 2)"), "\\)\\(").as("sym"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(sym) - 2), i -> struct(sym[i] AS a, sym[i + 1] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("n"))
+
+    val (_, bests) = (1 to BpeRounds).foldLeft((w0, Seq.empty[DataFrame])) {
+      case ((w, acc), r) =>
+        val best = pairCounts(w)
+          .orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+          .select(lit(r.toLong).as("merge_round"), col("a"), col("b"), col("n"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // the final round's vocab rewrite feeds nothing — skip it
+        val w2 = if (r == BpeRounds) w
+          else w.crossJoin(broadcast(best.select(col("a"), col("b"))))
+            .select(col("wc"), expr(
+              "replace(repr, concat('(', a, ')(', b, ')'), concat('(', a, b, ')'))")
+              .as("repr"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        (w2, acc :+ best)
+    }
+    bests.reduce(_ unionByName _)
+      .select(col("merge_round"), col("a"), col("b"),
+              concat(col("a"), col("b")).as("merged"), col("n"))
+      .orderBy(col("merge_round"))
+  }
+
   /** Perplexity filtering — score every document by its average bigram
     * negative log-likelihood under the corpus's own add-one-smoothed LM
     * (the CCNet/Wikipedia-LM quality gate, here self-trained so no external

@@ -67,6 +67,42 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.keySet === docs.keySet) // every doc present, removed-to-empty included
   }
 
+  test("bpeTrain: matches a sequential BPE training loop exactly") {
+    val got = Text.bpeTrain(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("merge_round"), r.getAs[String]("a"),
+                 r.getAs[String]("b"), r.getAs[String]("merged"),
+                 r.getAs[Long]("n")))
+
+    // sequential trainer: vocab of lowercase-alpha words, greedy
+    // left-to-right merge application per adopted rule
+    var vocab: Map[Vector[String], Long] = docsRaw().values
+      .flatMap(_.toLowerCase.split(" ", -1))
+      .filter(_.matches("^[a-z]{2,}$"))
+      .groupBy(identity).map { case (w, ws) =>
+        w.toVector.map(_.toString) -> ws.size.toLong }
+    val expect = (1 to Text.BpeRounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, wc) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + wc
+          case _ =>
+        }
+      }
+      val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.map { case (syms, wc) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        out.toVector -> wc
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum } // merged words may collide
+      (r.toLong, a, b, a + b, n)
+    }
+    assert(got.toSeq === expect)
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
