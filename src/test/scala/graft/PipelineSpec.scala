@@ -133,6 +133,62 @@ class PipelineSpec extends SparkSpec {
     assert(processed.filter(!col("is_processed")).isEmpty)
   }
 
+  test("run report: per-stage rows-in/out + wall over the weather batch, " +
+       "quarantine accounted from the CSV ingest lane") {
+    import graft.pipeline.RunReport
+    // ingest lane: a CSV landing file with 2 malformed rows -> quarantine
+    val dir = java.nio.file.Files.createTempDirectory("runreport").toString
+    val csv =
+      """city_name,date,temp_max,temp_min,precipitation,is_processed
+        |London,2024-01-01,10.00,3.00,1.00,false
+        |London,2024-01-02,11.00,4.00,0.00,false
+        |Dubai,2024-01-01,30.00,20.00,0.00,false
+        |BROKEN LINE THAT IS NOT A ROW,,,,not-a-bool,nope
+        |Oslo,2024-01-01,-5.00,not-a-number,2.00,false
+        |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/landing.csv"), csv)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("city_name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.DateType),
+      org.apache.spark.sql.types.StructField("temp_max", org.apache.spark.sql.types.DataTypes.createDecimalType(5, 2)),
+      org.apache.spark.sql.types.StructField("temp_min", org.apache.spark.sql.types.DataTypes.createDecimalType(5, 2)),
+      org.apache.spark.sql.types.StructField("precipitation", org.apache.spark.sql.types.DataTypes.createDecimalType(5, 2)),
+      org.apache.spark.sql.types.StructField("is_processed", org.apache.spark.sql.types.BooleanType)))
+    val ingest = graft.sources.CsvQuarantine.readTyped(spark, s"$dir/landing.csv", schema)
+    val nQuarantined = ingest.quarantine.count()
+    assert(nQuarantined === 2L) // both malformed rows, neither dropped silently nor fatal
+    assert(ingest.clean.count() === 3L)
+
+    // transform stages of the weather batch, timed + row-accounted
+    val (cleaned, runs) = RunReport.timed(stg, Seq(
+      "dedup_staging" -> WeatherEtl.dedupStaging,
+      "impute_missing" -> WeatherEtl.imputeMissing,
+      "cap_outliers" -> WeatherEtl.capOutliers))
+    val byName = runs.map(r => r.stage -> r).toMap
+    // dedup drops exactly the 1 duplicate (9 -> 8); the other stages are 1:1
+    assert(byName("dedup_staging").rows_in === 9L)
+    assert(byName("dedup_staging").rows_out === 8L)
+    assert(byName("dedup_staging").rows_dropped === 1L)
+    assert(byName("impute_missing").rows_in === 8L)
+    assert(byName("impute_missing").rows_out === 8L)
+    assert(byName("cap_outliers").rows_out === 8L)
+    // chain consistency: each stage's rows_in is the previous rows_out,
+    // and the final frame matches the last accounted count
+    assert(runs.sliding(2).forall {
+      case Seq(a, b) => b.rows_in === a.rows_out
+      case _ => true
+    })
+    assert(cleaned.count() === runs.last.rows_out)
+    assert(runs.forall(_.wall_ms >= 0L))
+    assert(runs.map(_.stage_id) === Seq(1L, 2L, 3L))
+    // and the report frame a driver would persist carries the full schema
+    val rep = RunReport.toDF(spark, runs)
+    assert(rep.columns.toSeq === Seq("stage_id", "stage", "rows_in",
+      "rows_out", "rows_dropped", "wall_ms"))
+    assert(rep.count() === 3L)
+    ingest.unpersist()
+  }
+
   test("re-running the merge with the same source is a no-op (idempotence)") {
     val cleaned = WeatherEtl.capOutliers(WeatherEtl.imputeMissing(WeatherEtl.dedupStaging(stg)))
     val d2 = WeatherEtl.dimInsertNew(dim, cleaned)
