@@ -159,6 +159,7 @@ object SparkEntry {
     "q_yoy_delta"         -> q(Windows.yoyDelta),
     "q_bpe_merges"        -> q(Text.bpeMerges(_, _, 20)),
     "q_bpe_train"         -> q(Text.bpeTrain), // 5-round iterated BPE merge loop; unrolled oracle fold
+    "q_bpe_apply"         -> q(Text.bpeApply), // tokenize the corpus with the learned merges; per-doc compression
     // round-5 insight tier: BI/statistics over the star schema
     "q_assoc_rules"       -> q(Insights.assocRules),
     "q_rfm"               -> q(Insights.rfmSegments), // exact NTILE via two-phase distributed rank
@@ -324,6 +325,19 @@ object SparkEntry {
     "q_friedman"          -> q(Insights.friedman), // blocked rank test: month blocks x priority treatments
     // round-9 additions (judge worklist: span dedup, BPE loop, run report)
     "q_etl_run_report"    -> q(graft.pipeline.CorpusPrep.runReport), // per-stage yield table of the curation chain, one lazy plan
+    // round-9c additions (Kimball completions: hybrid SCD, audit dimension)
+    "q_scd6"              -> q(Warehouse.scd6Hybrid), // type 1+2+3 hybrid: versions + current overwrite + prior column
+    "q_audit_dim"         -> q(Warehouse.auditDim), // per-load-batch audit row: counts, key range, money total, portable checksum
+    // round-9d additions (time-series + paired-test tier)
+    "q_pacf"              -> q(Insights.pacf), // Durbin-Levinson partial autocorrelation lags 1-3, exact ACF moments
+    "q_cross_corr"        -> q(Insights.crossCorr), // lead-lag Pearson cross-correlation revenue vs shipped quantity
+    "q_mcnemar"           -> q(Insights.mcnemar), // paired binary McNemar test, continuity-corrected, discordant cells
+    "q_readability"       -> q(Text.readability), // Flesch reading ease with vowel-run syllable proxy
+    // round-9e additions (embedding geometry)
+    "q_embed_pca_power"   -> q(Similarity.embedPcaPower), // top principal component via exact fixed-point power iteration
+    // round-9b additions (directed-graph ranking tier)
+    "q_hits"              -> q(Insights.hits), // HITS hubs/authorities, 3 normalized rounds, Long fixed-point, unrolled oracle
+    "q_link_pred_jaccard" -> q(Insights.linkPredJaccard(_, _, 2, 50)), // neighbor-set Jaccard link prediction for non-adjacent pairs
     // round-8p additions (Kimball dimensional completions)
     "q_scd4_minidim"      -> q(Warehouse.scd4MiniDim), // rapidly-changing attrs split to a bounded mini-dimension
     "q_factless_coverage" -> q(Warehouse.factlessCoverage), // eligibility spine vs activity: the what-didn't-happen fact
@@ -1866,6 +1880,54 @@ object SparkEntry {
         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
         |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
 
+    "q_embed_pca_power" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings),
+        |st AS MATERIALIZED (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(q) AS BIGINT) AS s FROM ex GROUP BY pos),
+        |cx AS MATERIALIZED (SELECT vec_id, pos, n * q - s AS cx FROM ex JOIN st USING (pos)),
+        |cov AS MATERIALIZED (
+        |  SELECT a.pos AS i, b.pos AS j,
+        |         CAST(sum(CAST(a.cx AS DECIMAL(19,0)) * CAST(b.cx AS DECIMAL(19,0)))
+        |              AS DECIMAL(38,0)) AS m
+        |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |dims AS MATERIALIZED (SELECT DISTINCT i AS j FROM cov),
+        |v0 AS MATERIALIZED (SELECT j,
+        |       CAST(1000000 // (SELECT count(*) FROM dims) AS BIGINT) AS v FROM dims),
+        |mv1 AS MATERIALIZED (SELECT i, sum(CAST(m AS HUGEINT) * v) AS mv
+        |       FROM cov JOIN v0 ON cov.j = v0.j GROUP BY i),
+        |l1 AS (SELECT sum(abs(mv)) AS l FROM mv1),
+        |v1 AS MATERIALIZED (
+        |  SELECT i AS j,
+        |         CAST(CASE WHEN mv < 0 THEN -1 WHEN mv > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         * CAST(CAST(abs(mv) AS HUGEINT)
+        |                // greatest(CAST(1 AS HUGEINT), CAST(l AS HUGEINT) // 1000000)
+        |                AS BIGINT) AS v
+        |  FROM mv1 CROSS JOIN l1),
+        |mv2 AS MATERIALIZED (SELECT i, sum(CAST(m AS HUGEINT) * v) AS mv
+        |       FROM cov JOIN v1 ON cov.j = v1.j GROUP BY i),
+        |l2 AS (SELECT sum(abs(mv)) AS l FROM mv2),
+        |v2 AS MATERIALIZED (
+        |  SELECT i AS j,
+        |         CAST(CASE WHEN mv < 0 THEN -1 WHEN mv > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         * CAST(CAST(abs(mv) AS HUGEINT)
+        |                // greatest(CAST(1 AS HUGEINT), CAST(l AS HUGEINT) // 1000000)
+        |                AS BIGINT) AS v
+        |  FROM mv2 CROSS JOIN l2),
+        |mv3 AS MATERIALIZED (SELECT i, sum(CAST(m AS HUGEINT) * v) AS mv
+        |       FROM cov JOIN v2 ON cov.j = v2.j GROUP BY i),
+        |l3 AS (SELECT sum(abs(mv)) AS l FROM mv3),
+        |v3 AS MATERIALIZED (
+        |  SELECT i AS j,
+        |         CAST(CASE WHEN mv < 0 THEN -1 WHEN mv > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         * CAST(CAST(abs(mv) AS HUGEINT)
+        |                // greatest(CAST(1 AS HUGEINT), CAST(l AS HUGEINT) // 1000000)
+        |                AS BIGINT) AS v
+        |  FROM mv3 CROSS JOIN l3)
+        |SELECT j AS dim_idx, v AS loading_fp FROM v3 ORDER BY dim_idx""".stripMargin,
+
     "q_embed_centroid" ->
       """WITH ex AS (
         |  SELECT label,
@@ -2066,6 +2128,63 @@ object SparkEntry {
         | floor(CAST(rev_dec - prev_dec AS DOUBLE) / CAST(prev_dec AS DOUBLE)
         |       * 10000.0 + 0.5) / 10000.0 AS pct_change
         |FROM lagged ORDER BY c_mktsegment, yr""".stripMargin,
+
+    "q_bpe_apply" ->
+      """WITH w0 AS (
+        |  SELECT count(*) AS wc, regexp_replace(word, '(.)', '(\1)', 'g') AS repr
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]{2,}$')
+        |  GROUP BY word),
+        |c1 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(wc) AS BIGINT) AS n
+        |       FROM (SELECT wc, string_split(repr[2:-2], ')(') AS sym FROM w0),
+        |            LATERAL unnest(generate_series(1, len(sym)-1)) t(i)
+        |       GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, n FROM c1 ORDER BY n DESC, a, b LIMIT 1),
+        |w1 AS (SELECT wc, replace(repr, '(' || b1.a || ')(' || b1.b || ')',
+        |                          '(' || b1.a || b1.b || ')') AS repr FROM w0, b1),
+        |c2 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(wc) AS BIGINT) AS n
+        |       FROM (SELECT wc, string_split(repr[2:-2], ')(') AS sym FROM w1),
+        |            LATERAL unnest(generate_series(1, len(sym)-1)) t(i)
+        |       GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, n FROM c2 ORDER BY n DESC, a, b LIMIT 1),
+        |w2 AS (SELECT wc, replace(repr, '(' || b2.a || ')(' || b2.b || ')',
+        |                          '(' || b2.a || b2.b || ')') AS repr FROM w1, b2),
+        |c3 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(wc) AS BIGINT) AS n
+        |       FROM (SELECT wc, string_split(repr[2:-2], ')(') AS sym FROM w2),
+        |            LATERAL unnest(generate_series(1, len(sym)-1)) t(i)
+        |       GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, n FROM c3 ORDER BY n DESC, a, b LIMIT 1),
+        |w3 AS (SELECT wc, replace(repr, '(' || b3.a || ')(' || b3.b || ')',
+        |                          '(' || b3.a || b3.b || ')') AS repr FROM w2, b3),
+        |c4 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(wc) AS BIGINT) AS n
+        |       FROM (SELECT wc, string_split(repr[2:-2], ')(') AS sym FROM w3),
+        |            LATERAL unnest(generate_series(1, len(sym)-1)) t(i)
+        |       GROUP BY 1, 2),
+        |b4 AS (SELECT a, b, n FROM c4 ORDER BY n DESC, a, b LIMIT 1),
+        |w4 AS (SELECT wc, replace(repr, '(' || b4.a || ')(' || b4.b || ')',
+        |                          '(' || b4.a || b4.b || ')') AS repr FROM w3, b4),
+        |c5 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(wc) AS BIGINT) AS n
+        |       FROM (SELECT wc, string_split(repr[2:-2], ')(') AS sym FROM w4),
+        |            LATERAL unnest(generate_series(1, len(sym)-1)) t(i)
+        |       GROUP BY 1, 2),
+        |b5 AS (SELECT a, b, n FROM c5 ORDER BY n DESC, a, b LIMIT 1),
+        |rules AS (SELECT max(CASE WHEN r = 1 THEN a END) AS a1, max(CASE WHEN r = 1 THEN b END) AS b1, max(CASE WHEN r = 2 THEN a END) AS a2, max(CASE WHEN r = 2 THEN b END) AS b2, max(CASE WHEN r = 3 THEN a END) AS a3, max(CASE WHEN r = 3 THEN b END) AS b3, max(CASE WHEN r = 4 THEN a END) AS a4, max(CASE WHEN r = 4 THEN b END) AS b4, max(CASE WHEN r = 5 THEN a END) AS a5, max(CASE WHEN r = 5 THEN b END) AS b5
+        |          FROM (SELECT 1 AS r, a, b FROM b1 UNION ALL SELECT 2 AS r, a, b FROM b2 UNION ALL SELECT 3 AS r, a, b FROM b3 UNION ALL SELECT 4 AS r, a, b FROM b4 UNION ALL SELECT 5 AS r, a, b FROM b5)),
+        |tok AS (SELECT doc_id, word FROM (
+        |          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |          FROM documents)
+        |        WHERE regexp_matches(word, '^[a-z]{2,}$')),
+        |ap AS (SELECT doc_id, CAST(length(word) AS BIGINT) AS n_chars,
+        |         CAST(len(regexp_extract_all(
+        |           replace(replace(replace(replace(replace(regexp_replace(word, '(.)', '(\1)', 'g'), '(' || a1 || ')(' || b1 || ')', '(' || a1 || b1 || ')'), '(' || a2 || ')(' || b2 || ')', '(' || a2 || b2 || ')'), '(' || a3 || ')(' || b3 || ')', '(' || a3 || b3 || ')'), '(' || a4 || ')(' || b4 || ')', '(' || a4 || b4 || ')'), '(' || a5 || ')(' || b5 || ')', '(' || a5 || b5 || ')'),
+        |           '\(')) AS BIGINT) AS n_sym
+        |       FROM tok CROSS JOIN rules)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_alpha_words,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars_tokens,
+        |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+        |       floor(CAST(sum(n_sym) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS compression
+        |FROM ap GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_bpe_train" ->
       """WITH w0 AS (
@@ -2550,6 +2669,209 @@ object SparkEntry {
         |JOIN e e2 ON e1.b = e2.a
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         |ORDER BY brand_a, brand_b, brand_c""".stripMargin,
+
+    "q_pacf" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        |       FROM daily),
+        |cx AS (SELECT d, CAST(n * cents - s AS DECIMAL(19,0)) AS cx
+        |       FROM daily CROSS JOIN st),
+        |led AS (SELECT cx,
+        |          lead(cx, 1) OVER w AS c1, lead(cx, 2) OVER w AS c2,
+        |          lead(cx, 3) OVER w AS c3
+        |        FROM cx WINDOW w AS (ORDER BY d ASC)),
+        |m AS (SELECT CAST(sum(CAST(cx * cx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS den,
+        |             CAST(sum(CAST(cx * c1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n1,
+        |             CAST(sum(CAST(cx * c2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n2,
+        |             CAST(sum(CAST(cx * c3 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n3
+        |      FROM led),
+        |r AS (SELECT CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+        |             CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+        |             CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+        |      FROM m),
+        |p2 AS (SELECT r1, r2, r3, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM r),
+        |p3 AS (SELECT r1, r2, r3, p22, r1 - p22 * r1 AS p21 FROM p2)
+        |SELECT floor(r1 * 10000.0 + 0.5) / 10000.0 AS acf1,
+        |       floor(r2 * 10000.0 + 0.5) / 10000.0 AS acf2,
+        |       floor(r3 * 10000.0 + 0.5) / 10000.0 AS acf3,
+        |       floor(r1 * 10000.0 + 0.5) / 10000.0 AS pacf1,
+        |       floor(p22 * 10000.0 + 0.5) / 10000.0 AS pacf2,
+        |       floor((r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+        |             * 10000.0 + 0.5) / 10000.0 AS pacf3
+        |FROM p3""".stripMargin,
+
+    "q_cross_corr" ->
+      """WITH xs AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS xc
+        |  FROM orders GROUP BY 1),
+        |ys AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d2,
+        |         CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS yc
+        |  FROM lineitem GROUP BY 1),
+        |paired AS (
+        |  SELECT lag, xc, yc FROM (
+        |    SELECT d, xc, unnest(generate_series(-3, 3)) AS lag FROM xs) x
+        |  JOIN ys ON ys.d2 = x.d + CAST(x.lag AS INTEGER)),
+        |m AS (
+        |  SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |         CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |         CAST(sum(CAST(CAST(xc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))
+        |                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |         CAST(sum(CAST(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))
+        |                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |         CAST(sum(CAST(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))
+        |                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        |  FROM paired GROUP BY 1)
+        |SELECT lag, n_days,
+        | floor((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |              * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS xcorr
+        |FROM m ORDER BY lag""".stripMargin,
+
+    "q_mcnemar" ->
+      """WITH flags AS (
+        |  SELECT o_custkey,
+        |         max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS a,
+        |         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS b
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |             CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+        |             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+        |             CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        |      FROM flags)
+        |SELECT n_pairs, n_both, a_only, b_only, n_neither,
+        | floor(CAST((abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1) AS DOUBLE)
+        |       / CAST(a_only + b_only AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS chi2_cc
+        |FROM c""".stripMargin,
+
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         greatest(CAST(1 AS BIGINT),
+        |                  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |           AS n_sentences,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |           AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | floor((206.835
+        |        - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS flesch
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_scd6" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT user_id,
+        | CAST(row_number() OVER w AS BIGINT) AS version_n,
+        | ts_us AS valid_from_us,
+        | lead(ts_us) OVER w AS valid_to_us,
+        | cents,
+        | lag(cents) OVER w AS prior_cents,
+        | last_value(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |   AS current_cents,
+        | (lead(ts_us) OVER w IS NULL) AS is_current
+        |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version_n""".stripMargin,
+
+    "q_audit_dim" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS batch_month,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS total_price,
+        | CAST(sum((o_orderkey * 1000003 + o_custkey) % 2147483647) AS BIGINT)
+        |   AS content_checksum
+        |FROM orders GROUP BY 1 ORDER BY batch_month""".stripMargin,
+
+    "q_hits" ->
+      """WITH nx AS (
+        |  SELECT l_partkey AS src,
+        |         lead(l_partkey) OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_suppkey) AS dst
+        |  FROM lineitem),
+        |e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |      FROM nx WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |h0 AS MATERIALIZED (SELECT node, 1000000000000 // n AS h FROM nodes CROSS JOIN nn),
+        |ar1 AS MATERIALIZED (SELECT dst, CAST(sum(h * w) AS BIGINT) AS ar
+        |        FROM h0 JOIN e ON h0.node = e.src GROUP BY dst),
+        |sa1 AS MATERIALIZED (SELECT CAST(sum(ar) AS BIGINT) AS sa FROM ar1),
+        |a1 AS MATERIALIZED (SELECT node,
+        |         CAST(COALESCE(ar, 0) // greatest(1, sa // 1000000000000) AS BIGINT) AS a
+        |       FROM nodes CROSS JOIN sa1 LEFT JOIN ar1 ON ar1.dst = node),
+        |hr1 AS MATERIALIZED (SELECT src, CAST(sum(a * w) AS BIGINT) AS hr
+        |        FROM a1 JOIN e ON a1.node = e.dst GROUP BY src),
+        |sh1 AS MATERIALIZED (SELECT CAST(sum(hr) AS BIGINT) AS sh FROM hr1),
+        |h1 AS MATERIALIZED (SELECT node,
+        |         CAST(COALESCE(hr, 0) // greatest(1, sh // 1000000000000) AS BIGINT) AS h
+        |       FROM nodes CROSS JOIN sh1 LEFT JOIN hr1 ON hr1.src = node),
+        |ar2 AS MATERIALIZED (SELECT dst, CAST(sum(h * w) AS BIGINT) AS ar
+        |        FROM h1 JOIN e ON h1.node = e.src GROUP BY dst),
+        |sa2 AS MATERIALIZED (SELECT CAST(sum(ar) AS BIGINT) AS sa FROM ar2),
+        |a2 AS MATERIALIZED (SELECT node,
+        |         CAST(COALESCE(ar, 0) // greatest(1, sa // 1000000000000) AS BIGINT) AS a
+        |       FROM nodes CROSS JOIN sa2 LEFT JOIN ar2 ON ar2.dst = node),
+        |hr2 AS MATERIALIZED (SELECT src, CAST(sum(a * w) AS BIGINT) AS hr
+        |        FROM a2 JOIN e ON a2.node = e.dst GROUP BY src),
+        |sh2 AS MATERIALIZED (SELECT CAST(sum(hr) AS BIGINT) AS sh FROM hr2),
+        |h2 AS MATERIALIZED (SELECT node,
+        |         CAST(COALESCE(hr, 0) // greatest(1, sh // 1000000000000) AS BIGINT) AS h
+        |       FROM nodes CROSS JOIN sh2 LEFT JOIN hr2 ON hr2.src = node),
+        |ar3 AS MATERIALIZED (SELECT dst, CAST(sum(h * w) AS BIGINT) AS ar
+        |        FROM h2 JOIN e ON h2.node = e.src GROUP BY dst),
+        |sa3 AS MATERIALIZED (SELECT CAST(sum(ar) AS BIGINT) AS sa FROM ar3),
+        |a3 AS MATERIALIZED (SELECT node,
+        |         CAST(COALESCE(ar, 0) // greatest(1, sa // 1000000000000) AS BIGINT) AS a
+        |       FROM nodes CROSS JOIN sa3 LEFT JOIN ar3 ON ar3.dst = node),
+        |hr3 AS MATERIALIZED (SELECT src, CAST(sum(a * w) AS BIGINT) AS hr
+        |        FROM a3 JOIN e ON a3.node = e.dst GROUP BY src),
+        |sh3 AS MATERIALIZED (SELECT CAST(sum(hr) AS BIGINT) AS sh FROM hr3),
+        |h3 AS MATERIALIZED (SELECT node,
+        |         CAST(COALESCE(hr, 0) // greatest(1, sh // 1000000000000) AS BIGINT) AS h
+        |       FROM nodes CROSS JOIN sh3 LEFT JOIN hr3 ON hr3.src = node)
+        |SELECT a3.node AS part_id, a AS auth_fp, h AS hub_fp
+        |FROM a3 JOIN h3 ON a3.node = h3.node ORDER BY part_id""".stripMargin,
+
+    "q_link_pred_jaccard" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ed AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |       FROM items a JOIN items b
+        |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS v, b AS u FROM ed UNION ALL SELECT b, a FROM ed),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY v),
+        |wg AS (SELECT x.u AS x, y.u AS y
+        |       FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u),
+        |cm AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_common
+        |       FROM wg GROUP BY 1, 2),
+        |nonadj AS (SELECT cm.x, cm.y, cm.n_common FROM cm
+        |           LEFT JOIN ed ON ed.a = cm.x AND ed.b = cm.y
+        |           WHERE ed.a IS NULL)
+        |SELECT x AS part_a, y AS part_b, n_common,
+        | floor(CAST(n_common AS DOUBLE)
+        |       / CAST(dx.deg + dy.deg - n_common AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS jaccard
+        |FROM nonadj JOIN deg dx ON dx.v = x JOIN deg dy ON dy.v = y
+        |ORDER BY jaccard DESC, part_a, part_b LIMIT 50""".stripMargin,
 
     "q_pagerank" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

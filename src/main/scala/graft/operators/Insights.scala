@@ -1206,6 +1206,104 @@ object Insights {
             "part_id")
   }
 
+  /** Rounds of hub/authority refinement in [[hits]]; fixed so the plan is
+    * static and the oracle can unroll the same fold (the q_pagerank
+    * discipline).
+    */
+  val HitsRounds = 3
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * co-purchase graph — [[reciprocity]]'s consecutive-line-item edges,
+    * where PageRank's undirected basket graph can't separate "parts that
+    * lead baskets" (hubs) from "parts baskets lead to" (authorities).
+    * Weighted mutual refinement: a = Aᵀh, h = Aa, each L1-normalized per
+    * round, run for [[HitsRounds]] fixed rounds.
+    *
+    * All arithmetic is Long fixed-point (the q_pagerank discipline):
+    * scores carry ~10¹² mass, and the per-round normalization is
+    * `x div greatest(1, S div 10¹²)` — DIVIDING by the scale factor
+    * instead of multiplying by the target keeps every intermediate below
+    * ~10¹⁶ (a `raw · 10¹²` product would overflow Long at realistic
+    * degrees), and `greatest(1, ·)` guards the degenerate S < 10¹² mass
+    * collapse. Spark `div` ≡ DuckDB `//` on non-negative operands, so
+    * the 32-way run hash-matches the oracle's sequential fold EXACTLY.
+    * Scale shape: per round, two joins of a (node, score) frame against
+    * the persisted edge list, two hash-aggs, and two 1-Long normalizer
+    * aggregates COLLECTED eagerly (job-per-superstep — the in-body
+    * comment explains why lazy broadcast normalizers are a 4^rounds
+    * lineage bomb here; ScaleInfraSpec's iterative exemption names this
+    * entry); no stage ever holds more than node-count rows.
+    */
+  def hits(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").asc, col("l_partkey").asc,
+               col("l_suppkey").asc)
+    val e = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_suppkey"))
+      .withColumn("nxt", lead(col("l_partkey"), 1).over(byOrder))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+      .groupBy(col("l_partkey").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    // Per-round L1 normalization needs the GLOBAL mass of the frame being
+    // normalized — the normalizer is ONE Long, so each round COLLECTS it
+    // (GraphX's job-per-superstep shape, the ScaleInfraSpec iterative
+    // exemption's rationale) and folds it back as a literal. Round frames
+    // are EAGER localCheckpoints, not lazy persist marks: both lazy
+    // variants were measured and rejected — broadcast-agg normalizers
+    // double the raw-score reference (plan grows 4^rounds; 54 s at
+    // sf0.1), and even with collected normalizers + persisted+counted
+    // predecessors, round walls GREW geometrically (round 3: 4.3/8.1/
+    // 16.5/30.7 s per stage — cache-state/canonicalization drag over the
+    // ever-deeper logical plans). Checkpoint truncation makes every
+    // round O(1): same stages measured 0.1–0.2 s in round 3, 67 s → ~2 s
+    // total. Superseded rounds unpersist as they go (spFixpoint
+    // discipline); frames are (node, score) pairs, ≤16 B·|nodes| each.
+    var h = nodes.crossJoin(broadcast(nN))
+      .select(col("node"), expr("1000000000000 div n_nodes").as("h"))
+      .localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      val araw = e.join(h, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("h") * col("w")).as("ar"))
+        .localCheckpoint(true)
+      val sa = araw.agg(sum(col("ar"))).head().getLong(0)
+      val da = math.max(1L, sa / 1000000000000L) // non-negative: floor div
+      val aNew = nodes.join(araw, col("node") === col("dst"), "left")
+        .select(col("node"), expr(s"coalesce(ar, 0L) div ${da}L").as("a"))
+        .localCheckpoint(true)
+      if (a != null) a.unpersist()
+      a = aNew
+      araw.unpersist()
+      val hraw = e.join(a.select(col("node").as("an"), col("a")),
+                        col("dst") === col("an"))
+        .groupBy(col("src")).agg(sum(col("a") * col("w")).as("hr"))
+        .localCheckpoint(true)
+      val sh = hraw.agg(sum(col("hr"))).head().getLong(0)
+      val dh = math.max(1L, sh / 1000000000000L)
+      val hNew = nodes.join(hraw, col("node") === col("src"), "left")
+        .select(col("node"), expr(s"coalesce(hr, 0L) div ${dh}L").as("h"))
+        .localCheckpoint(true)
+      h.unpersist()
+      h = hNew
+      hraw.unpersist()
+    }
+    // the returned plan reads only the final checkpointed frames
+    e.unpersist()
+    nodes.unpersist()
+    ordered(
+      a.join(h, "node")
+        .select(col("node").as("part_id"), col("a").as("auth_fp"),
+                col("h").as("hub_fp")),
+      "part_id")
+  }
+
   /** Rounds of Bellman–Ford relaxation in [[shortestPath]]; fixed so the
     * plan shape is static and the oracle can unroll the same fold.
     */
@@ -2131,6 +2229,178 @@ object Insights {
         .select(col("x").as("part_a"), col("y").as("part_b"),
                 col("n_common"), r4(col("aa_sum").cast("double")).as("aa_score")),
       "part_a", "part_b")
+  }
+
+  /** Neighbor-set Jaccard link prediction (the Liben-Nowell–Kleinberg
+    * baseline next to [[adamicAdar]]'s log-weighted score): for
+    * NON-adjacent part pairs sharing ≥ 1 common co-purchase neighbor,
+    * J = |N(x)∩N(y)| / (deg x + deg y − |N(x)∩N(y)|), top-50. Same
+    * wedge-join shape as adamicAdar (common neighbors enumerated through
+    * the shared endpoint — never a node×node cross), with degrees joined
+    * per endpoint and the union size by inclusion-exclusion from exact
+    * integer counts; one r4 double at the end, total-order tiebreak on
+    * the pair ids. At 100 TB the wedge volume is Σ_v deg(v)² — bounded
+    * by the same min-support prune that keeps adamicAdar's hub wedges
+    * in check.
+    */
+  def linkPredJaccard(spark: SparkSession, sfDir: String,
+                      minSup: Int = 2, k: Int = 50): DataFrame = {
+    val items = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")),
+            "l_orderkey")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("np"))
+      .filter(col("np") >= minSup)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = edges.select(col("a").as("v"), col("b").as("u"))
+      .union(edges.select(col("b").as("v"), col("a").as("u")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("v"), col("u").as("x"))
+      .join(adj.select(col("v"), col("u").as("y")), "v")
+      .filter(col("x") < col("y"))
+    val common = wedges.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+              (col("dx") + col("dy") - col("n_common")).cast("double")
+    common
+      .join(edges, common("x") === edges("a") && common("y") === edges("b"),
+            "left_anti")
+      .join(deg.select(col("v").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("deg").as("dy")), "y")
+      .select(col("x").as("part_a"), col("y").as("part_b"),
+              col("n_common"), r4(jac).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_a").asc, col("part_b").asc)
+      .limit(k)
+  }
+
+  /** Partial autocorrelation (lags 1–3) of the daily revenue series via
+    * the Durbin–Levinson recursion over the CONVENTIONAL ACF (full-series
+    * variance about the global mean — the statsmodels/R normalization,
+    * deliberately the OTHER estimator from [[autocorr]]'s documented
+    * Pearson-of-pairs choice: PACF's recursion assumes a common
+    * denominator, so this op carries its own ACF). Exactness: daily cents
+    * are exact BIGINTs, centering multiplies through by n (cxₜ = n·xₜ − S,
+    * integer — no rational mean), and every autocovariance is one
+    * associative DECIMAL(38,0) sum of cx products; the n² factors cancel
+    * in each ratio. Doubles appear only in the final mirrored r/φ
+    * expressions (the corrAgg discipline). AGGREGATE-FIRST: the fact
+    * table collapses to one row per day before the calendar-bounded
+    * single-partition lead() window touches anything.
+    */
+  def pacf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val w = Window.orderBy(col("d").asc)
+    val cx = daily.crossJoin(broadcast(st))
+      .select(col("d"),
+              (col("n") * col("cents") - col("s")).cast("decimal(18,0)").as("cx"))
+    val led = cx.select(col("cx"),
+      lead(col("cx"), 1).over(w).as("c1"),
+      lead(col("cx"), 2).over(w).as("c2"),
+      lead(col("cx"), 3).over(w).as("c3"))
+    val moments = led.agg(
+      sum((col("cx") * col("cx")).cast("decimal(38,0)")).as("den"),
+      sum((col("cx") * col("c1")).cast("decimal(38,0)")).as("n1"),
+      sum((col("cx") * col("c2")).cast("decimal(38,0)")).as("n2"),
+      sum((col("cx") * col("c3")).cast("decimal(38,0)")).as("n3"))
+    moments
+      .select(
+        (col("n1").cast("double") / col("den").cast("double")).as("r1"),
+        (col("n2").cast("double") / col("den").cast("double")).as("r2"),
+        (col("n3").cast("double") / col("den").cast("double")).as("r3"))
+      .select(col("r1"), col("r2"), col("r3"),
+              expr("(r2 - r1 * r1) / (1.0 - r1 * r1)").as("p22"))
+      .select(col("r1"), col("r2"), col("r3"), col("p22"),
+              expr("r1 - p22 * r1").as("p21"))
+      .select(
+        r4(col("r1")).as("acf1"), r4(col("r2")).as("acf2"),
+        r4(col("r3")).as("acf3"),
+        r4(col("r1")).as("pacf1"), r4(col("p22")).as("pacf2"),
+        r4(expr("(r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)"))
+          .as("pacf3"))
+  }
+
+  /** Lead–lag cross-correlation between daily order revenue and daily
+    * shipped quantity (lags −3..+3 days) — the "does booking predict
+    * shipping" diagnostic a forecasting pipeline runs before picking
+    * exogenous regressors. AGGREGATE-FIRST to two calendar-bounded daily
+    * series (exact cents / quantity-cents BIGINTs), then each lag pairs
+    * x(d) with y(d+lag) by an EQUI-join on the shifted date (the lag
+    * column rides an explode of 7 literals — never a range join), and
+    * one grouped aggregate computes the five Pearson moments per lag as
+    * associative DECIMAL(38,0) sums; doubles only in the final mirrored
+    * corr expression (the corrAgg discipline, per-lag means over the
+    * overlap — the [[autocorr]] estimator family).
+    */
+  def crossCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val xs = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("xc"))
+    val ys = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_shipdate").cast("date").as("d2"))
+      .agg(sum(floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long"))
+        .as("yc"))
+    val d380 = "decimal(38,0)"
+    val paired = xs
+      .select(col("d"), col("xc"),
+              explode(array((-3 to 3).map(l => lit(l)): _*)).as("lag"))
+      .withColumn("dj", expr("date_add(d, lag)"))
+      .join(ys, col("d2") === col("dj"))
+    ordered(
+      paired.groupBy(col("lag").cast("long").as("lag"))
+        .agg(count(lit(1)).as("n_days"),
+             sum(col("xc").cast(d380)).as("sx"),
+             sum(col("yc").cast(d380)).as("sy"),
+             sum((col("xc").cast("decimal(18,0)") * col("yc").cast("decimal(18,0)"))
+               .cast(d380)).as("sxy"),
+             sum((col("xc").cast("decimal(18,0)") * col("xc").cast("decimal(18,0)"))
+               .cast(d380)).as("sxx"),
+             sum((col("yc").cast("decimal(18,0)") * col("yc").cast("decimal(18,0)"))
+               .cast(d380)).as("syy"))
+        .select(col("lag"), col("n_days"),
+          r4(expr(
+            """(cast(n_days as double) * cast(sxy as double)
+              | - cast(sx as double) * cast(sy as double))
+              |/ sqrt((cast(n_days as double) * cast(sxx as double)
+              |        - cast(sx as double) * cast(sx as double))
+              |       * (cast(n_days as double) * cast(syy as double)
+              |          - cast(sy as double) * cast(sy as double)))""".stripMargin
+              .replace("\n", " "))).as("xcorr")),
+      "lag")
+  }
+
+  /** McNemar's test for paired binary outcomes — per customer, flag A =
+    * "has a finalized (status F) order", flag B = "has an urgent-priority
+    * order"; the test asks whether the two flags flip in one direction
+    * more than the other, from the DISCORDANT cells only (b = A-only,
+    * c = B-only): χ² = (|b−c|−1)²/(b+c), the continuity-corrected form
+    * (documented choice). One customer-grain hash-agg for the flags, one
+    * 1-row conditional aggregate for the 2×2 cells — exact integers until
+    * the single final division.
+    */
+  def mcnemar(spark: SparkSession, sfDir: String): DataFrame = {
+    val flags = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("a"),
+           max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("b"))
+    flags.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("a_only"),
+        sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("b_only"),
+        sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L)).as("n_neither"))
+      .select(col("n_pairs"), col("n_both"), col("a_only"), col("b_only"),
+              col("n_neither"),
+              r4(expr(
+                """cast((abs(a_only - b_only) - 1) * (abs(a_only - b_only) - 1)
+                  |  as double) / cast(a_only + b_only as double)"""
+                  .stripMargin.replace("\n", " "))).as("chi2_cc"))
   }
 
   def theilSen(spark: SparkSession, sfDir: String): DataFrame = {

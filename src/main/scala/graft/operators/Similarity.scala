@@ -303,4 +303,74 @@ object Similarity {
                 size(filter(col("q"), v => v =!= 0L)).cast("long").as("nnz")),
       "vec_id")
   }
+
+  /** Rounds of power iteration in [[embedPcaPower]]; fixed so the plan is
+    * static and the oracle can unroll the same fold.
+    */
+  val PcaRounds = 3
+
+  /** Top principal component of the embedding corpus by POWER ITERATION
+    * over the exact integer covariance matrix — the embedding-geometry
+    * diagnostic (anisotropy / dominant-direction check) a curation run
+    * reads before whitening or indexing decisions. Exactness end to end:
+    * components quantize to 1e-3 fixed point, centering multiplies
+    * through by n (cx = n·q − S, integer — the q_pacf discipline, no
+    * rational means), the D×D covariance is one DECIMAL(38,0) hash-agg
+    * of cx products, and each matvec round is exact decimal arithmetic
+    * with an L1 renormalization whose divisor is computed EXACTLY
+    * (floor(L1/10⁶), max 1) and applied as sign·(abs div d) so Spark
+    * `div` ≡ DuckDB `//` on the positive operand (signed loadings would
+    * otherwise hit the floor-vs-truncate divide divergence).
+    *
+    * Scale shape: the covariance join fans each vector to D² product
+    * rows — bounded by D²·n, shuffled as (i, j) digests to a 4096-row
+    * frame; every round after that is matvec on D² × D rows. The L1
+    * normalizer is collected per round (1 BigDecimal; lazy broadcast
+    * normalizers double the lineage per round — the q_hits lesson — and
+    * the divisor exceeds Long range at the 100× decade, so it splices
+    * back as a DECIMAL literal). ScaleInfraSpec's iterative exemption
+    * names this entry; rounds localCheckpoint and unpersist as they go.
+    */
+  def embedPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val ex = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+              floor(col("x").cast("double") * lit(1000.0) + lit(0.5))
+                .cast("long").as("q"))
+    val st = ex.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+    val cx = ex.join(broadcast(st), "pos")
+      .select(col("vec_id"), col("pos"),
+              (col("n") * col("q") - col("s")).as("cx"))
+    val cov = cx.select(col("vec_id"), col("pos").as("i"), col("cx").as("cxi"))
+      .join(cx.select(col("vec_id"), col("pos").as("j"), col("cx").as("cxj")),
+            "vec_id")
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("cxi").cast("decimal(19,0)") * col("cxj").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("m"))
+      .localCheckpoint(true)
+    val dims = cov.select(col("i").as("j")).distinct()
+      .localCheckpoint(true)
+    val d0 = dims.count()
+    var v = dims.select(col("j"), lit(1000000L / d0).as("v")).localCheckpoint(true)
+    for (_ <- 1 to PcaRounds) {
+      val mv = cov.join(v, "j")
+        .groupBy(col("i"))
+        .agg(sum((col("m") * col("v")).cast("decimal(38,0)")).as("mv"))
+        .localCheckpoint(true)
+      val l1 = mv.agg(sum(abs(col("mv")))).head().getDecimal(0)
+      val divisor = BigInt(l1.toBigInteger) / BigInt(1000000) max BigInt(1)
+      val vNew = mv.select(col("i").as("j"),
+          expr(s"cast(sign(mv) as bigint) * " +
+               s"(abs(mv) div cast('$divisor' as decimal(38,0)))").as("v"))
+        .localCheckpoint(true)
+      v.unpersist()
+      mv.unpersist()
+      v = vNew
+    }
+    cov.unpersist()
+    dims.unpersist()
+    ordered(v.select(col("j").as("dim_idx"), col("v").as("loading_fp")), "dim_idx")
+  }
 }

@@ -706,6 +706,31 @@ object Text {
       "doc_id")
   }
 
+  /** Flesch reading-ease readability per document — the classic quality
+    * heuristic (206.835 − 1.015·words/sentences − 84.6·syllables/words)
+    * with the standard cheap proxies: sentences = punctuation-run count
+    * floored at 1, syllables = vowel-group count ([aeiouy]+ runs, the
+    * textbook approximation). On this synthetic corpus the texts carry no
+    * sentence punctuation, so n_sentences is ~always 1 and the
+    * words/sentences term degenerates to document length — the operator
+    * is the real formula regardless; one codegen projection, zero
+    * shuffles, embarrassingly parallel at any scale.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val nw = size(split(col("text"), " ")).cast("long")
+    val ns = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val syl = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    ordered(
+      docs(spark, sfDir).select(
+        col("doc_id"), nw.as("n_words"), ns.as("n_sentences"),
+        syl.as("n_syllables"),
+        r4(lit(206.835) -
+           lit(1.015) * (nw.cast("double") / ns.cast("double")) -
+           lit(84.6) * (syl.cast("double") / nw.cast("double"))).as("flesch")),
+      "doc_id")
+  }
+
   /** Collocation extraction: corpus bigrams scored by pointwise mutual
     * information — the phrase-mining pass (multi-word expressions, entity
     * names) a tokenizer-training pipeline runs over raw text. Bigrams come
@@ -881,6 +906,47 @@ object Text {
       .select(col("merge_round"), col("a"), col("b"),
               concat(col("a"), col("b")).as("merged"), col("n"))
       .orderBy(col("merge_round"))
+  }
+
+  /** BPE tokenizer APPLICATION — the other half of the [[bpeTrain]] story:
+    * take the learned merge table and tokenize every document with it,
+    * reporting per-doc token counts before/after and the compression the
+    * merges bought. The 5 rules pivot into ONE broadcast row (conditional
+    * aggregate over the merge table — the rules are DATA, never collected
+    * to the driver), and application is 5 nested literal `replace()`
+    * calls over the same wrapped-symbol strings training used — greedy
+    * left-to-right, rule order = merge-round order, exactly how a BPE
+    * tokenizer applies its merge list. Scale shape: the train pipeline's
+    * vocab-only rounds plus ONE corpus-scale projection for the apply —
+    * per-word work is string-linear, and the broadcast rule row is 10
+    * symbols wide whatever the corpus size.
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val ruleCols = (1 to BpeRounds).flatMap(r => Seq(
+      max(when(col("merge_round") === r, col("a"))).as(s"a$r"),
+      max(when(col("merge_round") === r, col("b"))).as(s"b$r")))
+    val rules = bpeTrain(spark, sfDir).groupBy()
+      .agg(ruleCols.head, ruleCols.tail: _*)
+    val applied = (1 to BpeRounds).foldLeft("regexp_replace(word, '(.)', '($1)')") {
+      (acc, r) =>
+        s"replace($acc, concat('(', a$r, ')(', b$r, ')'), concat('(', a$r, b$r, ')'))"
+    }
+    ordered(
+      docs(spark, sfDir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]{2,}$"))
+        .crossJoin(broadcast(rules))
+        .select(col("doc_id"), length(col("word")).cast("long").as("n_chars"),
+                regexp_count(expr(applied), lit("\\(")).cast("long").as("n_sym"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_alpha_words"),
+             sum(col("n_chars")).as("n_chars_tokens"),
+             sum(col("n_sym")).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_alpha_words"), col("n_chars_tokens"),
+                col("n_bpe_tokens"),
+                r4(col("n_bpe_tokens").cast("double") /
+                   col("n_chars_tokens").cast("double")).as("compression")),
+      "doc_id")
   }
 
   /** Perplexity filtering — score every document by its average bigram

@@ -703,4 +703,67 @@ object Warehouse {
                 r4(col("rev").cast("double")).as("revenue")),
       "junk_key")
   }
+
+  /** SCD Type 6 — the hybrid 1+2+3 dimension (Kimball's "all three at
+    * once"): full type-2 version history per key with validity intervals,
+    * PLUS the type-1 current value overwritten onto every historical row
+    * (so point-in-time facts can group by the CURRENT attribute without a
+    * self-join at query time), PLUS the type-3 prior value per version.
+    * Built over the same signup-event change stream as [[scd2Versions]]/
+    * [[scd3CurrentPrior]], tracked attribute = the cents-quantized event
+    * value. ONE window pass per key computes version number, validity
+    * interval (lead), prior value (lag) and current value (last over the
+    * unbounded frame) — the per-key frame is version-count-bounded, so a
+    * 100 TB fact history pays one change-table-sized shuffle, never a
+    * per-fact one.
+    */
+  def scd6Hybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val versions = graft.util.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+              floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+    ordered(
+      versions.select(
+        col("user_id"),
+        row_number().over(w).cast("long").as("version_n"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(w).as("valid_to_us"),
+        col("cents"),                                  // type 2: as-was
+        lag(col("cents"), 1).over(w).as("prior_cents"), // type 3
+        last(col("cents")).over(wAll).as("current_cents")) // type 1
+        .withColumn("is_current", col("valid_to_us").isNull),
+      "user_id", "version_n")
+  }
+
+  /** Audit dimension — Kimball's load-batch bookkeeping row: one row per
+    * load batch (stand-in grain: order month) carrying row counts,
+    * distinct-key counts, key range, the exact DECIMAL money total, and a
+    * PORTABLE integer content checksum (sum of (31-bit mixed key hash)
+    * per row — associative, partition-order independent, identical
+    * arithmetic on both engines; an engine hash like xxhash64 would gate
+    * nothing). The audit row is what a load writes alongside its data so
+    * downstream can detect truncated/duplicated batches without rescanning
+    * them; one fact-linear hash-agg at any scale.
+    */
+  def auditDim(spark: SparkSession, sfDir: String): DataFrame =
+    ordered(
+      t(spark, sfDir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).cast("date").as("batch_month"),
+                col("o_orderkey"), col("o_custkey"),
+                graft.util.Tables.money(col("o_totalprice")).as("tp"),
+                ((col("o_orderkey") * lit(1000003L) + col("o_custkey")) % lit(2147483647L))
+                  .as("rh"))
+        .groupBy(col("batch_month"))
+        .agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("o_orderkey")).as("n_orders"),
+             countDistinct(col("o_custkey")).as("n_customers"),
+             min(col("o_orderkey")).as("min_key"),
+             max(col("o_orderkey")).as("max_key"),
+             r4(sum(col("tp")).cast("double")).as("total_price"),
+             sum(col("rh")).as("content_checksum")),
+      "batch_month")
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Text
+import graft.operators.{Insights, Text}
 
 /** Round-9 additions: span-granular ExactSubstr dedup (sequential driver
   * fold differential + invariants against the whole-doc dedup family) and
@@ -67,6 +67,173 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.keySet === docs.keySet) // every doc present, removed-to-empty included
   }
 
+  test("hits: matches a sequential weighted HITS fold with the same " +
+       "fixed-point normalization exactly") {
+    val got = Insights.hits(spark, Sf).collect()
+      .map(r => r.getAs[Long]("part_id") ->
+        ((r.getAs[Long]("auth_fp"), r.getAs[Long]("hub_fp")))).toMap
+
+    // sequential: directed consecutive-line-item edges
+    val lines = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    lines.groupBy(_._1).foreach { case (_, ls) =>
+      val ps = ls.sortBy(l => (l._2, l._3, l._4)).map(_._3)
+      ps.sliding(2).foreach {
+        case Array(x, y) if x != y => w((x, y)) = w.getOrElse((x, y), 0L) + 1
+        case _ =>
+      }
+    }
+    val nodes = w.keys.flatMap(k => Seq(k._1, k._2)).toSet
+    val T = 1000000000000L
+    var h = nodes.map(_ -> T / nodes.size).toMap
+    var a = Map.empty[Long, Long]
+    (1 to Insights.HitsRounds).foreach { _ =>
+      val araw = w.toSeq.groupBy(_._1._2).map { case (dst, es) =>
+        dst -> es.map { case ((src, _), wt) => h(src) * wt }.sum }
+      val sa = araw.values.sum
+      a = nodes.map(n => n -> araw.getOrElse(n, 0L) / math.max(1L, sa / T)).toMap
+      val hraw = w.toSeq.groupBy(_._1._1).map { case (src, es) =>
+        src -> es.map { case ((_, dst), wt) => a(dst) * wt }.sum }
+      val sh = hraw.values.sum
+      h = nodes.map(n => n -> hraw.getOrElse(n, 0L) / math.max(1L, sh / T)).toMap
+    }
+    assert(got.keySet === nodes)
+    nodes.foreach { n =>
+      assert(got(n) === ((a(n), h(n))), s"node $n")
+    }
+  }
+
+  test("linkPredJaccard: every pair is non-adjacent with a valid Jaccard, " +
+       "matching the sequential score") {
+    val rows = Insights.linkPredJaccard(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+                 r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))
+    assert(rows.nonEmpty)
+    // sequential graph
+    val items = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    items.groupBy(_._1).foreach { case (_, ps) =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        pairCount((parts(i), parts(j))) =
+          pairCount.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val edges = pairCount.filter(_._2 >= 2).keySet
+    val nbr = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    edges.foreach { case (x, y) =>
+      nbr(x) = nbr.getOrElse(x, Set.empty) + y
+      nbr(y) = nbr.getOrElse(y, Set.empty) + x
+    }
+    rows.foreach { case (x, y, nc, j) =>
+      assert(!edges((x, y)), s"($x,$y) must be non-adjacent")
+      val inter = (nbr(x) & nbr(y)).size.toLong
+      assert(nc === inter, s"common neighbors of ($x,$y)")
+      val expect = math.floor(inter.toDouble /
+        (nbr(x).size + nbr(y).size - inter).toDouble * 10000.0 + 0.5) / 10000.0
+      assert(j === expect, s"jaccard of ($x,$y)")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("scd6: type-1/2/3 columns are mutually consistent per key") {
+    val rows = graft.operators.Warehouse.scd6Hybrid(spark, Sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version_n"))
+      // exactly one current version, and it is the last one
+      assert(sorted.count(_.getAs[Boolean]("is_current")) === 1, s"user $u")
+      assert(sorted.last.getAs[Boolean]("is_current"), s"user $u last")
+      // type 1: every row carries the LAST version's value
+      val cur = sorted.last.getAs[Long]("cents")
+      assert(sorted.forall(_.getAs[Long]("current_cents") == cur), s"user $u t1")
+      // type 3: prior = previous row's cents; first version has no prior
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prior_cents")))
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getAs[Long]("prior_cents") === p.getAs[Long]("cents"))
+          // type 2: intervals chain with no gaps
+          assert(p.getAs[Long]("valid_to_us") === n.getAs[Long]("valid_from_us"))
+        case _ =>
+      }
+    }
+  }
+
+  test("auditDim: checksum and counts match a driver fold per batch") {
+    val got = graft.operators.Warehouse.auditDim(spark, Sf).collect()
+      .map(r => r.getAs[java.sql.Date]("batch_month").toString ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("content_checksum")))).toMap
+    val orders = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+              date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .collect()
+    val expect = orders.groupBy(_.getAs[java.sql.Date]("m").toString)
+      .map { case (m, rs) =>
+        m -> ((rs.length.toLong,
+               rs.map(r => (r.getLong(0) * 1000003L + r.getLong(1)) % 2147483647L).sum))
+      }
+    assert(got === expect)
+  }
+
+  test("mcnemar: cells partition the pairs; chi2 matches the driver formula") {
+    val r = Insights.mcnemar(spark, Sf).collect().head
+    val (np, nb, ao, bo, nn) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_both"),
+      r.getAs[Long]("a_only"), r.getAs[Long]("b_only"), r.getAs[Long]("n_neither"))
+    assert(np === nb + ao + bo + nn)
+    val chi2 = math.floor(((math.abs(ao - bo) - 1) * (math.abs(ao - bo) - 1)).toDouble /
+      (ao + bo).toDouble * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Double]("chi2_cc") === chi2)
+  }
+
+  test("pacf: Durbin-Levinson recursion from the exact ACF, driver-checked") {
+    val r = Insights.pacf(spark, Sf).collect().head
+    // recompute from daily cents on the driver
+    val daily = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(graft.util.Tables.money(col("o_totalprice"))) * 100).cast("long").as("c"))
+      .orderBy("d").collect().map(_.getAs[Long]("c"))
+    val n = daily.length.toLong
+    val s = daily.sum
+    val cx = daily.map(v => BigInt(n * v - s))
+    def acov(k: Int) = (0 until daily.length - k)
+      .map(i => cx(i) * cx(i + k)).sum
+    val den = acov(0)
+    val Seq(r1, r2, r3) = (1 to 3).map(k =>
+      acov(k).toDouble / den.toDouble) // same DECIMAL->double magnitudes
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Double]("acf1") === rr(r1))
+    assert(r.getAs[Double]("pacf2") === rr(p22))
+    assert(r.getAs[Double]("pacf3") === rr(p33))
+    // PACF(1) IS ACF(1) by construction
+    assert(r.getAs[Double]("pacf1") === r.getAs[Double]("acf1"))
+  }
+
+  test("readability: flesch formula recheck per doc; degenerate corpus " +
+       "pins sentences at 1") {
+    val rows = Text.readability(spark, Sf).collect()
+    val texts = docsRaw()
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val nw = t.split(" ", -1).length.toLong
+      val ns = math.max(1L, "[.!?]+".r.findAllIn(t).length.toLong)
+      val syl = "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toLong
+      assert(r.getAs[Long]("n_words") === nw)
+      assert(r.getAs[Long]("n_sentences") === ns)
+      assert(r.getAs[Long]("n_syllables") === syl)
+      val f = math.floor((206.835 - 1.015 * (nw.toDouble / ns.toDouble) -
+        84.6 * (syl.toDouble / nw.toDouble)) * 10000.0 + 0.5) / 10000.0
+      assert(r.getAs[Double]("flesch") === f)
+    }
+  }
+
   test("bpeTrain: matches a sequential BPE training loop exactly") {
     val got = Text.bpeTrain(spark, Sf).collect()
       .map(r => (r.getAs[Long]("merge_round"), r.getAs[String]("a"),
@@ -101,6 +268,71 @@ class Round9OpsSpec extends SparkSpec {
       (r.toLong, a, b, a + b, n)
     }
     assert(got.toSeq === expect)
+  }
+
+  test("bpeApply: per-word tokenization matches applying the learned " +
+       "merge list sequentially") {
+    val got = Text.bpeApply(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_alpha_words"), r.getAs[Long]("n_chars_tokens"),
+          r.getAs[Long]("n_bpe_tokens")))).toMap
+    val rules = Text.bpeTrain(spark, Sf).collect()
+      .sortBy(_.getAs[Long]("merge_round"))
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    def tokenize(word: String): Int = {
+      var repr = word.map(c => s"($c)").mkString
+      rules.foreach { case (a, b) =>
+        repr = repr.replace(s"($a)($b)", s"($a$b)")
+      }
+      repr.count(_ == '(')
+    }
+    docsRaw().foreach { case (id, text) =>
+      val words = text.toLowerCase.split(" ", -1).filter(_.matches("^[a-z]{2,}$"))
+      if (words.nonEmpty) {
+        val (nw, nc, nt) = got(id)
+        assert(nw === words.length.toLong, s"doc $id words")
+        assert(nc === words.map(_.length.toLong).sum, s"doc $id chars")
+        assert(nt === words.map(tokenize(_).toLong).sum, s"doc $id tokens")
+        assert(nt <= nc, s"doc $id merges can only shrink")
+      } else assert(!got.contains(id))
+    }
+  }
+
+  test("embedPcaPower: matches a sequential BigInt power iteration; the " +
+       "loading direction aligns with the dominant variance axis") {
+    val got = graft.operators.Similarity.embedPcaPower(spark, Sf).collect()
+      .map(r => r.getAs[Long]("dim_idx") -> r.getAs[Long]("loading_fp")).toMap
+    val vecs = graft.util.Tables.t(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).toArray.map(x =>
+        math.floor(x.toDouble * 1000.0 + 0.5).toLong))
+    val d = vecs.head.length
+    val n = BigInt(vecs.length)
+    val s = Array.tabulate(d)(i => BigInt(vecs.map(_(i)).sum))
+    val cxs = vecs.map(v => Array.tabulate(d)(i => n * BigInt(v(i)) - s(i)))
+    val cov = Array.tabulate(d, d)((i, j) => cxs.map(c => c(i) * c(j)).sum)
+    var v = Array.fill(d)(BigInt(1000000 / d))
+    (1 to graft.operators.Similarity.PcaRounds).foreach { _ =>
+      val mv = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val l1 = mv.map(_.abs).sum
+      val div = (l1 / 1000000) max BigInt(1)
+      v = mv.map(m => m.signum * (m.abs / div))
+    }
+    (0 until d).foreach { i =>
+      assert(got(i.toLong) === v(i).toLong, s"dim $i")
+    }
+    // sanity: power iteration climbed the Rayleigh quotient vs the
+    // uniform start (the dominant-axis convergence signal; the largest
+    // single loading need NOT sit on the max-variance dim — loadings mix
+    // covariance, not just the diagonal)
+    def rayleigh(u: Array[BigInt]): Double = {
+      val num = (0 until d).map(i => (0 until d).map(j =>
+        u(i) * cov(i)(j) * u(j)).sum).sum
+      val den = u.map(x => x * x).sum
+      num.toDouble / den.toDouble
+    }
+    val v0 = Array.fill(d)(BigInt(1000000 / d))
+    assert(rayleigh(v) > rayleigh(v0))
   }
 
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +

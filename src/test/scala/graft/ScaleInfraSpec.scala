@@ -367,7 +367,18 @@ class ScaleInfraSpec extends SparkSpec {
                         "q_doc_dedup_embed", "q_hierarchy",
                         // built ON dedupComponentsEditdist's CC fixpoint, so
                         // they inherit the loop's build-time checkpoints
-                        "q_dup_cluster_hist", "q_dup_by_source")
+                        "q_dup_cluster_hist", "q_dup_by_source",
+                        // per-round L1 normalization: the 1-Long global
+                        // mass is COLLECTED each superstep and rounds are
+                        // eager localCheckpoints (both lazy variants
+                        // measured geometrically worse — 54-67 s vs ~2 s
+                        // at sf0.1; Insights.hits in-body comment)
+                        "q_hits",
+                        // same shape: power-iteration rounds checkpoint and
+                        // collect the exact L1 normalizer (a DECIMAL whose
+                        // floor-div exceeds Long at the 100x decade, so it
+                        // splices back as a decimal literal)
+                        "q_embed_pca_power")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
