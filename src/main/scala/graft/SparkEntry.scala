@@ -335,6 +335,13 @@ object SparkEntry {
     "q_readability"       -> q(Text.readability), // Flesch reading ease with vowel-run syllable proxy
     // round-9e additions (embedding geometry)
     "q_embed_pca_power"   -> q(Similarity.embedPcaPower), // top principal component via exact fixed-point power iteration
+    "q_embed_outliers"    -> q(Similarity.embedOutliers(_, _, 20)), // exact centroid-distance outlier screen, n-multiplied centering
+    // round-9f additions (growth, experimentation, causal tier)
+    "q_growth_accounting" -> q(Insights.growthAccounting), // monthly new/retained/resurrected/churned MAU ledger
+    "q_cochran_q"         -> q(Insights.cochranQ), // k=3 correlated binary treatments, exact integer totals
+    "q_partial_corr"      -> q(Insights.partialCorr), // revenue~quantity controlling discount, one wide moment agg
+    "q_did"               -> q(Insights.did), // difference-in-differences: BUILDING segment x 1998 cutoff
+    "q_srm"               -> q(Insights.srmCheck), // sample-ratio mismatch: observed vs designed 80/10/10 split
     // round-9b additions (directed-graph ranking tier)
     "q_hits"              -> q(Insights.hits), // HITS hubs/authorities, 3 normalized rounds, Long fixed-point, unrolled oracle
     "q_link_pred_jaccard" -> q(Insights.linkPredJaccard(_, _, 2, 50)), // neighbor-set Jaccard link prediction for non-adjacent pairs
@@ -2669,6 +2676,162 @@ object SparkEntry {
         |JOIN e e2 ON e1.b = e2.a
         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         |ORDER BY brand_a, brand_b, brand_c""".stripMargin,
+
+    "q_growth_accounting" ->
+      """WITH um AS (SELECT DISTINCT o_custkey AS c,
+        |                   CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        |            FROM orders),
+        |f AS (SELECT c, m, lag(m) OVER w AS prev_m, lead(m) OVER w AS next_m
+        |      FROM um WINDOW w AS (PARTITION BY c ORDER BY m)),
+        |cls AS (SELECT m, CAST(count(*) AS BIGINT) AS n_active,
+        |         CAST(sum(CASE WHEN prev_m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_new,
+        |         CAST(sum(CASE WHEN prev_m = m - INTERVAL 1 MONTH
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |         CAST(sum(CASE WHEN prev_m IS NOT NULL
+        |                        AND prev_m < m - INTERVAL 1 MONTH
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |        FROM f GROUP BY m),
+        |ch AS (SELECT CAST(m + INTERVAL 1 MONTH AS DATE) AS m,
+        |              CAST(count(*) AS BIGINT) AS n_churned
+        |       FROM f WHERE next_m IS NULL OR next_m > m + INTERVAL 1 MONTH
+        |       GROUP BY 1)
+        |SELECT cls.m AS month, n_active, n_new, n_retained, n_resurrected,
+        |       COALESCE(n_churned, 0) AS n_churned
+        |FROM cls LEFT JOIN ch ON ch.m = cls.m ORDER BY month""".stripMargin,
+
+    "q_cochran_q" ->
+      """WITH flags AS (SELECT o_custkey,
+        |  max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x1,
+        |  max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS x2,
+        |  max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS x3
+        | FROM orders GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(x1) AS BIGINT) AS t1, CAST(sum(x2) AS BIGINT) AS t2,
+        |  CAST(sum(x3) AS BIGINT) AS t3,
+        |  CAST(sum(x1 + x2 + x3) AS BIGINT) AS sr,
+        |  CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sr2
+        | FROM flags)
+        |SELECT n_blocks, t1, t2, t3,
+        | floor(cast(2 * (3 * (t1 * t1 + t2 * t2 + t3 * t3)
+        |            - (t1 + t2 + t3) * (t1 + t2 + t3)) as double)
+        |       / cast(3 * sr - sr2 as double) * 10000.0 + 0.5) / 10000.0 AS q_stat
+        |FROM m""".stripMargin,
+
+    "q_partial_corr" ->
+      """WITH per AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y,
+        |    CAST(sum(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS z
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |  CAST(sum(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+        |            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))
+        |            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxz,
+        |  CAST(sum(CAST(CAST(y AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))
+        |            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syz,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+        |            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |  CAST(sum(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+        |            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+        |  CAST(sum(CAST(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))
+        |            AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szz
+        | FROM per),
+        |r AS (SELECT n,
+        |  (cast(n as double) * cast(sxy as double)
+        |   - cast(sx as double) * cast(sy as double))
+        |  / sqrt((cast(n as double) * cast(sxx as double)
+        |          - cast(sx as double) * cast(sx as double))
+        |         * (cast(n as double) * cast(syy as double)
+        |            - cast(sy as double) * cast(sy as double))) AS rxy,
+        |  (cast(n as double) * cast(sxz as double)
+        |   - cast(sx as double) * cast(sz as double))
+        |  / sqrt((cast(n as double) * cast(sxx as double)
+        |          - cast(sx as double) * cast(sx as double))
+        |         * (cast(n as double) * cast(szz as double)
+        |            - cast(sz as double) * cast(sz as double))) AS rxz,
+        |  (cast(n as double) * cast(syz as double)
+        |   - cast(sy as double) * cast(sz as double))
+        |  / sqrt((cast(n as double) * cast(syy as double)
+        |          - cast(sy as double) * cast(sy as double))
+        |         * (cast(n as double) * cast(szz as double)
+        |            - cast(sz as double) * cast(sz as double))) AS ryz
+        | FROM m)
+        |SELECT n AS n_orders,
+        | floor(rxy * 10000.0 + 0.5) / 10000.0 AS r_xy,
+        | floor(rxz * 10000.0 + 0.5) / 10000.0 AS r_xz,
+        | floor(ryz * 10000.0 + 0.5) / 10000.0 AS r_yz,
+        | floor((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+        |       * 10000.0 + 0.5) / 10000.0 AS r_xy_given_z
+        |FROM r""".stripMargin,
+
+    "q_did" ->
+      """WITH g AS (
+        |  SELECT (c_mktsegment = 'BUILDING') AS treated,
+        |         (CAST(o_orderdate AS DATE) >= DATE '1998-01-01') AS post,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |a AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n, sum(tp) AS s
+        |      FROM g GROUP BY 1, 2),
+        |w AS (SELECT
+        |  max(CASE WHEN treated AND post
+        |           THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS tp1,
+        |  max(CASE WHEN treated AND NOT post
+        |           THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS tp0,
+        |  max(CASE WHEN NOT treated AND post
+        |           THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS cp1,
+        |  max(CASE WHEN NOT treated AND NOT post
+        |           THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS cp0
+        | FROM a)
+        |SELECT floor(tp0 * 10000.0 + 0.5) / 10000.0 AS treated_pre,
+        |       floor(tp1 * 10000.0 + 0.5) / 10000.0 AS treated_post,
+        |       floor(cp0 * 10000.0 + 0.5) / 10000.0 AS control_pre,
+        |       floor(cp1 * 10000.0 + 0.5) / 10000.0 AS control_post,
+        |       floor(((tp1 - tp0) - (cp1 - cp0)) * 10000.0 + 0.5) / 10000.0 AS did
+        |FROM w""".stripMargin,
+
+    "q_srm" ->
+      """WITH sp AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |             WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |      FROM documents),
+        |obs AS (SELECT split, CAST(count(*) AS BIGINT) AS observed
+        |        FROM sp GROUP BY 1),
+        |alloc(split, permille) AS (VALUES ('train', 800), ('val', 100), ('test', 100)),
+        |tot AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM obs)
+        |SELECT split, observed,
+        | floor(cast(total * permille as double) / 1000.0 * 10000.0 + 0.5) / 10000.0
+        |   AS expected,
+        | floor((cast(observed as double) - cast(total * permille as double) / 1000.0)
+        |       * (cast(observed as double) - cast(total * permille as double) / 1000.0)
+        |       / (cast(total * permille as double) / 1000.0)
+        |       * 10000.0 + 0.5) / 10000.0 AS chi2_contrib
+        |FROM obs CROSS JOIN tot JOIN alloc USING (split)
+        |ORDER BY split""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5)
+        |              AS BIGINT) AS q
+        |  FROM embeddings),
+        |st AS (SELECT pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s
+        |       FROM ex GROUP BY pos),
+        |d AS (SELECT vec_id,
+        |        CAST(sum(CAST(CAST(n * q - s AS DECIMAL(19,0))
+        |                      * CAST(n * q - s AS DECIMAL(19,0))
+        |                      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n2d2,
+        |        max(n) AS n
+        |      FROM ex JOIN st USING (pos) GROUP BY vec_id)
+        |SELECT vec_id,
+        | floor(CAST(n2d2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+        |       / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS dist_sq
+        |FROM d ORDER BY n2d2 DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_pacf" ->
       """WITH daily AS (

@@ -2403,6 +2403,186 @@ object Insights {
                   .stripMargin.replace("\n", " "))).as("chi2_cc"))
   }
 
+
+  /** Growth accounting — the monthly MAU ledger (new / retained /
+    * resurrected / churned) every growth dashboard opens with, over
+    * customer order activity: a customer-month is NEW when it is the
+    * customer's first active month, RETAINED when the previous calendar
+    * month was active, RESURRECTED when the customer returns after a gap,
+    * and a customer CHURNS INTO month m when m−1 was active and m is not
+    * (reported on m, the month the loss is visible). One distinct
+    * customer-month frame, one per-customer lag/lead window (frames
+    * bounded by a customer's active-month count), two grouped aggregates
+    * stitched on the month spine — fact-linear at any scale, and a
+    * balance check holds by construction: active(m) = new + retained +
+    * resurrected.
+    */
+  def growthAccounting(spark: SparkSession, sfDir: String): DataFrame = {
+    val um = t(spark, sfDir, "orders")
+      .select(col("o_custkey").as("c"),
+              date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .distinct()
+    val w = Window.partitionBy(col("c")).orderBy(col("m").asc)
+    val flagged = um
+      .withColumn("prev_m", lag(col("m"), 1).over(w))
+      .withColumn("next_m", lead(col("m"), 1).over(w))
+    val classes = flagged.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_active"),
+           sum(when(col("prev_m").isNull, 1L).otherwise(0L)).as("n_new"),
+           sum(when(col("prev_m") === add_months(col("m"), -1), 1L)
+             .otherwise(0L)).as("n_retained"),
+           sum(when(col("prev_m").isNotNull &&
+                    col("prev_m") < add_months(col("m"), -1), 1L)
+             .otherwise(0L)).as("n_resurrected"))
+    // a row churns INTO m+1 when its next active month skips m+1 (or
+    // never comes); aggregate on the month it lands in
+    val churn = flagged
+      .filter(col("next_m").isNull || col("next_m") > add_months(col("m"), 1))
+      .groupBy(add_months(col("m"), 1).as("m"))
+      .agg(count(lit(1)).as("n_churned"))
+    ordered(
+      classes.join(churn, Seq("m"), "left")
+        .select(col("m").as("month"), col("n_active"), col("n_new"),
+                col("n_retained"), col("n_resurrected"),
+                coalesce(col("n_churned"), lit(0L)).as("n_churned")),
+      "month")
+  }
+
+  /** Cochran's Q — the k-treatment extension of [[mcnemar]] for correlated
+    * binary outcomes: per customer (block), three flags (has a finalized
+    * order / has an urgent order / has a high-priority order); Q tests
+    * whether the three rates differ, from exact integer column totals T_j
+    * and row totals R_i: Q = (k−1)·(k·ΣT_j² − (ΣT_j)²) / (k·ΣR_i − ΣR_i²).
+    * One customer-grain hash-agg, one 1-row aggregate, a single final
+    * division.
+    */
+  def cochranQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val flags = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("x1"),
+           max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("x2"),
+           max(when(col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("x3"))
+    flags
+      .select(col("x1"), col("x2"), col("x3"),
+              (col("x1") + col("x2") + col("x3")).as("r"))
+      .agg(count(lit(1)).as("n_blocks"),
+           sum(col("x1")).as("t1"), sum(col("x2")).as("t2"),
+           sum(col("x3")).as("t3"),
+           sum(col("r")).as("sr"), sum(col("r") * col("r")).as("sr2"))
+      .select(col("n_blocks"), col("t1"), col("t2"), col("t3"),
+              r4(expr(
+                ("cast(2 * (3 * (t1 * t1 + t2 * t2 + t3 * t3)" +
+                 " - (t1 + t2 + t3) * (t1 + t2 + t3)) as double)" +
+                 " / cast(3 * sr - sr2 as double)"))).as("q_stat"))
+  }
+
+  /** First-order partial correlation — revenue vs quantity per order,
+    * CONTROLLING for discount: r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²)). The three pairwise Pearson r's come from one
+    * order-grain projection (exact cents / quantity / discount basis
+    * points) and ONE wide aggregate of nine DECIMAL(38,0) moments;
+    * doubles only in the mirrored final expressions (the corrAgg
+    * discipline). The "is the raw correlation just the discount channel"
+    * screen, one hash-agg at any scale.
+    */
+  def partialCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val per = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_quantity") * 100.0 + 0.5).cast("long")).as("x"),
+           sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("y"),
+           sum(floor(col("l_discount") * 10000.0 + 0.5).cast("long")).as("z"))
+    val m = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(col("z").cast("decimal(38,0)")).as("sz"),
+      sum((col("x").cast(d190) * col("y").cast(d190)).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x").cast(d190) * col("z").cast(d190)).cast("decimal(38,0)")).as("sxz"),
+      sum((col("y").cast(d190) * col("z").cast(d190)).cast("decimal(38,0)")).as("syz"),
+      sum((col("x").cast(d190) * col("x").cast(d190)).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y").cast(d190) * col("y").cast(d190)).cast("decimal(38,0)")).as("syy"),
+      sum((col("z").cast(d190) * col("z").cast(d190)).cast("decimal(38,0)")).as("szz"))
+    def corr(nm: String, sab: String, sa: String, sb: String,
+             saa: String, sbb: String) =
+      expr(s"""(cast(n as double) * cast($sab as double)
+              | - cast($sa as double) * cast($sb as double))
+              |/ sqrt((cast(n as double) * cast($saa as double)
+              |        - cast($sa as double) * cast($sa as double))
+              |       * (cast(n as double) * cast($sbb as double)
+              |          - cast($sb as double) * cast($sb as double)))"""
+        .stripMargin.replace("\n", " ")).as(nm)
+    m.select(col("n").as("n_orders"),
+             corr("rxy", "sxy", "sx", "sy", "sxx", "syy"),
+             corr("rxz", "sxz", "sx", "sz", "sxx", "szz"),
+             corr("ryz", "syz", "sy", "sz", "syy", "szz"))
+      .select(col("n_orders"), r4(col("rxy")).as("r_xy"),
+              r4(col("rxz")).as("r_xz"), r4(col("ryz")).as("r_yz"),
+              r4(expr("(rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))"))
+                .as("r_xy_given_z"))
+  }
+
+  /** Difference-in-differences — the quasi-experimental effect estimate:
+    * treated = BUILDING-segment customers, post = orders from 1998-01-01,
+    * outcome = mean order value. DiD = (ȳ_T,post − ȳ_T,pre) −
+    * (ȳ_C,post − ȳ_C,pre), from four exact DECIMAL sums/counts in one
+    * grouped aggregate (fact-linear; the dim join broadcasts). Doubles
+    * only in the four means and the final difference.
+    */
+  def did(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = "1998-01-01"
+    val grp = t(spark, sfDir, "orders")
+      .join(broadcast(t(spark, sfDir, "customer")
+        .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("treated"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("treated"),
+              (col("o_orderdate").cast("date") >= lit(cut).cast("date")).as("post"),
+              money(col("o_totalprice")).as("tp"))
+      .groupBy(col("treated"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("tp")).as("s"))
+      .select(col("treated"), col("post"),
+              (col("s").cast("double") / col("n").cast("double")).as("mean"))
+    val wide = grp.agg(
+      max(when(col("treated") && col("post"), col("mean"))).as("tp1"),
+      max(when(col("treated") && !col("post"), col("mean"))).as("tp0"),
+      max(when(!col("treated") && col("post"), col("mean"))).as("cp1"),
+      max(when(!col("treated") && !col("post"), col("mean"))).as("cp0"))
+    wide.select(r4(col("tp0")).as("treated_pre"), r4(col("tp1")).as("treated_post"),
+                r4(col("cp0")).as("control_pre"), r4(col("cp1")).as("control_post"),
+                r4(expr("(tp1 - tp0) - (cp1 - cp0)")).as("did"))
+  }
+
+  /** Sample-ratio mismatch check — the experiment-health gate run before
+    * trusting any A/B readout: observed [[graft.operators.Text.splitAssign]]
+    * bucket counts vs the DESIGNED 80/10/10 allocation, per-split χ²
+    * contribution from exact counts (expected = total·p computed as an
+    * integer-scaled product, one double division per cell). A real SRM
+    * fires an alert; here the deterministic modulo split is exact by
+    * construction, so contributions hover at rounding-level — which is
+    * itself the assertion.
+    */
+  def srmCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    // designed allocation in permille: train 800, val 100, test 100
+    val alloc = Seq(("train", 800L), ("val", 100L), ("test", 100L))
+    val allocDf = {
+      import spark.implicits._
+      alloc.toDF("split", "permille")
+    }
+    val obs = Text.splitAssign(spark, sfDir)
+      .groupBy(col("split")).agg(count(lit(1)).as("observed"))
+    val tot = obs.agg(sum(col("observed")).as("total"))
+    ordered(
+      obs.join(broadcast(allocDf), "split")
+        .crossJoin(broadcast(tot))
+        .select(col("split"), col("observed"),
+                r4(expr("cast(total * permille as double) / 1000.0")).as("expected"),
+                r4(expr(
+                  """(cast(observed as double) - cast(total * permille as double) / 1000.0)
+                    |* (cast(observed as double) - cast(total * permille as double) / 1000.0)
+                    |/ (cast(total * permille as double) / 1000.0)"""
+                    .stripMargin.replace("\n", " "))).as("chi2_contrib")),
+      "split")
+  }
   def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val monthly = t(spark, sfDir, "lineitem")

@@ -373,4 +373,39 @@ object Similarity {
     dims.unpersist()
     ordered(v.select(col("j").as("dim_idx"), col("v").as("loading_fp")), "dim_idx")
   }
+
+  /** Embedding outlier screen — the "is this vector even from the same
+    * distribution" gate an embedding pipeline runs before indexing: exact
+    * squared distance of every vector from the corpus centroid, top-20.
+    * Exactness without rational means: multiplying through by n makes the
+    * per-element deviation cx = n·q − S an integer (the q_pacf
+    * discipline), so n²·dist² = Σ cx² is one DECIMAL(38,0) per-vector
+    * sum and the ranking is EXACT (no float tie ambiguity at the cut);
+    * the reported distance divides the n² and quantization scales back
+    * out as the single final double. One element-grain projection + one
+    * vector-grain hash-agg + a 20-row TakeOrdered — embarrassingly
+    * parallel at any corpus size.
+    */
+  def embedOutliers(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val ex = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+              floor(col("x").cast("double") * lit(1000.0) + lit(0.5))
+                .cast("long").as("q"))
+    val st = ex.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+    ex.join(broadcast(st), "pos")
+      .select(col("vec_id"), (col("n") * col("q") - col("s")).as("cx"),
+              col("n"))
+      .groupBy(col("vec_id"))
+      .agg(sum((col("cx").cast("decimal(19,0)") * col("cx").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("n2d2"),
+           max(col("n")).as("n"))
+      .select(col("vec_id"), col("n2d2"),
+              r4(expr("cast(n2d2 as double) / cast(n as double) / cast(n as double)")
+                 / lit(1000000.0)).as("dist_sq"))
+      .orderBy(col("n2d2").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("dist_sq"))
+  }
 }

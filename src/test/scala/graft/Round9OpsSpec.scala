@@ -335,6 +335,116 @@ class Round9OpsSpec extends SparkSpec {
     assert(rayleigh(v) > rayleigh(v0))
   }
 
+  test("growthAccounting: classes balance to active; churn matches the " +
+       "sequential ledger") {
+    val rows = Insights.growthAccounting(spark, Sf).collect()
+      .map(r => r.getAs[java.sql.Date]("month").toLocalDate ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+          r.getAs[Long]("n_churned")))).toMap
+    // balance: every active customer-month is exactly one of the classes
+    rows.values.foreach { case (act, nw, ret, res, _) =>
+      assert(act === nw + ret + res)
+    }
+    // sequential ledger over collected customer-months
+    val um = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_custkey"),
+              date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("m").toLocalDate))
+    val byC = um.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val months = um.map(_._2).toSet
+    months.foreach { m =>
+      val prev = m.minusMonths(1)
+      val active = byC.filter(_._2.contains(m))
+      val nw = active.count(_._2.head == m).toLong
+      val ret = active.count(c => c._2.contains(prev)).toLong
+      val res = (active.size - nw - ret).toLong
+      val churned = byC.count { case (_, ms) =>
+        ms.contains(prev) && !ms.contains(m) }.toLong
+      val (a, n, r2, rs, ch) = rows(m)
+      assert(a === active.size.toLong, s"$m active")
+      assert(n === nw, s"$m new"); assert(r2 === ret, s"$m retained")
+      assert(rs === res, s"$m resurrected"); assert(ch === churned, s"$m churned")
+    }
+  }
+
+  test("cochranQ and mcnemar agree on their shared margins; partialCorr " +
+       "collapses to rxy when z is independent") {
+    val q = Insights.cochranQ(spark, Sf).collect().head
+    assert(q.getAs[Long]("n_blocks") > 0)
+    assert(q.getAs[Double]("q_stat") >= 0.0)
+    // t1 (has-F-order customers) must equal mcnemar's a-margin
+    val m = Insights.mcnemar(spark, Sf).collect().head
+    assert(q.getAs[Long]("t1") ===
+      m.getAs[Long]("n_both") + m.getAs[Long]("a_only"))
+    val pc = Insights.partialCorr(spark, Sf).collect().head
+    // partialling out can move the correlation but |r| stays in [0,1]
+    Seq("r_xy", "r_xz", "r_yz", "r_xy_given_z").foreach { c =>
+      assert(math.abs(pc.getAs[Double](c)) <= 1.0, c)
+    }
+  }
+
+  test("did: the four cell means reproduce from a driver fold") {
+    val r = Insights.did(spark, Sf).collect().head
+    val rows = graft.util.Tables.t(spark, Sf, "orders")
+      .join(graft.util.Tables.t(spark, Sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderdate").cast("date").as("d"),
+              graft.util.Tables.money(col("o_totalprice")).as("tp")).collect()
+    def mean(treated: Boolean, post: Boolean): Double = {
+      val sel = rows.filter { x =>
+        (x.getAs[String]("c_mktsegment") == "BUILDING") == treated &&
+        (!x.getAs[java.sql.Date]("d").toLocalDate.isBefore(
+          java.time.LocalDate.parse("1998-01-01"))) == post
+      }
+      val s = sel.map(x => BigDecimal(x.getAs[java.math.BigDecimal]("tp"))).sum
+      (s / sel.length).toDouble
+    }
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Double]("treated_pre") === rr(mean(true, false)))
+    assert(r.getAs[Double]("control_post") === rr(mean(false, true)))
+    assert(r.getAs[Double]("did") === rr(
+      (mean(true, true) - mean(true, false)) -
+        (mean(false, true) - mean(false, false))))
+  }
+
+  test("srm: the deterministic modulo split shows only rounding-level " +
+       "mismatch and full coverage") {
+    val rows = Insights.srmCheck(spark, Sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("observed"), r.getAs[Double]("expected"),
+          r.getAs[Double]("chi2_contrib")))).toMap
+    assert(rows.keySet === Set("train", "val", "test"))
+    val total = rows.values.map(_._1).sum
+    assert(total === graft.util.Tables.t(spark, Sf, "documents").count())
+    // contiguous doc_ids 0..N-1: the modulo split is within 1 doc-decade
+    // of design, so every cell's chi2 contribution is rounding-level
+    rows.values.foreach { case (_, _, contrib) => assert(contrib < 1.0) }
+  }
+
+  test("embedOutliers: exact top-k matches a driver BigInt ranking") {
+    val got = graft.operators.Similarity.embedOutliers(spark, Sf, 20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("dist_sq")))
+    val vecs = graft.util.Tables.t(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).toArray.map(x =>
+          math.floor(x.toDouble * 1000.0 + 0.5).toLong))
+    val d = vecs.head._2.length
+    val n = BigInt(vecs.length)
+    val s = Array.tabulate(d)(i => BigInt(vecs.map(_._2(i)).sum))
+    val scored = vecs.map { case (id, v) =>
+      id -> (0 until d).map(i => { val c = n * BigInt(v(i)) - s(i); c * c }).sum
+    }
+    val expect = scored.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    assert(got.map(_._1).toSeq === expect.map(_._1).toSeq)
+    got.zip(expect).foreach { case ((_, dq), (_, sc)) =>
+      val exact = sc.toDouble / n.toDouble / n.toDouble / 1000000.0
+      assert(dq === math.floor(exact * 10000.0 + 0.5) / 10000.0)
+    }
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
