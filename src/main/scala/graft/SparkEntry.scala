@@ -342,6 +342,13 @@ object SparkEntry {
     "q_partial_corr"      -> q(Insights.partialCorr), // revenue~quantity controlling discount, one wide moment agg
     "q_did"               -> q(Insights.did), // difference-in-differences: BUILDING segment x 1998 cutoff
     "q_srm"               -> q(Insights.srmCheck), // sample-ratio mismatch: observed vs designed 80/10/10 split
+    // round-9g additions (survival + regression-diagnostics tier)
+    "q_logrank"           -> q(Insights.logrank(_, _, 90)), // two-group log-rank survival test, DECIMAL-accumulated e1/v terms
+    "q_nelson_aalen"      -> q(Insights.nelsonAalen(_, _, 90)), // cumulative hazard + Fleming-Harrington survival, same KM grain
+    "q_durbin_watson"     -> q(Insights.durbinWatson), // DW first-order residual autocorrelation on the daily-revenue OLS
+    "q_ljung_box"         -> q(Insights.ljungBox(_, _, 5)), // portmanteau white-noise test, exact integer ACF, lags 1-5
+    "q_ols_multi"         -> q(Insights.olsMulti), // two-predictor OLS via exact-moment normal equations + R2
+    "q_bh_fdr"            -> q(Insights.bhFdr(_, _, 500)), // Benjamini-Hochberg step-up over per-brand z-tests, A&S erfc p-values
     // round-9b additions (directed-graph ranking tier)
     "q_hits"              -> q(Insights.hits), // HITS hubs/authorities, 3 normalized rounds, Long fixed-point, unrolled oracle
     "q_link_pred_jaccard" -> q(Insights.linkPredJaccard(_, _, 2, 50)), // neighbor-set Jaccard link prediction for non-adjacent pairs
@@ -2813,6 +2820,244 @@ object SparkEntry {
         |       * 10000.0 + 0.5) / 10000.0 AS chi2_contrib
         |FROM obs CROSS JOIN tot JOIN alloc USING (split)
         |ORDER BY split""".stripMargin,
+
+    "q_logrank" ->
+      """WITH pc AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+        |                   max(CAST(o_orderdate AS DATE)) AS l
+        |            FROM orders GROUP BY 1),
+        |seg AS (SELECT c_custkey,
+        |               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        |        FROM customer),
+        |hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS hz FROM orders),
+        |dur AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t, g1,
+        |               CASE WHEN date_diff('day', l, hz) > 90 THEN 1 ELSE 0 END AS ev
+        |        FROM pc JOIN seg ON o_custkey = c_custkey CROSS JOIN hz),
+        |grain AS (SELECT t, CAST(sum(ev * g1) AS BIGINT) AS d1,
+        |                 CAST(sum(ev * (1 - g1)) AS BIGINT) AS d2,
+        |                 CAST(sum(g1) AS BIGINT) AS c1,
+        |                 CAST(sum(1 - g1) AS BIGINT) AS c2
+        |          FROM dur GROUP BY t),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS nt1,
+        |               CAST(sum(c2) AS BIGINT) AS nt2 FROM grain),
+        |curve AS (SELECT t, d1, d2, nt1, nt2,
+        |  nt1 - COALESCE(sum(c1) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        |  nt2 - COALESCE(sum(c2) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+        |  FROM grain CROSS JOIN tot),
+        |ev AS (SELECT nt1, nt2, d1, d2, n1, n2, d1 + d2 AS d, n1 + n2 AS n
+        |       FROM curve WHERE d1 + d2 > 0),
+        |terms AS (SELECT nt1, nt2, d1, d2,
+        |  CAST(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |       AS DECIMAL(28,8)) AS e1,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |         * CAST(n - d AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+        |         AS DECIMAL(28,8))
+        |  ELSE CAST(0 AS DECIMAL(28,8)) END AS v
+        |  FROM ev)
+        |SELECT max(nt1) AS n_group1, max(nt2) AS n_group2,
+        | CAST(sum(d1) AS BIGINT) AS observed1,
+        | floor(CAST(sum(e1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS expected1,
+        | CAST(sum(d2) AS BIGINT) AS observed2,
+        | floor((CAST(sum(d1) AS DOUBLE) - CAST(sum(e1) AS DOUBLE))
+        |       * (CAST(sum(d1) AS DOUBLE) - CAST(sum(e1) AS DOUBLE))
+        |       / CAST(sum(v) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS chi2
+        |FROM terms""".stripMargin,
+
+    "q_nelson_aalen" ->
+      """WITH pc AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+        |                   max(CAST(o_orderdate AS DATE)) AS l
+        |            FROM orders GROUP BY 1),
+        |hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS hz FROM orders),
+        |dur AS (SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+        |               CASE WHEN date_diff('day', l, hz) > 90 THEN 1 ELSE 0 END AS ev
+        |        FROM pc CROSS JOIN hz),
+        |grain AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |                 CAST(count(*) AS BIGINT) AS c
+        |          FROM dur GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM grain),
+        |curve AS (SELECT t, d, c,
+        |  n_total - COALESCE(sum(c) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        |  FROM grain CROSS JOIN tot),
+        |acc AS (SELECT t, d, n_risk,
+        |  sum(CAST(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS DECIMAL(28,8)))
+        |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS h
+        |  FROM curve)
+        |SELECT t AS duration_days, CAST(n_risk AS BIGINT) AS n_risk, d AS deaths,
+        | floor(CAST(h AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cum_hazard,
+        | floor(exp(-CAST(h AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS fh_survival
+        |FROM acc WHERE d > 0 ORDER BY duration_days""".stripMargin,
+
+    "q_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT min(d) AS d0 FROM daily),
+        |pts AS (SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+        |        FROM daily CROSS JOIN base),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        | FROM pts),
+        |fit AS (SELECT n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx FROM m),
+        |resid AS (SELECT x, n,
+        |  CAST(y AS DOUBLE) - (my + b * (CAST(x AS DOUBLE) - mx)) AS e
+        |  FROM pts CROSS JOIN fit),
+        |led AS (SELECT n, e, lag(e, 1) OVER (ORDER BY x ASC) AS ep FROM resid)
+        |SELECT max(n) AS n_days,
+        | floor(CAST(sum(CASE WHEN ep IS NOT NULL
+        |                     THEN CAST((e - ep) * (e - ep) AS DECIMAL(38,8))
+        |                     ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+        |       / CAST(sum(CAST(e * e AS DECIMAL(38,8))) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS dw
+        |FROM led""".stripMargin,
+
+    "q_ljung_box" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |                      CAST(count(*) AS BIGINT) AS y
+        |               FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(y) AS BIGINT) AS s FROM daily),
+        |z AS (SELECT d, n, n * y - s AS z FROM daily CROSS JOIN tot),
+        |led AS (SELECT n, z,
+        |  lag(z, 1) OVER w AS z1, lag(z, 2) OVER w AS z2,
+        |  lag(z, 3) OVER w AS z3, lag(z, 4) OVER w AS z4,
+        |  lag(z, 5) OVER w AS z5
+        | FROM z WINDOW w AS (ORDER BY d ASC)),
+        |m AS (SELECT max(n) AS n,
+        |  CAST(sum(CAST(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS c0,
+        |  CAST(sum(CASE WHEN z1 IS NOT NULL
+        |    THEN CAST(CAST(z AS DECIMAL(19,0)) * CAST(z1 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS c1,
+        |  CAST(sum(CASE WHEN z2 IS NOT NULL
+        |    THEN CAST(CAST(z AS DECIMAL(19,0)) * CAST(z2 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS c2,
+        |  CAST(sum(CASE WHEN z3 IS NOT NULL
+        |    THEN CAST(CAST(z AS DECIMAL(19,0)) * CAST(z3 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS c3,
+        |  CAST(sum(CASE WHEN z4 IS NOT NULL
+        |    THEN CAST(CAST(z AS DECIMAL(19,0)) * CAST(z4 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS c4,
+        |  CAST(sum(CASE WHEN z5 IS NOT NULL
+        |    THEN CAST(CAST(z AS DECIMAL(19,0)) * CAST(z5 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS c5
+        | FROM led),
+        |lags AS (
+        |  SELECT n, 1 AS lg, CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS rk FROM m
+        |  UNION ALL SELECT n, 2, CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM m
+        |  UNION ALL SELECT n, 3, CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM m
+        |  UNION ALL SELECT n, 4, CAST(c4 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM m
+        |  UNION ALL SELECT n, 5, CAST(c5 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM m),
+        |acc AS (SELECT n, lg, rk,
+        |  sum(CAST(rk * rk / CAST(n - lg AS DOUBLE) AS DECIMAL(38,18)))
+        |    OVER (ORDER BY lg ROWS UNBOUNDED PRECEDING) AS qsum
+        | FROM lags)
+        |SELECT CAST(lg AS BIGINT) AS lag_k,
+        | floor(rk * 10000.0 + 0.5) / 10000.0 AS acf,
+        | floor(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * CAST(qsum AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS q_stat
+        |FROM acc ORDER BY lag_k""".stripMargin,
+
+    "q_ols_multi" ->
+      """WITH li AS (SELECT
+        |  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+        |  CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,
+        |  CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS z
+        | FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |  CAST(sum(CAST(z AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sz,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxz,
+        |  CAST(sum(CAST(CAST(y AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szy,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |  CAST(sum(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+        |  CAST(sum(CAST(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS szz
+        | FROM li),
+        |cent AS (SELECT n,
+        |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+        |  CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS czz,
+        |  CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) AS cxz,
+        |  CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+        |  CAST(n AS DOUBLE) * CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE) AS czy,
+        |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+        |  CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS mz,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+        | FROM m),
+        |fit AS (SELECT n, mx, mz, my, cxy, czy, cyy,
+        |  (czz * cxy - cxz * czy) / (cxx * czz - cxz * cxz) AS b1,
+        |  (cxx * czy - cxz * cxy) / (cxx * czz - cxz * cxz) AS b2
+        | FROM cent)
+        |SELECT n AS n_lines,
+        | floor((my - b1 * mx - b2 * mz) * 10000.0 + 0.5) / 10000.0 AS intercept,
+        | floor(b1 * 10000.0 + 0.5) / 10000.0 AS b_quantity,
+        | floor(b2 * 10000.0 + 0.5) / 10000.0 AS b_discount,
+        | floor((b1 * cxy + b2 * czy) / cyy * 10000.0 + 0.5) / 10000.0 AS r2
+        |FROM fit""".stripMargin,
+
+    "q_bh_fdr" ->
+      """WITH li AS (SELECT p_brand,
+        |  CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x
+        | FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS ng,
+        |             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg
+        |      FROM li GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        | FROM li),
+        |zs AS (SELECT p_brand, ng,
+        |  (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - mu)
+        |    * sqrt(CAST(ng AS DOUBLE)) / sigma AS z
+        | FROM (SELECT p_brand, ng, sg,
+        |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         sqrt((CAST(s2 AS DOUBLE)
+        |               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |              / CAST(n AS DOUBLE)) AS sigma
+        |       FROM g CROSS JOIN tot)),
+        |pv AS (SELECT p_brand, ng, z,
+        |  (((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+        |     - 0.284496736) * tt + 0.254829592) * tt) * exp(-az * az) AS p
+        | FROM (SELECT p_brand, ng, z, az, 1.0 / (1.0 + 0.3275911 * az) AS tt
+        |       FROM (SELECT p_brand, ng, z, abs(z) / sqrt(2.0) AS az FROM zs))),
+        |mc AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+        |rk AS (SELECT pv.*, m,
+        |         row_number() OVER (ORDER BY p ASC, p_brand ASC) AS i
+        |       FROM pv CROSS JOIN mc),
+        |qv AS (SELECT *,
+        |  min(CAST(m AS DOUBLE) * p / CAST(i AS DOUBLE))
+        |    OVER (ORDER BY p DESC, p_brand DESC ROWS UNBOUNDED PRECEDING) AS q,
+        |  CASE WHEN p <= CAST(i AS DOUBLE) * 0.05 / CAST(m AS DOUBLE)
+        |       THEN 1 ELSE 0 END AS pass
+        | FROM rk),
+        |fin AS (SELECT *, max(pass) OVER (ORDER BY i ASC
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS disc
+        |        FROM qv)
+        |SELECT p_brand, ng AS n_lines,
+        | floor(z * 10000.0 + 0.5) / 10000.0 AS z,
+        | floor(p * 10000.0 + 0.5) / 10000.0 AS p_value,
+        | floor(q * 10000.0 + 0.5) / 10000.0 AS q_value,
+        | disc = 1 AS discovery
+        |FROM fin ORDER BY p_brand""".stripMargin,
 
     "q_embed_outliers" ->
       """WITH ex AS (

@@ -2526,14 +2526,16 @@ object Insights {
     * treated = BUILDING-segment customers, post = orders from 1998-01-01,
     * outcome = mean order value. DiD = (ȳ_T,post − ȳ_T,pre) −
     * (ȳ_C,post − ȳ_C,pre), from four exact DECIMAL sums/counts in one
-    * grouped aggregate (fact-linear; the dim join broadcasts). Doubles
-    * only in the four means and the final difference.
+    * grouped aggregate. The customer→treated map is fact-scaling (customer
+    * grows with SF), so NO broadcast hint — AQE broadcasts the 2-column
+    * projection while it fits and degrades to a shuffled join at 100 TB.
+    * Doubles only in the four means and the final difference.
     */
   def did(spark: SparkSession, sfDir: String): DataFrame = {
     val cut = "1998-01-01"
     val grp = t(spark, sfDir, "orders")
-      .join(broadcast(t(spark, sfDir, "customer")
-        .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("treated"))),
+      .join(t(spark, sfDir, "customer")
+        .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("treated")),
         col("o_custkey") === col("c_custkey"))
       .select(col("treated"),
               (col("o_orderdate").cast("date") >= lit(cut).cast("date")).as("post"),
@@ -2583,6 +2585,344 @@ object Insights {
                     .stripMargin.replace("\n", " "))).as("chi2_contrib")),
       "split")
   }
+
+  /** Log-rank test — the two-group survival comparison (Mantel 1966): do
+    * BUILDING-segment customers stay active longer than the rest? Same
+    * lifetime/censoring construction as [[survivalKm]] (duration = first→
+    * last order, censored within `censorDays` of the horizon), but the
+    * duration grain now carries per-group deaths/totals. At each event
+    * time the group-1 expected deaths e₁ = d·n₁/n and hypergeometric
+    * variance v = d·(n₁/n)·(n₂/n)·(n−d)/(n−1) accumulate as
+    * DECIMAL(28,8)-cast terms (associative — partition-order independent,
+    * the survivalKm ln-sum discipline); χ² = (O₁−E₁)²/V is one final
+    * double. The grain is calendar-bounded (≤ span-in-days rows at any
+    * fact volume), so the unpartitioned prefix-sum windows run over a
+    * broadcast-sized frame no matter the SF — the same scale argument as
+    * the KM curve itself.
+    */
+  def logrank(spark: SparkSession, sfDir: String,
+              censorDays: Int = 90): DataFrame = {
+    val perCust = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("f"),
+           max(col("o_orderdate").cast("date")).as("l"))
+    val seg = t(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+              when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("g1"))
+    val horizon = t(spark, sfDir, "orders")
+      .agg(max(col("o_orderdate").cast("date")).as("hz"))
+    // customer scales with SF: no broadcast hint — AQE decides (q_did rule)
+    val dur = perCust
+      .join(seg, col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(horizon))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+              col("g1"),
+              when(datediff(col("hz"), col("l")) > censorDays, 1L)
+                .otherwise(0L).as("ev"))
+    val grain = dur.groupBy(col("t"))
+      .agg(sum(col("ev") * col("g1")).as("d1"),
+           sum(col("ev") * (lit(1L) - col("g1"))).as("d2"),
+           sum(col("g1")).as("c1"),
+           sum(lit(1L) - col("g1")).as("c2"))
+    val wOrd = Window.orderBy(col("t").asc)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val total = grain.agg(sum(col("c1")).as("nt1"), sum(col("c2")).as("nt2"))
+    val curve = grain.crossJoin(broadcast(total))
+      .withColumn("n1", col("nt1") - coalesce(sum(col("c1")).over(wPrev), lit(0L)))
+      .withColumn("n2", col("nt2") - coalesce(sum(col("c2")).over(wPrev), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .filter(col("d") > 0)
+      .withColumn("e1",
+        (col("d").cast("double") * col("n1").cast("double") /
+         col("n").cast("double")).cast("decimal(28,8)"))
+      .withColumn("v",
+        when(col("n") > 1,
+          (col("d").cast("double") * col("n1").cast("double") *
+           col("n2").cast("double") * (col("n") - col("d")).cast("double") /
+           (col("n").cast("double") * col("n").cast("double") *
+            (col("n") - 1).cast("double"))).cast("decimal(28,8)"))
+          .otherwise(lit(0).cast("decimal(28,8)")))
+    curve.agg(max(col("nt1")).as("n_group1"), max(col("nt2")).as("n_group2"),
+              sum(col("d1")).as("o1"), sum(col("e1")).as("se1"),
+              sum(col("d2")).as("o2"), sum(col("v")).as("sv"))
+      .select(col("n_group1"), col("n_group2"),
+              col("o1").as("observed1"),
+              r4(col("se1").cast("double")).as("expected1"),
+              col("o2").as("observed2"),
+              r4(expr("""(cast(o1 as double) - cast(se1 as double))
+                        |* (cast(o1 as double) - cast(se1 as double))
+                        |/ cast(sv as double)"""
+                .stripMargin.replace("\n", " "))).as("chi2"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator — the additive dual of the
+    * KM product: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the SAME duration grain as
+    * [[survivalKm]], with each hazard increment cast to DECIMAL(28,8) so
+    * the running sum is associative, plus the Fleming–Harrington survival
+    * S̃(t) = e^(−H(t)) it implies. Where the KM curve needed a hit-zero
+    * flag for the n = d terminal time, the NA estimator just adds 1 —
+    * hazard stays finite, which is WHY actuaries plot H. Same
+    * calendar-bounded grain ⇒ same 100 TB shape.
+    */
+  def nelsonAalen(spark: SparkSession, sfDir: String,
+                  censorDays: Int = 90): DataFrame = {
+    val perCust = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("f"),
+           max(col("o_orderdate").cast("date")).as("l"))
+    val horizon = t(spark, sfDir, "orders")
+      .agg(max(col("o_orderdate").cast("date")).as("hz"))
+    val dur = perCust.crossJoin(broadcast(horizon))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+              when(datediff(col("hz"), col("l")) > censorDays, 1L)
+                .otherwise(0L).as("ev"))
+    val grain = dur.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("c"))
+    val wOrd = Window.orderBy(col("t").asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val total = grain.agg(sum(col("c")).as("n_total"))
+    ordered(
+      grain.crossJoin(broadcast(total))
+        .withColumn("n_risk",
+          col("n_total") - coalesce(sum(col("c")).over(wPrev), lit(0L)))
+        .withColumn("hterm",
+          (col("d").cast("double") / col("n_risk").cast("double"))
+            .cast("decimal(28,8)"))
+        .withColumn("h", sum(col("hterm")).over(wCum))
+        .filter(col("d") > 0)
+        .select(col("t").as("duration_days"), col("n_risk"),
+                col("d").as("deaths"),
+                r4(col("h").cast("double")).as("cum_hazard"),
+                r4(exp(-col("h").cast("double"))).as("fh_survival")),
+      "duration_days")
+  }
+
+  /** Durbin–Watson statistic — the first-order autocorrelation screen on
+    * regression residuals: daily revenue regressed on the day index (the
+    * exact-moment OLS of q_regr_agg), then DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² over the
+    * date-ordered residual series. Slope/intercept come from one wide
+    * aggregate of DECIMAL(38,0) integer moments (cents × day-index —
+    * exact); residuals are per-row doubles from those exact inputs, and
+    * both quadratic sums accumulate as DECIMAL(28,8) casts so the answer
+    * is partition-order independent. The series is DATE-grain — calendar-
+    * bounded, so the unpartitioned lag window is broadcast-sized at any
+    * SF; the fact table only ever feeds one hash-agg.
+    */
+  def durbinWatson(spark: SparkSession, sfDir: String): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("y"))
+    val base = daily.agg(min(col("d")).as("d0"))
+    val pts = daily.crossJoin(broadcast(base))
+      .select(datediff(col("d"), col("d0")).cast("long").as("x"), col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x").cast(d190) * col("y").cast(d190)).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x").cast(d190) * col("x").cast(d190)).cast("decimal(38,0)")).as("sxx"))
+      .select(col("n"),
+              expr("""(cast(n as double) * cast(sxy as double)
+                     | - cast(sx as double) * cast(sy as double))
+                     |/ (cast(n as double) * cast(sxx as double)
+                     |   - cast(sx as double) * cast(sx as double))"""
+                .stripMargin.replace("\n", " ")).as("b"),
+              expr("cast(sy as double) / cast(n as double)").as("my"),
+              expr("cast(sx as double) / cast(n as double)").as("mx"))
+    val wOrd = Window.orderBy(col("x").asc)
+    val resid = pts.crossJoin(broadcast(m))
+      .select(col("x"), col("n"),
+              (col("y").cast("double") -
+               (col("my") + col("b") * (col("x").cast("double") - col("mx"))))
+                .as("e"))
+      .withColumn("ep", lag(col("e"), 1).over(wOrd))
+    // (38,8), not the suite's usual (28,8): residuals are daily-revenue
+    // cents, so e² needs ~2·log10(daily volume) integer digits — (38,8)'s
+    // 30 give headroom past a 10⁵× volume scale-up where (28,8) overflows
+    // already at the 10× decade
+    resid.agg(
+        max(col("n")).as("n_days"),
+        sum((col("e") * col("e")).cast("decimal(38,8)")).as("sse"),
+        sum(when(col("ep").isNotNull,
+                 ((col("e") - col("ep")) * (col("e") - col("ep")))
+                   .cast("decimal(38,8)"))
+              .otherwise(lit(0).cast("decimal(38,8)"))).as("sdd"))
+      .select(col("n_days"),
+              r4(expr("cast(sdd as double) / cast(sse as double)")).as("dw"))
+  }
+
+  /** Ljung–Box portmanteau test — "is this series white noise", the
+    * companion diagnostic to [[autocorr]]: Q(m) = n(n+2)·Σ_{k≤m} r²ₖ/(n−k)
+    * over the daily order-count series, lags 1–5. Unlike autocorr's
+    * Pearson-of-pairs estimator this uses the TEXTBOOK ACF — r_k =
+    * c_k/c_0 about the global mean — and because counts are integers the
+    * mean-centered products clear denominators exactly:
+    * (yₜ−S/n)(yₜ₊ₖ−S/n)·n² = (n·yₜ−S)(n·yₜ₊ₖ−S), so every r_k is a ratio
+    * of two exact DECIMAL(38,0) sums and the n³ scale factors cancel.
+    * The series is date-grain (calendar-bounded ⇒ the 5-lag window and
+    * the final fold run on a broadcast-sized frame); the fact table feeds
+    * one hash-agg. Output: one row per lag with r_k and the cumulative Q.
+    */
+  def ljungBox(spark: SparkSession, sfDir: String, m: Int = 5): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val wOrd = Window.orderBy(col("d").asc)
+    // centered value scaled by n: z_t = n*y_t - S (exact integers)
+    val z = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"), (col("n") * col("y") - col("s")).as("z"))
+    val lagged = (1 to m).foldLeft(z) { (df, k) =>
+      df.withColumn(s"z$k", lag(col("z"), k).over(wOrd))
+    }
+    val aggs =
+      sum((col("z").cast(d190) * col("z").cast(d190)).cast("decimal(38,0)")).as("c0") +:
+      (1 to m).map(k =>
+        sum(when(col(s"z$k").isNotNull,
+                 (col("z").cast(d190) * col(s"z$k").cast(d190)).cast("decimal(38,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as(s"c$k"))
+    val wide = lagged.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(tot.select(col("n"))))
+    // unpivot lags to rows, then cumulative Q over the m-row frame
+    val stacked = wide.select(col("n"),
+      expr((1 to m).map(k => s"$k, cast(c$k as double) / cast(c0 as double)")
+        .mkString("stack(" + m + ", ", ", ", ") as (lag, rk)")))
+    val wCum = Window.orderBy(col("lag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered(
+      stacked
+        .withColumn("qterm",
+          // r²/(n−k) ~ 1e-7: (38,18) keeps ~11 significant digits where
+          // the suite's usual (28,8) would keep one
+          ((col("rk") * col("rk")).cast("double") /
+           (col("n") - col("lag")).cast("double")).cast("decimal(38,18)"))
+        .withColumn("qsum", sum(col("qterm")).over(wCum))
+        .select(col("lag").cast("long").as("lag_k"), r4(col("rk")).as("acf"),
+                r4(col("n").cast("double") * (col("n") + 2).cast("double") *
+                   col("qsum").cast("double")).as("q_stat")),
+      "lag_k")
+  }
+
+  /** Two-predictor OLS — revenue ~ quantity + discount at line grain via
+    * closed-form normal equations, the multiple-regression step up from
+    * q_regr_agg's simple fit: b = (XᵀX)⁻¹Xᵀy computed from ONE wide
+    * aggregate of exact DECIMAL(38,0) integer moments (cents / quantity
+    * cents / discount basis points — the [[partialCorr]] discipline),
+    * centered sums Sxx = n·Σx²−(Σx)² etc. combined in doubles only in the
+    * final 2×2 Cramer solve. Also reports R². One fact-linear hash-agg,
+    * nothing else touches the data — the regression that runs at 100 TB
+    * because it never materializes a design matrix.
+    */
+  def olsMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val li = t(spark, sfDir, "lineitem")
+      .select(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("y"),
+              floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("x"),
+              floor(col("l_discount") * 10000.0 + 0.5).cast("long").as("z"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(col("z").cast("decimal(38,0)")).as("sz"),
+      sum((col("x").cast(d190) * col("y").cast(d190)).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x").cast(d190) * col("z").cast(d190)).cast("decimal(38,0)")).as("sxz"),
+      sum((col("y").cast(d190) * col("z").cast(d190)).cast("decimal(38,0)")).as("szy"),
+      sum((col("x").cast(d190) * col("x").cast(d190)).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y").cast(d190) * col("y").cast(d190)).cast("decimal(38,0)")).as("syy"),
+      sum((col("z").cast(d190) * col("z").cast(d190)).cast("decimal(38,0)")).as("szz"))
+    // centered second moments (×n² scale cancels in every ratio below)
+    val cent = m.select(col("n"),
+      expr("cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)").as("cxx"),
+      expr("cast(n as double) * cast(szz as double) - cast(sz as double) * cast(sz as double)").as("czz"),
+      expr("cast(n as double) * cast(sxz as double) - cast(sx as double) * cast(sz as double)").as("cxz"),
+      expr("cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)").as("cxy"),
+      expr("cast(n as double) * cast(szy as double) - cast(sz as double) * cast(sy as double)").as("czy"),
+      expr("cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)").as("cyy"),
+      expr("cast(sx as double) / cast(n as double)").as("mx"),
+      expr("cast(sz as double) / cast(n as double)").as("mz"),
+      expr("cast(sy as double) / cast(n as double)").as("my"))
+    cent
+      .withColumn("det", expr("cxx * czz - cxz * cxz"))
+      .withColumn("b1", expr("(czz * cxy - cxz * czy) / det"))
+      .withColumn("b2", expr("(cxx * czy - cxz * cxy) / det"))
+      .select(col("n").as("n_lines"),
+              r4(expr("my - b1 * mx - b2 * mz")).as("intercept"),
+              r4(col("b1")).as("b_quantity"),
+              r4(col("b2")).as("b_discount"),
+              r4(expr("(b1 * cxy + b2 * czy) / cyy")).as("r2"))
+  }
+
+  /** Benjamini–Hochberg FDR control — the multiple-testing gate every
+    * per-segment metric scan needs: per part-brand z-test of mean
+    * quantity against the corpus mean (σ from the global series, exact
+    * integer moments), two-sided p via the Abramowitz–Stegun 7.1.26 erfc
+    * polynomial (max abs error 1.5e-7 — a FIXED closed-form arithmetic
+    * formula, so any engine reproduces it bit-for-bit modulo one exp
+    * call), then the BH step-up at α = 0.05: sort p ascending, reject
+    * ranks ≤ max{i : pᵢ ≤ i·α/m}, and report the monotone q-value
+    * (suffix-min of m·pᵢ/i). Group count m is brand-bounded (~25) at any
+    * SF, so the rank/suffix windows run on a broadcast-sized frame; the
+    * fact table feeds exactly one hash-agg.
+    */
+  def bhFdr(spark: SparkSession, sfDir: String,
+            alphaBp: Int = 500): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val li = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+              floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("x"))
+    val g = li.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("ng"), sum(col("x").cast("decimal(38,0)")).as("sg"))
+    val tot = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("s"),
+      sum((col("x").cast(d190) * col("x").cast(d190)).cast("decimal(38,0)")).as("s2"))
+    // z = (m_g - mu) * sqrt(ng) / sigma; two-sided p = erfc(|z|/sqrt2)
+    // computed DIRECTLY as the A&S 7.1.26 tail polynomial (not 1 - erf,
+    // which underflows to exactly 0 long before the polynomial does)
+    val erfcTail = """(((((1.061405429 * tt - 1.453152027) * tt
+                   | + 1.421413741) * tt - 0.284496736) * tt
+                   | + 0.254829592) * tt) * exp(-az * az)"""
+      .stripMargin.replace("\n", " ")
+    val scored = g.crossJoin(broadcast(tot))
+      .withColumn("mu", expr("cast(s as double) / cast(n as double)"))
+      .withColumn("sigma",
+        expr("""sqrt((cast(s2 as double)
+               | - cast(s as double) * cast(s as double) / cast(n as double))
+               |/ cast(n as double))""".stripMargin.replace("\n", " ")))
+      .withColumn("z",
+        expr("(cast(sg as double) / cast(ng as double) - mu) * sqrt(cast(ng as double)) / sigma"))
+      .withColumn("az", expr("abs(z) / sqrt(2.0)"))
+      .withColumn("tt", expr("1.0 / (1.0 + 0.3275911 * az)"))
+      .withColumn("p", expr(erfcTail))
+    val mCnt = scored.agg(count(lit(1)).as("m"))
+    val wRank = Window.orderBy(col("p").asc, col("p_brand").asc)
+    val wSuffix = Window.orderBy(col("p").desc, col("p_brand").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = scored.crossJoin(broadcast(mCnt))
+      .withColumn("i", row_number().over(wRank))
+      .withColumn("qraw",
+        expr("cast(m as double) * p / cast(i as double)"))
+      .withColumn("q", min(col("qraw")).over(wSuffix))
+      .withColumn("pass", col("p") <= col("i").cast("double") *
+        lit(alphaBp.toDouble / 10000.0) / col("m").cast("double"))
+    val kMax = Window.orderBy(col("i").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ordered(
+      ranked
+        .withColumn("discovery", max(when(col("pass"), 1).otherwise(0)).over(kMax) === 1)
+        .select(col("p_brand"), col("ng").as("n_lines"),
+                r4(col("z")).as("z"), r4(col("p")).as("p_value"),
+                r4(col("q")).as("q_value"), col("discovery")),
+      "p_brand")
+  }
+
   def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val monthly = t(spark, sfDir, "lineitem")

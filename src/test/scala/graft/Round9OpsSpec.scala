@@ -445,6 +445,237 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- round-9g: survival + regression-diagnostics tier ----
+
+  private def custLifetimes(censorDays: Int): Array[(Long, Long, Long)] = {
+    // (custkey, duration_days, event) — the survivalKm/logrank construction
+    val perCust = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate").cast("date")).as("f"),
+           max(col("o_orderdate").cast("date")).as("l"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("f").toLocalDate,
+                 r.getAs[java.sql.Date]("l").toLocalDate))
+    val hz = perCust.map(_._3).maxBy(_.toEpochDay)
+    perCust.map { case (ck, f, l) =>
+      (ck, l.toEpochDay - f.toEpochDay,
+       if (hz.toEpochDay - l.toEpochDay > censorDays) 1L else 0L)
+    }
+  }
+
+  private def dec8(x: Double): BigDecimal =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+
+  test("logrank: matches a sequential fold with the same DECIMAL term " +
+       "accumulation; margins tie to survivalKm's population") {
+    val r = Insights.logrank(spark, Sf, 90).collect().head
+    val seg = graft.util.Tables.t(spark, Sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(x => x.getLong(0) -> (x.getString(1) == "BUILDING")).toMap
+    val lives = custLifetimes(90).map { case (ck, t, ev) => (seg(ck), t, ev) }
+    val n1tot = lives.count(_._1).toLong
+    val n2tot = lives.length - n1tot
+    // sequential sweep over event times in ascending duration order
+    val times = lives.map(_._2).distinct.sorted
+    var (rem1, rem2) = (n1tot, lives.length - n1tot)
+    var (o1, o2) = (0L, 0L)
+    var (e1s, vs) = (BigDecimal(0), BigDecimal(0))
+    times.foreach { t =>
+      val at = lives.filter(_._2 == t)
+      val d1 = at.count(x => x._1 && x._3 == 1L).toLong
+      val d2 = at.count(x => !x._1 && x._3 == 1L).toLong
+      val (d, n, n1, n2) = (d1 + d2, rem1 + rem2, rem1, rem2)
+      if (d > 0) {
+        o1 += d1; o2 += d2
+        e1s += dec8(d.toDouble * n1.toDouble / n.toDouble)
+        if (n > 1)
+          vs += dec8(d.toDouble * n1.toDouble * n2.toDouble * (n - d).toDouble /
+                     (n.toDouble * n.toDouble * (n - 1).toDouble))
+      }
+      rem1 -= at.count(_._1); rem2 -= at.count(!_._1)
+    }
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Long]("n_group1") === n1tot)
+    assert(r.getAs[Long]("n_group2") === n2tot)
+    assert(r.getAs[Long]("observed1") === o1)
+    assert(r.getAs[Long]("observed2") === o2)
+    assert(r.getAs[Double]("expected1") === rr(e1s.toDouble))
+    assert(r.getAs[Double]("chi2") === rr(
+      (o1 - e1s.toDouble) * (o1 - e1s.toDouble) / vs.toDouble))
+  }
+
+  test("nelsonAalen: shares survivalKm's grain exactly; -ln(KM) dominates " +
+       "the NA hazard and FH survival dominates KM") {
+    val na = Insights.nelsonAalen(spark, Sf, 90).collect()
+      .map(r => r.getAs[Long]("duration_days") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("deaths"),
+          r.getAs[Double]("cum_hazard"), r.getAs[Double]("fh_survival")))).toMap
+    val km = Insights.survivalKm(spark, Sf, 90).collect()
+      .map(r => r.getAs[Long]("duration_days") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("deaths"),
+          r.getAs[Double]("survival")))).toMap
+    assert(na.keySet === km.keySet)
+    assert(na.nonEmpty)
+    na.foreach { case (t, (nr, d, h, fh)) =>
+      val (knr, kd, ks) = km(t)
+      assert(nr === knr, s"t=$t n_risk"); assert(d === kd, s"t=$t deaths")
+      // 1-x <= e^-x termwise => KM <= FH survival (equality only pre-death)
+      assert(fh >= ks - 1e-9, s"t=$t FH >= KM")
+      // hazard is nonneg and nondecreasing is checked via the map below
+      assert(h >= 0.0)
+    }
+    val sortedH = na.toSeq.sortBy(_._1).map(_._2._3)
+    assert(sortedH === sortedH.sorted, "cumulative hazard must be monotone")
+  }
+
+  test("durbinWatson: matches a sequential OLS-residual fold") {
+    val r = Insights.durbinWatson(spark, Sf).collect().head
+    val daily = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("y"))
+      .orderBy("d").collect()
+      .map(x => (x.getAs[java.sql.Date]("d").toLocalDate, x.getLong(1)))
+    val d0 = daily.head._1
+    val pts = daily.map { case (d, y) => (d.toEpochDay - d0.toEpochDay, y) }
+    val n = pts.length
+    val (sx, sy) = (pts.map(p => BigInt(p._1)).sum, pts.map(p => BigInt(p._2)).sum)
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val b = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+            (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val (my, mx) = (sy.toDouble / n, sx.toDouble / n)
+    val es = pts.map { case (x, y) => y.toDouble - (my + b * (x.toDouble - mx)) }
+    val sse = es.map(e => dec8(e * e)).sum
+    val sdd = es.sliding(2).collect { case Array(p, c) => dec8((c - p) * (c - p)) }.sum
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(r.getAs[Double]("dw") ===
+      math.floor(sdd.toDouble / sse.toDouble * 10000.0 + 0.5) / 10000.0)
+  }
+
+  test("ljungBox: exact integer ACF matches a BigInt fold; Q is " +
+       "positive and cumulative in the lag") {
+    val rows = Insights.ljungBox(spark, Sf, 5).collect()
+      .sortBy(_.getAs[Long]("lag_k"))
+      .map(r => (r.getAs[Long]("lag_k"), r.getAs[Double]("acf"),
+                 r.getAs[Double]("q_stat")))
+    val daily = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("d").collect().map(_.getLong(1))
+    val n = daily.length
+    val s = daily.sum
+    val z = daily.map(y => BigInt(n.toLong * y - s))
+    val c0 = z.map(x => x * x).sum
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    var qsum = BigDecimal(0)
+    (1 to 5).foreach { k =>
+      val ck = (0 until n - k).map(i => z(i) * z(i + k)).sum
+      val rk = ck.toDouble / c0.toDouble
+      qsum += BigDecimal(rk * rk / (n - k).toDouble)
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+      val (lg, acf, q) = rows(k - 1)
+      assert(lg === k.toLong)
+      assert(acf === rr(rk), s"lag $k acf")
+      assert(q === rr(n.toDouble * (n + 2).toDouble * qsum.toDouble), s"lag $k Q")
+      assert(q >= 0.0)
+    }
+    // Q accumulates: nondecreasing in the lag
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq)
+  }
+
+  test("olsMulti: normal-equation solution matches a BigInt moment fold; " +
+       "residuals are orthogonal to both predictors") {
+    val r = Insights.olsMulti(spark, Sf).collect().head
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"),
+              floor(col("l_quantity") * 100.0 + 0.5).cast("long"),
+              floor(col("l_discount") * 10000.0 + 0.5).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val n = li.length
+    def bsum(f: ((Long, Long, Long)) => BigInt) = li.map(f).sum
+    val (sx, sy, sz) = (bsum(t => BigInt(t._2)), bsum(t => BigInt(t._1)), bsum(t => BigInt(t._3)))
+    val sxy = bsum(t => BigInt(t._2) * BigInt(t._1))
+    val sxz = bsum(t => BigInt(t._2) * BigInt(t._3))
+    val szy = bsum(t => BigInt(t._3) * BigInt(t._1))
+    val sxx = bsum(t => BigInt(t._2) * BigInt(t._2))
+    val syy = bsum(t => BigInt(t._1) * BigInt(t._1))
+    val szz = bsum(t => BigInt(t._3) * BigInt(t._3))
+    val nd = n.toDouble
+    val cxx = nd * sxx.toDouble - sx.toDouble * sx.toDouble
+    val czz = nd * szz.toDouble - sz.toDouble * sz.toDouble
+    val cxz = nd * sxz.toDouble - sx.toDouble * sz.toDouble
+    val cxy = nd * sxy.toDouble - sx.toDouble * sy.toDouble
+    val czy = nd * szy.toDouble - sz.toDouble * sy.toDouble
+    val cyy = nd * syy.toDouble - sy.toDouble * sy.toDouble
+    val det = cxx * czz - cxz * cxz
+    val b1 = (czz * cxy - cxz * czy) / det
+    val b2 = (cxx * czy - cxz * cxy) / det
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Long]("n_lines") === n.toLong)
+    assert(r.getAs[Double]("b_quantity") === rr(b1))
+    assert(r.getAs[Double]("b_discount") === rr(b2))
+    assert(r.getAs[Double]("intercept") === rr(
+      sy.toDouble / nd - b1 * sx.toDouble / nd - b2 * sz.toDouble / nd))
+    val r2 = (b1 * cxy + b2 * czy) / cyy
+    assert(r.getAs[Double]("r2") === rr(r2))
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    // normal equations ARE the orthogonality conditions: residual dot
+    // each centered predictor must vanish (relative to the moment scale)
+    val rx = cxy - b1 * cxx - b2 * cxz
+    val rz = czy - b1 * cxz - b2 * czz
+    assert(math.abs(rx) / (math.abs(cxy) + 1.0) < 1e-9)
+    assert(math.abs(rz) / (math.abs(czy) + 1.0) < 1e-9)
+  }
+
+  test("bhFdr: sequential BH step-up agrees; discoveries form a prefix of " +
+       "the p-ranked list and q-values are monotone") {
+    val rows = Insights.bhFdr(spark, Sf, 500).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Long]("n_lines"),
+                 r.getAs[Double]("z"), r.getAs[Double]("p_value"),
+                 r.getAs[Double]("q_value"), r.getAs[Boolean]("discovery")))
+    // sequential: exact moments per brand, same erfc polynomial
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .join(graft.util.Tables.t(spark, Sf, "part")
+              .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), floor(col("l_quantity") * 100.0 + 0.5).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = li.length
+    val s = li.map(x => BigInt(x._2)).sum
+    val s2 = li.map(x => BigInt(x._2) * BigInt(x._2)).sum
+    val mu = s.toDouble / n
+    val sigma = math.sqrt((s2.toDouble - s.toDouble * s.toDouble / n) / n)
+    def erfc(az: Double): Double = {
+      val tt = 1.0 / (1.0 + 0.3275911 * az)
+      (((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+        - 0.284496736) * tt + 0.254829592) * tt) * math.exp(-az * az)
+    }
+    val pv = li.groupBy(_._1).map { case (b, xs) =>
+      val ng = xs.length
+      val mg = xs.map(x => BigInt(x._2)).sum.toDouble / ng
+      val z = (mg - mu) * math.sqrt(ng.toDouble) / sigma
+      (b, ng.toLong, z, erfc(math.abs(z) / math.sqrt(2.0)))
+    }.toSeq
+    val m = pv.length
+    val ranked = pv.sortBy(x => (x._4, x._1)).zipWithIndex
+      .map { case ((b, ng, z, p), i0) => (b, ng, z, p, i0 + 1) }
+    val kMax = ranked.filter { case (_, _, _, p, i) => p <= i * 0.05 / m }
+      .map(_._5).foldLeft(0)(math.max)
+    val qByBrand = ranked.sortBy(-_._5)
+      .scanLeft(("", Double.MaxValue)) { case ((_, acc), (b, _, _, p, i)) =>
+        (b, math.min(acc, m.toDouble * p / i)) }.tail.toMap
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val expect = ranked.map { case (b, ng, z, p, i) =>
+      (b, ng, rr(z), rr(p), rr(qByBrand(b)), i <= kMax)
+    }.sortBy(_._1)
+    assert(rows.sortBy(_._1).toSeq === expect)
+    // structural BH invariants on the engine output
+    val byP = rows.sortBy(x => (x._4, x._1))
+    assert(byP.map(_._5).toSeq === byP.map(_._5).sorted.toSeq, "q monotone in p")
+    val discFlags = byP.map(_._6)
+    assert(!discFlags.dropWhile(identity).contains(true), "discoveries prefix")
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
