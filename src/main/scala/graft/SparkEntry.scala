@@ -349,6 +349,25 @@ object SparkEntry {
     "q_ljung_box"         -> q(Insights.ljungBox(_, _, 5)), // portmanteau white-noise test, exact integer ACF, lags 1-5
     "q_ols_multi"         -> q(Insights.olsMulti), // two-predictor OLS via exact-moment normal equations + R2
     "q_bh_fdr"            -> q(Insights.bhFdr(_, _, 500)), // Benjamini-Hochberg step-up over per-brand z-tests, A&S erfc p-values
+    // round-9h additions (LLM corpus-operations tier)
+    "q_par_dedup"         -> q(Text.parDedup(_, _, 20)), // CCNet paragraph-level dedup with in-order reassembly, digest-grain shuffle
+    "q_boilerplate"       -> q(Text.boilerplateReport(_, _, 20)), // per-source within-site repeated-paragraph profile
+    "q_token_budget_mix"  -> q(Text.tokenBudgetMix(_, _, 50000L)), // greedy utility-ranked waterfill of a token budget over sources
+    "q_cos_sim_hist"      -> q(Similarity.cosSimHist(_, _, Seq(1, 17, 257))), // stride-paired cosine calibration histogram
+    // round-9i additions (temporal warehouse + distribution tests)
+    "q_scd2_timeline_join" -> q(Warehouse.scd2TimelineJoin), // interval-intersection alignment of two SCD2 attribute timelines
+    "q_agg_rewrite"       -> q(Warehouse.aggRewrite), // yearly rollup answered FROM the monthly aggregate; oracle hits base facts
+    "q_moods_median"      -> q(Insights.moodsMedian), // two-group median test, PrefixSum exact median, integer 2x2 chi2
+    "q_bartlett"          -> q(Insights.bartlett), // k-group variance homogeneity, DECIMAL-accumulated ln terms
+    "q_kpss"              -> q(Insights.kpss), // KPSS level-stationarity, integer partial sums, lag-0 lrv
+    "q_granger"           -> q(Insights.granger), // lag-1 Granger F-test from one wide exact-moment aggregate
+    // round-9j additions (graph structure + forecasting + agreement)
+    "q_modularity"        -> q(Insights.modularity(_, _, 2, 3)), // Newman-Girvan Q of a 3-round LPA partition on the part graph
+    "q_rich_club"         -> q(Insights.richClub(_, _, Seq(50, 75, 90, 95))), // hub-subgraph density at exact degree quantiles
+    "q_forecast_acc"      -> q(Insights.forecastAcc), // seasonal-naive baseline: MAE/MAPE/sMAPE/MASE, decimal-safe rationals
+    "q_ar2_yw"            -> q(Insights.ar2Yw), // Yule-Walker AR(2) fit from the exact ACF + innovation variance ratio
+    "q_gtest"             -> q(Insights.gtest), // likelihood-ratio G-test on priority x status, decimal ln terms
+    "q_cohens_kappa"      -> q(Text.cohensKappa), // chance-corrected lang-id vs gold agreement from four exact cells
     // round-9b additions (directed-graph ranking tier)
     "q_hits"              -> q(Insights.hits), // HITS hubs/authorities, 3 normalized rounds, Long fixed-point, unrolled oracle
     "q_link_pred_jaccard" -> q(Insights.linkPredJaccard(_, _, 2, 50)), // neighbor-set Jaccard link prediction for non-adjacent pairs
@@ -3058,6 +3077,441 @@ object SparkEntry {
         | floor(q * 10000.0 + 0.5) / 10000.0 AS q_value,
         | disc = 1 AS discovery
         |FROM fin ORDER BY p_brand""".stripMargin,
+
+    "q_par_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws,
+        |              unnest(generate_series(0, len(ws) - 1, 20)) AS i
+        |       FROM w),
+        |par AS (SELECT doc_id, CAST(i // 20 AS BIGINT) AS par_idx,
+        |               array_to_string(ws[(i + 1):(i + 20)], ' ') AS pt
+        |        FROM st),
+        |keep AS (SELECT doc_id, par_idx,
+        |         row_number() OVER (PARTITION BY pt
+        |                            ORDER BY doc_id, par_idx) AS rn
+        |         FROM par),
+        |kept AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |                string_agg(p.pt, ' ' ORDER BY p.par_idx) AS kt
+        |         FROM par p JOIN keep k USING (doc_id, par_idx)
+        |         WHERE k.rn = 1 GROUP BY p.doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pars
+        |        FROM par GROUP BY 1)
+        |SELECT t.doc_id, t.n_pars,
+        | CAST(t.n_pars - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed,
+        | COALESCE(kept.kt, '') AS kept_text
+        |FROM tot t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |st AS (SELECT doc_id, source, ws,
+        |              unnest(generate_series(0, len(ws) - 1, 20)) AS i
+        |       FROM w),
+        |par AS (SELECT doc_id, source,
+        |               array_to_string(ws[(i + 1):(i + 20)], ' ') AS pt
+        |        FROM st),
+        |pp AS (SELECT source, pt, CAST(count(*) AS BIGINT) AS n_inst,
+        |              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM par GROUP BY 1, 2)
+        |SELECT source,
+        | CAST(sum(n_inst) AS BIGINT) AS n_par_instances,
+        | CAST(count(*) AS BIGINT) AS n_distinct_pars,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_boilerplate,
+        | floor(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |   AS boilerplate_ratio
+        |FROM pp GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_token_budget_mix" ->
+      """WITH per AS (SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+        |  CAST(sum(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS dtoks
+        | FROM documents GROUP BY 1),
+        |u AS (SELECT source, toks, dtoks,
+        |        CAST(dtoks AS DOUBLE) / CAST(toks AS DOUBLE) AS util
+        |      FROM per),
+        |rk AS (SELECT *,
+        |  CAST(row_number() OVER (ORDER BY util DESC, source ASC) AS BIGINT) AS rank,
+        |  COALESCE(sum(toks) OVER (ORDER BY util DESC, source ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM u),
+        |al AS (SELECT *,
+        |  greatest(0, least(toks, 50000 - cum_before)) AS alloc FROM rk)
+        |SELECT source, rank, toks AS tokens_available,
+        | floor(util * 10000.0 + 0.5) / 10000.0 AS utility,
+        | CAST(alloc AS BIGINT) AS tokens_allocated,
+        | floor(CAST(alloc AS DOUBLE) / CAST(toks AS DOUBLE) * 10000.0 + 0.5)
+        |   / 10000.0 AS fill_frac
+        |FROM al ORDER BY source""".stripMargin,
+
+    "q_scd2_timeline_join" ->
+      """WITH pa AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+        |                   min(o_orderpriority) AS priority
+        |            FROM orders GROUP BY 1, 2),
+        |a AS (SELECT ck, d AS fa,
+        |             lead(d, 1) OVER (PARTITION BY ck ORDER BY d ASC) AS ta,
+        |             priority
+        |      FROM pa),
+        |pb AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+        |              min(o_orderstatus) AS status
+        |       FROM orders GROUP BY 1, 2),
+        |b AS (SELECT ck, d AS fb,
+        |             lead(d, 1) OVER (PARTITION BY ck ORDER BY d ASC) AS tb,
+        |             status
+        |      FROM pb)
+        |SELECT a.ck AS c_custkey,
+        | greatest(a.fa, b.fb) AS valid_from,
+        | CASE WHEN COALESCE(a.ta, DATE '9999-12-31')
+        |           <= COALESCE(b.tb, DATE '9999-12-31')
+        |      THEN a.ta ELSE b.tb END AS valid_to,
+        | a.priority, b.status
+        |FROM a JOIN b ON a.ck = b.ck
+        |WHERE a.fa < COALESCE(b.tb, DATE '9999-12-31')
+        |  AND b.fb < COALESCE(a.ta, DATE '9999-12-31')
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q_agg_rewrite" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, yr""".stripMargin,
+
+    "q_moods_median" ->
+      """WITH v AS (SELECT (o_orderpriority = '1-URGENT') AS g1,
+        |                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+        |           FROM orders),
+        |grain AS (SELECT v.v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grain),
+        |ps AS (SELECT v, c,
+        |         COALESCE(sum(c) OVER (ORDER BY v ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |       FROM grain),
+        |med AS (SELECT min(v) AS med FROM ps CROSS JOIN tot
+        |        WHERE cum0 + c >= (n + 1) // 2),
+        |cells AS (SELECT g1,
+        |  CAST(sum(CASE WHEN v.v > med THEN 1 ELSE 0 END) AS BIGINT) AS above,
+        |  CAST(sum(CASE WHEN v.v <= med THEN 1 ELSE 0 END) AS BIGINT) AS at_below
+        | FROM v CROSS JOIN med GROUP BY 1),
+        |w AS (SELECT
+        |  max(CASE WHEN g1 THEN above END) AS a,
+        |  max(CASE WHEN g1 THEN at_below END) AS b,
+        |  max(CASE WHEN NOT g1 THEN above END) AS c,
+        |  max(CASE WHEN NOT g1 THEN at_below END) AS d
+        | FROM cells)
+        |SELECT
+        | floor(CAST(med AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |   AS median_value,
+        | a AS g1_above, b AS g1_at_below, c AS g2_above, d AS g2_at_below,
+        | floor(CAST(a + b + c + d AS DOUBLE)
+        |       * CAST(a * d - b * c AS DOUBLE)
+        |       * CAST(a * d - b * c AS DOUBLE)
+        |       / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |          * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS chi2
+        |FROM w CROSS JOIN med""".stripMargin,
+
+    "q_bartlett" ->
+      """WITH g AS (SELECT l_returnflag AS grp,
+        |  CAST(count(*) AS BIGINT) AS ng,
+        |  CAST(sum(CAST(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg,
+        |  CAST(sum(CAST(CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(19,0))
+        |                * CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2g
+        | FROM lineitem GROUP BY 1),
+        |si AS (SELECT grp, ng,
+        |  (CAST(ng AS DOUBLE) * CAST(s2g AS DOUBLE)
+        |   - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |  / (CAST(ng AS DOUBLE) * CAST(ng - 1 AS DOUBLE)) AS si2
+        | FROM g),
+        |m AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |             CAST(count(*) AS BIGINT) AS k,
+        |  sum(CAST(CAST(ng - 1 AS DOUBLE) * si2 AS DECIMAL(28,8))) AS sv,
+        |  sum(CAST(CAST(ng - 1 AS DOUBLE) * ln(si2) AS DECIMAL(28,8))) AS slog,
+        |  sum(CAST(1.0 / CAST(ng - 1 AS DOUBLE) AS DECIMAL(38,18))) AS srec
+        | FROM si)
+        |SELECT n AS n_total, k AS n_groups,
+        | floor(CAST(sv AS DOUBLE) / CAST(n - k AS DOUBLE) * 10000.0 + 0.5)
+        |   / 10000.0 AS pooled_var,
+        | floor(((CAST(n - k AS DOUBLE)
+        |         * ln(CAST(sv AS DOUBLE) / CAST(n - k AS DOUBLE))
+        |         - CAST(slog AS DOUBLE)))
+        |       / (1.0 + (CAST(srec AS DOUBLE) - 1.0 / CAST(n - k AS DOUBLE))
+        |                / (3.0 * CAST(k - 1 AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS chi2
+        |FROM m""".stripMargin,
+
+    "q_kpss" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |                      CAST(count(*) AS BIGINT) AS y
+        |               FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(y) AS BIGINT) AS s FROM daily),
+        |z AS (SELECT d, n, n * y - s AS z FROM daily CROSS JOIN tot),
+        |st AS (SELECT n, z,
+        |         sum(z) OVER (ORDER BY d ASC ROWS UNBOUNDED PRECEDING) AS st
+        |       FROM z)
+        |SELECT max(n) AS n_days,
+        | floor(CAST(sum(CAST(CAST(st AS DECIMAL(19,0)) * CAST(st AS DECIMAL(19,0))
+        |                     AS DECIMAL(38,0))) AS DOUBLE)
+        |       / (CAST(max(n) AS DOUBLE)
+        |          * CAST(sum(CAST(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))
+        |                          AS DECIMAL(38,0))) AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS kpss_stat
+        |FROM st""".stripMargin,
+
+    "q_granger" ->
+      """WITH rev AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        | FROM orders GROUP BY 1),
+        |qty AS (SELECT CAST(l_shipdate AS DATE) AS d,
+        |  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        | FROM lineitem GROUP BY 1),
+        |lg AS (SELECT d, y,
+        |         lag(y, 1) OVER w AS yl, lag(x, 1) OVER w AS xl
+        |       FROM rev JOIN qty USING (d) WINDOW w AS (ORDER BY d ASC)),
+        |lagged AS (SELECT * FROM lg WHERE yl IS NOT NULL AND xl IS NOT NULL),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(yl AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+        |  CAST(sum(CAST(xl AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+        |  CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |  CAST(sum(CAST(CAST(yl AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1y,
+        |  CAST(sum(CAST(CAST(xl AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2y,
+        |  CAST(sum(CAST(CAST(yl AS DECIMAL(19,0)) * CAST(xl AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s12,
+        |  CAST(sum(CAST(CAST(yl AS DECIMAL(19,0)) * CAST(yl AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s11,
+        |  CAST(sum(CAST(CAST(xl AS DECIMAL(19,0)) * CAST(xl AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s22,
+        |  CAST(sum(CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        | FROM lagged),
+        |cent AS (SELECT n,
+        |  CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c11,
+        |  CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c22,
+        |  CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12,
+        |  CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1y,
+        |  CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2y,
+        |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy
+        | FROM m),
+        |fit AS (SELECT n, c1y, c2y, cyy, c11,
+        |  (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+        |  (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+        | FROM cent),
+        |rss AS (SELECT n, b1, b2,
+        |  cyy - b1 * c1y - b2 * c2y AS rss_u,
+        |  cyy - c1y * c1y / c11 AS rss_r
+        | FROM fit)
+        |SELECT n AS n_days,
+        | floor(b1 * 10000.0 + 0.5) / 10000.0 AS b_rev_lag,
+        | floor(b2 * 10000.0 + 0.5) / 10000.0 AS b_qty_lag,
+        | floor((rss_r - rss_u) / (rss_u / CAST(n - 3 AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS f_stat
+        |FROM rss""".stripMargin,
+
+    "q_modularity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem),
+        |e AS (
+        |  SELECT x.pk AS a, y.pk AS b FROM items x JOIN items y
+        |  ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e),
+        |l0 AS (SELECT DISTINCT v, v AS lab FROM adj),
+        |n1 AS (SELECT adj.v, l0.lab, count(*) AS cnt FROM adj JOIN l0 ON l0.v = adj.u GROUP BY 1, 2),
+        |l1 AS (SELECT v, min(lab) AS lab FROM (
+        |         SELECT v, lab, cnt, max(cnt) OVER (PARTITION BY v) AS mc FROM n1)
+        |       WHERE cnt = mc GROUP BY v),
+        |n2 AS (SELECT adj.v, l1.lab, count(*) AS cnt FROM adj JOIN l1 ON l1.v = adj.u GROUP BY 1, 2),
+        |l2 AS (SELECT v, min(lab) AS lab FROM (
+        |         SELECT v, lab, cnt, max(cnt) OVER (PARTITION BY v) AS mc FROM n2)
+        |       WHERE cnt = mc GROUP BY v),
+        |n3 AS (SELECT adj.v, l2.lab, count(*) AS cnt FROM adj JOIN l2 ON l2.v = adj.u GROUP BY 1, 2),
+        |l3 AS (SELECT v, min(lab) AS lab FROM (
+        |         SELECT v, lab, cnt, max(cnt) OVER (PARTITION BY v) AS mc FROM n3)
+        |       WHERE cnt = mc GROUP BY v),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |intra AS (SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS e_c
+        |          FROM e JOIN l3 la ON la.v = e.a JOIN l3 lb ON lb.v = e.b
+        |          WHERE la.lab = lb.lab GROUP BY 1),
+        |degc AS (SELECT l3.lab AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |                CAST(sum(dg) AS BIGINT) AS d_c
+        |         FROM l3 JOIN deg ON deg.v = l3.v GROUP BY 1)
+        |SELECT community, n_nodes,
+        | CAST(COALESCE(e_c, 0) AS BIGINT) AS intra_edges, d_c,
+        | floor((CAST(COALESCE(e_c, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+        |        - (CAST(d_c AS DOUBLE) / CAST(m * 2 AS DOUBLE))
+        |          * (CAST(d_c AS DOUBLE) / CAST(m * 2 AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS q_contrib
+        |FROM degc LEFT JOIN intra USING (community) CROSS JOIN mm
+        |ORDER BY community""".stripMargin,
+
+    "q_rich_club" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem),
+        |e AS (SELECT a.pk AS src, b.pk AS dst
+        |      FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+        |      GROUP BY 1, 2),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+        |grain AS (SELECT dg, CAST(count(*) AS BIGINT) AS c FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |cum AS (SELECT dg, sum(c) OVER (ORDER BY dg ASC
+        |          ROWS UNBOUNDED PRECEDING) AS cc FROM grain),
+        |pg(pct) AS (VALUES (50), (75), (90), (95)),
+        |ks AS (SELECT pct, CAST(min(dg) AS BIGINT) AS k
+        |       FROM cum CROSS JOIN tot CROSS JOIN pg
+        |       WHERE cc * 100 >= pct * n GROUP BY pct),
+        |und AS (SELECT e.src, e.dst, ds.dg AS ds, dd.dg AS dd
+        |        FROM e JOIN deg ds ON ds.src = e.src
+        |               JOIN deg dd ON dd.src = e.dst
+        |        WHERE e.src < e.dst),
+        |nk AS (SELECT pct, k,
+        |         CAST(sum(CASE WHEN dg > k THEN 1 ELSE 0 END) AS BIGINT) AS n_k
+        |       FROM deg CROSS JOIN ks GROUP BY 1, 2),
+        |ek AS (SELECT pct, k,
+        |         CAST(sum(CASE WHEN least(ds, dd) > k THEN 1 ELSE 0 END) AS BIGINT) AS e_k
+        |       FROM und CROSS JOIN ks GROUP BY 1, 2)
+        |SELECT CAST(pct AS BIGINT) AS pct, k, n_k, e_k,
+        | CASE WHEN n_k >= 2
+        |      THEN floor(CAST(e_k * 2 AS DOUBLE) / CAST(n_k * (n_k - 1) AS DOUBLE)
+        |                 * 10000.0 + 0.5) / 10000.0 END AS phi
+        |FROM nk JOIN ek USING (pct, k) ORDER BY pct""".stripMargin,
+
+    "q_forecast_acc" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |                      CAST(count(*) AS BIGINT) AS y
+        |               FROM orders GROUP BY 1),
+        |lg AS (SELECT y, lag(y, 7) OVER w AS f7, lag(y, 1) OVER w AS f1
+        |       FROM daily WINDOW w AS (ORDER BY d ASC))
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(CASE WHEN f7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_forecast,
+        | floor(CAST(sum(CASE WHEN f7 IS NOT NULL THEN abs(y - f7) ELSE 0 END) AS DOUBLE)
+        |       / CAST(sum(CASE WHEN f7 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS mae,
+        | floor(CAST(sum(CASE WHEN f7 IS NOT NULL
+        |   THEN CAST(CAST(abs(y - f7) AS DOUBLE) / CAST(y AS DOUBLE) AS DECIMAL(38,18))
+        |   ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+        |       / CAST(sum(CASE WHEN f7 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS mape,
+        | floor(CAST(sum(CASE WHEN f7 IS NOT NULL
+        |   THEN CAST(CAST(abs(y - f7) * 2 AS DOUBLE) / CAST(y + f7 AS DOUBLE) AS DECIMAL(38,18))
+        |   ELSE CAST(0 AS DECIMAL(38,18)) END) AS DOUBLE)
+        |       / CAST(sum(CASE WHEN f7 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS smape,
+        | floor((CAST(sum(CASE WHEN f7 IS NOT NULL THEN abs(y - f7) ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(CASE WHEN f7 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE))
+        |       / (CAST(sum(CASE WHEN f1 IS NOT NULL THEN abs(y - f1) ELSE 0 END) AS DOUBLE)
+        |          / CAST(sum(CASE WHEN f1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS mase
+        |FROM lg""".stripMargin,
+
+    "q_ar2_yw" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |                      CAST(count(*) AS BIGINT) AS y
+        |               FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(y) AS BIGINT) AS s FROM daily),
+        |z AS (SELECT d, n, n * y - s AS z FROM daily CROSS JOIN tot),
+        |lg AS (SELECT n, z, lag(z, 1) OVER w AS z1, lag(z, 2) OVER w AS z2
+        |       FROM z WINDOW w AS (ORDER BY d ASC)),
+        |m AS (SELECT max(n) AS n_days,
+        |  CAST(sum(CAST(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS c0,
+        |  CAST(sum(CASE WHEN z1 IS NOT NULL
+        |    THEN CAST(CAST(z AS DECIMAL(19,0)) * CAST(z1 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS c1,
+        |  CAST(sum(CASE WHEN z2 IS NOT NULL
+        |    THEN CAST(CAST(z AS DECIMAL(19,0)) * CAST(z2 AS DECIMAL(19,0)) AS DECIMAL(38,0))
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS c2
+        | FROM lg),
+        |r AS (SELECT n_days,
+        |        CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+        |        CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2 FROM m),
+        |f AS (SELECT n_days, r1, r2,
+        |        r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+        |        (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2 FROM r)
+        |SELECT n_days,
+        | floor(r1 * 10000.0 + 0.5) / 10000.0 AS acf1,
+        | floor(r2 * 10000.0 + 0.5) / 10000.0 AS acf2,
+        | floor(phi1 * 10000.0 + 0.5) / 10000.0 AS phi1,
+        | floor(phi2 * 10000.0 + 0.5) / 10000.0 AS phi2,
+        | floor((1.0 - phi1 * r1 - phi2 * r2) * 10000.0 + 0.5) / 10000.0
+        |   AS innov_var_ratio
+        |FROM f""".stripMargin,
+
+    "q_gtest" ->
+      """WITH o AS (SELECT o_orderpriority AS pr, o_orderstatus AS st,
+        |                  CAST(count(*) AS BIGINT) AS obs
+        |           FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT pr, CAST(sum(obs) AS BIGINT) AS rn FROM o GROUP BY 1),
+        |ct AS (SELECT st, CAST(sum(obs) AS BIGINT) AS cn FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |              CAST(count(DISTINCT pr) AS BIGINT) AS npr,
+        |              CAST(count(DISTINCT st) AS BIGINT) AS nst FROM o),
+        |terms AS (SELECT n, npr, nst,
+        |  CASE WHEN obs > 0
+        |       THEN CAST(CAST(obs AS DOUBLE)
+        |                 * ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
+        |                      / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)))
+        |                 AS DECIMAL(28,8))
+        |       ELSE CAST(0 AS DECIMAL(28,8)) END AS term
+        | FROM o JOIN rt USING (pr) JOIN ct USING (st) CROSS JOIN nn)
+        |SELECT n AS n_total, (npr - 1) * (nst - 1) AS dof,
+        | floor(CAST(sum(term) AS DOUBLE) * 2.0 * 10000.0 + 0.5) / 10000.0 AS g_stat
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    "q_cohens_kappa" ->
+      """WITH f AS (
+        |  SELECT (lang = 'en') AS truth_en,
+        |    (CAST((length(text) - length(replace(text, 'th', ''))) // 2
+        |          + len(regexp_extract_all(text, '\bthe\b|\band\b|\bis\b')) AS DOUBLE)
+        |     * 100.0 / CAST(length(text) AS DOUBLE) >= 3.0) AS pred_en
+        |  FROM documents),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN truth_en AND pred_en THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |  CAST(sum(CASE WHEN NOT truth_en AND pred_en THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |  CAST(sum(CASE WHEN truth_en AND NOT pred_en THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |  CAST(sum(CASE WHEN NOT truth_en AND NOT pred_en THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        | FROM f)
+        |SELECT n AS n_docs, n11 AS both_en, n01 AS pred_only,
+        | n10 AS truth_only, n00 AS both_other,
+        | floor(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0 + 0.5)
+        |   / 10000.0 AS p_observed,
+        | floor((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |        + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 10000.0 + 0.5)
+        |   / 10000.0 AS p_expected,
+        | floor((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |           + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |       / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |                 + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+        |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS kappa
+        |FROM c""".stripMargin,
+
+    "q_cos_sim_hist" ->
+      """WITH o(ofs) AS (VALUES (1), (17), (257)),
+        |a AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |aa AS (SELECT a.vec_id AS a_id, o.ofs, a.vec_id + o.ofs AS b_id,
+        |              a.i, a.v AS av
+        |       FROM a CROSS JOIN o),
+        |p AS (SELECT aa.a_id, aa.ofs, aa.av, b.v AS bv
+        |      FROM aa JOIN a b ON b.vec_id = aa.b_id AND b.i = aa.i),
+        |d AS (SELECT a_id, ofs, sum(av * bv) AS dp,
+        |             sqrt(sum(av * av)) AS an, sqrt(sum(bv * bv)) AS bn
+        |      FROM p GROUP BY 1, 2),
+        |c AS (SELECT ofs,
+        |        floor(floor(dp / (an * bn) * 10000.0 + 0.5) / 10000.0
+        |              * 10.0 + 10.0) AS bin
+        |      FROM d)
+        |SELECT CAST(ofs AS BIGINT) AS ofs, CAST(bin AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1, 2 ORDER BY ofs, bin""".stripMargin,
 
     "q_embed_outliers" ->
       """WITH ex AS (

@@ -2923,6 +2923,392 @@ object Insights {
       "p_brand")
   }
 
+  /** Newman–Girvan modularity of a label-propagation partition — the
+    * "did community detection find anything" score LPA itself never
+    * reports: per community c, Q_c = e_c/m − (d_c/2m)², where e_c is
+    * intra-community edges, d_c the community degree sum, m the edge
+    * count. Runs on the PART co-purchase graph at co-order support ≥ 2
+    * (the q_link_pred_jaccard graph) — deliberately NOT the 25-node brand
+    * graph, which is complete at every SF and makes Q identically zero —
+    * with 3 LPA supersteps inline (the bounded-round q_label_prop shape:
+    * per round one edge-linear join, one (node,label) hash-agg, one
+    * node-keyed argmax window). Everything is exact integer aggregates
+    * until the per-community contributions.
+    */
+  def modularity(spark: SparkSession, sfDir: String,
+                 minSup: Int = 2, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = coPurchaseEdges(spark, sfDir)
+      .filter(col("w") >= minSup && col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = edges.select(col("a").as("v"), col("b").as("u"))
+      .union(edges.select(col("b").as("v"), col("a").as("u")))
+    var labels = adj.select(col("v")).distinct().withColumn("lab", col("v"))
+    val wv = Window.partitionBy(col("v"))
+    for (_ <- 1 to rounds) {
+      val nl = adj
+        .join(labels.withColumnRenamed("v", "u"), "u")
+        .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("cnt"))
+      labels = nl.withColumn("mc", max(col("cnt")).over(wv))
+        .filter(col("cnt") === col("mc"))
+        .groupBy(col("v")).agg(min(col("lab")).as("lab"))
+    }
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+    val mm = edges.agg(count(lit(1)).as("m"))
+    val lab2 = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    val intra = edges
+      .join(lab2.select(col("v").as("a"), col("lab").as("ca")), "a")
+      .join(lab2.select(col("v").as("b"), col("lab").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_c"))
+    val degc = lab2.join(deg, "v")
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("d_c"))
+    ordered(
+      degc.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(mm))
+        .select(col("community"), col("n_nodes"),
+                coalesce(col("e_c"), lit(0L)).as("intra_edges"), col("d_c"),
+                r4(coalesce(col("e_c"), lit(0L)).cast("double") / col("m").cast("double") -
+                   (col("d_c").cast("double") / (col("m") * 2).cast("double")) *
+                   (col("d_c").cast("double") / (col("m") * 2).cast("double")))
+                  .as("q_contrib")),
+      "community")
+  }
+
+  /** Rich-club coefficient φ(k) over the co-purchase graph — do
+    * high-degree parts preferentially co-occur with EACH OTHER (hub
+    * cliquishness, the assortativity question q_assortativity answers
+    * with one number, resolved by threshold): φ(k) = 2·E_k/(N_k·(N_k−1)),
+    * the density of the subgraph induced by nodes with degree > k. The
+    * thresholds are DATA-ADAPTIVE — the exact p50/p75/p90/p95 degree
+    * quantiles (fixed small k's saturate: every node in a dense
+    * co-purchase graph clears them and φ flatlines) — found on the
+    * degree-GRAIN frame (≤ max-degree rows at any SF) with the
+    * q_moods_median rank-selection shape. The edge list is annotated
+    * with both endpoint degrees ONCE; each quantile row is answered from
+    * that one frame via a broadcast grid. Integer counts throughout.
+    */
+  def richClub(spark: SparkSession, sfDir: String,
+               pcts: Seq[Int] = Seq(50, 75, 90, 95)): DataFrame = {
+    import spark.implicits._
+    val e = coPurchaseEdges(spark, sfDir)
+      .select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact lower-quantile degrees from the degree-grain frame
+    val grain = deg.groupBy(col("dg")).agg(count(lit(1)).as("c"))
+    val tot = deg.agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("dg").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grain.withColumn("cc", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(tot))
+    val grid = pcts.toDF("pct")
+    val ks = cum.crossJoin(broadcast(grid))
+      .filter(col("cc") * 100 >= col("pct") * col("n"))
+      .groupBy(col("pct")).agg(min(col("dg")).as("k"))
+    val und = e.filter(col("src") < col("dst"))
+      .join(deg.select(col("src"), col("dg").as("ds")), "src")
+      .join(deg.select(col("src").as("dst"), col("dg").as("dd")), "dst")
+    val nk = deg.crossJoin(broadcast(ks))
+      .groupBy(col("pct"), col("k"))
+      .agg(sum(when(col("dg") > col("k"), 1L).otherwise(0L)).as("n_k"))
+    val ek = und.crossJoin(broadcast(ks))
+      .groupBy(col("pct"), col("k"))
+      .agg(sum(when(least(col("ds"), col("dd")) > col("k"), 1L).otherwise(0L))
+             .as("e_k"))
+    ordered(
+      nk.join(ek, Seq("pct", "k"))
+        .select(col("pct").cast("long").as("pct"), col("k"), col("n_k"), col("e_k"),
+                when(col("n_k") >= 2,
+                     r4((col("e_k") * 2).cast("double") /
+                        (col("n_k") * (col("n_k") - 1)).cast("double")))
+                  .as("phi")),
+      "pct")
+  }
+
+  /** Seasonal-naive forecast accuracy — the baseline every forecasting
+    * effort must beat, scored honestly: forecast ŷₜ = yₜ₋₇ (weekly cycle
+    * on the observed-day series — ROW lag, stated because calendar gaps
+    * make day-7-back ≠ row-7-back), with MAE (exact integer sum), MAPE
+    * and sMAPE (per-term rationals accumulated as DECIMAL(38,18) — a
+    * plain double sum would be partition-order dependent), and MASE
+    * scaled by the naive-1 in-sample MAE (a ratio of two exact integer
+    * sums — the scale-free score that survives unit changes).
+    */
+  def forecastAcc(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val wOrd = Window.orderBy(col("d").asc)
+    val lagged = daily
+      .withColumn("f7", lag(col("y"), 7).over(wOrd))
+      .withColumn("f1", lag(col("y"), 1).over(wOrd))
+    lagged.agg(
+        count(lit(1)).as("n_days"),
+        sum(when(col("f7").isNotNull, 1L).otherwise(0L)).as("n7"),
+        sum(when(col("f7").isNotNull, abs(col("y") - col("f7")))
+              .otherwise(0L)).as("ae7"),
+        sum(when(col("f1").isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f1").isNotNull, abs(col("y") - col("f1")))
+              .otherwise(0L)).as("ae1"),
+        sum(when(col("f7").isNotNull,
+                 (abs(col("y") - col("f7")).cast("double") /
+                  col("y").cast("double")).cast("decimal(38,18)"))
+              .otherwise(lit(0).cast("decimal(38,18)"))).as("ape"),
+        sum(when(col("f7").isNotNull,
+                 ((abs(col("y") - col("f7")) * 2).cast("double") /
+                  (col("y") + col("f7")).cast("double")).cast("decimal(38,18)"))
+              .otherwise(lit(0).cast("decimal(38,18)"))).as("sape"))
+      .select(col("n_days"), col("n7").as("n_forecast"),
+              r4(col("ae7").cast("double") / col("n7").cast("double")).as("mae"),
+              r4(col("ape").cast("double") / col("n7").cast("double")).as("mape"),
+              r4(col("sape").cast("double") / col("n7").cast("double")).as("smape"),
+              r4((col("ae7").cast("double") / col("n7").cast("double")) /
+                 (col("ae1").cast("double") / col("n1").cast("double"))).as("mase"))
+  }
+
+  /** AR(2) fit via the Yule–Walker equations — the two-line closed form
+    * the Durbin–Levinson recursion ([[pacf]]) generalizes: φ₁ =
+    * r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) from the exact textbook ACF
+    * of the daily order-count series (integer counts ⇒ r₁, r₂ are ratios
+    * of exact DECIMAL(38,0) sums, the [[ljungBox]] construction), plus
+    * the innovation-variance ratio σ²ₑ/σ²ᵧ = 1 − φ₁r₁ − φ₂r₂. One
+    * fact-linear hash-agg, one calendar-bounded lag window.
+    */
+  def ar2Yw(spark: SparkSession, sfDir: String): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val wOrd = Window.orderBy(col("d").asc)
+    val z = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"), (col("n") * col("y") - col("s")).as("z"))
+      .withColumn("z1", lag(col("z"), 1).over(wOrd))
+      .withColumn("z2", lag(col("z"), 2).over(wOrd))
+    val m = z.agg(
+      max(col("n")).as("n_days"),
+      sum((col("z").cast(d190) * col("z").cast(d190)).cast("decimal(38,0)")).as("c0"),
+      sum(when(col("z1").isNotNull,
+               (col("z").cast(d190) * col("z1").cast(d190)).cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("c1"),
+      sum(when(col("z2").isNotNull,
+               (col("z").cast(d190) * col("z2").cast(d190)).cast("decimal(38,0)"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("c2"))
+    m.select(col("n_days"),
+             expr("cast(c1 as double) / cast(c0 as double)").as("r1"),
+             expr("cast(c2 as double) / cast(c0 as double)").as("r2"))
+      .withColumn("phi1", expr("r1 * (1.0 - r2) / (1.0 - r1 * r1)"))
+      .withColumn("phi2", expr("(r2 - r1 * r1) / (1.0 - r1 * r1)"))
+      .select(col("n_days"), r4(col("r1")).as("acf1"), r4(col("r2")).as("acf2"),
+              r4(col("phi1")).as("phi1"), r4(col("phi2")).as("phi2"),
+              r4(expr("1.0 - phi1 * r1 - phi2 * r2")).as("innov_var_ratio"))
+  }
+
+  /** G-test of independence (the likelihood-ratio χ²) on the order
+    * priority × status table — the log-likelihood twin of q_chi2, which
+    * dominates it for small expected counts: G = 2·Σ O·ln(O/E), E from
+    * exact row/col/total integers, each O·ln(O/E) term DECIMAL(28,8)-cast
+    * so the cell fold (≤ |priorities|·|statuses| rows) is
+    * partition-order independent; O = 0 cells contribute the limit 0.
+    */
+  def gtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = o.groupBy(col("pr")).agg(sum(col("obs")).as("rn"))
+    val ct = o.groupBy(col("st")).agg(sum(col("obs")).as("cn"))
+    val nn = o.agg(sum(col("obs")).as("n"),
+                   countDistinct(col("pr")).as("npr"),
+                   countDistinct(col("st")).as("nst"))
+    o.join(broadcast(rt), "pr").join(broadcast(ct), "st")
+      .crossJoin(broadcast(nn))
+      .select(col("n"), col("npr"), col("nst"),
+              when(col("obs") > 0,
+                   (col("obs").cast("double") *
+                    log(col("obs").cast("double") * col("n").cast("double") /
+                        (col("rn").cast("double") * col("cn").cast("double"))))
+                     .cast("decimal(28,8)"))
+                .otherwise(lit(0).cast("decimal(28,8)")).as("term"))
+      .groupBy(col("n"), col("npr"), col("nst"))
+      .agg(sum(col("term")).as("sg"))
+      .select(col("n").as("n_total"),
+              ((col("npr") - 1) * (col("nst") - 1)).as("dof"),
+              r4(col("sg").cast("double") * 2.0).as("g_stat"))
+  }
+
+  /** Mood's median test — the nonparametric two-group location test that
+    * only needs counts: is an URGENT order's value distribution shifted
+    * vs the rest? Global LOWER MEDIAN of order value (exact cents) found
+    * WITHOUT a global sort: value-grain counts (one hash-agg), then
+    * [[graft.util.PrefixSum]]'s two-phase exclusive scan — the
+    * q_weighted_median discipline, so the median lookup scales. The 2×2
+    * table (group × above/at-or-below median) is exact integers; χ²
+    * (1 df) = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is one final division.
+    */
+  def moodsMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = t(spark, sfDir, "orders")
+      .select((col("o_orderpriority") === "1-URGENT").as("g1"),
+              floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"))
+    val grain = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val ps = graft.util.PrefixSum
+      .exclusiveCols(grain, Seq(col("v").asc), col("c"), "cum0")
+    val tot = grain.agg(sum(col("c")).as("n"))
+    // lower median: first value whose inclusive cum count reaches ceil(n/2)
+    val med = ps.crossJoin(broadcast(tot))
+      .filter(col("cum0") + col("c") >= expr("(n + 1) div 2"))
+      .agg(min(col("v")).as("med"))
+    val cells = vals.crossJoin(broadcast(med))
+      .groupBy(col("g1"))
+      .agg(sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("above"),
+           sum(when(col("v") <= col("med"), 1L).otherwise(0L)).as("at_below"))
+    cells.agg(
+        max(when(col("g1"), col("above"))).as("a"),
+        max(when(col("g1"), col("at_below"))).as("b"),
+        max(when(!col("g1"), col("above"))).as("c"),
+        max(when(!col("g1"), col("at_below"))).as("d"))
+      .crossJoin(broadcast(med))
+      .select(r4(col("med").cast("double") / 100.0).as("median_value"),
+              col("a").as("g1_above"), col("b").as("g1_at_below"),
+              col("c").as("g2_above"), col("d").as("g2_at_below"),
+              r4(expr("""cast(a + b + c + d as double)
+                        |* cast(a * d - b * c as double)
+                        |* cast(a * d - b * c as double)
+                        |/ (cast(a + b as double) * cast(c + d as double)
+                        |   * cast(a + c as double) * cast(b + d as double))"""
+                .stripMargin.replace("\n", " "))).as("chi2"))
+  }
+
+  /** Bartlett's test for homogeneity of variances across the k = 3
+    * return-flag groups — the ANOVA precondition check (Brown–Forsythe,
+    * already in the suite, is its robust cousin; Bartlett is the
+    * textbook-sensitive one). Per-group exact integer moments → per-group
+    * sample variances as doubles; the three cross-group sums — (nᵢ−1)Sᵢ²,
+    * (nᵢ−1)ln Sᵢ², and 1/(nᵢ−1) — accumulate as DECIMAL casts ((28,8) for
+    * the first two, (38,18) for the reciprocals ~1e-5) so the k-row fold
+    * is partition-order independent. χ² = [(N−k)ln Sp² − Σ(nᵢ−1)ln Sᵢ²]/C
+    * with the Bartlett correction C. Group count is bounded by the flag
+    * domain, facts feed exactly one hash-agg.
+    */
+  def bartlett(spark: SparkSession, sfDir: String): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val g = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+              floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("ng"),
+           sum(col("x").cast("decimal(38,0)")).as("sg"),
+           sum((col("x").cast(d190) * col("x").cast(d190)).cast("decimal(38,0)")).as("s2g"))
+      .withColumn("si2",
+        expr("""(cast(ng as double) * cast(s2g as double)
+               | - cast(sg as double) * cast(sg as double))
+               |/ (cast(ng as double) * cast(ng - 1 as double))"""
+          .stripMargin.replace("\n", " ")))
+    val m = g.agg(
+      sum(col("ng")).as("n"), count(lit(1)).as("k"),
+      sum(((col("ng") - 1).cast("double") * col("si2")).cast("decimal(28,8)")).as("sv"),
+      sum(((col("ng") - 1).cast("double") * log(col("si2"))).cast("decimal(28,8)")).as("slog"),
+      sum((lit(1.0) / (col("ng") - 1).cast("double")).cast("decimal(38,18)")).as("srec"))
+    m.select(col("n").as("n_total"), col("k").as("n_groups"),
+             r4(expr("cast(sv as double) / cast(n - k as double)")).as("pooled_var"),
+             r4(expr(
+               """((cast(n - k as double) * ln(cast(sv as double) / cast(n - k as double))
+                 |  - cast(slog as double)))
+                 |/ (1.0 + (cast(srec as double) - 1.0 / cast(n - k as double))
+                 |         / (3.0 * cast(k - 1 as double)))"""
+                 .stripMargin.replace("\n", " "))).as("chi2"))
+  }
+
+  /** KPSS level-stationarity statistic (Kwiatkowski et al. 1992, lag-0
+    * long-run variance — the short-run variant, stated in the docstring
+    * because the Bartlett-window lrv is a tuning choice, not a
+    * correctness one; the ADF test in the suite is its unit-root dual):
+    * η = Σ Sₜ²/(n²σ̂²) over the daily order-count series. Integer counts
+    * make everything EXACT until the single final division: demeaned
+    * values ×n (zₜ = n·yₜ − S), partial sums Sₜ = Σzₜ (a calendar-bounded
+    * window), and both Σ Sₜ² and σ̂²'s numerator Σ zₜ² as DECIMAL(38,0) —
+    * the n-scales cancel in the ratio: η = Σ Sₜ²/(n·Σ zₜ²).
+    */
+  def kpss(spark: SparkSession, sfDir: String): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val wCum = Window.orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val z = daily.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"), (col("n") * col("y") - col("s")).as("z"))
+      .withColumn("st", sum(col("z")).over(wCum))
+    z.agg(
+        max(col("n")).as("n_days"),
+        sum((col("z").cast(d190) * col("z").cast(d190)).cast("decimal(38,0)")).as("c0"),
+        sum((col("st").cast(d190) * col("st").cast(d190)).cast("decimal(38,0)")).as("ss"))
+      .select(col("n_days"),
+              r4(expr(
+                "cast(ss as double) / (cast(n_days as double) * cast(c0 as double))"))
+                .as("kpss_stat"))
+  }
+
+  /** Granger causality, lag 1 — "does yesterday's shipped quantity help
+    * predict today's revenue beyond yesterday's revenue?": F-test of the
+    * restricted (y ~ y₋₁) vs unrestricted (y ~ y₋₁ + x₋₁) regression,
+    * both solved in closed form from ONE wide aggregate of exact
+    * DECIMAL(38,0) moments over the lagged day-grain frame (the
+    * [[olsMulti]] normal-equation discipline; RSS·n = C_yy − b₁C₁y − b₂C₂y
+    * so the n-scales cancel inside F). The two daily series collapse
+    * fact-linearly before any window; the lag join is one
+    * calendar-bounded window pass.
+    */
+  def granger(spark: SparkSession, sfDir: String): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val rev = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("y"))
+    val qty = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum(floor(col("l_quantity") * 100.0 + 0.5).cast("long")).as("x"))
+    val wOrd = Window.orderBy(col("d").asc)
+    val lagged = rev.join(qty, "d")
+      .select(col("d"), col("y"),
+              lag(col("y"), 1).over(wOrd).as("yl"),
+              lag(col("x"), 1).over(wOrd).as("xl"))
+      .filter(col("yl").isNotNull && col("xl").isNotNull)
+    val m = lagged.agg(
+      count(lit(1)).as("n"),
+      sum(col("yl").cast("decimal(38,0)")).as("s1"),
+      sum(col("xl").cast("decimal(38,0)")).as("s2"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("yl").cast(d190) * col("y").cast(d190)).cast("decimal(38,0)")).as("s1y"),
+      sum((col("xl").cast(d190) * col("y").cast(d190)).cast("decimal(38,0)")).as("s2y"),
+      sum((col("yl").cast(d190) * col("xl").cast(d190)).cast("decimal(38,0)")).as("s12"),
+      sum((col("yl").cast(d190) * col("yl").cast(d190)).cast("decimal(38,0)")).as("s11"),
+      sum((col("xl").cast(d190) * col("xl").cast(d190)).cast("decimal(38,0)")).as("s22"),
+      sum((col("y").cast(d190) * col("y").cast(d190)).cast("decimal(38,0)")).as("syy"))
+    val cent = m.select(col("n"),
+      expr("cast(n as double) * cast(s11 as double) - cast(s1 as double) * cast(s1 as double)").as("c11"),
+      expr("cast(n as double) * cast(s22 as double) - cast(s2 as double) * cast(s2 as double)").as("c22"),
+      expr("cast(n as double) * cast(s12 as double) - cast(s1 as double) * cast(s2 as double)").as("c12"),
+      expr("cast(n as double) * cast(s1y as double) - cast(s1 as double) * cast(sy as double)").as("c1y"),
+      expr("cast(n as double) * cast(s2y as double) - cast(s2 as double) * cast(sy as double)").as("c2y"),
+      expr("cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)").as("cyy"))
+    cent
+      .withColumn("det", expr("c11 * c22 - c12 * c12"))
+      .withColumn("b1", expr("(c22 * c1y - c12 * c2y) / det"))
+      .withColumn("b2", expr("(c11 * c2y - c12 * c1y) / det"))
+      .withColumn("rss_u", expr("cyy - b1 * c1y - b2 * c2y"))
+      .withColumn("rss_r", expr("cyy - c1y * c1y / c11"))
+      .select(col("n").as("n_days"),
+              r4(col("b1")).as("b_rev_lag"),
+              r4(col("b2")).as("b_qty_lag"),
+              r4(expr(
+                "(rss_r - rss_u) / (rss_u / cast(n - 3 as double))")).as("f_stat"))
+  }
+
   def theilSen(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val monthly = t(spark, sfDir, "lineitem")

@@ -125,6 +125,35 @@ object Similarity {
       "vec_id")
   }
 
+  /** Deterministic sampled-pair cosine histogram — the similarity-scale
+    * calibration every embedding-dedup threshold choice needs ("what does
+    * cosine 0.8 MEAN in this corpus"): pair vector i with vectors i+1,
+    * i+17, i+257 (fixed strides — reproducible across runs/engines, no
+    * RNG state; three strides decorrelate any id-order structure), score
+    * each pair with the native codegen cosine kernel, bucket the ROUNDED
+    * score into 0.1-wide bins (bin = ⌊10·cos⌋+10 ∈ 0..20, computed from
+    * the r4 value so both engines bin identically). Corpus-linear: the
+    * stride join is 3 hash-joins on vec_id, no quadratic pair set.
+    */
+  def cosSimHist(spark: SparkSession, sfDir: String,
+                 offsets: Seq[Int] = Seq(1, 17, 257)): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = t(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val ofs = offsets.toDF("ofs")
+    val pairs = e.crossJoin(broadcast(ofs))
+      .select(col("ofs"), (col("vec_id") + col("ofs")).as("b_id"),
+              col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+    val cos = r4(call_function("cosine_sim", col("ea"), col("eb")))
+    ordered(
+      pairs.select(col("ofs").cast("long").as("ofs"),
+                   floor(cos * 10.0 + 10.0).cast("long").as("bin"))
+        .groupBy(col("ofs"), col("bin"))
+        .agg(count(lit(1)).as("n")),
+      "ofs", "bin")
+  }
+
   /** ANN via random-hyperplane LSH: 32 sign-projections → 4 bands of 8 bits;
     * vectors sharing any (band, 8-bit bucket) become candidates; candidates
     * are re-ranked by exact cosine. Output: top-k pairs over the

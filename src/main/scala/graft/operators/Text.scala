@@ -214,6 +214,120 @@ object Text {
           least(lit(chunkWords), col("n") - col("start")).cast("long").as("n_words")),
       "doc_id", "chunk_id")
 
+  /** Non-overlapping fixed-width word chunks — the "paragraph" unit of the
+    * CCNet-style dedup below (the synthetic corpus has no newline structure,
+    * so width stands in for paragraph boundaries). Same zero-shuffle
+    * sequence+explode fan-out as [[docChunk]].
+    */
+  private def paragraphs(d: DataFrame, parWords: Int): DataFrame =
+    d.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("source"), col("w"),
+              explode(sequence(lit(0), col("n") - 1, lit(parWords))).as("start"))
+      .select(col("doc_id"), col("source"),
+              expr(s"start div $parWords").cast("long").as("par_idx"),
+              array_join(slice(col("w"), col("start") + 1, lit(parWords)), " ")
+                .as("par_text"))
+
+  /** Paragraph-level dedup with reassembly — the CCNet move (Wenzek et al.
+    * 2020): drop every paragraph that already occurred earlier in the
+    * corpus (first occurrence = lowest (doc_id, par_idx)), keep each doc's
+    * surviving paragraphs in order. Kills boilerplate and cross-doc quoting
+    * that whole-doc dedup can't see. Shuffle discipline: first-occurrence
+    * selection runs on (doc_id, par_idx, sha2-digest) rows — paragraph TEXT
+    * never enters the dedup shuffle (the q_doc_dedup_exact rule, at
+    * paragraph grain); the keeper id-set then left-semi joins the
+    * recomputed zero-shuffle paragraph fan-out, and only KEPT text moves in
+    * the per-doc reassembly agg. Every stage is corpus-linear.
+    */
+  def parDedup(spark: SparkSession, sfDir: String,
+               parWords: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pars = paragraphs(docs(spark, sfDir), parWords)
+    val marked = pars.select(col("doc_id"), col("par_idx"),
+                             sha2(col("par_text"), 256).as("dg"))
+    val w = Window.partitionBy(col("dg"))
+      .orderBy(col("doc_id").asc, col("par_idx").asc)
+    val keep = marked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("par_idx"))
+    val kept = pars.join(keep, Seq("doc_id", "par_idx"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(
+             expr("transform(array_sort(collect_list(struct(par_idx, par_text))), x -> x.par_text)"),
+             " ").as("kept_text"))
+    val totals = pars.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pars"))
+    ordered(
+      totals.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pars"),
+                (col("n_pars") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+                coalesce(col("kept_text"), lit("")).as("kept_text")),
+      "doc_id")
+  }
+
+  /** Per-source boilerplate profile — the report that decides whether a
+    * crawl source needs the paragraph-dedup pass: paragraph instances,
+    * distinct paragraphs, and the count/share of paragraphs appearing in
+    * ≥2 DISTINCT docs of the SAME source (nav bars, footers, license
+    * blurbs — the within-site repetition signature). Digest-grain
+    * aggregation (text never shuffles); the per-(source, digest) doc-count
+    * frame is paragraph-linear, the final rollup is source-bounded.
+    */
+  def boilerplateReport(spark: SparkSession, sfDir: String,
+                        parWords: Int = 20): DataFrame = {
+    val pars = paragraphs(docs(spark, sfDir), parWords)
+      .select(col("source"), col("doc_id"), sha2(col("par_text"), 256).as("dg"))
+    val perPar = pars.groupBy(col("source"), col("dg"))
+      .agg(count(lit(1)).as("n_inst"),
+           countDistinct(col("doc_id")).as("n_docs"))
+    ordered(
+      perPar.groupBy(col("source"))
+        .agg(sum(col("n_inst")).as("n_par_instances"),
+             count(lit(1)).as("n_distinct_pars"),
+             sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_boilerplate"))
+        .select(col("source"), col("n_par_instances"), col("n_distinct_pars"),
+                col("n_boilerplate"),
+                r4(col("n_boilerplate").cast("double") /
+                   col("n_distinct_pars").cast("double")).as("boilerplate_ratio")),
+      "source")
+  }
+
+  /** Token-budget corpus mix — the greedy waterfill that answers "which
+    * sources fill a B-token training budget, ranked by quality": per-source
+    * token counts (whitespace tokens) and a utility score (corpus-exact
+    * distinct-word/word ratio — ONE division of two exact integer sums per
+    * source, so the ranking key is engine-portable; per-doc ratio averages
+    * would sum doubles in nondeterministic order), then sources take
+    * tokens in utility order until the budget exhausts:
+    * alloc = clamp(B − cum_before, 0, available). The rank/prefix windows
+    * run on the source-bounded frame; the corpus feeds one hash-agg.
+    */
+  def tokenBudgetMix(spark: SparkSession, sfDir: String,
+                     budget: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs(spark, sfDir)
+      .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("nw"),
+              size(array_distinct(split(col("text"), " "))).cast("long").as("ndw"))
+      .groupBy(col("source"))
+      .agg(sum(col("nw")).as("toks"), sum(col("ndw")).as("dtoks"))
+      .withColumn("util",
+        col("dtoks").cast("double") / col("toks").cast("double"))
+    val wOrd = Window.orderBy(col("util").desc, col("source").asc)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    ordered(
+      per.withColumn("rank", row_number().over(wOrd).cast("long"))
+        .withColumn("cum_before", coalesce(sum(col("toks")).over(wPrev), lit(0L)))
+        .withColumn("alloc",
+          greatest(lit(0L), least(col("toks"), lit(budget) - col("cum_before"))))
+        .select(col("source"), col("rank"), col("toks").as("tokens_available"),
+                r4(col("util")).as("utility"), col("alloc").as("tokens_allocated"),
+                r4(col("alloc").cast("double") / col("toks").cast("double"))
+                  .as("fill_frac")),
+      "source")
+  }
+
   /** Corpus vocabulary: top-k lowercased words by frequency (count desc,
     * word asc). Explode + hash-agg with map-side partials; the top-k is
     * TakeOrdered — only k rows per partition travel.
@@ -1561,6 +1675,42 @@ object Text {
                   .as("share")),
       "lang", "lang_pred")
   }
+
+  /** Cohen's kappa between the [[langId]] heuristic and the ground-truth
+    * label (binarized en/other) — chance-corrected agreement, the honest
+    * version of q_langid_confusion's raw shares: κ = (p_o − p_e)/(1 − p_e)
+    * with p_o the diagonal share and p_e the marginal-product chance
+    * agreement, all from four exact integer cells (one corpus-linear
+    * hash-agg; doubles only in the last three divisions). The metric any
+    * classifier-vs-gold eval in the corpus pipeline reports.
+    */
+  def cohensKappa(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .select((col("lang") === "en").as("truth_en"),
+              (col("lang_pred") === "en").as("pred_en"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("truth_en") && col("pred_en"), 1L).otherwise(0L)).as("n11"),
+           sum(when(!col("truth_en") && col("pred_en"), 1L).otherwise(0L)).as("n01"),
+           sum(when(col("truth_en") && !col("pred_en"), 1L).otherwise(0L)).as("n10"),
+           sum(when(!col("truth_en") && !col("pred_en"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n").as("n_docs"), col("n11").as("both_en"),
+              col("n01").as("pred_only"), col("n10").as("truth_only"),
+              col("n00").as("both_other"),
+              r4(expr("cast(n11 + n00 as double) / cast(n as double)")).as("p_observed"),
+              r4(expr(
+                """(cast(n11 + n10 as double) * cast(n11 + n01 as double)
+                  | + cast(n00 + n01 as double) * cast(n00 + n10 as double))
+                  |/ (cast(n as double) * cast(n as double))"""
+                  .stripMargin.replace("\n", " "))).as("p_expected"),
+              r4(expr(
+                """(cast(n11 + n00 as double) / cast(n as double)
+                  | - (cast(n11 + n10 as double) * cast(n11 + n01 as double)
+                  |    + cast(n00 + n01 as double) * cast(n00 + n10 as double))
+                  |   / (cast(n as double) * cast(n as double)))
+                  |/ (1.0 - (cast(n11 + n10 as double) * cast(n11 + n01 as double)
+                  |          + cast(n00 + n01 as double) * cast(n00 + n10 as double))
+                  |         / (cast(n as double) * cast(n as double)))"""
+                  .stripMargin.replace("\n", " "))).as("kappa"))
 
   /** Tokenizer fertility per language — the bytes-per-token and
     * BPE-tokens-per-word ratios a tokenizer sizing decision reads

@@ -284,6 +284,79 @@ object Warehouse {
                 (col("valid_to_us").isNull || col("valid_to_us") > asOfUs)),
       "user_id")
 
+  /** Temporal alignment of two SCD2 attribute timelines — the query every
+    * bitemporal mart needs and plain SQL makes painful: given per-key
+    * interval histories of TWO attributes (here: a customer's order
+    * PRIORITY timeline and STATUS timeline, each valid from its order date
+    * until the key's next order date, open at the end), produce the
+    * merged timeline whose rows are the interval INTERSECTIONS —
+    * from = max(starts), to = min(ends) (NULL = open), kept when
+    * non-empty. The join is a per-key equi-join with an overlap
+    * post-filter: both sides hash-partition on the key, and per-key
+    * version counts are change-bounded (not fact-bounded), so the
+    * quadratic-per-key worst case is the SCD2 table's own design bound —
+    * the shape that survives 100 TB because version tables are small by
+    * construction. Day grain; multiple same-day orders collapse
+    * deterministically (min priority / min status per day).
+    */
+  def scd2TimelineJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def timeline(attr: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("ck")).orderBy(col("d").asc)
+      t(spark, sfDir, "orders")
+        .groupBy(col("o_custkey").as("ck"),
+                 col("o_orderdate").cast("date").as("d"))
+        .agg(min(col(attr)).as(out))
+        .select(col("ck"), col("d").as("valid_from"),
+                lead(col("d"), 1).over(w).as("valid_to"), col(out))
+    }
+    val a = timeline("o_orderpriority", "priority")
+      .select(col("ck"), col("valid_from").as("fa"),
+              col("valid_to").as("ta"), col("priority"))
+    val b = timeline("o_orderstatus", "status")
+      .select(col("ck"), col("valid_from").as("fb"),
+              col("valid_to").as("tb"), col("status"))
+    val inf = lit("9999-12-31").cast("date")
+    ordered(
+      a.join(b, "ck")
+        .filter(col("fa") < coalesce(col("tb"), inf) &&
+                col("fb") < coalesce(col("ta"), inf))
+        .select(col("ck").as("c_custkey"),
+                greatest(col("fa"), col("fb")).as("valid_from"),
+                when(coalesce(col("ta"), inf) <= coalesce(col("tb"), inf),
+                     col("ta")).otherwise(col("tb")).as("valid_to"),
+                col("priority"), col("status")),
+      "c_custkey", "valid_from")
+  }
+
+  /** Aggregate navigation — Kimball's "aggregate tables must answer
+    * exactly like the base fact": a monthly (nation × month) revenue
+    * aggregate is built IN-PLAN, and the yearly-per-nation query is
+    * answered FROM that aggregate; the DuckDB oracle computes the same
+    * yearly answer directly from the base facts, so the hash gate IS the
+    * rewrite-equivalence proof. DECIMAL money all the way to the final
+    * double (re-aggregating doubles would drift; re-aggregating DECIMAL
+    * cannot). The monthly aggregate is the 100 TB serving shape: facts
+    * collapse once, every rollup after that is calendar² -bounded.
+    */
+  def aggRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+               (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    ordered(
+      monthly.groupBy(col("n_name"),
+                      expr("(mi - 1) div 12").cast("long").as("yr"))
+        .agg(sum(col("rev")).as("rev"))
+        .select(col("n_name"), col("yr"),
+                r4(col("rev").cast("double")).as("revenue")),
+      "n_name", "yr")
+  }
+
   /** Late-arriving dimension handling (Kimball "inferred members"): facts
     * referencing customer keys the dimension feed hasn't delivered yet get
     * placeholder dim rows instead of being dropped or failing the FK. The

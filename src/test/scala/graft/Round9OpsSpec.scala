@@ -676,6 +676,530 @@ class Round9OpsSpec extends SparkSpec {
     assert(!discFlags.dropWhile(identity).contains(true), "discoveries prefix")
   }
 
+  // ---- round-9h: LLM corpus-operations tier ----
+
+  private def chunk20(words: Array[String]): Seq[String] =
+    (0 until words.length by 20).map(i =>
+      words.slice(i, math.min(i + 20, words.length)).mkString(" "))
+
+  test("parDedup: matches a sequential first-occurrence paragraph fold " +
+       "with in-order reassembly") {
+    val got = Text.parDedup(spark, Sf, 20).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pars"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_text")))).toMap
+    val docs = docsRaw()
+    val seen = scala.collection.mutable.Set.empty[String]
+    // sequential corpus order IS (doc_id, par_idx) order
+    docs.toSeq.sortBy(_._1).foreach { case (id, text) =>
+      val pars = chunk20(text.split(" ", -1))
+      val kept = pars.filter { p =>
+        if (seen(p)) false else { seen += p; true }
+      }
+      val (np, nr, kt) = got(id)
+      assert(np === pars.length.toLong, s"doc $id n_pars")
+      assert(nr === (pars.length - kept.length).toLong, s"doc $id n_removed")
+      assert(kt === kept.mkString(" "), s"doc $id kept_text")
+    }
+    assert(got.keySet === docs.keySet)
+  }
+
+  test("boilerplateReport: per-source counts match a sequential fold; " +
+       "ratios are consistent") {
+    val got = Text.boilerplateReport(spark, Sf, 20).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_par_instances"), r.getAs[Long]("n_distinct_pars"),
+          r.getAs[Long]("n_boilerplate"), r.getAs[Double]("boilerplate_ratio")))).toMap
+    val src = graft.util.Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySource = src.groupBy(_._2)
+    assert(got.keySet === bySource.keySet)
+    bySource.foreach { case (s, ds) =>
+      val parDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+      var inst = 0L
+      ds.foreach { case (id, _, text) =>
+        chunk20(text.split(" ", -1)).foreach { p =>
+          inst += 1
+          parDocs(p) = parDocs.getOrElse(p, Set.empty) + id
+        }
+      }
+      val boiler = parDocs.count(_._2.size >= 2).toLong
+      val (ni, ndp, nb, ratio) = got(s)
+      assert(ni === inst, s"$s instances")
+      assert(ndp === parDocs.size.toLong, s"$s distinct")
+      assert(nb === boiler, s"$s boilerplate")
+      assert(ratio ===
+        math.floor(boiler.toDouble / parDocs.size * 10000.0 + 0.5) / 10000.0)
+    }
+  }
+
+  test("tokenBudgetMix: greedy waterfill matches a sequential fold; " +
+       "allocations respect the budget and the rank order") {
+    val budget = 50000L
+    val rows = Text.tokenBudgetMix(spark, Sf, budget).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+                 r.getAs[Long]("tokens_available"), r.getAs[Double]("utility"),
+                 r.getAs[Long]("tokens_allocated"), r.getAs[Double]("fill_frac")))
+    val per = graft.util.Tables.t(spark, Sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, ds) =>
+        val toks = ds.map(_._2.split(" ", -1).length.toLong).sum
+        val dtoks = ds.map(_._2.split(" ", -1).distinct.length.toLong).sum
+        (s, toks, dtoks)
+      }.toSeq
+    val ranked = per.sortBy { case (s, t, d) => (-d.toDouble / t, s) }
+    var cum = 0L
+    val expect = ranked.zipWithIndex.map { case ((s, t, d), i) =>
+      val alloc = math.max(0L, math.min(t, budget - cum))
+      cum += t
+      def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+      (s, (i + 1).toLong, t, rr(d.toDouble / t), alloc, rr(alloc.toDouble / t))
+    }.sortBy(_._1)
+    assert(rows.sortBy(_._1).toSeq === expect)
+    // the waterfill shape: full fills form a rank prefix, then at most one
+    // partial, then zeros; total allocated never exceeds the budget
+    val byRank = rows.sortBy(_._2)
+    assert(byRank.map(_._5).sum <= budget)
+    val states = byRank.map(x =>
+      if (x._5 == x._3) "full" else if (x._5 == 0L) "zero" else "partial")
+    val collapsed = states.foldLeft(List.empty[String]) {
+      case (acc, s) if acc.headOption.contains(s) => acc
+      case (acc, s) => s :: acc
+    }.reverse
+    assert(Seq(Seq("full"), Seq("full", "zero"), Seq("full", "partial", "zero"),
+               Seq("full", "partial"), Seq("partial", "zero"), Seq("partial"),
+               Seq("zero")).contains(collapsed),
+           s"waterfill shape was $collapsed")
+  }
+
+  test("cosSimHist: bins match a driver fold over the stride pairs; " +
+       "pair counts per stride are exact") {
+    val rows = graft.operators.Similarity.cosSimHist(spark, Sf, Seq(1, 17, 257)).collect()
+      .map(r => (r.getAs[Long]("ofs"), r.getAs[Long]("bin")) -> r.getAs[Long]("n"))
+      .toMap
+    val vecs = graft.util.Tables.t(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    val expect = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    Seq(1, 17, 257).foreach { ofs =>
+      vecs.keys.toSeq.sorted.foreach { a =>
+        vecs.get(a + ofs).foreach { eb =>
+          val ea = vecs(a)
+          // same fold order as the codegen kernel: index-sequential doubles
+          var (dp, na, nb) = (0.0, 0.0, 0.0)
+          ea.indices.foreach { i =>
+            dp += ea(i).toDouble * eb(i).toDouble
+            na += ea(i).toDouble * ea(i).toDouble
+            nb += eb(i).toDouble * eb(i).toDouble
+          }
+          val cos = math.floor(dp / (math.sqrt(na) * math.sqrt(nb)) *
+            10000.0 + 0.5) / 10000.0
+          val bin = math.floor(cos * 10.0 + 10.0).toLong
+          expect((ofs.toLong, bin)) = expect.getOrElse((ofs.toLong, bin), 0L) + 1
+        }
+      }
+    }
+    assert(rows === expect.toMap)
+    // stride pair counts: contiguous ids 0..N-1 give exactly N-ofs pairs
+    val n = vecs.size
+    Seq(1, 17, 257).foreach { ofs =>
+      assert(rows.collect { case ((o, _), c) if o == ofs => c }.sum ===
+        (n - ofs).toLong, s"ofs $ofs")
+    }
+  }
+
+  // ---- round-9i: temporal warehouse + distribution tests ----
+
+  test("scd2TimelineJoin: intervals tile each key's attribute history — " +
+       "no gaps, no overlaps, attributes match the point-in-time lookup") {
+    val rows = graft.operators.Warehouse.scd2TimelineJoin(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"),
+                 r.getAs[java.sql.Date]("valid_from").toLocalDate,
+                 Option(r.getAs[java.sql.Date]("valid_to")).map(_.toLocalDate),
+                 r.getAs[String]("priority"), r.getAs[String]("status")))
+    assert(rows.nonEmpty)
+    // per key: sorted intervals chain exactly (each valid_to = next
+    // valid_from), exactly one open interval, all non-empty
+    rows.groupBy(_._1).foreach { case (ck, ivs) =>
+      val sorted = ivs.sortBy(_._2.toEpochDay)
+      assert(sorted.count(_._3.isEmpty) === 1, s"key $ck open count")
+      assert(sorted.last._3.isEmpty, s"key $ck open last")
+      sorted.foreach { iv =>
+        iv._3.foreach(to => assert(iv._2.isBefore(to), s"key $ck empty interval"))
+      }
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(p._3.contains(n._2), s"key $ck gap/overlap at ${n._2}")
+        case _ =>
+      }
+    }
+    // attribute correctness: a sequential per-key sweep over the orders
+    val orders = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+              col("o_orderpriority"), col("o_orderstatus")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("d").toLocalDate,
+                 r.getString(2), r.getString(3)))
+    val byKey = orders.groupBy(_._1)
+    rows.groupBy(_._1).foreach { case (ck, ivs) =>
+      val os = byKey(ck)
+      ivs.foreach { case (_, from, _, pr, st) =>
+        // at `from`, the active priority/status version is the min over
+        // that key's orders on the latest order date <= from
+        val prDay = os.filter(o => !o._2.isAfter(from)).maxBy(_._2.toEpochDay)._2
+        val expPr = os.filter(o => o._2 == prDay).map(_._3).min
+        val stDay = prDay // both timelines change on order dates
+        val expSt = os.filter(o => o._2 == stDay).map(_._4).min
+        assert(pr === expPr, s"key $ck at $from priority")
+        assert(st === expSt, s"key $ck at $from status")
+      }
+    }
+  }
+
+  test("aggRewrite: the monthly-aggregate rollup equals the direct " +
+       "fact-grain yearly aggregation exactly (DECIMAL re-aggregation)") {
+    val viaAgg = graft.operators.Warehouse.aggRewrite(spark, Sf).collect()
+      .map(r => (r.getAs[String]("n_name"), r.getAs[Long]("yr")) ->
+        r.getAs[Double]("revenue")).toMap
+    val direct = graft.util.Tables.t(spark, Sf, "orders")
+      .join(graft.util.Tables.t(spark, Sf, "customer"),
+            col("o_custkey") === col("c_custkey"))
+      .join(graft.util.Tables.t(spark, Sf, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(graft.util.Tables.r4(
+        sum(graft.util.Tables.money(col("o_totalprice"))).cast("double"))
+        .as("revenue"))
+      .collect()
+      .map(r => (r.getAs[String]("n_name"), r.getAs[Long]("yr")) ->
+        r.getAs[Double]("revenue")).toMap
+    assert(viaAgg === direct)
+  }
+
+  test("moodsMedian: median and 2x2 cells match a sequential fold") {
+    val r = Insights.moodsMedian(spark, Sf).collect().head
+    val vals = graft.util.Tables.t(spark, Sf, "orders")
+      .select((col("o_orderpriority") === "1-URGENT").as("g1"),
+              floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"))
+      .collect().map(x => (x.getBoolean(0), x.getLong(1)))
+    val sorted = vals.map(_._2).sorted
+    val med = sorted((vals.length + 1) / 2 - 1) // lower median, 1-based ceil
+    assert(r.getAs[Double]("median_value") ===
+      math.floor(med.toDouble / 100.0 * 10000.0 + 0.5) / 10000.0)
+    val a = vals.count(x => x._1 && x._2 > med).toLong
+    val b = vals.count(x => x._1 && x._2 <= med).toLong
+    val c = vals.count(x => !x._1 && x._2 > med).toLong
+    val d = vals.count(x => !x._1 && x._2 <= med).toLong
+    assert((r.getAs[Long]("g1_above"), r.getAs[Long]("g1_at_below"),
+            r.getAs[Long]("g2_above"), r.getAs[Long]("g2_at_below")) ===
+           ((a, b, c, d)))
+    // at-or-below must reach at least half by the median's definition
+    assert(b + d >= (vals.length + 1) / 2)
+  }
+
+  test("bartlett: pooled variance and chi2 match a sequential fold; " +
+       "chi2 agrees in spirit with brown-forsythe (same null here)") {
+    val r = Insights.bartlett(spark, Sf).collect().head
+    val by = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_returnflag"),
+              floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("x"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .groupBy(_._1).map { case (g, xs) =>
+        val n = xs.length
+        val s = xs.map(v => BigInt(v._2)).sum
+        val s2 = xs.map(v => BigInt(v._2) * BigInt(v._2)).sum
+        val si2 = (n.toDouble * s2.toDouble - s.toDouble * s.toDouble) /
+                  (n.toDouble * (n - 1).toDouble)
+        (g, n.toLong, si2)
+      }.toSeq
+    val n = by.map(_._2).sum
+    val k = by.length.toLong
+    val sv = by.map(x => dec8((x._2 - 1).toDouble * x._3)).sum
+    val slog = by.map(x => dec8((x._2 - 1).toDouble * math.log(x._3))).sum
+    val srec = by.map(x => BigDecimal(1.0 / (x._2 - 1).toDouble)
+      .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum
+    val sp2 = sv.toDouble / (n - k).toDouble
+    val chi2 = ((n - k).toDouble * math.log(sp2) - slog.toDouble) /
+      (1.0 + (srec.toDouble - 1.0 / (n - k).toDouble) / (3.0 * (k - 1).toDouble))
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Long]("n_total") === n)
+    assert(r.getAs[Long]("n_groups") === k)
+    assert(r.getAs[Double]("pooled_var") === rr(sp2))
+    assert(r.getAs[Double]("chi2") === rr(chi2))
+    assert(r.getAs[Double]("chi2") >= 0.0)
+  }
+
+  test("kpss: integer partial-sum statistic matches a BigInt fold and " +
+       "stays below the 5% critical value on the stationary series") {
+    val r = Insights.kpss(spark, Sf).collect().head
+    val daily = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("d").collect().map(_.getLong(1))
+    val n = daily.length
+    val s = daily.sum
+    val z = daily.map(y => BigInt(n.toLong * y - s))
+    val st = z.scanLeft(BigInt(0))(_ + _).tail
+    val stat = st.map(x => x * x).sum.toDouble /
+      (n.toDouble * z.map(x => x * x).sum.toDouble)
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(r.getAs[Double]("kpss_stat") ===
+      math.floor(stat * 10000.0 + 0.5) / 10000.0)
+    // synthetic daily counts are level-stationary: below the 5% critical
+    // value 0.463 (Kwiatkowski et al. 1992, table 1)
+    assert(r.getAs[Double]("kpss_stat") < 0.463)
+  }
+
+  test("granger: restricted/unrestricted RSS decomposition matches a " +
+       "BigInt moment fold; F is nonnegative") {
+    val r = Insights.granger(spark, Sf).collect().head
+    val rev = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("y"))
+      .collect().map(x => x.getAs[java.sql.Date]("d").toLocalDate -> x.getLong(1)).toMap
+    val qty = graft.util.Tables.t(spark, Sf, "lineitem")
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum(floor(col("l_quantity") * 100.0 + 0.5).cast("long")).as("x"))
+      .collect().map(x => x.getAs[java.sql.Date]("d").toLocalDate -> x.getLong(1)).toMap
+    val days = (rev.keySet & qty.keySet).toSeq.sortBy(_.toEpochDay)
+    val trip = days.sliding(2).collect {
+      case Seq(p, c) => (rev(c), rev(p), qty(p)) // (y, y_lag, x_lag)
+    }.toSeq
+    val n = trip.length
+    def bs(f: ((Long, Long, Long)) => BigInt) = trip.map(f).sum
+    val (s1, s2, sy) = (bs(t => BigInt(t._2)), bs(t => BigInt(t._3)), bs(t => BigInt(t._1)))
+    val c11 = n.toDouble * bs(t => BigInt(t._2) * BigInt(t._2)).toDouble - s1.toDouble * s1.toDouble
+    val c22 = n.toDouble * bs(t => BigInt(t._3) * BigInt(t._3)).toDouble - s2.toDouble * s2.toDouble
+    val c12 = n.toDouble * bs(t => BigInt(t._2) * BigInt(t._3)).toDouble - s1.toDouble * s2.toDouble
+    val c1y = n.toDouble * bs(t => BigInt(t._2) * BigInt(t._1)).toDouble - s1.toDouble * sy.toDouble
+    val c2y = n.toDouble * bs(t => BigInt(t._3) * BigInt(t._1)).toDouble - s2.toDouble * sy.toDouble
+    val cyy = n.toDouble * bs(t => BigInt(t._1) * BigInt(t._1)).toDouble - sy.toDouble * sy.toDouble
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c22 * c1y - c12 * c2y) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val rssU = cyy - b1 * c1y - b2 * c2y
+    val rssR = cyy - c1y * c1y / c11
+    val f = (rssR - rssU) / (rssU / (n - 3).toDouble)
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(r.getAs[Double]("b_rev_lag") === rr(b1))
+    assert(r.getAs[Double]("b_qty_lag") === rr(b2))
+    assert(r.getAs[Double]("f_stat") === rr(f))
+    // adding a regressor can only shrink RSS, so F >= 0 structurally
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+  }
+
+  // ---- round-9j: graph structure + forecasting + agreement ----
+
+  private def partGraph(): (Set[(Long, Long)], Map[Long, Int]) = {
+    // undirected co-purchase edges with co-order support >= 2, and degrees
+    val items = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pc = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    items.groupBy(_._1).foreach { case (_, ps) =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        pc((parts(i), parts(j))) = pc.getOrElse((parts(i), parts(j)), 0) + 1
+    }
+    val edges = pc.filter(_._2 >= 2).keySet.toSet
+    val deg = scala.collection.mutable.Map.empty[Long, Int]
+    edges.foreach { case (x, y) =>
+      deg(x) = deg.getOrElse(x, 0) + 1; deg(y) = deg.getOrElse(y, 0) + 1
+    }
+    (edges, deg.toMap)
+  }
+
+  test("modularity: community stats match a sequential 3-round LPA fold; " +
+       "contributions sum to a sane Q") {
+    val rows = Insights.modularity(spark, Sf, 2, 3).collect()
+      .map(r => r.getAs[Long]("community") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("intra_edges"),
+          r.getAs[Long]("d_c"), r.getAs[Double]("q_contrib")))).toMap
+    val (edges, deg) = partGraph()
+    val nbr = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (x, y) =>
+      nbr(x) = y :: nbr.getOrElse(x, Nil); nbr(y) = x :: nbr.getOrElse(y, Nil)
+    }
+    var lab = nbr.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lab = nbr.keys.map { v =>
+        val counts = nbr(v).groupBy(lab).view.mapValues(_.size).toMap
+        val mx = counts.values.max
+        v -> counts.filter(_._2 == mx).keys.min
+      }.toMap
+    }
+    val m = edges.size.toLong
+    val byC = lab.groupBy(_._2).map { case (c, ns) =>
+      val nodes = ns.keySet
+      val eC = edges.count { case (x, y) => nodes(x) && nodes(y) }.toLong
+      val dC = nodes.toSeq.map(deg(_).toLong).sum
+      c -> ((nodes.size.toLong, eC, dC))
+    }
+    assert(rows.keySet === byC.keySet)
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    byC.foreach { case (c, (nn, ec, dc)) =>
+      val (gn, ge, gd, gq) = rows(c)
+      assert(gn === nn, s"community $c nodes")
+      assert(ge === ec, s"community $c intra")
+      assert(gd === dc, s"community $c degree")
+      assert(gq === rr(ec.toDouble / m - math.pow(dc.toDouble / (2 * m), 2)))
+    }
+    // total degree must be 2m exactly (handshake lemma over the partition)
+    assert(rows.values.map(_._3).sum === 2 * m)
+  }
+
+  test("richClub: quantile thresholds and densities match a sequential " +
+       "fold; phi rises with the threshold on this graph") {
+    val rows = Insights.richClub(spark, Sf, Seq(50, 75, 90, 95)).collect()
+      .map(r => r.getAs[Long]("pct") ->
+        ((r.getAs[Long]("k"), r.getAs[Long]("n_k"), r.getAs[Long]("e_k"),
+          r.getAs[Double]("phi")))).toMap
+    // degrees from the FULL (support >= 1) co-purchase graph
+    val items = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbr = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    items.groupBy(_._1).foreach { case (_, ps) =>
+      val parts = ps.map(_._2).distinct
+      for (x <- parts; y <- parts if x != y)
+        nbr(x) = nbr.getOrElse(x, Set.empty) + y
+    }
+    val deg = nbr.view.mapValues(_.size.toLong).toMap
+    val sortedDeg = deg.values.toSeq.sorted
+    val n = sortedDeg.length
+    Seq(50, 75, 90, 95).foreach { pct =>
+      // min degree whose cumulative count reaches pct% of nodes
+      val k = sortedDeg(math.ceil(pct * n / 100.0).toInt - 1)
+      val rich = deg.filter(_._2 > k).keySet
+      val nk = rich.size.toLong
+      val ek = nbr.toSeq.flatMap { case (x, ys) =>
+        ys.collect { case y if x < y && rich(x) && rich(y) => (x, y) }
+      }.size.toLong
+      val (gk, gn, ge, gphi) = rows(pct.toLong)
+      assert(gk === k, s"pct $pct k")
+      assert(gn === nk, s"pct $pct n_k")
+      assert(ge === ek, s"pct $pct e_k")
+      assert(gphi === math.floor(2.0 * ek / (nk * (nk - 1)).toDouble *
+        10000.0 + 0.5) / 10000.0, s"pct $pct phi")
+    }
+    val phis = Seq(50L, 75L, 90L, 95L).map(rows(_)._4)
+    assert(phis === phis.sorted, "rich club ordering on this graph")
+  }
+
+  test("forecastAcc: error metrics match a sequential fold; MASE near 1 " +
+       "says lag-7 is no better than lag-1 on the stationary series") {
+    val r = Insights.forecastAcc(spark, Sf).collect().head
+    val daily = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("d").collect().map(_.getLong(1))
+    val n = daily.length
+    val e7 = (7 until n).map(i => (daily(i), math.abs(daily(i) - daily(i - 7))))
+    val e1 = (1 until n).map(i => math.abs(daily(i) - daily(i - 1)))
+    val mae = e7.map(_._2).sum.toDouble / e7.size
+    val mape = (7 until n).map(i => BigDecimal(
+      math.abs(daily(i) - daily(i - 7)).toDouble / daily(i).toDouble)
+      .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / e7.size
+    val smape = (7 until n).map(i => BigDecimal(
+      2.0 * math.abs(daily(i) - daily(i - 7)).toDouble /
+      (daily(i) + daily(i - 7)).toDouble)
+      .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / e7.size
+    val mase = mae / (e1.sum.toDouble / e1.size)
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(r.getAs[Long]("n_forecast") === e7.size.toLong)
+    assert(r.getAs[Double]("mae") === rr(mae))
+    assert(r.getAs[Double]("mape") === rr(mape))
+    assert(r.getAs[Double]("smape") === rr(smape))
+    assert(r.getAs[Double]("mase") === rr(mase))
+    // stationary noise: seasonal-naive ~ naive-1, MASE hovers near 1
+    assert(r.getAs[Double]("mase") > 0.8 && r.getAs[Double]("mase") < 1.2)
+  }
+
+  test("ar2Yw: Yule-Walker coefficients reproduce from the exact ACF and " +
+       "agree with pacf's Durbin-Levinson phi2") {
+    val r = Insights.ar2Yw(spark, Sf).collect().head
+    val (r1, r2) = (r.getAs[Double]("acf1"), r.getAs[Double]("acf2"))
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // recompute phi from the ROUNDED acf (4dp) — tolerance-checked because
+    // the engine derives phi from the unrounded r's
+    val phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    val phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(math.abs(r.getAs[Double]("phi1") - rr(phi1)) <= 2e-4)
+    assert(math.abs(r.getAs[Double]("phi2") - rr(phi2)) <= 2e-4)
+    // the exact BigInt fold (unrounded) must match exactly
+    val daily = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("d").collect().map(_.getLong(1))
+    val n = daily.length
+    val s = daily.sum
+    val z = daily.map(y => BigInt(n.toLong * y - s))
+    def ac(k: Int) = (k until n).map(i => z(i) * z(i - k)).sum
+    val (c0, c1, c2) = (ac(0), ac(1), ac(2))
+    val er1 = c1.toDouble / c0.toDouble
+    val er2 = c2.toDouble / c0.toDouble
+    val ephi1 = er1 * (1.0 - er2) / (1.0 - er1 * er1)
+    val ephi2 = (er2 - er1 * er1) / (1.0 - er1 * er1)
+    assert(r.getAs[Double]("phi1") === rr(ephi1))
+    assert(r.getAs[Double]("phi2") === rr(ephi2))
+    assert(r.getAs[Double]("innov_var_ratio") ===
+      rr(1.0 - ephi1 * er1 - ephi2 * er2))
+    // innovation variance cannot exceed the series variance
+    assert(r.getAs[Double]("innov_var_ratio") <= 1.0)
+  }
+
+  test("gtest: likelihood-ratio statistic matches a sequential fold and " +
+       "lands near chi2 on the same table") {
+    val r = Insights.gtest(spark, Sf).collect().head
+    val cells = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val n = cells.map(_._3).sum
+    val rt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val g = 2.0 * cells.filter(_._3 > 0).map { case (p, s, o) =>
+      dec8(o.toDouble * math.log(o.toDouble * n.toDouble /
+        (rt(p).toDouble * ct(s).toDouble)))
+    }.sum.toDouble
+    assert(r.getAs[Long]("n_total") === n)
+    assert(r.getAs[Long]("dof") ===
+      (rt.size - 1).toLong * (ct.size - 1).toLong)
+    assert(r.getAs[Double]("g_stat") ===
+      math.floor(g * 10000.0 + 0.5) / 10000.0)
+    // under independence G ~ chi2; both statistics should be same-order
+    val chi2 = cells.map { case (p, s, o) =>
+      val e = rt(p).toDouble * ct(s).toDouble / n.toDouble
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(g - chi2) < 0.2 * math.max(g, chi2) + 1.0)
+  }
+
+  test("cohensKappa: cells partition the corpus; kappa matches the " +
+       "confusion-matrix fold and stays in [-1, 1]") {
+    val r = Text.cohensKappa(spark, Sf).collect().head
+    val (n, n11, n01, n10, n00) = (r.getAs[Long]("n_docs"),
+      r.getAs[Long]("both_en"), r.getAs[Long]("pred_only"),
+      r.getAs[Long]("truth_only"), r.getAs[Long]("both_other"))
+    assert(n === n11 + n01 + n10 + n00)
+    assert(n === graft.util.Tables.t(spark, Sf, "documents").count())
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01) +
+              (n00 + n01).toDouble * (n00 + n10)) / (n.toDouble * n)
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Double]("p_observed") === rr(po))
+    assert(r.getAs[Double]("p_expected") === rr(pe))
+    assert(r.getAs[Double]("kappa") === rr((po - pe) / (1.0 - pe)))
+    assert(math.abs(r.getAs[Double]("kappa")) <= 1.0)
+    // the langId margins must agree with the lang_id query itself
+    val pred = Text.langId(spark, Sf).collect()
+      .count(_.getAs[String]("lang_pred") == "en").toLong
+    assert(n11 + n01 === pred)
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
