@@ -368,6 +368,13 @@ object SparkEntry {
     "q_ar2_yw"            -> q(Insights.ar2Yw), // Yule-Walker AR(2) fit from the exact ACF + innovation variance ratio
     "q_gtest"             -> q(Insights.gtest), // likelihood-ratio G-test on priority x status, decimal ln terms
     "q_cohens_kappa"      -> q(Text.cohensKappa), // chance-corrected lang-id vs gold agreement from four exact cells
+    // round-9k additions (retrieval eval, leakage, sampling, power)
+    "q_split_leakage"     -> q(Text.splitLeakage(_, _, 20)), // cross-split paragraph contamination audit, digest joins only
+    "q_ndcg"              -> q(Text.ndcgAt(_, _, 20)), // nDCG/P/R@20 of the BM25 ranking vs contains-all-terms truth
+    "q_distinctive_terms" -> q(Text.distinctiveTerms(_, _, 3)), // per-source term lift top-3 (c-TF-IDF degenerates here, documented)
+    "q_ks_normal"         -> q(Insights.ksNormal), // one-sample KS vs fitted normal, PrefixSum CDF + A&S erfc Phi
+    "q_power_analysis"    -> q(Insights.powerAnalysis), // two-proportion A/B sample-size calculator from exact event counts
+    "q_uniform_sample_k"  -> q(Insights.uniformSampleK(_, _, 100)), // reproducible hash-ranked k-sample, TakeOrdered plan
     // round-9b additions (directed-graph ranking tier)
     "q_hits"              -> q(Insights.hits), // HITS hubs/authorities, 3 normalized rounds, Long fixed-point, unrolled oracle
     "q_link_pred_jaccard" -> q(Insights.linkPredJaccard(_, _, 2, 50)), // neighbor-set Jaccard link prediction for non-adjacent pairs
@@ -3460,6 +3467,175 @@ object SparkEntry {
         |SELECT n AS n_total, (npr - 1) * (nst - 1) AS dof,
         | floor(CAST(sum(term) AS DOUBLE) * 2.0 * 10000.0 + 0.5) / 10000.0 AS g_stat
         |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    "q_split_leakage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws,
+        |              unnest(generate_series(0, len(ws) - 1, 20)) AS i
+        |       FROM w),
+        |fp AS (SELECT doc_id,
+        |  array_to_string(ws[(i + 1):(i + 20)], ' ') AS fp,
+        |  CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |       WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  CASE WHEN doc_id % 10 < 8 THEN 0
+        |       WHEN doc_id % 10 = 8 THEN 1 ELSE 2 END AS rk
+        | FROM st),
+        |sets AS (SELECT DISTINCT fp, split, rk FROM fp),
+        |pairs AS (SELECT a.fp, a.split AS split_a, b.split AS split_b
+        |          FROM sets a JOIN sets b ON a.fp = b.fp AND a.rk < b.rk),
+        |shared AS (SELECT split_a, split_b,
+        |                  CAST(count(DISTINCT fp) AS BIGINT) AS n_shared_fps
+        |           FROM pairs GROUP BY 1, 2),
+        |leaked AS (SELECT a.split AS split_a, d.split AS split_b,
+        |                  CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_leaked_docs
+        |           FROM fp d JOIN sets a ON a.fp = d.fp AND a.rk < d.rk
+        |           GROUP BY 1, 2)
+        |SELECT split_a, split_b,
+        | COALESCE(n_shared_fps, 0) AS n_shared_fps,
+        | COALESCE(n_leaked_docs, 0) AS n_leaked_docs
+        |FROM shared FULL OUTER JOIN leaked USING (split_a, split_b)
+        |ORDER BY split_a, split_b""".stripMargin,
+
+    "q_ndcg" ->
+      """WITH wl AS (SELECT doc_id, text,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS len
+        | FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(len) AS BIGINT) AS sum_len FROM wl),
+        |tf AS (SELECT doc_id, len, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, len, unnest(string_split(lower(text), ' ')) AS t
+        |             FROM wl)
+        |       WHERE t IN ('join', 'hash', 'scan') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |  floor(CAST(sum(CAST(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE)
+        |         / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |    AS DECIMAL(28,8))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS bm25
+        | FROM tf JOIN dfreq USING (term) CROSS JOIN st GROUP BY doc_id),
+        |topk AS (SELECT doc_id, bm25,
+        |           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS i
+        |         FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+        |rel AS (SELECT doc_id,
+        |  (len(list_filter(string_split(lower(text), ' '), x -> x = 'join')) >= 3
+        |   AND len(list_filter(string_split(lower(text), ' '), x -> x = 'hash')) >= 3
+        |   AND len(list_filter(string_split(lower(text), ' '), x -> x = 'scan')) >= 3)
+        |    AS relevant
+        | FROM documents),
+        |tot AS (SELECT CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |        FROM rel),
+        |scored AS (SELECT
+        |  sum(CASE WHEN relevant
+        |       THEN CAST(1.0 / log2(CAST(i AS DOUBLE) + 1.0) AS DECIMAL(28,8))
+        |       ELSE CAST(0 AS DECIMAL(28,8)) END) AS dcg,
+        |  CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        | FROM topk JOIN rel USING (doc_id)),
+        |ig AS (SELECT r, unnest(generate_series(1, least(20, CAST(r AS INT)))) AS i
+        |       FROM tot),
+        |idcg AS (SELECT r,
+        |  sum(CAST(1.0 / log2(CAST(i AS DOUBLE) + 1.0) AS DECIMAL(28,8))) AS idcg
+        | FROM ig GROUP BY r)
+        |SELECT CAST(20 AS BIGINT) AS k, r AS n_relevant_total,
+        | hits AS n_relevant_topk,
+        | floor(CAST(dcg AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS dcg,
+        | floor(CAST(idcg AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS idcg,
+        | floor(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) * 10000.0 + 0.5)
+        |   / 10000.0 AS ndcg,
+        | floor(CAST(hits AS DOUBLE) / 20.0 * 10000.0 + 0.5) / 10000.0
+        |   AS precision_k,
+        | floor(CAST(hits AS DOUBLE) / CAST(r AS DOUBLE) * 10000.0 + 0.5)
+        |   / 10000.0 AS recall_k
+        |FROM scored CROSS JOIN idcg""".stripMargin,
+
+    "q_distinctive_terms" ->
+      """WITH cells AS (SELECT source, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |totals AS (SELECT source, CAST(sum(tf) AS BIGINT) AS total
+        |           FROM cells GROUP BY 1),
+        |tfc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM cells GROUP BY 1),
+        |grand AS (SELECT CAST(sum(tf) AS BIGINT) AS g FROM cells),
+        |scored AS (SELECT source, term, tf,
+        |  floor((CAST(tf AS DOUBLE) / CAST(total AS DOUBLE))
+        |        / (CAST(ctf AS DOUBLE) / CAST(g AS DOUBLE)) * 10000.0 + 0.5)
+        |    / 10000.0 AS lift
+        | FROM cells JOIN totals USING (source) JOIN tfc USING (term)
+        |      CROSS JOIN grand),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |         ORDER BY lift DESC, term ASC) AS BIGINT) AS rank
+        |       FROM scored)
+        |SELECT source, rank, term, tf, lift FROM rk
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+
+    "q_ks_normal" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+        |           FROM orders),
+        |grain AS (SELECT v.v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |  CAST(sum(CAST(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        | FROM v),
+        |mu AS (SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |  sqrt((CAST(s2 AS DOUBLE)
+        |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |       / CAST(n AS DOUBLE)) AS sigma FROM m),
+        |ps AS (SELECT v, c,
+        |         COALESCE(sum(c) OVER (ORDER BY v ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |       FROM grain),
+        |gaps AS (SELECT n, mu, sigma,
+        |  CAST(cum0 + c AS DOUBLE) / CAST(n AS DOUBLE) AS fhi,
+        |  CAST(cum0 AS DOUBLE) / CAST(n AS DOUBLE) AS flo,
+        |  CASE WHEN z >= 0.0 THEN 1.0 - 0.5 * tail ELSE 0.5 * tail END AS phi
+        | FROM (SELECT *,
+        |   (((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+        |      - 0.284496736) * tt + 0.254829592) * tt) * exp(-az * az) AS tail
+        |  FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * az) AS tt
+        |   FROM (SELECT ps.*, n, mu, sigma,
+        |           (CAST(v AS DOUBLE) - mu) / sigma AS z,
+        |           abs((CAST(v AS DOUBLE) - mu) / sigma) / sqrt(2.0) AS az
+        |         FROM ps CROSS JOIN mu))))
+        |SELECT max(n) AS n_orders,
+        | floor(max(mu) / 100.0 * 10000.0 + 0.5) / 10000.0 AS mean_value,
+        | floor(max(sigma) / 100.0 * 10000.0 + 0.5) / 10000.0 AS sd_value,
+        | floor(max(greatest(abs(fhi - phi), abs(flo - phi)))
+        |       * 10000.0 + 0.5) / 10000.0 AS d_stat,
+        | floor(sqrt(CAST(max(n) AS DOUBLE))
+        |       * max(greatest(abs(fhi - phi), abs(flo - phi)))
+        |       * 10000.0 + 0.5) / 10000.0 AS sqrt_n_d
+        |FROM gaps""".stripMargin,
+
+    "q_power_analysis" ->
+      """WITH c AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+        | FROM events),
+        |p AS (SELECT n_events, purchases,
+        |        CAST(purchases AS DOUBLE) / CAST(n_events AS DOUBLE) AS p1
+        |      FROM c),
+        |x AS (SELECT *, p1 * 1.1 AS p2, (p1 + p1 * 1.1) / 2.0 AS pbar FROM p),
+        |nr AS (SELECT *,
+        |  pow(1.959963985 * sqrt(2.0 * pbar * (1.0 - pbar))
+        |      + 0.8416212336 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+        |  / ((p2 - p1) * (p2 - p1)) AS nraw
+        | FROM x)
+        |SELECT n_events, purchases AS n_purchases,
+        | floor(p1 * 10000.0 + 0.5) / 10000.0 AS baseline_rate,
+        | floor(p2 * 10000.0 + 0.5) / 10000.0 AS target_rate,
+        | CAST(ceil(nraw) AS BIGINT) AS n_per_arm,
+        | CAST(ceil(nraw) * 2 AS BIGINT) AS n_total
+        |FROM nr""".stripMargin,
+
+    "q_uniform_sample_k" ->
+      """SELECT doc_id, lang, source,
+        | CAST((doc_id * 48271 + 11) % 1000003 AS BIGINT) AS h
+        |FROM documents
+        |ORDER BY h ASC, doc_id ASC LIMIT 100""".stripMargin,
 
     "q_cohens_kappa" ->
       """WITH f AS (

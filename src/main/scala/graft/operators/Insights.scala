@@ -3141,6 +3141,102 @@ object Insights {
               r4(col("sg").cast("double") * 2.0).as("g_stat"))
   }
 
+  /** One-sample Kolmogorov–Smirnov test against the fitted normal — the
+    * distribution-shape screen (q_ks_test is the two-sample version;
+    * q_jarque_bera tests the same null via moments): D = max over sample
+    * points of the gap between the empirical CDF (BOTH one-sided jumps —
+    * cum/n and (cum−c)/n, the textbook sup over the step function) and
+    * Φ((v−μ)/σ), with Φ from the A&S 7.1.26 erfc polynomial (the
+    * [[bhFdr]] kernel — a fixed arithmetic formula both engines evaluate
+    * identically). Value-grain counts + [[graft.util.PrefixSum]]'s
+    * two-phase scan, so no global sort at any SF; the final D is one max
+    * aggregate (order-independent).
+    */
+  def ksNormal(spark: SparkSession, sfDir: String): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val vals = t(spark, sfDir, "orders")
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("v"))
+    val grain = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val ps = graft.util.PrefixSum
+      .exclusiveCols(grain, Seq(col("v").asc), col("c"), "cum0")
+    val m = vals.agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(38,0)")).as("s"),
+      sum((col("v").cast(d190) * col("v").cast(d190)).cast("decimal(38,0)")).as("s2"))
+      .select(col("n"),
+              expr("cast(s as double) / cast(n as double)").as("mu"),
+              expr("""sqrt((cast(s2 as double)
+                     | - cast(s as double) * cast(s as double) / cast(n as double))
+                     |/ cast(n as double))""".stripMargin.replace("\n", " ")).as("sigma"))
+    val erfcTail = """(((((1.061405429 * tt - 1.453152027) * tt
+                   | + 1.421413741) * tt - 0.284496736) * tt
+                   | + 0.254829592) * tt) * exp(-az * az)"""
+      .stripMargin.replace("\n", " ")
+    val gaps = ps.crossJoin(broadcast(m))
+      .withColumn("z", expr("(cast(v as double) - mu) / sigma"))
+      .withColumn("az", expr("abs(z) / sqrt(2.0)"))
+      .withColumn("tt", expr("1.0 / (1.0 + 0.3275911 * az)"))
+      .withColumn("phi",
+        expr(s"CASE WHEN z >= 0.0 THEN 1.0 - 0.5 * ($erfcTail) " +
+             s"ELSE 0.5 * ($erfcTail) END"))
+      .withColumn("fhi", expr("cast(cum0 + c as double) / cast(n as double)"))
+      .withColumn("flo", expr("cast(cum0 as double) / cast(n as double)"))
+    gaps.agg(
+        max(col("n")).as("n"),
+        max(col("mu")).as("muv"), max(col("sigma")).as("sigmav"),
+        max(greatest(abs(col("fhi") - col("phi")),
+                     abs(col("flo") - col("phi")))).as("d"))
+      .select(col("n").as("n_orders"),
+              r4(col("muv") / 100.0).as("mean_value"),
+              r4(col("sigmav") / 100.0).as("sd_value"),
+              r4(col("d")).as("d_stat"),
+              r4(sqrt(col("n").cast("double")) * col("d")).as("sqrt_n_d"))
+  }
+
+  /** Two-proportion power analysis — the "how long must this A/B run"
+    * calculator: baseline conversion p₁ = purchase share of ALL events
+    * (exact integer counts — NOT purchases/views, which exceeds 1 on this
+    * uniform synthetic stream and is degenerate as a proportion), target
+    * p₂ = 1.1·p₁ (a 10% relative MDE), n-per-arm =
+    * (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))²/δ² at α = 0.05, power = 0.8
+    * (the z constants are fixed literals, not computed — no
+    * inverse-normal needed). One events hash-agg; everything after is a
+    * 1-row expression. ceil() to whole subjects.
+    */
+  def powerAnalysis(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = graft.util.Tables.events(spark, sfDir)
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+    counts
+      .withColumn("p1", expr("cast(purchases as double) / cast(n_events as double)"))
+      .withColumn("p2", expr("p1 * 1.1"))
+      .withColumn("pbar", expr("(p1 + p2) / 2.0"))
+      .withColumn("nraw", expr(
+        """pow(1.959963985 * sqrt(2.0 * pbar * (1.0 - pbar))
+          | + 0.8416212336 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+          |/ ((p2 - p1) * (p2 - p1))""".stripMargin.replace("\n", " ")))
+      .select(col("n_events"), col("purchases").as("n_purchases"),
+              r4(col("p1")).as("baseline_rate"), r4(col("p2")).as("target_rate"),
+              ceil(col("nraw")).cast("long").as("n_per_arm"),
+              (ceil(col("nraw")) * 2).cast("long").as("n_total"))
+  }
+
+  /** Deterministic uniform k-sample — the "give me 100 random docs,
+    * reproducibly" primitive: rank every doc by a multiplicative-hash
+    * key (the [[Text.corpusMix]] LCG, prime modulus so ids don't alias),
+    * take the k smallest (hash, id) pairs. Plans as TakeOrderedAndProject
+    * — k rows per partition travel, no global sort, and a re-run (or a
+    * different engine) selects the SAME rows: the property that makes
+    * eval sets and spot-check samples stable across pipeline runs.
+    */
+  def uniformSampleK(spark: SparkSession, sfDir: String,
+                     k: Int = 100): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+              pmod(col("doc_id") * 48271L + 11L, lit(1000003L)).as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(k)
+
   /** Mood's median test — the nonparametric two-group location test that
     * only needs counts: is an URGENT order's value distribution shifted
     * vs the rest? Global LOWER MEDIAN of order value (exact cents) found

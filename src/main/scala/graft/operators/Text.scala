@@ -1676,6 +1676,131 @@ object Text {
       "lang", "lang_pred")
   }
 
+  /** Cross-split PARAGRAPH-level leakage — the train/test contamination
+    * audit run before any eval is trusted: for each ordered split pair,
+    * the count of 20-word paragraphs present in BOTH splits and the
+    * count of LATER-split docs carrying a paragraph the earlier split
+    * already has (the docs whose eval scores are memorization).
+    * Paragraph grain, not whole-doc fingerprints: the near-dup corpus
+    * has ZERO exact cross-split doc twins (measured — a doc-grain audit
+    * returns an empty, self-satisfied report) while paragraph overlap is
+    * real; partial memorization is exactly what doc-grain audits miss.
+    * Digest joins only — text never enters the dedup shuffle.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String,
+                   parWords: Int = 20): DataFrame = {
+    val bucket = pmod(col("doc_id"), lit(10L))
+    val fp = paragraphs(docs(spark, sfDir), parWords)
+      .select(col("doc_id"),
+              when(bucket < 8, lit("train")).when(bucket === 8, lit("val"))
+                .otherwise(lit("test")).as("split"),
+              when(bucket < 8, 0).when(bucket === 8, 1).otherwise(2).as("rk"),
+              sha2(col("par_text"), 256).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = fp.select(col("fp"), col("split"), col("rk")).distinct()
+    val pairsFp = sets.select(col("fp"), col("split").as("split_a"), col("rk").as("ra"))
+      .join(sets.select(col("fp"), col("split").as("split_b"), col("rk").as("rb")), "fp")
+      .filter(col("ra") < col("rb"))
+    val shared = pairsFp.groupBy(col("split_a"), col("split_b"))
+      .agg(countDistinct(col("fp")).as("n_shared_fps"))
+    val leaked = fp.select(col("fp"), col("doc_id"), col("split").as("split_b"),
+                           col("rk").as("rb"))
+      .join(sets.select(col("fp"), col("split").as("split_a"), col("rk").as("ra")), "fp")
+      .filter(col("ra") < col("rb"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(countDistinct(col("doc_id")).as("n_leaked_docs"))
+    ordered(
+      shared.join(leaked, Seq("split_a", "split_b"), "full_outer")
+        .select(col("split_a"), col("split_b"),
+                coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"),
+                coalesce(col("n_leaked_docs"), lit(0L)).as("n_leaked_docs")),
+      "split_a", "split_b")
+  }
+
+  /** nDCG / precision / recall @ k of the [[bm25]] ranking against a
+    * binary ground truth (doc contains ALL three query words, each ≥3
+    * times — the ≥1 form makes 270/500 docs relevant and every top-20 is
+    * trivially all-relevant, nDCG pinned at 1.0; the strict form leaves
+    * ~27 relevant docs, so the metric actually discriminates) — the
+    * retrieval-eval triple every ranking change is judged by. The ranking
+    * is the r4-rounded-score total order bm25 itself emits (engine-
+    * portable, the cosineTopKBatch lesson); DCG terms accumulate as
+    * DECIMAL(28,8); IDCG places the min(k, R) relevant docs at the top.
+    * Everything after the bm25 scan is a k-row frame plus one corpus
+    * hash-agg for R.
+    */
+  def ndcgAt(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("join", "hash", "scan")
+    val relCol = terms.map(t =>
+      size(filter(split(lower(col("text")), " "), x => x === lit(t))) >= 3)
+      .reduce(_ && _)
+    val rel = docs(spark, sfDir).select(col("doc_id"), relCol.as("relevant"))
+    val totalRel = rel.agg(sum(when(col("relevant"), 1L).otherwise(0L)).as("r"))
+    val ranked = bm25(spark, sfDir, k)
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+    val scored = ranked.join(rel, "doc_id")
+      .select(col("i"),
+              when(col("relevant"),
+                   (lit(1.0) / log2(col("i").cast("double") + 1.0))
+                     .cast("decimal(28,8)"))
+                .otherwise(lit(0).cast("decimal(28,8)")).as("dcg_term"),
+              when(col("relevant"), 1L).otherwise(0L).as("rel"))
+      .agg(sum(col("dcg_term")).as("dcg"), sum(col("rel")).as("hits"))
+    val idcg = totalRel
+      .select(explode(sequence(lit(1), least(lit(k), col("r").cast("int")))).as("i"),
+              col("r"))
+      .groupBy(col("r"))
+      .agg(sum((lit(1.0) / log2(col("i").cast("double") + 1.0))
+                 .cast("decimal(28,8)")).as("idcg"))
+    scored.crossJoin(broadcast(idcg))
+      .select(lit(k.toLong).as("k"), col("r").as("n_relevant_total"),
+              col("hits").as("n_relevant_topk"),
+              r4(col("dcg").cast("double")).as("dcg"),
+              r4(col("idcg").cast("double")).as("idcg"),
+              r4(col("dcg").cast("double") / col("idcg").cast("double")).as("ndcg"),
+              r4(col("hits").cast("double") / lit(k.toDouble)).as("precision_k"),
+              r4(col("hits").cast("double") / col("r").cast("double")).as("recall_k"))
+  }
+
+  /** Per-source distinctive terms by LIFT — each source's term share over
+    * the corpus term share, lift = (tf_t,s/total_s)/(tf_t/total). The
+    * idf-weighted c-TF-IDF variant degenerates on a shared-vocabulary
+    * corpus (measured here: 31-word vocab, every term in 17–20 of 20
+    * sources ⇒ idf ≈ 0 everywhere), while lift discriminates whenever
+    * relative frequencies differ at all. Top-3 per source by the
+    * r4-ROUNDED lift (portable total order, term tiebreak). Term×source
+    * cells come out of one exploded hash-agg; the rank window partitions
+    * on source over vocab-bounded cells. The "what does this crawl
+    * over-index on" report.
+    */
+  def distinctiveTerms(spark: SparkSession, sfDir: String,
+                       topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs(spark, sfDir)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = cells.groupBy(col("source")).agg(sum(col("tf")).as("total"))
+    val tfc = cells.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val grand = cells.agg(sum(col("tf")).as("g"))
+    val scoredCells = cells.join(totals, "source").join(tfc, "term")
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("term"), col("tf"),
+              r4((col("tf").cast("double") / col("total").cast("double")) /
+                 (col("ctf").cast("double") / col("g").cast("double")))
+                .as("lift"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift").desc, col("term").asc)
+    ordered(
+      scoredCells.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= topN)
+        .select(col("source"), col("rank"), col("term"), col("tf"), col("lift")),
+      "source", "rank")
+  }
+
   /** Cohen's kappa between the [[langId]] heuristic and the ground-truth
     * label (binarized en/other) — chance-corrected agreement, the honest
     * version of q_langid_confusion's raw shares: κ = (p_o − p_e)/(1 − p_e)

@@ -1200,6 +1200,177 @@ class Round9OpsSpec extends SparkSpec {
     assert(n11 + n01 === pred)
   }
 
+  // ---- round-9k: retrieval eval, leakage, sampling, power ----
+
+  test("splitLeakage: paragraph-grain counts match a sequential fold; " +
+       "doc-grain would be empty (the reason for the paragraph grain)") {
+    val rows = Text.splitLeakage(spark, Sf, 20).collect()
+      .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b")) ->
+        ((r.getAs[Long]("n_shared_fps"), r.getAs[Long]("n_leaked_docs")))).toMap
+    val docs = docsRaw()
+    def splitOf(id: Long) =
+      if (id % 10 < 8) ("train", 0) else if (id % 10 == 8) ("val", 1) else ("test", 2)
+    // paragraph -> set of (split, rank); doc -> its paragraphs
+    val parSplits = scala.collection.mutable.Map.empty[String, Set[(String, Int)]]
+    docs.foreach { case (id, t) =>
+      val s = splitOf(id)
+      chunk20(t.split(" ", -1)).foreach { p =>
+        parSplits(p) = parSplits.getOrElse(p, Set.empty) + s
+      }
+    }
+    val expShared = scala.collection.mutable.Map.empty[(String, String), Set[String]]
+    parSplits.foreach { case (p, ss) =>
+      for (a <- ss; b <- ss if a._2 < b._2)
+        expShared((a._1, b._1)) = expShared.getOrElse((a._1, b._1), Set.empty) + p
+    }
+    val expLeaked = scala.collection.mutable.Map.empty[(String, String), Set[Long]]
+    docs.foreach { case (id, t) =>
+      val (sb, rb) = splitOf(id)
+      chunk20(t.split(" ", -1)).foreach { p =>
+        parSplits(p).filter(_._2 < rb).foreach { case (sa, _) =>
+          expLeaked((sa, sb)) = expLeaked.getOrElse((sa, sb), Set.empty) + id
+        }
+      }
+    }
+    val keys = expShared.keySet ++ expLeaked.keySet
+    assert(rows.keySet === keys.toSet)
+    keys.foreach { k =>
+      val (gs, gl) = rows(k)
+      assert(gs === expShared.getOrElse(k, Set.empty).size.toLong, s"$k shared")
+      assert(gl === expLeaked.getOrElse(k, Set.empty).size.toLong, s"$k leaked")
+    }
+    // doc-grain exact leakage really is zero on this corpus
+    val fps = docs.values.groupBy(identity).view.mapValues(_.size)
+    assert(fps.forall(_._2 == 1), "no exact doc twins expected")
+  }
+
+  test("ndcg: DCG/IDCG/precision/recall match a sequential fold over the " +
+       "bm25 ranking; metric is properly discriminating (0 < ndcg < 1)") {
+    val r = Text.ndcgAt(spark, Sf, 20).collect().head
+    val rel = docsRaw().map { case (id, t) =>
+      val w = t.toLowerCase.split(" ", -1)
+      id -> Seq("join", "hash", "scan").forall(q => w.count(_ == q) >= 3)
+    }
+    val ranked = Text.bm25(spark, Sf, 20).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("bm25")))
+      .sortBy { case (id, s) => (-s, id) }
+    val dcg = ranked.zipWithIndex.collect {
+      case ((id, _), i0) if rel(id) =>
+        dec8(1.0 / (math.log(i0 + 2.0) / math.log(2.0)))
+    }.sum
+    val rTot = rel.count(_._2)
+    val idcg = (1 to math.min(20, rTot)).map(i =>
+      dec8(1.0 / (math.log(i + 1.0) / math.log(2.0)))).sum
+    val hits = ranked.count(x => rel(x._1))
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Long]("n_relevant_total") === rTot.toLong)
+    assert(r.getAs[Long]("n_relevant_topk") === hits.toLong)
+    assert(r.getAs[Double]("dcg") === rr(dcg.toDouble))
+    assert(r.getAs[Double]("idcg") === rr(idcg.toDouble))
+    assert(r.getAs[Double]("ndcg") === rr(dcg.toDouble / idcg.toDouble))
+    assert(r.getAs[Double]("precision_k") === rr(hits / 20.0))
+    assert(r.getAs[Double]("recall_k") === rr(hits.toDouble / rTot))
+    assert(r.getAs[Double]("ndcg") > 0.0 && r.getAs[Double]("ndcg") < 1.0)
+  }
+
+  test("distinctiveTerms: lift and ranks match a sequential fold; lift " +
+       "of a source's terms averages to ~1 corpus-wide") {
+    val rows = Text.distinctiveTerms(spark, Sf, 3).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Long]("rank")) ->
+        ((x.getAs[String]("term"), x.getAs[Long]("tf"), x.getAs[Double]("lift")))).toMap
+    val cells = graft.util.Tables.t(spark, Sf, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+      .filter(length(col("t")) > 0).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val bySrc = cells.groupBy(_._1)
+    val ctf = cells.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val g = cells.length.toLong
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    bySrc.foreach { case (s, cs) =>
+      val tf = cs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val total = cs.length.toLong
+      val scored = tf.toSeq.map { case (t, f) =>
+        (t, f, rr((f.toDouble / total) / (ctf(t).toDouble / g)))
+      }.sortBy { case (t, _, l) => (-l, t) }.take(3)
+      scored.zipWithIndex.foreach { case ((t, f, l), i0) =>
+        assert(rows((s, i0 + 1L)) === ((t, f, l)), s"source $s rank ${i0 + 1}")
+      }
+    }
+  }
+
+  test("ksNormal: D statistic matches a sequential CDF sweep with the " +
+       "same erfc polynomial") {
+    val r = Insights.ksNormal(spark, Sf).collect().head
+    val vals = graft.util.Tables.t(spark, Sf, "orders")
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vals.length
+    val s = vals.map(BigInt(_)).sum
+    val s2 = vals.map(v => BigInt(v) * BigInt(v)).sum
+    val mu = s.toDouble / n
+    val sigma = math.sqrt((s2.toDouble - s.toDouble * s.toDouble / n) / n)
+    def erfcT(az: Double) = {
+      val tt = 1.0 / (1.0 + 0.3275911 * az)
+      (((((1.061405429 * tt - 1.453152027) * tt + 1.421413741) * tt
+        - 0.284496736) * tt + 0.254829592) * tt) * math.exp(-az * az)
+    }
+    def phi(z: Double) =
+      if (z >= 0) 1.0 - 0.5 * erfcT(z / math.sqrt(2.0))
+      else 0.5 * erfcT(-z / math.sqrt(2.0))
+    // sweep over value grain with both one-sided gaps
+    val grain = vals.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+    var cum = 0L
+    var d = 0.0
+    grain.foreach { case (v, c) =>
+      val p = phi((v - mu) / sigma)
+      d = math.max(d, math.max(math.abs((cum + c).toDouble / n - p),
+                               math.abs(cum.toDouble / n - p)))
+      cum += c
+    }
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Long]("n_orders") === n.toLong)
+    assert(r.getAs[Double]("d_stat") === rr(d))
+    assert(r.getAs[Double]("sqrt_n_d") === rr(math.sqrt(n.toDouble) * d))
+    // order values are far from normal: D must reject at any level
+    assert(r.getAs[Double]("sqrt_n_d") > 1.949) // 1% KS critical value
+  }
+
+  test("powerAnalysis: the closed form reproduces; n shrinks as the " +
+       "effect grows (sanity of the formula's direction)") {
+    val r = Insights.powerAnalysis(spark, Sf).collect().head
+    val (ne, np) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_purchases"))
+    val p1 = np.toDouble / ne
+    val p2 = p1 * 1.1
+    val pbar = (p1 + p2) / 2.0
+    val nraw = math.pow(1.959963985 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+      0.8416212336 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2) /
+      ((p2 - p1) * (p2 - p1))
+    assert(r.getAs[Long]("n_per_arm") === math.ceil(nraw).toLong)
+    assert(r.getAs[Long]("n_total") === 2 * math.ceil(nraw).toLong)
+    // doubling the effect quarters the sample (approximately)
+    val p2b = p1 * 1.2
+    val pbarB = (p1 + p2b) / 2.0
+    val nB = math.pow(1.959963985 * math.sqrt(2.0 * pbarB * (1.0 - pbarB)) +
+      0.8416212336 * math.sqrt(p1 * (1.0 - p1) + p2b * (1.0 - p2b)), 2) /
+      ((p2b - p1) * (p2b - p1))
+    assert(nB < nraw / 3.0)
+  }
+
+  test("uniformSampleK: exactly the k smallest hash-ranked docs, stable " +
+       "across runs, and roughly uniform over sources") {
+    val a = Insights.uniformSampleK(spark, Sf, 100).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("h")))
+    val b = Insights.uniformSampleK(spark, Sf, 100).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("h")))
+    assert(a.toSeq === b.toSeq, "deterministic across runs")
+    val all = docsRaw().keySet.toSeq
+      .map(id => (id, ((id * 48271L + 11L) % 1000003L + 1000003L) % 1000003L))
+      .sortBy { case (id, h) => (h, id) }.take(100)
+    assert(a.toSeq === all)
+    // no doc_id aliasing: hashes are distinct for this id range
+    assert(a.map(_._2).distinct.length === 100)
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
