@@ -375,6 +375,12 @@ object SparkEntry {
     "q_ks_normal"         -> q(Insights.ksNormal), // one-sample KS vs fitted normal, PrefixSum CDF + A&S erfc Phi
     "q_power_analysis"    -> q(Insights.powerAnalysis), // two-proportion A/B sample-size calculator from exact event counts
     "q_uniform_sample_k"  -> q(Insights.uniformSampleK(_, _, 100)), // reproducible hash-ranked k-sample, TakeOrdered plan
+    // round-9l additions (embedding health, calibration, migration, activity, collocations)
+    "q_emb_dim_var"       -> q(Similarity.embedDimVar), // per-dimension mean/variance/share: dead-dim and dominance report
+    "q_calibration_bins"  -> q(Text.calibrationBins), // decile reliability table for the lang-id evidence score
+    "q_llr_collocations"  -> q(Text.llrCollocations(_, _, 20)), // Dunning log-likelihood-ratio bigrams, 2x2 G per pair
+    "q_customer_migration" -> q(Insights.customerMigration), // Kimball class-migration matrix, consecutive active months
+    "q_hourly_profile"    -> q(Insights.hourlyProfile), // hour x dow heatmap with chi2 independence residuals
     // round-9b additions (directed-graph ranking tier)
     "q_hits"              -> q(Insights.hits), // HITS hubs/authorities, 3 normalized rounds, Long fixed-point, unrolled oracle
     "q_link_pred_jaccard" -> q(Insights.linkPredJaccard(_, _, 2, 50)), // neighbor-set Jaccard link prediction for non-adjacent pairs
@@ -3630,6 +3636,135 @@ object SparkEntry {
         | CAST(ceil(nraw) AS BIGINT) AS n_per_arm,
         | CAST(ceil(nraw) * 2 AS BIGINT) AS n_total
         |FROM nr""".stripMargin,
+
+    "q_emb_dim_var" ->
+      """WITH ex AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim_idx,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5)
+        |              AS BIGINT) AS q
+        |  FROM embeddings),
+        |per AS (SELECT dim_idx, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |  CAST(sum(CAST(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        | FROM ex GROUP BY 1),
+        |v AS (SELECT dim_idx, n, s,
+        |  (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS varq
+        | FROM per),
+        |tot AS (SELECT sum(CAST(varq AS DECIMAL(28,8))) AS tv FROM v)
+        |SELECT dim_idx,
+        | floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 * 10000.0 + 0.5)
+        |   / 10000.0 AS mean,
+        | floor(varq / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS variance,
+        | floor(varq / CAST(tv AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS var_share
+        |FROM v CROSS JOIN tot ORDER BY dim_idx""".stripMargin,
+
+    "q_calibration_bins" ->
+      """WITH f AS (
+        |  SELECT (lang = 'en') AS truth_en,
+        |    least(1.0,
+        |      CAST((length(text) - length(replace(text, 'th', ''))) // 2
+        |           + len(regexp_extract_all(text, '\bthe\b|\band\b|\bis\b'))
+        |           AS DOUBLE)
+        |      * 100.0 / CAST(length(text) AS DOUBLE) / 6.0) AS p_hat
+        |  FROM documents),
+        |b AS (SELECT least(9, CAST(floor(p_hat * 10.0) AS BIGINT)) AS bin,
+        |             p_hat, truth_en
+        |      FROM f)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        | floor(CAST(sum(CAST(p_hat AS DECIMAL(38,18))) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg_score,
+        | floor(CAST(sum(CASE WHEN truth_en THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS obs_rate,
+        | floor(abs(CAST(sum(CAST(p_hat AS DECIMAL(38,18))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE)
+        |           - CAST(sum(CASE WHEN truth_en THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS gap
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_llr_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.w AS word, t.pos
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(lower(text), ' ')) AS w,
+        |          generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |        FROM documents) t(doc_id, w, pos)),
+        |pairs AS (
+        |  SELECT word AS w1,
+        |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        |pp AS (SELECT w1, w2 FROM pairs
+        |       WHERE length(w1) > 0 AND w2 IS NOT NULL AND length(w2) > 0),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+        |        FROM pp GROUP BY 1, 2),
+        |lft AS (SELECT w1, CAST(count(*) AS BIGINT) AS r1 FROM pp GROUP BY 1),
+        |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS c1 FROM pp GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pp),
+        |cells AS (SELECT w1, w2, k11, r1, c1, nn,
+        |            r1 - k11 AS k12, c1 - k11 AS k21,
+        |            nn - r1 - c1 + k11 AS k22
+        |          FROM big JOIN lft USING (w1) JOIN rgt USING (w2)
+        |          CROSS JOIN tot),
+        |scored AS (SELECT w1, w2, k11,
+        |  (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE)
+        |     * ln(CAST(k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          / (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) ELSE 0.0 END
+        |   + CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE)
+        |     * ln(CAST(k12 AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          / (CAST(r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) ELSE 0.0 END
+        |   + CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE)
+        |     * ln(CAST(k21 AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          / (CAST(nn - r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) ELSE 0.0 END
+        |   + CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE)
+        |     * ln(CAST(k22 AS DOUBLE) * CAST(nn AS DOUBLE)
+        |          / (CAST(nn - r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) ELSE 0.0 END)
+        |  * 2.0 AS llr
+        | FROM cells)
+        |SELECT w1, w2, k11 AS n_pair,
+        | floor(llr * 10000.0 + 0.5) / 10000.0 AS llr
+        |FROM scored
+        |ORDER BY floor(llr * 10000.0 + 0.5) / 10000.0 DESC, w1 ASC, w2 ASC
+        |LIMIT 20""".stripMargin,
+
+    "q_customer_migration" ->
+      """WITH cm AS (
+        |  SELECT o_custkey AS ck,
+        |         year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+        |         CASE WHEN count(*) >= 3 THEN 'heavy'
+        |              WHEN count(*) = 2 THEN 'regular' ELSE 'light' END AS cls
+        |  FROM orders GROUP BY 1, 2),
+        |tr AS (SELECT cls,
+        |         lead(mi, 1) OVER w AS mi_next,
+        |         lead(cls, 1) OVER w AS cls_next, mi
+        |       FROM cm WINDOW w AS (PARTITION BY ck ORDER BY mi ASC))
+        |SELECT cls AS class_from, cls_next AS class_to,
+        | CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM tr WHERE mi_next = mi + 1
+        |GROUP BY 1, 2 ORDER BY class_from, class_to""".stripMargin,
+
+    "q_hourly_profile" ->
+      """WITH ev AS (
+        |  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |         ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow
+        |  FROM events),
+        |o AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+        |      FROM ev GROUP BY 1, 2),
+        |rt AS (SELECT dow, CAST(sum(n) AS BIGINT) AS rn FROM o GROUP BY 1),
+        |ct AS (SELECT hour, CAST(sum(n) AS BIGINT) AS cn FROM o GROUP BY 1),
+        |nn AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n,
+        | floor(CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS expected,
+        | floor((CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+        |          / CAST(total AS DOUBLE))
+        |       * (CAST(n AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+        |          / CAST(total AS DOUBLE))
+        |       / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(total AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS chi2_contrib
+        |FROM o JOIN rt USING (dow) JOIN ct USING (hour) CROSS JOIN nn
+        |ORDER BY dow, hour""".stripMargin,
 
     "q_uniform_sample_k" ->
       """SELECT doc_id, lang, source,

@@ -3237,6 +3237,66 @@ object Insights {
       .orderBy(col("h").asc, col("doc_id").asc)
       .limit(k)
 
+  /** Customer-class migration matrix — Kimball's "customer migration
+    * report": each customer's activity class per month (light/regular/
+    * heavy by exact order count), transitions counted between
+    * CONSECUTIVE calendar months both active (the month-over-month
+    * movement marketing reads; appear/disappear flows are
+    * q_growth_accounting's ledger). Customer-month grain is one
+    * fact-linear hash-agg; the transition pairing is a per-customer lead
+    * window over month-bounded partitions; the matrix is class² rows.
+    */
+  def customerMigration(spark: SparkSession, sfDir: String): DataFrame = {
+    val cls = when(col("n_orders") >= 3, "heavy")
+      .when(col("n_orders") === 2, "regular").otherwise("light")
+    val cm = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey").as("ck"),
+               (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(col("ck"), col("mi"), cls.as("cls"))
+    val w = Window.partitionBy(col("ck")).orderBy(col("mi").asc)
+    ordered(
+      cm.withColumn("mi_next", lead(col("mi"), 1).over(w))
+        .withColumn("cls_next", lead(col("cls"), 1).over(w))
+        .filter(col("mi_next") === col("mi") + 1)
+        .groupBy(col("cls").as("class_from"), col("cls_next").as("class_to"))
+        .agg(count(lit(1)).as("n_transitions")),
+      "class_from", "class_to")
+  }
+
+  /** Hour-of-day × day-of-week activity profile with independence
+    * residuals — the ops heatmap every event stream gets, plus the χ²
+    * cell contributions that tell real hot spots from marginal effects.
+    * Pure integer epoch-µs arithmetic for the calendar cells (hour =
+    * (ts div 3.6e9) mod 24; dow anchored so epoch day 0 = Thursday → 0 =
+    * Monday), exact margins, one fact-linear hash-agg into a ≤168-row
+    * frame.
+    */
+  def hourlyProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .select((expr("ts_us div 3600000000L") % 24).as("hour"),
+              ((expr("ts_us div 86400000000L") + 3) % 7).as("dow"))
+    val o = ev.groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = o.groupBy(col("dow")).agg(sum(col("n")).as("rn"))
+    val ct = o.groupBy(col("hour")).agg(sum(col("n")).as("cn"))
+    val nn = o.agg(sum(col("n")).as("total"))
+    ordered(
+      o.join(broadcast(rt), "dow").join(broadcast(ct), "hour")
+        .crossJoin(broadcast(nn))
+        .select(col("dow"), col("hour"), col("n"),
+                r4(expr("cast(rn as double) * cast(cn as double) / cast(total as double)"))
+                  .as("expected"),
+                r4(expr(
+                  """(cast(n as double) - cast(rn as double) * cast(cn as double)
+                    |   / cast(total as double))
+                    |* (cast(n as double) - cast(rn as double) * cast(cn as double)
+                    |   / cast(total as double))
+                    |/ (cast(rn as double) * cast(cn as double) / cast(total as double))"""
+                    .stripMargin.replace("\n", " "))).as("chi2_contrib")),
+      "dow", "hour")
+  }
+
   /** Mood's median test — the nonparametric two-group location test that
     * only needs counts: is an URGENT order's value distribution shifted
     * vs the rest? Global LOWER MEDIAN of order value (exact cents) found

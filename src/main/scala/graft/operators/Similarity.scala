@@ -125,6 +125,41 @@ object Similarity {
       "vec_id")
   }
 
+  /** Per-dimension embedding health report — dead dims, dominant dims,
+    * variance concentration: the pre-indexing check every vector corpus
+    * needs (a dead dimension wastes index bits; one dominant dimension
+    * makes cosine ≈ that dim's sign). Fixed-point quantized values
+    * (×1000, the embed_outliers basis) make every moment exact: per dim,
+    * mean = S/n, variance = (n·S2 − S²)/n², plus each dim's share of
+    * total variance (ratio of exact DECIMAL sums). One explode +
+    * dim-keyed hash-agg — output is DIMENSION-bounded at any corpus
+    * size.
+    */
+  def embedDimVar(spark: SparkSession, sfDir: String): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val ex = t(spark, sfDir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("dim_idx"),
+              floor(col("x").cast("double") * 1000.0 + 0.5).cast("long").as("q"))
+    val per = ex.groupBy(col("dim_idx"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("q").cast("decimal(38,0)")).as("s"),
+           sum((col("q").cast(d190) * col("q").cast(d190)).cast("decimal(38,0)")).as("s2"))
+      .withColumn("varq",
+        expr("""(cast(n as double) * cast(s2 as double)
+               | - cast(s as double) * cast(s as double))
+               |/ (cast(n as double) * cast(n as double))"""
+          .stripMargin.replace("\n", " ")))
+    val tot = per.agg(sum(col("varq").cast("decimal(28,8)")).as("tv"))
+    ordered(
+      per.crossJoin(broadcast(tot))
+        .select(col("dim_idx"),
+                r4(expr("cast(s as double) / cast(n as double) / 1000.0")).as("mean"),
+                r4(expr("varq / 1000000.0")).as("variance"),
+                r4(expr("varq / cast(tv as double)")).as("var_share")),
+      "dim_idx")
+  }
+
   /** Deterministic sampled-pair cosine histogram — the similarity-scale
     * calibration every embedding-dedup threshold choice needs ("what does
     * cosine 0.8 MEAN in this corpus"): pair vector i with vectors i+1,

@@ -1801,6 +1801,82 @@ object Text {
       "source", "rank")
   }
 
+  /** Calibration bins + per-bin gaps for the [[langId]] evidence score
+    * read as P(en) (p̂ = min(1, evidence/6) — a fixed monotone squash,
+    * deterministic on both engines): decile-binned reliability table
+    * (n, mean score, observed en-rate, gap), the input to a reliability
+    * diagram and the per-bin terms of ECE. Mean scores accumulate as
+    * DECIMAL(38,18) (per-row doubles summed in partition order
+    * otherwise); observed rates are exact integer ratios. One
+    * corpus-linear hash-agg into a ≤10-row frame.
+    */
+  def calibrationBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val per100 = (expr("(length(text) - length(replace(text, 'th', ''))) div 2") +
+      regexp_count(col("text"), lit("\\bthe\\b|\\band\\b|\\bis\\b")).cast("long"))
+      .cast("double") * lit(100.0) / length(col("text")).cast("double")
+    val scored = docs(spark, sfDir).select(
+      (col("lang") === "en").as("truth_en"),
+      least(lit(1.0), per100 / lit(6.0)).as("p_hat"))
+    ordered(
+      scored
+        .select(least(lit(9L), floor(col("p_hat") * 10.0).cast("long")).as("bin"),
+                col("p_hat"), col("truth_en"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("p_hat").cast("decimal(38,18)")).as("sp"),
+             sum(when(col("truth_en"), 1L).otherwise(0L)).as("n_en"))
+        .select(col("bin"), col("n"),
+                r4(expr("cast(sp as double) / cast(n as double)")).as("avg_score"),
+                r4(expr("cast(n_en as double) / cast(n as double)")).as("obs_rate"),
+                r4(expr("abs(cast(sp as double) / cast(n as double)" +
+                        " - cast(n_en as double) / cast(n as double))")).as("gap")),
+      "bin")
+  }
+
+  /** Dunning log-likelihood-ratio collocations — the statistically honest
+    * cousin of [[collocations]]' PMI (which over-rewards rare pairs): per
+    * bigram, the G-statistic of its 2×2 contingency table (k11 = pair
+    * count, margins from unigram-position counts), LLR =
+    * 2·Σ kᵢⱼ·ln(kᵢⱼ·N/(rowᵢ·colⱼ)) over the four cells — all four terms
+    * in ONE row expression from exact integer counts, so no cross-row
+    * double summation exists to order. Top-20 by the r4-rounded LLR
+    * (w1/w2 tiebreak). Same bigram/unigram hash-agg machinery; the rank
+    * is TakeOrdered.
+    */
+  def llrCollocations(spark: SparkSession, sfDir: String,
+                      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"),
+              posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+    val pairs = toks
+      .withColumn("nxt", lead(col("word"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(length(col("word")) > 0 && length(col("nxt")) > 0)
+      .select(col("word").as("w1"), col("nxt").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("k11"))
+    val left = pairs.groupBy(col("w1")).agg(count(lit(1)).as("r1"))
+    val right = pairs.groupBy(col("w2")).agg(count(lit(1)).as("c1"))
+    val tot = pairs.agg(count(lit(1)).as("nn"))
+    val cells = big.join(left, "w1").join(right, "w2").crossJoin(broadcast(tot))
+      .withColumn("k12", col("r1") - col("k11"))
+      .withColumn("k21", col("c1") - col("k11"))
+      .withColumn("k22", col("nn") - col("r1") - col("c1") + col("k11"))
+    def term(kc: String, rowm: String, colm: String) =
+      expr(s"""CASE WHEN $kc > 0 THEN cast($kc as double)
+              | * ln(cast($kc as double) * cast(nn as double)
+              |      / (cast($rowm as double) * cast($colm as double)))
+              | ELSE 0.0 END""".stripMargin.replace("\n", " "))
+    cells
+      .withColumn("llr",
+        (term("k11", "r1", "c1") + term("k12", "r1", "nn - c1") +
+         term("k21", "nn - r1", "c1") + term("k22", "nn - r1", "nn - c1")) * 2.0)
+      .select(col("w1"), col("w2"), col("k11").as("n_pair"), r4(col("llr")).as("llr"))
+      .orderBy(col("llr").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** Cohen's kappa between the [[langId]] heuristic and the ground-truth
     * label (binarized en/other) — chance-corrected agreement, the honest
     * version of q_langid_confusion's raw shares: κ = (p_o − p_e)/(1 − p_e)

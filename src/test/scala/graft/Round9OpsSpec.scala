@@ -1371,6 +1371,153 @@ class Round9OpsSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length === 100)
   }
 
+  // ---- round-9l: embedding health, calibration, migration, profile ----
+
+  test("embedDimVar: per-dimension moments match a BigInt fold; shares " +
+       "sum to 1") {
+    val rows = graft.operators.Similarity.embedDimVar(spark, Sf).collect()
+      .map(r => r.getAs[Long]("dim_idx") ->
+        ((r.getAs[Double]("mean"), r.getAs[Double]("variance"),
+          r.getAs[Double]("var_share")))).toMap
+    val vecs = graft.util.Tables.t(spark, Sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(x =>
+        math.floor(x.toDouble * 1000.0 + 0.5).toLong))
+    val d = vecs.head.length
+    val n = vecs.length
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val varqs = (0 until d).map { i =>
+      val s = vecs.map(v => BigInt(v(i))).sum
+      val s2 = vecs.map(v => BigInt(v(i)) * BigInt(v(i))).sum
+      (s, (n.toDouble * s2.toDouble - s.toDouble * s.toDouble) /
+        (n.toDouble * n.toDouble))
+    }
+    val tv = varqs.map(v => dec8(v._2)).sum
+    (0 until d).foreach { i =>
+      val (s, vq) = varqs(i)
+      val (m, v, sh) = rows(i.toLong)
+      assert(m === rr(s.toDouble / n / 1000.0), s"dim $i mean")
+      assert(v === rr(vq / 1e6), s"dim $i var")
+      assert(sh === rr(vq / tv.toDouble), s"dim $i share")
+    }
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 0.01)
+  }
+
+  test("calibrationBins: reliability table matches a sequential fold; " +
+       "bins partition the corpus") {
+    val rows = Text.calibrationBins(spark, Sf).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("avg_score"),
+          r.getAs[Double]("obs_rate"), r.getAs[Double]("gap")))).toMap
+    val docs = graft.util.Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getString(1) == "en", r.getString(2)))
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val scored = docs.map { case (en, t) =>
+      val th = (t.length - t.replace("th", "").length) / 2
+      val stops = "\\bthe\\b|\\band\\b|\\bis\\b".r.findAllIn(t).length
+      val p = math.min(1.0, (th + stops).toDouble * 100.0 / t.length / 6.0)
+      (math.min(9L, math.floor(p * 10.0).toLong), p, en)
+    }
+    val byBin = scored.groupBy(_._1)
+    assert(rows.keySet === byBin.keySet)
+    assert(rows.values.map(_._1).sum === docs.length.toLong)
+    byBin.foreach { case (b, xs) =>
+      val n = xs.length
+      val sp = xs.map(x => BigDecimal(x._2)
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum
+      val ne = xs.count(_._3)
+      val (gn, gs, go, gg) = rows(b)
+      assert(gn === n.toLong, s"bin $b n")
+      assert(gs === rr(sp.toDouble / n), s"bin $b score")
+      assert(go === rr(ne.toDouble / n), s"bin $b rate")
+      assert(gg === rr(math.abs(sp.toDouble / n - ne.toDouble / n)), s"bin $b gap")
+    }
+  }
+
+  test("llrCollocations: the 2x2 G statistic matches a sequential fold " +
+       "for every returned bigram") {
+    val rows = Text.llrCollocations(spark, Sf, 20).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")),
+                 r.getAs[Long]("n_pair"), r.getAs[Double]("llr")))
+    assert(rows.length === 20)
+    val pairs = docsRaw().values.flatMap { t =>
+      t.toLowerCase.split(" ", -1).filter(_.nonEmpty).sliding(2)
+        .collect { case Array(a, b) => (a, b) }
+    }.toSeq
+    val nn = pairs.length.toLong
+    val big = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val lft = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val rgt = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def llr(w1: String, w2: String): Double = {
+      val k11 = big((w1, w2)); val r1 = lft(w1); val c1 = rgt(w2)
+      val cells = Seq((k11, r1, c1), (r1 - k11, r1, nn - c1),
+                      (c1 - k11, nn - r1, c1), (nn - r1 - c1 + k11, nn - r1, nn - c1))
+      2.0 * cells.map { case (k, r, c) =>
+        if (k > 0) k.toDouble * math.log(k.toDouble * nn / (r.toDouble * c)) else 0.0
+      }.sum
+    }
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rows.foreach { case ((w1, w2), np, g) =>
+      assert(np === big((w1, w2)), s"($w1,$w2) count")
+      assert(g === rr(llr(w1, w2)), s"($w1,$w2) llr")
+    }
+    // the returned set IS the top-20 under (r4 llr desc, w1, w2)
+    val all = big.keys.toSeq
+      .map { case (a, b) => ((a, b), rr(llr(a, b))) }
+      .sortBy { case ((a, b), g) => (-g, a, b) }.take(20).map(_._1)
+    assert(rows.map(_._1).toSeq === all)
+  }
+
+  test("customerMigration: transition matrix matches a sequential ledger; " +
+       "only consecutive-month transitions count") {
+    val rows = Insights.customerMigration(spark, Sf).collect()
+      .map(r => (r.getAs[String]("class_from"), r.getAs[String]("class_to")) ->
+        r.getAs[Long]("n_transitions")).toMap
+    val cm = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_custkey"),
+              (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def cls(n: Int) = if (n >= 3) "heavy" else if (n == 2) "regular" else "light"
+    val exp = scala.collection.mutable.Map.empty[(String, String), Long]
+    cm.keys.groupBy(_._1).foreach { case (_, ks) =>
+      val months = ks.map(_._2).toSeq.sorted
+      months.sliding(2).foreach {
+        case Seq(a, b) if b == a + 1 =>
+          val k = (cls(cm((ks.head._1, a))), cls(cm((ks.head._1, b))))
+          exp(k) = exp.getOrElse(k, 0L) + 1
+        case _ =>
+      }
+    }
+    assert(rows === exp.toMap)
+  }
+
+  test("hourlyProfile: cells, margins and residuals match a sequential " +
+       "fold over epoch-us integer calendar math") {
+    val rows = Insights.hourlyProfile(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("expected"),
+          r.getAs[Double]("chi2_contrib")))).toMap
+    val ts = graft.util.Tables.events(spark, Sf)
+      .select(col("ts_us")).collect().map(_.getLong(0))
+    val cells = ts.groupBy(t => (((t / 86400000000L) + 3) % 7,
+                                 (t / 3600000000L) % 24))
+      .view.mapValues(_.size.toLong).toMap
+    assert(rows.keySet === cells.keySet)
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val tot = ts.length.toDouble
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    cells.foreach { case (k @ (d, h), n) =>
+      val e = rt(d).toDouble * ct(h).toDouble / tot
+      val (gn, ge, gc) = rows(k)
+      assert(gn === n, s"cell $k")
+      assert(ge === rr(e), s"cell $k expected")
+      assert(gc === rr((n - e) * (n - e) / e), s"cell $k chi2")
+    }
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
