@@ -381,6 +381,10 @@ object SparkEntry {
     "q_llr_collocations"  -> q(Text.llrCollocations(_, _, 20)), // Dunning log-likelihood-ratio bigrams, 2x2 G per pair
     "q_customer_migration" -> q(Insights.customerMigration), // Kimball class-migration matrix, consecutive active months
     "q_hourly_profile"    -> q(Insights.hourlyProfile), // hour x dow heatmap with chi2 independence residuals
+    // round-9m additions (scalable resampling, ordered alternatives, snapshot audit)
+    "q_poisson_bootstrap" -> q(Insights.poissonBootstrap(_, _, 100)), // hash-deterministic Poisson bootstrap CI, one fan-out + hash-agg
+    "q_page_trend"        -> q(Insights.pageTrend), // Page's L for ordered alternatives, complete year blocks, exact ranks
+    "q_snapshot_reconcile" -> q(Warehouse.snapshotReconcile(_, _, 1704844800000000L, 1705276800000000L)), // SCD2 as-of t1 vs t2 audit
     // round-9b additions (directed-graph ranking tier)
     "q_hits"              -> q(Insights.hits), // HITS hubs/authorities, 3 normalized rounds, Long fixed-point, unrolled oracle
     "q_link_pred_jaccard" -> q(Insights.linkPredJaccard(_, _, 2, 50)), // neighbor-set Jaccard link prediction for non-adjacent pairs
@@ -3765,6 +3769,91 @@ object SparkEntry {
         |       * 10000.0 + 0.5) / 10000.0 AS chi2_contrib
         |FROM o JOIN rt USING (dow) JOIN ct USING (hour) CROSS JOIN nn
         |ORDER BY dow, hour""".stripMargin,
+
+    "q_poisson_bootstrap" ->
+      """WITH rows_ AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x
+        | FROM orders),
+        |full_ AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+        |                 CAST(count(*) AS BIGINT) AS n FROM rows_),
+        |reps AS (SELECT unnest(generate_series(0, 99)) AS rep),
+        |wts AS (SELECT rep,
+        |  CASE WHEN u < 0.36787944117144233 THEN 0
+        |       WHEN u < 0.7357588823428847 THEN 1
+        |       WHEN u < 0.9196986029286058 THEN 2
+        |       WHEN u < 0.9810118431238462 THEN 3
+        |       WHEN u < 0.9963401531726563 THEN 4
+        |       ELSE 5 END AS w, x
+        | FROM (SELECT rep, x,
+        |         CAST(((k * 2654435761 + rep * 40503 + 7) % 1048576
+        |               + 1048576) % 1048576 AS DOUBLE) / 1048576.0 AS u
+        |       FROM rows_ CROSS JOIN reps)),
+        |rm AS (SELECT rep,
+        |         CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+        |       FROM wts GROUP BY rep),
+        |rk AS (SELECT m, row_number() OVER (ORDER BY m ASC, rep ASC) AS i FROM rm),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+        |  sum(CAST(m AS DECIMAL(38,18))) AS sm,
+        |  sum(CAST(m * m AS DECIMAL(38,18))) AS sm2 FROM rm),
+        |ci AS (SELECT min(m) AS lo, max(m) AS hi FROM rk WHERE i IN (3, 98))
+        |SELECT nb AS n_replicates,
+        | floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 10000.0 + 0.5)
+        |   / 10000.0 AS mean_value,
+        | floor(lo / 100.0 * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+        | floor(hi / 100.0 * 10000.0 + 0.5) / 10000.0 AS ci_hi,
+        | floor(sqrt((CAST(sm2 AS DOUBLE)
+        |             - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(nb AS DOUBLE))
+        |            / CAST(nb - 1 AS DOUBLE)) / 100.0 * 10000.0 + 0.5)
+        |   / 10000.0 AS se
+        |FROM ci CROSS JOIN st CROSS JOIN full_""".stripMargin,
+
+    "q_page_trend" ->
+      """WITH cells AS (
+        |  SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS q,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |complete AS (SELECT yr FROM cells GROUP BY yr HAVING count(*) = 4),
+        |ranked AS (SELECT c.yr, c.q,
+        |  CAST(row_number() OVER (PARTITION BY c.yr
+        |         ORDER BY c.rev ASC, c.q ASC) AS BIGINT) AS rk
+        | FROM cells c JOIN complete USING (yr)),
+        |rsums AS (SELECT q, CAST(sum(rk) AS BIGINT) AS rj,
+        |                 CAST(count(*) AS BIGINT) AS nb
+        |          FROM ranked GROUP BY q),
+        |agg AS (SELECT max(nb) AS b, CAST(count(*) AS BIGINT) AS k,
+        |               CAST(sum(q * rj) AS BIGINT) AS l
+        |        FROM rsums)
+        |SELECT b AS n_blocks, k AS k_treatments, l AS l_stat,
+        | floor((12.0 * CAST(l AS DOUBLE)
+        |        - 3.0 * CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+        |          * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+        |       / sqrt(CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |              * CAST(k + 1 AS DOUBLE)
+        |              * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))
+        |       * 10000.0 + 0.5) / 10000.0 AS z
+        |FROM agg""".stripMargin,
+
+    "q_snapshot_reconcile" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'signup'),
+        |v AS (SELECT user_id, event_id, ts_us AS f,
+        |             lead(ts_us) OVER w AS t
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |a AS (SELECT user_id, event_id AS v1 FROM v
+        |      WHERE f <= 1704844800000000
+        |        AND (t IS NULL OR t > 1704844800000000)),
+        |b AS (SELECT user_id, event_id AS v2 FROM v
+        |      WHERE f <= 1705276800000000
+        |        AND (t IS NULL OR t > 1705276800000000))
+        |SELECT
+        | CAST(sum(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+        | CAST(sum(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_t2,
+        | CAST(sum(CASE WHEN v1 IS NULL AND v2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        | CAST(sum(CASE WHEN v1 IS NOT NULL AND v2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | CAST(sum(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL AND v1 <> v2
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        | CAST(sum(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM a FULL OUTER JOIN b USING (user_id)""".stripMargin,
 
     "q_uniform_sample_k" ->
       """SELECT doc_id, lang, source,

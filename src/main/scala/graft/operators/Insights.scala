@@ -3297,6 +3297,103 @@ object Insights {
       "dow", "hour")
   }
 
+  /** Poisson-bootstrap confidence interval for the mean order value —
+    * the resampling technique that actually runs at 100 TB (Chamandy et
+    * al. 2012, "Estimating Uncertainty for Massive Data Streams"):
+    * instead of materializing B resamples of n draws, every row gets an
+    * independent Poisson(1) weight per replicate, so the whole bootstrap
+    * is ONE fact×B fan-out into ONE hash-agg — no sorting, no sampling
+    * state, embarrassingly parallel. Determinism: the Poisson draw is
+    * the inverse-CDF of a HASHED uniform (multiplicative hash of
+    * (orderkey, replicate) over a 2²⁰ lattice, thresholds as fixed
+    * literals), so any engine reproduces the exact weights; each
+    * replicate mean is then a ratio of two exact integer sums. The CI is
+    * the 2.5%/97.5% order statistics of the B = 100 replicate means
+    * (3rd/98th smallest — exact ranks, stated); the SE is their sample
+    * sd with DECIMAL-accumulated moments.
+    */
+  def poissonBootstrap(spark: SparkSession, sfDir: String,
+                       b: Int = 100): DataFrame = {
+    import spark.implicits._
+    val reps = (0 until b).toDF("rep")
+    val rows = t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"),
+              floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("x"))
+    val full = rows.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val u = "cast(pmod(k * 2654435761 + rep * 40503 + 7, 1048576) as double) / 1048576.0"
+    val w = s"""CASE WHEN $u < 0.36787944117144233 THEN 0
+               | WHEN $u < 0.7357588823428847 THEN 1
+               | WHEN $u < 0.9196986029286058 THEN 2
+               | WHEN $u < 0.9810118431238462 THEN 3
+               | WHEN $u < 0.9963401531726563 THEN 4
+               | ELSE 5 END""".stripMargin.replace("\n", " ")
+    val repMeans = rows.crossJoin(broadcast(reps))
+      .select(col("rep"), expr(w).as("w"), col("x"))
+      .groupBy(col("rep"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("rep"),
+              (col("swx").cast("double") / col("sw").cast("double")).as("m"))
+    val wOrd = Window.orderBy(col("m").asc, col("rep").asc)
+    val ranked = repMeans.withColumn("i", row_number().over(wOrd))
+    val lo = (b * 25 + 999) / 1000   // ceil(0.025·B) = 3rd smallest at B=100
+    val hi = (b * 975 + 999) / 1000  // ceil(0.975·B) = 98th
+    val stats = repMeans.agg(
+      count(lit(1)).as("nb"),
+      sum(col("m").cast("decimal(38,18)")).as("sm"),
+      sum((col("m") * col("m")).cast("decimal(38,18)")).as("sm2"))
+    ranked.filter(col("i") === lo || col("i") === hi)
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(full))
+      .select(col("nb").as("n_replicates"),
+              r4(expr("cast(sx as double) / cast(n as double) / 100.0")).as("mean_value"),
+              r4(expr("lo / 100.0")).as("ci_lo"),
+              r4(expr("hi / 100.0")).as("ci_hi"),
+              r4(expr(
+                """sqrt((cast(sm2 as double)
+                  | - cast(sm as double) * cast(sm as double) / cast(nb as double))
+                  |/ cast(nb - 1 as double)) / 100.0"""
+                  .stripMargin.replace("\n", " "))).as("se"))
+  }
+
+  /** Page's trend test for ordered alternatives — "does revenue rise
+    * across quarters WITHIN years" (the monotone-dose version of the
+    * Friedman test already in the suite): rank the four quarterly
+    * revenue totals inside each year block (exact DECIMAL cell sums; the
+    * no-ties assumption is discharged by a deterministic (value,
+    * quarter) total order, stated), L = Σ j·R_j over treatment rank
+    * sums, z via the exact-moment normal approximation. Blocks×k cells
+    * from one fact-linear hash-agg; everything after is a ≤28-row frame.
+    */
+  def pageTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = t(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+               quarter(col("o_orderdate")).as("q"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    // Page's L assumes complete blocks: drop partial years (the data's
+    // first/last calendar year may not cover all four quarters)
+    val complete = cells.groupBy(col("yr")).agg(count(lit(1)).as("nq"))
+      .filter(col("nq") === 4).select(col("yr"))
+    val wBlk = Window.partitionBy(col("yr"))
+      .orderBy(col("rev").asc, col("q").asc)
+    val ranked = cells.join(complete, "yr")
+      .withColumn("rk", row_number().over(wBlk).cast("long"))
+    val rsums = ranked.groupBy(col("q")).agg(sum(col("rk")).as("rj"),
+                                             count(lit(1)).as("nb"))
+    rsums.agg(max(col("nb")).as("b"), count(lit(1)).as("k"),
+              sum(col("q").cast("long") * col("rj")).as("l"))
+      .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+              col("l").as("l_stat"),
+              r4(expr(
+                """(12.0 * cast(l as double)
+                  | - 3.0 * cast(b as double) * cast(k as double)
+                  |   * cast(k + 1 as double) * cast(k + 1 as double))
+                  |/ sqrt(cast(b as double) * cast(k as double) * cast(k as double)
+                  |       * cast(k + 1 as double)
+                  |       * (cast(k as double) * cast(k as double) - 1.0))"""
+                  .stripMargin.replace("\n", " "))).as("z"))
+  }
+
   /** Mood's median test — the nonparametric two-group location test that
     * only needs counts: is an URGENT order's value distribution shifted
     * vs the rest? Global LOWER MEDIAN of order value (exact cents) found

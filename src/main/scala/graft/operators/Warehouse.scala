@@ -357,6 +357,34 @@ object Warehouse {
       "n_name", "yr")
   }
 
+  /** Snapshot reconciliation between two point-in-time views of the SCD2
+    * dimension — the audit a warehouse runs after every load window:
+    * [[scd2AsOf]] at t₁ vs t₂, full-outer-joined on the key, counting
+    * keys added, removed, version-changed and unchanged, so a bad load
+    * (mass deletes, version churn) is one report away. A signup-only
+    * version stream can never REMOVE a key, so n_removed ≡ 0 here — the
+    * invariant the spec asserts rather than a missing case. Version
+    * tables are change-bounded: both as-of frames and the join are small
+    * at any fact volume.
+    */
+  def snapshotReconcile(spark: SparkSession, sfDir: String,
+                        t1Us: Long = 1704844800000000L /* 2024-01-10 */,
+                        t2Us: Long = 1705276800000000L /* 2024-01-15 */): DataFrame = {
+    val a = scd2AsOf(spark, sfDir, t1Us)
+      .select(col("user_id"), col("event_id").as("v1"))
+    val b = scd2AsOf(spark, sfDir, t2Us)
+      .select(col("user_id"), col("event_id").as("v2"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .agg(
+        sum(when(col("v1").isNotNull, 1L).otherwise(0L)).as("n_t1"),
+        sum(when(col("v2").isNotNull, 1L).otherwise(0L)).as("n_t2"),
+        sum(when(col("v1").isNull && col("v2").isNotNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("v1").isNotNull && col("v2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("v1").isNotNull && col("v2").isNotNull &&
+                 col("v1") =!= col("v2"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("v1") === col("v2"), 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
   /** Late-arriving dimension handling (Kimball "inferred members"): facts
     * referencing customer keys the dimension feed hasn't delivered yet get
     * placeholder dim rows instead of being dropped or failing the FK. The

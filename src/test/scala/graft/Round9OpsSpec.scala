@@ -1518,6 +1518,94 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- round-9m: resampling, ordered alternatives, snapshot audit ----
+
+  test("poissonBootstrap: replicate means match a sequential hash fold; " +
+       "the CI brackets the full-sample mean with a sane width") {
+    val r = Insights.poissonBootstrap(spark, Sf, 100).collect().head
+    val rows = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_orderkey"),
+              floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def w(k: Long, rep: Int): Long = {
+      val u = (((k * 2654435761L + rep * 40503L + 7L) % 1048576L + 1048576L)
+        % 1048576L).toDouble / 1048576.0
+      if (u < 0.36787944117144233) 0L else if (u < 0.7357588823428847) 1L
+      else if (u < 0.9196986029286058) 2L else if (u < 0.9810118431238462) 3L
+      else if (u < 0.9963401531726563) 4L else 5L
+    }
+    val means = (0 until 100).map { rep =>
+      var (swx, sw) = (BigInt(0), 0L)
+      rows.foreach { case (k, x) =>
+        val wt = w(k, rep); swx += BigInt(wt * x); sw += wt
+      }
+      (rep, swx.toDouble / sw)
+    }
+    val sorted = means.sortBy { case (rep, m) => (m, rep) }.map(_._2)
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Long]("n_replicates") === 100L)
+    assert(r.getAs[Double]("ci_lo") === rr(sorted(2) / 100.0))
+    assert(r.getAs[Double]("ci_hi") === rr(sorted(97) / 100.0))
+    val fullMean = rows.map(x => BigInt(x._2)).sum.toDouble / rows.length
+    assert(r.getAs[Double]("mean_value") === rr(fullMean / 100.0))
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("mean_value"))
+    assert(r.getAs[Double]("ci_hi") > r.getAs[Double]("mean_value"))
+    // bootstrap SE should be within 3x of the analytic sigma/sqrt(n)
+    val n = rows.length
+    val s2 = rows.map(x => BigInt(x._2) * BigInt(x._2)).sum.toDouble / n -
+      fullMean * fullMean
+    val analytic = math.sqrt(s2 / n) / 100.0
+    val se = r.getAs[Double]("se")
+    assert(se > analytic / 3.0 && se < analytic * 3.0)
+  }
+
+  test("pageTrend: L and rank sums match a sequential fold over complete " +
+       "year blocks only") {
+    val r = Insights.pageTrend(spark, Sf).collect().head
+    val cells = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("q"))
+      .agg(sum(graft.util.Tables.money(col("o_totalprice"))).as("rev"))
+      .collect()
+      .map(x => (x.getInt(0), x.getInt(1),
+                 BigDecimal(x.getAs[java.math.BigDecimal]("rev"))))
+    val byYear = cells.groupBy(_._1).filter(_._2.length == 4)
+    val b = byYear.size
+    var l = 0L
+    val rj = scala.collection.mutable.Map.empty[Int, Long]
+    byYear.values.foreach { qs =>
+      qs.sortBy(x => (x._3, x._2)).zipWithIndex.foreach { case ((_, q, _), i0) =>
+        rj(q) = rj.getOrElse(q, 0L) + (i0 + 1)
+      }
+    }
+    (1 to 4).foreach(q => l += q * rj(q))
+    assert(r.getAs[Long]("n_blocks") === b.toLong)
+    assert(r.getAs[Long]("k_treatments") === 4L)
+    assert(r.getAs[Long]("l_stat") === l)
+    val z = (12.0 * l - 3.0 * b * 4 * 25) / math.sqrt(b * 16.0 * 5 * 15)
+    assert(r.getAs[Double]("z") === math.floor(z * 10000.0 + 0.5) / 10000.0)
+  }
+
+  test("snapshotReconcile: the audit identity holds and matches the two " +
+       "as-of views; signup streams never remove keys") {
+    val r = graft.operators.Warehouse.snapshotReconcile(spark, Sf).collect().head
+    val (n1, n2, add, rem, chg, unch) = (r.getAs[Long]("n_t1"),
+      r.getAs[Long]("n_t2"), r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+      r.getAs[Long]("n_changed"), r.getAs[Long]("n_unchanged"))
+    assert(n2 === n1 - rem + add)
+    assert(n1 === rem + chg + unch)
+    assert(rem === 0L, "signup-only SCD2 cannot drop keys")
+    val a = graft.operators.Warehouse.scd2AsOf(spark, Sf, 1704844800000000L)
+      .select(col("user_id"), col("event_id")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val bb = graft.operators.Warehouse.scd2AsOf(spark, Sf, 1705276800000000L)
+      .select(col("user_id"), col("event_id")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(n1 === a.size.toLong); assert(n2 === bb.size.toLong)
+    assert(add === (bb.keySet -- a.keySet).size.toLong)
+    assert(chg === a.count { case (k, v) => bb.get(k).exists(_ != v) }.toLong)
+    assert(unch === a.count { case (k, v) => bb.get(k).contains(v) }.toLong)
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
