@@ -385,6 +385,11 @@ object SparkEntry {
     "q_poisson_bootstrap" -> q(Insights.poissonBootstrap(_, _, 100)), // hash-deterministic Poisson bootstrap CI, one fan-out + hash-agg
     "q_page_trend"        -> q(Insights.pageTrend), // Page's L for ordered alternatives, complete year blocks, exact ranks
     "q_snapshot_reconcile" -> q(Warehouse.snapshotReconcile(_, _, 1704844800000000L, 1705276800000000L)), // SCD2 as-of t1 vs t2 audit
+    // round-9n additions (regression diagnostics + robust statistics)
+    "q_cooks_distance"    -> q(Insights.cooksDistance(_, _, 10)), // top-10 influential days, closed-form leverage, no refits
+    "q_prediction_interval" -> q(Insights.predictionInterval), // one-step-ahead OLS forecast with honest interval
+    "q_trimmed_mean"      -> q(Insights.trimmedMean), // exact 5% two-sided trim per group via PrefixSum rank clamping
+    "q_cliffs_delta"      -> q(Insights.cliffsDelta), // ordinal effect size from the mannwhitney doubled-rank machinery
     // round-9b additions (directed-graph ranking tier)
     "q_hits"              -> q(Insights.hits), // HITS hubs/authorities, 3 normalized rounds, Long fixed-point, unrolled oracle
     "q_link_pred_jaccard" -> q(Insights.linkPredJaccard(_, _, 2, 50)), // neighbor-set Jaccard link prediction for non-adjacent pairs
@@ -3854,6 +3859,145 @@ object SparkEntry {
         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         | CAST(sum(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM a FULL OUTER JOIN b USING (user_id)""".stripMargin,
+
+    "q_cooks_distance" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT min(d) AS d0 FROM daily),
+        |pts AS (SELECT d, CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+        |        FROM daily CROSS JOIN base),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        | FROM pts),
+        |fit AS (SELECT n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS sxxc
+        | FROM m),
+        |resid AS (SELECT d, y, n,
+        |  CAST(y AS DOUBLE) - (my + b * (CAST(x AS DOUBLE) - mx)) AS e,
+        |  1.0 / CAST(n AS DOUBLE)
+        |    + (CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx) / sxxc AS h
+        | FROM pts CROSS JOIN fit),
+        |s2 AS (SELECT CAST(sum(CAST(e * e AS DECIMAL(38,8))) AS DOUBLE)
+        |              / CAST(max(n) - 2 AS DOUBLE) AS s2 FROM resid)
+        |SELECT d AS day,
+        | floor(CAST(y AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(e / 100.0 * 10000.0 + 0.5) / 10000.0 AS residual,
+        | floor(h * 10000.0 + 0.5) / 10000.0 AS leverage,
+        | floor(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+        |       * 10000.0 + 0.5) / 10000.0 AS cooks_d
+        |FROM resid CROSS JOIN s2
+        |ORDER BY floor(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+        |               * 10000.0 + 0.5) / 10000.0 DESC, day ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_prediction_interval" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT min(d) AS d0 FROM daily),
+        |pts AS (SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS x, y
+        |        FROM daily CROSS JOIN base),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n, max(x) AS xmax,
+        |  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |  CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        | FROM pts),
+        |fit AS (SELECT n, xmax,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+        |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+        |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS sxxc
+        | FROM m),
+        |sse AS (SELECT CAST(sum(CAST(
+        |    (CAST(y AS DOUBLE) - (my + b * (CAST(x AS DOUBLE) - mx)))
+        |    * (CAST(y AS DOUBLE) - (my + b * (CAST(x AS DOUBLE) - mx)))
+        |    AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sse
+        | FROM pts CROSS JOIN fit),
+        |fin AS (SELECT n, xmax, b, my, mx, sxxc,
+        |  CAST(xmax + 1 AS DOUBLE) AS x0,
+        |  sqrt(CAST(sse AS DOUBLE) / CAST(n - 2 AS DOUBLE)) AS s
+        | FROM fit CROSS JOIN sse),
+        |o AS (SELECT n, xmax,
+        |  my + b * (x0 - mx) AS yhat,
+        |  s * sqrt(1.0 + 1.0 / CAST(n AS DOUBLE) + (x0 - mx) * (x0 - mx) / sxxc) AS sep
+        | FROM fin)
+        |SELECT n AS n_days, CAST(xmax + 1 AS BIGINT) AS x0_day,
+        | floor(yhat / 100.0 * 10000.0 + 0.5) / 10000.0 AS forecast,
+        | floor((yhat - 1.959963985 * sep) / 100.0 * 10000.0 + 0.5) / 10000.0 AS pi_lo,
+        | floor((yhat + 1.959963985 * sep) / 100.0 * 10000.0 + 0.5) / 10000.0 AS pi_hi
+        |FROM o""".stripMargin,
+
+    "q_trimmed_mean" ->
+      """WITH grain AS (
+        |  SELECT l_returnflag AS grp,
+        |         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |ps AS (SELECT grp, v, c,
+        |         COALESCE(sum(c) OVER (PARTITION BY grp ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        |       FROM grain),
+        |tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM grain GROUP BY 1),
+        |eff AS (SELECT ps.grp, v, n, n // 20 AS g,
+        |          greatest(least(lo + c, n - n // 20) - greatest(lo, n // 20), 0)
+        |            AS ceff
+        |        FROM ps JOIN tot ON ps.grp = tot.grp)
+        |SELECT grp AS l_returnflag, max(n) AS n,
+        | CAST(max(g) AS BIGINT) AS n_trimmed_each,
+        | floor(CAST(sum(ceff * v) AS DOUBLE) / CAST(sum(ceff) AS DOUBLE)
+        |       / 100.0 * 10000.0 + 0.5) / 10000.0 AS trimmed_mean
+        |FROM eff GROUP BY grp ORDER BY l_returnflag""".stripMargin,
+
+    "q_cliffs_delta" ->
+      """WITH o AS (
+        |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+        |  FROM orders),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |                CAST(sum(ga) AS BIGINT) AS cnta
+        |         FROM o GROUP BY v),
+        |cum AS (SELECT v, cnt, cnta,
+        |               COALESCE(sum(cnt) OVER (ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |        FROM vals),
+        |agg AS (SELECT sum(cnta) AS na, sum(cnt) AS n,
+        |               sum(cnta * (2 * cumb + cnt + 1)) AS w2a
+        |        FROM cum),
+        |d AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+        |        CAST(w2a - na * (na + 1) AS DOUBLE)
+        |          / (CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE)) - 1.0 AS delta
+        |      FROM agg)
+        |SELECT n_a, n_b,
+        | floor(delta * 10000.0 + 0.5) / 10000.0 AS cliffs_delta,
+        | CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |      WHEN abs(delta) < 0.33 THEN 'small'
+        |      WHEN abs(delta) < 0.474 THEN 'medium'
+        |      ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin,
 
     "q_uniform_sample_k" ->
       """SELECT doc_id, lang, source,

@@ -3297,6 +3297,191 @@ object Insights {
       "dow", "hour")
   }
 
+  /** Cook's distance — per-point influence on the daily-revenue OLS fit
+    * ([[durbinWatson]]'s regression, completed with the diagnostic that
+    * finds the days DRIVING the slope): D_i = e_i²·h_ii/(p·s²·(1−h_ii)²)
+    * with leverage h_ii = 1/n + (x_i−x̄)²/S_xx, p = 2, s² = SSE/(n−2),
+    * everything in closed form from the exact integer moment fit (no
+    * per-point refit — the O(n) formulation). Top-10 by the r4-rounded D
+    * (date tiebreak). Date-grain frame throughout.
+    */
+  def cooksDistance(spark: SparkSession, sfDir: String,
+                    k: Int = 10): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("y"))
+    val base = daily.agg(min(col("d")).as("d0"))
+    val pts = daily.crossJoin(broadcast(base))
+      .select(col("d"), datediff(col("d"), col("d0")).cast("long").as("x"), col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x").cast(d190) * col("y").cast(d190)).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x").cast(d190) * col("x").cast(d190)).cast("decimal(38,0)")).as("sxx"))
+      .select(col("n"),
+              expr("""(cast(n as double) * cast(sxy as double)
+                     | - cast(sx as double) * cast(sy as double))
+                     |/ (cast(n as double) * cast(sxx as double)
+                     |   - cast(sx as double) * cast(sx as double))"""
+                .stripMargin.replace("\n", " ")).as("b"),
+              expr("cast(sy as double) / cast(n as double)").as("my"),
+              expr("cast(sx as double) / cast(n as double)").as("mx"),
+              expr("""(cast(n as double) * cast(sxx as double)
+                     | - cast(sx as double) * cast(sx as double))
+                     |/ cast(n as double)""".stripMargin.replace("\n", " ")).as("sxxc"))
+    val resid = pts.crossJoin(broadcast(m))
+      .withColumn("e",
+        col("y").cast("double") -
+          (col("my") + col("b") * (col("x").cast("double") - col("mx"))))
+      .withColumn("h",
+        expr("1.0 / cast(n as double)") +
+          (col("x").cast("double") - col("mx")) *
+          (col("x").cast("double") - col("mx")) / col("sxxc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s2 = resid.agg(
+      (sum((col("e") * col("e")).cast("decimal(38,8)")).cast("double") /
+        (max(col("n")) - 2).cast("double")).as("s2"))
+    resid.crossJoin(broadcast(s2))
+      .select(col("d").as("day"),
+              r4(col("y").cast("double") / 100.0).as("revenue"),
+              r4(col("e") / 100.0).as("residual"),
+              r4(col("h")).as("leverage"),
+              r4(col("e") * col("e") * col("h") /
+                 (lit(2.0) * col("s2") * (lit(1.0) - col("h")) *
+                  (lit(1.0) - col("h")))).as("cooks_d"))
+      .orderBy(col("cooks_d").desc, col("day").asc)
+      .limit(k)
+  }
+
+  /** One-step-ahead OLS prediction interval — the forecast the
+    * daily-revenue fit exists to serve, with honest uncertainty:
+    * ŷ(x₀) ± z·s·√(1 + 1/n + (x₀−x̄)²/S_xx) at x₀ = last day + 1,
+    * z = 1.959963985 as a literal. All terms from the same exact-moment
+    * fit as [[cooksDistance]]; one date-grain aggregate for SSE.
+    */
+  def predictionInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val d190 = "decimal(19,0)"
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("y"))
+    val base = daily.agg(min(col("d")).as("d0"))
+    val pts = daily.crossJoin(broadcast(base))
+      .select(datediff(col("d"), col("d0")).cast("long").as("x"), col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = pts.agg(
+      count(lit(1)).as("n"),
+      max(col("x")).as("xmax"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x").cast(d190) * col("y").cast(d190)).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x").cast(d190) * col("x").cast(d190)).cast("decimal(38,0)")).as("sxx"))
+      .select(col("n"), col("xmax"),
+              expr("""(cast(n as double) * cast(sxy as double)
+                     | - cast(sx as double) * cast(sy as double))
+                     |/ (cast(n as double) * cast(sxx as double)
+                     |   - cast(sx as double) * cast(sx as double))"""
+                .stripMargin.replace("\n", " ")).as("b"),
+              expr("cast(sy as double) / cast(n as double)").as("my"),
+              expr("cast(sx as double) / cast(n as double)").as("mx"),
+              expr("""(cast(n as double) * cast(sxx as double)
+                     | - cast(sx as double) * cast(sx as double))
+                     |/ cast(n as double)""".stripMargin.replace("\n", " ")).as("sxxc"))
+    val sse = pts.crossJoin(broadcast(m))
+      .select(((col("y").cast("double") -
+                (col("my") + col("b") * (col("x").cast("double") - col("mx")))) *
+               (col("y").cast("double") -
+                (col("my") + col("b") * (col("x").cast("double") - col("mx")))))
+                .cast("decimal(38,8)").as("e2"))
+      .agg(sum(col("e2")).as("sse"))
+    m.crossJoin(broadcast(sse))
+      .withColumn("x0", (col("xmax") + 1).cast("double"))
+      .withColumn("s", sqrt(col("sse").cast("double") / (col("n") - 2).cast("double")))
+      .withColumn("yhat", col("my") + col("b") * (col("x0") - col("mx")))
+      .withColumn("sep",
+        col("s") * sqrt(lit(1.0) + lit(1.0) / col("n").cast("double") +
+          (col("x0") - col("mx")) * (col("x0") - col("mx")) / col("sxxc")))
+      .select(col("n").as("n_days"), (col("xmax") + 1).as("x0_day"),
+              r4(col("yhat") / 100.0).as("forecast"),
+              r4((col("yhat") - lit(1.959963985) * col("sep")) / 100.0).as("pi_lo"),
+              r4((col("yhat") + lit(1.959963985) * col("sep")) / 100.0).as("pi_hi"))
+  }
+
+  /** Exact 5% trimmed mean per group — the robust location estimate that
+    * survives the fat tails q_winsorize clamps: drop exactly g = ⌊n/20⌋
+    * observations from EACH end (per group) and average the rest, on the
+    * value-grain + PrefixSum shape (no per-group sort of raw rows): each
+    * distinct value contributes c_eff = clamp overlap of its rank
+    * interval with [g+1, n−g] — all integer arithmetic, one division at
+    * the end.
+    */
+  def trimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val grain = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+              floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val gidx = grain.select(col("grp")).distinct()
+      .withColumn("gidx",
+        row_number().over(Window.orderBy(col("grp"))).cast("long"))
+    val keyed = grain.join(broadcast(gidx), "grp")
+      .withColumn("ck", col("gidx") * lit(1000000000000L) + col("v"))
+    val ps = graft.util.PrefixSum
+      .exclusiveCols(keyed, Seq(col("ck").asc), col("c"), "cum0")
+    val off = ps.groupBy(col("grp")).agg(min(col("cum0")).as("off"))
+    val tot = grain.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    ordered(
+      ps.join(off, "grp").join(tot, "grp")
+        .withColumn("lo", col("cum0") - col("off"))            // exclusive rank before
+        .withColumn("g", expr("n div 20"))
+        .withColumn("keepLo", greatest(col("lo"), col("g")))
+        .withColumn("keepHi", least(col("lo") + col("c"), col("n") - col("g")))
+        .withColumn("ceff", greatest(col("keepHi") - col("keepLo"), lit(0L)))
+        .groupBy(col("grp"))
+        .agg(max(col("n")).as("n"), max(col("g")).as("n_trimmed_each"),
+             sum(col("ceff") * col("v")).as("s"), sum(col("ceff")).as("nk"))
+        .select(col("grp").as("l_returnflag"), col("n"), col("n_trimmed_each"),
+                r4(col("s").cast("double") / col("nk").cast("double") / 100.0)
+                  .as("trimmed_mean")),
+      "l_returnflag")
+  }
+
+  /** Cliff's delta — the ordinal effect size the Mann–Whitney z
+    * ([[mannWhitney]]) doesn't report: δ = P(X>Y) − P(X<Y) =
+    * 2U/(n₁n₂) − 1, computed from the SAME tie-averaged doubled-rank
+    * machinery (value-grain counts + PrefixSum, ties contributing zero),
+    * so the two queries are mutually consistent by construction — the
+    * spec asserts δ's sign matches the z's. |δ| bands (0.147/0.33/0.474,
+    * Romano et al. 2006) label the magnitude.
+    */
+  def cliffsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("v"),
+              when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("ga"))
+    val vals = o.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ga")).as("cnta"))
+    val cum = graft.util.PrefixSum
+      .exclusiveCols(vals, Seq(col("v").asc), col("cnt"), "cumb")
+    val d38 = "decimal(38,0)"
+    cum.agg(
+        sum(col("cnta")).as("na"),
+        sum(col("cnt")).as("n"),
+        sum(col("cnta").cast(d38) *
+            (lit(2).cast(d38) * col("cumb").cast(d38) + col("cnt").cast(d38) +
+             lit(1).cast(d38))).as("w2a"))
+      .select(col("na").as("n_a"), (col("n") - col("na")).as("n_b"),
+              (col("w2a") - col("na").cast(d38) *
+                (col("na").cast(d38) + lit(1).cast(d38))).as("u2d"))
+      .withColumn("delta",
+        expr("cast(u2d as double) / (cast(n_a as double) * cast(n_b as double)) - 1.0"))
+      .select(col("n_a"), col("n_b"), r4(col("delta")).as("cliffs_delta"),
+              when(abs(col("delta")) < 0.147, "negligible")
+                .when(abs(col("delta")) < 0.33, "small")
+                .when(abs(col("delta")) < 0.474, "medium")
+                .otherwise("large").as("magnitude"))
+  }
+
   /** Poisson-bootstrap confidence interval for the mean order value —
     * the resampling technique that actually runs at 100 TB (Chamandy et
     * al. 2012, "Estimating Uncertainty for Massive Data Streams"):

@@ -1606,6 +1606,128 @@ class Round9OpsSpec extends SparkSpec {
     assert(unch === a.count { case (k, v) => bb.get(k).contains(v) }.toLong)
   }
 
+  // ---- round-9n: regression diagnostics + robust statistics ----
+
+  private def dailyFit(): (Array[(Long, Long)], Double, Double, Double, Double) = {
+    val daily = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("y"))
+      .orderBy("d").collect()
+      .map(x => (x.getAs[java.sql.Date]("d").toLocalDate, x.getLong(1)))
+    val d0 = daily.head._1
+    val pts = daily.map { case (d, y) => (d.toEpochDay - d0.toEpochDay, y) }
+    val n = pts.length
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val b = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+            (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val my = sy.toDouble / n
+    val mx = sx.toDouble / n
+    val sxxc = (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) / n
+    (pts, b, my, mx, sxxc)
+  }
+
+  test("cooksDistance: top-10 influence matches a sequential closed-form " +
+       "fold; D balances leverage against residual") {
+    val got = Insights.cooksDistance(spark, Sf, 10).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+                 r.getAs[Double]("cooks_d"), r.getAs[Double]("leverage")))
+    val (pts, b, my, mx, sxxc) = dailyFit()
+    val n = pts.length
+    val d0 = graft.util.Tables.t(spark, Sf, "orders")
+      .agg(min(col("o_orderdate").cast("date"))).collect().head
+      .getAs[java.sql.Date](0).toLocalDate
+    val resid = pts.map { case (x, y) =>
+      val e = y.toDouble - (my + b * (x.toDouble - mx))
+      val h = 1.0 / n + (x.toDouble - mx) * (x.toDouble - mx) / sxxc
+      (x, e, h)
+    }
+    val s2 = resid.map(r => dec8(r._2 * r._2)).sum.toDouble / (n - 2)
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val exp = resid.map { case (x, e, h) =>
+      (d0.plusDays(x).toString, rr(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))),
+       rr(h))
+    }.sortBy { case (d, dd, _) => (-dd, d) }.take(10)
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("predictionInterval: the one-step-ahead interval matches the " +
+       "closed form and brackets the forecast") {
+    val r = Insights.predictionInterval(spark, Sf).collect().head
+    val (pts, b, my, mx, sxxc) = dailyFit()
+    val n = pts.length
+    val sse = pts.map { case (x, y) =>
+      val e = y.toDouble - (my + b * (x.toDouble - mx)); dec8(e * e)
+    }.sum.toDouble
+    val s = math.sqrt(sse / (n - 2))
+    val x0 = (pts.map(_._1).max + 1).toDouble
+    val yhat = my + b * (x0 - mx)
+    val sep = s * math.sqrt(1.0 + 1.0 / n + (x0 - mx) * (x0 - mx) / sxxc)
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(r.getAs[Double]("forecast") === rr(yhat / 100.0))
+    assert(r.getAs[Double]("pi_lo") === rr((yhat - 1.959963985 * sep) / 100.0))
+    assert(r.getAs[Double]("pi_hi") === rr((yhat + 1.959963985 * sep) / 100.0))
+    assert(r.getAs[Double]("pi_lo") < r.getAs[Double]("forecast"))
+    assert(r.getAs[Double]("pi_hi") > r.getAs[Double]("forecast"))
+  }
+
+  test("trimmedMean: exact two-sided trim matches a sequential sort-based " +
+       "fold and sits between median-ish robustness and the raw mean") {
+    val rows = Insights.trimmedMean(spark, Sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_trimmed_each"),
+          r.getAs[Double]("trimmed_mean")))).toMap
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .select(col("l_returnflag"),
+              floor(col("l_quantity") * 100.0 + 0.5).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    li.groupBy(_._1).foreach { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      val t = n / 20
+      val kept = sorted.slice(t, n - t)
+      val (gn, gt, gm) = rows(g)
+      assert(gn === n.toLong, s"$g n")
+      assert(gt === t.toLong, s"$g trim")
+      assert(gm === rr(kept.map(BigInt(_)).sum.toDouble / kept.length / 100.0),
+             s"$g mean")
+    }
+  }
+
+  test("cliffsDelta: delta ties out against mannWhitney's doubled U and " +
+       "against a direct pairwise driver fold") {
+    val r = Insights.cliffsDelta(spark, Sf).collect().head
+    val mw = Insights.mannWhitney(spark, Sf).collect().head
+    val (na, nb) = (mw.getAs[Long]("n_a"), mw.getAs[Long]("n_b"))
+    val u2 = mw.getAs[Long]("u2_a")
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Long]("n_a") === na)
+    assert(r.getAs[Long]("n_b") === nb)
+    assert(r.getAs[Double]("cliffs_delta") ===
+      rr(u2.toDouble / (na.toDouble * nb.toDouble) - 1.0))
+    // direct pairwise check on the value-grain histogram (exact)
+    val vals = graft.util.Tables.t(spark, Sf, "orders")
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"),
+              (col("o_orderpriority") === "1-URGENT").cast("int"))
+      .collect().map(x => (x.getLong(0), x.getInt(1) == 1))
+    val aH = vals.filter(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val bH = vals.filterNot(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var (gt, lt) = (BigInt(0), BigInt(0))
+    val bSorted = bH.toSeq.sortBy(_._1)
+    aH.foreach { case (va, ca) =>
+      bSorted.foreach { case (vb, cb) =>
+        if (va > vb) gt += BigInt(ca) * cb else if (va < vb) lt += BigInt(ca) * cb
+      }
+    }
+    val delta = (gt - lt).toDouble / (na.toDouble * nb.toDouble)
+    assert(math.abs(r.getAs[Double]("cliffs_delta") - delta) < 2e-4)
+    assert(r.getAs[String]("magnitude") === "negligible")
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
