@@ -409,4 +409,42 @@ class ScaleInfraSpec extends SparkSpec {
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("round-9 top-k queries plan as TakeOrderedAndProject, never a " +
+       "global sort") {
+    // the limit-after-orderBy shape must stay TakeOrdered: only k rows per
+    // partition travel. A global Sort before the Limit means a full
+    // shuffle of the scored frame — the plan regression this guards.
+    Seq("q_uniform_sample_k", "q_llr_collocations", "q_cooks_distance")
+      .foreach { qn =>
+        val plan = SparkEntry.queries(qn)(spark, Sf)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("TakeOrderedAndProject"), s"$qn plan:\n$plan")
+      }
+  }
+
+  test("parDedup's first-occurrence window shuffles digests, never " +
+       "paragraph text") {
+    // the dedup exchange must carry (doc_id, par_idx, sha2 digest) only —
+    // shipping paragraph TEXT through the window shuffle is the 100 TB
+    // mistake the digest projection exists to prevent
+    val plan = graft.operators.Text.parDedup(spark, Sf, 20)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, s"no window in plan:\n$plan")
+    windowLines.foreach { l =>
+      assert(!l.contains("par_text"), s"window carries text: $l")
+    }
+  }
+
+  test("poissonBootstrap broadcasts the replicate grid — the corpus " +
+       "never shuffles before the replicate aggregate") {
+    val plan = graft.operators.Insights.poissonBootstrap(spark, Sf, 100)
+      .queryExecution.executedPlan.toString
+    // the B-row grid arrives via BroadcastExchange (nested-loop fan-out);
+    // a shuffled join here would move the fact table B times
+    assert(plan.contains("BroadcastExchange"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
 }
