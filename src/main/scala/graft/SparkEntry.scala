@@ -390,6 +390,10 @@ object SparkEntry {
     "q_prediction_interval" -> q(Insights.predictionInterval), // one-step-ahead OLS forecast with honest interval
     "q_trimmed_mean"      -> q(Insights.trimmedMean), // exact 5% two-sided trim per group via PrefixSum rank clamping
     "q_cliffs_delta"      -> q(Insights.cliffsDelta), // ordinal effect size from the mannwhitney doubled-rank machinery
+    // round-9o additions (ML feature engineering + relationship profiling)
+    "q_pit_features"      -> q(Insights.pitFeatures), // leakage-free point-in-time features: strictly-prior expanding window
+    "q_target_encoding"   -> q(Insights.targetEncodingLoo), // leave-one-out categorical target encoding, agg + join-back
+    "q_fk_cardinality"    -> q(Relational.fkCardinality), // per-edge children-per-parent profile + childless counts
     // round-9b additions (directed-graph ranking tier)
     "q_hits"              -> q(Insights.hits), // HITS hubs/authorities, 3 normalized rounds, Long fixed-point, unrolled oracle
     "q_link_pred_jaccard" -> q(Insights.linkPredJaccard(_, _, 2, 50)), // neighbor-set Jaccard link prediction for non-adjacent pairs
@@ -3998,6 +4002,86 @@ object SparkEntry {
         |      WHEN abs(delta) < 0.474 THEN 'medium'
         |      ELSE 'large' END AS magnitude
         |FROM d""".stripMargin,
+
+    "q_pit_features" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |                  CAST(o_orderdate AS DATE) AS d,
+        |                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        | CAST(COALESCE(count(*) OVER wp, 0) AS BIGINT) AS prior_n_orders,
+        | floor(CAST(COALESCE(sum(cents) OVER wp, 0) AS DOUBLE) / 100.0
+        |       * 10000.0 + 0.5) / 10000.0 AS prior_revenue,
+        | CAST(date_diff('day', lag(d, 1) OVER wo, d) AS BIGINT) AS days_since_prev
+        |FROM o
+        |WINDOW wo AS (PARTITION BY o_custkey ORDER BY d ASC, o_orderkey ASC),
+        |       wp AS (PARTITION BY o_custkey ORDER BY d ASC, o_orderkey ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_target_encoding" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |         p_brand,
+        |         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (SELECT p_brand, CAST(sum(x) AS BIGINT) AS sg,
+        |             CAST(count(*) AS BIGINT) AS ng
+        |      FROM li GROUP BY 1),
+        |tot AS (SELECT CAST(sum(x) AS BIGINT) AS s,
+        |               CAST(count(*) AS BIGINT) AS n FROM li)
+        |SELECT l_orderkey, l_linenumber, p_brand,
+        | floor(CAST(x AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS quantity,
+        | floor(CASE WHEN ng > 1
+        |            THEN CAST(sg - x AS DOUBLE) / CAST(ng - 1 AS DOUBLE)
+        |            ELSE CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END
+        |       / 100.0 * 10000.0 + 0.5) / 10000.0 AS loo_encoding
+        |FROM li JOIN g USING (p_brand) CROSS JOIN tot
+        |WHERE l_orderkey % 97 = 0
+        |ORDER BY l_orderkey, l_linenumber, p_brand, quantity""".stripMargin,
+
+    "q_fk_cardinality" ->
+      """WITH e1 AS (
+        |  SELECT 'lineitem -> orders' AS fk_edge,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_parents,
+        |    CAST(count(*) AS BIGINT) AS n_parents_with_children,
+        |    CAST(sum(nc) AS BIGINT) AS n_children,
+        |    CAST(min(nc) AS BIGINT) AS min_children,
+        |    CAST(max(nc) AS BIGINT) AS max_children
+        |  FROM (SELECT l_orderkey, count(*) AS nc FROM lineitem GROUP BY 1)),
+        |e2 AS (
+        |  SELECT 'lineitem -> part',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM part),
+        |    CAST(count(*) AS BIGINT), CAST(sum(nc) AS BIGINT),
+        |    CAST(min(nc) AS BIGINT), CAST(max(nc) AS BIGINT)
+        |  FROM (SELECT l_partkey, count(*) AS nc FROM lineitem GROUP BY 1)),
+        |e3 AS (
+        |  SELECT 'lineitem -> supplier',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+        |    CAST(count(*) AS BIGINT), CAST(sum(nc) AS BIGINT),
+        |    CAST(min(nc) AS BIGINT), CAST(max(nc) AS BIGINT)
+        |  FROM (SELECT l_suppkey, count(*) AS nc FROM lineitem GROUP BY 1)),
+        |e4 AS (
+        |  SELECT 'orders -> customer',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer),
+        |    CAST(count(*) AS BIGINT), CAST(sum(nc) AS BIGINT),
+        |    CAST(min(nc) AS BIGINT), CAST(max(nc) AS BIGINT)
+        |  FROM (SELECT o_custkey, count(*) AS nc FROM orders GROUP BY 1)),
+        |e5 AS (
+        |  SELECT 'customer -> nation',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM nation),
+        |    CAST(count(*) AS BIGINT), CAST(sum(nc) AS BIGINT),
+        |    CAST(min(nc) AS BIGINT), CAST(max(nc) AS BIGINT)
+        |  FROM (SELECT c_nationkey, count(*) AS nc FROM customer GROUP BY 1)),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |      UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |      UNION ALL SELECT * FROM e5)
+        |SELECT fk_edge, n_parents, n_parents_with_children,
+        | CAST(n_parents - n_parents_with_children AS BIGINT) AS n_childless,
+        | n_children, min_children, max_children,
+        | floor(CAST(n_children AS DOUBLE) / CAST(n_parents_with_children AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS avg_children
+        |FROM u ORDER BY fk_edge""".stripMargin,
 
     "q_uniform_sample_k" ->
       """SELECT doc_id, lang, source,

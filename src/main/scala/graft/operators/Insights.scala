@@ -3482,6 +3482,69 @@ object Insights {
                 .otherwise("large").as("magnitude"))
   }
 
+  /** Point-in-time features — the leakage-free feature join every ML
+    * training set needs: for each order, the customer's PRIOR order
+    * count, prior revenue, and days since the previous order, computed
+    * with an expanding per-customer window that ends STRICTLY BEFORE the
+    * current row (rowsBetween(unboundedPreceding, −1) over a total
+    * per-customer order). Using the current row — or any same-instant
+    * aggregate — is target leakage; this is the operator that makes it
+    * structurally impossible. One per-customer window pass over the
+    * fact; DECIMAL revenue (exact), day diffs as integers.
+    */
+  def pitFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d").asc, col("o_orderkey").asc)
+    val wPrior = w.rowsBetween(Window.unboundedPreceding, -1)
+    ordered(
+      t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                col("o_orderdate").cast("date").as("d"),
+                floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+        .select(col("o_orderkey"), col("o_custkey"),
+                coalesce(count(lit(1)).over(wPrior), lit(0L)).as("prior_n_orders"),
+                r4(coalesce(sum(col("cents")).over(wPrior), lit(0L)).cast("double")
+                     / 100.0).as("prior_revenue"),
+                datediff(col("d"), lag(col("d"), 1).over(w)).cast("long")
+                  .as("days_since_prev")),
+      "o_orderkey")
+  }
+
+  /** Leave-one-out target encoding — the categorical-feature encoder
+    * that doesn't leak its own row's target: encode(brand, row i) =
+    * (Σ_brand target − targetᵢ)/(n_brand − 1), from ONE brand-grain
+    * hash-agg joined back (never a self-join of the fact). Exact integer
+    * sums; singleton categories fall back to the global prior (stated —
+    * the standard LOO convention). Output bounded to a deterministic
+    * 1/97 orderkey sample so the gate stays small while the encoding is
+    * computed corpus-wide.
+    */
+  def targetEncodingLoo(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .join(t(spark, sfDir, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+              col("p_brand"),
+              floor(col("l_quantity") * 100.0 + 0.5).cast("long").as("x"))
+    val g = li.groupBy(col("p_brand"))
+      .agg(sum(col("x")).as("sg"), count(lit(1)).as("ng"))
+    val tot = li.agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    // (orderkey, linenumber) is NOT unique in the synthetic lineitem
+    // (Tables.scala total-order rule) — the sort includes brand + quantity
+    // so the output order is total
+    ordered(
+      li.join(g, "p_brand").crossJoin(broadcast(tot))
+        .filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("ln").as("l_linenumber"), col("p_brand"),
+                r4(col("x").cast("double") / 100.0).as("quantity"),
+                r4(when(col("ng") > 1,
+                        (col("sg") - col("x")).cast("double") /
+                        (col("ng") - 1).cast("double"))
+                     .otherwise(col("s").cast("double") / col("n").cast("double"))
+                   / 100.0).as("loo_encoding")),
+      "l_orderkey", "l_linenumber", "p_brand", "quantity")
+  }
+
   /** Poisson-bootstrap confidence interval for the mean order value —
     * the resampling technique that actually runs at 100 TB (Chamandy et
     * al. 2012, "Estimating Uncertainty for Massive Data Streams"):

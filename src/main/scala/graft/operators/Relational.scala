@@ -830,6 +830,49 @@ object Relational {
       "fk_edge")
   }
 
+  /** FK cardinality profile — the relationship-shape report that pairs
+    * with [[refIntegrity]]'s orphan gate: per FK edge, how many children
+    * does a parent actually have (min/avg/max over PRESENT parents plus
+    * the count of childless ones via the dim-side anti/left join). The
+    * report that catches a fan-out regression (a 1:N edge silently
+    * becoming 1:N² after a bad load) before a join explodes downstream.
+    * One child-side hash-agg per edge + one parent-count agg, composed
+    * as a single unioned plan (the refIntegrity no-driver-loop rule).
+    */
+  def fkCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val perParent = child.groupBy(col(fk)).agg(count(lit(1)).as("nc"))
+      val present = perParent.agg(
+        count(lit(1)).as("n_parents_with_children"),
+        sum(col("nc")).as("n_children"),
+        min(col("nc")).as("min_children"),
+        max(col("nc")).as("max_children"))
+      val parents = parent.agg(count(lit(1)).as("n_parents"))
+      present.crossJoin(parents)
+        .select(lit(name).as("fk_edge"), col("n_parents"),
+                col("n_parents_with_children"),
+                (col("n_parents") - col("n_parents_with_children"))
+                  .as("n_childless"),
+                col("n_children"), col("min_children"), col("max_children"),
+                r4(col("n_children").cast("double") /
+                   col("n_parents_with_children").cast("double"))
+                  .as("avg_children"))
+    }
+    val li = t(spark, sfDir, "lineitem"); val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer"); val n = t(spark, sfDir, "nation")
+    val p = t(spark, sfDir, "part"); val s = t(spark, sfDir, "supplier")
+    ordered(
+      Seq(
+        edge("lineitem -> orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem -> part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem -> supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("orders -> customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer -> nation", c, "c_nationkey", n, "n_nationkey"))
+        .reduce(_.unionAll(_)),
+      "fk_edge")
+  }
+
   /** Relational division — "customers who bought EVERY brand in the
     * divisor set", the classic operator SQL has no keyword for. Shape:
     * dividend = distinct (customer, brand) purchases, divisor = the

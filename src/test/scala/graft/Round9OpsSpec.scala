@@ -1728,6 +1728,94 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.getAs[String]("magnitude") === "negligible")
   }
 
+  // ---- round-9o: ML feature engineering + relationship profiling ----
+
+  test("pitFeatures: strictly-prior expanding features match a sequential " +
+       "per-customer sweep; the current order NEVER leaks into itself") {
+    val got = Insights.pitFeatures(spark, Sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        ((r.getAs[Long]("prior_n_orders"), r.getAs[Double]("prior_revenue"),
+          Option(r.getAs[java.lang.Long]("days_since_prev")).map(_.toLong)))).toMap
+    val orders = graft.util.Tables.t(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderdate").cast("date").as("d"),
+              floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 r.getAs[java.sql.Date]("d").toLocalDate, r.getLong(3)))
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    orders.groupBy(_._2).foreach { case (_, os) =>
+      val sorted = os.sortBy(o => (o._3.toEpochDay, o._1))
+      var (cnt, rev) = (0L, BigInt(0))
+      var prev: Option[java.time.LocalDate] = None
+      sorted.foreach { case (ok, _, d, cents) =>
+        val (gn, gr, gd) = got(ok)
+        assert(gn === cnt, s"order $ok prior count")
+        assert(gr === rr(rev.toDouble / 100.0), s"order $ok prior revenue")
+        assert(gd === prev.map(p => d.toEpochDay - p.toEpochDay), s"order $ok gap")
+        cnt += 1; rev += cents; prev = Some(d)
+      }
+    }
+    assert(got.size === orders.length)
+  }
+
+  test("targetEncodingLoo: encoding excludes the row's own target; " +
+       "re-adding it recovers the category mean exactly") {
+    val rows = Insights.targetEncodingLoo(spark, Sf).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Double]("quantity"),
+                 r.getAs[Double]("loo_encoding")))
+    assert(rows.nonEmpty)
+    val li = graft.util.Tables.t(spark, Sf, "lineitem")
+      .join(graft.util.Tables.t(spark, Sf, "part")
+              .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), floor(col("l_quantity") * 100.0 + 0.5).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val g = li.groupBy(_._1).view
+      .mapValues(xs => (xs.map(v => BigInt(v._2)).sum, xs.size.toLong)).toMap
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    rows.foreach { case (b, q, loo) =>
+      val (sg, ng) = g(b)
+      val x = math.floor(q * 100.0 + 0.5).toLong // quantity was r4(cents/100)
+      val expect =
+        if (ng > 1) (sg - x).toDouble / (ng - 1) else {
+          val s = li.map(v => BigInt(v._2)).sum; s.toDouble / li.size
+        }
+      assert(loo === rr(expect / 100.0), s"brand $b q $q")
+      // the LOO identity: loo*(n-1) + x == category sum, up to the r4
+      // rounding of loo amplified by (n-1): half-ulp = 0.5e-4 dollars =
+      // 0.005 cents per count
+      if (ng > 1)
+        assert(math.abs(loo * 100.0 * (ng - 1) + x - sg.toDouble) <
+          0.01 * (ng - 1) + 1.0)
+    }
+  }
+
+  test("fkCardinality: per-edge profile matches sequential folds and " +
+       "refIntegrity's orphan-free edges have zero childless mismatch") {
+    val rows = graft.operators.Relational.fkCardinality(spark, Sf).collect()
+      .map(r => r.getAs[String]("fk_edge") ->
+        ((r.getAs[Long]("n_parents"), r.getAs[Long]("n_parents_with_children"),
+          r.getAs[Long]("n_childless"), r.getAs[Long]("n_children"),
+          r.getAs[Long]("min_children"), r.getAs[Long]("max_children")))).toMap
+    assert(rows.size === 5)
+    // spot-check the lineitem -> orders edge with a driver fold
+    val per = graft.util.Tables.t(spark, Sf, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("nc"))
+      .collect().map(_.getLong(1))
+    val nOrders = graft.util.Tables.t(spark, Sf, "orders").count()
+    val (np, npc, nc0, nch, mn, mx) = rows("lineitem -> orders")
+    assert(np === nOrders)
+    assert(npc === per.length.toLong)
+    assert(nc0 === nOrders - per.length)
+    assert(nch === per.sum)
+    assert(mn === per.min); assert(mx === per.max)
+    // structural identities on every edge
+    rows.values.foreach { case (p, pc, cl, ch, lo, hi) =>
+      assert(p === pc + cl); assert(lo <= hi); assert(ch >= pc * lo)
+    }
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
