@@ -219,7 +219,7 @@ object Text {
     * so width stands in for paragraph boundaries). Same zero-shuffle
     * sequence+explode fan-out as [[docChunk]].
     */
-  private def paragraphs(d: DataFrame, parWords: Int): DataFrame =
+  private[graft] def paragraphs(d: DataFrame, parWords: Int): DataFrame =
     d.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .withColumn("n", size(col("w")))
       .select(col("doc_id"), col("source"), col("w"),

@@ -228,6 +228,40 @@ object StreamOps {
       }
   }
 
+  case class ParArrival(doc_id: Long, par_idx: Long, dg: String)
+  case class ParKeep(doc_id: Long, par_idx: Long)
+
+  /** Streaming first-occurrence paragraph dedup — the CCNet pass
+    * ([[graft.operators.Text.parDedup]]) as a continuous ingest stage:
+    * state per paragraph digest is one Boolean; the first arrival of a
+    * digest (min (doc_id, par_idx) within its micro-batch) is KEPT,
+    * every later copy — same batch or any later one — is dropped.
+    * Under doc_id-ordered ingestion the kept set is EXACTLY the batch
+    * operator's (StreamingSpec proves it); out-of-order arrival keeps
+    * the FIRST-ARRIVED copy — the dedup-against-previously-ingested
+    * contract every incremental pipeline actually has. State is
+    * 1 bit × |distinct paragraphs| (production would expire idle digests
+    * by timeout policy); text never enters the state store — only
+    * digests shuffle, the batch operator's rule.
+    */
+  def streamingParKeep(docs: DataFrame, parWords: Int = 20): Dataset[ParKeep] = {
+    import docs.sparkSession.implicits._
+    val pars = graft.operators.Text.paragraphs(docs, parWords)
+      .select(col("doc_id"), col("par_idx"),
+              sha2(col("par_text"), 256).as("dg")).as[ParArrival]
+    pars.groupByKey(_.dg)
+      .flatMapGroupsWithState[Boolean, ParKeep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, batch, state) =>
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            val first = batch.minBy(p => (p.doc_id, p.par_idx))
+            state.update(true)
+            Iterator.single(ParKeep(first.doc_id, first.par_idx))
+          }
+      }
+  }
+
   /** The batch twin of [[streamingNearDupCandidates]] under doc_id-ordered
     * ingestion: a doc is a candidate in each band bucket whose minimum
     * doc_id is smaller — one banding pass, one aggregate for the bucket

@@ -535,4 +535,46 @@ class StreamingSpec extends SparkSpec {
       .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
     assert(streamed.map(_.take(4)) === snap)
   }
+
+  test("streaming paragraph dedup: micro-batched first-occurrence keep " +
+       "set equals the batch parDedup twin under id-ordered ingestion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.util.Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val (h1, rest) = docs.splitAt(docs.length / 3)
+    val (h2, h3) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamingParKeep(
+        mem.toDF().toDF("doc_id", "text", "source"), 20)
+      .writeStream.format("memory").queryName("parkeep_out")
+      .outputMode("append").start()
+    mem.addData(h1.toSeq: _*); q.processAllAvailable()
+    mem.addData(h2.toSeq: _*); q.processAllAvailable()
+    mem.addData(h3.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("parkeep_out")
+      .select("doc_id", "par_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sequential batch truth: first occurrence in (doc_id, par_idx) order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expect = docs.flatMap { case (id, text, _) =>
+      val w = text.split(" ", -1)
+      (0 until w.length by 20).flatMap { i =>
+        val p = w.slice(i, math.min(i + 20, w.length)).mkString(" ")
+        if (seen(p)) None else { seen += p; Some((id, (i / 20).toLong)) }
+      }
+    }.toSet
+    assert(streamed === expect)
+    // and the kept docs/paragraph counts agree with the batch operator
+    val batchKept = graft.operators.Text.parDedup(spark, Sf, 20).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_pars") - r.getAs[Long]("n_removed"))).toMap
+    val streamedPerDoc = streamed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    batchKept.foreach { case (id, nk) =>
+      assert(streamedPerDoc.getOrElse(id, 0L) === nk, s"doc $id kept count")
+    }
+  }
 }
