@@ -394,6 +394,10 @@ object SparkEntry {
     "q_pit_features"      -> q(Insights.pitFeatures), // leakage-free point-in-time features: strictly-prior expanding window
     "q_target_encoding"   -> q(Insights.targetEncodingLoo), // leave-one-out categorical target encoding, agg + join-back
     "q_fk_cardinality"    -> q(Relational.fkCardinality), // per-edge children-per-parent profile + childless counts
+    // round-9p additions (attribution game theory, survey weighting, concentration)
+    "q_shapley_attribution" -> q(Insights.shapleyAttribution), // exact Shapley credit over the 16-coalition exposure lattice
+    "q_raking_ipf"        -> q(Insights.rakingIpf(_, _, 3)), // iterative proportional fitting to uniform margins, 3 unrolled rounds
+    "q_lorenz_points"     -> q(Insights.lorenzPoints), // decile Lorenz curve via PrefixSum, exact revenue shares
     // round-9b additions (directed-graph ranking tier)
     "q_hits"              -> q(Insights.hits), // HITS hubs/authorities, 3 normalized rounds, Long fixed-point, unrolled oracle
     "q_link_pred_jaccard" -> q(Insights.linkPredJaccard(_, _, 2, 50)), // neighbor-set Jaccard link prediction for non-adjacent pairs
@@ -4082,6 +4086,96 @@ object SparkEntry {
         | floor(CAST(n_children AS DOUBLE) / CAST(n_parents_with_children AS DOUBLE)
         |       * 10000.0 + 0.5) / 10000.0 AS avg_children
         |FROM u ORDER BY fk_edge""".stripMargin,
+
+    "q_shapley_attribution" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    + max(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+        |    + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+        |    + max(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS mask,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |pm AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS nconv
+        |       FROM users GROUP BY mask),
+        |lat AS (SELECT unnest(generate_series(0, 15)) AS s),
+        |v AS (SELECT s, CAST(COALESCE(sum(nconv), 0) AS BIGINT) AS v
+        |      FROM lat LEFT JOIN pm ON (pm.mask & lat.s) = pm.mask
+        |      GROUP BY s),
+        |ch(channel, bit) AS (VALUES ('view', 1), ('click', 2),
+        |                            ('signup', 4), ('error', 8)),
+        |pairs AS (SELECT channel, v0.s AS s, v0.v AS v_s, v1.v AS v_s1,
+        |            CASE bit_count(v0.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |                 WHEN 2 THEN 2 ELSE 6 END AS w24
+        |          FROM ch CROSS JOIN v v0
+        |          JOIN v v1 ON v1.s = v0.s + bit
+        |          WHERE (v0.s & bit) = 0),
+        |tot AS (SELECT
+        |  (SELECT v FROM v WHERE s = 15) AS v_full,
+        |  (SELECT v FROM v WHERE s = 0) AS v_empty)
+        |SELECT channel,
+        | floor(CAST(sum(w24 * (v_s1 - v_s)) AS DOUBLE) / 24.0
+        |       * 10000.0 + 0.5) / 10000.0 AS shapley_conversions,
+        | floor(CAST(sum(w24 * (v_s1 - v_s)) AS DOUBLE) / 24.0
+        |       / CAST(v_full - v_empty AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |   AS credit_share
+        |FROM pairs CROSS JOIN tot
+        |GROUP BY channel, v_full, v_empty ORDER BY channel""".stripMargin,
+
+    "q_raking_ipf" ->
+      """WITH cells AS (SELECT o_orderpriority AS pr, o_orderstatus AS st,
+        |                      CAST(count(*) AS BIGINT) AS obs
+        |               FROM orders GROUP BY 1, 2),
+        |dims AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+        |                CAST(count(DISTINCT pr) AS BIGINT) AS npr,
+        |                CAST(count(DISTINCT st) AS BIGINT) AS nst FROM cells),
+        |w0 AS (SELECT pr, st, obs, n, npr, nst, CAST(obs AS DOUBLE) AS w
+        |       FROM cells CROSS JOIN dims),
+        |r1 AS (SELECT w0.*, w * (CAST(n AS DOUBLE) / CAST(npr AS DOUBLE))
+        |         / CAST(sum(CAST(w AS DECIMAL(38,18))) OVER (PARTITION BY pr) AS DOUBLE) AS w1
+        |       FROM w0),
+        |c1 AS (SELECT r1.* EXCLUDE (w, w1), w1 AS wx,
+        |         w1 * (CAST(n AS DOUBLE) / CAST(nst AS DOUBLE))
+        |         / CAST(sum(CAST(w1 AS DECIMAL(38,18))) OVER (PARTITION BY st) AS DOUBLE) AS w
+        |       FROM r1),
+        |r2 AS (SELECT c1.* EXCLUDE (wx), w * (CAST(n AS DOUBLE) / CAST(npr AS DOUBLE))
+        |         / CAST(sum(CAST(w AS DECIMAL(38,18))) OVER (PARTITION BY pr) AS DOUBLE) AS w1
+        |       FROM c1),
+        |c2 AS (SELECT r2.* EXCLUDE (w, w1),
+        |         w1 * (CAST(n AS DOUBLE) / CAST(nst AS DOUBLE))
+        |         / CAST(sum(CAST(w1 AS DECIMAL(38,18))) OVER (PARTITION BY st) AS DOUBLE) AS w
+        |       FROM r2),
+        |r3 AS (SELECT c2.*, w * (CAST(n AS DOUBLE) / CAST(npr AS DOUBLE))
+        |         / CAST(sum(CAST(w AS DECIMAL(38,18))) OVER (PARTITION BY pr) AS DOUBLE) AS w1
+        |       FROM c2),
+        |c3 AS (SELECT r3.* EXCLUDE (w, w1),
+        |         w1 * (CAST(n AS DOUBLE) / CAST(nst AS DOUBLE))
+        |         / CAST(sum(CAST(w1 AS DECIMAL(38,18))) OVER (PARTITION BY st) AS DOUBLE) AS w
+        |       FROM r3)
+        |SELECT pr, st, obs,
+        | floor(w * 10000.0 + 0.5) / 10000.0 AS raked_weight,
+        | floor(w / CAST(obs AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS weight_ratio
+        |FROM c3 ORDER BY pr, st""".stripMargin,
+
+    "q_lorenz_points" ->
+      """WITH per AS (SELECT o_custkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        | FROM orders GROUP BY 1),
+        |grain AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1),
+        |ps AS (SELECT v, c,
+        |         COALESCE(sum(c) OVER (ORDER BY v ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |       FROM grain),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+        |        FROM per),
+        |dec_ AS (SELECT n, s, unnest(generate_series(1, 10)) AS decile FROM tot),
+        |dk AS (SELECT decile, n, s, (decile * n) // 10 AS k FROM dec_)
+        |SELECT decile, CAST(k AS BIGINT) AS n_customers,
+        | floor(CAST(sum(least(c, k - cum0) * v) AS DOUBLE) / CAST(s AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS cum_revenue_share
+        |FROM dk JOIN ps ON cum0 < k
+        |GROUP BY decile, k, s ORDER BY decile""".stripMargin,
 
     "q_uniform_sample_k" ->
       """SELECT doc_id, lang, source,

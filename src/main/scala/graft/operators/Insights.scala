@@ -3482,6 +3482,139 @@ object Insights {
                 .otherwise("large").as("magnitude"))
   }
 
+  /** Shapley-value channel attribution — the game-theoretic credit split
+    * (Shapley 1953; Zhao et al. 2018 applied it to marketing paths) over
+    * the four non-purchase event channels: each user contributes an
+    * exposure BITMASK (view=1, click=2, signup=4, error=8) and a
+    * converted flag; the coalition value v(S) = converted users whose
+    * exposure ⊆ S comes from one subset-lattice join of the 16-row mask
+    * frame against itself ((sub & S) = sub — no 2^k literal grids), and
+    * φᵢ = Σ_{S∌i} w(|S|)·(v(S∪i) − v(S)) uses 24·w ∈ {6,2,2,6} so the
+    * weighting is exact integers until one final division. The fact
+    * table feeds ONE user-grain hash-agg; everything after is a ≤16-row
+    * lattice. Efficiency axiom Σφᵢ = v(full) − v(∅) is the spec's check.
+    */
+  def shapleyAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.util.Tables.events(spark, sfDir)
+    val users = ev.groupBy(col("user_id"))
+      .agg((max(when(col("event_type") === "view", 1L).otherwise(0L)) +
+            max(when(col("event_type") === "click", 2L).otherwise(0L)) +
+            max(when(col("event_type") === "signup", 4L).otherwise(0L)) +
+            max(when(col("event_type") === "error", 8L).otherwise(0L))).as("mask"),
+           max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val perMask = users.groupBy(col("mask"))
+      .agg(sum(col("conv")).as("nconv"), count(lit(1)).as("nusers"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lattice = (0 until 16).map(_.toLong).toDF("s")
+    // v(S) = converted users with mask ⊆ S (missing masks contribute 0)
+    val v = lattice.join(perMask,
+        expr("(mask & s) = mask"), "left")
+      .groupBy(col("s")).agg(coalesce(sum(col("nconv")), lit(0L)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val channels = Seq(("view", 1L), ("click", 2L), ("signup", 4L), ("error", 8L))
+      .toDF("channel", "bit")
+    // marginals: for each channel i and each S without i, w24 = |S|!(3-|S|)!·(24/4!)... (4 channels)
+    val pairs = channels.crossJoin(v.select(col("s"), col("v").as("v_s")))
+      .filter(expr("(s & bit) = 0"))
+      .join(v.select(col("s").as("s1"), col("v").as("v_s1")),
+            expr("s1 = s + bit"))
+      .withColumn("ssize", expr("bit_count(s)"))
+      .withColumn("w24",
+        when(col("ssize") === 0, 6L).when(col("ssize") === 1, 2L)
+          .when(col("ssize") === 2, 2L).otherwise(6L))
+    val tot = v.filter(col("s") === 15).select(col("v").as("v_full"))
+      .crossJoin(v.filter(col("s") === 0).select(col("v").as("v_empty")))
+    ordered(
+      pairs.groupBy(col("channel"))
+        .agg(sum(col("w24") * (col("v_s1") - col("v_s"))).as("num24"))
+        .crossJoin(broadcast(tot))
+        .select(col("channel"),
+                r4(col("num24").cast("double") / 24.0).as("shapley_conversions"),
+                r4(col("num24").cast("double") / 24.0 /
+                   (col("v_full") - col("v_empty")).cast("double")).as("credit_share")),
+      "channel")
+  }
+
+  /** Iterative proportional fitting (raking) — the survey-weighting
+    * workhorse: rescale the priority × status contingency table so its
+    * margins match UNIFORM targets, three unrolled row/column rounds
+    * (the q_pagerank bounded-iteration discipline — a fixed plan, an
+    * unrolled oracle). Cell weights start at the observed counts; each
+    * round multiplies rows then columns by target/current margin.
+    * Reports the fitted weights and the post-fit margin errors — IPF's
+    * convergence is geometric, so round-3 errors are already
+    * rounding-grade on this table. Cell frame is domain-bounded (≤15
+    * rows); the fact table feeds one hash-agg.
+    */
+  def rakingIpf(spark: SparkSession, sfDir: String,
+                rounds: Int = 3): DataFrame = {
+    val cells0 = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = cells0.agg(sum(col("obs")).as("n"),
+                          countDistinct(col("pr")).as("npr"),
+                          countDistinct(col("st")).as("nst"))
+    var w = cells0.crossJoin(broadcast(dims))
+      .select(col("pr"), col("st"), col("obs"), col("n"), col("npr"), col("nst"),
+              col("obs").cast("double").as("w"))
+    // margins as WINDOW sums over the cell frame, not aggregate-and-join-
+    // back: the join formulation nests the plan tree exponentially in the
+    // round count (each margin frame embeds the whole previous tree twice
+    // — measured 11.3 s isolated vs 0.5 s for this shape; the lazy-HITS
+    // lesson at 15 rows), while a chained window is one projection per
+    // half-round with linear depth
+    val wPr = Window.partitionBy(col("pr"))
+    val wSt = Window.partitionBy(col("st"))
+    for (_ <- 1 to rounds) {
+      w = w.withColumn("w",
+        col("w") * (col("n").cast("double") / col("npr").cast("double")) /
+          sum(col("w").cast("decimal(38,18)")).over(wPr).cast("double"))
+      w = w.withColumn("w",
+        col("w") * (col("n").cast("double") / col("nst").cast("double")) /
+          sum(col("w").cast("decimal(38,18)")).over(wSt).cast("double"))
+    }
+    ordered(
+      w.select(col("pr"), col("st"), col("obs"),
+               r4(col("w")).as("raked_weight"),
+               r4(col("w") / col("obs").cast("double")).as("weight_ratio")),
+      "pr", "st")
+  }
+
+  /** Lorenz curve points — the decile-resolution curve behind q_gini's
+    * single number: customers ranked by exact revenue, cumulative
+    * revenue share at each decile boundary. Ranking via the two-phase
+    * PrefixSum over the value grain (no global sort of raw rows);
+    * shares are ratios of exact DECIMAL sums. The "top 10% of customers
+    * hold X% of revenue" report.
+    */
+  def lorenzPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("v"))
+    val grain = per.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val ps = graft.util.PrefixSum
+      .exclusiveCols(grain, Seq(col("v").asc), col("c"), "cum0")
+    val tot = per.agg(count(lit(1)).as("n"),
+                      sum(col("v").cast("decimal(38,0)")).as("s"))
+    import org.apache.spark.sql.functions.{sequence => seqf}
+    val deciles = tot.select(col("n"), col("s"),
+        explode(seqf(lit(1), lit(10))).as("decile"))
+      .withColumn("k", expr("(decile * n) div 10"))
+    // cumulative revenue of the k poorest customers: full values below the
+    // boundary value + the boundary value times the remaining count
+    val withVals = deciles.join(ps, col("cum0") < col("k"))
+      .groupBy(col("decile"), col("k"), col("n"), col("s"))
+      .agg(sum(least(col("c"), col("k") - col("cum0")) * col("v")).as("cumrev"))
+    ordered(
+      withVals.select(col("decile"),
+                      col("k").as("n_customers"),
+                      r4(col("cumrev").cast("double") / col("s").cast("double"))
+                        .as("cum_revenue_share")),
+      "decile")
+  }
+
   /** Point-in-time features — the leakage-free feature join every ML
     * training set needs: for each order, the customer's PRIOR order
     * count, prior revenue, and days since the previous order, computed

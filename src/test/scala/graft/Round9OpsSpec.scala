@@ -1816,6 +1816,106 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- round-9p: attribution, survey weighting, concentration ----
+
+  test("shapleyAttribution: matches an exact sequential Shapley fold; " +
+       "efficiency and symmetry axioms hold") {
+    val rows = Insights.shapleyAttribution(spark, Sf).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Double]("shapley_conversions"),
+          r.getAs[Double]("credit_share")))).toMap
+    val ev = graft.util.Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byU = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bits = Map("view" -> 1, "click" -> 2, "signup" -> 4, "error" -> 8)
+    val masks = byU.values.map { ts =>
+      (bits.filter(b => ts(b._1)).values.sum, if (ts("purchase")) 1L else 0L)
+    }.toSeq
+    def v(s: Int): Long = masks.collect {
+      case (m, c) if (m & s) == m => c }.sum
+    val w24 = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val phis = bits.map { case (ch, b) =>
+      val num = (0 until 16).filter(s => (s & b) == 0).map { s =>
+        w24(Integer.bitCount(s)) * (v(s | b) - v(s))
+      }.sum
+      ch -> num.toDouble / 24.0
+    }
+    phis.foreach { case (ch, phi) =>
+      assert(rows(ch)._1 === rr(phi), s"channel $ch")
+      assert(rows(ch)._2 === rr(phi / (v(15) - v(0)).toDouble), s"$ch share")
+    }
+    // efficiency: credits sum to v(full) - v(empty)
+    assert(math.abs(phis.values.sum - (v(15) - v(0))) < 1e-6)
+    // shares sum to 1 up to rounding
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 0.001)
+  }
+
+  test("rakingIpf: three unrolled rounds match a sequential IPF; margins " +
+       "approach the uniform targets monotonically") {
+    val rows = Insights.rakingIpf(spark, Sf, 3).collect()
+      .map(r => (r.getAs[String]("pr"), r.getAs[String]("st")) ->
+        r.getAs[Double]("raked_weight")).toMap
+    val cells = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2).toDouble))
+    val n = cells.map(_._2).sum
+    val prs = cells.map(_._1._1).distinct
+    val sts = cells.map(_._1._2).distinct
+    var w = cells.toMap
+    def dec18(x: Double) =
+      BigDecimal(x).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    (1 to 3).foreach { _ =>
+      val rm = w.groupBy(_._1._1).view
+        .mapValues(cs => cs.values.map(dec18).sum.toDouble).toMap
+      w = w.map { case (k, v0) => k -> (v0 * (n / prs.size) / rm(k._1)) }
+      val cm = w.groupBy(_._1._2).view
+        .mapValues(cs => cs.values.map(dec18).sum.toDouble).toMap
+      w = w.map { case (k, v0) => k -> (v0 * (n / sts.size) / cm(k._2)) }
+    }
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    w.foreach { case (k, v0) => assert(rows(k) === rr(v0), s"cell $k") }
+    // post-fit column margins ARE exact (the last scaling step); row
+    // margins are within 1% of target (IPF geometric convergence)
+    sts.foreach { s =>
+      val m = w.collect { case ((_, s2), v0) if s2 == s => v0 }.sum
+      assert(math.abs(m - n / sts.size) < 1e-6, s"col $s")
+    }
+    prs.foreach { p =>
+      val m = w.collect { case ((p2, _), v0) if p2 == p => v0 }.sum
+      assert(math.abs(m - n / prs.size) < 0.01 * (n / prs.size), s"row $p")
+    }
+  }
+
+  test("lorenzPoints: decile shares match a sequential sorted fold; the " +
+       "curve is convex and ends at exactly 1") {
+    val rows = Insights.lorenzPoints(spark, Sf).collect()
+      .map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Long]("n_customers"), r.getAs[Double]("cum_revenue_share"))))
+      .toMap
+    val per = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("v"))
+      .collect().map(_.getAs[Long]("v")).sorted
+    val n = per.length
+    val s = per.map(BigInt(_)).sum
+    def rr(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    (1 to 10).foreach { d =>
+      val k = d * n / 10
+      val cum = per.take(k).map(BigInt(_)).sum
+      val (gk, gs) = rows(d)
+      assert(gk === k.toLong, s"decile $d k")
+      assert(gs === rr(cum.toDouble / s.toDouble), s"decile $d share")
+    }
+    // convexity: increments nondecreasing (sorted ascending values)
+    val shares = (1 to 10).map(rows(_)._2)
+    val incs = (0.0 +: shares).sliding(2).map { case Seq(a, b) => b - a }.toSeq
+    assert(incs === incs.sorted, "Lorenz curve must be convex")
+    assert(shares.last === 1.0)
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
