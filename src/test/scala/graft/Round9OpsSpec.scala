@@ -1916,6 +1916,33 @@ class Round9OpsSpec extends SparkSpec {
     assert(shares.last === 1.0)
   }
 
+  test("parDedup: crafted corpus — exact twins lose every paragraph, " +
+       "short docs are one paragraph, partial tail chunks dedup too") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pardedup").toString
+    val w25 = (1 to 25).map(i => s"w$i").mkString(" ") // 2 paragraphs: 20 + 5
+    Seq(
+      (1L, w25, "en", "s", 10L),
+      (2L, w25, "en", "s", 10L),                  // exact twin: both pars dup
+      (3L, "tiny doc here", "en", "s", 10L),      // < 20 words: ONE paragraph
+      (4L, "tiny doc here", "en", "s", 10L),      // twin of the short doc
+      (5L, ((1 to 20).map(i => s"w$i").mkString(" ")) + " unique tail words",
+           "en", "s", 10L) // first par duplicates doc 1's, tail par unique
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.parDedup(spark, dir, 20).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pars"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(out(1L) === ((2L, 0L, w25)))              // first occurrence keeps all
+    assert(out(2L) === ((2L, 2L, "")))               // twin loses both paragraphs
+    assert(out(3L) === ((1L, 0L, "tiny doc here")))  // short doc = 1 paragraph
+    assert(out(4L) === ((1L, 1L, "")))               // short twin fully removed
+    // doc 5: 20-word prefix par duplicates doc 1's first paragraph; the
+    // 3-word tail paragraph is unique and survives
+    assert(out(5L) === ((2L, 1L, "unique tail words")))
+  }
+
   test("dedupExactSubstr: crafted corpus — exact twins empty out, " +
        "shared prefixes trim, unique docs survive untouched") {
     // the sf fixtures contain no exact-duplicate texts, so the boundary
