@@ -382,7 +382,7 @@ object SparkEntry {
     "q_customer_migration" -> q(Insights.customerMigration), // Kimball class-migration matrix, consecutive active months
     "q_hourly_profile"    -> q(Insights.hourlyProfile), // hour x dow heatmap with chi2 independence residuals
     // round-9m additions (scalable resampling, ordered alternatives, snapshot audit)
-    "q_poisson_bootstrap" -> q(Insights.poissonBootstrap(_, _, 100)), // hash-deterministic Poisson bootstrap CI, one fan-out + hash-agg
+    "q_poisson_bootstrap" -> q(Insights.poissonBootstrap(_, _, 100)), // hash-deterministic Poisson bootstrap CI, one fan-out + hash-agg. b=100 is PINNED to the oracle (its generate_series/ceil-rank literals are 100); change both together
     "q_page_trend"        -> q(Insights.pageTrend), // Page's L for ordered alternatives, complete year blocks, exact ranks
     "q_snapshot_reconcile" -> q(Warehouse.snapshotReconcile(_, _, 1704844800000000L, 1705276800000000L)), // SCD2 as-of t1 vs t2 audit
     // round-9n additions (regression diagnostics + robust statistics)
@@ -3789,7 +3789,7 @@ object SparkEntry {
         | FROM orders),
         |full_ AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
         |                 CAST(count(*) AS BIGINT) AS n FROM rows_),
-        |reps AS (SELECT unnest(generate_series(0, 99)) AS rep),
+        |reps AS (SELECT unnest(generate_series(0, 100 - 1)) AS rep),
         |wts AS (SELECT rep,
         |  CASE WHEN u < 0.36787944117144233 THEN 0
         |       WHEN u < 0.7357588823428847 THEN 1
@@ -3798,8 +3798,8 @@ object SparkEntry {
         |       WHEN u < 0.9963401531726563 THEN 4
         |       ELSE 5 END AS w, x
         | FROM (SELECT rep, x,
-        |         CAST(((k * 2654435761 + rep * 40503 + 7) % 1048576
-        |               + 1048576) % 1048576 AS DOUBLE) / 1048576.0 AS u
+        |         CAST(((k % 1048576) * 489905 + rep * 40503 + 7) % 1048576
+        |              AS DOUBLE) / 1048576.0 AS u
         |       FROM rows_ CROSS JOIN reps)),
         |rm AS (SELECT rep,
         |         CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
@@ -3808,7 +3808,9 @@ object SparkEntry {
         |st AS (SELECT CAST(count(*) AS BIGINT) AS nb,
         |  sum(CAST(m AS DECIMAL(38,18))) AS sm,
         |  sum(CAST(m * m AS DECIMAL(38,18))) AS sm2 FROM rm),
-        |ci AS (SELECT min(m) AS lo, max(m) AS hi FROM rk WHERE i IN (3, 98))
+        |ci AS (SELECT min(m) AS lo, max(m) AS hi FROM rk
+        |       WHERE i IN (CAST(ceil(0.025 * 100) AS BIGINT),
+        |                   CAST(ceil(0.975 * 100) AS BIGINT)))
         |SELECT nb AS n_replicates,
         | floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 * 10000.0 + 0.5)
         |   / 10000.0 AS mean_value,
@@ -4216,19 +4218,24 @@ object SparkEntry {
 
     "q_cos_sim_hist" ->
       """WITH o(ofs) AS (VALUES (1), (17), (257)),
-        |a AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |a AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+        |                        + 0.5) AS BIGINT) AS qv,
         |             generate_subscripts(embedding, 1) AS i
         |      FROM embeddings),
         |aa AS (SELECT a.vec_id AS a_id, o.ofs, a.vec_id + o.ofs AS b_id,
-        |              a.i, a.v AS av
+        |              a.i, a.qv AS qa
         |       FROM a CROSS JOIN o),
-        |p AS (SELECT aa.a_id, aa.ofs, aa.av, b.v AS bv
+        |p AS (SELECT aa.a_id, aa.ofs, aa.qa, b.qv AS qb
         |      FROM aa JOIN a b ON b.vec_id = aa.b_id AND b.i = aa.i),
-        |d AS (SELECT a_id, ofs, sum(av * bv) AS dp,
-        |             sqrt(sum(av * av)) AS an, sqrt(sum(bv * bv)) AS bn
+        |d AS (SELECT a_id, ofs, CAST(sum(qa * qb) AS BIGINT) AS dp,
+        |             CAST(sum(qa * qa) AS BIGINT) AS na2,
+        |             CAST(sum(qb * qb) AS BIGINT) AS nb2
         |      FROM p GROUP BY 1, 2),
         |c AS (SELECT ofs,
-        |        floor(floor(dp / (an * bn) * 10000.0 + 0.5) / 10000.0
+        |        floor(floor(CAST(dp AS DOUBLE)
+        |                    / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+        |                    * 10000.0 + 0.5) / 10000.0
         |              * 10.0 + 10.0) AS bin
         |      FROM d)
         |SELECT CAST(ofs AS BIGINT) AS ofs, CAST(bin AS BIGINT) AS bin,

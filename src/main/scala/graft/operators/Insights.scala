@@ -3701,7 +3701,12 @@ object Insights {
       .select(col("o_orderkey").as("k"),
               floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("x"))
     val full = rows.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-    val u = "cast(pmod(k * 2654435761 + rep * 40503 + 7, 1048576) as double) / 1048576.0"
+    // pre-reduce k mod 2^20 before multiplying (489905 = 2654435761 mod 2^20;
+    // only the low 20 bits survive the outer pmod, so the reduction is
+    // value-identical) — the unreduced k*2654435761 overflows int64 once
+    // orderkey exceeds ~3.5e9, i.e. exactly the 100 TB design target, and
+    // Spark would wrap silently while other engines error/promote
+    val u = "cast(pmod(pmod(k, 1048576) * 489905 + rep * 40503 + 7, 1048576) as double) / 1048576.0"
     val w = s"""CASE WHEN $u < 0.36787944117144233 THEN 0
                | WHEN $u < 0.7357588823428847 THEN 1
                | WHEN $u < 0.9196986029286058 THEN 2

@@ -165,22 +165,38 @@ object Similarity {
     * cosine 0.8 MEAN in this corpus"): pair vector i with vectors i+1,
     * i+17, i+257 (fixed strides — reproducible across runs/engines, no
     * RNG state; three strides decorrelate any id-order structure), score
-    * each pair with the native codegen cosine kernel, bucket the ROUNDED
-    * score into 0.1-wide bins (bin = ⌊10·cos⌋+10 ∈ 0..20, computed from
-    * the r4 value so both engines bin identically). Corpus-linear: the
-    * stride join is 3 hash-joins on vec_id, no quadratic pair set.
+    * each pair by exact-integer quantized cosine (see inline comment),
+    * bucket the ROUNDED score into 0.1-wide bins (bin = ⌊10·cos⌋+10 ∈
+    * 0..20, computed from the r4 value so both engines bin identically).
+    * Corpus-linear: the stride join is 3 hash-joins on vec_id, no
+    * quadratic pair set.
     */
   def cosSimHist(spark: SparkSession, sfDir: String,
                  offsets: Seq[Int] = Seq(1, 17, 257)): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val e = t(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    // components quantized to int64 fixed point (·10⁶ — components are
+    // ~|0.35| so q ≤ ~4·10⁵, q² ≤ 1.6·10¹¹, 64-dim sums ≤ ~10¹³, no
+    // overflow) so dp and the squared norms are EXACT integer sums on both
+    // engines: a plain double sum(av·bv) has engine-specific summation
+    // order, and a cosine within float-noise of an r4 rounding boundary
+    // could flip its 0.1-wide bin — the order-dependent-double-sum class
+    // the suite eliminates everywhere else (the embed_outliers basis).
+    // sqrt/division over exact integer inputs are IEEE-deterministic.
+    val q = transform(col("embedding"),
+                      v => floor(v.cast("double") * 1000000.0 + 0.5).cast("long"))
+    val e = t(spark, sfDir, "embeddings").select(col("vec_id"), q.as("qv"))
     val ofs = offsets.toDF("ofs")
     val pairs = e.crossJoin(broadcast(ofs))
       .select(col("ofs"), (col("vec_id") + col("ofs")).as("b_id"),
-              col("embedding").as("ea"))
-      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
-    val cos = r4(call_function("cosine_sim", col("ea"), col("eb")))
+              col("qv").as("qa"))
+      .join(e.select(col("vec_id").as("b_id"), col("qv").as("qb")), "b_id")
+    def isum(c: Column): Column =
+      aggregate(c, lit(0L), (acc, x) => acc + x)
+    val dp = isum(zip_with(col("qa"), col("qb"), (x, y) => x * y))
+    val na2 = isum(transform(col("qa"), x => x * x))
+    val nb2 = isum(transform(col("qb"), x => x * x))
+    val cos = r4(dp.cast("double") /
+                 (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))))
     ordered(
       pairs.select(col("ofs").cast("long").as("ofs"),
                    floor(cos * 10.0 + 10.0).cast("long").as("bin"))

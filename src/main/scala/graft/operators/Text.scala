@@ -1749,6 +1749,11 @@ object Text {
               when(col("relevant"), 1L).otherwise(0L).as("rel"))
       .agg(sum(col("dcg_term")).as("dcg"), sum(col("rel")).as("hits"))
     val idcg = totalRel
+      // r = 0 ⇒ zero-row output on BOTH engines: DuckDB's generate_series(1,0)
+      // is empty, while Spark's sequence(1, 0) would auto-step -1 and yield
+      // [1, 0] (a spurious 1/log2(1) = ∞ IDCG term) — filter aligns the
+      // degenerate branch (unreachable on current fixtures, r ≈ 27)
+      .filter(col("r") > 0)
       .select(explode(sequence(lit(1), least(lit(k), col("r").cast("int")))).as("i"),
               col("r"))
       .groupBy(col("r"))
