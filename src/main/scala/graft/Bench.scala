@@ -33,6 +33,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val picked = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val traceIters = sys.env.contains("SPARK_GRAFT_BENCH_TRACE")
     val results = picked.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
@@ -43,6 +44,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      if (traceIters)
+        System.err.println(s"[bench-trace] $name iters=" +
+          times.map(t => f"$t%.3f").mkString(","))
       // drop caches the query pinned (LSH signature persists etc.) so the
       // 74-query suite doesn't accumulate pinned blocks across queries
       spark.catalog.clearCache()

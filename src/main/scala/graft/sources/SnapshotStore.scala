@@ -180,6 +180,133 @@ object SnapshotStore {
     spark.read.parquet(f"$baseDir/v${vs.max}%05d")
   }
 
+  // ---------------------------------------------------------------------
+  // Manifest-versioned commit protocol — near-ACID snapshot publication
+  // without Delta/Iceberg jars (environment constraint, SURVEY §1.4).
+  //
+  // The reference's MERGE (transform_load.sql:50–70) runs inside a SQL
+  // Server transaction; the snapshot-rewrite emulation above is safe for a
+  // SINGLE writer but a second concurrent writer could tear a reader that
+  // lists data directories while a write is in flight. This closes that
+  // gap with the public log-store pattern (the same contract Delta's
+  // HDFSLogStore documents): data is staged under an unlisted uuid
+  // directory, and a version becomes visible ONLY when its manifest file
+  // is published with an atomic create-if-absent. Readers trust manifests
+  // exclusively — they never list data directories — so a read sees either
+  // version N or version N+1 in full, never a partially written directory.
+  // Two racing writers both targeting version N: exactly one wins the
+  // create-if-absent; the loser retries at N+1 with its already-staged
+  // data (optimistic concurrency, serialized commits, no lock server).
+  // Atomicity of create-if-absent holds on HDFS and on object stores with
+  // put-if-absent; on the local filesystem it is check-then-create (the
+  // documented HDFSLogStore caveat) — fine for tests and single-host runs.
+  // ---------------------------------------------------------------------
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed versions under a manifest-versioned root, ascending — one
+    * listing of the (tiny) `_commits` directory, never of the data dirs.
+    */
+  def committedVersions(spark: SparkSession, baseDir: String): Seq[Long] = {
+    val (fs, _) = fsFor(spark, baseDir)
+    val commits = new org.apache.hadoop.fs.Path(s"$baseDir/_commits")
+    if (!fs.exists(commits)) Seq.empty
+    else fs.listStatus(commits).map(_.getPath.getName)
+      .filter(_.matches("v\\d+\\.json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted.toSeq
+  }
+
+  /** Stage a snapshot's data WITHOUT publishing it: write to a uuid
+    * directory no reader will ever resolve. Returns the staged path.
+    * Split out from [[commitSnapshot]] so a writer crash between staging
+    * and publishing leaves only an orphan directory (reclaimed by
+    * [[vacuumOrphans]]), never a half-visible version.
+    */
+  def stageSnapshot(df: DataFrame, baseDir: String): String = {
+    val dataDir = s"$baseDir/data-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.mode("error").parquet(dataDir)
+    dataDir
+  }
+
+  /** Publish a staged directory as the next version. The commit point is
+    * the atomic create-if-absent of `_commits/v{N}.json`; on collision the
+    * writer retries at N+1 (its staged data is version-agnostic). Returns
+    * the committed version number.
+    */
+  def publishSnapshot(spark: SparkSession, baseDir: String, dataDir: String,
+                      maxRetries: Int = 50): Long = {
+    val (fs, _) = fsFor(spark, baseDir)
+    val relData = dataDir.stripPrefix(baseDir).stripPrefix("/")
+    var v = committedVersions(spark, baseDir).lastOption.getOrElse(-1L) + 1
+    var attempts = 0
+    while (attempts < maxRetries) {
+      val manifest = new org.apache.hadoop.fs.Path(f"$baseDir/_commits/v$v%05d.json")
+      try {
+        // create(path, overwrite = false) is the put-if-absent commit point
+        val out = fs.create(manifest, false)
+        try out.write(
+          s"""{"version": $v, "data": "$relData"}""".getBytes("UTF-8"))
+        finally out.close()
+        return v
+      } catch {
+        case _: java.io.IOException => v += 1; attempts += 1 // lost the race
+      }
+    }
+    sys.error(s"publishSnapshot: gave up after $maxRetries contended commits")
+  }
+
+  /** Stage + publish in one call — the writer API. Concurrent callers
+    * serialize into distinct consecutive versions; a reader at any moment
+    * sees the highest PUBLISHED version, complete.
+    */
+  def commitSnapshot(df: DataFrame, baseDir: String): Long =
+    publishSnapshot(df.sparkSession, baseDir,
+                    stageSnapshot(df, baseDir))
+
+  private def manifestData(spark: SparkSession, baseDir: String,
+                           v: Long): String = {
+    val (fs, _) = fsFor(spark, baseDir)
+    val manifest = new org.apache.hadoop.fs.Path(f"$baseDir/_commits/v$v%05d.json")
+    val in = fs.open(manifest)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    // single-purpose field extraction — the manifest is engine-authored,
+    // two fixed fields, no nested JSON
+    val m = """"data":\s*"([^"]+)"""".r.findFirstMatchIn(body)
+      .getOrElse(sys.error(s"malformed manifest $manifest: $body"))
+    s"$baseDir/${m.group(1)}"
+  }
+
+  /** Read the latest committed version (or a pinned one via `asOf`) —
+    * manifest-resolved, so in-flight writers are invisible.
+    */
+  def readCommitted(spark: SparkSession, baseDir: String,
+                    asOf: Long = Long.MaxValue): DataFrame = {
+    val vs = committedVersions(spark, baseDir).filter(_ <= asOf)
+    require(vs.nonEmpty, s"no committed snapshot version <= $asOf under $baseDir")
+    spark.read.parquet(manifestData(spark, baseDir, vs.max))
+  }
+
+  /** Delete staged data directories no manifest references — crashed or
+    * race-losing writers' leftovers. Never touches a referenced directory,
+    * so concurrent readers of any committed version are unaffected.
+    */
+  def vacuumOrphans(spark: SparkSession, baseDir: String): Int = {
+    val (fs, base) = fsFor(spark, baseDir)
+    if (!fs.exists(base)) return 0
+    val referenced = committedVersions(spark, baseDir)
+      .map(v => manifestData(spark, baseDir, v).split('/').last).toSet
+    val orphans = fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath).filter { p =>
+        p.getName.startsWith("data-") && !referenced.contains(p.getName)
+      }
+    orphans.foreach(p => fs.delete(p, true))
+    orphans.length
+  }
+
   def compactFact(spark: SparkSession, inPath: String, outPath: String,
                   targetRowsPerFile: Long): Unit = {
     val df = spark.read.parquet(inPath)

@@ -437,6 +437,64 @@ class ScaleInfraSpec extends SparkSpec {
     }
   }
 
+  test("manifest commit protocol: two interleaved writers, no torn read") {
+    import graft.sources.SnapshotStore._
+    val dir = Files.createTempDirectory("graft_acid").toString
+    val base = graft.util.Tables.t(spark, Sf, "nation")
+    // writer 1 commits version 0
+    val v0 = commitSnapshot(base.filter(col("n_nationkey") < 10), dir)
+    assert(v0 === 0L)
+    val rows0 = readCommitted(spark, dir).count()
+
+    // writer A stages (data fully written, NOT published) …
+    val stagedA = stageSnapshot(base.filter(col("n_nationkey") < 20), dir)
+    // … a reader right now must still see exactly version 0 — the staged
+    // directory is invisible because readers resolve manifests only
+    assert(committedVersions(spark, dir) === Seq(0L))
+    assert(readCommitted(spark, dir).count() === rows0)
+
+    // writer B stages AND publishes first — wins version 1
+    val stagedB = stageSnapshot(base, dir)
+    val vB = publishSnapshot(spark, dir, stagedB)
+    assert(vB === 1L)
+    assert(readCommitted(spark, dir).count() === base.count())
+
+    // writer A publishes late — serializes after B, never overwrites it
+    val vA = publishSnapshot(spark, dir, stagedA)
+    assert(vA === 2L)
+    assert(readCommitted(spark, dir).count() ===
+           base.filter(col("n_nationkey") < 20).count())
+    // time travel: each committed version remains readable, complete
+    assert(readCommitted(spark, dir, asOf = 0L).count() === rows0)
+    assert(readCommitted(spark, dir, asOf = 1L).count() === base.count())
+  }
+
+  test("manifest commit protocol: collision on the same version retries " +
+       "to the next slot; vacuum reclaims only unreferenced staging dirs") {
+    import graft.sources.SnapshotStore._
+    val dir = Files.createTempDirectory("graft_acid2").toString
+    val base = graft.util.Tables.t(spark, Sf, "region")
+    commitSnapshot(base, dir)
+    // simulate a racing writer that already owns v1's manifest: the
+    // create-if-absent must fail and the late writer must land on v2
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val squatter = new org.apache.hadoop.fs.Path(s"$dir/_commits/v00001.json")
+    val out = fs.create(squatter, false)
+    out.write("""{"version": 1, "data": "data-squat"}""".getBytes("UTF-8"))
+    out.close()
+    val staged = stageSnapshot(base.limit(2), dir)
+    assert(publishSnapshot(spark, dir, staged) === 2L)
+    assert(readCommitted(spark, dir).count() === 2L)
+    // a crashed writer's orphan stage is reclaimed; referenced dirs survive
+    val orphan = stageSnapshot(base.limit(1), dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(orphan)))
+    val removed = vacuumOrphans(spark, dir)
+    assert(removed === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(orphan)))
+    assert(readCommitted(spark, dir).count() === 2L) // still intact
+  }
+
   test("poissonBootstrap broadcasts the replicate grid — the corpus " +
        "never shuffles before the replicate aggregate") {
     val plan = graft.operators.Insights.poissonBootstrap(spark, Sf, 100)
