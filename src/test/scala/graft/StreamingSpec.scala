@@ -577,4 +577,107 @@ class StreamingSpec extends SparkSpec {
       assert(streamedPerDoc.getOrElse(id, 0L) === nk, s"doc $id kept count")
     }
   }
+
+  private val wireLines = Seq(
+    graft.streaming.WireIngest.formatLine("berlin",
+      """{"daily": {"time": ["2024-01-01"], "temperature_2m_max": [5.5],""" +
+      """ "temperature_2m_min": [-1.0], "precipitation_sum": [0.3]}}"""),
+    graft.streaming.WireIngest.formatLine("paris",
+      """{"daily": {"time": ["2024-01-01"], "temperature_2m_max": [8.0],""" +
+      """ "temperature_2m_min": [2.5], "precipitation_sum": [0.0]}}"""),
+    graft.streaming.WireIngest.formatLine("oslo", """{"daily": not json"""),
+    "no-tab-in-this-line")
+
+  test("wire parser: stream output equals the batch lane's schema and " +
+       "quarantine split, row for row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = graft.streaming.WireIngest
+      .parsePayloadLines(mem.toDF(), sourceTag = "test")
+      .writeStream.format("memory").queryName("wire_out")
+      .outputMode("append").start()
+    mem.addData(wireLines: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wire_out")
+    // batch twin: the same parser over a static frame
+    val batch = graft.streaming.WireIngest
+      .parsePayloadLines(wireLines.toDF("value"), sourceTag = "test")
+    assert(rows(streamed.orderBy("city_name")) ===
+           rows(batch.orderBy("city_name")))
+    // quarantine contract: both malformed lines flagged, both good ones ok
+    assert(streamed.filter(col("payload_ok")).count() === 2)
+    assert(streamed.filter(!col("payload_ok")).count() === 2)
+    // the clean lane feeds the batch payload parser unchanged — end-to-end
+    // parity with the HTTP snapshot lane's downstream
+    val parsed = graft.sources.WeatherApiSource.parsePayloads(
+      streamed.filter(col("payload_ok"))
+        .select(col("city_name"), col("payload_json")))
+    assert(parsed.count() === 2)
+    assert(rows(parsed.select("city_name", "temp_max").orderBy("city_name"))
+           === Seq(Seq("berlin", BigDecimal("5.50")),
+                   Seq("paris", BigDecimal("8.00"))).map(_.map {
+                     case bd: BigDecimal => bd.bigDecimal; case x => x }))
+  }
+
+  test("socket adapter: lines pushed through a real TCP socket arrive " +
+       "parsed — batch-identical rows") {
+    val server = new java.net.ServerSocket(0)
+    server.setSoTimeout(30000)
+    val port = server.getLocalPort
+    val q = graft.streaming.WireIngest
+      .socketPayloadStream(spark, "localhost", port)
+      .writeStream.format("memory").queryName("socket_out")
+      .outputMode("append").start()
+    try {
+      val sock = server.accept() // the socket source dials us on start
+      val w = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+      wireLines.foreach(w.println)
+      w.flush()
+      // drain until all four lines land (receiver thread ↔ micro-batch race)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("socket_out").count() < wireLines.size &&
+             System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(50)
+      }
+      sock.close()
+    } finally { q.stop(); server.close() }
+    import spark.implicits._
+    val streamed = spark.table("socket_out")
+    val batch = graft.streaming.WireIngest.parsePayloadLines(
+      wireLines.toDF("value"), sourceTag = s"socket://localhost:$port")
+    assert(rows(streamed.orderBy("city_name", "payload_json")) ===
+           rows(batch.orderBy("city_name", "payload_json")))
+  }
+
+  test("rate-limited replay: each landed payload emitted exactly once, " +
+       "parsed rows equal the batch lane") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val landed = Seq(
+      ("berlin", """{"d": 1}"""), ("paris", """{"d": 2}"""),
+      ("rome", """{"d": 3}"""))
+      .toDF("city_name", "payload_json")
+    landed.write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.WireIngest
+      .ratePayloadReplay(spark, dir, rowsPerSec = 100)
+      .writeStream.format("memory").queryName("replay_out")
+      .outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("replay_out").count() < 3 &&
+             System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(50)
+      }
+    } finally q.stop()
+    val streamed = spark.table("replay_out")
+    // exactly once: three rows, no duplicates, all payload_ok
+    assert(streamed.count() === 3)
+    assert(streamed.select("city_name").distinct().count() === 3)
+    assert(streamed.filter(!col("payload_ok")).count() === 0)
+    assert(rows(streamed.select("city_name", "payload_json")
+                  .orderBy("city_name")) ===
+           rows(landed.orderBy("city_name")))
+  }
 }
