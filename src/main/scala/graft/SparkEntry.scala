@@ -405,6 +405,23 @@ object SparkEntry {
     "q_scd4_minidim"      -> q(Warehouse.scd4MiniDim), // rapidly-changing attrs split to a bounded mini-dimension
     "q_factless_coverage" -> q(Warehouse.factlessCoverage), // eligibility spine vs activity: the what-didn't-happen fact
     "q_junk_dim"          -> q(Warehouse.junkDim), // low-cardinality flags + fact-derived flag as one junk dimension
+    // round-10a additions (robust model fitting)
+    "q_ransac_line"       -> q(Insights.ransacLine(_, _, 32)), // hash-deterministic RANSAC on the daily count-vs-revenue scatter, 32 candidates
+    "q_esd_outliers"      -> q(Insights.esdOutliers), // generalized ESD, 3 unrolled re-fitting rounds on daily revenue
+    "q_tukey_hsd"         -> q(Insights.tukeyHsd), // Tukey-Kramer post-hoc pairwise q statistics over market segments
+    "q_des_forecast"      -> q(Insights.desForecast), // Brown's double exponential smoothing, 5-tap integer kernel, level+trend+forecast
+    // round-10b additions (spectral + motif series analysis)
+    "q_periodogram"       -> q(Insights.periodogram(_, _, 14)), // square-wave (Walsh) periodogram, exact integer correlations
+    "q_ts_motif"          -> q(Insights.tsMotif(_, _, 7)), // most similar non-overlapping 7-day window pair, d2 = 2w(1-r) from exact sums
+    "q_ts_discord"        -> q(Insights.tsDiscord(_, _, 7)), // window farthest from its nearest neighbor (matrix-profile anomaly)
+    "q_bipartite_projection" -> q(Insights.bipartiteProjection(_, _, 30)), // part-part co-purchase graph, cosine-normalized edges
+    // round-10c additions (corpus estimation)
+    "q_good_turing"       -> q(Text.goodTuring), // Good-Turing unseen mass + Chao1 richness per language over 5-gram types
+    "q_capture_recapture" -> q(Text.captureRecapture), // Chapman capture-recapture corpus-size estimate from two md5 samples
+    "q_dsir_weights"      -> q(Text.dsirWeights(_, _, 20)), // DSIR importance weights: target-vs-source unigram LM log-ratio, quantized
+    // round-10d additions (bitemporal warehouse + windowed funnel)
+    "q_bitemporal_asof"   -> q(Warehouse.bitemporalAsOf), // valid-time x transaction-time as-of read at two system times, corrected flag
+    "q_window_funnel"     -> q(Windows.windowFunnel(_, _, 7)), // ClickHouse-style windowed funnel depth histogram, 7-day deadline
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -7074,5 +7091,427 @@ object SparkEntry {
         |       status, priority, has_returns, n_orders,
         |       floor(CAST(rev AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS revenue
         |FROM combos ORDER BY junk_key""".stripMargin,
+
+    "q_ransac_line" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS qx,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS qy
+        |  FROM orders GROUP BY 1),
+        |sample_ AS (SELECT CAST(row_number() OVER (ORDER BY d ASC) - 1 AS BIGINT)
+        |              AS k, qx, qy
+        |            FROM daily),
+        |cands AS (SELECT unnest(generate_series(0, 31)) AS cand),
+        |hs AS (SELECT cand, k, qx, qy,
+        |         ((k % 1048576) * 489905
+        |          + CAST(cand AS BIGINT) * 40503 + 17) % 1048576 AS h
+        |       FROM sample_ CROSS JOIN cands),
+        |sup AS (SELECT cand, qx, qy,
+        |          row_number() OVER (PARTITION BY cand
+        |            ORDER BY h ASC, k ASC) AS rn
+        |        FROM hs),
+        |lines AS (SELECT cand,
+        |    max(CASE WHEN rn = 1 THEN qx END) AS x1,
+        |    max(CASE WHEN rn = 1 THEN qy END) AS y1,
+        |    max(CASE WHEN rn = 2 THEN qx END) AS x2,
+        |    max(CASE WHEN rn = 2 THEN qy END) AS y2
+        |  FROM sup WHERE rn <= 2 GROUP BY cand),
+        |ln2 AS (SELECT cand,
+        |          CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE) AS m, x1, y1
+        |        FROM lines WHERE x1 <> x2),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sample FROM sample_),
+        |sc AS (SELECT cand, m, x1, y1, CAST(count(*) AS BIGINT) AS n_inliers
+        |       FROM sample_ CROSS JOIN ln2
+        |       WHERE abs(CAST(qy AS DOUBLE)
+        |                 - (m * CAST(qx - x1 AS DOUBLE) + CAST(y1 AS DOUBLE)))
+        |             <= 20000000.0
+        |       GROUP BY 1, 2, 3, 4),
+        |rk AS (SELECT cand, m, x1, y1, n_inliers,
+        |         CAST(row_number() OVER (ORDER BY n_inliers DESC, cand ASC)
+        |              AS BIGINT) AS rank
+        |       FROM sc)
+        |SELECT rank, CAST(cand AS BIGINT) AS cand, n_inliers, n_sample,
+        | floor(m / 100.0 * 10000.0 + 0.5) / 10000.0 AS slope,
+        | floor((CAST(y1 AS DOUBLE) - m * CAST(x1 AS DOUBLE)) / 100.0
+        |       * 10000.0 + 0.5) / 10000.0 AS intercept,
+        | floor(CAST(n_inliers AS DOUBLE) / CAST(n_sample AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS consensus
+        |FROM rk CROSS JOIN ns WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "q_esd_outliers" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |s1_ AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents) AS DECIMAL(38,0)) AS s2
+        |  FROM daily),
+        |r1 AS (SELECT d, cents, n,
+        |    floor(abs(CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / sqrt((CAST(s2 AS DOUBLE)
+        |                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |                 / CAST(n - 1 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS r_stat
+        |  FROM daily CROSS JOIN s1_),
+        |t1_ AS (SELECT * FROM (SELECT d, cents, n, r_stat,
+        |          row_number() OVER (ORDER BY r_stat DESC, d ASC) AS rn FROM r1)
+        |        WHERE rn = 1),
+        |rem1 AS (SELECT daily.* FROM daily WHERE d NOT IN (SELECT d FROM t1_)),
+        |s2_ AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents) AS DECIMAL(38,0)) AS s2
+        |  FROM rem1),
+        |r2 AS (SELECT d, cents, n,
+        |    floor(abs(CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / sqrt((CAST(s2 AS DOUBLE)
+        |                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |                 / CAST(n - 1 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS r_stat
+        |  FROM rem1 CROSS JOIN s2_),
+        |t2_ AS (SELECT * FROM (SELECT d, cents, n, r_stat,
+        |          row_number() OVER (ORDER BY r_stat DESC, d ASC) AS rn FROM r2)
+        |        WHERE rn = 1),
+        |rem2 AS (SELECT rem1.* FROM rem1 WHERE d NOT IN (SELECT d FROM t2_)),
+        |s3_ AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(sum(CAST(cents AS DECIMAL(19,0)) * cents) AS DECIMAL(38,0)) AS s2
+        |  FROM rem2),
+        |r3 AS (SELECT d, cents, n,
+        |    floor(abs(CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / sqrt((CAST(s2 AS DOUBLE)
+        |                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |                 / CAST(n - 1 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS r_stat
+        |  FROM rem2 CROSS JOIN s3_),
+        |t3_ AS (SELECT * FROM (SELECT d, cents, n, r_stat,
+        |          row_number() OVER (ORDER BY r_stat DESC, d ASC) AS rn FROM r3)
+        |        WHERE rn = 1),
+        |u AS (SELECT CAST(1 AS BIGINT) AS round, d AS outlier_day, cents,
+        |             n AS n_remaining, r_stat FROM t1_
+        |      UNION ALL
+        |      SELECT CAST(2 AS BIGINT), d, cents, n, r_stat FROM t2_
+        |      UNION ALL
+        |      SELECT CAST(3 AS BIGINT), d, cents, n, r_stat FROM t3_)
+        |SELECT round, outlier_day,
+        | floor(CAST(cents AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | n_remaining, r_stat
+        |FROM u ORDER BY round""".stripMargin,
+
+    "q_tukey_hsd" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS s2
+        |  FROM (SELECT c_mktsegment,
+        |          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x
+        |        FROM orders JOIN customer ON o_custkey = c_custkey)
+        |  GROUP BY 1),
+        |mse AS (SELECT
+        |    CAST(sum(CAST(CAST(s2 AS DOUBLE)
+        |                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |                  AS DECIMAL(38,8))) AS DOUBLE)
+        |      / CAST(sum(n) - count(*) AS DOUBLE) AS mse
+        |  FROM g)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b,
+        | floor((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |        - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) / 100.0
+        |       * 10000.0 + 0.5) / 10000.0 AS mean_diff,
+        | floor(abs(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |           - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |       / sqrt(mse / 2.0 * (1.0 / CAST(a.n AS DOUBLE)
+        |                           + 1.0 / CAST(b.n AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS q_stat
+        |FROM g a CROSS JOIN g b CROSS JOIN mse
+        |WHERE a.seg < b.seg ORDER BY seg_a, seg_b""".stripMargin,
+
+    "q_des_forecast" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |s1 AS (SELECT d, cents, row_number() OVER (ORDER BY d ASC) AS rn,
+        |    cents * 16 + lag(cents, 1) OVER (ORDER BY d ASC) * 8
+        |      + lag(cents, 2) OVER (ORDER BY d ASC) * 4
+        |      + lag(cents, 3) OVER (ORDER BY d ASC) * 2
+        |      + lag(cents, 4) OVER (ORDER BY d ASC) * 1 AS a_num
+        |  FROM daily),
+        |s2 AS (SELECT d, cents, rn, a_num,
+        |    a_num * 16 + lag(a_num, 1) OVER (ORDER BY d ASC) * 8
+        |      + lag(a_num, 2) OVER (ORDER BY d ASC) * 4
+        |      + lag(a_num, 3) OVER (ORDER BY d ASC) * 2
+        |      + lag(a_num, 4) OVER (ORDER BY d ASC) * 1 AS b_num
+        |  FROM s1),
+        |last10 AS (SELECT * FROM (SELECT d, cents, a_num, b_num,
+        |    row_number() OVER (ORDER BY d DESC) AS rk
+        |  FROM s2 WHERE rn >= 9) WHERE rk <= 10)
+        |SELECT d,
+        | floor(CAST(cents AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(CAST(a_num AS DOUBLE) / 31.0 / 100.0 * 10000.0 + 0.5) / 10000.0 AS s1,
+        | floor(CAST(b_num AS DOUBLE) / 961.0 / 100.0 * 10000.0 + 0.5) / 10000.0 AS s2,
+        | floor((2.0 * CAST(a_num AS DOUBLE) * 31.0 - CAST(b_num AS DOUBLE))
+        |       / 961.0 / 100.0 * 10000.0 + 0.5) / 10000.0 AS level,
+        | floor((CAST(a_num AS DOUBLE) * 31.0 - CAST(b_num AS DOUBLE))
+        |       / 961.0 / 100.0 * 10000.0 + 0.5) / 10000.0 AS trend,
+        | floor((93.0 * CAST(a_num AS DOUBLE) - 2.0 * CAST(b_num AS DOUBLE))
+        |       / 961.0 / 100.0 * 10000.0 + 0.5) / 10000.0 AS forecast_next
+        |FROM last10 ORDER BY d""".stripMargin,
+
+    "q_periodogram" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        |       FROM daily),
+        |idx AS (SELECT row_number() OVER (ORDER BY d ASC) - 1 AS t,
+        |          CAST(n * cents - s AS DECIMAL(19,0)) AS cx, n
+        |        FROM daily CROSS JOIN st),
+        |p_ AS (SELECT unnest(generate_series(2, 14)) AS p),
+        |c AS (SELECT p, n,
+        |        CAST(sum((CASE WHEN (t % p) * 2 < p THEN 1 ELSE -1 END) * cx)
+        |             AS DECIMAL(38,0)) AS swc,
+        |        CAST(sum(CAST(cx * cx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS scx2
+        |      FROM idx CROSS JOIN p_ GROUP BY 1, 2)
+        |SELECT CAST(p AS BIGINT) AS period,
+        | floor(CAST(CAST(swc * swc AS DECIMAL(38,0)) AS DOUBLE)
+        |       / (CAST(scx2 AS DOUBLE) * CAST(n AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS power_share
+        |FROM c ORDER BY period""".stripMargin,
+
+    "q_ts_motif" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY d ASC) - 1 AS t, d, cents
+        |        FROM daily),
+        |ws AS (SELECT t, d,
+        |    count(cents) OVER fw AS cnt,
+        |    sum(cents) OVER fw AS sx,
+        |    sum(CAST(cents AS DECIMAL(19,0)) * cents) OVER fw AS sxx
+        |  FROM idx
+        |  WINDOW fw AS (ORDER BY t ASC ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
+        |wst AS (SELECT t, d, sx, sxx FROM ws WHERE cnt = 7),
+        |prod AS (SELECT a.t AS t1, b.t - a.t AS g,
+        |           CAST(a.cents AS DECIMAL(19,0)) * b.cents AS xy
+        |         FROM idx a JOIN idx b ON b.t - a.t >= 7),
+        |sxy0 AS (SELECT t1, g,
+        |    count(xy) OVER gw AS cnt, sum(xy) OVER gw AS sxy
+        |  FROM prod
+        |  WINDOW gw AS (PARTITION BY g ORDER BY t1 ASC
+        |                ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
+        |sxy AS (SELECT t1, t1 + g AS t2, sxy FROM sxy0 WHERE cnt = 7),
+        |pr AS (SELECT s.t1, s.t2, a.d AS d1, b.d AS d2,
+        |         (7.0 * CAST(s.sxy AS DOUBLE)
+        |          - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+        |         / sqrt((7.0 * CAST(a.sxx AS DOUBLE)
+        |                 - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+        |                * (7.0 * CAST(b.sxx AS DOUBLE)
+        |                   - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))) AS r
+        |       FROM sxy s
+        |       JOIN wst a ON s.t1 = a.t JOIN wst b ON s.t2 = b.t
+        |       WHERE 7.0 * CAST(a.sxx AS DOUBLE)
+        |             - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) > 0
+        |         AND 7.0 * CAST(b.sxx AS DOUBLE)
+        |             - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) > 0),
+        |sc AS (SELECT t1, t2, d1, d2,
+        |         floor(r * 10000.0 + 0.5) / 10000.0 AS r,
+        |         floor(14.0 * (1.0 - r) * 10000.0 + 0.5) / 10000.0 AS d2z
+        |       FROM pr)
+        |SELECT CAST(row_number() OVER (ORDER BY d2z ASC, t1 ASC, t2 ASC)
+        |            AS BIGINT) AS rank, d1, d2, r, d2z
+        |FROM sc ORDER BY d2z ASC, t1 ASC, t2 ASC LIMIT 5""".stripMargin,
+
+    "q_ts_discord" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY d ASC) - 1 AS t, d, cents
+        |        FROM daily),
+        |ws AS (SELECT t, d,
+        |    count(cents) OVER fw AS cnt,
+        |    sum(cents) OVER fw AS sx,
+        |    sum(CAST(cents AS DECIMAL(19,0)) * cents) OVER fw AS sxx
+        |  FROM idx
+        |  WINDOW fw AS (ORDER BY t ASC ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
+        |wst AS (SELECT t, d, sx, sxx FROM ws WHERE cnt = 7),
+        |prod AS (SELECT a.t AS t1, b.t - a.t AS g,
+        |           CAST(a.cents AS DECIMAL(19,0)) * b.cents AS xy
+        |         FROM idx a JOIN idx b ON b.t - a.t >= 7),
+        |sxy0 AS (SELECT t1, g,
+        |    count(xy) OVER gw AS cnt, sum(xy) OVER gw AS sxy
+        |  FROM prod
+        |  WINDOW gw AS (PARTITION BY g ORDER BY t1 ASC
+        |                ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
+        |sxy AS (SELECT t1, t1 + g AS t2, sxy FROM sxy0 WHERE cnt = 7),
+        |pr AS (SELECT s.t1, s.t2, a.d AS d1, b.d AS d2,
+        |         (7.0 * CAST(s.sxy AS DOUBLE)
+        |          - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
+        |         / sqrt((7.0 * CAST(a.sxx AS DOUBLE)
+        |                 - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+        |                * (7.0 * CAST(b.sxx AS DOUBLE)
+        |                   - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))) AS r
+        |       FROM sxy s
+        |       JOIN wst a ON s.t1 = a.t JOIN wst b ON s.t2 = b.t
+        |       WHERE 7.0 * CAST(a.sxx AS DOUBLE)
+        |             - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) > 0
+        |         AND 7.0 * CAST(b.sxx AS DOUBLE)
+        |             - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) > 0),
+        |sc AS (SELECT t1, t2, d1, d2,
+        |         floor(14.0 * (1.0 - r) * 10000.0 + 0.5) / 10000.0 AS d2z
+        |       FROM pr),
+        |sym AS (SELECT t1 AS t, d1 AS d, d2 AS nn_d, d2z FROM sc
+        |        UNION ALL
+        |        SELECT t2 AS t, d2 AS d, d1 AS nn_d, d2z FROM sc),
+        |nn AS (SELECT t, d, nn_d, d2z AS nn_d2z
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY t
+        |               ORDER BY d2z ASC, nn_d ASC) AS rn FROM sym)
+        |       WHERE rn = 1)
+        |SELECT CAST(row_number() OVER (ORDER BY nn_d2z DESC, d ASC) AS BIGINT)
+        |         AS rank, d, nn_d, nn_d2z
+        |FROM nn ORDER BY nn_d2z DESC, d ASC LIMIT 5""".stripMargin,
+
+    "q_good_turing" ->
+      """WITH d AS (SELECT lang, string_split(lower(text), ' ') AS wd
+        |           FROM documents),
+        |tok AS (SELECT lang,
+        |          unnest(list_transform(range(1, len(wd) - 3),
+        |                 i -> array_to_string(wd[i:i+4], ' '))) AS w
+        |        FROM d WHERE len(wd) >= 5),
+        |ty AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS v_types,
+        |          CAST(sum(c) AS BIGINT) AS n_tokens,
+        |          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |          CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |        FROM ty GROUP BY 1)
+        |SELECT lang, v_types, n_tokens, n1, n2,
+        | floor(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5)
+        |   / 10000.0 AS p_unseen,
+        | floor((1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS coverage,
+        | floor((CAST(v_types AS DOUBLE)
+        |        + CAST(n1 * (n1 - 1) AS DOUBLE) / (2.0 * CAST(n2 + 1 AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS chao1
+        |FROM agg ORDER BY lang""".stripMargin,
+
+    "q_capture_recapture" ->
+      """WITH d AS (SELECT lang,
+        |    CASE WHEN CAST(('0x' || substr(md5('cr1_' || CAST(doc_id AS VARCHAR)),
+        |                                   1, 12)) AS BIGINT) % 8 = 0
+        |         THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN CAST(('0x' || substr(md5('cr2_' || CAST(doc_id AS VARCHAR)),
+        |                                   1, 12)) AS BIGINT) % 8 = 0
+        |         THEN 1 ELSE 0 END AS s2
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS true_n,
+        | CAST(sum(s1) AS BIGINT) AS n1, CAST(sum(s2) AS BIGINT) AS n2,
+        | CAST(sum(s1 * s2) AS BIGINT) AS m,
+        | floor((CAST(sum(s1) + 1 AS DOUBLE) * CAST(sum(s2) + 1 AS DOUBLE)
+        |        / CAST(sum(s1 * s2) + 1 AS DOUBLE) - 1.0) * 10000.0 + 0.5)
+        |   / 10000.0 AS n_hat
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang, w
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents)
+        |  WHERE length(w) > 0),
+        |src AS (SELECT w, CAST(count(*) AS BIGINT) AS cs FROM tok GROUP BY 1),
+        |tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS ct
+        |        FROM tok WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(cs) AS BIGINT) FROM src) AS ns,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM src) AS v,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM tok
+        |                WHERE lang = 'en') AS nt),
+        |lm AS (SELECT w,
+        |    CAST(floor((ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+        |                   / CAST(nt + v AS DOUBLE))
+        |                - ln(CAST(cs + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE)))
+        |               * 1000000.0 + 0.5) AS BIGINT) AS lr_q
+        |  FROM src LEFT JOIN tgt USING (w) CROSS JOIN tot),
+        |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(lr_q) AS BIGINT) AS slr
+        |       FROM tok JOIN lm USING (w) GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, lang, n_tokens,
+        |    floor(CAST(slr AS DOUBLE) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS logw
+        |  FROM sc)
+        |SELECT CAST(row_number() OVER (ORDER BY logw DESC, doc_id ASC) AS BIGINT)
+        |         AS rank,
+        |       doc_id, lang, n_tokens, logw
+        |FROM rk ORDER BY logw DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_bipartite_projection" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |deg AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_orders
+        |        FROM op GROUP BY 1),
+        |co AS (SELECT a.pk AS part_a, b.pk AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_co
+        |       FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT part_a, part_b, n_co,
+        |         da.n_orders AS na, db.n_orders AS nb,
+        |         floor(CAST(n_co AS DOUBLE)
+        |               / sqrt(CAST(da.n_orders AS DOUBLE)
+        |                      * CAST(db.n_orders AS DOUBLE))
+        |               * 10000.0 + 0.5) / 10000.0 AS cosine
+        |       FROM co
+        |       JOIN deg da ON co.part_a = da.pk
+        |       JOIN deg db ON co.part_b = db.pk)
+        |SELECT part_a, part_b, n_co, na, nb, cosine,
+        |       CAST(row_number() OVER (ORDER BY cosine DESC, part_a ASC,
+        |                               part_b ASC) AS BIGINT) AS rank
+        |FROM sc ORDER BY cosine DESC, part_a ASC, part_b ASC LIMIT 30""".stripMargin,
+
+    "q_bitemporal_asof" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 - event_id % 3 AS valid_day,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq
+        |  FROM events),
+        |b AS (SELECT min(valid_day) AS d0 FROM e),
+        |q1 AS (SELECT user_id, valid_day, ts_us, event_id, vq
+        |       FROM e CROSS JOIN b
+        |       WHERE valid_day <= d0 + 15 AND ts_us < (d0 + 16) * 86400000000),
+        |q2 AS (SELECT user_id, valid_day, ts_us, event_id, vq
+        |       FROM e CROSS JOIN b
+        |       WHERE valid_day <= d0 + 15 AND ts_us < (d0 + 41) * 86400000000),
+        |a1 AS (SELECT user_id, valid_day AS valid_day_t1, event_id AS event_id_t1,
+        |         floor(CAST(vq AS DOUBLE) / 10000.0 * 10000.0 + 0.5) / 10000.0
+        |           AS value_t1
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |               ORDER BY valid_day DESC, ts_us DESC, event_id DESC) AS rn
+        |             FROM q1) WHERE rn = 1),
+        |a2 AS (SELECT user_id, valid_day AS valid_day_t2, event_id AS event_id_t2,
+        |         floor(CAST(vq AS DOUBLE) / 10000.0 * 10000.0 + 0.5) / 10000.0
+        |           AS value_t2
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |               ORDER BY valid_day DESC, ts_us DESC, event_id DESC) AS rn
+        |             FROM q2) WHERE rn = 1)
+        |SELECT COALESCE(a1.user_id, a2.user_id) AS user_id,
+        |       valid_day_t1, event_id_t1, value_t1,
+        |       valid_day_t2, event_id_t2, value_t2,
+        |       COALESCE(event_id_t1, -1) <> COALESCE(event_id_t2, -1) AS corrected
+        |FROM a1 FULL OUTER JOIN a2 ON a1.user_id = a2.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s0 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |v0 AS (SELECT e.user_id, s0.t1, min(e.ts_us) AS t2
+        |       FROM e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'view' AND e.ts_us > s0.t1
+        |         AND e.ts_us <= s0.t1 + 604800000000
+        |       GROUP BY 1, 2),
+        |p0 AS (SELECT e.user_id, min(e.ts_us) AS t3
+        |       FROM e JOIN v0 ON e.user_id = v0.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > v0.t2
+        |         AND e.ts_us <= v0.t1 + 604800000000
+        |       GROUP BY 1),
+        |depth AS (SELECT s0.user_id,
+        |    CAST(1 + (CASE WHEN v0.user_id IS NULL THEN 0 ELSE 1 END)
+        |           + (CASE WHEN p0.user_id IS NULL THEN 0 ELSE 1 END)
+        |         AS BIGINT) AS depth
+        |  FROM s0
+        |  LEFT JOIN v0 ON s0.user_id = v0.user_id
+        |  LEFT JOIN p0 ON s0.user_id = p0.user_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_entered FROM depth)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_users, n_entered,
+        | floor(CAST(count(*) AS DOUBLE) / CAST(n_entered AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS share
+        |FROM depth CROSS JOIN tot GROUP BY depth, n_entered
+        |ORDER BY depth""".stripMargin,
   )
 }

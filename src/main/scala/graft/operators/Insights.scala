@@ -4438,4 +4438,408 @@ object Insights {
       lit(null).cast("double").as("mean_rank"), r4(chi2).as("chi2_f"))
     ordered(trtRows.unionByName(totalRow), "o_orderpriority")
   }
+
+  // -------------------------------------------------------------------
+  // Round-10a tier: robust model fitting (RANSAC, ESD, Tukey HSD, DES)
+  // -------------------------------------------------------------------
+
+  /** RANSAC line fit (Fischler & Bolles 1981) on the (orders-per-day,
+    * revenue-per-day) scatter — the robust regression that survives a
+    * contaminated series where OLS chases outlier days (measured on this
+    * corpus: residual sd ≈ 1.4× the $200k inlier band, so ~56% of days
+    * are outliers to the dominant trend and a least-squares fit is pulled
+    * visibly off it). Fully deterministic: the "random" support pairs
+    * come from a multiplicative hash over a 2²⁰ lattice of the day index
+    * (the [[poissonBootstrap]] pre-reduced recipe), candidate k's two
+    * support days are hash-rank 1 and 2; consensus = days within $200k
+    * vertical residual of the candidate line, slope/intercept doubles
+    * derived from exact cent/count integers. Scale shape: the fact is
+    * touched ONCE by the day-grain hash-agg; everything after is
+    * days × 32-candidates — driver-scale at any corpus size, which is
+    * why sample-consensus fitting runs at 100 TB where least-median
+    * re-scans cannot. Top-5 candidates by consensus (the rank-1/rank-2
+    * margin is the fit-stability diagnostic).
+    */
+  def ransacLine(spark: SparkSession, sfDir: String,
+                 nCand: Int = 32): DataFrame = {
+    import spark.implicits._
+    val sample = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("qx"),
+           (sum(money(col("o_totalprice"))) * 100).cast("long").as("qy"))
+      .select((row_number().over(Window.orderBy(col("d").asc)) - 1)
+                .cast("long").as("k"),
+              col("qx"), col("qy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = (0 until nCand).toDF("cand")
+    val h = expr("pmod(pmod(k, 1048576) * 489905 " +
+                 "+ cand * 40503 + 17, 1048576)")
+    val wCand = Window.partitionBy(col("cand"))
+      .orderBy(col("h").asc, col("k").asc)
+    val support = sample.crossJoin(broadcast(cands))
+      .select(col("cand"), col("k"), col("qx"), col("qy"), h.as("h"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= 2)
+    val lines = support.groupBy(col("cand"))
+      .agg(max(when(col("rn") === 1, col("qx"))).as("x1"),
+           max(when(col("rn") === 1, col("qy"))).as("y1"),
+           max(when(col("rn") === 2, col("qx"))).as("x2"),
+           max(when(col("rn") === 2, col("qy"))).as("y2"))
+      .filter(col("x1") =!= col("x2"))
+      .select(col("cand"),
+              ((col("y2") - col("y1")).cast("double") /
+               (col("x2") - col("x1")).cast("double")).as("m"),
+              col("x1"), col("y1"))
+    val nS = sample.agg(count(lit(1)).as("n_sample"))
+    val scored = sample.crossJoin(broadcast(lines))
+      .filter(abs(col("qy").cast("double") -
+                  (col("m") * (col("qx") - col("x1")).cast("double") +
+                   col("y1").cast("double"))) <= lit(20000000.0))
+      .groupBy(col("cand"), col("m"), col("x1"), col("y1"))
+      .agg(count(lit(1)).as("n_inliers"))
+    val wBest = Window.orderBy(col("n_inliers").desc, col("cand").asc)
+    ordered(
+      scored.withColumn("rank", row_number().over(wBest).cast("long"))
+        .filter(col("rank") <= 5)
+        .crossJoin(broadcast(nS))
+        .select(col("rank"), col("cand").cast("long").as("cand"),
+                col("n_inliers"), col("n_sample"),
+                // slope in $ per order/day, intercept in $
+                r4(col("m") / 100.0).as("slope"),
+                r4((col("y1").cast("double") - col("m") * col("x1").cast("double"))
+                     / 100.0).as("intercept"),
+                r4(col("n_inliers").cast("double") / col("n_sample").cast("double"))
+                  .as("consensus")),
+      "rank")
+  }
+
+  /** Generalized ESD outlier detection (Rosner 1983) on the daily revenue
+    * series, 3 unrolled rounds: each round computes mean/sd over the
+    * REMAINING days from exact integer moments, extracts the most extreme
+    * day (max |x−x̄|/s, date-asc tiebreak on the quantized score), and
+    * excludes it from the next round — the iterative re-fitting that makes
+    * ESD robust to masking where a single-pass z-score ([[q_grubbs]]'s
+    * one-shot) stops at the first outlier. Rounds are UNROLLED (fixed
+    * k = 3), so the plan is static: 3 × (1-row aggregate + broadcast +
+    * rank window) over a driver-scale daily frame — fact touched once by
+    * the daily hash-agg, any corpus size.
+    */
+  def esdOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def round(remaining: DataFrame, j: Int): (DataFrame, DataFrame) = {
+      val st = remaining.agg(count(lit(1)).as("n"),
+                             sum(col("cents")).as("s"),
+                             // cast BEFORE multiplying: daily cents² wraps
+                             // int64 at the 100× decade (4e9² = 1.6e19)
+                             sum(col("cents").cast("decimal(19,0)") *
+                                   col("cents")).as("s2"))
+      val scoredRows = remaining.crossJoin(broadcast(st))
+        .select(col("d"), col("cents"), col("n"),
+                // R_j = |x − mean| / sd, sd over the remaining sample,
+                // quantized so the argmax tiebreak is engine-portable
+                r4(abs(col("cents").cast("double") -
+                       col("s").cast("double") / col("n").cast("double")) /
+                   sqrt((col("s2").cast("double") -
+                         col("s").cast("double") * col("s").cast("double") /
+                           col("n").cast("double")) /
+                        (col("n") - 1).cast("double"))).as("r_stat"))
+      val top = scoredRows
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("r_stat").desc, col("d").asc)))
+        .filter(col("rn") === 1)
+        .select(lit(j.toLong).as("round"), col("d").as("outlier_day"),
+                col("cents"), col("n").as("n_remaining"), col("r_stat"))
+      (top, remaining.join(top.select(col("outlier_day").as("d")), Seq("d"),
+                           "left_anti"))
+    }
+    val (t1, r1) = round(daily, 1)
+    val (t2, r2) = round(r1, 2)
+    val (t3, _) = round(r2, 3)
+    ordered(t1.unionByName(t2).unionByName(t3)
+              .select(col("round"), col("outlier_day"),
+                      r4(col("cents").cast("double") / 100.0).as("revenue"),
+                      col("n_remaining"), col("r_stat")),
+            "round")
+  }
+
+  /** Tukey–Kramer HSD pairwise comparisons — the post-hoc that belongs
+    * after [[anovaF]]'s omnibus "segments differ": WHICH market segments
+    * differ, with the studentized-range statistic q = |x̄_g − x̄_h| /
+    * √(MSE/2·(1/n_g+1/n_h)) per pair (unequal-n Kramer form). Group
+    * moments are exact integer cent sums from one fact-linear hash-agg;
+    * MSE pools within-group variance from those same moments; the 10
+    * segment pairs are a broadcast self-join of a 5-row frame. Doubles
+    * appear only in the mirrored final formula.
+    */
+  def tukeyHsd(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer")
+              .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+              floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("x"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+           sum((col("x") * col("x")).cast("decimal(38,0)")).as("s2"))
+    val mse = g.agg(sum(col("n")).as("nt"), count(lit(1)).as("k"),
+                    sum((col("s2").cast("double") -
+                         col("s").cast("double") * col("s").cast("double") /
+                           col("n").cast("double")).cast("decimal(38,8)"))
+                      .as("sse"))
+      .select(col("nt"), col("k"),
+              (col("sse").cast("double") /
+               (col("nt") - col("k")).cast("double")).as("mse"))
+    val a = g.select(col("seg").as("seg_a"), col("n").as("na"), col("s").as("sa"))
+    val b = g.select(col("seg").as("seg_b"), col("n").as("nb"), col("s").as("sb"))
+    ordered(
+      a.crossJoin(b).filter(col("seg_a") < col("seg_b"))
+        .crossJoin(broadcast(mse))
+        .select(col("seg_a"), col("seg_b"),
+                r4((col("sa").cast("double") / col("na").cast("double") -
+                    col("sb").cast("double") / col("nb").cast("double")) / 100.0)
+                  .as("mean_diff"),
+                r4(abs(col("sa").cast("double") / col("na").cast("double") -
+                       col("sb").cast("double") / col("nb").cast("double")) /
+                   sqrt(col("mse") / 2.0 *
+                        (lit(1.0) / col("na").cast("double") +
+                         lit(1.0) / col("nb").cast("double")))).as("q_stat")),
+      "seg_a", "seg_b")
+  }
+
+  /** Brown's double exponential smoothing (level + trend) on daily
+    * revenue with α = 1/2 and the 5-tap integer kernel the [[Windows
+    * .ewma]] family established: weights 16,8,4,2,1 are exact longs, so
+    * S1 (smoothed level) is an integer numerator over the constant 31,
+    * S2 (smoothed S1) an integer numerator over 31², and the DES level
+    * a = 2S1−S2, trend b = S1−S2 (α/(1−α) = 1), one-step forecast
+    * a + b = (93·A − 2·B)/961 are single exact-integer divisions at the
+    * output boundary — no pow(), no order-dependent float accumulation,
+    * engine-identical. The 5-tap truncation is the stated tradeoff
+    * (weights below 1/31 dropped); output restricted to days with both
+    * kernels full. Daily frame is driver-scale; the one global-order
+    * window is over dates, not facts. Last 10 days emitted.
+    */
+  def desForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("d").asc)
+    val taps = (0 until 5).map(i =>
+      lag(col("cents"), i).over(w) * lit(16L >> i))
+    val s1 = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("a_num", taps.reduce(_ + _))
+    val taps2 = (0 until 5).map(i =>
+      lag(col("a_num"), i).over(w) * lit(16L >> i))
+    val both = s1.withColumn("b_num", taps2.reduce(_ + _))
+      .filter(col("rn") >= 9) // both kernels full
+    val wLast = Window.orderBy(col("d").desc)
+    ordered(
+      both.withColumn("rk", row_number().over(wLast))
+        .filter(col("rk") <= 10)
+        .select(col("d"),
+                r4(col("cents").cast("double") / 100.0).as("revenue"),
+                r4(col("a_num").cast("double") / 31.0 / 100.0).as("s1"),
+                r4(col("b_num").cast("double") / 961.0 / 100.0).as("s2"),
+                r4((lit(2.0) * col("a_num").cast("double") * 31.0 -
+                    col("b_num").cast("double")) / 961.0 / 100.0).as("level"),
+                r4((col("a_num").cast("double") * 31.0 -
+                    col("b_num").cast("double")) / 961.0 / 100.0).as("trend"),
+                r4((lit(93.0) * col("a_num").cast("double") -
+                    lit(2.0) * col("b_num").cast("double")) / 961.0 / 100.0)
+                  .as("forecast_next")),
+      "d")
+  }
+
+  // -------------------------------------------------------------------
+  // Round-10b tier: spectral and motif analysis of the revenue series
+  // -------------------------------------------------------------------
+
+  /** Square-wave (Walsh first-harmonic) periodogram of daily revenue —
+    * period detection with EXACT integer arithmetic end to end: for each
+    * candidate period p the basis is w_t = +1 when 2·(t mod p) < p else
+    * −1 (the sign square wave), so the correlation Σ w_t·cx_t of the
+    * n-multiplied centered series is an exact integer, its square an
+    * exact DECIMAL, and the normalized score (Σw·cx)²/(Σcx²·n) a single
+    * boundary division — sidestepping sin/cos entirely, whose libm
+    * last-ulp differences between engines would poison the hash gate.
+    * The square wave carries ~81% (8/π²) of the sine fundamental's
+    * power, ample for peak DETECTION (the weekly cycle stands out by
+    * orders of magnitude). One fact-linear hash-agg to days; days × 13
+    * periods is driver-scale.
+    */
+  def periodogram(spark: SparkSession, sfDir: String,
+                  maxPeriod: Int = 14): DataFrame = {
+    import spark.implicits._
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val idx = daily.crossJoin(broadcast(st))
+      .select((row_number().over(Window.orderBy(col("d").asc)) - 1).as("t"),
+              (col("n") * col("cents") - col("s")).cast("decimal(19,0)").as("cx"),
+              col("n"))
+    val periods = (2 to maxPeriod).toDF("p")
+    val corr = idx.crossJoin(broadcast(periods))
+      .select(col("p"), col("n"),
+              (when(pmod(col("t"), col("p")) * 2 < col("p"), lit(1))
+                 .otherwise(lit(-1)) * col("cx")).as("wcx"),
+              (col("cx") * col("cx")).cast("decimal(38,0)").as("cx2"))
+      .groupBy(col("p"), col("n"))
+      .agg(sum(col("wcx")).cast("decimal(38,0)").as("swc"),
+           sum(col("cx2")).as("scx2"))
+    ordered(
+      corr.select(col("p").cast("long").as("period"),
+                  r4((col("swc") * col("swc")).cast("decimal(38,0)")
+                       .cast("double") /
+                     (col("scx2").cast("double") * col("n").cast("double")))
+                    .as("power_share")),
+      "period")
+  }
+
+  /** Windowed pair frame shared by [[tsMotif]] and [[tsDiscord]]: all
+    * pairs of non-overlapping w-day windows of the daily revenue series
+    * with their z-normalized squared distance d² = 2w(1−r), where r is
+    * the Pearson correlation of the two windows computed ENTIRELY from
+    * exact integer sums (Σx, Σx², Σxy as DECIMAL — the lag-product
+    * formulation: one product column per gap g, then a per-g running
+    * window sum, so no per-pair array ever materializes). n windows ×
+    * n/w gaps stays a (days²)-scale frame — series-bounded, independent
+    * of fact volume; at 100 TB the daily agg is the only fact pass.
+    */
+  private def windowPairs(spark: SparkSession, sfDir: String,
+                          w: Int): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val idx = daily
+      .select((row_number().over(Window.orderBy(col("d").asc)) - 1).as("t"),
+              col("d"), col("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wf = Window.orderBy(col("t").asc).rowsBetween(0, w - 1)
+    val winStats = idx
+      .select(col("t"), col("d"),
+              count(col("cents")).over(wf).as("cnt"),
+              sum(col("cents")).over(wf).as("sx"),
+              // cast BEFORE multiplying (100×-decade daily cents² > int64)
+              sum(col("cents").cast("decimal(19,0)") * col("cents")).over(wf)
+                .as("sxx"))
+      .filter(col("cnt") === w)
+      .drop("cnt")
+    // Σxy per (t1, gap): product series x_t·x_{t+g}, then the same w-row
+    // running frame per gap
+    val a = idx.select(col("t").as("t1"), col("cents").as("xa"))
+    val b = idx.select(col("t").as("t2"), col("cents").as("xb"))
+    val prod = a.join(b, col("t2") - col("t1") >= w)
+      .select(col("t1"), (col("t2") - col("t1")).as("g"),
+              (col("xa").cast("decimal(19,0)") * col("xb")).as("xy"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("t1").asc)
+      .rowsBetween(0, w - 1)
+    val sxy = prod
+      .select(col("t1"), col("g"),
+              count(col("xy")).over(wg).as("cnt"),
+              sum(col("xy")).over(wg).as("sxy"))
+      .filter(col("cnt") === w)
+      .select(col("t1"), (col("t1") + col("g")).as("t2"), col("sxy"))
+    val sa = winStats.select(col("t").as("t1"), col("d").as("d1"),
+                             col("sx").as("sx1"), col("sxx").as("sxx1"))
+    val sb = winStats.select(col("t").as("t2"), col("d").as("d2"),
+                             col("sx").as("sx2"), col("sxx").as("sxx2"))
+    val den1 = lit(w.toDouble) * col("sxx1").cast("double") -
+      col("sx1").cast("double") * col("sx1").cast("double")
+    val den2 = lit(w.toDouble) * col("sxx2").cast("double") -
+      col("sx2").cast("double") * col("sx2").cast("double")
+    sxy.join(sa, "t1").join(sb, "t2")
+      .filter(den1 > 0 && den2 > 0)
+      .select(col("t1"), col("t2"), col("d1"), col("d2"),
+              ((lit(w.toDouble) * col("sxy").cast("double") -
+                col("sx1").cast("double") * col("sx2").cast("double")) /
+               sqrt(den1 * den2)).as("r"))
+      .select(col("t1"), col("t2"), col("d1"), col("d2"), r4(col("r")).as("r"),
+              r4(lit(2.0 * w) * (lit(1.0) - col("r"))).as("d2z"))
+  }
+
+  /** Time-series MOTIF — the most similar pair of non-overlapping 7-day
+    * revenue windows (matrix-profile-lite; Yeh et al. 2016 define the
+    * exact-search objective, computed here set-wise instead of via the
+    * streaming dot-product recursion): top-5 pairs by z-normalized
+    * distance. The repeated shape is the series' template week — what a
+    * forecaster should treat as the seasonal prototype.
+    */
+  def tsMotif(spark: SparkSession, sfDir: String, w: Int = 7): DataFrame = {
+    val wRank = Window.orderBy(col("d2z").asc, col("t1").asc, col("t2").asc)
+    ordered(
+      windowPairs(spark, sfDir, w)
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("rank"), col("d1"), col("d2"), col("r"), col("d2z")),
+      "rank")
+  }
+
+  /** Time-series DISCORD — the 7-day window FARTHEST from its nearest
+    * non-overlapping neighbor (max-min over the same pair frame as
+    * [[tsMotif]]): the week least like any other week, the
+    * matrix-profile anomaly. Top-5 discords with their nearest-neighbor
+    * distance and that neighbor's start date.
+    */
+  def tsDiscord(spark: SparkSession, sfDir: String, w: Int = 7): DataFrame = {
+    val pairs = windowPairs(spark, sfDir, w)
+    // symmetrize: each window's neighbor set is pairs in EITHER role
+    val sym = pairs.select(col("t1").as("t"), col("d1").as("d"),
+                           col("d2").as("nn_d"), col("d2z"))
+      .unionByName(pairs.select(col("t2").as("t"), col("d2").as("d"),
+                                col("d1").as("nn_d"), col("d2z")))
+    val wNn = Window.partitionBy(col("t"))
+      .orderBy(col("d2z").asc, col("nn_d").asc)
+    val nn = sym.withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") === 1)
+      .select(col("t"), col("d"), col("nn_d"), col("d2z").as("nn_d2z"))
+    val wRank = Window.orderBy(col("nn_d2z").desc, col("d").asc)
+    ordered(
+      nn.withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("rank"), col("d"), col("nn_d"), col("nn_d2z")),
+      "rank")
+  }
+
+  /** Bipartite co-purchase projection — the part–part graph induced by
+    * shared orders (the "customers who bought A also bought B" edge
+    * list), cosine-normalized: weight = n_ab/√(n_a·n_b) so mega-popular
+    * parts don't dominate raw co-counts. Pair generation is WITHIN-order
+    * (distinct parts per order self-joined on the order key), so the
+    * blow-up is Σ basket², bounded by the basket-size cap every real
+    * catalog pipeline enforces (TPC-H baskets ≤ 7; at 100 TB add a
+    * degree cap exactly like [[Dedup.bucketCandidates]]'s hot-bucket
+    * rule). Top-30 edges by rounded cosine.
+    */
+  def bipartiteProjection(spark: SparkSession, sfDir: String,
+                          topN: Int = 30): DataFrame = {
+    val op = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = op.groupBy(col("pk")).agg(count(lit(1)).as("n_orders"))
+    val co = op.select(col("ok"), col("pk").as("part_a"))
+      .join(op.select(col("ok"), col("pk").as("part_b")), "ok")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+    val wRank = Window.orderBy(col("cosine").desc, col("part_a").asc,
+                               col("part_b").asc)
+    ordered(
+      co.join(deg.select(col("pk").as("part_a"), col("n_orders").as("na")),
+              "part_a")
+        .join(deg.select(col("pk").as("part_b"), col("n_orders").as("nb")),
+              "part_b")
+        .select(col("part_a"), col("part_b"), col("n_co"), col("na"), col("nb"),
+                r4(col("n_co").cast("double") /
+                   sqrt(col("na").cast("double") * col("nb").cast("double")))
+                  .as("cosine"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= topN),
+      "rank")
+  }
 }

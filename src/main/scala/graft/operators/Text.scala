@@ -2021,4 +2021,130 @@ object Text {
               r4(hJoint).as("h_joint"), r4(hFirst).as("h_first"),
               r4(hJoint - hFirst).as("h_cond"))
   }
+
+  // -------------------------------------------------------------------
+  // Round-10c tier: corpus estimation (how much is there that we have
+  // NOT seen — the coverage questions every crawl budget hangs on)
+  // -------------------------------------------------------------------
+
+  /** Good–Turing unseen-mass and Chao1 richness estimates per language —
+    * "how much probability mass sits on words this corpus has never
+    * seen, and how many word types exist in the population": P₀ = N₁/N
+    * (Good 1953), coverage Ĉ = 1 − N₁/N, Chao1 V̂ = V + N₁(N₁−1)/(2(N₂+1))
+    * (Chao 1984, bias-corrected). The whole estimate reads off the
+    * frequency-of-frequencies histogram — two hash-aggs off one type
+    * explode, exact integers until the output divisions. The crawl-
+    * budget instrument: a language whose Ĉ is still low buys more crawl;
+    * one within ε of 1 is saturated. The type universe is word 5-GRAMS,
+    * not unigrams: the synthetic corpus has a closed ~31-word vocabulary,
+    * so unigram N₁ saturates to 0 at every scale (measured — the
+    * degenerate shape assertNonDegenerate exists to catch), while the
+    * 31⁵-point 5-gram space stays sparsely sampled and the estimator
+    * genuinely discriminates; on a real crawl both universes work and
+    * the n-gram one is what contamination/memorization audits use.
+    */
+  def goodTuring(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(lower(col("text")), " ")
+    val tok = docs(spark, sfDir)
+      .select(col("lang"), w.as("wd"))
+      .filter(size(col("wd")) >= 5)
+      .select(col("lang"),
+              explode(transform(sequence(lit(1), size(col("wd")) - 4),
+                i => concat_ws(" ", slice(col("wd"), i, lit(5))))).as("w"))
+    val types = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    ordered(
+      types.groupBy(col("lang"))
+        .agg(count(lit(1)).as("v_types"), sum(col("c")).as("n_tokens"),
+             sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+             sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("lang"), col("v_types"), col("n_tokens"), col("n1"),
+                col("n2"),
+                r4(col("n1").cast("double") / col("n_tokens").cast("double"))
+                  .as("p_unseen"),
+                r4(lit(1.0) - col("n1").cast("double") /
+                   col("n_tokens").cast("double")).as("coverage"),
+                r4(col("v_types").cast("double") +
+                   (col("n1") * (col("n1") - 1)).cast("double") /
+                   (lit(2.0) * (col("n2") + 1).cast("double"))).as("chao1")),
+      "lang")
+  }
+
+  /** Capture–recapture corpus-size estimate per language (Chapman's
+    * bias-corrected Lincoln–Petersen): two INDEPENDENT deterministic
+    * 1/8 samples (md5 of salted doc_id — engine-portable, no RNG state),
+    * overlap m, N̂ = (n₁+1)(n₂+1)/(m+1) − 1. Emitted next to the true
+    * count, so the output is simultaneously the estimator and its own
+    * validation — the same two-sample trick estimates the overlap of two
+    * crawls or the residual dup rate after a dedup pass at 100 TB, where
+    * the exact intersection is a full corpus join but two thin hash
+    * samples are almost free.
+    */
+  def captureRecapture(spark: SparkSession, sfDir: String): DataFrame = {
+    def inSample(salt: String): Column =
+      conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))),
+                     1, 12), 16, 10).cast("long") % 8 === 0
+    val d = docs(spark, sfDir).select(
+      col("lang"),
+      inSample("cr1_").cast("int").as("s1"),
+      inSample("cr2_").cast("int").as("s2"))
+    ordered(
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("true_n"), sum(col("s1")).as("n1"),
+             sum(col("s2")).as("n2"),
+             sum(col("s1") * col("s2")).as("m"))
+        .select(col("lang"), col("true_n"), col("n1"), col("n2"), col("m"),
+                r4((col("n1") + 1).cast("double") *
+                   (col("n2") + 1).cast("double") /
+                   (col("m") + 1).cast("double") - 1.0).as("n_hat")),
+      "lang")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its words are under the TARGET domain's unigram
+    * LM (English here — the stand-in for "looks like the eval set") than
+    * under the full-corpus source LM, log w(d) = Σ_w tf_w·(log p̂_t(w) −
+    * log p̂_s(w)), both LMs add-1 smoothed on the shared vocabulary. The
+    * per-word log-ratio is quantized to an exact integer (·10⁶, the
+    * [[perplexityFilter]] portability pattern) BEFORE the per-doc sum, so
+    * accumulation is engine-exact. Scale shape: two vocab-sized LM
+    * aggregates + one token-grain join on the word — fact-linear, the
+    * 100 TB resampling pass verbatim. Top-20 docs by weight.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String,
+                  topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+              explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val src = tok.groupBy(col("w")).agg(count(lit(1)).as("cs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val totals = src.agg(sum(col("cs")).as("ns"), count(lit(1)).as("v"))
+      .crossJoin(tok.filter(col("lang") === "en")
+                   .agg(count(lit(1)).as("nt")))
+    // per-word quantized log-ratio over the SOURCE vocab (ct defaults 0)
+    val lm = src.join(tgt, Seq("w"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("w"),
+              floor((log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+                         (col("nt") + col("v")).cast("double")) -
+                     log((col("cs") + 1).cast("double") /
+                         (col("ns") + col("v")).cast("double"))) *
+                    lit(1000000.0) + 0.5).cast("long").as("lr_q"))
+    val wRank = Window.orderBy(col("logw").desc, col("doc_id").asc)
+    ordered(
+      tok.join(lm, "w")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lr_q")).as("slr"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+                r4(col("slr").cast("double") / 1000000.0).as("logw"))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= topN)
+        .select(col("rank"), col("doc_id"), col("lang"), col("n_tokens"),
+                col("logw")),
+      "rank")
+  }
 }

@@ -867,4 +867,55 @@ object Warehouse {
              r4(sum(col("tp")).cast("double")).as("total_price"),
              sum(col("rh")).as("content_checksum")),
       "batch_month")
+
+  /** Bitemporal as-of query — BOTH time axes at once (Snodgrass's
+    * valid-time × transaction-time), the dimension discipline SCD2
+    * ([[scd2AsOf]]) only half-covers: scd2's single axis is transaction
+    * time, so it can answer "what did the table say on date T" but not
+    * "what did the table say ON T about the value EFFECTIVE on day V" —
+    * the question every restated-metrics audit asks. Fixture: the event
+    * stream as a bitemporally corrected measure feed — each event's
+    * value is EFFECTIVE (valid time) `event_id mod 3` days before its
+    * arrival timestamp (transaction time), the backdated-correction
+    * shape of real feeds. The as-of read at (V, T): among events with
+    * valid_day ≤ V recorded at ts ≤ T, the one with the latest
+    * (valid_day, ts, event_id) per user. Two system times T₁ < T₂ are
+    * evaluated at the same V; `corrected` flags users whose history at V
+    * was RESTATED between the reads — the bitemporal signature an
+    * SCD2-only model cannot express. Per-user min-struct aggregation,
+    * fact-linear, no windows over the stream.
+    */
+  def bitemporalAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir).select(
+      col("user_id"), col("event_id"), col("ts_us"),
+      (expr("ts_us div 86400000000L") - col("event_id") % 3).as("valid_day"),
+      floor(col("value") * 10000.0 + 0.5).cast("long").as("vq"))
+    val bounds = ev.agg(min(col("valid_day")).as("d0"))
+    // query point: V = d0+15 (mid-stream of the ~30-day event window);
+    // T₁ = end of valid-day V itself, so the backdated corrections
+    // arriving on V+1/V+2 are NOT yet visible; T₂ = +25 days (every
+    // correction landed) — the restatement gap between the two reads
+    val withQ = ev.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("valid_day"),
+              col("vq"), (col("d0") + 15).as("v_q"),
+              ((col("d0") + 16) * lit(86400000000L)).as("t1_us"),
+              ((col("d0") + 41) * lit(86400000000L)).as("t2_us"))
+    def asOf(tCol: Column, label: String): DataFrame =
+      withQ.filter(col("valid_day") <= col("v_q") && col("ts_us") < tCol)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("valid_day"), col("ts_us"), col("event_id"),
+                        col("vq"))).as("m"))
+        .select(col("user_id"), col("m.valid_day").as(s"valid_day_$label"),
+                col("m.event_id").as(s"event_id_$label"),
+                r4(col("m.vq").cast("double") / 10000.0).as(s"value_$label"))
+    ordered(
+      asOf(col("t1_us"), "t1").join(asOf(col("t2_us"), "t2"), Seq("user_id"),
+                                    "full_outer")
+        .select(col("user_id"),
+                col("valid_day_t1"), col("event_id_t1"), col("value_t1"),
+                col("valid_day_t2"), col("event_id_t2"), col("value_t2"),
+                (coalesce(col("event_id_t1"), lit(-1L)) =!=
+                 coalesce(col("event_id_t2"), lit(-1L))).as("corrected")),
+      "user_id")
+  }
 }

@@ -780,4 +780,49 @@ object Windows {
              max(col("n_ev")).as("max_island_events")),
       "user_id")
   }
+
+  /** Windowed funnel depth (the ClickHouse `windowFunnel` semantic, here
+    * first-anchor greedy): how FAR each user gets through signup → view →
+    * purchase when every later step must land within Δ = 7 days of the
+    * user's FIRST signup — [[funnel]] without the deadline counts
+    * eventual converters; this counts converters while the activation
+    * window is still open, which is what a growth team can act on.
+    * Greedy deterministic chain: t₁ = first signup; t₂ = first view in
+    * (t₁, t₁+Δ]; t₃ = first purchase in (t₂, t₁+Δ]. Same three
+    * min-agg + user-key join stages as [[funnel]] (no windows over the
+    * stream, no cross join); output is the depth histogram with
+    * conversion shares — 3 rows at any scale.
+    */
+  def windowFunnel(spark: SparkSession, sfDir: String,
+                   windowDays: Int = 7): DataFrame = {
+    val deltaUs = windowDays * 86400000000L
+    val ev = events(spark, sfDir).select(col("user_id"), col("event_type"),
+                                         col("ts_us"))
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val v0 = ev.filter(col("event_type") === "view")
+      .join(s0, "user_id")
+      .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + deltaUs)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts_us")).as("t2"))
+    val p0 = ev.filter(col("event_type") === "purchase")
+      .join(v0, "user_id")
+      .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t1") + deltaUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    val depth = s0.select(col("user_id"))
+      .join(v0.select(col("user_id"), lit(1).as("has2")), Seq("user_id"),
+            "left_outer")
+      .join(p0.select(col("user_id"), lit(1).as("has3")), Seq("user_id"),
+            "left_outer")
+      .select(col("user_id"),
+              (lit(1) + coalesce(col("has2"), lit(0)) +
+               coalesce(col("has3"), lit(0))).cast("long").as("depth"))
+    val tot = depth.agg(count(lit(1)).as("n_entered"))
+    ordered(
+      depth.groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select(col("depth"), col("n_users"), col("n_entered"),
+                r4(col("n_users").cast("double") /
+                   col("n_entered").cast("double")).as("share")),
+      "depth")
+  }
 }
