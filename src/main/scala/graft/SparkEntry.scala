@@ -7273,37 +7273,31 @@ object SparkEntry {
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
-        |idx AS (SELECT row_number() OVER (ORDER BY d ASC) - 1 AS t, d, cents
+        |idx AS (SELECT row_number() OVER (ORDER BY d ASC) - 1 AS t, d,
+        |               cents // 100 AS x
         |        FROM daily),
-        |ws AS (SELECT t, d,
-        |    count(cents) OVER fw AS cnt,
-        |    sum(cents) OVER fw AS sx,
-        |    sum(CAST(cents AS DECIMAL(19,0)) * cents) OVER fw AS sxx
-        |  FROM idx
-        |  WINDOW fw AS (ORDER BY t ASC ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
-        |wst AS (SELECT t, d, sx, sxx FROM ws WHERE cnt = 7),
-        |prod AS (SELECT a.t AS t1, b.t - a.t AS g,
-        |           CAST(a.cents AS DECIMAL(19,0)) * b.cents AS xy
-        |         FROM idx a JOIN idx b ON b.t - a.t >= 7),
-        |sxy0 AS (SELECT t1, g,
-        |    count(xy) OVER gw AS cnt, sum(xy) OVER gw AS sxy
-        |  FROM prod
-        |  WINDOW gw AS (PARTITION BY g ORDER BY t1 ASC
-        |                ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
-        |sxy AS (SELECT t1, t1 + g AS t2, sxy FROM sxy0 WHERE cnt = 7),
-        |pr AS (SELECT s.t1, s.t2, a.d AS d1, b.d AS d2,
-        |         (7.0 * CAST(s.sxy AS DOUBLE)
-        |          - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
-        |         / sqrt((7.0 * CAST(a.sxx AS DOUBLE)
-        |                 - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
-        |                * (7.0 * CAST(b.sxx AS DOUBLE)
-        |                   - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))) AS r
-        |       FROM sxy s
-        |       JOIN wst a ON s.t1 = a.t JOIN wst b ON s.t2 = b.t
-        |       WHERE 7.0 * CAST(a.sxx AS DOUBLE)
-        |             - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) > 0
-        |         AND 7.0 * CAST(b.sxx AS DOUBLE)
-        |             - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) > 0),
+        |vec AS (SELECT t, d, x AS x0,
+        |    lead(x, 1) OVER (ORDER BY t ASC) AS x1,
+        |    lead(x, 2) OVER (ORDER BY t ASC) AS x2,
+        |    lead(x, 3) OVER (ORDER BY t ASC) AS x3,
+        |    lead(x, 4) OVER (ORDER BY t ASC) AS x4,
+        |    lead(x, 5) OVER (ORDER BY t ASC) AS x5,
+        |    lead(x, 6) OVER (ORDER BY t ASC) AS x6
+        |  FROM idx),
+        |st AS (SELECT t, d,
+        |    x0 + x1 + x2 + x3 + x4 + x5 + x6 AS sx,
+        |    x0*x0 + x1*x1 + x2*x2 + x3*x3 + x4*x4 + x5*x5 + x6*x6 AS sxx,
+        |    x0, x1, x2, x3, x4, x5, x6
+        |  FROM vec WHERE x6 IS NOT NULL),
+        |pr AS (SELECT a.t AS t1, b.t AS t2, a.d AS d1, b.d AS d2,
+        |         CAST(7 * (a.x0*b.x0 + a.x1*b.x1 + a.x2*b.x2 + a.x3*b.x3
+        |                   + a.x4*b.x4 + a.x5*b.x5 + a.x6*b.x6)
+        |              - a.sx * b.sx AS DOUBLE)
+        |         / sqrt(CAST(7 * a.sxx - a.sx * a.sx AS DOUBLE)
+        |                * CAST(7 * b.sxx - b.sx * b.sx AS DOUBLE)) AS r
+        |       FROM st a JOIN st b ON b.t - a.t >= 7
+        |       WHERE CAST(7 * a.sxx - a.sx * a.sx AS DOUBLE) > 0
+        |         AND CAST(7 * b.sxx - b.sx * b.sx AS DOUBLE) > 0),
         |sc AS (SELECT t1, t2, d1, d2,
         |         floor(r * 10000.0 + 0.5) / 10000.0 AS r,
         |         floor(14.0 * (1.0 - r) * 10000.0 + 0.5) / 10000.0 AS d2z
@@ -7316,37 +7310,31 @@ object SparkEntry {
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
-        |idx AS (SELECT row_number() OVER (ORDER BY d ASC) - 1 AS t, d, cents
+        |idx AS (SELECT row_number() OVER (ORDER BY d ASC) - 1 AS t, d,
+        |               cents // 100 AS x
         |        FROM daily),
-        |ws AS (SELECT t, d,
-        |    count(cents) OVER fw AS cnt,
-        |    sum(cents) OVER fw AS sx,
-        |    sum(CAST(cents AS DECIMAL(19,0)) * cents) OVER fw AS sxx
-        |  FROM idx
-        |  WINDOW fw AS (ORDER BY t ASC ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
-        |wst AS (SELECT t, d, sx, sxx FROM ws WHERE cnt = 7),
-        |prod AS (SELECT a.t AS t1, b.t - a.t AS g,
-        |           CAST(a.cents AS DECIMAL(19,0)) * b.cents AS xy
-        |         FROM idx a JOIN idx b ON b.t - a.t >= 7),
-        |sxy0 AS (SELECT t1, g,
-        |    count(xy) OVER gw AS cnt, sum(xy) OVER gw AS sxy
-        |  FROM prod
-        |  WINDOW gw AS (PARTITION BY g ORDER BY t1 ASC
-        |                ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
-        |sxy AS (SELECT t1, t1 + g AS t2, sxy FROM sxy0 WHERE cnt = 7),
-        |pr AS (SELECT s.t1, s.t2, a.d AS d1, b.d AS d2,
-        |         (7.0 * CAST(s.sxy AS DOUBLE)
-        |          - CAST(a.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))
-        |         / sqrt((7.0 * CAST(a.sxx AS DOUBLE)
-        |                 - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
-        |                * (7.0 * CAST(b.sxx AS DOUBLE)
-        |                   - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE))) AS r
-        |       FROM sxy s
-        |       JOIN wst a ON s.t1 = a.t JOIN wst b ON s.t2 = b.t
-        |       WHERE 7.0 * CAST(a.sxx AS DOUBLE)
-        |             - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) > 0
-        |         AND 7.0 * CAST(b.sxx AS DOUBLE)
-        |             - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) > 0),
+        |vec AS (SELECT t, d, x AS x0,
+        |    lead(x, 1) OVER (ORDER BY t ASC) AS x1,
+        |    lead(x, 2) OVER (ORDER BY t ASC) AS x2,
+        |    lead(x, 3) OVER (ORDER BY t ASC) AS x3,
+        |    lead(x, 4) OVER (ORDER BY t ASC) AS x4,
+        |    lead(x, 5) OVER (ORDER BY t ASC) AS x5,
+        |    lead(x, 6) OVER (ORDER BY t ASC) AS x6
+        |  FROM idx),
+        |st AS (SELECT t, d,
+        |    x0 + x1 + x2 + x3 + x4 + x5 + x6 AS sx,
+        |    x0*x0 + x1*x1 + x2*x2 + x3*x3 + x4*x4 + x5*x5 + x6*x6 AS sxx,
+        |    x0, x1, x2, x3, x4, x5, x6
+        |  FROM vec WHERE x6 IS NOT NULL),
+        |pr AS (SELECT a.t AS t1, b.t AS t2, a.d AS d1, b.d AS d2,
+        |         CAST(7 * (a.x0*b.x0 + a.x1*b.x1 + a.x2*b.x2 + a.x3*b.x3
+        |                   + a.x4*b.x4 + a.x5*b.x5 + a.x6*b.x6)
+        |              - a.sx * b.sx AS DOUBLE)
+        |         / sqrt(CAST(7 * a.sxx - a.sx * a.sx AS DOUBLE)
+        |                * CAST(7 * b.sxx - b.sx * b.sx AS DOUBLE)) AS r
+        |       FROM st a JOIN st b ON b.t - a.t >= 7
+        |       WHERE CAST(7 * a.sxx - a.sx * a.sx AS DOUBLE) > 0
+        |         AND CAST(7 * b.sxx - b.sx * b.sx AS DOUBLE) > 0),
         |sc AS (SELECT t1, t2, d1, d2,
         |         floor(14.0 * (1.0 - r) * 10000.0 + 0.5) / 10000.0 AS d2z
         |       FROM pr),
