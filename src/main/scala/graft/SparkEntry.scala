@@ -422,6 +422,11 @@ object SparkEntry {
     // round-10d additions (bitemporal warehouse + windowed funnel)
     "q_bitemporal_asof"   -> q(Warehouse.bitemporalAsOf), // valid-time x transaction-time as-of read at two system times, corrected flag
     "q_window_funnel"     -> q(Windows.windowFunnel(_, _, 7)), // ClickHouse-style windowed funnel depth histogram, 7-day deadline
+    // round-10e additions (resampling inference, count models, RAG re-rank, Data Vault)
+    "q_permutation_test"  -> q(Insights.permutationTest(_, _, 100)), // hash-deterministic randomization test, two priority contrasts. b=100 PINNED to the oracle literals
+    "q_overdispersion"    -> q(Insights.overdispersion), // dispersion index + NB method-of-moments fit per segment, zero-order customers included
+    "q_mmr_diversity"     -> q(Similarity.mmrDiversity(_, _, 5, 0.7)), // MMR diversity re-rank of the BM25 top-20, unrolled greedy rounds. k=5, lambda=0.7 PINNED to the oracle
+    "q_data_vault"        -> q(Warehouse.dataVault), // Data Vault 2.0 hub/link/satellite load profile with md5 hash keys + hashdiff
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -7274,7 +7279,7 @@ object SparkEntry {
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
         |idx AS (SELECT row_number() OVER (ORDER BY d ASC) - 1 AS t, d,
-        |               cents // 100 AS x
+        |               cents // 10000 AS x
         |        FROM daily),
         |vec AS (SELECT t, d, x AS x0,
         |    lead(x, 1) OVER (ORDER BY t ASC) AS x1,
@@ -7311,7 +7316,7 @@ object SparkEntry {
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
         |idx AS (SELECT row_number() OVER (ORDER BY d ASC) - 1 AS t, d,
-        |               cents // 100 AS x
+        |               cents // 10000 AS x
         |        FROM daily),
         |vec AS (SELECT t, d, x AS x0,
         |    lead(x, 1) OVER (ORDER BY t ASC) AS x1,
@@ -7501,5 +7506,232 @@ object SparkEntry {
         |       * 10000.0 + 0.5) / 10000.0 AS share
         |FROM depth CROSS JOIN tot GROUP BY depth, n_entered
         |ORDER BY depth""".stripMargin,
+
+    "q_permutation_test" ->
+      """WITH reps AS (SELECT unnest(generate_series(0, 100 - 1)) AS rep),
+        |r1 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_t,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x
+        |       FROM orders
+        |       WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |o1 AS (SELECT CAST(sum(is_t) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(is_t * x) AS BIGINT) AS st,
+        |         CAST(sum((1 - is_t) * x) AS BIGINT) AS sc
+        |       FROM r1),
+        |ob1 AS (SELECT nt, n,
+        |          CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |          - CAST(sc AS DOUBLE) / CAST(n - nt AS DOUBLE) AS obs_diff
+        |        FROM o1),
+        |n1 AS (SELECT rep,
+        |         CAST(sum(pt * x) AS DOUBLE) / CAST(sum(pt) AS DOUBLE)
+        |         - CAST(sum((1 - pt) * x) AS DOUBLE)
+        |           / CAST(sum(1 - pt) AS DOUBLE) AS d
+        |       FROM (SELECT rep, x,
+        |               CASE WHEN ((k % 1048576) * 489905 + rep * 40503 + 29)
+        |                      % 1048576 * n < nt * 1048576
+        |                    THEN 1 ELSE 0 END AS pt
+        |             FROM r1 CROSS JOIN reps CROSS JOIN ob1)
+        |       GROUP BY rep
+        |       HAVING sum(pt) > 0 AND sum(1 - pt) > 0),
+        |c1 AS (SELECT CAST(1 AS BIGINT) AS contrast_id,
+        |         '1-URGENT vs 5-LOW' AS contrast, nt AS n_treat,
+        |         n - nt AS n_ctrl,
+        |         floor(obs_diff / 100.0 * 10000.0 + 0.5) / 10000.0 AS obs_diff,
+        |         CAST(count(*) AS BIGINT) AS n_reps,
+        |         CAST(sum(CASE WHEN floor(abs(d) * 10000.0 + 0.5) / 10000.0
+        |                        >= floor(abs(ob1.obs_diff) * 10000.0 + 0.5) / 10000.0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        |       FROM n1 CROSS JOIN ob1
+        |       GROUP BY nt, n, ob1.obs_diff),
+        |r2 AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |         CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS is_t,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x
+        |       FROM orders
+        |       WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')),
+        |o2 AS (SELECT CAST(sum(is_t) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(is_t * x) AS BIGINT) AS st,
+        |         CAST(sum((1 - is_t) * x) AS BIGINT) AS sc
+        |       FROM r2),
+        |ob2 AS (SELECT nt, n,
+        |          CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |          - CAST(sc AS DOUBLE) / CAST(n - nt AS DOUBLE) AS obs_diff
+        |        FROM o2),
+        |n2 AS (SELECT rep,
+        |         CAST(sum(pt * x) AS DOUBLE) / CAST(sum(pt) AS DOUBLE)
+        |         - CAST(sum((1 - pt) * x) AS DOUBLE)
+        |           / CAST(sum(1 - pt) AS DOUBLE) AS d
+        |       FROM (SELECT rep, x,
+        |               CASE WHEN ((k % 1048576) * 489905 + rep * 40503 + 29)
+        |                      % 1048576 * n < nt * 1048576
+        |                    THEN 1 ELSE 0 END AS pt
+        |             FROM r2 CROSS JOIN reps CROSS JOIN ob2)
+        |       GROUP BY rep
+        |       HAVING sum(pt) > 0 AND sum(1 - pt) > 0),
+        |c2 AS (SELECT CAST(2 AS BIGINT) AS contrast_id,
+        |         '2-HIGH vs 3-MEDIUM' AS contrast, nt AS n_treat,
+        |         n - nt AS n_ctrl,
+        |         floor(obs_diff / 100.0 * 10000.0 + 0.5) / 10000.0 AS obs_diff,
+        |         CAST(count(*) AS BIGINT) AS n_reps,
+        |         CAST(sum(CASE WHEN floor(abs(d) * 10000.0 + 0.5) / 10000.0
+        |                        >= floor(abs(ob2.obs_diff) * 10000.0 + 0.5) / 10000.0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        |       FROM n2 CROSS JOIN ob2
+        |       GROUP BY nt, n, ob2.obs_diff),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+        |SELECT contrast_id, contrast, n_treat, n_ctrl, obs_diff, n_reps,
+        |       n_extreme,
+        |       floor(CAST(n_extreme + 1 AS DOUBLE) / CAST(n_reps + 1 AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS p_value
+        |FROM u ORDER BY contrast_id""".stripMargin,
+
+    "q_overdispersion" ->
+      """WITH pc AS (SELECT c.c_mktsegment AS seg, COALESCE(o.k, 0) AS k
+        |  FROM customer c
+        |  LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+        |             FROM orders GROUP BY 1) o
+        |    ON c.c_custkey = o.o_custkey),
+        |a AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(k) AS BIGINT) AS s, CAST(sum(k * k) AS BIGINT) AS s2
+        |      FROM pc GROUP BY 1),
+        |m AS (SELECT seg, n, s, s2,
+        |        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |        (CAST(s2 AS DOUBLE)
+        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n - 1 AS DOUBLE) AS v
+        |      FROM a)
+        |SELECT seg, n AS n_customers,
+        | floor(mu * 10000.0 + 0.5) / 10000.0 AS mean_orders,
+        | floor(v * 10000.0 + 0.5) / 10000.0 AS var_orders,
+        | floor(v / mu * 10000.0 + 0.5) / 10000.0 AS dispersion,
+        | CASE WHEN v > mu
+        |      THEN floor(mu * mu / (v - mu) * 10000.0 + 0.5) / 10000.0 END AS nb_r,
+        | CASE WHEN v > mu
+        |      THEN floor(mu / v * 10000.0 + 0.5) / 10000.0 END AS nb_p
+        |FROM m ORDER BY seg""".stripMargin,
+
+    "q_mmr_diversity" ->
+      """WITH dl AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS len
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM dl),
+        |tf AS (
+        |  SELECT doc_id, len, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len, unnest(string_split(lower(text), ' ')) AS term FROM dl) u
+        |  WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, len, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |              / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.len AS DOUBLE)
+        |         / (CAST(st.sum_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS sc
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+        |rel AS (SELECT doc_id,
+        |          floor(CAST(sum(CAST(sc AS DECIMAL(28,8))) AS DOUBLE)
+        |                * 10000.0 + 0.5) / 10000.0 AS rel
+        |        FROM s GROUP BY doc_id
+        |        ORDER BY rel DESC, doc_id ASC LIMIT 20),
+        |qv AS (SELECT vec_id,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |              AS BIGINT) AS q,
+        |         generate_subscripts(embedding, 1) AS i
+        |       FROM embeddings JOIN rel ON vec_id = rel.doc_id),
+        |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        |        FROM qv GROUP BY 1),
+        |dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS dp
+        |       FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |       GROUP BY 1, 2),
+        |sim AS (SELECT a_id, b_id,
+        |          floor(CAST(dp AS DOUBLE)
+        |                / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+        |                * 10000.0 + 0.5) / 10000.0 AS sim
+        |        FROM dp JOIN nrm x ON a_id = x.vec_id JOIN nrm y ON b_id = y.vec_id),
+        |s1 AS (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id ASC LIMIT 1),
+        |c2 AS (SELECT r.doc_id, r.rel, max(s.sim) AS maxsim
+        |       FROM rel r JOIN sim s ON s.a_id = r.doc_id
+        |       WHERE s.b_id IN (SELECT doc_id FROM s1)
+        |         AND r.doc_id NOT IN (SELECT doc_id FROM s1)
+        |       GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, rel, maxsim,
+        |         floor((0.7 * rel - (1.0 - 0.7) * maxsim) * 10000.0 + 0.5)
+        |           / 10000.0 AS sc
+        |       FROM c2 ORDER BY sc DESC, doc_id ASC LIMIT 1),
+        |sel2 AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+        |c3 AS (SELECT r.doc_id, r.rel, max(s.sim) AS maxsim
+        |       FROM rel r JOIN sim s ON s.a_id = r.doc_id
+        |       WHERE s.b_id IN (SELECT doc_id FROM sel2)
+        |         AND r.doc_id NOT IN (SELECT doc_id FROM sel2)
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, rel, maxsim,
+        |         floor((0.7 * rel - (1.0 - 0.7) * maxsim) * 10000.0 + 0.5)
+        |           / 10000.0 AS sc
+        |       FROM c3 ORDER BY sc DESC, doc_id ASC LIMIT 1),
+        |sel3 AS (SELECT doc_id FROM sel2 UNION ALL SELECT doc_id FROM s3),
+        |c4 AS (SELECT r.doc_id, r.rel, max(s.sim) AS maxsim
+        |       FROM rel r JOIN sim s ON s.a_id = r.doc_id
+        |       WHERE s.b_id IN (SELECT doc_id FROM sel3)
+        |         AND r.doc_id NOT IN (SELECT doc_id FROM sel3)
+        |       GROUP BY 1, 2),
+        |s4 AS (SELECT doc_id, rel, maxsim,
+        |         floor((0.7 * rel - (1.0 - 0.7) * maxsim) * 10000.0 + 0.5)
+        |           / 10000.0 AS sc
+        |       FROM c4 ORDER BY sc DESC, doc_id ASC LIMIT 1),
+        |sel4 AS (SELECT doc_id FROM sel3 UNION ALL SELECT doc_id FROM s4),
+        |c5 AS (SELECT r.doc_id, r.rel, max(s.sim) AS maxsim
+        |       FROM rel r JOIN sim s ON s.a_id = r.doc_id
+        |       WHERE s.b_id IN (SELECT doc_id FROM sel4)
+        |         AND r.doc_id NOT IN (SELECT doc_id FROM sel4)
+        |       GROUP BY 1, 2),
+        |s5 AS (SELECT doc_id, rel, maxsim,
+        |         floor((0.7 * rel - (1.0 - 0.7) * maxsim) * 10000.0 + 0.5)
+        |           / 10000.0 AS sc
+        |       FROM c5 ORDER BY sc DESC, doc_id ASC LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS rank, doc_id, rel, 0.0 AS maxsim,
+        |       floor(0.7 * rel * 10000.0 + 0.5) / 10000.0 AS mmr_score
+        |FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), doc_id, rel, maxsim, sc FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), doc_id, rel, maxsim, sc FROM s3
+        |UNION ALL SELECT CAST(4 AS BIGINT), doc_id, rel, maxsim, sc FROM s4
+        |UNION ALL SELECT CAST(5 AS BIGINT), doc_id, rel, maxsim, sc FROM s5
+        |ORDER BY rank""".stripMargin,
+
+    "q_data_vault" ->
+      """WITH hc AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS hk FROM customer),
+        |ho AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hk FROM orders),
+        |lo AS (SELECT md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+        |                            CAST(o_custkey AS VARCHAR))) AS hk
+        |       FROM orders),
+        |so AS (SELECT md5(concat_ws('|', CAST(o_orderkey AS VARCHAR))) AS hk,
+        |         md5(concat_ws('|', o_orderstatus,
+        |             CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |                  AS VARCHAR),
+        |             CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+        |             o_orderpriority)) AS hashdiff
+        |       FROM orders),
+        |u AS (
+        |  SELECT 'hub_customer' AS vault_table, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT hk) AS BIGINT) AS n_distinct_hk,
+        |    CAST(count(DISTINCT hk) AS BIGINT) AS n_distinct_payload,
+        |    min(hk) AS min_hk, max(hk) AS max_hk
+        |  FROM hc
+        |  UNION ALL
+        |  SELECT 'hub_order', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT hk) AS BIGINT),
+        |    CAST(count(DISTINCT hk) AS BIGINT), min(hk), max(hk)
+        |  FROM ho
+        |  UNION ALL
+        |  SELECT 'link_order_customer', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT hk) AS BIGINT),
+        |    CAST(count(DISTINCT hk) AS BIGINT), min(hk), max(hk)
+        |  FROM lo
+        |  UNION ALL
+        |  SELECT 'sat_order', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT hk) AS BIGINT),
+        |    CAST(count(DISTINCT hashdiff) AS BIGINT), min(hk), max(hk)
+        |  FROM so)
+        |SELECT * FROM u ORDER BY vault_table""".stripMargin,
   )
 }

@@ -4712,10 +4712,13 @@ object Insights {
     * first draft's per-gap running-window formulation shuffled+sorted a
     * 2.8M-row product frame twice and measured 14 s/35 s per query;
     * this one is sub-second on the same series. Values are quantized to
-    * whole DOLLARS (cents div 100) so every product and sum stays
-    * int64-exact at the 100× decade (daily dollars ≤ 4·10⁷ → Σxy ≤
-    * ~10¹⁶). n windows × n partners is series²-scale, independent of
-    * fact volume; the daily agg is the only fact pass.
+    * HUNDRED-DOLLAR units (cents div 10000) so every product and sum
+    * stays int64-exact at the 100× decade (daily revenue there is
+    * ~1.5·10⁹ dollars — whole-dollar squares already wrap int64, caught
+    * by the ANSI overflow error in the decade run; at 10⁻⁴ relative
+    * resolution the z-normalized correlation is unaffected). n windows ×
+    * n partners is series²-scale, independent of fact volume; the daily
+    * agg is the only fact pass.
     */
   private def windowPairs(spark: SparkSession, sfDir: String,
                           w: Int): DataFrame = {
@@ -4724,7 +4727,7 @@ object Insights {
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
     val idx = daily
       .select((row_number().over(Window.orderBy(col("d").asc)) - 1).as("t"),
-              col("d"), expr("cents div 100").as("x"))
+              col("d"), expr("cents div 10000").as("x"))
     val wLead = Window.orderBy(col("t").asc)
     val leads = (0 until w).map(i => lead(col("x"), i).over(wLead).as(s"x$i"))
     val vec = idx.select(col("t") +: col("d") +: leads: _*)
@@ -4832,5 +4835,104 @@ object Insights {
         .withColumn("rank", row_number().over(wRank).cast("long"))
         .filter(col("rank") <= topN),
       "rank")
+  }
+
+  /** Hash-deterministic randomization test (the permutation test in its
+    * scalable Fisher–Pitman form): is the order-value difference between
+    * two priority classes explainable by chance? B = 100 pseudo-label
+    * reassignments per contrast; each replicate reassigns every order to
+    * the treat side with probability n_t/n via the 2²⁰ lattice hash (the
+    * [[poissonBootstrap]] recipe; the threshold test u·n < n_t·2²⁰ is an
+    * exact integer cross-multiplication, no float probability), the null
+    * distribution of mean differences falls out of ONE fact×B fan-out
+    * into ONE hash-agg, and p = (#{|Δ_b| ≥ |Δ_obs|} + 1)/(B+1) with the
+    * add-one correction. The binomial-reassignment variant (marginal
+    * group sizes vary per replicate) is the form that runs at 100 TB —
+    * fixed-size permutation needs a global shuffle per replicate.
+    * Extremeness compares r4-quantized |Δ| on both engines. Two
+    * contrasts emitted (URGENT vs LOW, HIGH vs MEDIUM).
+    */
+  def permutationTest(spark: SparkSession, sfDir: String,
+                      b: Int = 100): DataFrame = {
+    import spark.implicits._
+    val reps = (0 until b).toDF("rep")
+    def contrast(idx: Int, pa: String, pb: String): DataFrame = {
+      val rows = t(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === pa || col("o_orderpriority") === pb)
+        .select(col("o_orderkey").as("k"),
+                (col("o_orderpriority") === pa).cast("int").as("is_t"),
+                floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("x"))
+      val obs = rows.agg(
+        sum(col("is_t")).cast("long").as("nt"), count(lit(1)).as("n"),
+        sum(col("is_t") * col("x")).as("st"),
+        sum((lit(1) - col("is_t")) * col("x")).as("sc"))
+        .select(col("nt"), col("n"),
+                (col("st").cast("double") / col("nt").cast("double") -
+                 col("sc").cast("double") / (col("n") - col("nt")).cast("double"))
+                  .as("obs_diff"))
+      val u = "pmod(pmod(k, 1048576) * 489905 + rep * 40503 + 29, 1048576)"
+      val nulls = rows.crossJoin(broadcast(reps)).crossJoin(broadcast(obs))
+        .select(col("rep"), col("x"), col("nt"), col("n"),
+                (expr(u) * col("n") < col("nt") * lit(1048576L))
+                  .cast("int").as("pt"))
+        .groupBy(col("rep"))
+        .agg(sum(col("pt") * col("x")).as("st"), sum(col("pt")).as("ct"),
+             sum((lit(1) - col("pt")) * col("x")).as("sc"),
+             sum(lit(1) - col("pt")).as("cc"))
+        .filter(col("ct") > 0 && col("cc") > 0)
+        .select(col("rep"),
+                (col("st").cast("double") / col("ct").cast("double") -
+                 col("sc").cast("double") / col("cc").cast("double")).as("d"))
+      nulls.crossJoin(broadcast(obs))
+        .select(lit(idx.toLong).as("contrast_id"),
+                lit(s"$pa vs $pb").as("contrast"),
+                col("nt"), col("n"), col("obs_diff"),
+                (r4(abs(col("d"))) >= r4(abs(col("obs_diff"))))
+                  .cast("long").as("ext"))
+        .groupBy(col("contrast_id"), col("contrast"), col("nt"), col("n"))
+        .agg(first(r4(col("obs_diff") / 100.0)).as("obs_diff"),
+             count(lit(1)).as("n_reps"), sum(col("ext")).as("n_extreme"))
+        .select(col("contrast_id"), col("contrast"), col("nt").as("n_treat"),
+                (col("n") - col("nt")).as("n_ctrl"), col("obs_diff"),
+                col("n_reps"), col("n_extreme"),
+                r4((col("n_extreme") + 1).cast("double") /
+                   (col("n_reps") + 1).cast("double")).as("p_value"))
+    }
+    ordered(contrast(1, "1-URGENT", "5-LOW")
+              .unionByName(contrast(2, "2-HIGH", "3-MEDIUM")),
+            "contrast_id")
+  }
+
+  /** Overdispersion profile of the orders-per-customer count by segment:
+    * dispersion index D = s²/x̄ (Poisson ⇒ 1) plus the
+    * method-of-moments negative-binomial fit r̂ = x̄²/(s²−x̄),
+    * p̂ = x̄/s² where overdispersed — the distributional check behind
+    * every count-model choice. Zero-order customers INCLUDED via the
+    * dimension left join (dropping them biases x̄ up and D down — the
+    * classic mistake); moments exact integers off one fact hash-agg +
+    * one dim-grain agg.
+    */
+  def overdispersion(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .join(t(spark, sfDir, "orders")
+              .groupBy(col("o_custkey")).agg(count(lit(1)).as("k")),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("seg"), coalesce(col("k"), lit(0L)).as("k"))
+    val m = col("s").cast("double") / col("n_customers").cast("double")
+    val v = (col("s2").cast("double") -
+             col("s").cast("double") * col("s").cast("double") /
+               col("n_customers").cast("double")) /
+            (col("n_customers") - 1).cast("double")
+    ordered(
+      perCust.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("k")).as("s"),
+             sum(col("k") * col("k")).as("s2"))
+        .select(col("seg"), col("n_customers"),
+                r4(m).as("mean_orders"), r4(v).as("var_orders"),
+                r4(v / m).as("dispersion"),
+                r4(when(v > m, m * m / (v - m))).as("nb_r"),
+                r4(when(v > m, m / v)).as("nb_p")),
+      "seg")
   }
 }

@@ -918,4 +918,53 @@ object Warehouse {
                  coalesce(col("event_id_t2"), lit(-1L))).as("corrected")),
       "user_id")
   }
+
+  /** Data Vault 2.0 load profile (Linstedt's public modeling standard) —
+    * the OTHER warehouse modeling school next to the reference's Kimball
+    * star (ref README.md:48–51): business keys → hubs with deterministic
+    * md5 hash keys, relationships → links keyed by the md5 of the
+    * concatenated parent keys, descriptive attributes → satellites with
+    * an md5 HASHDIFF over the attribute payload (the change-detection
+    * column an incremental satellite load diffs against). Emits one
+    * profile row per vault table: row count, distinct-hash-key count
+    * (hk collisions or key duplication surface as n_rows ≠ n_distinct),
+    * and the min/max hash key — 32-hex-exact on both engines, so the
+    * gate pins the entire hashing discipline, not just counts. All four
+    * profiles are fact-linear hash-aggs; hash keys are what make the
+    * vault load embarrassingly parallel at 100 TB (no surrogate-key
+    * sequence bottleneck — the reason Data Vault scales writes).
+    */
+  def dataVault(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val hubCustomer = t(spark, sfDir, "customer")
+      .select(md5(col("c_custkey").cast("string")).as("hk"))
+    val hubOrder = orders
+      .select(md5(col("o_orderkey").cast("string")).as("hk"))
+    val linkOC = orders
+      .select(md5(concat_ws("|", col("o_orderkey").cast("string"),
+                            col("o_custkey").cast("string"))).as("hk"))
+    val satOrder = orders
+      .select(md5(concat_ws("|", col("o_orderkey").cast("string"))).as("hk"),
+              md5(concat_ws("|", col("o_orderstatus"),
+                            floor(col("o_totalprice") * 100.0 + 0.5)
+                              .cast("long").cast("string"),
+                            col("o_orderdate").cast("date").cast("string"),
+                            col("o_orderpriority"))).as("hashdiff"))
+    def profile(name: String, df: DataFrame, extra: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+             countDistinct(col("hk")).as("n_distinct_hk"),
+             min(col("hk")).as("min_hk"), max(col("hk")).as("max_hk"),
+             extra.as("n_distinct_payload"))
+        .select(lit(name).as("vault_table"), col("n_rows"),
+                col("n_distinct_hk"), col("n_distinct_payload"),
+                col("min_hk"), col("max_hk"))
+    ordered(
+      profile("hub_customer", hubCustomer, countDistinct(col("hk")))
+        .unionByName(profile("hub_order", hubOrder, countDistinct(col("hk"))))
+        .unionByName(profile("link_order_customer", linkOC,
+                             countDistinct(col("hk"))))
+        .unionByName(profile("sat_order", satOrder,
+                             countDistinct(col("hashdiff")))),
+      "vault_table")
+  }
 }

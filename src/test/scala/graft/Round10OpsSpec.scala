@@ -179,6 +179,92 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------- 10e: resampling, count models, MMR, Data Vault ----
+
+  test("permutationTest: the null distribution discriminates — a real " +
+       "effect gets a small p, a null contrast a large one") {
+    // sf0.01 (the gate scale): at sf0.001 each contrast has ~15 orders and
+    // the two p-values can coincide (measured) — the discrimination claim
+    // needs enough data for the effect to exist
+    val df = Insights.permutationTest(spark, "/root/testdata/sf0.01")
+    assertNonDegenerate(df, Seq("contrast", "obs_diff", "p_value"),
+                        minRows = 2)
+    val r = rows(df)
+    // URGENT-vs-LOW carries a real effect (p ≈ 0.05), HIGH-vs-MEDIUM is
+    // null (p ≈ 0.5) — the test must tell them apart by an order of magnitude
+    assert(r(0)(7).asInstanceOf[Double] < r(1)(7).asInstanceOf[Double] / 2,
+      s"expected discrimination: $r")
+    r.foreach { x =>
+      val (nReps, nExt, p) = (x(5).asInstanceOf[Long], x(6).asInstanceOf[Long],
+        x(7).asInstanceOf[Double])
+      assert(nExt <= nReps, s"row $x")
+      assert(p > 0.0 && p <= 1.0, s"row $x")
+      // add-one correction identity
+      assert(math.abs(p - (nExt + 1.0) / (nReps + 1.0)) < 2e-4, s"row $x")
+    }
+  }
+
+  test("overdispersion: dispersion = var/mean identity; NB fit emitted " +
+       "exactly when overdispersed, null when not") {
+    val df = Insights.overdispersion(spark, Sf)
+    assertNonDegenerate(df, Seq("seg", "mean_orders", "dispersion"),
+                        minRows = 5)
+    rows(df).foreach { x =>
+      val (m, v, d) = (x(2).asInstanceOf[Double], x(3).asInstanceOf[Double],
+        x(4).asInstanceOf[Double])
+      assert(math.abs(d - v / m) < 2e-3, s"row $x")
+      if (v > m) assert(x(5) != null && x(6) != null, s"row $x")
+      else assert(x(5) == null && x(6) == null, s"row $x")
+    }
+  }
+
+  test("mmrDiversity: greedy selection is relevance-first then " +
+       "diversity-aware — rank 1 is the BM25 top hit, later picks trade " +
+       "relevance against similarity to the selected set") {
+    val df = graft.operators.Similarity.mmrDiversity(spark, Sf)
+    assertNonDegenerate(df, Seq("doc_id", "mmr_score"), minRows = 5)
+    val r = rows(df)
+    assert(r.size === 5)
+    assert(r.map(_.head) === Seq(1L, 2L, 3L, 4L, 5L))
+    // rank 1 = pure-relevance argmax of the pool
+    val top = graft.operators.Text.bm25(spark, Sf, 20)
+      .orderBy(org.apache.spark.sql.functions.col("bm25").desc,
+               org.apache.spark.sql.functions.col("doc_id").asc)
+      .limit(1).collect()(0).getLong(0)
+    assert(r.head(1) === top)
+    assert(r.head(3) === 0.0) // no selected set yet
+    // each later pick's mmr_score equals 0.7*rel - 0.3*maxsim (r4)
+    r.tail.foreach { x =>
+      val (rel, ms, sc) = (x(2).asInstanceOf[Double], x(3).asInstanceOf[Double],
+        x(4).asInstanceOf[Double])
+      assert(math.abs(0.7 * rel - 0.3 * ms - sc) < 2e-3, s"row $x")
+    }
+    // all picks distinct
+    assert(r.map(_(1)).distinct.size === 5)
+  }
+
+  test("dataVault: hash keys are collision-free on the fixture and the " +
+       "link/sat counts tie to the source fact") {
+    val df = graft.operators.Warehouse.dataVault(spark, Sf)
+    assertNonDegenerate(df, Seq("vault_table", "n_rows", "min_hk"),
+                        minRows = 4)
+    val r = rows(df).map(x => x.head.asInstanceOf[String] -> x).toMap
+    val nOrders = graft.util.Tables.t(spark, Sf, "orders").count()
+    val nCust = graft.util.Tables.t(spark, Sf, "customer").count()
+    assert(r("hub_customer")(1) === nCust)
+    assert(r("hub_order")(1) === nOrders)
+    assert(r("link_order_customer")(1) === nOrders)
+    assert(r("sat_order")(1) === nOrders)
+    // no hash collisions: every vault table's hk is unique per source row
+    r.values.foreach { x =>
+      assert(x(2) === x(1), s"hk collision or dup in $x")
+    }
+    // hash keys are 32-hex md5
+    r.values.foreach { x =>
+      assert(x(4).asInstanceOf[String].matches("[0-9a-f]{32}"), s"$x")
+    }
+  }
+
   test("windowFunnel: depth histogram partitions the signup population " +
        "and tightening the window never increases depth") {
     val d7 = Windows.windowFunnel(spark, Sf, 7)
