@@ -427,6 +427,9 @@ object SparkEntry {
     "q_overdispersion"    -> q(Insights.overdispersion), // dispersion index + NB method-of-moments fit per segment, zero-order customers included
     "q_mmr_diversity"     -> q(Similarity.mmrDiversity(_, _, 5, 0.7)), // MMR diversity re-rank of the BM25 top-20, unrolled greedy rounds. k=5, lambda=0.7 PINNED to the oracle
     "q_data_vault"        -> q(Warehouse.dataVault), // Data Vault 2.0 hub/link/satellite load profile with md5 hash keys + hashdiff
+    // round-10f additions (embedding-training data ops on the native dot_q kernel)
+    "q_hard_negatives"    -> q(Similarity.hardNegatives), // hardest negative + hardest positive + margin per anchor, exact-integer cosine
+    "q_knn_label_noise"   -> q(Similarity.knnLabelNoise(_, _, 5)), // kNN majority-vote label-noise screen, per-label noise rates
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -7733,5 +7736,86 @@ object SparkEntry {
         |    CAST(count(DISTINCT hashdiff) AS BIGINT), min(hk), max(hk)
         |  FROM so)
         |SELECT * FROM u ORDER BY vault_table""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH qv AS (SELECT vec_id,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        |        FROM qv GROUP BY 1),
+        |dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS dp
+        |       FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT a_id, la.label AS a_label, b_id, lb.label AS b_label,
+        |         floor(CAST(dp AS DOUBLE)
+        |               / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+        |               * 10000.0 + 0.5) / 10000.0 AS cos
+        |       FROM dp JOIN nrm x ON a_id = x.vec_id
+        |       JOIN nrm y ON b_id = y.vec_id
+        |       JOIN lab la ON a_id = la.vec_id
+        |       JOIN lab lb ON b_id = lb.vec_id),
+        |hn AS (SELECT a_id, a_label, b_id, b_label, cos
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |               ORDER BY cos DESC, b_id ASC) AS rn
+        |             FROM sc WHERE a_label <> b_label)
+        |       WHERE rn = 1),
+        |hp AS (SELECT a_id, b_id, cos
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |               ORDER BY cos ASC, b_id ASC) AS rn
+        |             FROM sc WHERE a_label = b_label)
+        |       WHERE rn = 1)
+        |SELECT hn.a_id AS vec_id, hn.a_label AS label,
+        |       hn.b_id AS hard_neg_id, hn.b_label AS hard_neg_label,
+        |       hn.cos AS hard_neg_cos,
+        |       hp.b_id AS hard_pos_id, hp.cos AS hard_pos_cos,
+        |       floor((hn.cos - hp.cos) * 10000.0 + 0.5) / 10000.0 AS margin
+        |FROM hn JOIN hp ON hn.a_id = hp.a_id
+        |WHERE hn.a_id % 17 = 0 ORDER BY vec_id""".stripMargin,
+
+    "q_knn_label_noise" ->
+      """WITH qv AS (SELECT vec_id,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        |        FROM qv GROUP BY 1),
+        |dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS dp
+        |       FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT a_id, la.label AS a_label, b_id, lb.label AS b_label,
+        |         floor(CAST(dp AS DOUBLE)
+        |               / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+        |               * 10000.0 + 0.5) / 10000.0 AS cos
+        |       FROM dp JOIN nrm x ON a_id = x.vec_id
+        |       JOIN nrm y ON b_id = y.vec_id
+        |       JOIN lab la ON a_id = la.vec_id
+        |       JOIN lab lb ON b_id = lb.vec_id),
+        |knn AS (SELECT a_id, a_label, b_label
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |                ORDER BY cos DESC, b_id ASC) AS rk
+        |              FROM sc)
+        |        WHERE rk <= 5),
+        |votes AS (SELECT a_id, a_label, b_label,
+        |            CAST(count(*) AS BIGINT) AS v
+        |          FROM knn GROUP BY 1, 2, 3),
+        |maj AS (SELECT a_id, a_label, b_label AS knn_label
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |                ORDER BY v DESC, b_label ASC) AS rn
+        |              FROM votes)
+        |        WHERE rn = 1)
+        |SELECT a_label AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+        | CAST(sum(CASE WHEN knn_label <> a_label THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_flagged,
+        | floor(CAST(sum(CASE WHEN knn_label <> a_label THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+        |   / 10000.0 AS noise_rate
+        |FROM maj GROUP BY a_label ORDER BY label""".stripMargin,
   )
 }

@@ -17,6 +17,7 @@ object GraftFunctions {
     "dot_f"      -> (es => DotProductF(es(0), es(1))),
     "sig_match"  -> (es => SignatureMatchCount(es(0), es(1))),
     "sq_l2"      -> (es => SquaredL2Long(es(0), es(1))),
+    "dot_q"      -> (es => DotProductLong(es(0), es(1))),
     "shingles"   -> (es => DistinctShingles(es(0), es(1))),
     "pos_shingles" -> (es => PositionalShingles(es(0), es(1))),
     "hyperplane_bands" -> (es => HyperplaneBands(es(0))),
@@ -74,6 +75,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sq_l2"),
       new ExpressionInfo(classOf[SquaredL2Long].getName, "sq_l2"),
       (es: Seq[Expression]) => SquaredL2Long(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_q"),
+      (es: Seq[Expression]) => DotProductLong(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[DistinctShingles].getName, "shingles"),

@@ -307,3 +307,60 @@ case class DotProductF(left: Expression, right: Expression)
       : DotProductF = copy(left = l, right = r)
   override def prettyName: String = "dot_f"
 }
+
+/** dot_q(a, b): EXACT integer dot product of two array<bigint> vectors —
+  * the quantized-cosine kernel ([[graft.operators.Similarity.cosSimHist]]
+  * discipline) at codegen speed: the zip_with/aggregate HOF chain it
+  * replaces runs on Catalyst's interpreted path (measured unusable at
+  * the 25M-pair mining fan-out), while this is one primitive long loop
+  * inside whole-stage codegen, bit-identical to the HOF fold and to a
+  * DuckDB `sum(a.q*b.q)` over exact integers. Norms are `dot_q(v, v)`.
+  * Length mismatch yields NULL (the zip_with null-poisoning contract).
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L; var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : DotProductLong = copy(left = l, right = r)
+  override def prettyName: String = "dot_q"
+}

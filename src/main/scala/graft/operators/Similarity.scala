@@ -549,4 +549,116 @@ object Similarity {
     }
     ordered(selected, "rank")
   }
+
+  /** Labeled, ·10⁶-quantized vector frame shared by the embedding-training
+    * data ops: (vec_id, label, qv array<bigint>, n2 = dot_q(qv,qv)).
+    * Norms precomputed ONCE per vector — the pair joins below would
+    * otherwise recompute each norm n times.
+    */
+  private def labeledQuantized(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = transform(col("embedding"),
+                      v => floor(v.cast("double") * 1000000.0 + 0.5).cast("long"))
+    t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"), q.as("qv"))
+      .withColumn("n2", call_function("dot_q", col("qv"), col("qv")))
+  }
+
+  /** Hard-negative mining for embedding training (the triplet-builder
+    * behind every contrastive fine-tune): for each anchor vector, the
+    * HIGHEST-cosine vector of a DIFFERENT label (hardest negative — the
+    * confusable impostor) and the LOWEST-cosine vector of the SAME label
+    * (hardest positive — the estranged twin), plus the margin
+    * hn_cos − hp_cos (positive margin = the anchor's class is locally
+    * entangled; the rows a curriculum should upweight). Pair scoring is
+    * the exact-integer `dot_q` codegen kernel over ·10⁶-quantized
+    * components — the interpreted zip_with fold is unusable at this
+    * fan-out, and float kernels break the hash gate (engine summation
+    * order; the q_cos_sim_hist lesson). Plan: one n² self-join with
+    * per-vector norms precomputed, two max_by/min_by-style struct
+    * extremes per anchor in ONE hash-agg. Corpus-wide mining; output
+    * bounded to the vec_id % 17 sample (gate-size discipline, the
+    * targetEncodingLoo precedent). At 100 TB the n² join swaps for the
+    * annLsh bucketed candidate stream — scoring and extremes unchanged.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = labeledQuantized(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = v.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+                     col("qv").as("qa"), col("n2").as("na2"))
+    val b = v.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+                     col("qv").as("qb"), col("n2").as("nb2"))
+    val cos = r4(call_function("dot_q", col("qa"), col("qb")).cast("double") /
+                 (sqrt(col("na2").cast("double")) *
+                  sqrt(col("nb2").cast("double"))))
+    val scored = a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+              cos.as("cos"))
+    // deterministic extremes: max/min struct with (cos, ±b_id) tiebreak —
+    // b_id negated on the max side so ties break to the SMALLER id
+    val mined = scored.groupBy(col("a_id"), col("a_label"))
+      .agg(
+        max(when(col("a_label") =!= col("b_label"),
+                 struct(col("cos").as("c"), (-col("b_id")).as("nid"),
+                        col("b_label").as("lb")))).as("hn"),
+        min(when(col("a_label") === col("b_label"),
+                 struct(col("cos").as("c"), col("b_id").as("id"),
+                        col("b_label").as("lb")))).as("hp"))
+    ordered(
+      mined.filter(col("a_id") % 17 === 0)
+        .select(col("a_id").as("vec_id"), col("a_label").as("label"),
+                (-col("hn.nid")).as("hard_neg_id"),
+                col("hn.lb").as("hard_neg_label"),
+                col("hn.c").as("hard_neg_cos"),
+                col("hp.id").as("hard_pos_id"),
+                col("hp.c").as("hard_pos_cos"),
+                r4(col("hn.c") - col("hp.c")).as("margin")),
+      "vec_id")
+  }
+
+  /** kNN label-noise screen (the Wilson/ENN-style edit rule every
+    * labeled-dataset cleaning pass runs): a vector whose k=5 nearest
+    * neighbors' majority label disagrees with its own label is flagged as
+    * probable noise; emitted as a per-label noise-rate report. Neighbors
+    * by the same exact-integer dot_q cosine; the k-cut is a per-anchor
+    * rank window over the r4 score with b_id tiebreak (engine-portable);
+    * majority = max (votes, −label) so vote ties break to the smaller
+    * label, deterministically. Same n²-join scale shape as
+    * [[hardNegatives]] with the same LSH swap-in at 100 TB.
+    */
+  def knnLabelNoise(spark: SparkSession, sfDir: String,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = labeledQuantized(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = v.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+                     col("qv").as("qa"), col("n2").as("na2"))
+    val b = v.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+                     col("qv").as("qb"), col("n2").as("nb2"))
+    val cos = r4(call_function("dot_q", col("qa"), col("qb")).cast("double") /
+                 (sqrt(col("na2").cast("double")) *
+                  sqrt(col("nb2").cast("double"))))
+    val wk = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("b_id").asc)
+    val knn = a.join(b, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+              cos.as("cos"))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+    val voted = knn.groupBy(col("a_id"), col("a_label"), col("b_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(max(struct(col("votes").as("v"), (-col("b_label")).as("nl")))
+             .as("m"))
+      .select(col("a_id"), col("a_label"), (-col("m.nl")).as("knn_label"))
+    ordered(
+      voted.groupBy(col("a_label").as("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+             sum(when(col("knn_label") =!= col("a_label"), 1L).otherwise(0L))
+               .as("n_flagged"))
+        .select(col("label"), col("n_vectors"), col("n_flagged"),
+                r4(col("n_flagged").cast("double") /
+                   col("n_vectors").cast("double")).as("noise_rate")),
+      "label")
+  }
 }

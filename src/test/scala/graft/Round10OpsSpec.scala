@@ -265,6 +265,76 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------- 10f: embedding-training data ops ----------------
+
+  test("dot_q kernel: codegen result equals the interpreted HOF fold " +
+       "exactly, and null-poisons on length mismatch") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1L, -2L, 3L), Array(4L, 5L, -6L)),
+                 (Array(1000000L, 2000000L), Array(3000000L, -1000000L)))
+      .toDF("a", "b")
+    val got = df.select(
+      call_function("dot_q", col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+                lit(0L), (acc, x) => acc + x).as("h")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val mismatch = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+      .select(call_function("dot_q", col("a"), col("b"))).collect()
+    assert(mismatch(0).isNullAt(0))
+  }
+
+  test("hardNegatives: negatives differ in label, positives share it, " +
+       "margin identity holds, extremes verified against brute force") {
+    val df = graft.operators.Similarity.hardNegatives(spark, Sf)
+    assertNonDegenerate(df, Seq("vec_id", "hard_neg_cos", "margin"),
+                        minRows = 2)
+    val r = rows(df)
+    r.foreach { x =>
+      assert(x(1) != x(3), s"hard negative must differ in label: $x")
+      val (hn, hp, mg) = (x(4).asInstanceOf[Double], x(6).asInstanceOf[Double],
+        x(7).asInstanceOf[Double])
+      assert(math.abs(hn - hp - mg) < 2e-4, s"margin identity: $x")
+    }
+    // brute-force one anchor: recompute its extremes from the raw pairs
+    val anchor = r.head(0).asInstanceOf[Long]
+    import org.apache.spark.sql.functions.{col => c}
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.util.Tables.t(spark, Sf, "embeddings").collect()
+      .map(row => (row.getLong(0),
+        row.getInt(2).toLong,
+        row.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)))
+    val (_, aLab, aQ) = emb.find(_._1 == anchor).get
+    def cos(x: Seq[Long], y: Seq[Long]): Double = {
+      val dp = x.zip(y).map { case (p, q) => p * q }.sum
+      val v = dp.toDouble / (math.sqrt(x.map(p => p * p).sum.toDouble) *
+        math.sqrt(y.map(p => p * p).sum.toDouble))
+      math.floor(v * 10000.0 + 0.5) / 10000.0
+    }
+    val negs = emb.filter(e => e._1 != anchor && e._2 != aLab)
+      .map(e => (cos(aQ, e._3), e._1))
+    val bestNeg = negs.maxBy(t => (t._1, -t._2))
+    assert(r.head(4) === bestNeg._1 && r.head(2) === bestNeg._2,
+      s"brute force disagrees: $bestNeg vs ${r.head}")
+  }
+
+  test("knnLabelNoise: rates bounded, flags tie to vector counts, and " +
+       "the report covers every label") {
+    val df = graft.operators.Similarity.knnLabelNoise(spark, Sf)
+    assertNonDegenerate(df, Seq("label", "n_vectors"), minRows = 5)
+    val r = rows(df)
+    assert(r.size === 10) // all ten labels reported
+    r.foreach { x =>
+      val (n, f, rate) = (x(1).asInstanceOf[Long], x(2).asInstanceOf[Long],
+        x(3).asInstanceOf[Double])
+      assert(f <= n, s"row $x")
+      assert(rate >= 0.0 && rate <= 1.0, s"row $x")
+      assert(math.abs(rate - f.toDouble / n) < 2e-4, s"row $x")
+    }
+    assert(r.map(_(1).asInstanceOf[Long]).sum ===
+           graft.util.Tables.t(spark, Sf, "embeddings").count())
+  }
+
   test("windowFunnel: depth histogram partitions the signup population " +
        "and tightening the window never increases depth") {
     val d7 = Windows.windowFunnel(spark, Sf, 7)
