@@ -378,7 +378,14 @@ class ScaleInfraSpec extends SparkSpec {
                         // collect the exact L1 normalizer (a DECIMAL whose
                         // floor-div exceeds Long at the 100x decade, so it
                         // splices back as a decimal literal)
-                        "q_embed_pca_power")
+                        "q_embed_pca_power",
+                        // greedy sequential selection: round j's pick
+                        // depends on rounds 1..j-1's VALUES, and the lazy
+                        // nested-TakeOrdered plan re-planned every stage
+                        // (measured 5.9 s vs 1.3 s eager at k=5 — the
+                        // rakingIpf plan-nesting lesson); the checkpointed
+                        // frame is k rows, driver-trivial at any scale
+                        "q_mmr_diversity")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
