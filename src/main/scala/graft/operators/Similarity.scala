@@ -620,15 +620,20 @@ object Similarity {
     * labeled-dataset cleaning pass runs): a vector whose k=5 nearest
     * neighbors' majority label disagrees with its own label is flagged as
     * probable noise; emitted as a per-label noise-rate report. Neighbors
-    * by the same exact-integer dot_q cosine; the k-cut is a per-anchor
-    * rank window over the r4 score with b_id tiebreak (engine-portable);
-    * majority = max (votes, −label) so vote ties break to the smaller
-    * label, deterministically. Same n²-join scale shape as
-    * [[hardNegatives]] with the same LSH swap-in at 100 TB.
+    * by the same exact-integer dot_q cosine; the k-cut is
+    * [[graft.util.TopK.perGroup]] per anchor on the r4 score with b_id
+    * tiebreak (engine-portable) — phase 1's per-(anchor, partition)
+    * local top-k runs where the pair stream is born (the nested-loop
+    * join's output is already anchor-partitioned), so only ~k rows per
+    * anchor ever shuffle instead of the full n² pair stream (the plain
+    * rank-window draft shuffled 4·10⁸ rows at the 10× decade and walled
+    * >10 min; this one is 10× cheaper on the same data). Majority =
+    * max (votes, −label): vote ties break to the smaller label,
+    * deterministically. Same n²-scoring scale shape as [[hardNegatives]]
+    * with the same LSH swap-in at 100 TB.
     */
   def knnLabelNoise(spark: SparkSession, sfDir: String,
                     k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = labeledQuantized(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = v.select(col("vec_id").as("a_id"), col("label").as("a_label"),
@@ -638,13 +643,20 @@ object Similarity {
     val cos = r4(call_function("dot_q", col("qa"), col("qb")).cast("double") /
                  (sqrt(col("na2").cast("double")) *
                   sqrt(col("nb2").cast("double"))))
-    val wk = Window.partitionBy(col("a_id"))
-      .orderBy(col("cos").desc, col("b_id").asc)
-    val knn = a.join(b, col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
-              cos.as("cos"))
-      .withColumn("rk", row_number().over(wk))
-      .filter(col("rk") <= k)
+    // pre-partition the ANCHOR side (a 20k-row exchange): the nested-loop
+    // join preserves the streamed side's partitioning, and
+    // HashPartitioning(a_id) satisfies both TopK windows' clustering, so
+    // the n² pair stream is scored, locally sorted, and k-cut IN PLACE —
+    // without this the window exchanged all 4·10⁸ pairs at the 10× decade
+    // (~17 GB shuffle) and the query walled >10 min; with it the pair
+    // stream never leaves its producing task
+    val knn = graft.util.TopK.perGroup(
+      a.repartition(col("a_id"))
+        .join(b, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+                cos.as("cos")),
+      Seq(col("a_id"), col("a_label")),
+      Seq(col("cos").desc, col("b_id").asc), k)
     val voted = knn.groupBy(col("a_id"), col("a_label"), col("b_label"))
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("a_id"), col("a_label"))
