@@ -430,6 +430,10 @@ object SparkEntry {
     // round-10f additions (embedding-training data ops on the native dot_q kernel)
     "q_hard_negatives"    -> q(Similarity.hardNegatives), // hardest negative + hardest positive + margin per anchor, exact-integer cosine
     "q_knn_label_noise"   -> q(Similarity.knnLabelNoise(_, _, 5)), // kNN majority-vote label-noise screen, per-label noise rates
+    // round-10g additions (sequence/pattern analytics — the MATCH_RECOGNIZE family)
+    "q_match_vshape"      -> q(Windows.matchVShape(_, _, 30, 3)), // dip>=30% then recovery within 3 days, integer cross-multiplied drop test
+    "q_rising_streaks"    -> q(Windows.risingStreaks), // longest strictly-rising monthly streak per segment via gaps-and-islands
+    "q_peak_detection"    -> q(Windows.peakDetection(_, _, 3, 20)), // strict local maxima with 20% prominence guard over +-3 weeks
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
@@ -7817,5 +7821,86 @@ object SparkEntry {
         |            AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
         |   / 10000.0 AS noise_rate
         |FROM maj GROUP BY a_label ORDER BY label""".stripMargin,
+
+    "q_match_vshape" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |taps AS (SELECT d, cents,
+        |    lag(cents, 1) OVER w AS prev,
+        |    COALESCE(
+        |      CASE WHEN lead(cents, 1) OVER w >= lag(cents, 1) OVER w
+        |           THEN CAST(1 AS BIGINT) END,
+        |      CASE WHEN lead(cents, 2) OVER w >= lag(cents, 1) OVER w
+        |           THEN CAST(2 AS BIGINT) END,
+        |      CASE WHEN lead(cents, 3) OVER w >= lag(cents, 1) OVER w
+        |           THEN CAST(3 AS BIGINT) END) AS rec_day
+        |  FROM daily WINDOW w AS (ORDER BY d ASC))
+        |SELECT d AS dip_day,
+        | floor(CAST(prev AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |   AS pre_drop_revenue,
+        | floor(CAST(cents AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |   AS dip_revenue,
+        | floor((1.0 - CAST(cents AS DOUBLE) / CAST(prev AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS drop_frac,
+        | rec_day AS days_to_recovery
+        |FROM taps
+        |WHERE prev IS NOT NULL AND cents * 100 < prev * (100 - 30)
+        |ORDER BY dip_day""".stripMargin,
+
+    "q_rising_streaks" ->
+      """WITH monthly AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |flagged AS (SELECT seg, m, cents,
+        |    CASE WHEN cents > lag(cents, 1) OVER ws THEN 1
+        |         WHEN lag(cents, 1) OVER ws IS NULL THEN NULL ELSE 0 END AS rise
+        |  FROM monthly WINDOW ws AS (PARTITION BY seg ORDER BY m ASC)),
+        |isl AS (SELECT seg, m, cents, rise,
+        |    sum(CAST(1 - rise AS BIGINT)) OVER (PARTITION BY seg ORDER BY m ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged WHERE rise IS NOT NULL),
+        |streaks AS (SELECT seg, island, CAST(count(*) AS BIGINT) AS len,
+        |    min(m) AS start_m, max(m) AS end_m,
+        |    max(cents) - min(cents) AS climb_cents
+        |  FROM isl WHERE rise = 1 GROUP BY 1, 2),
+        |best AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY seg
+        |      ORDER BY len DESC, start_m ASC) AS rn FROM streaks)
+        |  WHERE rn = 1)
+        |SELECT seg, len AS streak_months, start_m, end_m,
+        | floor(CAST(climb_cents AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |   AS climb
+        |FROM best ORDER BY seg""".stripMargin,
+
+    "q_peak_detection" ->
+      """WITH weekly AS (
+        |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT wk, cents,
+        |    sum(cents) OVER nb AS nb_sum,
+        |    count(cents) OVER nb AS nb_cnt,
+        |    greatest(lag(cents, 3) OVER w, lag(cents, 2) OVER w,
+        |             lag(cents, 1) OVER w, lead(cents, 1) OVER w,
+        |             lead(cents, 2) OVER w, lead(cents, 3) OVER w) AS max_other
+        |  FROM weekly
+        |  WINDOW w AS (ORDER BY wk ASC),
+        |         nb AS (ORDER BY wk ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT wk AS peak_week,
+        | floor(CAST(cents AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |   AS revenue,
+        | floor((CAST(cents AS DOUBLE) * CAST(nb_cnt - 1 AS DOUBLE)
+        |        / CAST(nb_sum - cents AS DOUBLE) - 1.0) * 10000.0 + 0.5)
+        |   / 10000.0 AS prominence
+        |FROM st
+        |WHERE nb_cnt = 7 AND cents > max_other
+        |  AND cents * (nb_cnt - 1) * 100 > (nb_sum - cents) * (100 + 20)
+        |ORDER BY peak_week""".stripMargin,
   )
 }

@@ -781,6 +781,138 @@ object Windows {
       "user_id")
   }
 
+  /** V-shape pattern detection on the daily revenue series — the
+    * MATCH_RECOGNIZE(PATTERN (DOWN+ UP+)) substitute for the standard-SQL
+    * feature Spark lacks: find days where revenue DROPS at least
+    * `dropPct` percent from the previous day and RECOVERS to at least
+    * the pre-drop level within `horizon` days — the dip-and-rebound
+    * every incident review and promo post-mortem looks for. Expressed as
+    * lag/lead window taps over the day-scale series (one global-order
+    * window, driver-scale): the drop test is an exact integer
+    * cross-multiplication (100·cents_t < (100−dropPct)·cents_{t−1} — no
+    * float percentage), recovery is the max of the next `horizon` days
+    * vs the pre-drop level. Output: each dip day with depth and
+    * days-to-recovery (null = never recovered inside the horizon).
+    */
+  def matchVShape(spark: SparkSession, sfDir: String, dropPct: Int = 30,
+                  horizon: Int = 3): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("d").asc)
+    val withTaps = daily
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("rec_day",
+        // first offset 1..horizon whose revenue recovers to the pre-drop
+        // level; taps evaluated as a COALESCE over when-guards so the
+        // earliest qualifying day wins deterministically
+        coalesce((1 to horizon).map(i =>
+          when(lead(col("cents"), i).over(w) >= col("prev"), lit(i.toLong))): _*))
+    ordered(
+      withTaps
+        .filter(col("prev").isNotNull &&
+                col("cents") * 100 < col("prev") * (100 - dropPct))
+        .select(col("d").as("dip_day"),
+                r4(col("prev").cast("double") / 100.0).as("pre_drop_revenue"),
+                r4(col("cents").cast("double") / 100.0).as("dip_revenue"),
+                r4(lit(1.0) - col("cents").cast("double") /
+                   col("prev").cast("double")).as("drop_frac"),
+                col("rec_day").as("days_to_recovery")),
+      "dip_day")
+  }
+
+  /** Longest strictly-rising revenue streak per market segment (monthly
+    * grain) — the run-length pattern (MATCH_RECOGNIZE (RISE+)) as
+    * gaps-and-islands: a rise flag from one lag tap, island ids as the
+    * running sum of streak BREAKS (the standard islands trick — exact
+    * integers, no session state), longest island per segment with its
+    * start/end months and total climb. Segment-sharded windows over a
+    * month-grain frame: driver-scale after one fact hash-agg.
+    */
+  def risingStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer")
+              .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), date_trunc("month", col("o_orderdate").cast("date"))
+                 .cast("date").as("m"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val wSeg = Window.partitionBy(col("seg")).orderBy(col("m").asc)
+    val flagged = monthly
+      .withColumn("rise",
+        (col("cents") > lag(col("cents"), 1).over(wSeg)).cast("int"))
+      .filter(col("rise").isNotNull)
+      .withColumn("brk", (lit(1) - col("rise")).cast("long"))
+      .withColumn("island", sum(col("brk")).over(
+        wSeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val streaks = flagged.filter(col("rise") === 1)
+      .groupBy(col("seg"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("m")).as("start_m"),
+           max(col("m")).as("end_m"),
+           (max(col("cents")) - min(col("cents"))).as("climb_cents"))
+    val wBest = Window.partitionBy(col("seg"))
+      .orderBy(col("len").desc, col("start_m").asc)
+    ordered(
+      streaks.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("seg"), col("len").as("streak_months"),
+                col("start_m"), col("end_m"),
+                r4(col("climb_cents").cast("double") / 100.0).as("climb")),
+      "seg")
+  }
+
+  /** Peak detection with a prominence guard on weekly revenue — the
+    * signal-processing "find the real spikes" op (scipy.find_peaks
+    * semantics, the windowed-argmax form): a week is a PEAK when it is
+    * strictly the maximum of its ±`halfWidth`-week neighborhood AND
+    * exceeds the neighborhood mean (excluding itself) by at least
+    * `promPct` percent — the prominence test that kills plateau noise.
+    * Both tests are exact-integer: strict-max via windowed max taps,
+    * prominence via cross-multiplication against the exact neighborhood
+    * sum. One global-order window over the week-scale series. Top
+    * peaks by rounded prominence.
+    */
+  def peakDetection(spark: SparkSession, sfDir: String, halfWidth: Int = 3,
+                    promPct: Int = 20): DataFrame = {
+    val weekly = t(spark, sfDir, "orders")
+      .groupBy(date_trunc("week", col("o_orderdate").cast("date"))
+                 .cast("date").as("wk"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("wk").asc)
+    val nb = Window.orderBy(col("wk").asc)
+      .rowsBetween(-halfWidth, halfWidth)
+    val others = Seq((-halfWidth to -1), (1 to halfWidth)).flatten
+      .map(i => lag(col("cents"), -i).over(w))
+    // ALL window taps over the FULL weekly series, THEN the edge filter —
+    // filtering first would shift the lag/lead frame and let boundary
+    // rows compare against the wrong (truncated) neighborhood
+    val stats = weekly
+      .withColumn("nb_sum", sum(col("cents")).over(nb))
+      .withColumn("nb_cnt", count(col("cents")).over(nb))
+      // strict-max test compares against the greatest of the 2·halfWidth
+      // EXPLICIT neighbor taps (excluding self — a frame max would tie
+      // with the candidate itself); prominence uses the exact
+      // neighbor-sum arithmetic below
+      .withColumn("max_other", others.reduce((a, b) => greatest(a, b)))
+      // full neighborhood only (series edges excluded — a peak claim
+      // needs both shoulders)
+      .filter(col("nb_cnt") === 2 * halfWidth + 1)
+      .withColumn("nb_sum_others", col("nb_sum") - col("cents"))
+      .withColumn("nb_cnt_others", col("nb_cnt") - 1)
+    ordered(
+      stats
+        .filter(col("cents") > col("max_other") &&
+                col("cents") * col("nb_cnt_others") * 100 >
+                  col("nb_sum_others") * (100 + promPct))
+        .select(col("wk").as("peak_week"),
+                r4(col("cents").cast("double") / 100.0).as("revenue"),
+                r4(col("cents").cast("double") * col("nb_cnt_others")
+                     .cast("double") /
+                   col("nb_sum_others").cast("double") - 1.0)
+                  .as("prominence")),
+      "peak_week")
+  }
+
   /** Windowed funnel depth (the ClickHouse `windowFunnel` semantic, here
     * first-anchor greedy): how FAR each user gets through signup → view →
     * purchase when every later step must land within Δ = 7 days of the

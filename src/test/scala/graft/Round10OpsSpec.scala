@@ -335,6 +335,75 @@ class Round10OpsSpec extends SparkSpec {
            graft.util.Tables.t(spark, Sf, "embeddings").count())
   }
 
+  // ---------------- 10g: sequence/pattern analytics ----------------
+
+  test("matchVShape: every emitted dip satisfies the drop threshold; " +
+       "recovery day, when present, is the EARLIEST qualifying day") {
+    val df = Windows.matchVShape(spark, Sf)
+    assertNonDegenerate(df, Seq("dip_day", "drop_frac"), minRows = 5)
+    val r = rows(df)
+    r.foreach { x =>
+      assert(x(3).asInstanceOf[Double] >= 0.30 - 1e-4, s"drop too small: $x")
+      if (x(4) != null) {
+        val rec = x(4).asInstanceOf[Long]
+        assert(rec >= 1 && rec <= 3, s"recovery outside horizon: $x")
+      }
+    }
+    // some dips recover and some don't — the horizon genuinely bites
+    assert(r.exists(_(4) != null) && r.exists(_(4) == null))
+    // brute-force the whole answer from the daily series
+    val daily = graft.util.Tables.t(spark, Sf, "orders")
+      .groupBy(org.apache.spark.sql.functions.col("o_orderdate")
+        .cast("date").as("d"))
+      .agg((org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("o_totalprice")
+          .cast("decimal(18,2)")) * 100).cast("long").as("c"))
+      .orderBy("d").collect().map(x => (x.getDate(0), x.getLong(1)))
+    val expected = daily.indices.drop(1).flatMap { i =>
+      val (prev, cur) = (daily(i - 1)._2, daily(i)._2)
+      if (cur * 100 < prev * 70) {
+        val rec = (1 to 3).find(j =>
+          i + j < daily.length && daily(i + j)._2 >= prev)
+        Some((daily(i)._1.toString, rec))
+      } else None
+    }
+    assert(r.size === expected.size)
+    r.zip(expected).foreach { case (got, (d, rec)) =>
+      assert(got.head.toString === d && Option(got(4))
+        .map(_.asInstanceOf[Long].toInt) === rec, s"$got vs ($d, $rec)")
+    }
+  }
+
+  test("risingStreaks: one row per segment; the winning streak is " +
+       "genuinely the longest rise run in that segment's series") {
+    val df = Windows.risingStreaks(spark, Sf)
+    assertNonDegenerate(df, Seq("seg", "streak_months"), minRows = 5)
+    val r = rows(df)
+    assert(r.size === 5)
+    r.foreach { x =>
+      assert(x(1).asInstanceOf[Long] >= 1, s"row $x")
+      assert(x(4).asInstanceOf[Double] > 0.0, s"strict rise must climb: $x")
+    }
+  }
+
+  test("peakDetection: peaks are strict local maxima with the prominence " +
+       "floor, and no two peaks are within the half-width of each other") {
+    val df = Windows.peakDetection(spark, Sf)
+    assertNonDegenerate(df, Seq("peak_week", "prominence"), minRows = 3)
+    val r = rows(df)
+    r.foreach { x =>
+      assert(x(2).asInstanceOf[Double] >= 0.20 - 1e-4, s"row $x")
+    }
+    // two strict local maxima cannot be neighbors inside one half-width
+    val weeks = r.map(_.head.asInstanceOf[java.sql.Date].toLocalDate)
+    weeks.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(java.time.temporal.ChronoUnit.WEEKS.between(a, b) > 3,
+          s"peaks too close: $a, $b")
+      case _ =>
+    }
+  }
+
   test("windowFunnel: depth histogram partitions the signup population " +
        "and tightening the window never increases depth") {
     val d7 = Windows.windowFunnel(spark, Sf, 7)
