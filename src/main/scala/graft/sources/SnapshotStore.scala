@@ -290,6 +290,63 @@ object SnapshotStore {
     spark.read.parquet(manifestData(spark, baseDir, vs.max))
   }
 
+  /** Read ACROSS committed versions with schema evolution: the union of
+    * version `from..to` under the MERGED schema (columns added in later
+    * versions read as NULL in earlier ones — parquet mergeSchema
+    * semantics, resolved over the manifest-listed directories only, so
+    * in-flight writers stay invisible). The audit/backfill read shape:
+    * "every row this table ever held, under today's schema". Column
+    * REMOVALS are additive-history-safe by the same rule (the removed
+    * column survives as NULL-padded history); incompatible TYPE changes
+    * fail loudly in the parquet merger, which is the correct contract.
+    */
+  def readCommittedHistory(spark: SparkSession, baseDir: String,
+                           from: Long = 0L,
+                           to: Long = Long.MaxValue): DataFrame = {
+    val vs = committedVersions(spark, baseDir).filter(v => v >= from && v <= to)
+    require(vs.nonEmpty, s"no committed versions in [$from, $to] under $baseDir")
+    val dirs = vs.map(v => manifestData(spark, baseDir, v))
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Right-to-erasure rewrite (the GDPR/CCPA delete a warehouse on
+    * immutable snapshots actually performs): publish a NEW version equal
+    * to the latest committed snapshot minus the given keys, through the
+    * same atomic commit protocol — readers flip atomically from
+    * version N to the erased N+1, and prior versions remain for the
+    * retention-window audit until [[expireVersions]] drops them. The
+    * erase itself is one anti-join against a broadcastable key list
+    * (erasure requests are human-scale even at 100 TB facts). Returns
+    * (newVersion, rowsErased).
+    */
+  def eraseKeys(spark: SparkSession, baseDir: String, keyCol: String,
+                keys: DataFrame): (Long, Long) = {
+    val current = readCommitted(spark, baseDir)
+    val keyList = broadcast(keys.select(col(keyCol)).distinct())
+    val kept = current.join(keyList, Seq(keyCol), "left_anti")
+    val erased = current.join(keyList, Seq(keyCol), "left_semi").count()
+    (commitSnapshot(kept, baseDir), erased)
+  }
+
+  /** Drop committed versions older than `keepLast` (retention-window
+    * cleanup): deletes the expired manifests FIRST (the version vanishes
+    * atomically from every reader's listing), then the now-unreferenced
+    * data directories via [[vacuumOrphans]]. The latest version is never
+    * expirable. Returns the expired version numbers.
+    */
+  def expireVersions(spark: SparkSession, baseDir: String,
+                     keepLast: Int): Seq[Long] = {
+    val (fs, _) = fsFor(spark, baseDir)
+    val vs = committedVersions(spark, baseDir)
+    val expired = vs.dropRight(math.max(1, keepLast))
+    expired.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(f"$baseDir/_commits/v$v%05d.json"),
+                false)
+    }
+    vacuumOrphans(spark, baseDir)
+    expired
+  }
+
   /** Delete staged data directories no manifest references — crashed or
     * race-losing writers' leftovers. Never touches a referenced directory,
     * so concurrent readers of any committed version are unaffected.

@@ -502,6 +502,43 @@ class ScaleInfraSpec extends SparkSpec {
     assert(readCommitted(spark, dir).count() === 2L) // still intact
   }
 
+  test("manifest commit protocol: schema evolution, right-to-erasure, " +
+       "and retention expiry compose over committed versions") {
+    import graft.sources.SnapshotStore._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_acid3").toString
+    // v0: two columns; v1 adds a column (schema evolution)
+    commitSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    commitSnapshot(Seq((3L, "c", 9.9)).toDF("id", "v", "score"), dir)
+    val hist = readCommittedHistory(spark, dir)
+    assert(hist.columns.toSet === Set("id", "v", "score"))
+    assert(hist.count() === 3)
+    // v0 rows surface with NULL score under the merged schema
+    assert(hist.filter(col("score").isNull).count() === 2)
+
+    // right-to-erasure: new version without id=2; old versions intact
+    val (vNew, erased) = eraseKeys(spark, dir, "id",
+                                   Seq(2L, 999L).toDF("id"))
+    assert(vNew === 2L && erased === 0L) // latest (v1) holds only id=3
+    val (vNew2, erased2) = eraseKeys(
+      spark, s"$dir", "id", Seq(3L).toDF("id"))
+    assert(vNew2 === 3L && erased2 === 1L)
+    assert(readCommitted(spark, dir).filter(col("id") === 3L).count() === 0)
+    // audit window: the pre-erasure version is still readable by number
+    assert(readCommitted(spark, dir, asOf = 1L)
+             .filter(col("id") === 3L).count() === 1)
+
+    // retention expiry: keep last 2 → v0/v1 gone, data dirs vacuumed,
+    // latest reads unaffected
+    val expired = expireVersions(spark, dir, keepLast = 2)
+    assert(expired === Seq(0L, 1L))
+    assert(committedVersions(spark, dir) === Seq(2L, 3L))
+    assert(readCommitted(spark, dir).count() === 0) // v3 = v1 minus id 3
+    intercept[IllegalArgumentException] {
+      readCommitted(spark, dir, asOf = 1L)
+    }
+  }
+
   test("poissonBootstrap broadcasts the replicate grid — the corpus " +
        "never shuffles before the replicate aggregate") {
     val plan = graft.operators.Insights.poissonBootstrap(spark, Sf, 100)
