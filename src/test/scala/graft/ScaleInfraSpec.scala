@@ -539,6 +539,40 @@ class ScaleInfraSpec extends SparkSpec {
     }
   }
 
+  test("round-10 plans: permutation grid broadcasts, bipartite pairs " +
+       "equi-join, mining runs the dot_q codegen kernel shuffle-free") {
+    // permutationTest: the B-row replicate grid must arrive by broadcast
+    // (the poissonBootstrap discipline) — a shuffled join would move the
+    // fact table B times
+    val permPlan = graft.operators.Insights.permutationTest(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(permPlan.contains("BroadcastExchange"), permPlan.take(1200))
+    assert(!permPlan.contains("CartesianProduct"), permPlan.take(1200))
+    // bipartiteProjection: within-order pairs are an EQUI-join on the
+    // order key — never a cross product
+    val bipPlan = graft.operators.Insights.bipartiteProjection(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!bipPlan.contains("CartesianProduct") &&
+           !bipPlan.contains("BroadcastNestedLoopJoin"), bipPlan.take(1200))
+    // hardNegatives: scoring must run the native dot_q kernel (codegen),
+    // not an interpreted HOF fold
+    val hnPlan = graft.operators.Similarity.hardNegatives(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(hnPlan.contains("dot_q"), hnPlan.take(1200))
+    // knnLabelNoise: the n² pair stream must NOT be exchanged — the only
+    // hash exchanges are the 20k-row anchor repartition and the tiny
+    // post-vote label aggregate; pair-grain columns (b_id / cos) never
+    // appear in an Exchange's partitioning expressions
+    val knnPlan = graft.operators.Similarity.knnLabelNoise(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = knnPlan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    exchanges.foreach { l =>
+      assert(!l.contains("b_id") && !l.contains("cos#"),
+        s"pair-grain exchange leaked into the kNN plan: $l")
+    }
+  }
+
   test("poissonBootstrap broadcasts the replicate grid — the corpus " +
        "never shuffles before the replicate aggregate") {
     val plan = graft.operators.Insights.poissonBootstrap(spark, Sf, 100)
