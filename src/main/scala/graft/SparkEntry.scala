@@ -430,6 +430,9 @@ object SparkEntry {
     // round-10f additions (embedding-training data ops on the native dot_q kernel)
     "q_hard_negatives"    -> q(Similarity.hardNegatives), // hardest negative + hardest positive + margin per anchor, exact-integer cosine
     "q_knn_label_noise"   -> q(Similarity.knnLabelNoise(_, _, 5)), // kNN majority-vote label-noise screen, per-label noise rates
+    // round-10h additions (model-eval metrics over the embedding space)
+    "q_auc_roc"           -> q(Similarity.aucRoc), // one-vs-rest centroid-score AUC per class, exact-integer midrank rank-sum
+    "q_pr_curve"          -> q(Similarity.prCurve), // precision/recall/F1 at decile cuts of the label-0 centroid score
     // round-10g additions (sequence/pattern analytics — the MATCH_RECOGNIZE family)
     "q_match_vshape"      -> q(Windows.matchVShape(_, _, 30, 3)), // dip>=30% then recovery within 3 days, integer cross-multiplied drop test
     "q_rising_streaks"    -> q(Windows.risingStreaks), // longest strictly-rising monthly streak per segment via gaps-and-islands
@@ -7902,5 +7905,80 @@ object SparkEntry {
         |WHERE nb_cnt = 7 AND cents > max_other
         |  AND cents * (nb_cnt - 1) * 100 > (nb_sum - cents) * (100 + 20)
         |ORDER BY peak_week""".stripMargin,
+
+    "q_auc_roc" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS q
+        |  FROM embeddings),
+        |cents AS (SELECT label AS label_c, pos, CAST(sum(q) AS BIGINT) AS s
+        |          FROM ex GROUP BY 1, 2),
+        |cn AS (SELECT label_c,
+        |         CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS cn2
+        |       FROM cents GROUP BY 1),
+        |per AS (SELECT e.vec_id, e.label, c.label_c,
+        |    CAST(sum(CAST(e.q AS DECIMAL(38,0)) * c.s) AS DECIMAL(38,0)) AS dp,
+        |    CAST(sum(CAST(e.q AS DECIMAL(38,0)) * e.q) AS DECIMAL(38,0)) AS n2
+        |  FROM ex e JOIN cents c ON e.pos = c.pos GROUP BY 1, 2, 3),
+        |sc AS (SELECT label_c,
+        |    CASE WHEN label = label_c THEN 1 ELSE 0 END AS is_pos,
+        |    floor(CAST(dp AS DOUBLE)
+        |          / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS score
+        |  FROM per JOIN cn USING (label_c)),
+        |rk AS (SELECT label_c, is_pos,
+        |    2 * rank() OVER (PARTITION BY label_c ORDER BY score ASC)
+        |      + count(*) OVER (PARTITION BY label_c, score) - 1 AS r2
+        |  FROM sc)
+        |SELECT label_c AS label, CAST(sum(is_pos) AS BIGINT) AS n_pos,
+        | CAST(sum(1 - is_pos) AS BIGINT) AS n_neg,
+        | floor(CAST(sum(is_pos * r2) - sum(is_pos) * (sum(is_pos) + 1)
+        |            AS DOUBLE)
+        |       / (2.0 * CAST(sum(is_pos) AS DOUBLE)
+        |          * CAST(sum(1 - is_pos) AS DOUBLE)) * 10000.0 + 0.5)
+        |   / 10000.0 AS auc
+        |FROM rk GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q_pr_curve" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT pos, CAST(sum(q) AS BIGINT) AS s
+        |       FROM ex WHERE label = 0 GROUP BY 1),
+        |cn AS (SELECT
+        |    CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS cn2
+        |  FROM c0),
+        |per AS (SELECT e.vec_id, max(e.label) AS label,
+        |    CAST(sum(CAST(e.q AS DECIMAL(38,0)) * c.s) AS DECIMAL(38,0)) AS dp,
+        |    CAST(sum(CAST(e.q AS DECIMAL(38,0)) * e.q) AS DECIMAL(38,0)) AS n2
+        |  FROM ex e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id),
+        |sc AS (SELECT vec_id,
+        |    CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_pos,
+        |    floor(CAST(dp AS DOUBLE)
+        |          / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS score
+        |  FROM per CROSS JOIN cn),
+        |cum AS (SELECT vec_id, is_pos, score,
+        |    CAST(row_number() OVER wd AS BIGINT) AS rk,
+        |    CAST(sum(is_pos) OVER (ORDER BY score DESC, vec_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_pos
+        |  FROM sc WINDOW wd AS (ORDER BY score DESC, vec_id ASC)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(is_pos) AS BIGINT) AS np FROM sc),
+        |cuts AS (SELECT CAST(k AS BIGINT) AS decile, k * n // 10 AS rk, np
+        |         FROM generate_series(1, 10) t(k) CROSS JOIN tot)
+        |SELECT decile, cum.rk AS n_kept, cum_pos AS n_pos_kept,
+        | floor(CAST(cum_pos AS DOUBLE) / CAST(cum.rk AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS precision,
+        | floor(CAST(cum_pos AS DOUBLE) / CAST(np AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS recall,
+        | floor(2.0 * CAST(cum_pos AS DOUBLE) / CAST(cum.rk + np AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS f1
+        |FROM cum JOIN cuts ON cum.rk = cuts.rk
+        |ORDER BY decile""".stripMargin,
   )
 }

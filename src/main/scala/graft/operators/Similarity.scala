@@ -616,6 +616,107 @@ object Similarity {
       "vec_id")
   }
 
+  /** Per-vector one-vs-rest centroid scores shared by [[aucRoc]] and
+    * [[prCurve]]: for every class c, every vector's exact-integer cosine
+    * to class c's SUM vector (scale-invariant for cosine, so the sum
+    * replaces the mean and stays an exact integer vector). Per-dimension
+    * join against the broadcast 64·|classes|-row centroid frame —
+    * fact-linear, no n² anywhere.
+    */
+  private def centroidScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+              posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), col("pos"),
+              floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long")
+                .as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = ex.groupBy(col("label").as("label_c"), col("pos"))
+      .agg(sum(col("q")).as("s"))
+    val cn = cents.groupBy(col("label_c"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("cn2"))
+    val per = ex.join(broadcast(cents), Seq("pos"))
+      .groupBy(col("vec_id"), col("label"), col("label_c"))
+      .agg(sum(col("q").cast("decimal(38,0)") * col("s")).as("dp"),
+           sum(col("q").cast("decimal(38,0)") * col("q")).as("n2"))
+    per.join(broadcast(cn), "label_c")
+      .select(col("vec_id"), col("label"), col("label_c"),
+              r4(col("dp").cast("double") /
+                 (sqrt(col("n2").cast("double")) *
+                  sqrt(col("cn2").cast("double")))).as("score"))
+  }
+
+  /** One-vs-rest ROC AUC per class — the separability scorecard of the
+    * embedding space (the eval-metric family's missing member next to
+    * nDCG and calibration): score = exact-integer cosine to the class
+    * centroid, AUC by the Mann–Whitney rank-sum identity with MIDRANKS
+    * for ties carried as exact integers (2·midrank = 2·min_rank +
+    * tie_size − 1, so AUC = (Σ 2r_pos − 2·n₊(n₊+1)/2) / (2·n₊·n₋) is a
+    * single division of exact integers; ties are deterministic on the r4
+    * score). Class-sharded rank windows over a vector-grain frame. AUC
+    * 0.5 = inseparable, and the per-class spread IS the answer.
+    */
+  def aucRoc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = centroidScores(spark, sfDir)
+      .select(col("label_c"), (col("label") === col("label_c")).cast("int")
+                .as("is_pos"), col("score"))
+    val wRank = Window.partitionBy(col("label_c")).orderBy(col("score").asc)
+    val wTie = Window.partitionBy(col("label_c"), col("score"))
+    val ranked = scored
+      .withColumn("r2", lit(2) * rank().over(wRank) +
+                        count(lit(1)).over(wTie) - 1)
+    ordered(
+      ranked.groupBy(col("label_c").as("label"))
+        .agg(sum(col("is_pos")).cast("long").as("n_pos"),
+             sum(lit(1) - col("is_pos")).cast("long").as("n_neg"),
+             sum(col("is_pos") * col("r2")).cast("long").as("sr2"))
+        .select(col("label"), col("n_pos"), col("n_neg"),
+                r4((col("sr2") - col("n_pos") * (col("n_pos") + 1))
+                     .cast("double") /
+                   (lit(2.0) * col("n_pos").cast("double") *
+                    col("n_neg").cast("double"))).as("auc")),
+      "label")
+  }
+
+  /** Precision/recall curve at decile score cuts for the label-0
+    * one-vs-rest centroid score — the threshold-picking table behind
+    * every filter deployment ("what recall do I give up at 90%
+    * precision"): vectors ranked by score descending, cut at k·n/10 for
+    * k = 1..10, cumulative positives via one running window — precision,
+    * recall, F1 as single divisions of exact counts at each cut.
+    */
+  def prCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = centroidScores(spark, sfDir)
+      .filter(col("label_c") === 0)
+      .select(col("vec_id"), (col("label") === 0).cast("long").as("is_pos"),
+              col("score"))
+    val w = Window.orderBy(col("score").desc, col("vec_id").asc)
+    val cum = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_pos", sum(col("is_pos")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = scored.agg(count(lit(1)).as("n"),
+                         sum(col("is_pos")).as("np"))
+    // the k-th decile cut = the row ranked ⌊k·n/10⌋, via an explicit
+    // 10-row cuts frame (integer div, no modular cleverness)
+    val cuts = spark.range(1, 11).toDF("decile")
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), expr("decile * n div 10").as("rk"), col("np"))
+    ordered(
+      cum.join(broadcast(cuts), "rk")
+        .select(col("decile"),
+                col("rk").as("n_kept"), col("cum_pos").as("n_pos_kept"),
+                r4(col("cum_pos").cast("double") / col("rk").cast("double"))
+                  .as("precision"),
+                r4(col("cum_pos").cast("double") / col("np").cast("double"))
+                  .as("recall"),
+                r4(lit(2.0) * col("cum_pos").cast("double") /
+                   (col("rk") + col("np")).cast("double")).as("f1")),
+      "decile")
+  }
+
   /** kNN label-noise screen (the Wilson/ENN-style edit rule every
     * labeled-dataset cleaning pass runs): a vector whose k=5 nearest
     * neighbors' majority label disagrees with its own label is flagged as

@@ -335,6 +335,42 @@ class Round10OpsSpec extends SparkSpec {
            graft.util.Tables.t(spark, Sf, "embeddings").count())
   }
 
+  // ---------------- 10h: model-eval metrics ----------------
+
+  test("aucRoc: every class separates better than chance (its centroid " +
+       "attracts its own members) and the Mann-Whitney bounds hold") {
+    val df = graft.operators.Similarity.aucRoc(spark, Sf)
+    assertNonDegenerate(df, Seq("label", "auc"), minRows = 10)
+    val r = rows(df)
+    assert(r.size === 10)
+    r.foreach { x =>
+      val auc = x(3).asInstanceOf[Double]
+      assert(auc > 0.5 && auc <= 1.0, s"row $x")
+    }
+    // positives partition the corpus across the one-vs-rest runs
+    val total = graft.util.Tables.t(spark, Sf, "embeddings").count()
+    assert(r.map(_(1).asInstanceOf[Long]).sum === total)
+    r.foreach(x => assert(x(1).asInstanceOf[Long] + x(2).asInstanceOf[Long]
+      === total, s"row $x"))
+  }
+
+  test("prCurve: recall is non-decreasing, the last cut keeps everything " +
+       "at base-rate precision, and counts tie to the cuts") {
+    val df = graft.operators.Similarity.prCurve(spark, Sf)
+    assertNonDegenerate(df, Seq("decile", "precision", "recall"),
+                        minRows = 10)
+    val r = rows(df)
+    assert(r.size === 10)
+    val recalls = r.map(_(4).asInstanceOf[Double])
+    assert(recalls === recalls.sorted, "recall must be non-decreasing")
+    val total = graft.util.Tables.t(spark, Sf, "embeddings").count()
+    assert(r.last(1) === total)                       // decile 10 keeps all
+    assert(recalls.last === 1.0)
+    // first-decile precision beats the base rate (the score ranks)
+    val baseRate = r.last(3).asInstanceOf[Double]
+    assert(r.head(3).asInstanceOf[Double] > baseRate, s"$r")
+  }
+
   // ---------------- 10g: sequence/pattern analytics ----------------
 
   test("matchVShape: every emitted dip satisfies the drop threshold; " +
