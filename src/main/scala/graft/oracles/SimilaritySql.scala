@@ -1,0 +1,1173 @@
+package graft.oracles
+
+import graft.operators
+
+/** DuckDB oracle SQL for the embedding similarity / ANN / near-dup tier — split out of SparkEntry
+  * verbatim (round-11 registry hygiene). SparkEntry.oracleSql concatenates
+  * the per-domain maps; keys stay globally unique and strings unchanged, so
+  * the driver's hash gate sees an identical contract.
+  */
+object SimilaritySql {
+  val sql: Map[String, String] = Map(
+    "q_media_chunk" ->
+      """WITH m AS (SELECT doc_id, 1000 + (doc_id * 7919) % 600000 AS duration_ms
+        |           FROM documents),
+        |c AS (SELECT doc_id, duration_ms,
+        |        unnest(generate_series(0, duration_ms - 1, 25000)) AS chunk_start
+        |      FROM m)
+        |SELECT doc_id, duration_ms, chunk_start // 25000 AS chunk_idx,
+        |       chunk_start,
+        |       least(chunk_start + 30000, duration_ms) AS chunk_end
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        | floor(sqrt(list_aggregate(
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |   'sum')) * 10000.0 + 0.5) / 10000.0 AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_embed_cosine_topk" ->
+      """WITH p AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS pv,
+        |                  generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |d AS (SELECT c.vec_id, sum(c.cv * p.pv) AS dp,
+        |             sqrt(sum(c.cv * c.cv)) AS cn, sqrt(sum(p.pv * p.pv)) AS pn
+        |      FROM c JOIN p USING (i) GROUP BY c.vec_id)
+        |SELECT vec_id, floor(dp / (cn * pn) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |FROM d WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_batch" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(unnest(embedding) AS DOUBLE) AS pv,
+        |                  generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |d AS (SELECT p.probe_id, c.vec_id, sum(c.cv * p.pv) AS dp,
+        |             sqrt(sum(c.cv * c.cv)) AS cn, sqrt(sum(p.pv * p.pv)) AS pn
+        |      FROM c JOIN p ON c.i = p.i AND c.vec_id <> p.probe_id
+        |      GROUP BY p.probe_id, c.vec_id),
+        |r AS (SELECT probe_id, vec_id,
+        |             floor(dp / (cn * pn) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |      FROM d),
+        |k AS (SELECT probe_id, vec_id, cos_sim,
+        |             row_number() OVER (PARTITION BY probe_id
+        |                                ORDER BY cos_sim DESC, vec_id) AS rk
+        |      FROM r)
+        |SELECT probe_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+        |FROM k WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+
+    "q_knn_classify" ->
+      """WITH p AS (SELECT vec_id AS probe_id, CAST(unnest(embedding) AS DOUBLE) AS pv,
+        |                  generate_subscripts(embedding, 1) AS i
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |d AS (SELECT p.probe_id, c.vec_id, sum(c.cv * p.pv) AS dp,
+        |             sqrt(sum(c.cv * c.cv)) AS cn, sqrt(sum(p.pv * p.pv)) AS pn
+        |      FROM c JOIN p ON c.i = p.i AND c.vec_id <> p.probe_id
+        |      GROUP BY p.probe_id, c.vec_id),
+        |r AS (SELECT probe_id, vec_id,
+        |             floor(dp / (cn * pn) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |      FROM d),
+        |k AS (SELECT probe_id, vec_id,
+        |             row_number() OVER (PARTITION BY probe_id
+        |                                ORDER BY cos_sim DESC, vec_id) AS rk
+        |      FROM r),
+        |v AS (SELECT k.probe_id, e.label, count(*) AS votes
+        |      FROM k JOIN embeddings e ON k.vec_id = e.vec_id
+        |      WHERE k.rk <= 5 GROUP BY k.probe_id, e.label),
+        |best AS (SELECT probe_id, label AS predicted, votes,
+        |                row_number() OVER (PARTITION BY probe_id
+        |                                   ORDER BY votes DESC, label) AS rn
+        |         FROM v)
+        |SELECT b.probe_id, b.predicted, CAST(b.votes AS BIGINT) AS votes,
+        |       e.label AS true_label
+        |FROM best b JOIN embeddings e ON b.probe_id = e.vec_id
+        |WHERE b.rn = 1 ORDER BY b.probe_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 30 AS n_frames FROM documents),
+        |f AS (SELECT doc_id, n_frames,
+        |        unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
+        |      FROM m)
+        |SELECT doc_id, n_frames, frame_idx,
+        | floor(CAST((doc_id * 31 + frame_idx * 7) % 256 AS DOUBLE) / 255.0 * 10000.0 + 0.5) / 10000.0 AS luma_stub
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |             64 + (doc_id * 2654435761) % 512 AS width,
+        |             64 + (doc_id * 40503) % 512 AS height
+        |           FROM documents)
+        |SELECT doc_id, width, height,
+        | CAST(greatest(1, floor(width * least(1.0, least(224.0 / width, 224.0 / height)))) AS BIGINT) AS out_w,
+        | CAST(greatest(1, floor(height * least(1.0, least(224.0 / width, 224.0 / height)))) AS BIGINT) AS out_h
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_media_embed_stub" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |f AS (SELECT doc_id,
+        |        (len * 131) % 1000 AS i0,
+        |        list_sum(list_transform(range(0, 16),
+        |          j -> ((len * 131 + 37 * j) % 1000) * ((len * 131 + 37 * j) % 1000))) AS ss
+        |      FROM m)
+        |SELECT doc_id, 16 AS dim,
+        | floor(CAST(i0 AS DOUBLE) / 1000.0 * 10000.0 + 0.5) / 10000.0 AS feat_0,
+        | floor(sqrt(CAST(ss AS DOUBLE)) / 1000.0 * 10000.0 + 0.5) / 10000.0 AS l2
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |      ELSE 'webp' END AS media_format,
+        | 64 + (doc_id * 2654435761) % 512 AS width,
+        | 64 + (doc_id * 40503) % 512 AS height,
+        | 1 + doc_id % 30 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_near_dup_editdist" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars // 8 AS blk,
+        |                  substr(text, 1, 40) AS head
+        |           FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dedup_components_editdist" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 8 AS blk,
+        |                            substr(text, 1, 40) AS head
+        |                     FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk
+        |                       AND a.doc_id < b.doc_id
+        |      WHERE levenshtein(a.head, b.head) <= 8),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT src AS node, dst AS label FROM e
+        |  UNION
+        |  SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.label = e2.src),
+        |comp AS (SELECT node, least(node, min(label)) AS component_id
+        |         FROM reach GROUP BY node)
+        |SELECT doc.doc_id,
+        |       coalesce(c.component_id, doc.doc_id) AS component_id,
+        |       doc.doc_id = coalesce(c.component_id, doc.doc_id) AS is_canonical
+        |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
+        |ORDER BY doc.doc_id""".stripMargin,
+
+    "q_ann_ivf_gated" -> {
+      // 5 unrolled Lloyd's iterations in long (vec_id, i, qv) form — the
+      // same fixed-point offset arithmetic the Spark builder inlines
+      val iters = (1 to 5).map { i =>
+        s"""|a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+        |b$i AS (SELECT vec_id, cid FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |          FROM a$i) WHERE rk = 1),
+        |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+        |c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+        |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      s"""WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) + 16384 AS qv
+        |  FROM embeddings),
+        |sample AS (SELECT vec_id FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+        |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+        |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+        |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+        |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+        |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+        |$iters
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |pq AS (SELECT i, qv FROM q WHERE vec_id = 0),
+        |pd AS (SELECT c.cid, sum((c.qv - p.qv) * (c.qv - p.qv)) AS d
+        |       FROM c5 c JOIN pq p ON p.i = c.i GROUP BY 1),
+        |pl AS (SELECT cid FROM pd ORDER BY d, cid LIMIT 4),
+        |cand AS (SELECT bf.vec_id FROM bf JOIN pl USING (cid) WHERE bf.vec_id <> 0),
+        |cd AS (SELECT q.vec_id, CAST(sum((q.qv - p.qv) * (q.qv - p.qv)) AS BIGINT) AS l2q
+        |       FROM q JOIN cand USING (vec_id) JOIN pq p ON p.i = q.i GROUP BY 1)
+        |SELECT vec_id, l2q FROM cd ORDER BY l2q, vec_id LIMIT 10""".stripMargin
+    },
+
+    "q_doc_dedup_minhash_gated" -> {
+      // 32 Carter–Wegman minima + 8 band keys, generated once with the
+      // SAME md5-derived coefficients the Spark builder inlines
+      val P = 2147483647L
+      val mins = (0 until 32).map { j =>
+        val a = operators.Dedup.cwCoef("a", j, P - 1, 1L)
+        val b = operators.Dedup.cwCoef("b", j, P, 0L)
+        s"min(($a * h + $b) % $P) AS h$j"
+      }.mkString(",\n        |         ")
+      val bandCases = (0 until 8).map { bnd =>
+        val key = (bnd * 4 until (bnd + 1) * 4)
+          .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
+        s"WHEN b = $bnd THEN $key"
+      }.mkString("\n        |             ")
+      val carryA = (0 until 32).map(j => s"a.h$j AS a_h$j").mkString(", ")
+      val carryB = (0 until 32).map(j => s"b.h$j AS b_h$j").mkString(", ")
+      val matches = (0 until 32)
+        .map(j => s"CASE WHEN a_h$j = b_h$j THEN 1 ELSE 0 END")
+        .mkString(" +\n        |        ")
+      s"""WITH sh0 AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text) - 2)) AS i
+        |  FROM documents WHERE length(text) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS s
+        |  FROM sh0),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % $P AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |         ${mins}
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  SELECT sig.*, b AS band_id,
+        |         CASE $bandCases
+        |         END AS bkey
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b)),
+        |stats AS (
+        |  SELECT band_id, bkey, count(*) AS bn, min(doc_id) AS anchor
+        |  FROM bands GROUP BY 1, 2),
+        |bs AS (
+        |  SELECT bands.*, stats.bn, stats.anchor
+        |  FROM bands JOIN stats USING (band_id, bkey)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, $carryA, $carryB
+        |  FROM bs a JOIN bs b
+        |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+        |   AND a.doc_id < b.doc_id
+        |  WHERE a.bn <= 64
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id, $carryA, $carryB
+        |  FROM bs a JOIN bs b
+        |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+        |  WHERE a.bn > 64 AND a.doc_id = a.anchor AND b.doc_id <> b.anchor)
+        |SELECT a_id, b_id,
+        |       floor(($matches) / 32.0 * 10000.0 + 0.5) / 10000.0 AS jaccard_est
+        |FROM pairs
+        |ORDER BY jaccard_est DESC, a_id, b_id LIMIT 20""".stripMargin
+    },
+
+    "q_dedup_simhash_gated" -> {
+      // 48 sign-sum bit columns + the bit-pack, generated once — the same
+      // loop the Spark builder (Dedup.simhashGatedPairs) runs
+      val bitSums = (0 until 48).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n        |         ")
+      val pack = (0 until 48).map(b =>
+        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" +\n        |         ")
+      s"""WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |hw AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+        |  FROM words WHERE w <> ''),
+        |sums AS (
+        |  SELECT doc_id,
+        |         $bitSums
+        |  FROM hw GROUP BY doc_id),
+        |sigs AS (
+        |  SELECT doc_id,
+        |         $pack AS sig
+        |  FROM sums),
+        |chunked AS (
+        |  SELECT doc_id, sig, c AS chunk_id, (sig >> (c * 12)) & 4095 AS chunk
+        |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS c)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |                  a.sig AS a_sig, b.sig AS b_sig
+        |  FROM chunked a JOIN chunked b
+        |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+        |   AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |       CAST(bit_count(xor(a_sig, b_sig)) AS BIGINT) AS hamming
+        |FROM pairs
+        |ORDER BY hamming, a_id, b_id LIMIT 20""".stripMargin
+    },
+
+    "q_ann_lsh_gated" ->
+      """WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |                  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |                       AS BIGINT) AS qv
+        |           FROM embeddings),
+        |pl AS (SELECT p.p, d.d,
+        |              CASE WHEN CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' ||
+        |                                              CAST(d.d AS VARCHAR)), 1, 12))
+        |                        AS BIGINT) % 2 = 1
+        |                   THEN 1 ELSE -1 END AS sg
+        |       FROM range(0, 32) p(p) CROSS JOIN range(1, 129) d(d)),
+        |dots AS (SELECT q.vec_id, pl.p, sum(q.qv * pl.sg) AS dot
+        |         FROM q JOIN pl ON q.d = pl.d GROUP BY 1, 2),
+        |bands AS (SELECT vec_id, p // 8 AS band_id,
+        |                 sum(CASE WHEN dot > 0 THEN 1 << (p % 8) ELSE 0 END) AS band_hash
+        |          FROM dots GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |          FROM bands a JOIN bands b
+        |            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        |           AND a.vec_id < b.vec_id),
+        |e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |d2 AS (SELECT pr.a_id, pr.b_id, sum(x.v * y.v) AS dp,
+        |              sqrt(sum(x.v * x.v)) AS an, sqrt(sum(y.v * y.v)) AS bn
+        |       FROM pairs pr JOIN e x ON x.vec_id = pr.a_id
+        |                     JOIN e y ON y.vec_id = pr.b_id AND y.i = x.i
+        |       GROUP BY 1, 2)
+        |SELECT a_id, b_id, floor(dp / (an * bn) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+        |FROM d2 ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin,
+
+    "q_embed_pca_power" ->
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings),
+        |st AS MATERIALIZED (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(q) AS BIGINT) AS s FROM ex GROUP BY pos),
+        |cx AS MATERIALIZED (SELECT vec_id, pos, n * q - s AS cx FROM ex JOIN st USING (pos)),
+        |cov AS MATERIALIZED (
+        |  SELECT a.pos AS i, b.pos AS j,
+        |         CAST(sum(CAST(a.cx AS DECIMAL(19,0)) * CAST(b.cx AS DECIMAL(19,0)))
+        |              AS DECIMAL(38,0)) AS m
+        |  FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |dims AS MATERIALIZED (SELECT DISTINCT i AS j FROM cov),
+        |v0 AS MATERIALIZED (SELECT j,
+        |       CAST(1000000 // (SELECT count(*) FROM dims) AS BIGINT) AS v FROM dims),
+        |mv1 AS MATERIALIZED (SELECT i, sum(CAST(m AS HUGEINT) * v) AS mv
+        |       FROM cov JOIN v0 ON cov.j = v0.j GROUP BY i),
+        |l1 AS (SELECT sum(abs(mv)) AS l FROM mv1),
+        |v1 AS MATERIALIZED (
+        |  SELECT i AS j,
+        |         CAST(CASE WHEN mv < 0 THEN -1 WHEN mv > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         * CAST(CAST(abs(mv) AS HUGEINT)
+        |                // greatest(CAST(1 AS HUGEINT), CAST(l AS HUGEINT) // 1000000)
+        |                AS BIGINT) AS v
+        |  FROM mv1 CROSS JOIN l1),
+        |mv2 AS MATERIALIZED (SELECT i, sum(CAST(m AS HUGEINT) * v) AS mv
+        |       FROM cov JOIN v1 ON cov.j = v1.j GROUP BY i),
+        |l2 AS (SELECT sum(abs(mv)) AS l FROM mv2),
+        |v2 AS MATERIALIZED (
+        |  SELECT i AS j,
+        |         CAST(CASE WHEN mv < 0 THEN -1 WHEN mv > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         * CAST(CAST(abs(mv) AS HUGEINT)
+        |                // greatest(CAST(1 AS HUGEINT), CAST(l AS HUGEINT) // 1000000)
+        |                AS BIGINT) AS v
+        |  FROM mv2 CROSS JOIN l2),
+        |mv3 AS MATERIALIZED (SELECT i, sum(CAST(m AS HUGEINT) * v) AS mv
+        |       FROM cov JOIN v2 ON cov.j = v2.j GROUP BY i),
+        |l3 AS (SELECT sum(abs(mv)) AS l FROM mv3),
+        |v3 AS MATERIALIZED (
+        |  SELECT i AS j,
+        |         CAST(CASE WHEN mv < 0 THEN -1 WHEN mv > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         * CAST(CAST(abs(mv) AS HUGEINT)
+        |                // greatest(CAST(1 AS HUGEINT), CAST(l AS HUGEINT) // 1000000)
+        |                AS BIGINT) AS v
+        |  FROM mv3 CROSS JOIN l3)
+        |SELECT j AS dim_idx, v AS loading_fp FROM v3 ORDER BY dim_idx""".stripMargin,
+
+    "q_embed_centroid" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) AS q
+        |  FROM embeddings)
+        |SELECT label, pos, count(*) AS n,
+        | floor(CAST(sum(q) AS DOUBLE) / 10000.0 / count(*) * 10000.0 + 0.5) / 10000.0
+        |   AS centroid_val
+        |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         list_aggregate(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE))), 'max') AS scale,
+        |         embedding
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM s WHERE scale > 0)
+        |SELECT vec_id,
+        | floor(scale * 10000.0 + 0.5) / 10000.0 AS scale,
+        | CAST(list_aggregate(qv, 'sum') AS BIGINT) AS checksum,
+        | CAST(len(list_filter(qv, v -> v <> 0)) AS BIGINT) AS nnz
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_emb_dim_var" ->
+      """WITH ex AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim_idx,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5)
+        |              AS BIGINT) AS q
+        |  FROM embeddings),
+        |per AS (SELECT dim_idx, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+        |  CAST(sum(CAST(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))
+        |                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        | FROM ex GROUP BY 1),
+        |v AS (SELECT dim_idx, n, s,
+        |  (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS varq
+        | FROM per),
+        |tot AS (SELECT sum(CAST(varq AS DECIMAL(28,8))) AS tv FROM v)
+        |SELECT dim_idx,
+        | floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000.0 * 10000.0 + 0.5)
+        |   / 10000.0 AS mean,
+        | floor(varq / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS variance,
+        | floor(varq / CAST(tv AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS var_share
+        |FROM v CROSS JOIN tot ORDER BY dim_idx""".stripMargin,
+
+    "q_cos_sim_hist" ->
+      """WITH o(ofs) AS (VALUES (1), (17), (257)),
+        |a AS (SELECT vec_id,
+        |             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+        |                        + 0.5) AS BIGINT) AS qv,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |aa AS (SELECT a.vec_id AS a_id, o.ofs, a.vec_id + o.ofs AS b_id,
+        |              a.i, a.qv AS qa
+        |       FROM a CROSS JOIN o),
+        |p AS (SELECT aa.a_id, aa.ofs, aa.qa, b.qv AS qb
+        |      FROM aa JOIN a b ON b.vec_id = aa.b_id AND b.i = aa.i),
+        |d AS (SELECT a_id, ofs, CAST(sum(qa * qb) AS BIGINT) AS dp,
+        |             CAST(sum(qa * qa) AS BIGINT) AS na2,
+        |             CAST(sum(qb * qb) AS BIGINT) AS nb2
+        |      FROM p GROUP BY 1, 2),
+        |c AS (SELECT ofs,
+        |        floor(floor(CAST(dp AS DOUBLE)
+        |                    / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+        |                    * 10000.0 + 0.5) / 10000.0
+        |              * 10.0 + 10.0) AS bin
+        |      FROM d)
+        |SELECT CAST(ofs AS BIGINT) AS ofs, CAST(bin AS BIGINT) AS bin,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1, 2 ORDER BY ofs, bin""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5)
+        |              AS BIGINT) AS q
+        |  FROM embeddings),
+        |st AS (SELECT pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s
+        |       FROM ex GROUP BY pos),
+        |d AS (SELECT vec_id,
+        |        CAST(sum(CAST(CAST(n * q - s AS DECIMAL(19,0))
+        |                      * CAST(n * q - s AS DECIMAL(19,0))
+        |                      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS n2d2,
+        |        max(n) AS n
+        |      FROM ex JOIN st USING (pos) GROUP BY vec_id)
+        |SELECT vec_id,
+        | floor(CAST(n2d2 AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+        |       / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS dist_sq
+        |FROM d ORDER BY n2d2 DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_incr_dedup_minhash" -> {
+      // same Carter–Wegman chain as q_doc_dedup_minhash_gated, then the
+      // batch-vs-corpus band-index probe
+      val P = 2147483647L
+      val mins = (0 until 32).map { j =>
+        val a = operators.Dedup.cwCoef("a", j, P - 1, 1L)
+        val b = operators.Dedup.cwCoef("b", j, P, 0L)
+        s"min(($a * h + $b) % $P) AS h$j"
+      }.mkString(",\n        |         ")
+      val bandCases = (0 until 8).map { bnd =>
+        val key = (bnd * 4 until (bnd + 1) * 4)
+          .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
+        s"WHEN b = $bnd THEN $key"
+      }.mkString("\n        |             ")
+      val matches = (0 until 32)
+        .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+        .mkString(" +\n        |               ")
+      s"""WITH sh0 AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text) - 2)) AS i
+        |  FROM documents WHERE length(text) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS s
+        |  FROM sh0),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % $P AS h
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |         ${mins}
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  SELECT sig.*, b AS band_id,
+        |         CASE $bandCases
+        |         END AS bkey
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b)),
+        |corp AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+        |newb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+        |stats AS (SELECT band_id, bkey, min(doc_id) AS first_id
+        |          FROM corp GROUP BY 1, 2),
+        |hits AS (SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands,
+        |                min(s.first_id) AS first_match
+        |         FROM newb n JOIN stats s
+        |           ON n.band_id = s.band_id AND n.bkey = s.bkey
+        |         GROUP BY 1),
+        |est AS (SELECT h.doc_id, h.n_hit_bands, h.first_match,
+        |               ($matches) AS m
+        |        FROM hits h JOIN sig a ON a.doc_id = h.doc_id
+        |                    JOIN sig b ON b.doc_id = h.first_match),
+        |ids AS (SELECT DISTINCT doc_id FROM sig WHERE doc_id % 10 = 0)
+        |SELECT ids.doc_id AS new_id,
+        |       est.doc_id IS NOT NULL AS is_dup,
+        |       COALESCE(est.n_hit_bands, 0) AS n_hit_bands,
+        |       est.first_match,
+        |       CASE WHEN est.doc_id IS NOT NULL
+        |            THEN floor(m / 32.0 * 10000.0 + 0.5) / 10000.0 END AS first_est
+        |FROM ids LEFT JOIN est ON est.doc_id = ids.doc_id
+        |ORDER BY new_id""".stripMargin
+    },
+
+    "q_lsh_recall" -> {
+      // truth = the NAIVE word-shingle inverted-index join (as for
+      // q_jaccard_prefix_join); candidates = the CW minhash band chain on
+      // the SAME word shingles, hot-bucket star cap included
+      val P = 2147483647L
+      val mins = (0 until 32).map { j =>
+        val a = operators.Dedup.cwCoef("a", j, P - 1, 1L)
+        val b = operators.Dedup.cwCoef("b", j, P, 0L)
+        s"min(($a * h + $b) % $P) AS h$j"
+      }.mkString(",\n        |         ")
+      val bandCases = (0 until 8).map { bnd =>
+        val key = (bnd * 4 until (bnd + 1) * 4)
+          .map(j => s"CAST(h$j AS VARCHAR)").mkString(" || '_' || ")
+        s"WHEN b = $bnd THEN $key"
+      }.mkString("\n        |             ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sarr AS (SELECT doc_id,
+        |           list_distinct(list_transform(range(1, len(w) - 1),
+        |                         i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |         FROM d),
+        |sz AS (SELECT doc_id, len(sh) AS nsh FROM sarr),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM sarr),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |truth AS (SELECT doc_a, doc_b FROM p
+        |          JOIN sz za ON za.doc_id = doc_a
+        |          JOIN sz zb ON zb.doc_id = doc_b
+        |          WHERE c * 3 >= za.nsh + zb.nsh),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % $P AS h
+        |  FROM e),
+        |sig AS (
+        |  SELECT doc_id,
+        |         ${mins}
+        |  FROM hs GROUP BY doc_id),
+        |bands AS (
+        |  SELECT sig.*, b AS band_id,
+        |         CASE $bandCases
+        |         END AS bkey
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b)),
+        |stats AS (
+        |  SELECT band_id, bkey, count(*) AS bn, min(doc_id) AS anchor
+        |  FROM bands GROUP BY 1, 2),
+        |bs AS (
+        |  SELECT bands.*, stats.bn, stats.anchor
+        |  FROM bands JOIN stats USING (band_id, bkey)),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bs a JOIN bs b
+        |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+        |   AND a.doc_id < b.doc_id
+        |  WHERE a.bn <= 64
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id
+        |  FROM bs a JOIN bs b
+        |    ON a.band_id = b.band_id AND a.bkey = b.bkey
+        |  WHERE a.bn > 64 AND a.doc_id = a.anchor AND b.doc_id <> b.anchor),
+        |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |cn AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+        |hn AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |       FROM truth t JOIN cand c ON t.doc_a = c.a_id AND t.doc_b = c.b_id)
+        |SELECT n_truth, n_cand, n_hit,
+        |       floor(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        |             * 10000.0 + 0.5) / 10000.0 AS recall
+        |FROM tn, cn, hn""".stripMargin
+    },
+
+    "q_ann_join" -> {
+      // k-means fit on the EVEN (reference) side only; both sides assigned,
+      // per-A-vector argmin by (d2, b_id), misses stay NULL
+      val iters = (1 to 5).map { i =>
+        s"""|a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+        |b$i AS (SELECT vec_id, cid FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |          FROM a$i) WHERE rk = 1),
+        |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+        |c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+        |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      s"""WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) + 16384 AS qv
+        |  FROM embeddings),
+        |sample AS (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+        |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+        |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+        |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+        |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+        |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+        |$iters
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |aa AS (SELECT vec_id, cid FROM bf WHERE vec_id % 2 = 1),
+        |bb AS (SELECT vec_id, cid FROM bf WHERE vec_id % 2 = 0),
+        |pd AS (SELECT aa.vec_id AS a_id, bb.vec_id AS b_id,
+        |              sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
+        |       FROM aa JOIN bb ON aa.cid = bb.cid
+        |            JOIN q qa ON qa.vec_id = aa.vec_id
+        |            JOIN q qb ON qb.vec_id = bb.vec_id AND qb.i = qa.i
+        |       GROUP BY 1, 2),
+        |best AS (SELECT a_id, b_id AS match_id, CAST(d2 AS BIGINT) AS match_d2
+        |         FROM (SELECT a_id, b_id, d2,
+        |                      row_number() OVER (PARTITION BY a_id
+        |                        ORDER BY d2, b_id) AS rk
+        |               FROM pd) WHERE rk = 1 AND d2 <= 130000000)
+        |SELECT aa.vec_id, CAST(aa.cid AS BIGINT) AS cell_id,
+        |       best.match_id IS NOT NULL AS is_match,
+        |       best.match_id, best.match_d2
+        |FROM aa LEFT JOIN best ON best.a_id = aa.vec_id
+        |ORDER BY vec_id""".stripMargin
+    },
+
+    "q_semantic_dedup_mp" -> {
+      // same unrolled integer k-means; assignment keeps the TOP-2 cells
+      // (row_number <= 2), pairs form in any shared cell
+      val iters = (1 to 5).map { i =>
+        s"""|a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+        |b$i AS (SELECT vec_id, cid FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |          FROM a$i) WHERE rk = 1),
+        |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+        |c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+        |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      s"""WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) + 16384 AS qv
+        |  FROM embeddings),
+        |sample AS (SELECT vec_id FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+        |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+        |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+        |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+        |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+        |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+        |$iters
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf2 AS (SELECT vec_id, cid, rk FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |          FROM af) WHERE rk <= 2),
+        |prim AS (SELECT vec_id, cid FROM bf2 WHERE rk = 1),
+        |pr AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |       FROM bf2 a JOIN bf2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |pd AS (SELECT pr.a_id, pr.b_id, sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
+        |       FROM pr JOIN q qa ON qa.vec_id = pr.a_id
+        |               JOIN q qb ON qb.vec_id = pr.b_id AND qb.i = qa.i
+        |       GROUP BY 1, 2),
+        |du AS (SELECT b_id, min(a_id) AS dup_of, CAST(min(d2) AS BIGINT) AS min_d2
+        |       FROM pd WHERE d2 <= 130000000 GROUP BY 1)
+        |SELECT prim.vec_id, CAST(prim.cid AS BIGINT) AS cluster_id,
+        |       du.b_id IS NOT NULL AS is_dup, du.dup_of, du.min_d2
+        |FROM prim LEFT JOIN du ON du.b_id = prim.vec_id
+        |ORDER BY vec_id""".stripMargin
+    },
+
+    "q_semantic_dedup_hier" -> {
+      // FULLY hierarchical quantizer unrolled: 3 coarse Lloyd's rounds
+      // over the md5-sampled corpus, the sample routed once to its coarse
+      // group, then 5 GROUPED fine Lloyd's rounds (every per-group fit in
+      // the same CTEs, keyed by gid), live-group corpus routing
+      // coarse-then-fine, cells = gid·kPerGroup + fcid, and the
+      // q_semantic_dedup pair-scan + keep-lowest-id tail.
+      // MATERIALIZED on the multiply-referenced CTEs (q/slong/rb/rounds):
+      // plain CTE inlining re-expands the doubled Lloyd's lineage per
+      // reference — a 2^R blowup that exhausted DuckDB's file handles.
+      // drop-empty Lloyd's at BOTH levels (no carry join): each round's
+      // centroids are exactly the means of its non-empty cells — the same
+      // linear-lineage variant the Spark side runs
+      val coarseIters = (1 to 3).map { r =>
+        s"""|ga$r AS (SELECT l.vec_id, g.gid, sum((l.qv - g.qv) * (l.qv - g.qv)) AS d
+        |        FROM slong l JOIN gc${r - 1} g ON g.i = l.i GROUP BY 1, 2),
+        |gb$r AS (SELECT vec_id, gid FROM (
+        |          SELECT vec_id, gid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rk
+        |          FROM ga$r) WHERE rk = 1),
+        |gc$r AS MATERIALIZED (SELECT b.gid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM gb$r b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      val fineIters = (1 to 5).map { r =>
+        s"""|fa$r AS (SELECT rb.gid, l.vec_id, c.fcid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |        FROM slong l JOIN rb ON rb.vec_id = l.vec_id
+        |                     JOIN f${r - 1} c ON c.gid = rb.gid AND c.i = l.i
+        |        GROUP BY 1, 2, 3),
+        |fb$r AS (SELECT gid, vec_id, fcid FROM (
+        |          SELECT gid, vec_id, fcid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, fcid) AS rk
+        |          FROM fa$r) WHERE rk = 1),
+        |f$r AS MATERIALIZED (SELECT b.gid, b.fcid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM fb$r b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2, 3),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      s"""WITH q AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) + 16384 AS qv
+        |  FROM embeddings),
+        |sample AS (SELECT vec_id FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+        |slong AS MATERIALIZED (SELECT q.* FROM q JOIN sample USING (vec_id)),
+        |tiles AS (SELECT vec_id, ntile(4) OVER (ORDER BY vec_id) AS t FROM sample),
+        |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+        |gc0 AS (SELECT t - 1 AS gid, l.i, l.qv
+        |        FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+        |$coarseIters
+        |ra AS (SELECT l.vec_id, g.gid, sum((l.qv - g.qv) * (l.qv - g.qv)) AS d
+        |       FROM slong l JOIN gc3 g ON g.i = l.i GROUP BY 1, 2),
+        |rb AS MATERIALIZED (SELECT vec_id, gid FROM (
+        |        SELECT vec_id, gid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rk
+        |        FROM ra) WHERE rk = 1),
+        |ftile AS (SELECT vec_id, gid,
+        |            ntile(4) OVER (PARTITION BY gid ORDER BY vec_id) AS t
+        |          FROM rb),
+        |fch AS (SELECT gid, t, min(vec_id) AS v FROM ftile GROUP BY 1, 2),
+        |f0 AS (SELECT fch.gid, fch.t - 1 AS fcid, l.i, l.qv
+        |       FROM fch JOIN slong l ON l.vec_id = fch.v),
+        |$fineIters
+        |glive AS (SELECT g.* FROM gc3 g
+        |          WHERE g.gid IN (SELECT DISTINCT gid FROM f5)),
+        |ca AS (SELECT l.vec_id, g.gid, sum((l.qv - g.qv) * (l.qv - g.qv)) AS d
+        |       FROM q l JOIN glive g ON g.i = l.i GROUP BY 1, 2),
+        |cb AS MATERIALIZED (SELECT vec_id, gid FROM (
+        |        SELECT vec_id, gid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY d, gid) AS rk
+        |        FROM ca) WHERE rk = 1),
+        |ha AS (SELECT l.vec_id, c.fcid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN cb ON cb.vec_id = l.vec_id
+        |              JOIN f5 c ON c.gid = cb.gid AND c.i = l.i
+        |       GROUP BY 1, 2),
+        |hb AS (SELECT vec_id, fcid FROM (
+        |         SELECT vec_id, fcid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, fcid) AS rk
+        |         FROM ha) WHERE rk = 1),
+        |cells AS MATERIALIZED (
+        |  SELECT hb.vec_id, CAST(cb.gid AS BIGINT) * 4 + hb.fcid AS cid
+        |  FROM hb JOIN cb USING (vec_id)),
+        |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |       FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |pd AS (SELECT pr.a_id, pr.b_id, sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
+        |       FROM pr JOIN q qa ON qa.vec_id = pr.a_id
+        |               JOIN q qb ON qb.vec_id = pr.b_id AND qb.i = qa.i
+        |       GROUP BY 1, 2),
+        |du AS (SELECT b_id, min(a_id) AS dup_of, CAST(min(d2) AS BIGINT) AS min_d2
+        |       FROM pd WHERE d2 <= 130000000 GROUP BY 1)
+        |SELECT cells.vec_id, cells.cid AS cluster_id,
+        |       du.b_id IS NOT NULL AS is_dup, du.dup_of, du.min_d2
+        |FROM cells LEFT JOIN du ON du.b_id = cells.vec_id
+        |ORDER BY vec_id""".stripMargin
+    },
+
+    "q_semantic_dedup" -> {
+      // same unrolled integer k-means as q_ann_ivf_gated, then the
+      // within-cell pair scan and keep-lowest-id dup marking
+      val iters = (1 to 5).map { i =>
+        s"""|a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+        |b$i AS (SELECT vec_id, cid FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |          FROM a$i) WHERE rk = 1),
+        |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+        |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+        |c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+        |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),
+        |""".stripMargin.stripSuffix("\n")
+      }.mkString("\n")
+      s"""WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |              AS BIGINT) + 16384 AS qv
+        |  FROM embeddings),
+        |sample AS (SELECT vec_id FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+        |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+        |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+        |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+        |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+        |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+        |$iters
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |       FROM bf a JOIN bf b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |pd AS (SELECT pr.a_id, pr.b_id, sum((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS d2
+        |       FROM pr JOIN q qa ON qa.vec_id = pr.a_id
+        |               JOIN q qb ON qb.vec_id = pr.b_id AND qb.i = qa.i
+        |       GROUP BY 1, 2),
+        |du AS (SELECT b_id, min(a_id) AS dup_of, CAST(min(d2) AS BIGINT) AS min_d2
+        |       FROM pd WHERE d2 <= 130000000 GROUP BY 1)
+        |SELECT bf.vec_id, CAST(bf.cid AS BIGINT) AS cluster_id,
+        |       du.b_id IS NOT NULL AS is_dup, du.dup_of, du.min_d2
+        |FROM bf LEFT JOIN du ON du.b_id = bf.vec_id
+        |ORDER BY vec_id""".stripMargin
+    },
+
+    // NAIVE formulation on purpose: full inverted-index self-join with no
+    // prefix pruning — the gate proves the Spark-side PPJoin prune is lossless,
+
+    "q_dup_cluster_hist" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 8 AS blk,
+        |                            substr(text, 1, 40) AS head
+        |                     FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk
+        |                       AND a.doc_id < b.doc_id
+        |      WHERE levenshtein(a.head, b.head) <= 8),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT src AS node, dst AS label FROM e
+        |  UNION
+        |  SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.label = e2.src),
+        |comp AS (SELECT node, least(node, min(label)) AS component_id
+        |         FROM reach GROUP BY node),
+        |assign AS (SELECT doc.doc_id,
+        |                  coalesce(c.component_id, doc.doc_id) AS component_id
+        |           FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node),
+        |sz AS (SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM assign GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |       min(component_id) AS example_component
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "q_dup_by_source" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 8 AS blk,
+        |                            substr(text, 1, 40) AS head
+        |                     FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM d a JOIN d b ON a.lang = b.lang AND a.blk = b.blk
+        |                       AND a.doc_id < b.doc_id
+        |      WHERE levenshtein(a.head, b.head) <= 8),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach AS (
+        |  SELECT src AS node, dst AS label FROM e
+        |  UNION
+        |  SELECT r.node, e2.dst FROM reach r JOIN e e2 ON r.label = e2.src),
+        |comp AS (SELECT node, least(node, min(label)) AS component_id
+        |         FROM reach GROUP BY node),
+        |assign AS (
+        |  SELECT doc.doc_id, doc.source,
+        |         coalesce(c.component_id, doc.doc_id) AS component_id,
+        |         doc.doc_id = coalesce(c.component_id, doc.doc_id) AS is_canonical
+        |  FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node),
+        |sizes AS (SELECT component_id, count(*) AS csize FROM assign GROUP BY 1)
+        |SELECT a.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN s.csize >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+        | CAST(sum(CASE WHEN NOT a.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | floor((CAST(sum(CASE WHEN NOT a.is_canonical THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS drop_rate
+        |FROM assign a JOIN sizes s ON a.component_id = s.component_id
+        |GROUP BY a.source ORDER BY a.source""".stripMargin,
+
+    "q_mmr_diversity" ->
+      """WITH dl AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS len
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM dl),
+        |tf AS (
+        |  SELECT doc_id, len, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len, unnest(string_split(lower(text), ' ')) AS term FROM dl) u
+        |  WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, len, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |              / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.len AS DOUBLE)
+        |         / (CAST(st.sum_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS sc
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+        |rel AS (SELECT doc_id,
+        |          floor(CAST(sum(CAST(sc AS DECIMAL(28,8))) AS DOUBLE)
+        |                * 10000.0 + 0.5) / 10000.0 AS rel
+        |        FROM s GROUP BY doc_id
+        |        ORDER BY rel DESC, doc_id ASC LIMIT 20),
+        |qv AS (SELECT vec_id,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |              AS BIGINT) AS q,
+        |         generate_subscripts(embedding, 1) AS i
+        |       FROM embeddings JOIN rel ON vec_id = rel.doc_id),
+        |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        |        FROM qv GROUP BY 1),
+        |dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS dp
+        |       FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |       GROUP BY 1, 2),
+        |sim AS (SELECT a_id, b_id,
+        |          floor(CAST(dp AS DOUBLE)
+        |                / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+        |                * 10000.0 + 0.5) / 10000.0 AS sim
+        |        FROM dp JOIN nrm x ON a_id = x.vec_id JOIN nrm y ON b_id = y.vec_id),
+        |s1 AS (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id ASC LIMIT 1),
+        |c2 AS (SELECT r.doc_id, r.rel, max(s.sim) AS maxsim
+        |       FROM rel r JOIN sim s ON s.a_id = r.doc_id
+        |       WHERE s.b_id IN (SELECT doc_id FROM s1)
+        |         AND r.doc_id NOT IN (SELECT doc_id FROM s1)
+        |       GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, rel, maxsim,
+        |         floor((0.7 * rel - (1.0 - 0.7) * maxsim) * 10000.0 + 0.5)
+        |           / 10000.0 AS sc
+        |       FROM c2 ORDER BY sc DESC, doc_id ASC LIMIT 1),
+        |sel2 AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+        |c3 AS (SELECT r.doc_id, r.rel, max(s.sim) AS maxsim
+        |       FROM rel r JOIN sim s ON s.a_id = r.doc_id
+        |       WHERE s.b_id IN (SELECT doc_id FROM sel2)
+        |         AND r.doc_id NOT IN (SELECT doc_id FROM sel2)
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, rel, maxsim,
+        |         floor((0.7 * rel - (1.0 - 0.7) * maxsim) * 10000.0 + 0.5)
+        |           / 10000.0 AS sc
+        |       FROM c3 ORDER BY sc DESC, doc_id ASC LIMIT 1),
+        |sel3 AS (SELECT doc_id FROM sel2 UNION ALL SELECT doc_id FROM s3),
+        |c4 AS (SELECT r.doc_id, r.rel, max(s.sim) AS maxsim
+        |       FROM rel r JOIN sim s ON s.a_id = r.doc_id
+        |       WHERE s.b_id IN (SELECT doc_id FROM sel3)
+        |         AND r.doc_id NOT IN (SELECT doc_id FROM sel3)
+        |       GROUP BY 1, 2),
+        |s4 AS (SELECT doc_id, rel, maxsim,
+        |         floor((0.7 * rel - (1.0 - 0.7) * maxsim) * 10000.0 + 0.5)
+        |           / 10000.0 AS sc
+        |       FROM c4 ORDER BY sc DESC, doc_id ASC LIMIT 1),
+        |sel4 AS (SELECT doc_id FROM sel3 UNION ALL SELECT doc_id FROM s4),
+        |c5 AS (SELECT r.doc_id, r.rel, max(s.sim) AS maxsim
+        |       FROM rel r JOIN sim s ON s.a_id = r.doc_id
+        |       WHERE s.b_id IN (SELECT doc_id FROM sel4)
+        |         AND r.doc_id NOT IN (SELECT doc_id FROM sel4)
+        |       GROUP BY 1, 2),
+        |s5 AS (SELECT doc_id, rel, maxsim,
+        |         floor((0.7 * rel - (1.0 - 0.7) * maxsim) * 10000.0 + 0.5)
+        |           / 10000.0 AS sc
+        |       FROM c5 ORDER BY sc DESC, doc_id ASC LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS rank, doc_id, rel, 0.0 AS maxsim,
+        |       floor(0.7 * rel * 10000.0 + 0.5) / 10000.0 AS mmr_score
+        |FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), doc_id, rel, maxsim, sc FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), doc_id, rel, maxsim, sc FROM s3
+        |UNION ALL SELECT CAST(4 AS BIGINT), doc_id, rel, maxsim, sc FROM s4
+        |UNION ALL SELECT CAST(5 AS BIGINT), doc_id, rel, maxsim, sc FROM s5
+        |ORDER BY rank""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH qv AS (SELECT vec_id,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        |        FROM qv GROUP BY 1),
+        |dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS dp
+        |       FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT a_id, la.label AS a_label, b_id, lb.label AS b_label,
+        |         floor(CAST(dp AS DOUBLE)
+        |               / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+        |               * 10000.0 + 0.5) / 10000.0 AS cos
+        |       FROM dp JOIN nrm x ON a_id = x.vec_id
+        |       JOIN nrm y ON b_id = y.vec_id
+        |       JOIN lab la ON a_id = la.vec_id
+        |       JOIN lab lb ON b_id = lb.vec_id),
+        |hn AS (SELECT a_id, a_label, b_id, b_label, cos
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |               ORDER BY cos DESC, b_id ASC) AS rn
+        |             FROM sc WHERE a_label <> b_label)
+        |       WHERE rn = 1),
+        |hp AS (SELECT a_id, b_id, cos
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |               ORDER BY cos ASC, b_id ASC) AS rn
+        |             FROM sc WHERE a_label = b_label)
+        |       WHERE rn = 1)
+        |SELECT hn.a_id AS vec_id, hn.a_label AS label,
+        |       hn.b_id AS hard_neg_id, hn.b_label AS hard_neg_label,
+        |       hn.cos AS hard_neg_cos,
+        |       hp.b_id AS hard_pos_id, hp.cos AS hard_pos_cos,
+        |       floor((hn.cos - hp.cos) * 10000.0 + 0.5) / 10000.0 AS margin
+        |FROM hn JOIN hp ON hn.a_id = hp.a_id
+        |WHERE hn.a_id % 17 = 0 ORDER BY vec_id""".stripMargin,
+
+    "q_knn_label_noise" ->
+      """WITH qv AS (SELECT vec_id,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        |        FROM qv GROUP BY 1),
+        |dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS dp
+        |       FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT a_id, la.label AS a_label, b_id, lb.label AS b_label,
+        |         floor(CAST(dp AS DOUBLE)
+        |               / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+        |               * 10000.0 + 0.5) / 10000.0 AS cos
+        |       FROM dp JOIN nrm x ON a_id = x.vec_id
+        |       JOIN nrm y ON b_id = y.vec_id
+        |       JOIN lab la ON a_id = la.vec_id
+        |       JOIN lab lb ON b_id = lb.vec_id),
+        |knn AS (SELECT a_id, a_label, b_label
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |                ORDER BY cos DESC, b_id ASC) AS rk
+        |              FROM sc)
+        |        WHERE rk <= 5),
+        |votes AS (SELECT a_id, a_label, b_label,
+        |            CAST(count(*) AS BIGINT) AS v
+        |          FROM knn GROUP BY 1, 2, 3),
+        |maj AS (SELECT a_id, a_label, b_label AS knn_label
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |                ORDER BY v DESC, b_label ASC) AS rn
+        |              FROM votes)
+        |        WHERE rn = 1)
+        |SELECT a_label AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+        | CAST(sum(CASE WHEN knn_label <> a_label THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_flagged,
+        | floor(CAST(sum(CASE WHEN knn_label <> a_label THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+        |   / 10000.0 AS noise_rate
+        |FROM maj GROUP BY a_label ORDER BY label""".stripMargin,
+
+    "q_auc_roc" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS q
+        |  FROM embeddings),
+        |cents AS (SELECT label AS label_c, pos, CAST(sum(q) AS BIGINT) AS s
+        |          FROM ex GROUP BY 1, 2),
+        |cn AS (SELECT label_c,
+        |         CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS cn2
+        |       FROM cents GROUP BY 1),
+        |per AS (SELECT e.vec_id, e.label, c.label_c,
+        |    CAST(sum(CAST(e.q AS DECIMAL(38,0)) * c.s) AS DECIMAL(38,0)) AS dp,
+        |    CAST(sum(CAST(e.q AS DECIMAL(38,0)) * e.q) AS DECIMAL(38,0)) AS n2
+        |  FROM ex e JOIN cents c ON e.pos = c.pos GROUP BY 1, 2, 3),
+        |sc AS (SELECT label_c,
+        |    CASE WHEN label = label_c THEN 1 ELSE 0 END AS is_pos,
+        |    floor(CAST(dp AS DOUBLE)
+        |          / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS score
+        |  FROM per JOIN cn USING (label_c)),
+        |rk AS (SELECT label_c, is_pos,
+        |    2 * rank() OVER (PARTITION BY label_c ORDER BY score ASC)
+        |      + count(*) OVER (PARTITION BY label_c, score) - 1 AS r2
+        |  FROM sc)
+        |SELECT label_c AS label, CAST(sum(is_pos) AS BIGINT) AS n_pos,
+        | CAST(sum(1 - is_pos) AS BIGINT) AS n_neg,
+        | floor(CAST(sum(is_pos * r2) - sum(is_pos) * (sum(is_pos) + 1)
+        |            AS DOUBLE)
+        |       / (2.0 * CAST(sum(is_pos) AS DOUBLE)
+        |          * CAST(sum(1 - is_pos) AS DOUBLE)) * 10000.0 + 0.5)
+        |   / 10000.0 AS auc
+        |FROM rk GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q_pr_curve" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT pos, CAST(sum(q) AS BIGINT) AS s
+        |       FROM ex WHERE label = 0 GROUP BY 1),
+        |cn AS (SELECT
+        |    CAST(sum(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0)) AS cn2
+        |  FROM c0),
+        |per AS (SELECT e.vec_id, max(e.label) AS label,
+        |    CAST(sum(CAST(e.q AS DECIMAL(38,0)) * c.s) AS DECIMAL(38,0)) AS dp,
+        |    CAST(sum(CAST(e.q AS DECIMAL(38,0)) * e.q) AS DECIMAL(38,0)) AS n2
+        |  FROM ex e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id),
+        |sc AS (SELECT vec_id,
+        |    CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_pos,
+        |    floor(CAST(dp AS DOUBLE)
+        |          / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS score
+        |  FROM per CROSS JOIN cn),
+        |cum AS (SELECT vec_id, is_pos, score,
+        |    CAST(row_number() OVER wd AS BIGINT) AS rk,
+        |    CAST(sum(is_pos) OVER (ORDER BY score DESC, vec_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_pos
+        |  FROM sc WINDOW wd AS (ORDER BY score DESC, vec_id ASC)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(is_pos) AS BIGINT) AS np FROM sc),
+        |cuts AS (SELECT CAST(k AS BIGINT) AS decile, k * n // 10 AS rk, np
+        |         FROM generate_series(1, 10) t(k) CROSS JOIN tot)
+        |SELECT decile, cum.rk AS n_kept, cum_pos AS n_pos_kept,
+        | floor(CAST(cum_pos AS DOUBLE) / CAST(cum.rk AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS precision,
+        | floor(CAST(cum_pos AS DOUBLE) / CAST(np AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS recall,
+        | floor(2.0 * CAST(cum_pos AS DOUBLE) / CAST(cum.rk + np AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS f1
+        |FROM cum JOIN cuts ON cum.rk = cuts.rk
+        |ORDER BY decile""".stripMargin
+  )
+}
