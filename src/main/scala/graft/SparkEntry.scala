@@ -437,6 +437,11 @@ object SparkEntry {
     "q_match_vshape"      -> q(Windows.matchVShape(_, _, 30, 3)), // dip>=30% then recovery within 3 days, integer cross-multiplied drop test
     "q_rising_streaks"    -> q(Windows.risingStreaks), // longest strictly-rising monthly streak per segment via gaps-and-islands
     "q_peak_detection"    -> q(Windows.peakDetection(_, _, 3, 20)), // strict local maxima with 20% prominence guard over +-3 weeks
+    // round-11 additions (bucketed-candidate production twins of the n2 miners + measured recall)
+    "q_hard_negatives_ivf" -> q(Similarity.hardNegativesIvf), // hard-neg/pos mining from IVF multi-probe candidates — corpus-linear pair stream
+    "q_knn_label_noise_ivf" -> q(Similarity.knnLabelNoiseIvf(_, _, 5)), // kNN noise screen over the bucketed candidate stream
+    "q_hard_negatives_recall" -> q(Similarity.hardNegativesRecall), // bucketed-vs-exact mined-extreme recall, one gated row
+    "q_knn_noise_recall"  -> q(Similarity.knnNoiseRecall(_, _, 5)), // candidate-stream edge recall vs the exact 5-NN graph
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */

@@ -408,6 +408,35 @@ object Ivf {
       .drop("_cents", "_d", "_d2arr", "_p1", "_p2")
   }
 
+  /** Top-2 gated integer cell probes, near AND far — the multi-probe
+    * candidate GENERATOR the bucketed pair miners share
+    * ([[graft.operators.Similarity.hardNegativesIvf]] /
+    * [[Similarity.knnLabelNoiseIvf]], round 11): one md5-sampled integer
+    * k-means fit, then TWO map-only top-2 argmin passes over the same
+    * broadcast centroids —
+    *  - (near1, near2): the vector's own two nearest cells (index
+    *    membership AND the near-neighbor probe set);
+    *  - (far1, far2): the two cells nearest the REFLECTED vector
+    *    2·Off − qv (the offset-space image of −v) — minimum dot product
+    *    is nearest-neighbor of the negation, so these are the cells where
+    *    FARTHEST-point candidates (hardest positives) live.
+    * Both passes are map-only over the corpus; the fit stays
+    * [[TrainCap]]-bounded. Output: (vec_id, near1, near2, far1, far2).
+    */
+  private[operators] def gatedProbes2(spark: SparkSession, sfDir: String,
+                                      nLists: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
+    val cents = gatedCentroids(qemb, nLists)
+    val near = gatedWithBest2(qemb, cents)
+      .select(col("vec_id"), col("cid1").as("near1"), col("cid2").as("near2"))
+    val refl = qemb.select(col("vec_id"),
+      transform(col("qv"), v => lit(32768L) - v).as("qv"))
+    val far = gatedWithBest2(refl, cents)
+      .select(col("vec_id"), col("cid1").as("far1"), col("cid2").as("far2"))
+    near.join(far, "vec_id")
+  }
+
   /** Multi-probe variant of [[semanticDedupGated]] — closes the cross-cell
     * recall gap that single-cell clustering documents as its tradeoff:
     * every vector belongs to its TWO nearest cells, pairs form inside any

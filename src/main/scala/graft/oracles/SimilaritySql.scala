@@ -8,7 +8,197 @@ import graft.operators
   * the driver's hash gate sees an identical contract.
   */
 object SimilaritySql {
+
+  /** Shared CTE chains for the round-11 bucketed-miner oracles — the SAME
+    * unrolled integer k-means as q_ann_ivf_gated (md5-ordered 20k sample,
+    * spaced init, 5 Lloyd's rounds over fixed-point +16384-offset BIGINTs),
+    * extended with top-2 NEAR probes (rk <= 2 over (d, cid)) and top-2 FAR
+    * probes (the reflected vector 32768 − qv: min dot ≡ nearest of −v), plus
+    * the ·10⁶ list_dot_product scoring frame (exact: integer dot products
+    * stay below 2^53, representable in DOUBLE in any summation order).
+    */
+  private val ivfFitCte: String = {
+    val iters = (1 to 5).map { i =>
+      s"""a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+         |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+         |b$i AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |          FROM a$i) WHERE rk = 1),
+         |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+         |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+         |c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+         |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),""".stripMargin
+    }.mkString("\n")
+    s"""q AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+       |              AS BIGINT) + 16384 AS qv
+       |  FROM embeddings),
+       |sample AS (SELECT vec_id FROM embeddings
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+       |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+       |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+       |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+       |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+       |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+       |$iters""".stripMargin
+  }
+
+  private val ivfProbesCte: String =
+    """afn AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+      |        FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+      |bfn AS (SELECT vec_id, cid FROM (
+      |          SELECT vec_id, cid,
+      |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |          FROM afn) WHERE rk <= 2),
+      |aff AS (SELECT l.vec_id, c.cid,
+      |          sum((32768 - l.qv - c.qv) * (32768 - l.qv - c.qv)) AS d
+      |        FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+      |bff AS (SELECT vec_id, cid FROM (
+      |          SELECT vec_id, cid,
+      |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |          FROM aff) WHERE rk <= 2),
+      |v6 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n6 AS (SELECT vec_id, label, qv,
+      |       CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM v6),""".stripMargin
+
+  /** near+far probe candidates (hard-negative miner) */
+  private val ivfCandFarCte: String =
+    """cand AS (SELECT DISTINCT p.vec_id AS a_id, m.vec_id AS b_id
+      |         FROM (SELECT vec_id, cid FROM bfn UNION SELECT vec_id, cid FROM bff) p
+      |         JOIN bfn m USING (cid) WHERE p.vec_id <> m.vec_id),""".stripMargin
+
+  /** near-only probe candidates (kNN miner + edge recall) */
+  private val ivfCandNearCte: String =
+    """cand AS (SELECT DISTINCT p.vec_id AS a_id, m.vec_id AS b_id
+      |         FROM bfn p JOIN bfn m USING (cid) WHERE p.vec_id <> m.vec_id),""".stripMargin
+
+  /** candidate-pair exact-integer cosine scoring */
+  private val ivfScCte: String =
+    """sc AS (SELECT a_id, va.label AS a_label, b_id, vb.label AS b_label,
+      |         floor(CAST(CAST(list_dot_product(va.qv, vb.qv) AS BIGINT) AS DOUBLE)
+      |               / (sqrt(CAST(va.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE)))
+      |               * 10000.0 + 0.5) / 10000.0 AS cos
+      |       FROM cand JOIN n6 va ON a_id = va.vec_id
+      |       JOIN n6 vb ON b_id = vb.vec_id),""".stripMargin
+
+  /** exact all-pairs scoring (the recall queries' truth leg) */
+  private val ivfSceCte: String =
+    """sce AS (SELECT a.vec_id AS a_id, a.label AS a_label,
+      |         b.vec_id AS b_id, b.label AS b_label,
+      |         floor(CAST(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS DOUBLE)
+      |               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+      |               * 10000.0 + 0.5) / 10000.0 AS cos
+      |       FROM n6 a JOIN n6 b ON a.vec_id <> b.vec_id),""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "q_hard_negatives_ivf" ->
+      s"""WITH $ivfFitCte
+        |$ivfProbesCte
+        |$ivfCandFarCte
+        |$ivfScCte
+        |hn AS (SELECT a_id, a_label, b_id, b_label, cos
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |               ORDER BY cos DESC, b_id ASC) AS rn
+        |             FROM sc WHERE a_label <> b_label)
+        |       WHERE rn = 1),
+        |hp AS (SELECT a_id, b_id, cos
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |               ORDER BY cos ASC, b_id ASC) AS rn
+        |             FROM sc WHERE a_label = b_label)
+        |       WHERE rn = 1)
+        |SELECT hn.a_id AS vec_id, hn.a_label AS label,
+        |       hn.b_id AS hard_neg_id, hn.b_label AS hard_neg_label,
+        |       hn.cos AS hard_neg_cos,
+        |       hp.b_id AS hard_pos_id, hp.cos AS hard_pos_cos,
+        |       floor((hn.cos - hp.cos) * 10000.0 + 0.5) / 10000.0 AS margin
+        |FROM hn JOIN hp ON hn.a_id = hp.a_id
+        |WHERE hn.a_id % 17 = 0 ORDER BY vec_id""".stripMargin,
+
+    "q_knn_label_noise_ivf" ->
+      s"""WITH $ivfFitCte
+        |$ivfProbesCte
+        |$ivfCandNearCte
+        |$ivfScCte
+        |knn AS (SELECT a_id, a_label, b_label
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |                ORDER BY cos DESC, b_id ASC) AS rk
+        |              FROM sc)
+        |        WHERE rk <= 5),
+        |votes AS (SELECT a_id, a_label, b_label,
+        |            CAST(count(*) AS BIGINT) AS v
+        |          FROM knn GROUP BY 1, 2, 3),
+        |maj AS (SELECT a_id, a_label, b_label AS knn_label
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+        |                ORDER BY v DESC, b_label ASC) AS rn
+        |              FROM votes)
+        |        WHERE rn = 1)
+        |SELECT a_label AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+        | CAST(sum(CASE WHEN knn_label <> a_label THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_flagged,
+        | floor(CAST(sum(CASE WHEN knn_label <> a_label THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5)
+        |   / 10000.0 AS noise_rate
+        |FROM maj GROUP BY a_label ORDER BY label""".stripMargin,
+
+    "q_hard_negatives_recall" ->
+      s"""WITH $ivfFitCte
+        |$ivfProbesCte
+        |$ivfCandFarCte
+        |$ivfScCte
+        |$ivfSceCte
+        |xhn AS (SELECT a_id, b_id, cos FROM (SELECT *, row_number() OVER (
+        |         PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rn
+        |       FROM sce WHERE a_label <> b_label) WHERE rn = 1),
+        |xhp AS (SELECT a_id, b_id, cos FROM (SELECT *, row_number() OVER (
+        |         PARTITION BY a_id ORDER BY cos ASC, b_id ASC) AS rn
+        |       FROM sce WHERE a_label = b_label) WHERE rn = 1),
+        |ihn AS (SELECT a_id, b_id, cos FROM (SELECT *, row_number() OVER (
+        |         PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rn
+        |       FROM sc WHERE a_label <> b_label) WHERE rn = 1),
+        |ihp AS (SELECT a_id, b_id, cos FROM (SELECT *, row_number() OVER (
+        |         PARTITION BY a_id ORDER BY cos ASC, b_id ASC) AS rn
+        |       FROM sc WHERE a_label = b_label) WHERE rn = 1),
+        |ex AS (SELECT xhn.a_id, xhn.b_id AS x_hn, xhp.b_id AS x_hp,
+        |         CAST(floor(xhn.cos * 10000.0 + 0.5) AS BIGINT) AS x_hnc,
+        |         CAST(floor(xhp.cos * 10000.0 + 0.5) AS BIGINT) AS x_hpc
+        |       FROM xhn JOIN xhp ON xhn.a_id = xhp.a_id WHERE xhn.a_id % 17 = 0),
+        |iv AS (SELECT ihn.a_id, ihn.b_id AS i_hn, ihp.b_id AS i_hp,
+        |         CAST(floor(ihn.cos * 10000.0 + 0.5) AS BIGINT) AS i_hnc,
+        |         CAST(floor(ihp.cos * 10000.0 + 0.5) AS BIGINT) AS i_hpc
+        |       FROM ihn JOIN ihp ON ihn.a_id = ihp.a_id WHERE ihn.a_id % 17 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+        |  CAST(sum(CASE WHEN i_hn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mined,
+        |  CAST(sum(CASE WHEN i_hn = x_hn THEN 1 ELSE 0 END) AS BIGINT) AS n_hn_hit,
+        |  CAST(sum(CASE WHEN i_hp = x_hp THEN 1 ELSE 0 END) AS BIGINT) AS n_hp_hit,
+        |  CAST(sum(COALESCE(x_hnc - i_hnc, 0)) AS BIGINT) AS hn_regret_bp,
+        |  CAST(sum(COALESCE(i_hpc - x_hpc, 0)) AS BIGINT) AS hp_regret_bp,
+        |  floor(CAST(sum(CASE WHEN i_hn = x_hn THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS hn_recall,
+        |  floor(CAST(sum(CASE WHEN i_hp = x_hp THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS hp_recall
+        |FROM ex LEFT JOIN iv USING (a_id)""".stripMargin,
+
+    "q_knn_noise_recall" ->
+      s"""WITH $ivfFitCte
+        |$ivfProbesCte
+        |$ivfCandNearCte
+        |$ivfSceCte
+        |truth AS (SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cos DESC, b_id ASC) AS rk FROM sce) WHERE rk <= 5),
+        |hit AS (SELECT 1 FROM truth JOIN cand USING (a_id, b_id))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+        |       floor((SELECT CAST(count(*) AS DOUBLE) FROM hit)
+        |             / (SELECT CAST(count(*) AS DOUBLE) FROM truth)
+        |             * 10000.0 + 0.5) / 10000.0 AS recall""".stripMargin,
+
     "q_media_chunk" ->
       """WITH m AS (SELECT doc_id, 1000 + (doc_id * 7919) % 600000 AS duration_ms
         |           FROM documents),
@@ -1014,27 +1204,24 @@ object SimilaritySql {
         |UNION ALL SELECT CAST(5 AS BIGINT), doc_id, rel, maxsim, sc FROM s5
         |ORDER BY rank""".stripMargin,
 
+    // round 11: the per-dimension unnest join (qv/nrm/dp CTEs) is replaced by
+    // list_dot_product over BIGINT lists — exact (integer results < 2^53 are
+    // representable in DOUBLE regardless of summation order; verified
+    // bit-identical to the join form at sf0.01), ~6x faster, and tractable at
+    // the 10x decade where the per-dimension join walled.
     "q_hard_negatives" ->
-      """WITH qv AS (SELECT vec_id,
-        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
-        |         AS BIGINT) AS q,
-        |    generate_subscripts(embedding, 1) AS i
+      """WITH v6 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
         |  FROM embeddings),
-        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-        |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
-        |        FROM qv GROUP BY 1),
-        |dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |         CAST(sum(a.q * b.q) AS BIGINT) AS dp
-        |       FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
-        |       GROUP BY 1, 2),
-        |sc AS (SELECT a_id, la.label AS a_label, b_id, lb.label AS b_label,
-        |         floor(CAST(dp AS DOUBLE)
-        |               / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+        |n6 AS (SELECT vec_id, label, qv,
+        |       CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM v6),
+        |sc AS (SELECT a.vec_id AS a_id, a.label AS a_label,
+        |         b.vec_id AS b_id, b.label AS b_label,
+        |         floor(CAST(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS DOUBLE)
+        |               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
         |               * 10000.0 + 0.5) / 10000.0 AS cos
-        |       FROM dp JOIN nrm x ON a_id = x.vec_id
-        |       JOIN nrm y ON b_id = y.vec_id
-        |       JOIN lab la ON a_id = la.vec_id
-        |       JOIN lab lb ON b_id = lb.vec_id),
+        |       FROM n6 a JOIN n6 b ON a.vec_id <> b.vec_id),
         |hn AS (SELECT a_id, a_label, b_id, b_label, cos
         |       FROM (SELECT *, row_number() OVER (PARTITION BY a_id
         |               ORDER BY cos DESC, b_id ASC) AS rn
@@ -1053,27 +1240,21 @@ object SimilaritySql {
         |FROM hn JOIN hp ON hn.a_id = hp.a_id
         |WHERE hn.a_id % 17 = 0 ORDER BY vec_id""".stripMargin,
 
+    // round 11: same list_dot_product rewrite as q_hard_negatives (exact
+    // integer dot products in DOUBLE below 2^53; bit-identical, decade-viable)
     "q_knn_label_noise" ->
-      """WITH qv AS (SELECT vec_id,
-        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
-        |         AS BIGINT) AS q,
-        |    generate_subscripts(embedding, 1) AS i
+      """WITH v6 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
         |  FROM embeddings),
-        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-        |nrm AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
-        |        FROM qv GROUP BY 1),
-        |dp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |         CAST(sum(a.q * b.q) AS BIGINT) AS dp
-        |       FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id <> b.vec_id
-        |       GROUP BY 1, 2),
-        |sc AS (SELECT a_id, la.label AS a_label, b_id, lb.label AS b_label,
-        |         floor(CAST(dp AS DOUBLE)
-        |               / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+        |n6 AS (SELECT vec_id, label, qv,
+        |       CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM v6),
+        |sc AS (SELECT a.vec_id AS a_id, a.label AS a_label,
+        |         b.vec_id AS b_id, b.label AS b_label,
+        |         floor(CAST(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS DOUBLE)
+        |               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
         |               * 10000.0 + 0.5) / 10000.0 AS cos
-        |       FROM dp JOIN nrm x ON a_id = x.vec_id
-        |       JOIN nrm y ON b_id = y.vec_id
-        |       JOIN lab la ON a_id = la.vec_id
-        |       JOIN lab lb ON b_id = lb.vec_id),
+        |       FROM n6 a JOIN n6 b ON a.vec_id <> b.vec_id),
         |knn AS (SELECT a_id, a_label, b_label
         |        FROM (SELECT *, row_number() OVER (PARTITION BY a_id
         |                ORDER BY cos DESC, b_id ASC) AS rk
