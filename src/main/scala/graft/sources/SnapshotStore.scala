@@ -235,27 +235,126 @@ object SnapshotStore {
     * the atomic create-if-absent of `_commits/v{N}.json`; on collision the
     * writer retries at N+1 (its staged data is version-agnostic). Returns
     * the committed version number.
+    *
+    * Failure discipline (round-11 advice items): the staged directory must
+    * still EXIST at publish time (a retention-expired vacuum or manual
+    * delete would otherwise commit a manifest pointing at nothing and break
+    * every read of that version); only create-if-absent COLLISIONS take the
+    * retry path (FileAlreadyExistsException / "exists" — a lost race), while
+    * any other I/O failure between create() succeeding and close() deletes
+    * the partial manifest and rethrows, so committedVersions never lists a
+    * truncated manifest and persistent errors (permissions, disk full)
+    * surface as themselves instead of burning 50 version slots.
     */
   def publishSnapshot(spark: SparkSession, baseDir: String, dataDir: String,
-                      maxRetries: Int = 50): Long = {
+                      maxRetries: Int = 50): Long =
+    publishFencedInternal(spark, baseDir, dataDir, None, maxRetries)
+
+  /** A concurrent-writer key-range conflict — the MERGE-semantics fence:
+    * the losing writer's staged data was derived from a snapshot that no
+    * longer reflects the keys it touches, so auto-retrying would silently
+    * last-writer-win. The caller must re-derive from the new latest and
+    * re-commit.
+    */
+  final class SnapshotConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Publish with a KEY-RANGE CONFLICT FENCE (the optimistic-concurrency
+    * contract the reference's transactional MERGE gives for free,
+    * transform_load.sql:50–70): the manifest records the [keyMin, keyMax]
+    * band of `keyCol` this snapshot wrote; when the create-if-absent
+    * collides, every manifest that landed after `baseVersion` (the version
+    * this writer's data was derived from) is inspected and the retry is
+    * REFUSED with [[SnapshotConflictException]] if any recorded band on the
+    * same key overlaps ours — two writers merging disjoint key ranges (the
+    * partitioned-backfill shape) both commit; overlapping writers
+    * serialize at the application level instead of silently losing one
+    * update. Key bands are LONG (surrogate/order keys — the merge keys the
+    * warehouse actually uses).
+    */
+  def publishSnapshotFenced(spark: SparkSession, baseDir: String,
+                            dataDir: String, keyCol: String, keyMin: Long,
+                            keyMax: Long, baseVersion: Long,
+                            maxRetries: Int = 50): Long =
+    publishFencedInternal(spark, baseDir, dataDir,
+      Some((keyCol, keyMin, keyMax, baseVersion)), maxRetries)
+
+  private def publishFencedInternal(spark: SparkSession, baseDir: String,
+                                    dataDir: String,
+                                    fence: Option[(String, Long, Long, Long)],
+                                    maxRetries: Int): Long = {
     val (fs, _) = fsFor(spark, baseDir)
+    // a manifest must never point at a directory that is already gone
+    // (e.g. vacuumed while this writer stalled past the retention window)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dataDir)),
+      s"publishSnapshot: staged dir $dataDir no longer exists")
     val relData = dataDir.stripPrefix(baseDir).stripPrefix("/")
-    var v = committedVersions(spark, baseDir).lastOption.getOrElse(-1L) + 1
+    val fenceJson = fence.fold("") { case (c, lo, hi, _) =>
+      s""", "keyCol": "$c", "keyMin": $lo, "keyMax": $hi"""
+    }
     var attempts = 0
     while (attempts < maxRetries) {
-      val manifest = new org.apache.hadoop.fs.Path(f"$baseDir/_commits/v$v%05d.json")
-      try {
-        // create(path, overwrite = false) is the put-if-absent commit point
-        val out = fs.create(manifest, false)
-        try out.write(
-          s"""{"version": $v, "data": "$relData"}""".getBytes("UTF-8"))
-        finally out.close()
-        return v
-      } catch {
-        case _: java.io.IOException => v += 1; attempts += 1 // lost the race
+      val committed = committedVersions(spark, baseDir)
+      // fence check BEFORE each attempt: any commit that landed after this
+      // writer's derivation base and recorded an overlapping band on the
+      // same key invalidates the staged rewrite (commits without a recorded
+      // fence are invisible to the check — mixing fenced and unfenced
+      // writers on one table forfeits the guarantee, by contract)
+      fence.foreach { case (keyCol, lo, hi, baseV) =>
+        committed.filter(_ > baseV).foreach { cv =>
+          manifestKeyRange(spark, baseDir, cv)
+            .filter { case (c, mlo, mhi) =>
+              c == keyCol && mlo <= hi && lo <= mhi }
+            .foreach { case (_, mlo, mhi) =>
+              throw new SnapshotConflictException(
+                s"publishSnapshotFenced: version $cv committed keys " +
+                s"[$mlo,$mhi] of '$keyCol' overlapping this writer's " +
+                s"[$lo,$hi] (derived from version $baseV) — re-derive " +
+                s"and retry")
+            }
+        }
       }
+      val v = committed.lastOption.getOrElse(-1L) + 1
+      if (tryCreateManifest(fs, baseDir, v, relData, fenceJson)) return v
+      attempts += 1 // collision: someone committed v first — re-fence, retry
     }
     sys.error(s"publishSnapshot: gave up after $maxRetries contended commits")
+  }
+
+  /** The (keyCol, keyMin, keyMax) fence a committed manifest records, if
+    * any — None for unfenced commits.
+    */
+  private def manifestKeyRange(spark: SparkSession, baseDir: String,
+                               v: Long): Option[(String, Long, Long)] = {
+    val (fs, _) = fsFor(spark, baseDir)
+    val manifest = new org.apache.hadoop.fs.Path(f"$baseDir/_commits/v$v%05d.json")
+    if (!fs.exists(manifest)) return None
+    val in = fs.open(manifest)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    for {
+      c <- """"keyCol":\s*"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+      lo <- """"keyMin":\s*(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+      hi <- """"keyMax":\s*(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+    } yield (c, lo, hi)
+  }
+
+  /** Stage + fenced-publish in one call: records `keyCol`'s [min, max]
+    * band (one column-pruned aggregate over the staged files) and the
+    * latest committed version at entry as the derivation base. Returns
+    * the committed version; throws [[SnapshotConflictException]] when an
+    * overlapping-key commit landed in between.
+    */
+  def commitSnapshotFenced(df: DataFrame, baseDir: String,
+                           keyCol: String): Long = {
+    val spark = df.sparkSession
+    val baseV = committedVersions(spark, baseDir).lastOption.getOrElse(-1L)
+    val staged = stageSnapshot(df, baseDir)
+    val r = spark.read.parquet(staged)
+      .agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
+      .head()
+    publishSnapshotFenced(spark, baseDir, staged, keyCol,
+                          r.getLong(0), r.getLong(1), baseV)
   }
 
   /** Stage + publish in one call — the writer API. Concurrent callers
@@ -318,14 +417,89 @@ object SnapshotStore {
     * erase itself is one anti-join against a broadcastable key list
     * (erasure requests are human-scale even at 100 TB facts). Returns
     * (newVersion, rowsErased).
+    *
+    * Validated read-modify-write (round-11 advice item): the version read
+    * is recorded and the rewrite only publishes if it is STILL the latest
+    * at commit time — a commit landing in between would otherwise be
+    * silently excluded from the erased snapshot (lost update). On conflict
+    * the erase re-reads the new latest and retries, so interleaved commits
+    * delay the erase but never lose data.
     */
   def eraseKeys(spark: SparkSession, baseDir: String, keyCol: String,
-                keys: DataFrame): (Long, Long) = {
-    val current = readCommitted(spark, baseDir)
+                keys: DataFrame, maxRetries: Int = 5): (Long, Long) = {
     val keyList = broadcast(keys.select(col(keyCol)).distinct())
-    val kept = current.join(keyList, Seq(keyCol), "left_anti")
-    val erased = current.join(keyList, Seq(keyCol), "left_semi").count()
-    (commitSnapshot(kept, baseDir), erased)
+    val (fs, _) = fsFor(spark, baseDir)
+    var attempts = 0
+    while (attempts < maxRetries) {
+      val baseV = committedVersions(spark, baseDir).lastOption.getOrElse(
+        sys.error(s"eraseKeys: no committed snapshot under $baseDir"))
+      val current = readCommitted(spark, baseDir, asOf = baseV)
+      val kept = current.join(keyList, Seq(keyCol), "left_anti")
+      val erased = current.join(keyList, Seq(keyCol), "left_semi").count()
+      val staged = stageSnapshot(kept, baseDir)
+      // commit at EXACTLY baseV+1 (no auto-retry at higher slots): the
+      // create-if-absent doubles as the still-latest check, atomically —
+      // a wrong-base rewrite is never visible, not even transiently
+      if (tryPublishAt(spark, baseDir, staged, baseV + 1))
+        return (baseV + 1, erased)
+      // an interleaved commit took baseV+1: our rewrite misses its rows —
+      // drop the stale staging and re-derive from the new latest
+      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+      attempts += 1
+    }
+    sys.error(s"eraseKeys: lost the read-modify-write race $maxRetries times")
+  }
+
+  /** Create-if-absent at exactly version `v` — true on success, false when
+    * that slot is already taken (the caller decides whether a higher slot
+    * is acceptable). Same truncated-manifest cleanup as [[publishSnapshot]].
+    */
+  private def tryPublishAt(spark: SparkSession, baseDir: String,
+                           dataDir: String, v: Long): Boolean = {
+    val (fs, _) = fsFor(spark, baseDir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(dataDir)),
+      s"tryPublishAt: staged dir $dataDir no longer exists")
+    tryCreateManifest(fs, baseDir, v,
+                      dataDir.stripPrefix(baseDir).stripPrefix("/"), "")
+  }
+
+  /** The atomic commit primitive: create-if-absent of `_commits/v{N}.json`
+    * with the given body fields. True = this writer owns version v; false =
+    * the slot was taken (a lost race — the ONLY retryable signal). A
+    * failure between create() succeeding and close() deletes the truncated
+    * manifest and rethrows, so committedVersions never lists a partial
+    * manifest and persistent I/O errors surface as themselves.
+    */
+  private def tryCreateManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                baseDir: String, v: Long, relData: String,
+                                extraJson: String): Boolean = {
+    val manifest = new org.apache.hadoop.fs.Path(f"$baseDir/_commits/v$v%05d.json")
+    try {
+      // create(path, overwrite = false) is the put-if-absent commit point
+      val out = fs.create(manifest, false)
+      try {
+        try out.write(
+          s"""{"version": $v, "data": "$relData"$extraJson}""".getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        // create succeeded but the write/close failed: remove the truncated
+        // manifest so readers never see it, then surface the real error —
+        // this is NOT a lost race
+        case e: Throwable =>
+          try fs.delete(manifest, false) catch { case _: Throwable => () }
+          throw e
+      }
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      // RawLocalFileSystem signals an existing target with a plain
+      // IOException whose message names the path — treat "exists" as the
+      // race signal, everything else as a real failure
+      case e: java.io.IOException
+        if e.getMessage != null &&
+           e.getMessage.toLowerCase.contains("exist") => false
+    }
   }
 
   /** Drop committed versions older than `keepLast` (retention-window
@@ -347,19 +521,37 @@ object SnapshotStore {
     expired
   }
 
+  /** Default vacuum retention: an unreferenced staging directory younger
+    * than this is assumed to belong to an IN-FLIGHT writer (staged, not yet
+    * published) and is left alone — the same reason Delta's VACUUM has a
+    * retention window. 24h default; tests pass 0 to reclaim immediately.
+    */
+  val VacuumRetentionMs: Long = 24L * 3600 * 1000
+
   /** Delete staged data directories no manifest references — crashed or
     * race-losing writers' leftovers. Never touches a referenced directory,
-    * so concurrent readers of any committed version are unaffected.
+    * so concurrent readers of any committed version are unaffected; never
+    * touches an unreferenced directory younger than `minAgeMs` (its writer
+    * may be between staging and publishing — deleting it would let the
+    * racing publish commit a manifest pointing at deleted data, breaking
+    * the 'reader sees version N or N+1 in full' contract; round-11 advice
+    * item). publishSnapshot additionally verifies the staged dir still
+    * exists, so a >retention-stalled writer fails loudly instead of
+    * committing a dangling manifest.
     */
-  def vacuumOrphans(spark: SparkSession, baseDir: String): Int = {
+  def vacuumOrphans(spark: SparkSession, baseDir: String,
+                    minAgeMs: Long = VacuumRetentionMs): Int = {
     val (fs, base) = fsFor(spark, baseDir)
     if (!fs.exists(base)) return 0
     val referenced = committedVersions(spark, baseDir)
       .map(v => manifestData(spark, baseDir, v).split('/').last).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val orphans = fs.listStatus(base).filter(_.isDirectory)
-      .map(_.getPath).filter { p =>
-        p.getName.startsWith("data-") && !referenced.contains(p.getName)
-      }
+      .filter { s =>
+        s.getPath.getName.startsWith("data-") &&
+        !referenced.contains(s.getPath.getName) &&
+        s.getModificationTime <= cutoff
+      }.map(_.getPath)
     orphans.foreach(p => fs.delete(p, true))
     orphans.length
   }

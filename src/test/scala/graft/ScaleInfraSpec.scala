@@ -493,13 +493,63 @@ class ScaleInfraSpec extends SparkSpec {
     val staged = stageSnapshot(base.limit(2), dir)
     assert(publishSnapshot(spark, dir, staged) === 2L)
     assert(readCommitted(spark, dir).count() === 2L)
-    // a crashed writer's orphan stage is reclaimed; referenced dirs survive
+    // a crashed writer's orphan stage is reclaimed; referenced dirs survive.
+    // Under the DEFAULT retention window the freshly staged dir is left
+    // alone (it could belong to an in-flight writer between staging and
+    // publishing — deleting it would commit a dangling manifest); minAge=0
+    // models the dir having aged past retention
     val orphan = stageSnapshot(base.limit(1), dir)
     assert(fs.exists(new org.apache.hadoop.fs.Path(orphan)))
-    val removed = vacuumOrphans(spark, dir)
+    assert(vacuumOrphans(spark, dir) === 0) // default 24h retention: kept
+    assert(fs.exists(new org.apache.hadoop.fs.Path(orphan)))
+    val removed = vacuumOrphans(spark, dir, minAgeMs = 0L)
     assert(removed === 1)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(orphan)))
     assert(readCommitted(spark, dir).count() === 2L) // still intact
+    // a writer whose staged dir was vacuumed (stalled past retention) must
+    // fail LOUDLY at publish instead of committing a dangling manifest
+    val gone = stageSnapshot(base.limit(1), dir)
+    vacuumOrphans(spark, dir, minAgeMs = 0L)
+    intercept[IllegalArgumentException] {
+      publishSnapshot(spark, dir, gone)
+    }
+  }
+
+  test("manifest commit protocol: key-range fence — overlapping concurrent " +
+       "writers conflict, disjoint writers both commit") {
+    import graft.sources.SnapshotStore._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_acid4").toString
+    commitSnapshot(Seq((1L, "a"), (5L, "b"), (9L, "c")).toDF("k", "v"), dir)
+
+    // two writers derive from version 0 concurrently: A rewrites keys 1–5,
+    // B rewrites keys 4–9 (overlap). A commits first; B must CONFLICT, not
+    // silently last-writer-win.
+    val baseV = committedVersions(spark, dir).last
+    val stagedA = stageSnapshot(Seq((1L, "a2"), (5L, "b2")).toDF("k", "v"), dir)
+    val stagedB = stageSnapshot(Seq((4L, "x"), (9L, "y")).toDF("k", "v"), dir)
+    val vA = publishSnapshotFenced(spark, dir, stagedA, "k", 1L, 5L, baseV)
+    assert(vA === baseV + 1)
+    intercept[SnapshotConflictException] {
+      publishSnapshotFenced(spark, dir, stagedB, "k", 4L, 9L, baseV)
+    }
+    // B re-derives from the NEW latest (the conflict contract) and commits
+    val vB2 = publishSnapshotFenced(spark, dir, stagedB, "k", 4L, 9L,
+                                    baseVersion = vA)
+    assert(vB2 === vA + 1)
+
+    // disjoint writers from the same base both commit, auto-serialized
+    val base2 = committedVersions(spark, dir).last
+    val stagedC = stageSnapshot(Seq((100L, "c1")).toDF("k", "v"), dir)
+    val stagedD = stageSnapshot(Seq((200L, "d1")).toDF("k", "v"), dir)
+    val vC = publishSnapshotFenced(spark, dir, stagedC, "k", 100L, 100L, base2)
+    val vD = publishSnapshotFenced(spark, dir, stagedD, "k", 200L, 200L, base2)
+    assert(vC === base2 + 1 && vD === base2 + 2)
+
+    // the convenience wrapper stamps the band from the staged data itself
+    val vE = commitSnapshotFenced(Seq((300L, "e")).toDF("k", "v"), dir, "k")
+    assert(vE === vD + 1)
+    assert(readCommitted(spark, dir).count() === 1)
   }
 
   test("manifest commit protocol: schema evolution, right-to-erasure, " +

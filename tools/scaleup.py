@@ -21,13 +21,21 @@ instead of quadratic in the clone factor, per-shingle posting counts stay
 base-sized, and the 100x decade of the exact joins becomes runnable with a
 bounded output (the round-8 sweep the r7 verdict asked for).
 
-Usage: python3 tools/scaleup.py <srcDir> <dstDir> [replicas=10] [--perturb-docs]
+With --perturb-embeddings, every embedding COMPONENT in replica r > 0 gets
+a deterministic hash-seeded jitter (±0.01, a pseudo-random function of
+(vec_id, dim, r)): within a replica the label/geometry structure stays the
+base corpus's, but replicas are no longer exact clones — so kNN majority
+votes and hard-negative extremes are VALUE-LEVEL nontrivial at the decade
+instead of predicted-degenerate (every clone's 5NN being its own replicas).
+
+Usage: python3 tools/scaleup.py <srcDir> <dstDir> [replicas=10] [--perturb-docs] [--perturb-embeddings]
 """
 import sys, os
 import duckdb
 
 src, dst = sys.argv[1], sys.argv[2]
 perturb = "--perturb-docs" in sys.argv
+perturb_emb = "--perturb-embeddings" in sys.argv
 args = [a for a in sys.argv[3:] if not a.startswith("--")]
 replicas = int(args[0]) if args else 10
 os.makedirs(dst, exist_ok=True)
@@ -68,6 +76,13 @@ for table, shifts in SHIFTS.items():
         q = f"SELECT * FROM read_parquet('{srcp}')"
     else:
         repl = ", ".join(f"{c} + r * {o} AS {c}" for c, o in shifts.items())
+        if table == "embeddings" and perturb_emb:
+            # deterministic ±0.01 jitter per (vec_id, dim, replica>0):
+            # replicas keep the base geometry but stop being exact clones
+            repl += (", CASE WHEN r = 0 THEN embedding ELSE "
+                     "list_transform(embedding, (x, i) -> CAST(x + "
+                     "(CAST(hash(vec_id * 100000 + i * 1000 + r) % 2001 AS BIGINT)"
+                     " - 1000) / 100000.0 AS FLOAT)) END AS embedding")
         if table == "documents" and perturb:
             # suffix every word with _r<r> (r > 0): replica-disjoint shingle
             # spaces, byte-identical within-replica near-dup structure
