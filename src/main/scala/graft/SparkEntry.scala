@@ -442,6 +442,7 @@ object SparkEntry {
     "q_knn_label_noise_ivf" -> q(Similarity.knnLabelNoiseIvf(_, _, 5)), // kNN noise screen over the bucketed candidate stream
     "q_hard_negatives_recall" -> q(Similarity.hardNegativesRecall), // bucketed-vs-exact mined-extreme recall, one gated row
     "q_knn_noise_recall"  -> q(Similarity.knnNoiseRecall(_, _, 5)), // candidate-stream edge recall vs the exact 5-NN graph
+    "q_match_spike_decay" -> q(Windows.matchSpikeDecay(_, _, 40, 3)), // inverse-V: spike>=40% then decay within 3 days, via Patterns.triggerResolve
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */

@@ -799,19 +799,17 @@ object Windows {
     val daily = t(spark, sfDir, "orders")
       .groupBy(col("o_orderdate").cast("date").as("d"))
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
-    val w = Window.orderBy(col("d").asc)
-    val withTaps = daily
-      .withColumn("prev", lag(col("cents"), 1).over(w))
-      .withColumn("rec_day",
-        // first offset 1..horizon whose revenue recovers to the pre-drop
-        // level; taps evaluated as a COALESCE over when-guards so the
-        // earliest qualifying day wins deterministically
-        coalesce((1 to horizon).map(i =>
-          when(lead(col("cents"), i).over(w) >= col("prev"), lit(i.toLong))): _*))
+    // round 11: expressed through the parameterized [[Patterns
+    // .triggerResolve]] (PATTERN (A B{1,h})) — trigger = the exact integer
+    // cross-multiplied drop test, resolve = recovery to the pre-drop level.
+    // Same window taps as the bespoke construction it replaces; the driver
+    // hash gate pins the output unchanged.
     ordered(
-      withTaps
-        .filter(col("prev").isNotNull &&
-                col("cents") * 100 < col("prev") * (100 - dropPct))
+      Patterns.triggerResolve(daily, Seq(), Seq(col("d").asc), col("cents"),
+          horizon,
+          trigger = (cur, prev) => cur * 100 < prev * (100 - dropPct),
+          resolve = (lead_, prev, _) => lead_ >= prev)
+        .withColumnRenamed("match_at", "rec_day")
         .select(col("d").as("dip_day"),
                 r4(col("prev").cast("double") / 100.0).as("pre_drop_revenue"),
                 r4(col("cents").cast("double") / 100.0).as("dip_revenue"),
@@ -821,13 +819,44 @@ object Windows {
       "dip_day")
   }
 
+  /** Spike-then-decay detection on the daily revenue series — the INVERSE
+    * V (PATTERN (UP DOWN{1,h})): days where revenue JUMPS at least
+    * `spikePct` percent over the previous day and falls back to or below
+    * the pre-spike level within `horizon` days — the flash-sale /
+    * bot-burst / double-charge signature, transient by construction. The
+    * SAME [[Patterns.triggerResolve]] operator as [[matchVShape]] with the
+    * two predicates flipped — the parameterization is the point (round-11:
+    * one pattern family, not per-shape bespoke queries). Exact integer
+    * cross-multiplied spike test; NULL days_to_decay = the new level held
+    * past the horizon (a step change, not a spike).
+    */
+  def matchSpikeDecay(spark: SparkSession, sfDir: String, spikePct: Int = 40,
+                      horizon: Int = 3): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    ordered(
+      Patterns.triggerResolve(daily, Seq(), Seq(col("d").asc), col("cents"),
+          horizon,
+          trigger = (cur, prev) => cur * 100 > prev * (100 + spikePct),
+          resolve = (lead_, prev, _) => lead_ <= prev)
+        .select(col("d").as("spike_day"),
+                r4(col("prev").cast("double") / 100.0).as("pre_spike_revenue"),
+                r4(col("cents").cast("double") / 100.0).as("spike_revenue"),
+                r4(col("cents").cast("double") /
+                   col("prev").cast("double") - lit(1.0)).as("spike_frac"),
+                col("match_at").as("days_to_decay")),
+      "spike_day")
+  }
+
   /** Longest strictly-rising revenue streak per market segment (monthly
     * grain) — the run-length pattern (MATCH_RECOGNIZE (RISE+)) as
     * gaps-and-islands: a rise flag from one lag tap, island ids as the
     * running sum of streak BREAKS (the standard islands trick — exact
     * integers, no session state), longest island per segment with its
     * start/end months and total climb. Segment-sharded windows over a
-    * month-grain frame: driver-scale after one fact hash-agg.
+    * month-grain frame: driver-scale after one fact hash-agg. Round 11:
+    * the islands machinery lives in [[Patterns.islands]].
     */
   def risingStreaks(spark: SparkSession, sfDir: String): DataFrame = {
     val monthly = t(spark, sfDir, "orders")
@@ -837,15 +866,12 @@ object Windows {
       .groupBy(col("seg"), date_trunc("month", col("o_orderdate").cast("date"))
                  .cast("date").as("m"))
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
-    val wSeg = Window.partitionBy(col("seg")).orderBy(col("m").asc)
-    val flagged = monthly
-      .withColumn("rise",
-        (col("cents") > lag(col("cents"), 1).over(wSeg)).cast("int"))
-      .filter(col("rise").isNotNull)
-      .withColumn("brk", (lit(1) - col("rise")).cast("long"))
-      .withColumn("island", sum(col("brk")).over(
-        wSeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val streaks = flagged.filter(col("rise") === 1)
+    // round 11: expressed through the parameterized [[Patterns.islands]]
+    // (PATTERN (STEP+)) with step = strict rise — the same gaps-and-islands
+    // arithmetic as the bespoke construction it replaces (hash-pinned)
+    val streaks = Patterns.islands(monthly, Seq(col("seg")),
+        Seq(col("m").asc), col("cents"),
+        step = (cur, prev) => cur > prev)
       .groupBy(col("seg"), col("island"))
       .agg(count(lit(1)).as("len"), min(col("m")).as("start_m"),
            max(col("m")).as("end_m"),

@@ -463,6 +463,32 @@ object WindowsSql {
         |WHERE prev IS NOT NULL AND cents * 100 < prev * (100 - 30)
         |ORDER BY dip_day""".stripMargin,
 
+    "q_match_spike_decay" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |taps AS (SELECT d, cents,
+        |    lag(cents, 1) OVER w AS prev,
+        |    COALESCE(
+        |      CASE WHEN lead(cents, 1) OVER w <= lag(cents, 1) OVER w
+        |           THEN CAST(1 AS BIGINT) END,
+        |      CASE WHEN lead(cents, 2) OVER w <= lag(cents, 1) OVER w
+        |           THEN CAST(2 AS BIGINT) END,
+        |      CASE WHEN lead(cents, 3) OVER w <= lag(cents, 1) OVER w
+        |           THEN CAST(3 AS BIGINT) END) AS dec_day
+        |  FROM daily WINDOW w AS (ORDER BY d ASC))
+        |SELECT d AS spike_day,
+        | floor(CAST(prev AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |   AS pre_spike_revenue,
+        | floor(CAST(cents AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0
+        |   AS spike_revenue,
+        | floor((CAST(cents AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0)
+        |       * 10000.0 + 0.5) / 10000.0 AS spike_frac,
+        | dec_day AS days_to_decay
+        |FROM taps
+        |WHERE prev IS NOT NULL AND cents * 100 > prev * (100 + 40)
+        |ORDER BY spike_day""".stripMargin,
+
     "q_rising_streaks" ->
       """WITH monthly AS (
         |  SELECT c_mktsegment AS seg,

@@ -80,6 +80,35 @@ class Round11OpsSpec extends SparkSpec {
     assert(recall >= 0.55, s"edge recall $recall < 0.55")
   }
 
+  test("Patterns.triggerResolve: spike-decay finds only >40% jumps, decay " +
+       "offsets are within horizon, and the operator family is symmetric " +
+       "with matchVShape") {
+    val df = graft.operators.Windows.matchSpikeDecay(spark, Sf, 40, 3)
+    assertNonDegenerate(df, Seq("spike_day", "spike_frac"), minRows = 10)
+    rows(df).foreach { r =>
+      val frac = r(3).asInstanceOf[Double]
+      assert(frac > 0.4 - 1e-9, s"row not a 40% spike: $r")
+      Option(r(4)).foreach { d =>
+        val off = d.asInstanceOf[Long]
+        assert(off >= 1L && off <= 3L, s"decay offset $off outside horizon")
+      }
+    }
+  }
+
+  test("Patterns.islands: synthetic run-length check — maximal strict-rise " +
+       "runs get distinct island ids, breaks split runs, first rows drop") {
+    import spark.implicits._
+    val s = Seq((1, 10L), (2, 20L), (3, 30L), (4, 5L), (5, 6L), (6, 6L),
+                (7, 9L)).toDF("t", "v")
+    val got = rows(graft.operators.Patterns.islands(
+        s, Seq(), Seq(col("t").asc), col("v"),
+        step = (cur, prev) => cur > prev))
+      .map(r => (r.head.asInstanceOf[Int], r(2).asInstanceOf[Long]))
+    // rises at t=2,3 (island A), t=5 (B), t=7 (C); t=1 has no prev, t=4/6
+    // break. Island ids are the running break count: 0, 0, 1, 2.
+    assert(got === Seq((2, 0L), (3, 0L), (5, 1L), (7, 2L)))
+  }
+
   test("oracle registry: per-domain maps are disjoint and cover exactly " +
        "the oracled query names") {
     val maps = Seq(
