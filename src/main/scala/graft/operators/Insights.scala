@@ -445,7 +445,7 @@ object Insights {
     ordered(
       ranked.groupBy(col("n_name"))
         .agg(count(lit(1)).as("n"),
-             sum((col("i") * col("cents")).cast("decimal(38,0)")).as("s1"),
+             sum(qmul(col("i"), col("cents"))).as("s1"),
              sum(col("cents").cast("decimal(38,0)")).as("s2"))
         .select(col("n_name"), col("n"),
                 r4(lit(2.0) * col("s1").cast("double") /
@@ -2299,7 +2299,7 @@ object Insights {
     val w = Window.orderBy(col("d").asc)
     val cx = daily.crossJoin(broadcast(st))
       .select(col("d"),
-              (col("n") * col("cents") - col("s")).cast("decimal(18,0)").as("cx"))
+              (qmul(col("n"), col("cents")) - col("s")).cast("decimal(18,0)").as("cx"))
     val led = cx.select(col("cx"),
       lead(col("cx"), 1).over(w).as("c1"),
       lead(col("cx"), 2).over(w).as("c2"),
@@ -4680,7 +4680,7 @@ object Insights {
     val st = daily.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
     val idx = daily.crossJoin(broadcast(st))
       .select((row_number().over(Window.orderBy(col("d").asc)) - 1).as("t"),
-              (col("n") * col("cents") - col("s")).cast("decimal(19,0)").as("cx"),
+              (qmul(col("n"), col("cents")) - col("s")).cast("decimal(19,0)").as("cx"),
               col("n"))
     val periods = (2 to maxPeriod).toDF("p")
     val corr = idx.crossJoin(broadcast(periods))

@@ -99,6 +99,22 @@ object Tables {
     */
   def money(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Overflow-safe integer multiply (round-11 audit helper): promote the
+    * LEFT operand to DECIMAL(38,0) BEFORE multiplying, so the product is
+    * computed in decimal — `(a * b).cast("decimal(38,0)")` multiplies in
+    * Int64 FIRST and silently wraps past 2⁶³ (the class that bit the
+    * bootstrap-hash and motif/discord squares at the 100× decade: daily
+    * cents ≈ 4·10⁹, their squares ≈ 1.6·10¹⁹ > Long.MaxValue). In decimal
+    * a genuine >10³⁸ overflow surfaces as NULL (loud in every gate) rather
+    * than a silently wrong value. Use for any product of two aggregated
+    * integer measures whose magnitudes are not structurally bounded (row
+    * counts × cents, rank × value, value²).
+    */
+  def qmul(a: Column, b: Column): Column = a.cast("decimal(38,0)") * b
+
+  /** Overflow-safe integer square — see [[qmul]]. */
+  def qsq(a: Column): Column = qmul(a, a)
+
   /** Total-order sort with explicit NULLS FIRST ascending semantics on both
     * engines (Spark's ASC default; the oracle SQL must spell NULLS FIRST).
     */
