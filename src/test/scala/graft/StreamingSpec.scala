@@ -651,6 +651,114 @@ class StreamingSpec extends SparkSpec {
            rows(batch.orderBy("city_name", "payload_json")))
   }
 
+  test("wire-to-warehouse end-to-end: socket ingest → quarantine → streamed " +
+       "MERGE → manifest-committed snapshot, asserted batch ≡ stream") {
+    // the reference's full lifecycle (extract_weather.py fetch →
+    // transform_load.sql MERGE → committed warehouse state) over only
+    // public adapters: WireIngest.socketPayloadStream feeds a quarantine
+    // lane (versioned per micro-batch) and a clean lane that parses to
+    // typed staging rows and MERGEs into versioned snapshots
+    // (StreamOps.mergeStreamToSnapshot); the final state is published
+    // through the manifest commit protocol and read back via
+    // SnapshotStore.readCommitted. The socket source instantiates per
+    // query, so the two lanes are two subscriber connections — the test
+    // writes each wire line to both (a fan-out tap).
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    val root = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val mergeDir = s"$root/merged"; val quarDir = s"$root/quarantine"
+    val whDir = s"$root/warehouse"
+
+    def payload(tmax: Double, tmin: Double, prec: Double) =
+      s"""{"daily": {"time": ["2024-01-01"], "temperature_2m_max": [$tmax],""" +
+      s""" "temperature_2m_min": [$tmin], "precipitation_sum": [$prec]}}"""
+    val day1 = Seq(
+      graft.streaming.WireIngest.formatLine("berlin", payload(5.5, -1.0, 0.3)),
+      graft.streaming.WireIngest.formatLine("paris", payload(8.0, 2.5, 0.0)),
+      graft.streaming.WireIngest.formatLine("oslo", """{"daily": not json"""))
+    val day2 = Seq(
+      graft.streaming.WireIngest.formatLine("berlin", payload(6.25, 0.0, 1.2)), // UPDATE
+      graft.streaming.WireIngest.formatLine("rome", payload(12.0, 7.5, 0.0)),   // INSERT
+      "no-tab-line") // → quarantine
+
+    val keys = Seq("city_name", "date")
+    // is_processed rides as an update column so INSERTs carry it (a pure
+    // pass-through column is taken from the TARGET side, which is the
+    // empty frame on the stream's first micro-batch)
+    val upd = Seq("temp_max", "temp_min", "precipitation", "is_processed")
+    def staging(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.WeatherApiSource.parsePayloads(
+        df.filter(col("payload_ok"))
+          .select(col("city_name"), col("payload_json")))
+
+    val server = new java.net.ServerSocket(0)
+    server.setSoTimeout(30000)
+    val port = server.getLocalPort
+    def wire() = graft.streaming.WireIngest
+      .socketPayloadStream(spark, "localhost", port)
+    val qQuar = wire().filter(!col("payload_ok"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (!b.isEmpty) b.write.mode("overwrite").json(f"$quarDir/v$id%05d")
+        ()
+      }.start()
+    val staged = staging(wire())
+    val qMerge = StreamOps.mergeStreamToSnapshot(
+      staged, mergeDir, keys, upd, orderCol = "date")
+
+    def quarCount(): Long =
+      scala.util.Try(spark.read.json(s"$quarDir/v*").count()).getOrElse(0L)
+    def mergedNow() = StreamOps.latestSnapshot(spark, mergeDir, staged.schema)
+    def berlinMax(): Option[java.math.BigDecimal] =
+      mergedNow().filter(col("city_name") === "berlin")
+        .collect().headOption.map(_.getDecimal(2))
+    try {
+      // both lanes dial in
+      val socks = Seq(server.accept(), server.accept())
+      val ws = socks.map(s => new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8"), true))
+      def push(lines: Seq[String]): Unit =
+        ws.foreach { w => lines.foreach(w.println); w.flush() }
+      def drain(done: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!done && System.nanoTime() < deadline) {
+          qQuar.processAllAvailable(); qMerge.processAllAvailable()
+          Thread.sleep(50)
+        }
+        assert(done, "stream did not converge inside the deadline")
+      }
+      push(day1)
+      drain(mergedNow().count() === 2 && quarCount() === 1)
+      push(day2) // the berlin UPDATE lands in a later micro-batch by construction
+      drain(mergedNow().count() === 3 && quarCount() === 2 &&
+            berlinMax().exists(_.compareTo(new java.math.BigDecimal("6.25")) == 0))
+      socks.foreach(_.close())
+    } finally { qQuar.stop(); qMerge.stop(); server.close() }
+
+    // batch twin: the same lifecycle as two batch MERGEs
+    def parsedBatch(lines: Seq[String]) = staging(
+      graft.streaming.WireIngest.parsePayloadLines(lines.toDF("value")))
+    val expected = graft.operators.Warehouse.mergeUpsert(
+      parsedBatch(day1), parsedBatch(day2), keys, upd, nullSafeKeys = false)
+    val merged = mergedNow()
+    assert(rows(merged.orderBy("city_name")) ===
+           rows(expected.orderBy("city_name")))
+
+    // manifest-committed publication: the stream's final state becomes an
+    // atomically committed warehouse version, resolved via manifests only
+    val v = graft.sources.SnapshotStore.commitSnapshot(merged, whDir)
+    assert(v === 0L)
+    assert(rows(graft.sources.SnapshotStore.readCommitted(spark, whDir)
+                  .orderBy("city_name")) ===
+           rows(expected.orderBy("city_name")))
+
+    // the quarantine lane holds exactly the two malformed wire lines
+    val quar = spark.read.json(s"$quarDir/v*")
+    assert(quar.count() === 2)
+    assert(quar.select("payload_ok").distinct().collect()
+             .map(_.getBoolean(0)).toSeq === Seq(false))
+  }
+
   test("rate-limited replay: each landed payload emitted exactly once, " +
        "parsed rows equal the batch lane") {
     import spark.implicits._
