@@ -443,6 +443,12 @@ object SparkEntry {
     "q_hard_negatives_recall" -> q(Similarity.hardNegativesRecall), // bucketed-vs-exact mined-extreme recall, one gated row
     "q_knn_noise_recall"  -> q(Similarity.knnNoiseRecall(_, _, 5)), // candidate-stream edge recall vs the exact 5-NN graph
     "q_match_spike_decay" -> q(Windows.matchSpikeDecay(_, _, 40, 3)), // inverse-V: spike>=40% then decay within 3 days, via Patterns.triggerResolve
+    "q_ivf_cell_stats"    -> q(Ivf.cellStats(_, _, 16)), // IVF index-health report: per-cell members/share/pair volume, gated
+    "q_rrf_fusion"        -> q(Similarity.rrfFusion(_, _, 50, 10, 60)), // hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine legs
+    "q_random_projection" -> q(Similarity.randomProjection(_, _, 16)), // JL +-1 projection with measured distortion report, md5-literal signs
+    "q_ema_crossover"     -> q(Windows.emaCrossover(_, _, 5, 20)), // golden/death-cross state changes via Patterns.triggerResolve, integer cross-mult
+    "q_dp_geometric"      -> q(Insights.dpGeometric(_, _, 0.5)), // eps-DP geometric-mechanism count release, md5-uniform + inlined CDF ladder
+    "q_sax_symbols"       -> q(Insights.saxSymbols(_, _, 16)), // SAX symbolization: exact-moment z-norm, integer PAA segments, quartile alphabet
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */

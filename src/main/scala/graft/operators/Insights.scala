@@ -4935,4 +4935,91 @@ object Insights {
                 r4(when(v > m, m / v)).as("nb_p")),
       "seg")
   }
+
+  /** ε-differentially-private count release via the GEOMETRIC mechanism
+    * (Ghosh–Roughgarden–Sundararajan 2009: the discrete, utility-optimal
+    * Laplace analogue) — the aggregate-release shape a warehouse uses to
+    * publish group counts without exposing individuals. The noise draw is
+    * DERANDOMIZED for the gate: u = the md5-48 uniform of the group key
+    * (both engines compute the identical hash), inverted through the
+    * two-sided geometric CDF as a LADDER of precomputed threshold
+    * literals (F(k) = α^|k|/(1+α) below zero, 1 − α^(k+1)/(1+α) above;
+    * α = e^(−ε) evaluated ONCE in Scala and inlined into both plans —
+    * no transcendental evaluated by either engine, the q_hll_gated
+    * discipline). Production swaps u for a real RNG; mechanism, ladder
+    * and release arithmetic are exactly what the gate pins. Noise is
+    * truncated to ±12 (tail mass < 0.3% at ε = 0.5 — the standard bounded
+    * release). Scale: one hash-agg to group counts, map-only release.
+    */
+  def dpGeometric(spark: SparkSession, sfDir: String,
+                  epsilon: Double = 0.5): DataFrame = {
+    val alpha = math.exp(-epsilon)
+    val B = 12
+    // F(k), k in [-B, B-1]: the CASE ladder's ascending thresholds
+    def cdf(k: Int): Double =
+      if (k < 0) math.pow(alpha, -k) / (1.0 + alpha)
+      else 1.0 - math.pow(alpha, k + 1) / (1.0 + alpha)
+    val u = conv(substring(md5(col("o_orderpriority")), 1, 12), 16, 10)
+      .cast("long").cast("double") / lit(281474976710656.0)
+    val noise = (-B until B).foldRight(lit(B.toLong)) { (k, rest) =>
+      when(u < lit(cdf(k)), lit(k.toLong)).otherwise(rest)
+    }
+    ordered(
+      t(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("true_count"))
+        .withColumn("noise", noise)
+        .select(col("o_orderpriority"), col("true_count"), col("noise"),
+                (col("true_count") + col("noise")).as("released_count")),
+      "o_orderpriority")
+  }
+
+  /** SAX symbolization of the daily revenue series (Lin/Keogh 2003 —
+    * the symbolic index behind wholesale motif/anomaly search): the
+    * series is z-normalized against its OWN exact moments (integer cents
+    * sums; variance numerator n·Σx²−(Σx)² via the overflow-safe [[graft
+    * .util.Tables.qsq]] DECIMAL square), PAA-compressed into `w` equal
+    * segments by pure integer index arithmetic ((rn−1)·w div n — no
+    * float boundaries), and each segment's mean maps to a 4-letter
+    * alphabet through the standard Gaussian breakpoints (−0.6745, 0,
+    * 0.6745 — quartile literals, no distribution functions evaluated).
+    * Every engine-evaluated step is either exact-integer or one mirrored
+    * IEEE expression of exact inputs. Output: per segment, its day count,
+    * PAA mean (dollars), z-score and symbol — the [[tsMotif]] family's
+    * missing representation layer. Scale: day-grain series after one
+    * fact hash-agg; one global window (calendar-bounded).
+    */
+  def saxSymbols(spark: SparkSession, sfDir: String, w: Int = 16): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val st = daily.agg(count(lit(1)).as("n"),
+                       sum(col("cents")).as("sx"),
+                       sum(qsq(col("cents"))).as("sxx"))
+    val seg = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("d").asc)))
+      .crossJoin(broadcast(st))
+      .withColumn("seg", expr(s"(rn - 1) * $w div n"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("cents")).as("seg_sum"),
+           min(col("n")).as("n"), min(col("sx")).as("sx"),
+           min(col("sxx")).as("sxx"))
+    val nD = col("n").cast("double")
+    val mu = col("sx").cast("double") / nD
+    val sd = sqrt((nD * col("sxx").cast("double") -
+                   col("sx").cast("double") * col("sx").cast("double")) /
+                  (nD * nD))
+    val paa = col("seg_sum").cast("double") / col("n_days").cast("double")
+    val z = (paa - mu) / sd
+    ordered(
+      seg.select(col("seg"), col("n_days"),
+                 r4(paa / lit(100.0)).as("paa_revenue"),
+                 r4(z).as("z"),
+                 when(z < lit(-0.6745), lit("a"))
+                   .when(z < lit(0.0), lit("b"))
+                   .when(z < lit(0.6745), lit("c"))
+                   .otherwise(lit("d")).as("symbol")),
+      "seg")
+  }
 }

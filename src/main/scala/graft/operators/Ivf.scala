@@ -573,6 +573,34 @@ object Ivf {
       .drop("_g", "_fm", "_gd", "_gid")
   }
 
+  /** IVF index-health report under the EXACT hash gate (round 11 —
+    * the registered twin of [[assignDiag]]): one row per LIVE cell of the
+    * gated integer k-means assignment with its member count, member share
+    * in basis points of corpus size, and the within-cell pair volume
+    * n·(n−1)/2 — the table an index operator reads before trusting any
+    * clustered dedup/ANN run (a 90%-mass cell means the fit collapsed and
+    * every within-cell scan is quadratic again). Fit is [[TrainCap]]-
+    * bounded, assignment map-only, stats one hash-agg — corpus-linear.
+    */
+  def cellStats(spark: SparkSession, sfDir: String,
+                nLists: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
+    val cents = gatedCentroids(qemb, nLists)
+    val asg = gatedWithBest(qemb, cents)
+    val tot = asg.agg(count(lit(1)).as("n_total"))
+    ordered(
+      asg.groupBy(col("centroid_id").cast("long").as("cell_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .crossJoin(broadcast(tot))
+        // integer `div`, not `/`: Spark's `/` is double division, and the
+        // positive domain makes trunc ≡ floor ≡ DuckDB's `//`
+        .select(col("cell_id"), col("n_members"),
+                expr("n_members * 10000 div n_total").as("share_bp"),
+                expr("n_members * (n_members - 1) div 2").as("pair_volume")),
+      "cell_id")
+  }
+
   /** Dev diagnostic (Decade harness): one row of cell statistics for the
     * flat vs hierarchical assignment paths — cells, max cell, and the
     * within-cell pair volume Σ n·(n−1)/2 that drives the dedup scan.

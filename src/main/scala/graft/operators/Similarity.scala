@@ -918,6 +918,126 @@ object Similarity {
       "decile")
   }
 
+  /** Reciprocal-rank fusion of lexical and dense retrieval — the hybrid-
+    * search combiner every RAG stack ships (Cormack et al. 2009: rrf(d) =
+    * Σ 1/(K + rank_i(d)), K = 60): leg A ranks documents by the registered
+    * BM25 scores ([[graft.operators.Text.bm25Scores]], query terms
+    * join/hash/scan), leg B ranks vectors by exact-integer cosine to probe
+    * vec 0 — the `documents`/`embeddings` fixtures share one id space, the
+    * doc-with-its-embedding shape of a real corpus. Each leg keeps its
+    * top-`legK` (rank-bounded union, the production shape: fusion reads
+    * index RESULTS, never corpora), full-outer-joins on id, and a missing
+    * leg contributes 0. The rrf sum is a fixed two-term double expression
+    * (no aggregation), so it is deterministic on both engines; ranks are
+    * total-ordered with id tiebreaks. Scale: both legs are index lookups
+    * (postings-bounded BM25, broadcast-probe cosine) + one top-K each —
+    * the fusion join touches 2·legK rows regardless of corpus size.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String, legK: Int = 50,
+                k: Int = 10, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Text.bm25Scores(spark, sfDir)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("lex_rank") <= legK)
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val v = labeledQuantized(spark, sfDir)
+    val probe = v.filter(col("vec_id") === 0)
+      .select(col("qv").as("pq"), col("n2").as("pn2")).limit(1)
+    val cos = r4(call_function("dot_q", col("qv"), col("pq")).cast("double") /
+                 (sqrt(col("n2").cast("double")) *
+                  sqrt(col("pn2").cast("double"))))
+    val dense = v.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"), cos.as("cos"))
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("dense_rank") <= legK)
+      .select(col("id"), col("dense_rank"))
+    val rrf = coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(kRrf) + col("dense_rank")), lit(0.0))
+    lex.join(dense, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"), col("lex_rank"), col("dense_rank"),
+              r4(rrf).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Johnson–Lindenstrauss random ±1 projection with a MEASURED distortion
+    * report — the dimensionality-reduction workhorse (Achlioptas 2003
+    * sign-matrix variant) under the exact hash gate: qv (·10⁶ ints) is
+    * projected to `m` dimensions through a sign matrix whose entries are
+    * md5-derived LITERALS inlined identically into the Spark plan and the
+    * oracle SQL (the cwCoef discipline — no engine hash functions), so
+    * every projected coordinate is an exact integer. The report compares
+    * squared L2 distances before/after over the %7-sampled pair set: JL
+    * says E[d²_proj / m] = d²_orig, and the output pins the global ratio
+    * plus the per-pair extremes — the numbers that tell an operator
+    * whether m is high enough for their recall target. All sums are
+    * exact integers; ratios are single mirrored divisions. Scale: the
+    * projection is a broadcast m×64 matrix join (map-only per vector);
+    * the report's pair stage is sample-bounded.
+    */
+  def randomProjection(spark: SparkSession, sfDir: String,
+                       m: Int = 16): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // md5-derived ±1 sign matrix, inlined as literals on both engines
+    val signs = for (j <- 0 until m; i <- 0 until 64)
+      yield (j, i + 1, rpSign(j, i))
+    val signDf = broadcast(
+      spark.createDataFrame(signs).toDF("j", "i", "s"))
+    val v = labeledQuantized(spark, sfDir)
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("q"))
+    val proj = v.join(signDf, "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("q") * col("s")).as("y"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("y")))).as("yv"))
+      .select(col("vec_id"),
+              transform(col("yv"), x => x.getField("y")).as("yv"))
+    val q = labeledQuantized(spark, sfDir)
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("qv"))
+      .join(proj, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = q.select(col("vec_id").as("a_id"), col("qv").as("qa"),
+                     col("yv").as("ya"))
+    val b = q.select(col("vec_id").as("b_id"), col("qv").as("qb"),
+                     col("yv").as("yb"))
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              call_function("sq_l2", col("qa"), col("qb")).as("d2o"),
+              call_function("sq_l2", col("ya"), col("yb")).as("d2p"))
+      .withColumn("ratio",
+        r4(col("d2p").cast("double") /
+           (lit(m.toDouble) * col("d2o").cast("double"))))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+              sum(col("d2o").cast("decimal(38,0)")).as("sum_d2_orig"),
+              sum(col("d2p").cast("decimal(38,0)")).as("sum_d2_proj"),
+              min(col("ratio")).as("min_ratio"),
+              max(col("ratio")).as("max_ratio"))
+      .select(col("n_pairs"),
+              col("sum_d2_orig").cast("double").as("sum_d2_orig"),
+              col("sum_d2_proj").cast("double").as("sum_d2_proj"),
+              r4(col("sum_d2_proj").cast("double") /
+                 (lit(m.toDouble) * col("sum_d2_orig").cast("double")))
+                .as("global_ratio"),
+              col("min_ratio"), col("max_ratio"))
+  }
+
+  /** md5-derived ±1 entry of the JL sign matrix (shared by the Spark
+    * builder and the generated oracle SQL, which inlines the same values
+    * — the [[graft.operators.Dedup.cwCoef]] discipline).
+    */
+  def rpSign(j: Int, i: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp_${j}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (hex.charAt(0) < '8') 1 else -1
+  }
+
   /** kNN label-noise screen (the Wilson/ENN-style edit rule every
     * labeled-dataset cleaning pass runs): a vector whose k=5 nearest
     * neighbors' majority label disagrees with its own label is flagged as

@@ -1340,7 +1340,18 @@ object Text {
     * the corpus), df and corpus stats broadcast, global top-k as
     * TakeOrderedAndProject.
     */
-  def bm25(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+  def bm25(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    bm25Scores(spark, sfDir)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** The full BM25-scored doc frame behind [[bm25]] (no order/limit) —
+    * factored out in round 11 so the hybrid-retrieval fusion
+    * ([[graft.operators.Similarity.rrfFusion]]) ranks over the same
+    * scores the registered q_bm25 pins.
+    */
+  private[operators] def bm25Scores(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
     val terms = Seq("join", "hash", "scan")
     val k1 = 1.2
     val b = 0.75
@@ -1365,8 +1376,6 @@ object Text {
       .withColumn("s", score)
       .groupBy(col("doc_id"))
       .agg(r4(sum(col("s").cast("decimal(28,8)")).cast("double")).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(k)
   }
 
   /** Per-document n-gram novelty — the marginal-contribution diagnostic a

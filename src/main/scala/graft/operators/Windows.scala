@@ -887,6 +887,49 @@ object Windows {
       "seg")
   }
 
+  /** Moving-average crossover events on the daily revenue series — the
+    * golden-cross/death-cross signal (the state-change member of the
+    * round-11 pattern family): fast = `fast`-day trailing mean, slow =
+    * `slow`-day trailing mean, a CROSSOVER is any day whose above/below
+    * state differs from the previous day's. The comparison is an exact
+    * integer cross-multiplication (sum_f·n_s > sum_s·n_f — no mean
+    * division anywhere), warm-up rows before one full slow window are
+    * excluded, and the state-change detection is [[Patterns
+    * .triggerResolve]] with trigger = state ≠ previous state (PATTERN (A)
+    * over the state series — the same operator as the V-shape and
+    * spike-decay queries, third predicate instantiation). Output: each
+    * crossover day, its direction, and both averages.
+    */
+  def emaCrossover(spark: SparkSession, sfDir: String, fast: Int = 5,
+                   slow: Int = 20): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("d").asc)
+    val flagged = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sf", sum(col("cents")).over(w.rowsBetween(-(fast - 1), 0)))
+      .withColumn("nf", count(lit(1)).over(w.rowsBetween(-(fast - 1), 0)))
+      .withColumn("ss", sum(col("cents")).over(w.rowsBetween(-(slow - 1), 0)))
+      .withColumn("ns", count(lit(1)).over(w.rowsBetween(-(slow - 1), 0)))
+      .filter(col("rn") >= slow)
+      .withColumn("above",
+        (col("sf") * col("ns") > col("ss") * col("nf")).cast("int"))
+    ordered(
+      Patterns.triggerResolve(flagged, Seq(), Seq(col("d").asc),
+          col("above"), 1,
+          trigger = (cur, prev) => cur =!= prev,
+          resolve = (_, _, _) => lit(true))
+        .select(col("d").as("cross_day"),
+                when(col("above") === 1, lit("golden")).otherwise(lit("death"))
+                  .as("direction"),
+                r4(col("sf").cast("double") /
+                   (col("nf").cast("double") * 100.0)).as("fast_avg"),
+                r4(col("ss").cast("double") /
+                   (col("ns").cast("double") * 100.0)).as("slow_avg")),
+      "cross_day")
+  }
+
   /** Peak detection with a prominence guard on weekly revenue — the
     * signal-processing "find the real spikes" op (scipy.find_peaks
     * semantics, the windowed-argmax form): a week is a PEAK when it is

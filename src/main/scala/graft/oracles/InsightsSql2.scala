@@ -6,7 +6,69 @@ package graft.oracles
   * the driver's hash gate sees an identical contract.
   */
 object InsightsSql2 {
+
+  /** The geometric-mechanism CDF ladder for q_dp_geometric — the SAME
+    * Scala-evaluated threshold doubles the Spark builder inlines
+    * (Double.toString round-trips exactly and DuckDB's parser rounds
+    * correctly, so both engines compare against identical bits).
+    */
+  private def dpLadder(epsilon: Double, b: Int): String = {
+    val alpha = math.exp(-epsilon)
+    def cdf(k: Int): Double =
+      if (k < 0) math.pow(alpha, -k) / (1.0 + alpha)
+      else 1.0 - math.pow(alpha, k + 1) / (1.0 + alpha)
+    (-b until b).map(k => s"WHEN u < ${cdf(k)} THEN CAST($k AS BIGINT)")
+      .mkString("\n        |    ") +
+      s"\n        |    ELSE CAST($b AS BIGINT)"
+  }
+
   val sql: Map[String, String] = Map(
+    "q_dp_geometric" -> {
+      s"""WITH g AS (SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS true_count FROM orders GROUP BY 1),
+        |gu AS (SELECT o_orderpriority, true_count,
+        |    CAST(('0x' || substr(md5(o_orderpriority), 1, 12)) AS BIGINT)
+        |      / 281474976710656.0 AS u
+        |  FROM g),
+        |rel AS (SELECT o_orderpriority, true_count,
+        |    CASE ${dpLadder(0.5, 12)}
+        |    END AS noise
+        |  FROM gu)
+        |SELECT o_orderpriority, true_count, noise,
+        |       true_count + noise AS released_count
+        |FROM rel ORDER BY o_orderpriority""".stripMargin
+    },
+
+    "q_sax_symbols" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(cents) AS BIGINT) AS sx,
+        |              sum(CAST(cents AS DECIMAL(38,0)) * cents) AS sxx
+        |       FROM daily),
+        |idx AS (SELECT cents,
+        |    row_number() OVER (ORDER BY d ASC) AS rn FROM daily),
+        |seg AS (SELECT (rn - 1) * 16 // n AS seg,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(cents) AS BIGINT) AS seg_sum,
+        |    min(n) AS n, min(sx) AS sx, min(sxx) AS sxx
+        |  FROM idx, st GROUP BY 1),
+        |z AS (SELECT seg, n_days,
+        |    CAST(seg_sum AS DOUBLE) / CAST(n_days AS DOUBLE) AS paa,
+        |    (CAST(seg_sum AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS zv
+        |  FROM seg)
+        |SELECT seg, n_days,
+        | floor(paa / 100.0 * 10000.0 + 0.5) / 10000.0 AS paa_revenue,
+        | floor(zv * 10000.0 + 0.5) / 10000.0 AS z,
+        | CASE WHEN zv < -0.6745 THEN 'a' WHEN zv < 0.0 THEN 'b'
+        |      WHEN zv < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+        |FROM z ORDER BY seg""".stripMargin,
+
     "q_equi_depth_hist" ->
       """WITH r AS (
         |  SELECT l_extendedprice AS p,

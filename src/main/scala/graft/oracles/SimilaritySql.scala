@@ -95,7 +95,113 @@ object SimilaritySql {
       |               * 10000.0 + 0.5) / 10000.0 AS cos
       |       FROM n6 a JOIN n6 b ON a.vec_id <> b.vec_id),""".stripMargin
 
+  /** The JL sign matrix inlined as a VALUES list — same md5-derived
+    * literals as the Spark builder ([[graft.operators.Similarity.rpSign]]).
+    */
+  private def rpSignValues(m: Int): String =
+    (for (j <- 0 until m; i <- 1 to 64)
+      yield s"($j,$i,${graft.operators.Similarity.rpSign(j, i - 1)})")
+      .grouped(8).map(_.mkString(",")).mkString(",\n        ")
+
   val sql: Map[String, String] = Map(
+    "q_ivf_cell_stats" ->
+      s"""WITH $ivfFitCte
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bf)
+        |SELECT CAST(cid AS BIGINT) AS cell_id,
+        |       CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(count(*) * 10000 // n_total AS BIGINT) AS share_bp,
+        |       CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_volume
+        |FROM bf, tot GROUP BY cid, n_total ORDER BY cell_id""".stripMargin,
+
+    "q_rrf_fusion" ->
+      """WITH dl AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS len
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM dl),
+        |tf AS (
+        |  SELECT doc_id, len, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len, unnest(string_split(lower(text), ' ')) AS term FROM dl) u
+        |  WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, len, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |              / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.len AS DOUBLE)
+        |         / (CAST(st.sum_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS sc
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+        |bm AS (SELECT doc_id,
+        |  floor(CAST(sum(CAST(sc AS DECIMAL(28,8))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS bm25
+        |  FROM s GROUP BY doc_id),
+        |lex AS (SELECT doc_id AS id, lex_rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+        |  FROM bm) WHERE lex_rank <= 50),
+        |v6 AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n6 AS (SELECT vec_id, qv,
+        |       CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM v6),
+        |pr AS (SELECT qv AS pq, n2 AS pn2 FROM n6 WHERE vec_id = 0),
+        |cosd AS (SELECT vec_id,
+        |    floor(CAST(CAST(list_dot_product(qv, pq) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(pn2 AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS cos
+        |  FROM n6, pr WHERE vec_id <> 0),
+        |dense AS (SELECT vec_id AS id, dense_rank FROM (
+        |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS dense_rank
+        |  FROM cosd) WHERE dense_rank <= 50)
+        |SELECT COALESCE(lex.id, dense.id) AS doc_id, lex_rank, dense_rank,
+        | floor((COALESCE(1.0 / (60 + lex_rank), 0.0) +
+        |        COALESCE(1.0 / (60 + dense_rank), 0.0)) * 10000.0 + 0.5)
+        |   / 10000.0 AS rrf_score
+        |FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+        |ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_random_projection" ->
+      s"""WITH v6 AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |sgn (j, i, s) AS (VALUES
+        |        ${rpSignValues(16)}),
+        |ex AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS q
+        |       FROM v6),
+        |proj AS (SELECT vec_id, j, CAST(sum(q * s) AS BIGINT) AS y
+        |         FROM ex JOIN sgn USING (i) GROUP BY 1, 2),
+        |pv AS (SELECT vec_id, list(y ORDER BY j) AS yv FROM proj GROUP BY 1),
+        |po AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         unnest(a.qv) AS qa, unnest(b.qv) AS qb
+        |       FROM v6 a JOIN v6 b ON a.vec_id < b.vec_id),
+        |d2o AS (SELECT a_id, b_id,
+        |         CAST(sum((qa - qb) * (qa - qb)) AS BIGINT) AS d2o
+        |        FROM po GROUP BY 1, 2),
+        |pp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         unnest(a.yv) AS ya, unnest(b.yv) AS yb
+        |       FROM pv a JOIN pv b ON a.vec_id < b.vec_id),
+        |d2p AS (SELECT a_id, b_id,
+        |         CAST(sum((ya - yb) * (ya - yb)) AS BIGINT) AS d2p
+        |        FROM pp GROUP BY 1, 2),
+        |pairs AS (SELECT d2o.a_id, d2o.b_id, d2o, d2p,
+        |    floor(CAST(d2p AS DOUBLE) / (16.0 * CAST(d2o AS DOUBLE))
+        |          * 10000.0 + 0.5) / 10000.0 AS ratio
+        |  FROM d2o JOIN d2p ON d2o.a_id = d2p.a_id AND d2o.b_id = d2p.b_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(d2o) AS DOUBLE) AS sum_d2_orig,
+        | CAST(sum(d2p) AS DOUBLE) AS sum_d2_proj,
+        | floor(CAST(sum(d2p) AS DOUBLE) / (16.0 * CAST(sum(d2o) AS DOUBLE))
+        |       * 10000.0 + 0.5) / 10000.0 AS global_ratio,
+        | min(ratio) AS min_ratio, max(ratio) AS max_ratio
+        |FROM pairs""".stripMargin,
+
     "q_hard_negatives_ivf" ->
       s"""WITH $ivfFitCte
         |$ivfProbesCte

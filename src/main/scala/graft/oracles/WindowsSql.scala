@@ -463,6 +463,32 @@ object WindowsSql {
         |WHERE prev IS NOT NULL AND cents * 100 < prev * (100 - 30)
         |ORDER BY dip_day""".stripMargin,
 
+    "q_ema_crossover" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |taps AS (SELECT d,
+        |    row_number() OVER w AS rn,
+        |    sum(cents) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sf,
+        |    count(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS nf,
+        |    sum(cents) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ss,
+        |    count(*) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ns
+        |  FROM daily WINDOW w AS (ORDER BY d ASC)),
+        |flagged AS (SELECT d, sf, nf, ss, ns,
+        |    CASE WHEN sf * ns > ss * nf THEN 1 ELSE 0 END AS above
+        |  FROM taps WHERE rn >= 20),
+        |marked AS (SELECT *, lag(above, 1) OVER (ORDER BY d ASC) AS prev
+        |           FROM flagged)
+        |SELECT d AS cross_day,
+        | CASE WHEN above = 1 THEN 'golden' ELSE 'death' END AS direction,
+        | floor(CAST(sf AS DOUBLE) / (CAST(nf AS DOUBLE) * 100.0)
+        |       * 10000.0 + 0.5) / 10000.0 AS fast_avg,
+        | floor(CAST(ss AS DOUBLE) / (CAST(ns AS DOUBLE) * 100.0)
+        |       * 10000.0 + 0.5) / 10000.0 AS slow_avg
+        |FROM marked
+        |WHERE prev IS NOT NULL AND above <> prev
+        |ORDER BY cross_day""".stripMargin,
+
     "q_match_spike_decay" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents

@@ -109,6 +109,80 @@ class Round11OpsSpec extends SparkSpec {
     assert(got === Seq((2, 0L), (3, 0L), (5, 1L), (7, 2L)))
   }
 
+  test("cellStats: members sum to the corpus, shares to ~10000 bp, pair " +
+       "volumes are exactly n(n-1)/2") {
+    val df = graft.operators.Ivf.cellStats(spark, Sf)
+    assertNonDegenerate(df, Seq("n_members", "pair_volume"), minRows = 8)
+    val r = rows(df)
+    assert(r.map(_(1).asInstanceOf[Long]).sum === 500L)
+    val shares = r.map(_(2).asInstanceOf[Long]).sum
+    assert(shares >= 10000L - r.size && shares <= 10000L, s"share sum $shares")
+    r.foreach { row =>
+      val (n, pv) = (row(1).asInstanceOf[Long], row(3).asInstanceOf[Long])
+      assert(pv === n * (n - 1) / 2)
+    }
+  }
+
+  test("rrfFusion: scores descend, every score re-derives from its two " +
+       "ranks, and both legs contribute to the top-10") {
+    val r = rows(graft.operators.Similarity.rrfFusion(spark, Sf))
+    assert(r.size === 10)
+    val scores = r.map(_(3).asInstanceOf[Double])
+    assert(scores === scores.sorted.reverse)
+    r.foreach { row =>
+      val lex = Option(row(1)).map(_.asInstanceOf[Int])
+      val den = Option(row(2)).map(_.asInstanceOf[Int])
+      val expect = lex.fold(0.0)(x => 1.0 / (60 + x)) +
+                   den.fold(0.0)(x => 1.0 / (60 + x))
+      assert(math.abs(row(3).asInstanceOf[Double] -
+        math.floor(expect * 10000.0 + 0.5) / 10000.0) < 1e-9)
+    }
+    assert(r.exists(_(1) != null) && r.exists(_(2) != null))
+  }
+
+  test("randomProjection: JL concentration — global ratio near 1, " +
+       "extremes bracket it, all %7 pairs measured") {
+    val r = rows(graft.operators.Similarity.randomProjection(spark, Sf)).head
+    assert(r.head.asInstanceOf[Long] === (72L * 71) / 2)
+    val (g, lo, hi) = (r(3).asInstanceOf[Double], r(4).asInstanceOf[Double],
+                       r(5).asInstanceOf[Double])
+    assert(g > 0.8 && g < 1.2, s"global ratio $g off JL expectation")
+    assert(lo < g && g < hi)
+  }
+
+  test("emaCrossover: directions strictly alternate and both kinds occur") {
+    val r = rows(graft.operators.Windows.emaCrossover(spark, Sf))
+    assert(r.size >= 10)
+    val dirs = r.map(_(1).asInstanceOf[String])
+    dirs.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w(0) !== w(1), "consecutive same-direction crossovers")
+    }
+    assert(dirs.toSet === Set("golden", "death"))
+  }
+
+  test("dpGeometric: released = true + noise, noise bounded by the " +
+       "truncation and varying across groups") {
+    val df = graft.operators.Insights.dpGeometric(spark, Sf)
+    assertNonDegenerate(df, Seq("true_count", "noise"), minRows = 5)
+    rows(df).foreach { r =>
+      val (t, n, rel) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
+                         r(3).asInstanceOf[Long])
+      assert(rel === t + n)
+      assert(n >= -12L && n <= 12L)
+    }
+  }
+
+  test("saxSymbols: segments cover the calendar, weighted z-mass is ~0, " +
+       "symbols live in the 4-letter alphabet") {
+    val df = graft.operators.Insights.saxSymbols(spark, Sf)
+    assertNonDegenerate(df, Seq("paa_revenue", "z"), minRows = 16)
+    val r = rows(df)
+    assert(r.size === 16)
+    val wz = r.map(x => x(1).asInstanceOf[Long] * x(3).asInstanceOf[Double]).sum
+    assert(math.abs(wz) < 1.0, s"weighted z sum $wz not ~0")
+    assert(r.map(_(4).asInstanceOf[String]).forall(Set("a", "b", "c", "d")))
+  }
+
   test("oracle registry: per-domain maps are disjoint and cover exactly " +
        "the oracled query names") {
     val maps = Seq(
