@@ -66,11 +66,15 @@ object SimilaritySql {
       |n6 AS (SELECT vec_id, label, qv,
       |       CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM v6),""".stripMargin
 
-  /** near+far probe candidates (hard-negative miner) */
-  private val ivfCandFarCte: String =
-    """cand AS (SELECT DISTINCT p.vec_id AS a_id, m.vec_id AS b_id
+  /** near+far probe candidates (hard-negative miner). `anchorPred` pushes
+    * the output anchor sample INTO candidate generation (anchors are
+    * independent, so filtering early is value-identical and cuts the
+    * decade oracle's pair volume 17×).
+    */
+  private def ivfCandFarCte(anchorPred: String = ""): String =
+    s"""cand AS (SELECT DISTINCT p.vec_id AS a_id, m.vec_id AS b_id
       |         FROM (SELECT vec_id, cid FROM bfn UNION SELECT vec_id, cid FROM bff) p
-      |         JOIN bfn m USING (cid) WHERE p.vec_id <> m.vec_id),""".stripMargin
+      |         JOIN bfn m USING (cid) WHERE p.vec_id <> m.vec_id$anchorPred),""".stripMargin
 
   /** near-only probe candidates (kNN miner + edge recall) */
   private val ivfCandNearCte: String =
@@ -86,14 +90,17 @@ object SimilaritySql {
       |       FROM cand JOIN n6 va ON a_id = va.vec_id
       |       JOIN n6 vb ON b_id = vb.vec_id),""".stripMargin
 
-  /** exact all-pairs scoring (the recall queries' truth leg) */
-  private val ivfSceCte: String =
-    """sce AS (SELECT a.vec_id AS a_id, a.label AS a_label,
+  /** exact all-pairs scoring (the recall queries' truth leg); `anchorPred`
+    * pushes an anchor-side sample into the n² join — value-identical
+    * (anchors are independent), 17× less decade work.
+    */
+  private def ivfSceCte(anchorPred: String = ""): String =
+    s"""sce AS (SELECT a.vec_id AS a_id, a.label AS a_label,
       |         b.vec_id AS b_id, b.label AS b_label,
       |         floor(CAST(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS DOUBLE)
       |               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
       |               * 10000.0 + 0.5) / 10000.0 AS cos
-      |       FROM n6 a JOIN n6 b ON a.vec_id <> b.vec_id),""".stripMargin
+      |       FROM n6 a JOIN n6 b ON a.vec_id <> b.vec_id$anchorPred),""".stripMargin
 
   /** The JL sign matrix inlined as a VALUES list — same md5-derived
     * literals as the Spark builder ([[graft.operators.Similarity.rpSign]]).
@@ -205,7 +212,7 @@ object SimilaritySql {
     "q_hard_negatives_ivf" ->
       s"""WITH $ivfFitCte
         |$ivfProbesCte
-        |$ivfCandFarCte
+        |${ivfCandFarCte(" AND p.vec_id % 17 = 0")}
         |$ivfScCte
         |hn AS (SELECT a_id, a_label, b_id, b_label, cos
         |       FROM (SELECT *, row_number() OVER (PARTITION BY a_id
@@ -254,9 +261,9 @@ object SimilaritySql {
     "q_hard_negatives_recall" ->
       s"""WITH $ivfFitCte
         |$ivfProbesCte
-        |$ivfCandFarCte
+        |${ivfCandFarCte(" AND p.vec_id % 17 = 0")}
         |$ivfScCte
-        |$ivfSceCte
+        |${ivfSceCte(" AND a.vec_id % 17 = 0")}
         |xhn AS (SELECT a_id, b_id, cos FROM (SELECT *, row_number() OVER (
         |         PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rn
         |       FROM sce WHERE a_label <> b_label) WHERE rn = 1),
@@ -293,7 +300,7 @@ object SimilaritySql {
       s"""WITH $ivfFitCte
         |$ivfProbesCte
         |$ivfCandNearCte
-        |$ivfSceCte
+        |${ivfSceCte()}
         |truth AS (SELECT a_id, b_id FROM (
         |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
         |      ORDER BY cos DESC, b_id ASC) AS rk FROM sce) WHERE rk <= 5),
@@ -1327,7 +1334,8 @@ object SimilaritySql {
         |         floor(CAST(CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS DOUBLE)
         |               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
         |               * 10000.0 + 0.5) / 10000.0 AS cos
-        |       FROM n6 a JOIN n6 b ON a.vec_id <> b.vec_id),
+        |       FROM n6 a JOIN n6 b ON a.vec_id <> b.vec_id
+        |         AND a.vec_id % 17 = 0),
         |hn AS (SELECT a_id, a_label, b_id, b_label, cos
         |       FROM (SELECT *, row_number() OVER (PARTITION BY a_id
         |               ORDER BY cos DESC, b_id ASC) AS rn
