@@ -449,6 +449,8 @@ object SparkEntry {
     "q_ema_crossover"     -> q(Windows.emaCrossover(_, _, 5, 20)), // golden/death-cross state changes via Patterns.triggerResolve, integer cross-mult
     "q_dp_geometric"      -> q(Insights.dpGeometric(_, _, 0.5)), // eps-DP geometric-mechanism count release, md5-uniform + inlined CDF ladder
     "q_sax_symbols"       -> q(Insights.saxSymbols(_, _, 16)), // SAX symbolization: exact-moment z-norm, integer PAA segments, quartile alphabet
+    "q_pq_codebook"       -> q(Ivf.pqCodebook(_, _, 8)), // PQ build report: per (subspace, code) members + integer reconstruction error
+    "q_ann_pq"            -> q(Ivf.annPq(_, _, 8, 10)), // PQ asymmetric-distance top-k: S table lookups per vector, exact-integer ADC
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */

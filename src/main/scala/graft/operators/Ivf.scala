@@ -481,6 +481,108 @@ object Ivf {
       "vec_id")
   }
 
+  /** Product-quantization geometry: 4 subspaces × 16 dims over the 64-dim
+    * vectors. PQ splits the space, fits an independent small codebook per
+    * subspace, and represents each vector as S code ids — at 256 codes and
+    * 8 subspaces a 64-float vector compresses to 8 bytes, which is why PQ
+    * is the billion-vector serving standard (Jégou et al. 2011). Gate
+    * scale uses 8 codes/subspace; the mechanism is code-count-agnostic.
+    */
+  val PqSubs = 4
+  val PqSubDim = 16
+
+  /** One fixed-point sub-vector slice per subspace (1-based slice —
+    * subspace s covers dims s·16+1 .. (s+1)·16).
+    */
+  private def pqSliced(qemb: DataFrame, s: Int): DataFrame =
+    qemb.select(col("vec_id"),
+                slice(col("qv"), s * PqSubDim + 1, PqSubDim).as("qv"))
+
+  /** The per-subspace PQ codebooks: drop-empty integer Lloyd's fits
+    * ([[gatedKmeansFitLinear]] — linear lineage) over the md5-sampled
+    * sub-vectors, one independent fit per subspace, each persisted (every
+    * caller scans them several times). Returns (subspace, codebook) where
+    * codebook = (centroid_id, centroid sub-vector).
+    */
+  private def pqCodebooks(spark: SparkSession, sfDir: String,
+                          codes: Int): (DataFrame, Seq[(Int, DataFrame)]) = {
+    graft.functions.GraftFunctions.register(spark)
+    val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
+    val sample = qemb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cbs = (0 until PqSubs).map { s =>
+      s -> gatedKmeansFitLinear(pqSliced(sample, s), codes, Iters)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    (qemb, cbs)
+  }
+
+  /** PQ codebook build report under the EXACT hash gate: per (subspace,
+    * code), the number of assigned corpus vectors and their total/mean
+    * integer squared reconstruction error — the table that tells an
+    * operator whether the codebook count is adequate (mean error per
+    * subspace IS the quantization distortion that bounds ADC accuracy).
+    * Everything integer: fit, assignment, per-vector error (native sq_l2
+    * kernel), error sums as DECIMAL. Scale: fits are [[TrainCap]]-bounded;
+    * assignment is S map-only passes; the report is one hash-agg.
+    */
+  def pqCodebook(spark: SparkSession, sfDir: String,
+                 codes: Int = 8): DataFrame = {
+    val (qemb, cbs) = pqCodebooks(spark, sfDir, codes)
+    val perSub = cbs.map { case (s, cb) =>
+      gatedWithBest(pqSliced(qemb, s), cb)
+        .join(cb, "centroid_id")
+        .select(lit(s.toLong).as("subspace"),
+                col("centroid_id").cast("long").as("code"),
+                call_function("sq_l2", col("qv"), col("centroid")).as("err"))
+    }
+    ordered(
+      perSub.reduce(_ unionByName _)
+        .groupBy(col("subspace"), col("code"))
+        .agg(count(lit(1)).as("n_members"),
+             sum(col("err").cast("decimal(38,0)")).as("sum_err"))
+        .select(col("subspace"), col("code"), col("n_members"),
+                col("sum_err").cast("double").as("sum_err"),
+                r4(col("sum_err").cast("double") /
+                   col("n_members").cast("double")).as("mean_err")),
+      "subspace", "code")
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k under the EXACT hash gate — the
+    * serving-path mechanism: the probe (vec 0) stays FULL precision, each
+    * corpus vector is its S code ids, and the approximate distance is the
+    * sum of S table lookups d(probe_slice_s, centroid(code_s)) — S·codes
+    * integer L2 evaluations total for the TABLE (broadcast-sized at any
+    * corpus), then one map-side sum per vector. Ties to the lower vec_id.
+    * The honest approximation: ADC distances are quantized, so the top-k
+    * is the PQ answer, not the exact one — [[pqCodebook]]'s mean errors
+    * bound the gap, and production re-ranks a shortlist at full precision
+    * exactly like [[ivfTopKQuantized]].
+    */
+  def annPq(spark: SparkSession, sfDir: String, codes: Int = 8,
+            k: Int = 10): DataFrame = {
+    val (qemb, cbs) = pqCodebooks(spark, sfDir, codes)
+    val perSub = cbs.map { case (s, cb) =>
+      val probeSlice = pqSliced(qemb.filter(col("vec_id") === 0), s)
+        .select(col("qv").as("pq")).limit(1)
+      val dtable = broadcast(
+        cb.crossJoin(broadcast(probeSlice))
+          .select(col("centroid_id"),
+                  call_function("sq_l2", col("centroid"), col("pq")).as("d")))
+      gatedWithBest(pqSliced(qemb, s), cb)
+        .join(dtable, "centroid_id")
+        .select(col("vec_id"), col("d"))
+    }
+    perSub.reduce(_ unionByName _)
+      .filter(col("vec_id") =!= 0)
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Lloyd's rounds for the coarse level of the hierarchical quantizer —
     * few, because the coarse fit clusters only the nLists fine centroids.
     */

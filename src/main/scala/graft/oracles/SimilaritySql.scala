@@ -102,6 +102,56 @@ object SimilaritySql {
       |               * 10000.0 + 0.5) / 10000.0 AS cos
       |       FROM n6 a JOIN n6 b ON a.vec_id <> b.vec_id$anchorPred),""".stripMargin
 
+  /** Per-subspace PQ fit + assignment CTE chain (round 11): the SAME
+    * md5-sampled spaced-init integer k-means as the gated IVF oracles, but
+    * DROP-EMPTY (linear lineage — the gatedKmeansFitLinear rule) and run
+    * independently per 16-dim subspace. Emits, per subspace s: sl{s}
+    * (sample sub-dims), c0_{s}..c5_{s} (fit), af_{s}/bf_{s} (corpus
+    * assignment, ties to lowest cid) and e{s} (per-vector integer squared
+    * reconstruction error).
+    */
+  private def pqCtes(codes: Int): String = {
+    val subs = (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = (s + 1) * 16
+      val iters = (1 to 5).map { i =>
+        s"""a${i}_$s AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+           |        FROM sl$s l JOIN c${i - 1}_$s c ON c.i = l.i GROUP BY 1, 2),
+           |b${i}_$s AS (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+           |          FROM a${i}_$s) WHERE rk = 1),
+           |c${i}_$s AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+           |        FROM b${i}_$s b JOIN sl$s l ON l.vec_id = b.vec_id GROUP BY 1, 2),""".stripMargin
+      }.mkString("\n")
+      s"""sl$s AS (SELECT * FROM slong WHERE i BETWEEN $lo AND $hi),
+         |c0_$s AS (SELECT t - 1 AS cid, l.i, l.qv
+         |       FROM chosen JOIN sl$s l ON l.vec_id = chosen.v),
+         |$iters
+         |qs$s AS (SELECT * FROM q WHERE i BETWEEN $lo AND $hi),
+         |af_$s AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+         |       FROM qs$s l JOIN c5_$s c ON c.i = l.i GROUP BY 1, 2),
+         |bf_$s AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid,
+         |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |         FROM af_$s) WHERE rk = 1),
+         |e$s AS (SELECT l.vec_id, b.cid,
+         |         CAST(sum((l.qv - c.qv) * (l.qv - c.qv)) AS BIGINT) AS err
+         |       FROM qs$s l JOIN bf_$s b ON b.vec_id = l.vec_id
+         |       JOIN c5_$s c ON c.cid = b.cid AND c.i = l.i GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
+    s"""q AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+       |              AS BIGINT) + 16384 AS qv
+       |  FROM embeddings),
+       |sample AS (SELECT vec_id FROM embeddings
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+       |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+       |tiles AS (SELECT vec_id, ntile($codes) OVER (ORDER BY vec_id) AS t FROM sample),
+       |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+       |$subs""".stripMargin
+  }
+
   /** The JL sign matrix inlined as a VALUES list — same md5-derived
     * literals as the Spark builder ([[graft.operators.Similarity.rpSign]]).
     */
@@ -111,6 +161,36 @@ object SimilaritySql {
       .grouped(8).map(_.mkString(",")).mkString(",\n        ")
 
   val sql: Map[String, String] = Map(
+    "q_pq_codebook" ->
+      s"""WITH ${pqCtes(8)}
+        |u AS (SELECT CAST(0 AS BIGINT) AS subspace, cid, err FROM e0
+        |  UNION ALL SELECT 1, cid, err FROM e1
+        |  UNION ALL SELECT 2, cid, err FROM e2
+        |  UNION ALL SELECT 3, cid, err FROM e3)
+        |SELECT subspace, CAST(cid AS BIGINT) AS code,
+        | CAST(count(*) AS BIGINT) AS n_members,
+        | CAST(sum(err) AS DOUBLE) AS sum_err,
+        | floor(CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS mean_err
+        |FROM u GROUP BY 1, 2 ORDER BY subspace, code""".stripMargin,
+
+    "q_ann_pq" ->
+      s"""WITH ${pqCtes(8)}
+        |${(0 until 4).map { s =>
+          s"""dt$s AS (SELECT c.cid,
+           |    CAST(sum((c.qv - p.qv) * (c.qv - p.qv)) AS BIGINT) AS d
+           |  FROM c5_$s c JOIN qs$s p ON p.i = c.i AND p.vec_id = 0
+           |  GROUP BY 1),""".stripMargin
+        }.mkString("\n")}
+        |adc AS (SELECT vec_id, sum(d) AS adc_dist FROM (
+        |    SELECT b.vec_id, dt0.d FROM bf_0 b JOIN dt0 ON dt0.cid = b.cid
+        |    UNION ALL SELECT b.vec_id, dt1.d FROM bf_1 b JOIN dt1 ON dt1.cid = b.cid
+        |    UNION ALL SELECT b.vec_id, dt2.d FROM bf_2 b JOIN dt2 ON dt2.cid = b.cid
+        |    UNION ALL SELECT b.vec_id, dt3.d FROM bf_3 b JOIN dt3 ON dt3.cid = b.cid)
+        |  WHERE vec_id <> 0 GROUP BY 1)
+        |SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist
+        |FROM adc ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
     "q_ivf_cell_stats" ->
       s"""WITH $ivfFitCte
         |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d

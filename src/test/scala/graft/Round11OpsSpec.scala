@@ -183,6 +183,41 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.map(_(4).asInstanceOf[String]).forall(Set("a", "b", "c", "d")))
   }
 
+  test("pqCodebook: 4 subspaces x 8 live codes, per-subspace members sum " +
+       "to the corpus, mean errors re-derive from the exact sums") {
+    val df = graft.operators.Ivf.pqCodebook(spark, Sf)
+    assertNonDegenerate(df, Seq("n_members", "sum_err"), minRows = 16)
+    val r = rows(df)
+    assert(r.map(_.head.asInstanceOf[Long]).toSet === Set(0L, 1L, 2L, 3L))
+    (0 to 3).foreach { s =>
+      val sub = r.filter(_.head == s.toLong)
+      assert(sub.map(_(2).asInstanceOf[Long]).sum === 500L,
+        s"subspace $s members")
+    }
+    r.foreach { row =>
+      val (n, se, me) = (row(2).asInstanceOf[Long],
+        row(3).asInstanceOf[Double], row(4).asInstanceOf[Double])
+      assert(n >= 1)
+      assert(math.abs(me - math.floor(se / n * 10000.0 + 0.5) / 10000.0) < 1e-9)
+    }
+  }
+
+  test("annPq: ADC top-10 ascends, ids distinct, probe excluded, and the " +
+       "ADC winner is genuinely near the probe by exact cosine") {
+    val r = rows(graft.operators.Ivf.annPq(spark, Sf))
+    assert(r.size === 10)
+    val ids = r.map(_.head.asInstanceOf[Long])
+    assert(ids.distinct.size === 10 && !ids.contains(0L))
+    val ds = r.map(_(1).asInstanceOf[Long])
+    assert(ds === ds.sorted && ds.forall(_ > 0))
+    // sanity: the ADC winner should rank well under the EXACT metric too —
+    // its true cosine to the probe must beat the corpus median
+    val exact = rows(graft.operators.Similarity
+      .cosineTopK(spark, Sf, k = 250)).map(_.head.asInstanceOf[Long]).toSet
+    assert(exact.contains(ids.head),
+      s"ADC winner ${ids.head} not in the exact top-half")
+  }
+
   test("oracle registry: per-domain maps are disjoint and cover exactly " +
        "the oracled query names") {
     val maps = Seq(

@@ -27,6 +27,12 @@ a deterministic hash-seeded jitter (±0.01, a pseudo-random function of
 base corpus's, but replicas are no longer exact clones — so kNN majority
 votes and hard-negative extremes are VALUE-LEVEL nontrivial at the decade
 instead of predicted-degenerate (every clone's 5NN being its own replicas).
+Additionally ~1/13 of replica labels are FLIPPED (label+1 mod 10 where
+hash(vec_id*1000+r) % 13 == 0, r > 0) — planted label noise, so the kNN
+label-noise screen has a known signal to catch at scale: a flipped
+replica's nearest neighbors are its unflipped siblings, whose majority
+label disagrees with the flip, and the measured noise rate should sit
+near the planted 7.7%.
 
 Usage: python3 tools/scaleup.py <srcDir> <dstDir> [replicas=10] [--perturb-docs] [--perturb-embeddings]
 """
@@ -83,6 +89,10 @@ for table, shifts in SHIFTS.items():
                      "list_transform(embedding, (x, i) -> CAST(x + "
                      "(CAST(hash(vec_id * 100000 + i * 1000 + r) % 2001 AS BIGINT)"
                      " - 1000) / 100000.0 AS FLOAT)) END AS embedding")
+            # planted label noise: ~1/13 of replica labels flipped
+            repl += (", CASE WHEN r > 0 AND hash(vec_id * 1000 + r) % 13 = 0 "
+                     "THEN CAST((label + 1) % 10 AS INTEGER) "
+                     "ELSE label END AS label")
         if table == "documents" and perturb:
             # suffix every word with _r<r> (r > 0): replica-disjoint shingle
             # spaces, byte-identical within-replica near-dup structure
