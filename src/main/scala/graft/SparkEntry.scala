@@ -451,6 +451,9 @@ object SparkEntry {
     "q_sax_symbols"       -> q(Insights.saxSymbols(_, _, 16)), // SAX symbolization: exact-moment z-norm, integer PAA segments, quartile alphabet
     "q_pq_codebook"       -> q(Ivf.pqCodebook(_, _, 8)), // PQ build report: per (subspace, code) members + integer reconstruction error
     "q_ann_pq"            -> q(Ivf.annPq(_, _, 8, 10)), // PQ asymmetric-distance top-k: S table lookups per vector, exact-integer ADC
+    "q_hw_forecast"       -> q(Insights.hwForecast), // level+trend+weekly-seasonal forecast, truncated dyadic kernels + dow deviation window
+    "q_matryoshka_recall" -> q(Similarity.matryoshkaRecall(_, _, 8, 10)), // prefix-truncated embedding recall@10 at 16/32 of 64 dims
+    "q_centroid_drift"    -> q(Similarity.centroidDrift), // per-label centroid cosine between corpus halves, exact-integer sums
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */

@@ -4974,6 +4974,61 @@ object Insights {
       "o_orderpriority")
   }
 
+  /** Holt–Winters-SHAPED seasonal forecast (level + trend + weekly
+    * seasonal) in the same truncated-window form as [[desForecast]]:
+    * exponential recursions are replaced by 5-tap dyadic-weight kernels
+    * (exact integers at the ×31/×961 scales — the Brown double-smoothing
+    * construction the DES oracle pins), and the additive weekly seasonal
+    * index is the mean deviation cents·961 − level_num over the FOUR most
+    * recent same-weekday observations (a dow-partitioned trailing window —
+    * exact integers until the one mirrored output division). Forecast for
+    * the same weekday next week = level + 7·trend + seasonal, assembled as
+    * a single integer-ratio expression so cnt divides exactly once.
+    * Day-of-week is epoch-day arithmetic ((days+3) mod 7 — no engine
+    * calendar functions). Output: the last 14 days. Scale: day-grain
+    * series after one fact hash-agg; calendar-bounded windows.
+    */
+  def hwForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.orderBy(col("d").asc)
+    val taps = (0 until 5).map(i => lag(col("cents"), i).over(w) * lit(16L >> i))
+    val s1 = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dow",
+        (datediff(col("d"), lit("1970-01-01").cast("date")) + 3) % 7)
+      .withColumn("a_num", taps.reduce(_ + _))
+    val taps2 = (0 until 5).map(i => lag(col("a_num"), i).over(w) * lit(16L >> i))
+    val both = s1.withColumn("b_num", taps2.reduce(_ + _))
+      .filter(col("rn") >= 9)
+      .withColumn("level_num",
+        lit(2L) * col("a_num") * 31L - col("b_num")) // x961 scale
+      .withColumn("trend_num", col("a_num") * 31L - col("b_num"))
+      .withColumn("dev_num", col("cents") * 961L - col("level_num"))
+    val wDow = Window.partitionBy(col("dow")).orderBy(col("d").asc)
+      .rowsBetween(-3, 0)
+    val seasoned = both
+      .withColumn("sdev", sum(col("dev_num")).over(wDow))
+      .withColumn("scnt", count(lit(1)).over(wDow))
+    val wLast = Window.orderBy(col("d").desc)
+    ordered(
+      seasoned.withColumn("rk", row_number().over(wLast))
+        .filter(col("rk") <= 14)
+        .select(col("d"),
+                r4(col("cents").cast("double") / 100.0).as("revenue"),
+                r4(col("level_num").cast("double") / 961.0 / 100.0).as("level"),
+                r4(col("trend_num").cast("double") / 961.0 / 100.0).as("trend"),
+                r4(col("sdev").cast("double") /
+                   (col("scnt").cast("double") * 961.0 * 100.0)).as("seasonal"),
+                r4(((col("level_num") + lit(7L) * col("trend_num"))
+                      .cast("double") * col("scnt").cast("double") +
+                    col("sdev").cast("double")) /
+                   (col("scnt").cast("double") * 961.0 * 100.0))
+                  .as("forecast_next_week")),
+      "d")
+  }
+
   /** SAX symbolization of the daily revenue series (Lin/Keogh 2003 —
     * the symbolic index behind wholesale motif/anomaly search): the
     * series is z-normalized against its OWN exact moments (integer cents

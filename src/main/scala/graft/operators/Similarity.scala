@@ -1038,6 +1038,100 @@ object Similarity {
     if (hex.charAt(0) < '8') 1 else -1
   }
 
+  /** Matryoshka truncation recall — how much retrieval quality survive
+    * PREFIX-truncated embeddings (Kusupati et al. 2022: MRL-trained
+    * models pack information into leading dims; even for plain embeddings
+    * the truncation curve tells an operator what a 4× memory cut costs):
+    * for each probe (vec_id < 8), the exact top-10 by FULL 64-dim integer
+    * cosine is the truth; the same top-10 recomputed from the first 16
+    * and first 32 dims is the candidate; output per prefix length: probe
+    * count, truth size, hits, recall@10. All scoring is the exact-integer
+    * `dot_q` kernel over sliced quantized vectors; top-k per probe via
+    * [[graft.util.TopK.perGroup]]. Scale: probes are bounded (a query
+    * batch), each leg is one corpus scan scoring all probes — the
+    * cosineTopKBatch shape at three prefix lengths.
+    */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String,
+                       nProbes: Int = 8, k: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val v = labeledQuantized(spark, sfDir)
+      .select(col("vec_id"), col("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def topkAt(dims: Int): DataFrame = {
+      val sliced =
+        if (dims == 64) v
+        else v.select(col("vec_id"), slice(col("qv"), 1, dims).as("qv"))
+      val probes = sliced.filter(col("vec_id") < nProbes)
+        .select(col("vec_id").as("p_id"), col("qv").as("pq"))
+        .withColumn("pn2", call_function("dot_q", col("pq"), col("pq")))
+      val cos = r4(call_function("dot_q", col("qv"), col("pq")).cast("double") /
+                   (sqrt(call_function("dot_q", col("qv"), col("qv"))
+                           .cast("double")) *
+                    sqrt(col("pn2").cast("double"))))
+      graft.util.TopK.perGroup(
+        sliced.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("p_id"))
+          .select(col("p_id"), col("vec_id").as("n_id"), cos.as("cos")),
+        Seq(col("p_id")), Seq(col("cos").desc, col("n_id").asc), k)
+        .select(col("p_id"), col("n_id"))
+    }
+    val truth = topkAt(64).persist(StorageLevel.MEMORY_AND_DISK)
+    val legs = Seq(16, 32).map { dims =>
+      val cand = topkAt(dims)
+      val hit = truth.join(cand, Seq("p_id", "n_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(dims.toLong).as("prefix_dims"),
+                lit(nProbes.toLong).as("n_probes"),
+                col("n_truth"), col("n_hit"),
+                r4(col("n_hit").cast("double") / col("n_truth").cast("double"))
+                  .as("recall_at_k"))
+    }
+    ordered(legs.reduce(_ unionByName _), "prefix_dims")
+  }
+
+  /** Per-label embedding-centroid drift between two corpus halves (even
+    * vs odd vec_ids — the batch-A/batch-B stand-in): for each label, the
+    * exact-integer cosine between its two half-centroids. The monitoring
+    * op behind "did this week's embedding batch shift" — [[graft
+    * .operators.Insights]]'s psi_drift for feature distributions, this
+    * for the embedding space itself. Centroid = per-dimension SUM vector
+    * (scale-invariant under cosine, so it stays an exact integer vector);
+    * one posexplode hash-agg per half, a 64·|labels|-row join, one
+    * mirrored division per label. Corpus-linear, no pair stage.
+    */
+  def centroidDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+              (col("vec_id") % 2 === 0).as("even"),
+              posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), col("even"), col("pos"),
+              floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long")
+                .as("q"))
+    val cents = ex.groupBy(col("label"), col("even"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("nrows"))
+    val a = cents.filter(col("even"))
+      .select(col("label"), col("pos"), col("s").as("sa"))
+    val b = cents.filter(!col("even"))
+      .select(col("label"), col("pos"), col("s").as("sb"))
+    val nPer = t(spark, sfDir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+           sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_odd"))
+    val dots = a.join(b, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(sum(col("sa").cast("decimal(38,0)") * col("sb")).as("dab"),
+           sum(col("sa").cast("decimal(38,0)") * col("sa")).as("daa"),
+           sum(col("sb").cast("decimal(38,0)") * col("sb")).as("dbb"))
+    ordered(
+      dots.join(nPer, "label")
+        .select(col("label"), col("n_even"), col("n_odd"),
+                r4(col("dab").cast("double") /
+                   (sqrt(col("daa").cast("double")) *
+                    sqrt(col("dbb").cast("double")))).as("centroid_cos")),
+      "label")
+  }
+
   /** kNN label-noise screen (the Wilson/ENN-style edit rule every
     * labeled-dataset cleaning pass runs): a vector whose k=5 nearest
     * neighbors' majority label disagrees with its own label is flagged as

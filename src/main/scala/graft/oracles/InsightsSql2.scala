@@ -39,6 +39,50 @@ object InsightsSql2 {
         |FROM rel ORDER BY o_orderpriority""".stripMargin
     },
 
+    "q_hw_forecast" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |s1 AS (SELECT d, cents, row_number() OVER (ORDER BY d ASC) AS rn,
+        |    (CAST(d AS DATE) - DATE '1970-01-01' + 3) % 7 AS dow,
+        |    cents * 16 + lag(cents, 1) OVER (ORDER BY d ASC) * 8
+        |      + lag(cents, 2) OVER (ORDER BY d ASC) * 4
+        |      + lag(cents, 3) OVER (ORDER BY d ASC) * 2
+        |      + lag(cents, 4) OVER (ORDER BY d ASC) * 1 AS a_num
+        |  FROM daily),
+        |s2 AS (SELECT d, cents, rn, dow, a_num,
+        |    a_num * 16 + lag(a_num, 1) OVER (ORDER BY d ASC) * 8
+        |      + lag(a_num, 2) OVER (ORDER BY d ASC) * 4
+        |      + lag(a_num, 3) OVER (ORDER BY d ASC) * 2
+        |      + lag(a_num, 4) OVER (ORDER BY d ASC) * 1 AS b_num
+        |  FROM s1),
+        |f AS (SELECT d, cents, dow,
+        |    2 * a_num * 31 - b_num AS level_num,
+        |    a_num * 31 - b_num AS trend_num,
+        |    cents * 961 - (2 * a_num * 31 - b_num) AS dev_num
+        |  FROM s2 WHERE rn >= 9),
+        |se AS (SELECT *,
+        |    sum(dev_num) OVER (PARTITION BY dow ORDER BY d ASC
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sdev,
+        |    count(*) OVER (PARTITION BY dow ORDER BY d ASC
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS scnt
+        |  FROM f),
+        |last14 AS (SELECT * FROM (SELECT *,
+        |    row_number() OVER (ORDER BY d DESC) AS rk FROM se) WHERE rk <= 14)
+        |SELECT d,
+        | floor(CAST(cents AS DOUBLE) / 100.0 * 10000.0 + 0.5) / 10000.0 AS revenue,
+        | floor(CAST(level_num AS DOUBLE) / 961.0 / 100.0 * 10000.0 + 0.5)
+        |   / 10000.0 AS level,
+        | floor(CAST(trend_num AS DOUBLE) / 961.0 / 100.0 * 10000.0 + 0.5)
+        |   / 10000.0 AS trend,
+        | floor(CAST(sdev AS DOUBLE) / (CAST(scnt AS DOUBLE) * 961.0 * 100.0)
+        |       * 10000.0 + 0.5) / 10000.0 AS seasonal,
+        | floor((CAST(level_num + 7 * trend_num AS DOUBLE) * CAST(scnt AS DOUBLE)
+        |        + CAST(sdev AS DOUBLE))
+        |       / (CAST(scnt AS DOUBLE) * 961.0 * 100.0) * 10000.0 + 0.5)
+        |   / 10000.0 AS forecast_next_week
+        |FROM last14 ORDER BY d""".stripMargin,
+
     "q_sax_symbols" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents

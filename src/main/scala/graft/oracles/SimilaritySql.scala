@@ -161,6 +161,86 @@ object SimilaritySql {
       .grouped(8).map(_.mkString(",")).mkString(",\n        ")
 
   val sql: Map[String, String] = Map(
+    "q_matryoshka_recall" ->
+      """WITH v6 AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sc64 AS (SELECT p.vec_id AS p_id, c.vec_id AS n_id,
+        |    floor(CAST(CAST(list_dot_product(c.qv, p.qv) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(CAST(CAST(list_dot_product(c.qv, c.qv) AS BIGINT) AS DOUBLE))
+        |           * sqrt(CAST(CAST(list_dot_product(p.qv, p.qv) AS BIGINT) AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS cos
+        |  FROM v6 p JOIN v6 c ON p.vec_id < 8 AND c.vec_id <> p.vec_id),
+        |truth AS (SELECT p_id, n_id FROM (SELECT p_id, n_id,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id ASC) AS rk
+        |  FROM sc64) WHERE rk <= 10),
+        |v16 AS (SELECT vec_id, qv[1:16] AS qv FROM v6),
+        |v32 AS (SELECT vec_id, qv[1:32] AS qv FROM v6),
+        |sc16 AS (SELECT p.vec_id AS p_id, c.vec_id AS n_id,
+        |    floor(CAST(CAST(list_dot_product(c.qv, p.qv) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(CAST(CAST(list_dot_product(c.qv, c.qv) AS BIGINT) AS DOUBLE))
+        |           * sqrt(CAST(CAST(list_dot_product(p.qv, p.qv) AS BIGINT) AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS cos
+        |  FROM v16 p JOIN v16 c ON p.vec_id < 8 AND c.vec_id <> p.vec_id),
+        |c16 AS (SELECT p_id, n_id FROM (SELECT p_id, n_id,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id ASC) AS rk
+        |  FROM sc16) WHERE rk <= 10),
+        |sc32 AS (SELECT p.vec_id AS p_id, c.vec_id AS n_id,
+        |    floor(CAST(CAST(list_dot_product(c.qv, p.qv) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(CAST(CAST(list_dot_product(c.qv, c.qv) AS BIGINT) AS DOUBLE))
+        |           * sqrt(CAST(CAST(list_dot_product(p.qv, p.qv) AS BIGINT) AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS cos
+        |  FROM v32 p JOIN v32 c ON p.vec_id < 8 AND c.vec_id <> p.vec_id),
+        |c32 AS (SELECT p_id, n_id FROM (SELECT p_id, n_id,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY cos DESC, n_id ASC) AS rk
+        |  FROM sc32) WHERE rk <= 10),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |h16 AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |        FROM truth JOIN c16 USING (p_id, n_id)),
+        |h32 AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |        FROM truth JOIN c32 USING (p_id, n_id))
+        |SELECT * FROM (
+        |  SELECT CAST(16 AS BIGINT) AS prefix_dims, CAST(8 AS BIGINT) AS n_probes,
+        |    n_truth, n_hit,
+        |    floor(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        |          * 10000.0 + 0.5) / 10000.0 AS recall_at_k
+        |  FROM nt, h16
+        |  UNION ALL
+        |  SELECT CAST(32 AS BIGINT), CAST(8 AS BIGINT), n_truth, n_hit,
+        |    floor(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        |          * 10000.0 + 0.5) / 10000.0
+        |  FROM nt, h32)
+        |ORDER BY prefix_dims""".stripMargin,
+
+    "q_centroid_drift" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    vec_id % 2 = 0 AS even,
+        |    generate_subscripts(embedding, 1) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS q
+        |  FROM embeddings),
+        |cents AS (SELECT label, even, pos, CAST(sum(q) AS BIGINT) AS s
+        |          FROM ex GROUP BY 1, 2, 3),
+        |a AS (SELECT label, pos, s AS sa FROM cents WHERE even),
+        |b AS (SELECT label, pos, s AS sb FROM cents WHERE NOT even),
+        |np AS (SELECT CAST(label AS BIGINT) AS label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_even,
+        |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_odd
+        |  FROM embeddings GROUP BY 1),
+        |dots AS (SELECT label,
+        |    sum(CAST(sa AS DECIMAL(38,0)) * sb) AS dab,
+        |    sum(CAST(sa AS DECIMAL(38,0)) * sa) AS daa,
+        |    sum(CAST(sb AS DECIMAL(38,0)) * sb) AS dbb
+        |  FROM a JOIN b USING (label, pos) GROUP BY 1)
+        |SELECT label, n_even, n_odd,
+        | floor(CAST(dab AS DOUBLE)
+        |       / (sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE)))
+        |       * 10000.0 + 0.5) / 10000.0 AS centroid_cos
+        |FROM dots JOIN np USING (label) ORDER BY label""".stripMargin,
+
     "q_pq_codebook" ->
       s"""WITH ${pqCtes(8)}
         |u AS (SELECT CAST(0 AS BIGINT) AS subspace, cid, err FROM e0

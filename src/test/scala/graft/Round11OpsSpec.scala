@@ -218,6 +218,54 @@ class Round11OpsSpec extends SparkSpec {
       s"ADC winner ${ids.head} not in the exact top-half")
   }
 
+  test("hwForecast: 14 rows, the forecast re-derives as level + 7*trend " +
+       "+ seasonal, and the seasonal index actually varies") {
+    val df = graft.operators.Insights.hwForecast(spark, Sf)
+    assertNonDegenerate(df, Seq("level", "trend", "seasonal"), minRows = 14)
+    val r = rows(df)
+    assert(r.size === 14)
+    r.foreach { row =>
+      val (lvl, tr, sea, fc) = (row(2).asInstanceOf[Double],
+        row(3).asInstanceOf[Double], row(4).asInstanceOf[Double],
+        row(5).asInstanceOf[Double])
+      // outputs are independently r4-rounded from the exact integers —
+      // four roundings compose to up to 4 x 0.5e-4 of drift, and trend
+      // contributes 7x its own rounding
+      assert(math.abs(fc - (lvl + 7 * tr + sea)) < 6e-4,
+        s"forecast identity broken: $row")
+    }
+  }
+
+  test("matryoshkaRecall: truncation monotone — 32-dim recall >= 16-dim, " +
+       "both legs measured over the full probe batch") {
+    val r = rows(graft.operators.Similarity.matryoshkaRecall(spark, Sf))
+    assert(r.size === 2)
+    val byDim = r.map(x => x.head.asInstanceOf[Long] ->
+      (x(2).asInstanceOf[Long], x(3).asInstanceOf[Long],
+       x(4).asInstanceOf[Double])).toMap
+    assert(byDim.keySet === Set(16L, 32L))
+    assert(byDim(16)._1 === 80L && byDim(32)._1 === 80L) // 8 probes x 10
+    assert(byDim(32)._3 >= byDim(16)._3,
+      "a longer prefix cannot lose recall on average fixtures")
+    byDim.values.foreach { case (_, hit, rec) =>
+      assert(hit >= 1 && rec > 0.0 && rec < 1.0)
+    }
+  }
+
+  test("centroidDrift: every label reported, halves partition the label, " +
+       "cosines live in [-1, 1] and vary") {
+    val df = graft.operators.Similarity.centroidDrift(spark, Sf)
+    assertNonDegenerate(df, Seq("centroid_cos"), minRows = 10)
+    val r = rows(df)
+    assert(r.size === 10)
+    val total = r.map(x => x(1).asInstanceOf[Long] + x(2).asInstanceOf[Long]).sum
+    assert(total === 500L)
+    r.foreach { row =>
+      val c = row(3).asInstanceOf[Double]
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("oracle registry: per-domain maps are disjoint and cover exactly " +
        "the oracled query names") {
     val maps = Seq(
