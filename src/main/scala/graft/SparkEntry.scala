@@ -454,6 +454,8 @@ object SparkEntry {
     "q_hw_forecast"       -> q(Insights.hwForecast), // level+trend+weekly-seasonal forecast, truncated dyadic kernels + dow deviation window
     "q_matryoshka_recall" -> q(Similarity.matryoshkaRecall(_, _, 8, 10)), // prefix-truncated embedding recall@10 at 16/32 of 64 dims
     "q_centroid_drift"    -> q(Similarity.centroidDrift), // per-label centroid cosine between corpus halves, exact-integer sums
+    "q_abtest_cuped"      -> q(Insights.abtestCuped), // CUPED pre-period adjustment: theta, adjusted variant means, rho^2 variance reduction
+    "q_posting_stats"     -> q(Text.postingStats), // inverted-index posting-length histogram, log2 buckets via bin()-length
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */

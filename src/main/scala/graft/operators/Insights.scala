@@ -4974,6 +4974,72 @@ object Insights {
       "o_orderpriority")
   }
 
+  /** CUPED variance reduction for the A/B readout (Deng et al. 2013 —
+    * the pre-period covariate adjustment every experimentation platform
+    * runs): Y = a user's post-period spend, X = the same user's
+    * PRE-period spend (the experiment can't have caused it), θ =
+    * cov(X,Y)/var(X) pooled, and the adjusted variant means are
+    * mean_Y − θ·(mean_X − mean_X_pooled) — algebraically the mean of the
+    * per-user CUPED metric, but assembled ONLY from group sums so every
+    * aggregate is an exact integer (per-user doubles would make the mean
+    * summation-order dependent). The pre/post split is the event-time
+    * midpoint ((min+max) div 2 epoch-µs — data-derived, deterministic);
+    * variants are the q_abtest user_id parity. Output: one row with the
+    * raw and adjusted variant means, their diffs, θ, and the variance-
+    * reduction fraction ρ² = cov²/(var_X·var_Y) — the number that says
+    * how much experiment runtime CUPED buys. Sums of products ride
+    * [[graft.util.Tables.qmul]] (user-level spend² exceeds int64 at the
+    * 100 TB grain). Two hash-aggs (user grain, then variant grain).
+    */
+  def abtestCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"),
+              floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                .as("cents"))
+    val cut = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("cut"))
+    val perUser = ev.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts_us") < col("cut"), col("cents")).otherwise(0L))
+             .as("x"),
+           sum(when(col("ts_us") >= col("cut"), col("cents")).otherwise(0L))
+             .as("y"))
+      .select((col("user_id") % 2 === 0).as("is_a"), col("x"), col("y"))
+    val g = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(qmul(col("x"), col("y"))).as("sxy"),
+      sum(qsq(col("x"))).as("sxx"), sum(qsq(col("y"))).as("syy"),
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("is_a"), col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("is_a"), col("y")).otherwise(0L)).as("sya"),
+      sum(when(!col("is_a"), col("x")).otherwise(0L)).as("sxb"),
+      sum(when(!col("is_a"), col("y")).otherwise(0L)).as("syb"))
+    val nD = col("n").cast("double")
+    val cov = (nD * col("sxy").cast("double") -
+               col("sx").cast("double") * col("sy").cast("double"))
+    val varX = (nD * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double"))
+    val varY = (nD * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))
+    val theta = cov / varX
+    val nA = col("n_a").cast("double")
+    val nB = (col("n") - col("n_a")).cast("double")
+    val meanXAll = col("sx").cast("double") / nD / 100.0
+    val myA = col("sya").cast("double") / nA / 100.0
+    val myB = col("syb").cast("double") / nB / 100.0
+    val mxA = col("sxa").cast("double") / nA / 100.0
+    val mxB = col("sxb").cast("double") / nB / 100.0
+    val cA = myA - theta * (mxA - meanXAll)
+    val cB = myB - theta * (mxB - meanXAll)
+    g.select(col("n_a"), (col("n") - col("n_a")).as("n_b"),
+             r4(theta).as("theta"),
+             r4(myA).as("mean_y_a"), r4(myB).as("mean_y_b"),
+             r4(cA).as("cuped_mean_a"), r4(cB).as("cuped_mean_b"),
+             r4(myA - myB).as("diff_raw"),
+             r4(cA - cB).as("diff_cuped"),
+             r4(cov * cov / (varX * varY)).as("var_reduction"))
+  }
+
   /** Holt–Winters-SHAPED seasonal forecast (level + trend + weekly
     * seasonal) in the same truncated-window form as [[desForecast]]:
     * exponential recursions are replaced by 5-tap dyadic-weight kernels

@@ -2156,4 +2156,27 @@ object Text {
                 col("logw")),
       "rank")
   }
+
+  /** Posting-list length distribution of the word inverted index — the
+    * search-index health histogram (a handful of stopword-class terms with
+    * corpus-sized postings dominate index cost; a long unique tail inflates
+    * the dictionary): per log2-sized document-frequency bucket (bucket =
+    * bit length of df via the bin()-length trick both engines compute
+    * identically — no log()), the number of terms, total postings mass,
+    * and the df extremes. Two hash-aggs (term grain, then bucket grain) —
+    * postings-linear, the [[vocabTopk]] scan shape. Round 11c.
+    */
+  def postingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = docs(spark, sfDir)
+      .select(col("doc_id"),
+              explode(array_distinct(split(lower(col("text")), " "))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    ordered(
+      df.groupBy(length(bin(col("df"))).cast("long").as("df_bucket"))
+        .agg(count(lit(1)).as("n_terms"),
+             sum(col("df")).as("postings"),
+             min(col("df")).as("min_df"), max(col("df")).as("max_df")),
+      "df_bucket")
+  }
 }

@@ -39,6 +39,55 @@ object InsightsSql2 {
         |FROM rel ORDER BY o_orderpriority""".stripMargin
     },
 
+    "q_abtest_cuped" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+        |cut AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cut FROM ev),
+        |pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN ts_us < cut THEN cents ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts_us >= cut THEN cents ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev, cut GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |    sum(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN y ELSE 0 END) AS BIGINT) AS syb
+        |  FROM pu),
+        |e AS (SELECT n, n_a, sxa, sya, sxb, syb, sx,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+        |  FROM g),
+        |m AS (SELECT n_a, n - n_a AS n_b, cov / varx AS theta,
+        |    CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mya,
+        |    CAST(syb AS DOUBLE) / CAST(n - n_a AS DOUBLE) / 100.0 AS myb,
+        |    CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mxa,
+        |    CAST(sxb AS DOUBLE) / CAST(n - n_a AS DOUBLE) / 100.0 AS mxb,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mxall,
+        |    cov * cov / (varx * vary) AS vr
+        |  FROM e)
+        |SELECT n_a, n_b,
+        | floor(theta * 10000.0 + 0.5) / 10000.0 AS theta,
+        | floor(mya * 10000.0 + 0.5) / 10000.0 AS mean_y_a,
+        | floor(myb * 10000.0 + 0.5) / 10000.0 AS mean_y_b,
+        | floor((mya - theta * (mxa - mxall)) * 10000.0 + 0.5) / 10000.0
+        |   AS cuped_mean_a,
+        | floor((myb - theta * (mxb - mxall)) * 10000.0 + 0.5) / 10000.0
+        |   AS cuped_mean_b,
+        | floor((mya - myb) * 10000.0 + 0.5) / 10000.0 AS diff_raw,
+        | floor(((mya - theta * (mxa - mxall)) - (myb - theta * (mxb - mxall)))
+        |       * 10000.0 + 0.5) / 10000.0 AS diff_cuped,
+        | floor(vr * 10000.0 + 0.5) / 10000.0 AS var_reduction
+        |FROM m""".stripMargin,
+
     "q_hw_forecast" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents

@@ -535,6 +535,18 @@ object TextSql {
         |FROM toks t LEFT JOIN vocab ON t.word = vocab.word
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
+    "q_posting_stats" ->
+      """WITH tw AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |  FROM documents),
+        |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |        FROM tw WHERE w <> '' GROUP BY 1)
+        |SELECT CAST(length(bin(df)) AS BIGINT) AS df_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(df) AS BIGINT) AS postings,
+        |       min(df) AS min_df, max(df) AS max_df
+        |FROM dfq GROUP BY 1 ORDER BY df_bucket""".stripMargin,
+
     "q_bm25" ->
       """WITH dl AS (
         |  SELECT doc_id, text,

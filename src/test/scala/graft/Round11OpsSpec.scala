@@ -266,6 +266,34 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("abtestCuped: adjusted diff re-derives from the adjusted means, " +
+       "variance reduction is a fraction, variants partition the users") {
+    val r = rows(graft.operators.Insights.abtestCuped(spark, Sf)).head
+    val (nA, nB) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
+    assert(nA >= 1 && nB >= 1)
+    val (cA, cB, dC) = (r(5).asInstanceOf[Double], r(6).asInstanceOf[Double],
+                        r(8).asInstanceOf[Double])
+    assert(math.abs(dC - (cA - cB)) < 3e-4, s"cuped diff identity: $r")
+    val vr = r(9).asInstanceOf[Double]
+    assert(vr >= 0.0 && vr <= 1.0, s"rho^2 out of range: $vr")
+  }
+
+  test("postingStats: log2 buckets bound their df extremes, term mass " +
+       "adds up, postings >= terms") {
+    val df = graft.operators.Text.postingStats(spark, Sf)
+    val r = rows(df)
+    assert(r.size >= 2)
+    r.foreach { row =>
+      val (b, n, p, lo, hi) = (row.head.asInstanceOf[Long],
+        row(1).asInstanceOf[Long], row(2).asInstanceOf[Long],
+        row(3).asInstanceOf[Long], row(4).asInstanceOf[Long])
+      // bucket = bit length: 2^(b-1) <= df < 2^b
+      assert(lo >= (1L << (b - 1).toInt) && hi < (1L << b.toInt),
+        s"df extremes escape bucket $b: $row")
+      assert(p >= n && lo <= hi)
+    }
+  }
+
   test("oracle registry: per-domain maps are disjoint and cover exactly " +
        "the oracled query names") {
     val maps = Seq(
