@@ -176,6 +176,42 @@ class PlanSpec extends SparkSpec {
       s"both arms' moments must come from one scan, found ${scans.size}")
   }
 
+  test("round-11: PQ ADC joins ride broadcasts — the code table and probe " +
+       "never shuffle the corpus") {
+    val p = plan(SparkEntry.queries("q_ann_pq")(spark, Sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the ADC top-k is a bounded TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), "ADC top-k must TakeOrdered")
+  }
+
+  test("round-11: rrfFusion's dense leg broadcasts the 1-row probe and the " +
+       "final fuse joins two rank-bounded legs") {
+    val p = plan(SparkEntry.queries("q_rrf_fusion")(spark, Sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), "fusion top-k must TakeOrdered")
+  }
+
+  test("round-11: the IVF candidate miners never carry the 64-long vectors " +
+       "through the dedup exchange — only ids, labels and the scored cosine") {
+    val df = graft.operators.Similarity.hardNegativesIvf(spark, Sf)
+    val lines = plan(df).linesIterator.toSeq
+    // the dedup exchange partitions on (a_id, b_id); its Input line (the
+    // shipped schema, printed just above Arguments in formatted mode) must
+    // not contain the vector columns — scoring happened BEFORE the dedup,
+    // so only ids/labels/cos (and their first() buffers) ride the wire.
+    // The cell-join exchanges DO carry vectors by necessity (both sides
+    // need them to score in place) — that is the documented Σ|cell| shape.
+    val dedupIdx = lines.indexWhere(l =>
+      l.contains("hashpartitioning(a_id") && l.contains("b_id"))
+    assert(dedupIdx > 0, "dedup exchange on (a_id, b_id) not found")
+    val input = lines(dedupIdx - 1)
+    assert(input.contains("Input"), input)
+    assert(!input.contains("qa#") && !input.contains("qb#"),
+      s"candidate dedup exchange carries vectors: $input")
+  }
+
   test("whole-stage codegen covers the scalar-function hot path") {
     // AQE shows codegen spans only in the executed (final) plan
     val df = SparkEntry.queries("q_scalar_math_funcs")(spark, Sf)
