@@ -456,6 +456,7 @@ object SparkEntry {
     "q_centroid_drift"    -> q(Similarity.centroidDrift), // per-label centroid cosine between corpus halves, exact-integer sums
     "q_abtest_cuped"      -> q(Insights.abtestCuped), // CUPED pre-period adjustment: theta, adjusted variant means, rho^2 variance reduction
     "q_posting_stats"     -> q(Text.postingStats), // inverted-index posting-length histogram, log2 buckets via bin()-length
+    "q_ann_ivf_pq"        -> q(Ivf.annIvfPq(_, _, 16, 4, 8, 10)), // full IVFPQ: coarse cells + residual PQ + per-cell ADC tables, exact integers
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */

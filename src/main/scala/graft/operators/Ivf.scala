@@ -583,6 +583,112 @@ object Ivf {
       .limit(k)
   }
 
+  /** Full IVFPQ under the EXACT hash gate (Jégou et al. 2011, the
+    * canonical billion-vector index, composed end-to-end from the gated
+    * pieces): coarse integer k-means cells ([[gatedCentroids]] +
+    * [[gatedWithBest]]), RESIDUAL encoding (r = qv − coarse centroid —
+    * what real IVFPQ quantizes; raw-vector PQ wastes codebook entropy on
+    * the coarse structure), 4 independent drop-empty PQ codebooks over the
+    * md5-sampled residual sub-vectors, and the IVFPQ serving path: the
+    * probe picks its `nprobe` nearest cells, builds a PER-CELL ADC table
+    * (the probe's residual differs per cell, so each probed cell gets its
+    * own S × codes integer-L2 table — nprobe·S·codes evaluations total,
+    * broadcast-sized at any corpus), and every vector IN a probed cell is
+    * scored by S table lookups. Exact integers end to end; ties to the
+    * lower vec_id. Scale shape: fits are [[TrainCap]]-bounded, cell and
+    * code assignments are map-only broadcast argmins, candidate pruning is
+    * corpus ⋈ broadcast(nprobe rows), and the ADC sum is one map-side
+    * aggregation — the corpus never all-pairs and never broadcasts.
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String, nLists: Int = 16,
+               nprobe: Int = 4, codes: Int = 8, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
+    // coarse fit is the LINEAR drop-empty variant, not the shared carry
+    // fit: this query references the centroid frame from MANY legs
+    // (residuals, probe cells, per-cell tables), and the carry fit's
+    // 2^rounds logical-plan doubling multiplied through them measured
+    // 158 s of pure planning at sf0.1 — the gatedKmeansFit scaladoc's
+    // CacheManager/AQE canonicalization wall. The drop-empty fit keeps
+    // lineage linear (the semanticDedupHier rule) and this query's oracle
+    // pins the drop-empty arithmetic from birth.
+    val csample = qemb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // EAGER lineage truncation on the fitted frames (the q_mmr_diversity /
+    // q_hits exemption class, recorded in ScaleInfraSpec's laziness spec):
+    // cents is <=nLists rows and the codebooks <=codes rows each, but their
+    // fit chains are deep — and this query references them from ~10 legs
+    // (residuals, probe cells, 4 ADC tables, 4 assignments). Lazy persist
+    // marks leave every reference re-analyzing the full fit subtree:
+    // measured 22.3 s at sf0.1 lazy (11.7 s of pure Catalyst analysis at
+    // sf0.001) vs ~3 s with the fits checkpointed to leaves. The
+    // checkpointed frames are driver-trivial at any corpus scale.
+    val cents = gatedKmeansFitLinear(csample, nLists, Iters)
+      .localCheckpoint(true)
+    // residual frame: r = qv − centroid(cell), per vector (map-only + one
+    // broadcast join against the nLists-row centroid table)
+    val resid = gatedWithBest(qemb, cents)
+      .join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+              zip_with(col("qv"), col("centroid"), (a, b) => a - b).as("rv"))
+      // persist, NOT checkpoint: resid is corpus-sized — an eager corpus
+      // materialization bought 0.6 s at sf0.1 (6.6 vs 7.2) for a full
+      // extra copy of the corpus in executor storage; with cents a leaf,
+      // resid's own lineage is shallow and the lazy mark suffices
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sample = resid
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def slicedR(df: DataFrame, s: Int): DataFrame =
+      df.select(col("vec_id"), col("cell"),
+                slice(col("rv"), s * PqSubDim + 1, PqSubDim).as("qv"))
+    val cbs = (0 until PqSubs).map { s =>
+      s -> gatedKmeansFitLinear(
+             slicedR(sample, s).select(col("vec_id"), col("qv")),
+             codes, Iters)
+        .localCheckpoint(true) // <=codes rows — see the cents note above
+    }
+    // probe machinery: nprobe nearest cells, then a residual PER CELL
+    val probe = qemb.filter(col("vec_id") === 0)
+      .select(col("qv").as("pq")).limit(1)
+    val probeCells = cents.crossJoin(broadcast(probe))
+      .withColumn("d", call_function("sq_l2", col("centroid"), col("pq")))
+      .orderBy(col("d").asc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id").as("cell"),
+              zip_with(col("pq"), col("centroid"), (a, b) => a - b).as("prv"))
+    // ADC tables: per (cell, subspace, code) the integer L2 between the
+    // probe's cell-residual sub-vector and the codebook centroid
+    val dtables = cbs.map { case (s, cb) =>
+      broadcast(
+        probeCells.crossJoin(broadcast(cb))
+          .select(col("cell"), col("centroid_id"),
+                  call_function("sq_l2",
+                    slice(col("prv"), s * PqSubDim + 1, PqSubDim),
+                    col("centroid")).as("d")))
+    }
+    // candidate vectors = members of probed cells; ADC = Σ_s dtable lookups
+    val perSub = cbs.zip(dtables).map { case ((s, cb), dt) =>
+      gatedWithBest(slicedR(resid, s), cb)
+        .join(dt, Seq("cell", "centroid_id")) // broadcast: prunes + looks up
+        .select(col("vec_id"), col("d"))
+    }
+    perSub.reduce(_ unionByName _)
+      .filter(col("vec_id") =!= 0)
+      .groupBy(col("vec_id"))
+      .agg(sum(col("d")).as("adc_dist"),
+           count(lit(1)).as("_subs"))
+      // a candidate must have been scored in ALL subspaces (it always is —
+      // membership is per-vector, not per-subspace; the guard states it)
+      .filter(col("_subs") === PqSubs)
+      .drop("_subs")
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Lloyd's rounds for the coarse level of the hierarchical quantizer —
     * few, because the coarse fit clusters only the nLists fine centroids.
     */

@@ -152,6 +152,92 @@ object SimilaritySql {
        |$subs""".stripMargin
   }
 
+  /** Full IVFPQ oracle chain (round 11): the coarse fit/assignment CTEs
+    * ([[ivfFitCte]] verbatim: q/sample/slong/tiles/chosen/c0..c5 + af/bf),
+    * per-vector RESIDUAL long rows, 4 per-subspace drop-empty PQ fits over
+    * the sampled residual sub-vectors (ntile(codes) spaced init — its own
+    * tiles8/chosen8), corpus sub-code assignments carrying the coarse
+    * cell, the probe's nprobe cells, PER-CELL probe residuals, per-cell
+    * ADC tables, and the ADC sum with the all-subspaces guard.
+    */
+  private def ivfPqCtes(codes: Int, nprobe: Int): String = {
+    val subs = (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = (s + 1) * 16
+      val iters = (1 to 5).map { i =>
+        s"""ra${i}_$s AS (SELECT l.vec_id, c.cid, sum((l.rv - c.qv) * (l.rv - c.qv)) AS d
+           |        FROM rsl$s l JOIN rc${i - 1}_$s c ON c.i = l.i GROUP BY 1, 2),
+           |rb${i}_$s AS (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+           |          FROM ra${i}_$s) WHERE rk = 1),
+           |rc${i}_$s AS (SELECT b.cid, l.i, CAST(sum(l.rv) // count(*) AS BIGINT) AS qv
+           |        FROM rb${i}_$s b JOIN rsl$s l ON l.vec_id = b.vec_id GROUP BY 1, 2),""".stripMargin
+      }.mkString("\n")
+      s"""rsl$s AS MATERIALIZED (SELECT rl.* FROM rl JOIN sample USING (vec_id)
+         |         WHERE i BETWEEN $lo AND $hi),
+         |rc0_$s AS (SELECT t - 1 AS cid, l.i, l.rv AS qv
+         |       FROM chosen8 JOIN rsl$s l ON l.vec_id = chosen8.v),
+         |$iters
+         |raf_$s AS (SELECT l.vec_id, min(l.cell) AS cell, c.cid,
+         |         sum((l.rv - c.qv) * (l.rv - c.qv)) AS d
+         |       FROM rl l JOIN rc5_$s c ON c.i = l.i
+         |       WHERE l.i BETWEEN $lo AND $hi GROUP BY l.vec_id, c.cid),
+         |rbf_$s AS (SELECT vec_id, cell, cid FROM (
+         |         SELECT vec_id, cell, cid,
+         |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |         FROM raf_$s) WHERE rk = 1),
+         |dt_$s AS (SELECT prl.cell, c.cid,
+         |         CAST(sum((prl.prv - c.qv) * (prl.prv - c.qv)) AS BIGINT) AS d
+         |       FROM prl JOIN rc5_$s c ON c.i = prl.i GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
+    // coarse chain: DROP-EMPTY linear fit (cc_i = means only — mirrors
+    // Spark's gatedKmeansFitLinear; this query pins the drop-empty rule)
+    val coarseIters = (1 to 5).map { i =>
+      s"""ca$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+         |        FROM slong l JOIN cc${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+         |cb$i AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |          FROM ca$i) WHERE rk = 1),
+         |cc$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+         |        FROM cb$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
+    s"""q AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+       |              AS BIGINT) + 16384 AS qv
+       |  FROM embeddings),
+       |sample AS (SELECT vec_id FROM embeddings
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+       |slong AS MATERIALIZED (SELECT q.* FROM q JOIN sample USING (vec_id)),
+       |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+       |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+       |cc0 AS (SELECT t - 1 AS cid, l.i, l.qv
+       |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+       |$coarseIters
+       |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+       |       FROM q l JOIN cc5 c ON c.i = l.i GROUP BY 1, 2),
+       |bf AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+       |         FROM af) WHERE rk = 1),
+       |rl AS MATERIALIZED (SELECT l.vec_id, b.cid AS cell, l.i, l.qv - c.qv AS rv
+       |       FROM q l JOIN bf b USING (vec_id)
+       |       JOIN cc5 c ON c.cid = b.cid AND c.i = l.i),
+       |tiles8 AS (SELECT vec_id, ntile($codes) OVER (ORDER BY vec_id) AS t
+       |           FROM sample),
+       |chosen8 AS (SELECT t, min(vec_id) AS v FROM tiles8 GROUP BY t),
+       |pd AS (SELECT c.cid, sum((c.qv - p.qv) * (c.qv - p.qv)) AS d
+       |       FROM cc5 c JOIN q p ON p.i = c.i AND p.vec_id = 0 GROUP BY 1),
+       |pl AS (SELECT cid FROM (SELECT cid,
+       |         row_number() OVER (ORDER BY d, cid) AS rk FROM pd)
+       |       WHERE rk <= $nprobe),
+       |prl AS MATERIALIZED (SELECT cc5.cid AS cell, cc5.i, p.qv - cc5.qv AS prv
+       |        FROM cc5 JOIN q p ON p.i = cc5.i AND p.vec_id = 0
+       |        JOIN pl ON pl.cid = cc5.cid),
+       |$subs""".stripMargin
+  }
+
   /** The JL sign matrix inlined as a VALUES list — same md5-derived
     * literals as the Spark builder ([[graft.operators.Similarity.rpSign]]).
     */
@@ -161,6 +247,18 @@ object SimilaritySql {
       .grouped(8).map(_.mkString(",")).mkString(",\n        ")
 
   val sql: Map[String, String] = Map(
+    "q_ann_ivf_pq" ->
+      s"""WITH ${ivfPqCtes(8, 4)}
+        |adc AS (SELECT vec_id, CAST(sum(d) AS BIGINT) AS adc_dist,
+        |    count(*) AS subs FROM (
+        |    SELECT b.vec_id, dt_0.d FROM rbf_0 b JOIN dt_0 USING (cell, cid)
+        |    UNION ALL SELECT b.vec_id, dt_1.d FROM rbf_1 b JOIN dt_1 USING (cell, cid)
+        |    UNION ALL SELECT b.vec_id, dt_2.d FROM rbf_2 b JOIN dt_2 USING (cell, cid)
+        |    UNION ALL SELECT b.vec_id, dt_3.d FROM rbf_3 b JOIN dt_3 USING (cell, cid))
+        |  WHERE vec_id <> 0 GROUP BY 1 HAVING count(*) = 4)
+        |SELECT vec_id, adc_dist FROM adc
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
+
     "q_matryoshka_recall" ->
       """WITH v6 AS (SELECT vec_id,
         |    list_transform(embedding, x ->

@@ -294,6 +294,20 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("annIvfPq: IVFPQ top-10 ascends, ids distinct, probe excluded, " +
+       "residual-coded ADC winner survives the exact-metric sanity rank") {
+    val r = rows(graft.operators.Ivf.annIvfPq(spark, Sf))
+    assert(r.size === 10)
+    val ids = r.map(_.head.asInstanceOf[Long])
+    assert(ids.distinct.size === 10 && !ids.contains(0L))
+    val ds = r.map(_(1).asInstanceOf[Long])
+    assert(ds === ds.sorted && ds.forall(_ > 0))
+    val exact = rows(graft.operators.Similarity
+      .cosineTopK(spark, Sf, k = 250)).map(_.head.asInstanceOf[Long]).toSet
+    assert(exact.contains(ids.head),
+      s"IVFPQ winner ${ids.head} not in the exact top-half")
+  }
+
   test("oracle registry: per-domain maps are disjoint and cover exactly " +
        "the oracled query names") {
     val maps = Seq(

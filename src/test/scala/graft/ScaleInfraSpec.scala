@@ -385,7 +385,15 @@ class ScaleInfraSpec extends SparkSpec {
                         // (measured 5.9 s vs 1.3 s eager at k=5 — the
                         // rakingIpf plan-nesting lesson); the checkpointed
                         // frame is k rows, driver-trivial at any scale
-                        "q_mmr_diversity")
+                        "q_mmr_diversity",
+                        // IVFPQ: the coarse fit and the 4 PQ codebooks are
+                        // <=16/<=8-row frames referenced from ~10 legs
+                        // (residuals, probe cells, ADC tables, code
+                        // assignments); lazy marks re-analyzed the fit
+                        // subtrees per reference — 22.3 s at sf0.1 (11.7 s
+                        // pure Catalyst analysis) vs ~7 s with the fitted
+                        // frames checkpointed to leaves (Ivf.annIvfPq note)
+                        "q_ann_ivf_pq")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
