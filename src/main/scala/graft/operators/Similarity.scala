@@ -1090,6 +1090,61 @@ object Similarity {
     ordered(legs.reduce(_ unionByName _), "prefix_dims")
   }
 
+  /** Balanced interleaving of the lexical and dense rankings (Joachims
+    * 2002 — the online ranking-eval the offline rrf_fusion complements):
+    * the interleaved list is the deduped union of the two top-`legK`
+    * prefixes extended in LOCKSTEP, which has a closed form — a document
+    * enters at prefix depth min(ra, rb); within a depth the A-contributed
+    * document precedes the B-contributed one (A leads). That is one
+    * full-outer join of the two rank-bounded legs and one ordering key:
+    * (entry depth, contributed-by-B, id) — no sequential draft state, so
+    * the whole construction is set-wise (team-DRAFT interleaving, whose
+    * greedy turn interplay has no closed form, needs per-impression
+    * simulation — the documented reason this op pins the balanced
+    * variant). Each slot records the source ranker and both ranks; the
+    * deterministic relevance stand-in (membership in the exact dense
+    * top-K) makes the per-slot credit reproducible — production swaps in
+    * click credit. Bounded: both legs are top-`legK` index results.
+    */
+  def balancedInterleave(spark: SparkSession, sfDir: String,
+                         legK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = Text.bm25Scores(spark, sfDir)
+      .withColumn("ra", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("ra") <= legK)
+      .select(col("doc_id").as("id"), col("ra"))
+    val v = labeledQuantized(spark, sfDir)
+    val probe = v.filter(col("vec_id") === 0)
+      .select(col("qv").as("pq"), col("n2").as("pn2")).limit(1)
+    val cos = r4(call_function("dot_q", col("qv"), col("pq")).cast("double") /
+                 (sqrt(col("n2").cast("double")) *
+                  sqrt(col("pn2").cast("double"))))
+    val dense = v.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"), cos.as("cos"))
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("rb") <= legK)
+      .select(col("id"), col("rb"))
+    val both = lex.join(dense, Seq("id"), "full_outer")
+      .select(col("id"),
+              coalesce(col("ra"), lit(legK + 1)).as("ra"),
+              coalesce(col("rb"), lit(legK + 1)).as("rb"))
+      .withColumn("entry", least(col("ra"), col("rb")))
+      .withColumn("via_b", (col("rb") < col("ra")).cast("int")) // A wins ties
+    val slotted = both.withColumn("slot", row_number().over(
+      Window.orderBy(col("entry").asc, col("via_b").asc, col("id").asc)))
+    ordered(
+      slotted.select(col("slot"), col("id").as("doc_id"),
+                     when(col("via_b") === 0, lit("A")).otherwise(lit("B"))
+                       .as("source"),
+                     when(col("ra") <= legK, col("ra")).as("lex_rank"),
+                     when(col("rb") <= legK, col("rb")).as("dense_rank"),
+                     (col("rb") <= legK).as("relevant")),
+      "slot")
+  }
+
   /** Per-label embedding-centroid drift between two corpus halves (even
     * vs odd vec_ids — the batch-A/batch-B stand-in): for each label, the
     * exact-integer cosine between its two half-centroids. The monitoring

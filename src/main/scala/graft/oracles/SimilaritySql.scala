@@ -247,6 +247,60 @@ object SimilaritySql {
       .grouped(8).map(_.mkString(",")).mkString(",\n        ")
 
   val sql: Map[String, String] = Map(
+    "q_interleave" ->
+      """WITH dl AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS len
+        |  FROM documents),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM dl),
+        |tf AS (
+        |  SELECT doc_id, len, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len, unnest(string_split(lower(text), ' ')) AS term FROM dl) u
+        |  WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, len, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |              / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.len AS DOUBLE)
+        |         / (CAST(st.sum_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS sc
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st),
+        |bm AS (SELECT doc_id,
+        |  floor(CAST(sum(CAST(sc AS DECIMAL(28,8))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS bm25
+        |  FROM s GROUP BY doc_id),
+        |lex AS (SELECT doc_id AS id, ra FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS ra
+        |  FROM bm) WHERE ra <= 10),
+        |v6 AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n6 AS (SELECT vec_id, qv,
+        |       CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM v6),
+        |pr AS (SELECT qv AS pq, n2 AS pn2 FROM n6 WHERE vec_id = 0),
+        |cosd AS (SELECT vec_id,
+        |    floor(CAST(CAST(list_dot_product(qv, pq) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(pn2 AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS cos
+        |  FROM n6, pr WHERE vec_id <> 0),
+        |dense AS (SELECT vec_id AS id, rb FROM (
+        |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rb
+        |  FROM cosd) WHERE rb <= 10),
+        |merged AS (SELECT COALESCE(lex.id, dense.id) AS id,
+        |    COALESCE(ra, 11) AS ra, COALESCE(rb, 11) AS rb
+        |  FROM lex FULL OUTER JOIN dense ON lex.id = dense.id),
+        |sl AS (SELECT *, least(ra, rb) AS entry,
+        |    CASE WHEN rb < ra THEN 1 ELSE 0 END AS via_b FROM merged),
+        |slotted AS (SELECT *,
+        |    row_number() OVER (ORDER BY entry, via_b, id) AS slot FROM sl)
+        |SELECT slot, id AS doc_id,
+        | CASE WHEN via_b = 0 THEN 'A' ELSE 'B' END AS source,
+        | CASE WHEN ra <= 10 THEN ra END AS lex_rank,
+        | CASE WHEN rb <= 10 THEN rb END AS dense_rank,
+        | rb <= 10 AS relevant
+        |FROM slotted ORDER BY slot""".stripMargin,
+
     "q_ann_ivf_pq" ->
       s"""WITH ${ivfPqCtes(8, 4)}
         |adc AS (SELECT vec_id, CAST(sum(d) AS BIGINT) AS adc_dist,

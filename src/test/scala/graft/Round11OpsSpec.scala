@@ -308,6 +308,21 @@ class Round11OpsSpec extends SparkSpec {
       s"IVFPQ winner ${ids.head} not in the exact top-half")
   }
 
+  test("balancedInterleave: slots contiguous and deduped, union size in " +
+       "[K, 2K], per-source ranks ascend with slot, both rankers present") {
+    val r = rows(graft.operators.Similarity.balancedInterleave(spark, Sf))
+    val n = r.size
+    assert(n >= 10 && n <= 20, s"union size $n")
+    assert(r.map(_.head.asInstanceOf[Int]).toSeq === (1 to n))
+    assert(r.map(_(1).asInstanceOf[Long]).distinct.size === n)
+    assert(r.map(_(2).asInstanceOf[String]).toSet === Set("A", "B"))
+    Seq(("A", 3), ("B", 4)).foreach { case (src, col) =>
+      val ranks = r.filter(_(2) == src).flatMap(x => Option(x(col)))
+        .map(_.asInstanceOf[Int])
+      assert(ranks === ranks.sorted, s"$src ranks not slot-monotone")
+    }
+  }
+
   test("oracle registry: per-domain maps are disjoint and cover exactly " +
        "the oracled query names") {
     val maps = Seq(
