@@ -1061,7 +1061,12 @@ object Similarity {
       val sliced =
         if (dims == 64) v
         else v.select(col("vec_id"), slice(col("qv"), 1, dims).as("qv"))
+      // limit(nProbes) states the probe-batch bound IN THE PLAN (vec_id is
+      // unique, so it drops nothing) — the broadcast hint below is legal
+      // because the hinted subtree is provably bounded at any corpus scale
+      // (the cosineTopK discipline, enforced by ScaleInfraSpec's hint guard)
       val probes = sliced.filter(col("vec_id") < nProbes)
+        .limit(nProbes)
         .select(col("vec_id").as("p_id"), col("qv").as("pq"))
         .withColumn("pn2", call_function("dot_q", col("pq"), col("pq")))
       val cos = r4(call_function("dot_q", col("qv"), col("pq")).cast("double") /
