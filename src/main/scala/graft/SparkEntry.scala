@@ -458,6 +458,7 @@ object SparkEntry {
     "q_posting_stats"     -> q(Text.postingStats), // inverted-index posting-length histogram, log2 buckets via bin()-length
     "q_ann_ivf_pq"        -> q(Ivf.annIvfPq(_, _, 16, 4, 8, 10)), // full IVFPQ: coarse cells + residual PQ + per-cell ADC tables, exact integers
     "q_interleave"        -> q(Similarity.balancedInterleave(_, _, 10)), // balanced interleaving of BM25 + dense legs, closed-form slots + credit
+    "q_ivfpq_recall"      -> q(Ivf.ivfPqRecall(_, _, 16, 4, 8, 10)), // IVFPQ recall vs exact top-k, coarse-routing loss isolated from PQ loss
   )
 
   /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */

@@ -689,6 +689,68 @@ object Ivf {
       .limit(k)
   }
 
+  /** Measured IVFPQ recall vs the exact integer-cosine top-k — the
+    * q_lsh_recall discipline applied to the ANN capstone: what fraction of
+    * the TRUE top-k does the compressed index return, and how far apart
+    * are the two result sets' ADC ranks? One row: k, hits, recall, plus
+    * the coarse-pruning and quantization losses separated — `cell_hits`
+    * counts true neighbors whose CELL was probed (missed ⇒ coarse loss),
+    * so recall − cell-recall isolates the PQ quantization loss from the
+    * nprobe routing loss, which is exactly the knob-tuning signal an IVFPQ
+    * operator needs (raise nprobe vs raise codes). All counts integer.
+    */
+  def ivfPqRecall(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                  nprobe: Int = 4, codes: Int = 8, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
+    // exact truth by the ·10⁶ integer cosine (the brute-force yardstick)
+    val v6 = t(spark, sfDir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")).as("qv"))
+      .withColumn("n2", call_function("dot_q", col("qv"), col("qv")))
+    val probe6 = v6.filter(col("vec_id") === 0)
+      .select(col("qv").as("pq"), col("n2").as("pn2")).limit(1)
+    val cos = r4(call_function("dot_q", col("qv"), col("pq")).cast("double") /
+                 (sqrt(col("n2").cast("double")) *
+                  sqrt(col("pn2").cast("double"))))
+    val truth = v6.crossJoin(broadcast(probe6))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"))
+    val got = annIvfPq(spark, sfDir, nLists, nprobe, codes, k)
+      .select(col("vec_id"))
+    // probed-cell membership of the TRUE neighbors (coarse-loss isolation)
+    val csample = qemb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+    val cents = gatedKmeansFitLinear(csample, nLists, Iters)
+      .localCheckpoint(true)
+    val probeQ = qemb.filter(col("vec_id") === 0)
+      .select(col("qv").as("pqv")).limit(1)
+    val probeCells = cents.crossJoin(broadcast(probeQ))
+      .withColumn("d", call_function("sq_l2", col("centroid"), col("pqv")))
+      .orderBy(col("d").asc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    val inProbed = gatedWithBest(qemb, cents)
+      .join(broadcast(probeCells), "centroid_id")
+      .select(col("vec_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(truth.join(got, Seq("vec_id"), "left_semi")
+                   .agg(count(lit(1)).as("n_hit")))
+      .crossJoin(truth.join(inProbed, Seq("vec_id"), "left_semi")
+                   .agg(count(lit(1)).as("n_cell_hit")))
+      .select(col("n_truth"), col("n_hit"), col("n_cell_hit"),
+              r4(col("n_hit").cast("double") / col("n_truth").cast("double"))
+                .as("recall"),
+              r4(col("n_cell_hit").cast("double") /
+                 col("n_truth").cast("double")).as("cell_recall"))
+  }
+
   /** Lloyd's rounds for the coarse level of the hierarchical quantizer —
     * few, because the coarse fit clusters only the nLists fine centroids.
     */

@@ -313,6 +313,44 @@ object SimilaritySql {
         |SELECT vec_id, adc_dist FROM adc
         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin,
 
+    "q_ivfpq_recall" ->
+      s"""WITH ${ivfPqCtes(8, 4)}
+        |adc AS (SELECT vec_id, CAST(sum(d) AS BIGINT) AS adc_dist,
+        |    count(*) AS subs FROM (
+        |    SELECT b.vec_id, dt_0.d FROM rbf_0 b JOIN dt_0 USING (cell, cid)
+        |    UNION ALL SELECT b.vec_id, dt_1.d FROM rbf_1 b JOIN dt_1 USING (cell, cid)
+        |    UNION ALL SELECT b.vec_id, dt_2.d FROM rbf_2 b JOIN dt_2 USING (cell, cid)
+        |    UNION ALL SELECT b.vec_id, dt_3.d FROM rbf_3 b JOIN dt_3 USING (cell, cid))
+        |  WHERE vec_id <> 0 GROUP BY 1 HAVING count(*) = 4),
+        |got AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 10),
+        |t6 AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |nn6 AS (SELECT vec_id, qv,
+        |       CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM t6),
+        |ppr AS (SELECT qv AS pq, n2 AS pn2 FROM nn6 WHERE vec_id = 0),
+        |tcos AS (SELECT vec_id,
+        |    floor(CAST(CAST(list_dot_product(qv, pq) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(pn2 AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS cos
+        |  FROM nn6, ppr WHERE vec_id <> 0),
+        |truth AS (SELECT vec_id FROM (SELECT vec_id,
+        |    row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rk FROM tcos)
+        |  WHERE rk <= 10),
+        |inprobed AS (SELECT bf.vec_id FROM bf JOIN pl USING (cid)),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |       FROM truth JOIN got USING (vec_id)),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cell_hit
+        |       FROM truth JOIN inprobed USING (vec_id))
+        |SELECT n_truth, n_hit, n_cell_hit,
+        | floor(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS recall,
+        | floor(CAST(n_cell_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+        |       * 10000.0 + 0.5) / 10000.0 AS cell_recall
+        |FROM nt, nh, nc""".stripMargin,
+
     "q_matryoshka_recall" ->
       """WITH v6 AS (SELECT vec_id,
         |    list_transform(embedding, x ->

@@ -323,6 +323,19 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRecall: cell recall bounds ADC recall from above (a neighbor " +
+       "whose cell was not probed can never be returned) and both are " +
+       "nontrivial fractions") {
+    val r = rows(graft.operators.Ivf.ivfPqRecall(spark, Sf)).head
+    val (nT, nH, nC) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long],
+                        r(2).asInstanceOf[Long])
+    assert(nT === 10L)
+    assert(nH <= nC, "ADC can only return vectors in probed cells")
+    val (rec, cellRec) = (r(3).asInstanceOf[Double], r(4).asInstanceOf[Double])
+    assert(rec >= 0.2 && rec <= 1.0, s"ADC recall $rec")
+    assert(cellRec >= 0.6, s"cell recall $cellRec — coarse routing broken")
+  }
+
   test("oracle registry: per-domain maps are disjoint and cover exactly " +
        "the oracled query names") {
     val maps = Seq(
