@@ -393,7 +393,10 @@ class ScaleInfraSpec extends SparkSpec {
                         // subtrees per reference — 22.3 s at sf0.1 (11.7 s
                         // pure Catalyst analysis) vs ~7 s with the fitted
                         // frames checkpointed to leaves (Ivf.annIvfPq note)
-                        "q_ann_ivf_pq")
+                        "q_ann_ivf_pq",
+                        // builds the full IVFPQ index twice (index + truth
+                        // comparison) — inherits annIvfPq's checkpoints
+                        "q_ivfpq_recall")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
