@@ -459,13 +459,22 @@ object SparkEntry {
     "q_ann_ivf_pq"        -> q(Ivf.annIvfPq(_, _, 16, 4, 8, 10)), // full IVFPQ: coarse cells + residual PQ + per-cell ADC tables, exact integers
     "q_interleave"        -> q(Similarity.balancedInterleave(_, _, 10)), // balanced interleaving of BM25 + dense legs, closed-form slots + credit
     "q_ivfpq_recall"      -> q(Ivf.ivfPqRecall(_, _, 16, 4, 8, 10)), // IVFPQ recall vs exact top-k, coarse-routing loss isolated from PQ loss
+    // round-12 additions (ANN index lifecycle + media dedup + fusion eval)
+    "q_ann_ivf_pq_served" -> q(Ivf.annIvfPqServed(_, _, 16, 4, 8, 8, 10)), // build-once/serve-many IVFPQ: 8-probe batch from the persisted index, fit-free serve plan
+    "q_ann_ivf_adaptive"  -> q(Ivf.ivfAdaptive), // corpus-adaptive nLists = clamp(ceil(sqrt(n)), 4, 256); candidate share falls as the corpus grows
+    "q_ivf_incremental"   -> q(Ivf.ivfIncremental(_, _, 16, 0.45)), // assign today's batch into yesterday's cells, per-cell drift cosine + refit flag
+    "q_media_dedup"       -> q(Multimodal.mediaDedup(_, _, 6)), // perceptual average-hash near-dup over decoded media stubs, Hamming-banded candidates
+    "q_fusion_ndcg"       -> q(Similarity.fusionNdcg(_, _, 10, 20, 60)), // nDCG@20 of RRF fusion vs its top-10-bounded lex/dense legs: the coverage claim, measured
   )
 
-  /** DuckDB-runnable ANSI SQL twin per query (same parquet tables). */
   /** DuckDB-equivalent ANSI SQL per query, concatenated from the per-domain
     * files under graft/oracles/ (split in round 11 for registry hygiene —
-    * the strings are byte-identical to the pre-split single map; keys are
-    * disjoint across files, asserted in Round11OpsSpec).
+    * the split COMMIT moved the strings byte-identically; keys are disjoint
+    * across files, asserted in Round11OpsSpec. Two oracles were then
+    * REWRITTEN in the same round, after the split: q_hard_negatives and
+    * q_knn_label_noise took the %17-anchor-sample + list_dot_product form
+    * for decade tractability — auditors diffing against the pre-split map
+    * should expect exactly those two deltas, plus post-split additions.)
     */
   def oracleSql: Map[String, String] =
     graft.oracles.RelationalSql.sql ++

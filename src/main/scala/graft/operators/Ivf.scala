@@ -228,7 +228,7 @@ object Ivf {
   /** Fixed-point positive-offset integer form of the embeddings —
     * the shared input of every gated integer-L2 path.
     */
-  private def gatedQemb(emb: DataFrame): DataFrame = {
+  private[graft] def gatedQemb(emb: DataFrame): DataFrame = {
     val Off = 16384L
     emb.select(col("vec_id"),
       transform(col("embedding"),
@@ -239,7 +239,7 @@ object Ivf {
   /** Map-only integer argmin against the single-row folded centroid table
     * (the gated twin of [[assignLists]]).
     */
-  private def gatedWithBest(df: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def gatedWithBest(df: DataFrame, cent: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val centArr = cent
       .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
@@ -345,7 +345,7 @@ object Ivf {
     * (centroid_id, centroid) frame. Shared by [[ivfGatedTopK]] and
     * [[semanticDedupGated]].
     */
-  private def gatedCentroids(qemb: DataFrame, nLists: Int): DataFrame = {
+  private[graft] def gatedCentroids(qemb: DataFrame, nLists: Int): DataFrame = {
     val sample = qemb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(TrainCap)
@@ -749,6 +749,290 @@ object Ivf {
                 .as("recall"),
               r4(col("n_cell_hit").cast("double") /
                  col("n_truth").cast("double")).as("cell_recall"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Round 12: build-once / serve-many IVFPQ (the r11-verdict top item).
+  // q_ann_ivf_pq proves the MECHANISM end-to-end but rebuilds the coarse
+  // quantizer + 4 PQ codebooks inside every query and serves exactly one
+  // probe — the shape that cannot amortize at any scale. Real ANN
+  // infrastructure is the reference's own warehouse lifecycle transposed
+  // to vectors (nightly transform_load.sql build, all-day queries,
+  // README.md:48–51): fit ONCE, persist the index as a versioned
+  // snapshot, serve probe BATCHES from it with zero fit work in the
+  // serve plan.
+  // ---------------------------------------------------------------------
+
+  /** Versioned on-disk root for a persisted IVFPQ index over `sfDir`'s
+    * embeddings. Keyed by corpus path + fit parameters + a format tag
+    * (bump `v1` if the fit arithmetic ever changes, so stale indexes from
+    * older code can never serve). Lives under the JVM temp dir — the
+    * stand-in for the warehouse's index volume; at a real deployment this
+    * is one line pointing at the object store.
+    */
+  private def indexRoot(sfDir: String, nLists: Int, codes: Int): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-ivfpq-v1-$tag-n$nLists-c$codes"
+  }
+
+  /** 1-based 16-dim residual slice for subspace `s` over a (vec_id, cell,
+    * rv) frame — the shared slicer of the build and serve paths.
+    */
+  private def rvSlice(df: DataFrame, s: Int): DataFrame =
+    df.select(col("vec_id"), col("cell"),
+              slice(col("rv"), s * PqSubDim + 1, PqSubDim).as("qv"))
+
+  /** Build and PERSIST the IVFPQ index (idempotent — returns immediately
+    * when a committed index already exists): exactly [[annIvfPq]]'s fit
+    * (linear drop-empty coarse k-means over the md5 sample, residual
+    * encoding, 4 independent drop-empty PQ codebooks over residual
+    * sub-vectors), then three SnapshotStore tables under the index root —
+    *  - `centroids`: (centroid_id, centroid) — nLists rows;
+    *  - `codebooks`: (subspace, code, centroid) — 4·codes rows;
+    *  - `codes`:     (vec_id, cell, code_0..code_3) — ONE row per corpus
+    *    vector, the 8-bytes-per-vector layout PQ exists for.
+    * The per-vector codes come out of ONE map pass: all four codebooks
+    * fold into a single broadcast row and each subspace's argmin runs
+    * inline per row — no corpus-with-corpus join, no shuffle; the build's
+    * only corpus cost is the residual pass + this code pass + the write.
+    * Deterministic end to end (integer arithmetic, md5 sample order), so
+    * concurrent builders racing on the same root commit identical content
+    * and any committed version serves correctly.
+    */
+  def buildIvfPqIndex(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                      codes: Int = 8): String = {
+    import graft.sources.SnapshotStore
+    val root = indexRoot(sfDir, nLists, codes)
+    if (SnapshotStore.committedVersions(spark, s"$root/codes").nonEmpty)
+      return root
+    graft.functions.GraftFunctions.register(spark)
+    val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
+    val csample = qemb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = gatedKmeansFitLinear(csample, nLists, Iters)
+      .localCheckpoint(true) // <=nLists rows; the annIvfPq exemption class
+    val resid = gatedWithBest(qemb, cents)
+      .join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+              zip_with(col("qv"), col("centroid"), (a, b) => a - b).as("rv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sample = resid
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cbs = (0 until PqSubs).map { s =>
+      s -> gatedKmeansFitLinear(
+             rvSlice(sample, s).select(col("vec_id"), col("qv")),
+             codes, Iters)
+        .localCheckpoint(true)
+    }
+    // fold all 4 codebooks into one broadcast row; encode in ONE map pass
+    val folded = cbs.map { case (s, cb) =>
+      cb.agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as(s"_cb$s"))
+    }.reduce(_ crossJoin _)
+    def codeCol(s: Int): Column = {
+      val dists = transform(col(s"_cb$s"),
+        c => call_function("sq_l2",
+               slice(col("rv"), s * PqSubDim + 1, PqSubDim),
+               c.getField("centroid")))
+      element_at(col(s"_cb$s"),
+        array_position(dists, array_min(dists)).cast("int"))
+        .getField("centroid_id").as(s"code_$s")
+    }
+    val codesDf = resid.crossJoin(broadcast(folded))
+      .select(col("vec_id") +: col("cell") +:
+              (0 until PqSubs).map(codeCol): _*)
+    SnapshotStore.commitSnapshot(cents, s"$root/centroids")
+    SnapshotStore.commitSnapshot(
+      cbs.map { case (s, cb) =>
+        cb.select(lit(s.toLong).as("subspace"),
+                  col("centroid_id").as("code"), col("centroid"))
+      }.reduce(_ unionByName _), s"$root/codebooks")
+    SnapshotStore.commitSnapshot(codesDf, s"$root/codes")
+    csample.unpersist(); resid.unpersist(); sample.unpersist()
+    root
+  }
+
+  /** Serve a probe BATCH from the PREBUILT IVFPQ index — the query half of
+    * the build/serve split: reads only the persisted snapshot tables (plus
+    * the probes' own full-precision vectors), contains NO k-means fit (no
+    * iteration subtree, no ntile init, no posexplode means — PlanSpec
+    * asserts it), and scores candidates through per-(probe, cell) ADC
+    * tables exactly like [[annIvfPq]]'s tail. Batch shape: probes are
+    * vec_id < `nProbes` (the matryoshkaRecall %N-anchor discipline); per
+    * probe the nprobe nearest cells, per (probe, cell, subspace) a
+    * codes-row ADC table (nProbes·nprobe·4·codes rows TOTAL — broadcast
+    * at any corpus), then FOUR map-side broadcast lookups against the
+    * corpus codes table (no corpus shuffle before the per-probe top-k,
+    * which is two-phase [[graft.util.TopK]]). Self-matches excluded.
+    * Output: (p_id, vec_id, adc_dist) — k rows per probe.
+    *
+    * Serving cost at 100 TB: the corpus-side work is ONE broadcast-pruned
+    * scan of the 8-byte-per-vector codes table; the index build is paid
+    * once per corpus version, not per query — the amortization
+    * q_ann_ivf_pq structurally cannot express.
+    */
+  def annIvfPqServed(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                     nprobe: Int = 4, codes: Int = 8, nProbes: Int = 8,
+                     k: Int = 10): DataFrame = {
+    import graft.sources.SnapshotStore
+    graft.functions.GraftFunctions.register(spark)
+    val root = buildIvfPqIndex(spark, sfDir, nLists, codes)
+    val cents = SnapshotStore.readCommitted(spark, s"$root/centroids")
+    val cb = SnapshotStore.readCommitted(spark, s"$root/codebooks")
+    val codesT = SnapshotStore.readCommitted(spark, s"$root/codes")
+    val probes = gatedQemb(t(spark, sfDir, "embeddings"))
+      .filter(col("vec_id") < nProbes).limit(nProbes)
+      .select(col("vec_id").as("p_id"), col("qv").as("pq"))
+    // nprobe nearest cells per probe + the probe's PER-CELL residual
+    // (bounded: nProbes × nLists scored rows, nProbes × nprobe kept)
+    val pc = probes.crossJoin(broadcast(
+        cents.agg(array_sort(collect_list(struct(col("centroid_id"),
+          col("centroid")))).as("_cents"))))
+      .select(col("p_id"), col("pq"),
+              explode(col("_cents")).as("c"))
+      .select(col("p_id"), col("c.centroid_id").as("cell"),
+              call_function("sq_l2", col("c.centroid"), col("pq")).as("d"),
+              zip_with(col("pq"), col("c.centroid"), (a, b) => a - b).as("prv"))
+    val pcTop = graft.util.TopK.perGroup(pc, Seq(col("p_id")),
+        Seq(col("d").asc, col("cell").asc), nprobe)
+      .select(col("p_id"), col("cell"), col("prv"))
+    // per-(probe, cell, subspace) ADC tables — broadcast-sized always
+    val dts = (0 until PqSubs).map { s =>
+      broadcast(
+        pcTop.crossJoin(broadcast(cb.filter(col("subspace") === s)))
+          .select(col("p_id"), col("cell"), col("code").as(s"code_$s"),
+                  call_function("sq_l2",
+                    slice(col("prv"), s * PqSubDim + 1, PqSubDim),
+                    col("centroid")).as(s"d_$s")))
+    }
+    // candidates = codes-table members of probed cells; ADC = 4 broadcast
+    // lookups summed map-side — the corpus never shuffles before the top-k
+    val cand = codesT
+      .join(broadcast(pcTop.select(col("p_id"), col("cell"))), "cell")
+    val scored = dts.zipWithIndex.foldLeft(cand) { case (df, (dt, s)) =>
+      df.join(dt, Seq("p_id", "cell", s"code_$s"))
+    }
+      .filter(col("vec_id") =!= col("p_id"))
+      .select(col("p_id"), col("vec_id"),
+              (col("d_0") + col("d_1") + col("d_2") + col("d_3")).as("adc_dist"))
+    ordered(
+      graft.util.TopK.perGroup(scored, Seq(col("p_id")),
+          Seq(col("adc_dist").asc, col("vec_id").asc), k)
+        .select(col("p_id"), col("vec_id"), col("adc_dist")),
+      "p_id", "adc_dist", "vec_id")
+  }
+
+  /** Corpus-ADAPTIVE IVF sizing under the EXACT hash gate — the registered
+    * form of the raise-nLists-with-corpus rule every fixed-k gate query
+    * documents in prose (r11-verdict item 3): nLists = clamp(⌈√n⌉, 4, 256)
+    * is computed FROM the corpus count, the gated integer fit/assignment
+    * run at that k, and the output is the one-row sizing report an index
+    * operator reads — corpus size, chosen k, live cells, max cell share,
+    * within-cell pair volume, and the CANDIDATE SHARE in basis points
+    * (pair volume over all-pairs n(n−1)/2). Because k grows as √n, the
+    * candidate share FALLS as the corpus grows (≈1/k for balanced cells):
+    * sf0.01 (n=500, k=23) → sf0.1 (n=2000, k=45) → 10× decade (n=20000,
+    * k=142) — the decade row in SURVEY §2.41 records the measured drop.
+    * The corpus count is a driver-collected 1-row scalar (data-DEPENDENT
+    * sizing is the point — the laziness registry exempts this entry); the
+    * oracle mirrors the rule with ntile((SELECT k FROM params)).
+    */
+  def ivfAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = t(spark, sfDir, "embeddings")
+    val n = emb.select(col("vec_id")).count()
+    val nLists = math.max(4L, math.min(256L,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val qemb = gatedQemb(emb)
+    // LINEAR drop-empty fit, not the carry variant: adaptive k reaches 142+
+    // at the decade, where the carry fit's 2^rounds plan doubling measured
+    // 26.8 s at sf0.1 (k=45) vs ~8 s linear — and this query's oracle pins
+    // the drop-empty arithmetic from birth (the annIvfPq precedent)
+    val sample = qemb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(TrainCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = gatedKmeansFitLinear(sample, nLists, Iters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cellN = gatedWithBest(qemb, cents)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("nm"))
+    cellN.agg(count(lit(1)).as("live_cells"),
+              max(col("nm")).as("mx"),
+              sum(expr("nm * (nm - 1) div 2")).as("pair_volume"))
+      .select(lit(n).as("n_corpus"), lit(nLists.toLong).as("n_lists"),
+              col("live_cells"),
+              expr(s"mx * 10000 div CAST($n AS BIGINT)").as("max_share_bp"),
+              col("pair_volume"),
+              expr(s"pair_volume * 10000 div " +
+                   s"(CAST($n AS BIGINT) * CAST(${n - 1} AS BIGINT) div 2)")
+                .as("cand_share_bp"))
+  }
+
+  /** INCREMENTAL index maintenance under the EXACT hash gate (r11-verdict
+    * item 4 — the reference's daily-batch lifecycle, extract_weather.py:
+    * 26–34, transposed to vectors): yesterday's corpus (vec_id % 10 ≠ 9)
+    * owns the fitted centroids; today's batch (vec_id % 10 = 9) is
+    * ASSIGNED into the EXISTING cells with zero refit work — assignment
+    * is a stateless per-row argmin, so batch-assign ≡ full-assign by
+    * construction (Round12OpsSpec asserts it). Per cell the report an
+    * index operator acts on: old/new member counts, the new batch's share
+    * in basis points, and the DRIFT SIGNAL — exact-integer cosine between
+    * the cell's old-member and new-member centroid SUM vectors (the
+    * [[graft.operators.Similarity.centroidDrift]] statistic scoped to
+    * cells) — with `refit_flag` raised when the new batch's centroid has
+    * drifted below `driftThr`. Cells with no new members report NULL
+    * drift and no flag. Scale: fit cost is zero (that is the point);
+    * assignment is map-only; the drift sums are one posexplode hash-agg.
+    */
+  def ivfIncremental(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                     driftThr: Double = 0.45): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = t(spark, sfDir, "embeddings")
+    val cents = gatedCentroids(gatedQemb(emb.filter(col("vec_id") % 10 =!= 9)),
+                               nLists)
+    val asg = gatedWithBest(gatedQemb(emb), cents)
+      .select(col("vec_id"), (col("vec_id") % 10 === 9).as("is_new"),
+              col("centroid_id").cast("long").as("cell_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = asg.groupBy(col("cell_id"))
+      .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
+           sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+    // drift over the ·10⁶ integer form WITHOUT the +16384 offset: the
+    // offset direction dominates cosine and would read ~1.0 everywhere
+    val ex = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+              floor(col("v").cast("double") * 1000000.0 + 0.5).cast("long")
+                .as("q"))
+    val sums = asg.join(ex, "vec_id")
+      .groupBy(col("cell_id"), col("is_new"), col("pos"))
+      .agg(sum(col("q")).as("s"))
+    val a = sums.filter(!col("is_new"))
+      .select(col("cell_id"), col("pos"), col("s").as("sa"))
+    val b = sums.filter(col("is_new"))
+      .select(col("cell_id"), col("pos"), col("s").as("sb"))
+    val drift = a.join(b, Seq("cell_id", "pos"))
+      .groupBy(col("cell_id"))
+      .agg(sum(col("sa").cast("decimal(38,0)") * col("sb")).as("dab"),
+           sum(col("sa").cast("decimal(38,0)") * col("sa")).as("daa"),
+           sum(col("sb").cast("decimal(38,0)") * col("sb")).as("dbb"))
+      .select(col("cell_id"),
+              r4(col("dab").cast("double") /
+                 (sqrt(col("daa").cast("double")) *
+                  sqrt(col("dbb").cast("double")))).as("drift_cos"))
+    ordered(
+      counts.join(drift, Seq("cell_id"), "left")
+        .select(col("cell_id"), col("n_old"), col("n_new"),
+                expr("n_new * 10000 div (n_old + n_new)").as("new_share_bp"),
+                col("drift_cos"),
+                (col("drift_cos").isNotNull &&
+                 col("drift_cos") < driftThr).as("refit_flag")),
+      "cell_id")
   }
 
   /** Lloyd's rounds for the coarse level of the hierarchical quantizer —

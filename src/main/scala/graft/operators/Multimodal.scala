@@ -125,6 +125,88 @@ object Multimodal {
              / lit(255.0))),
       "doc_id", "frame_idx")
 
+  /** Perceptual-hash (average-hash) NEAR-DUPLICATE detection over decoded
+    * media — the image-dedup modality every multimodal training pipeline
+    * runs (r11-verdict item 5), on the same deterministic decode stand-in
+    * as [[decodeStub]]: the payload's byte stream (documents' UTF-8 text
+    * bytes, surfaced as per-character code points — the corpus is ASCII)
+    * plays the decoded pixel grid. The real aHash recipe, re-expressed
+    * relationally:
+    *  1. "resize" to 64 cells: character p of an L-char payload lands in
+    *     segment p·64 div L; the cell "luma" is the segment's code-point
+    *     sum (a real deployment sums pixel lumas inside the partition-
+    *     batched decoder — same shape);
+    *  2. threshold at the global mean WITHOUT division (luma·64 > total);
+    *  3. the 64 bits pack into 8 band BYTES (values 0..255) — the
+    *     SimHash-style banding key: two hashes within Hamming distance 7
+    *     must agree on ≥1 of 8 bands, so candidates are generated by an
+    *     equality JOIN on (band, value), never all-pairs;
+    *  4. verification: exact Hamming distance = Σ_bands bit_count(a⊕b)
+    *     over the 8-row band join, duplicates at ≤ `thr`, keep-lowest-id
+    *     (the [[graft.operators.Ivf.semanticDedupGated]] rule).
+    * Everything is integer arithmetic → fully DuckDB-oracled. Scale: the
+    * hash is one scan + two hash-aggs; candidate volume is Σ_{band,val}
+    * n·(n−1)/2, bucket-bounded exactly like MinHash banding (hot-bucket
+    * capping drops in from Dedup.bucketCandidates unchanged if a
+    * degenerate corpus ever needs it — Round12OpsSpec pins today's
+    * candidate volume at a tiny fraction of all-pairs).
+    */
+  /** The 8 aHash band bytes per document — the banding signature
+    * [[mediaDedup]] joins candidates on (exposed to the spec so the
+    * bucketed candidate bound is asserted against the real signature).
+    */
+  private[graft] def aHashBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val chars = d.select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        posexplode(split(col("text"), "")).as(Seq("p", "c")))
+      .select(col("doc_id"), col("len"), col("p").cast("long").as("p"),
+              ascii(col("c")).cast("long").as("code"))
+    val luma = chars.groupBy(col("doc_id"), expr("p * 64 div len").as("seg"))
+      .agg(sum(col("code")).as("luma"))
+    val tot = luma.groupBy(col("doc_id")).agg(sum(col("luma")).as("total"))
+    // dense 64-segment grid per doc: payloads shorter than 64 chars leave
+    // empty segments, which must still contribute a 0 bit
+    val grid = d.select(col("doc_id"), explode(sequence(lit(0L), lit(63L))).as("seg"))
+    val pow2 = array((0 until 8).map(i => lit(1L << i)): _*)
+    grid.join(luma, Seq("doc_id", "seg"), "left")
+      .join(tot, "doc_id")
+      .select(col("doc_id"), expr("seg div 8").as("band"),
+              when(coalesce(col("luma"), lit(0L)) * 64 > col("total"), 1L)
+                .otherwise(0L).as("bit"),
+              element_at(pow2, (col("seg") % 8 + 1).cast("int")).as("w"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("bit") * col("w")).as("bv"))
+  }
+
+  def mediaDedup(spark: SparkSession, sfDir: String, thr: Int = 6): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val d = t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val bands = aHashBands(spark, sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bands.select(col("band"), col("bv"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band"), col("bv"), col("doc_id").as("b_id")),
+            Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val ham = cand
+      .join(bands.select(col("doc_id").as("a_id"), col("band"),
+                         col("bv").as("av")), Seq("a_id"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"),
+                         col("bv").as("bvb")), Seq("b_id", "band"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(bit_count(col("av").bitwiseXOR(col("bvb"))).cast("long"))
+             .as("hamming"))
+      .filter(col("hamming") <= thr)
+    val dup = ham.groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), min(col("hamming")).as("min_hamming"))
+    ordered(
+      d.select(col("doc_id"))
+        .join(dup, col("doc_id") === col("b_id"), "left")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+                col("dup_of"), col("min_hamming")),
+      "doc_id")
+  }
+
   /** Audio-style segmentation planning: cut each media's duration into
     * overlapping windows (30 s window, 25 s stride — the standard ASR
     * chunking shape) as (chunk_idx, start, end) rows. Stub duration derives

@@ -1192,6 +1192,109 @@ object Similarity {
       "label")
   }
 
+  /** Hybrid-retrieval EVALUATION — nDCG@k of the RRF-fused ranking against
+    * the two single legs (r11-verdict item 6: [[rrfFusion]] and
+    * [[balancedInterleave]] produce rankings but nothing measured them).
+    * The claim hybrid retrieval makes is CROSS-MODALITY COVERAGE — one
+    * modality's index cannot surface the other modality's relevant set —
+    * so the fixture is built to measure exactly that: graded deterministic
+    * relevance gain(id) = [doc contains all three query terms ≥3× each —
+    * the q_ndcg lexical ground truth] + [id is in the exact full-precision
+    * dense top-`legK` for probe 0 — the semantic ground truth] ∈ {0,1,2},
+    * each leg bounded at its top-`legK` (a real index returns a short
+    * result page), and the metric read at k = 2·legK. A single leg can
+    * fill at most half the ideal page; the fused page draws from both —
+    * fused ≥ max(single leg) is asserted in Round12OpsSpec as measured.
+    * The dense-side truth is served by the dense leg itself (the exact
+    * ranking IS the semantic relevance, the matryoshkaRecall convention);
+    * the lexical truth is independent of the BM25 ranking, so the lex
+    * leg's nDCG is a real measurement, not an identity. Rankings: BM25
+    * desc, exact-integer dense cosine desc, and the RRF sum of the two
+    * rank-bounded legs (the [[rrfFusion]] construction, K=60); id 0 (the
+    * probe) is excluded from all three so no leg scores a document
+    * another leg cannot retrieve. DCG terms accumulate as DECIMAL(28,8)
+    * (the [[graft.operators.Text.ndcgAt]] discipline); IDCG is the
+    * closed-form top-k of the gain counts. Output: one row per ranking
+    * (lex / dense / fused) with dcg, idcg, ndcg@k. Scale: both legs are
+    * index lookups + top-K; everything after is k-row frames and one
+    * corpus hash-agg for the gain table.
+    */
+  def fusionNdcg(spark: SparkSession, sfDir: String, legK: Int = 10,
+                 k: Int = 20, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val relLexCol = Seq("join", "hash", "scan").map(tm =>
+      size(filter(split(lower(col("text")), " "), x => x === lit(tm))) >= 3)
+      .reduce(_ && _)
+    val lexRel = t(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"),
+              when(relLexCol, 1L).otherwise(0L).as("g_lex"))
+    val v = labeledQuantized(spark, sfDir)
+    val lex = Text.bm25Scores(spark, sfDir)
+      .filter(col("doc_id") =!= 0)
+      .withColumn("ra", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("ra") <= legK)
+      .select(col("doc_id").as("id"), col("ra"))
+    val probe = v.filter(col("vec_id") === 0)
+      .select(col("qv").as("pq"), col("n2").as("pn2")).limit(1)
+    val cos = r4(call_function("dot_q", col("qv"), col("pq")).cast("double") /
+                 (sqrt(col("n2").cast("double")) *
+                  sqrt(col("pn2").cast("double"))))
+    val dense = v.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"), cos.as("cos"))
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("rb") <= legK)
+      .select(col("id"), col("rb"))
+    // semantic truth = the exact dense top-legK itself (the ranking the
+    // dense leg serves IS the full-precision semantic ground truth)
+    val semRel = dense.select(col("id"), lit(1L).as("g_sem"))
+    val gain = lexRel.join(semRel, Seq("id"), "full_outer")
+      .select(col("id"),
+              (coalesce(col("g_lex"), lit(0L)) +
+               coalesce(col("g_sem"), lit(0L))).as("gain"))
+      .filter(col("id") =!= 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rrf = coalesce(lit(1.0) / (lit(kRrf) + col("ra")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(kRrf) + col("rb")), lit(0.0))
+    val fused = lex.join(dense, Seq("id"), "full_outer")
+      .select(col("id"), r4(rrf).as("rrf_score"))
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("id").asc)))
+      .filter(col("i") <= k).select(col("id"), col("i"))
+    def dcgOf(ranking: DataFrame, name: String): DataFrame =
+      ranking.join(gain, Seq("id"), "left")
+        .select(col("i"), coalesce(col("gain"), lit(0L)).as("g"))
+        .agg(sum((col("g").cast("double") /
+                  log2(col("i").cast("double") + 1.0))
+               .cast("decimal(28,8)")).as("dcg"))
+        .select(lit(name).as("ranking"), col("dcg"))
+    val lexK = lex.filter(col("ra") <= k).select(col("id"), col("ra").as("i"))
+    val denseK = dense.filter(col("rb") <= k).select(col("id"), col("rb").as("i"))
+    val idcg = gain
+      .agg(sum(when(col("gain") === 2, 1L).otherwise(0L)).as("n2"),
+           sum(when(col("gain") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(explode(sequence(lit(1L), lit(k.toLong))).as("i"),
+              col("n2"), col("n1"))
+      .select(when(col("i") <= col("n2"), 2L)
+                .when(col("i") <= col("n2") + col("n1"), 1L)
+                .otherwise(0L).as("g"), col("i"))
+      .agg(sum((col("g").cast("double") /
+                log2(col("i").cast("double") + 1.0))
+             .cast("decimal(28,8)")).as("idcg"))
+    val legs = Seq(dcgOf(lexK, "lex"), dcgOf(denseK, "dense"),
+                   dcgOf(fused, "fused")).reduce(_ unionByName _)
+    ordered(
+      legs.crossJoin(broadcast(idcg))
+        .select(col("ranking"), r4(col("dcg").cast("double")).as("dcg"),
+                r4(col("idcg").cast("double")).as("idcg"),
+                r4(col("dcg").cast("double") /
+                   col("idcg").cast("double")).as("ndcg")),
+      "ranking")
+  }
+
   /** kNN label-noise screen (the Wilson/ENN-style edit rule every
     * labeled-dataset cleaning pass runs): a vector whose k=5 nearest
     * neighbors' majority label disagrees with its own label is flagged as

@@ -4,8 +4,11 @@ import graft.operators
 
 /** DuckDB oracle SQL for the embedding similarity / ANN / near-dup tier — split out of SparkEntry
   * verbatim (round-11 registry hygiene). SparkEntry.oracleSql concatenates
-  * the per-domain maps; keys stay globally unique and strings unchanged, so
-  * the driver's hash gate sees an identical contract.
+  * the per-domain maps; keys stay globally unique. The split commit moved
+  * strings unchanged; two entries in THIS file were rewritten later in the
+  * same round (q_hard_negatives, q_knn_label_noise — %17 anchor sample +
+  * list_dot_product, for decade tractability), so only the split commit
+  * itself is byte-identical to the pre-split map.
   */
 object SimilaritySql {
 
@@ -238,6 +241,137 @@ object SimilaritySql {
        |$subs""".stripMargin
   }
 
+  /** Round-12 generalized carry-fit chain — [[ivfFitCte]]'s exact
+    * arithmetic (md5 sample, spaced ntile init, 5 carry Lloyd's rounds)
+    * with the sample predicate and the ntile argument parameterized:
+    * `sampleWhere` restricts the training corpus (incremental maintenance
+    * fits on yesterday's vectors only) and `ntileArg` lets the adaptive
+    * query derive k from a scalar subquery. `ivfFitCte` itself stays
+    * byte-frozen (its strings are pinned by the round-11 oracles).
+    */
+  private def ivfFitCteGen(sampleWhere: String, ntileArg: String,
+                           carry: Boolean = true): String = {
+    val iters = (1 to 5).map { i =>
+      if (carry)
+        s"""a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+           |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+           |b$i AS (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+           |          FROM a$i) WHERE rk = 1),
+           |m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+           |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+           |c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+           |        FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.i = c.i),""".stripMargin
+      else
+        s"""a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+           |        FROM slong l JOIN c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+           |b$i AS (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+           |          FROM a$i) WHERE rk = 1),
+           |c$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+           |        FROM b$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
+    s"""q AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+       |              AS BIGINT) + 16384 AS qv
+       |  FROM embeddings),
+       |sample AS (SELECT vec_id FROM embeddings $sampleWhere
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+       |slong AS (SELECT q.* FROM q JOIN sample USING (vec_id)),
+       |tiles AS (SELECT vec_id, ntile($ntileArg) OVER (ORDER BY vec_id) AS t FROM sample),
+       |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+       |c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+       |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+       |$iters""".stripMargin
+  }
+
+  /** Round-12 build/serve IVFPQ oracle chain: [[ivfPqCtes]]'s fit verbatim
+    * (drop-empty coarse + residual + 4 drop-empty PQ subspace fits + corpus
+    * code assignments) with the single-probe tail replaced by a PROBE
+    * BATCH — per probe p (vec_id < nProbes) the nprobe nearest cells, the
+    * probe's per-cell residual, and per-(p, cell, subspace) ADC tables.
+    */
+  private def ivfPqServedCtes(codes: Int, nprobe: Int, nProbes: Int): String = {
+    val subs = (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = (s + 1) * 16
+      val iters = (1 to 5).map { i =>
+        s"""ra${i}_$s AS (SELECT l.vec_id, c.cid, sum((l.rv - c.qv) * (l.rv - c.qv)) AS d
+           |        FROM rsl$s l JOIN rc${i - 1}_$s c ON c.i = l.i GROUP BY 1, 2),
+           |rb${i}_$s AS (SELECT vec_id, cid FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+           |          FROM ra${i}_$s) WHERE rk = 1),
+           |rc${i}_$s AS (SELECT b.cid, l.i, CAST(sum(l.rv) // count(*) AS BIGINT) AS qv
+           |        FROM rb${i}_$s b JOIN rsl$s l ON l.vec_id = b.vec_id GROUP BY 1, 2),""".stripMargin
+      }.mkString("\n")
+      s"""rsl$s AS MATERIALIZED (SELECT rl.* FROM rl JOIN sample USING (vec_id)
+         |         WHERE i BETWEEN $lo AND $hi),
+         |rc0_$s AS (SELECT t - 1 AS cid, l.i, l.rv AS qv
+         |       FROM chosen8 JOIN rsl$s l ON l.vec_id = chosen8.v),
+         |$iters
+         |raf_$s AS (SELECT l.vec_id, min(l.cell) AS cell, c.cid,
+         |         sum((l.rv - c.qv) * (l.rv - c.qv)) AS d
+         |       FROM rl l JOIN rc5_$s c ON c.i = l.i
+         |       WHERE l.i BETWEEN $lo AND $hi GROUP BY l.vec_id, c.cid),
+         |rbf_$s AS (SELECT vec_id, cell, cid FROM (
+         |         SELECT vec_id, cell, cid,
+         |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |         FROM raf_$s) WHERE rk = 1),
+         |dt_$s AS (SELECT prl.p_id, prl.cell, c.cid,
+         |         CAST(sum((prl.prv - c.qv) * (prl.prv - c.qv)) AS BIGINT) AS d
+         |       FROM prl JOIN rc5_$s c ON c.i = prl.i GROUP BY 1, 2, 3),""".stripMargin
+    }.mkString("\n")
+    val coarseIters = (1 to 5).map { i =>
+      s"""ca$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+         |        FROM slong l JOIN cc${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+         |cb$i AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |          FROM ca$i) WHERE rk = 1),
+         |cc$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+         |        FROM cb$i b JOIN slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
+    s"""q AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+       |              AS BIGINT) + 16384 AS qv
+       |  FROM embeddings),
+       |sample AS (SELECT vec_id FROM embeddings
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+       |slong AS MATERIALIZED (SELECT q.* FROM q JOIN sample USING (vec_id)),
+       |tiles AS (SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) AS t FROM sample),
+       |chosen AS (SELECT t, min(vec_id) AS v FROM tiles GROUP BY t),
+       |cc0 AS (SELECT t - 1 AS cid, l.i, l.qv
+       |       FROM chosen JOIN slong l ON l.vec_id = chosen.v),
+       |$coarseIters
+       |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+       |       FROM q l JOIN cc5 c ON c.i = l.i GROUP BY 1, 2),
+       |bf AS (SELECT vec_id, cid FROM (
+       |         SELECT vec_id, cid,
+       |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+       |         FROM af) WHERE rk = 1),
+       |rl AS MATERIALIZED (SELECT l.vec_id, b.cid AS cell, l.i, l.qv - c.qv AS rv
+       |       FROM q l JOIN bf b USING (vec_id)
+       |       JOIN cc5 c ON c.cid = b.cid AND c.i = l.i),
+       |tiles8 AS (SELECT vec_id, ntile($codes) OVER (ORDER BY vec_id) AS t
+       |           FROM sample),
+       |chosen8 AS (SELECT t, min(vec_id) AS v FROM tiles8 GROUP BY t),
+       |pd AS (SELECT p.vec_id AS p_id, c.cid, sum((c.qv - p.qv) * (c.qv - p.qv)) AS d
+       |       FROM cc5 c JOIN q p ON p.i = c.i AND p.vec_id < $nProbes
+       |       GROUP BY 1, 2),
+       |pl AS (SELECT p_id, cid FROM (SELECT p_id, cid,
+       |         row_number() OVER (PARTITION BY p_id ORDER BY d, cid) AS rk FROM pd)
+       |       WHERE rk <= $nprobe),
+       |prl AS MATERIALIZED (SELECT pl.p_id, cc5.cid AS cell, cc5.i,
+       |          p.qv - cc5.qv AS prv
+       |        FROM pl JOIN cc5 ON cc5.cid = pl.cid
+       |        JOIN q p ON p.i = cc5.i AND p.vec_id = pl.p_id),
+       |$subs""".stripMargin
+  }
+
   /** The JL sign matrix inlined as a VALUES list — same md5-derived
     * literals as the Spark builder ([[graft.operators.Similarity.rpSign]]).
     */
@@ -247,6 +381,207 @@ object SimilaritySql {
       .grouped(8).map(_.mkString(",")).mkString(",\n        ")
 
   val sql: Map[String, String] = Map(
+    "q_ann_ivf_pq_served" ->
+      s"""WITH ${ivfPqServedCtes(8, 4, 8)}
+        |adcu AS (
+        |  SELECT dt_0.p_id, b.vec_id, dt_0.d FROM rbf_0 b
+        |    JOIN dt_0 ON dt_0.cell = b.cell AND dt_0.cid = b.cid
+        |  UNION ALL SELECT dt_1.p_id, b.vec_id, dt_1.d FROM rbf_1 b
+        |    JOIN dt_1 ON dt_1.cell = b.cell AND dt_1.cid = b.cid
+        |  UNION ALL SELECT dt_2.p_id, b.vec_id, dt_2.d FROM rbf_2 b
+        |    JOIN dt_2 ON dt_2.cell = b.cell AND dt_2.cid = b.cid
+        |  UNION ALL SELECT dt_3.p_id, b.vec_id, dt_3.d FROM rbf_3 b
+        |    JOIN dt_3 ON dt_3.cell = b.cell AND dt_3.cid = b.cid),
+        |adc AS (SELECT p_id, vec_id, CAST(sum(d) AS BIGINT) AS adc_dist
+        |        FROM adcu WHERE vec_id <> p_id GROUP BY 1, 2
+        |        HAVING count(*) = 4)
+        |SELECT p_id, vec_id, adc_dist FROM (
+        |  SELECT p_id, vec_id, adc_dist,
+        |         row_number() OVER (PARTITION BY p_id
+        |           ORDER BY adc_dist, vec_id) AS rk FROM adc)
+        |WHERE rk <= 10 ORDER BY p_id, adc_dist, vec_id""".stripMargin,
+
+    "q_ann_ivf_adaptive" ->
+      s"""WITH params AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    greatest(4, least(256,
+        |      CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS k
+        |  FROM embeddings),
+        |${ivfFitCteGen("", "(SELECT k FROM params)", carry = false)}
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |celln AS (SELECT cid, CAST(count(*) AS BIGINT) AS nm FROM bf GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS live_cells, max(nm) AS mx,
+        |        CAST(sum(nm * (nm - 1) // 2) AS BIGINT) AS pair_volume
+        |        FROM celln)
+        |SELECT n AS n_corpus, k AS n_lists, live_cells,
+        | mx * 10000 // n AS max_share_bp, pair_volume,
+        | pair_volume * 10000 // (n * (n - 1) // 2) AS cand_share_bp
+        |FROM agg, params""".stripMargin,
+
+    "q_ivf_incremental" ->
+      s"""WITH ${ivfFitCteGen("WHERE vec_id % 10 <> 9", "16")}
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |asg AS (SELECT vec_id, vec_id % 10 = 9 AS is_new, cid FROM bf),
+        |counts AS (SELECT cid,
+        |    CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM asg GROUP BY 1),
+        |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS qd
+        |  FROM embeddings),
+        |sums AS (SELECT cid, is_new, pos, CAST(sum(qd) AS BIGINT) AS s
+        |         FROM asg JOIN ex USING (vec_id) GROUP BY 1, 2, 3),
+        |aa AS (SELECT cid, pos, s AS sa FROM sums WHERE NOT is_new),
+        |bb AS (SELECT cid, pos, s AS sb FROM sums WHERE is_new),
+        |drift AS (SELECT cid,
+        |    floor(CAST(sum(CAST(sa AS DECIMAL(38,0)) * sb) AS DOUBLE)
+        |          / (sqrt(CAST(sum(CAST(sa AS DECIMAL(38,0)) * sa) AS DOUBLE))
+        |             * sqrt(CAST(sum(CAST(sb AS DECIMAL(38,0)) * sb) AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS drift_cos
+        |  FROM aa JOIN bb USING (cid, pos) GROUP BY cid)
+        |SELECT CAST(c.cid AS BIGINT) AS cell_id, n_old, n_new,
+        | n_new * 10000 // (n_old + n_new) AS new_share_bp,
+        | drift_cos,
+        | drift_cos IS NOT NULL AND drift_cos < 0.45 AS refit_flag
+        |FROM counts c LEFT JOIN drift d ON d.cid = c.cid
+        |ORDER BY cell_id""".stripMargin,
+
+    "q_media_dedup" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+        |           FROM documents),
+        |ch AS (SELECT doc_id, len,
+        |        generate_subscripts(string_split(text, ''), 1) AS i,
+        |        ord(unnest(string_split(text, ''))) AS code FROM d),
+        |luma AS (SELECT doc_id, (i - 1) * 64 // len AS seg,
+        |         CAST(sum(code) AS BIGINT) AS luma
+        |         FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(luma) AS BIGINT) AS total
+        |        FROM luma GROUP BY 1),
+        |grid AS (SELECT doc_id, unnest(generate_series(0, 63)) AS seg FROM d),
+        |bits AS (SELECT g.doc_id, g.seg // 8 AS band,
+        |         CASE WHEN COALESCE(l.luma, 0) * 64 > t.total
+        |              THEN 1 ELSE 0 END AS bit,
+        |         ([1,2,4,8,16,32,64,128])[CAST(g.seg % 8 AS INT) + 1] AS w
+        |   FROM grid g LEFT JOIN luma l ON l.doc_id = g.doc_id AND l.seg = g.seg
+        |   JOIN tot t ON t.doc_id = g.doc_id),
+        |bands AS (SELECT doc_id, band, CAST(sum(bit * w) AS BIGINT) AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.a_id, c.b_id,
+        |          CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+        |        FROM cand c JOIN bands x ON x.doc_id = c.a_id
+        |        JOIN bands y ON y.doc_id = c.b_id AND y.band = x.band
+        |        GROUP BY 1, 2
+        |        HAVING CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) <= 6),
+        |dup AS (SELECT b_id, min(a_id) AS dup_of,
+        |        min(hamming) AS min_hamming FROM ham GROUP BY 1)
+        |SELECT d.doc_id, dup.dup_of IS NOT NULL AS is_dup,
+        |       dup.dup_of, dup.min_hamming
+        |FROM d LEFT JOIN dup ON dup.b_id = d.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_fusion_ndcg" ->
+      """WITH wl AS (SELECT doc_id, text,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS len
+        | FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(len) AS BIGINT) AS sum_len FROM wl),
+        |tf AS (SELECT doc_id, len, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, len, unnest(string_split(lower(text), ' ')) AS t
+        |             FROM wl)
+        |       WHERE t IN ('join', 'hash', 'scan') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |  floor(CAST(sum(CAST(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len AS DOUBLE)
+        |         / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |    AS DECIMAL(28,8))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS bm25
+        | FROM tf JOIN dfreq USING (term) CROSS JOIN st GROUP BY doc_id),
+        |lex AS (SELECT doc_id AS id, ra FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS ra
+        |  FROM sc WHERE doc_id <> 0) WHERE ra <= 10),
+        |v6 AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n6 AS (SELECT vec_id, qv,
+        |       CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM v6),
+        |pr AS (SELECT qv AS pq, n2 AS pn2 FROM n6 WHERE vec_id = 0),
+        |cosd AS (SELECT vec_id,
+        |    floor(CAST(CAST(list_dot_product(qv, pq) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(pn2 AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS cos
+        |  FROM n6, pr WHERE vec_id <> 0),
+        |dense AS (SELECT vec_id AS id, rb FROM (
+        |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rb
+        |  FROM cosd) WHERE rb <= 10),
+        |fusedr AS (SELECT COALESCE(lex.id, dense.id) AS id,
+        |    floor((COALESCE(1.0 / (60 + ra), 0.0) +
+        |           COALESCE(1.0 / (60 + rb), 0.0)) * 10000.0 + 0.5) / 10000.0
+        |      AS rrf_score
+        |  FROM lex FULL OUTER JOIN dense ON lex.id = dense.id),
+        |fused AS (SELECT id, i FROM (
+        |  SELECT id, row_number() OVER (ORDER BY rrf_score DESC, id ASC) AS i
+        |  FROM fusedr) WHERE i <= 20),
+        |lexk AS (SELECT id, ra AS i FROM lex WHERE ra <= 20),
+        |densek AS (SELECT id, rb AS i FROM dense WHERE rb <= 20),
+        |grel AS (SELECT doc_id AS id,
+        |  CASE WHEN
+        |   len(list_filter(string_split(lower(text), ' '), x -> x = 'join')) >= 3
+        |   AND len(list_filter(string_split(lower(text), ' '), x -> x = 'hash')) >= 3
+        |   AND len(list_filter(string_split(lower(text), ' '), x -> x = 'scan')) >= 3
+        |  THEN 1 ELSE 0 END AS g_lex
+        | FROM documents),
+        |srel AS (SELECT id, 1 AS g_sem FROM dense),
+        |gain AS (SELECT COALESCE(grel.id, srel.id) AS id,
+        |    CAST(COALESCE(g_lex, 0) + COALESCE(g_sem, 0) AS BIGINT) AS gain
+        |  FROM grel FULL OUTER JOIN srel ON grel.id = srel.id
+        |  WHERE COALESCE(grel.id, srel.id) <> 0),
+        |cnts AS (SELECT
+        |    CAST(sum(CASE WHEN gain = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2r,
+        |    CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1r
+        |  FROM gain),
+        |ig AS (SELECT n2r, n1r, unnest(generate_series(1, 20)) AS i FROM cnts),
+        |idcg AS (SELECT sum(CAST(
+        |    CAST(CASE WHEN i <= n2r THEN 2
+        |              WHEN i <= n2r + n1r THEN 1 ELSE 0 END AS DOUBLE)
+        |    / log2(CAST(i AS DOUBLE) + 1.0) AS DECIMAL(28,8))) AS idcg FROM ig),
+        |dcgs AS (
+        |  SELECT 'lex' AS ranking, sum(CAST(
+        |    CAST(COALESCE(gain, 0) AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0)
+        |    AS DECIMAL(28,8))) AS dcg
+        |  FROM lexk LEFT JOIN gain USING (id)
+        |  UNION ALL
+        |  SELECT 'dense', sum(CAST(
+        |    CAST(COALESCE(gain, 0) AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0)
+        |    AS DECIMAL(28,8)))
+        |  FROM densek LEFT JOIN gain USING (id)
+        |  UNION ALL
+        |  SELECT 'fused', sum(CAST(
+        |    CAST(COALESCE(gain, 0) AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0)
+        |    AS DECIMAL(28,8)))
+        |  FROM fused LEFT JOIN gain USING (id))
+        |SELECT ranking,
+        | floor(CAST(dcg AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS dcg,
+        | floor(CAST(idcg AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS idcg,
+        | floor(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) * 10000.0 + 0.5)
+        |   / 10000.0 AS ndcg
+        |FROM dcgs CROSS JOIN idcg ORDER BY ranking""".stripMargin,
+
     "q_interleave" ->
       """WITH dl AS (
         |  SELECT doc_id, text,

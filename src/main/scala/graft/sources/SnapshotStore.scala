@@ -322,7 +322,12 @@ object SnapshotStore {
   }
 
   /** The (keyCol, keyMin, keyMax) fence a committed manifest records, if
-    * any — None for unfenced commits.
+    * any — None for unfenced commits. A manifest that EXISTS but carries no
+    * parsable body (no "version" field) is treated as a CONFLICT, not as
+    * unfenced: with the rename-based commit it cannot happen, but a legacy
+    * or foreign writer's torn manifest must fail the fence check loudly
+    * rather than silently authorize an overlapping commit (round-11 advice
+    * item — the lost update the fence exists to prevent).
     */
   private def manifestKeyRange(spark: SparkSession, baseDir: String,
                                v: Long): Option[(String, Long, Long)] = {
@@ -332,6 +337,11 @@ object SnapshotStore {
     val in = fs.open(manifest)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
+    if (!body.contains("\"version\""))
+      throw new SnapshotConflictException(
+        s"publishSnapshotFenced: manifest v$v is empty or unparsable " +
+        s"($body) — cannot verify key-range disjointness; re-derive and " +
+        "retry after the competing writer resolves")
     for {
       c <- """"keyCol":\s*"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
       lo <- """"keyMin":\s*(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
@@ -353,6 +363,13 @@ object SnapshotStore {
     val r = spark.read.parquet(staged)
       .agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
       .head()
+    // an empty staged frame (or an all-NULL key column) has no key band to
+    // fence on — fail with the real reason instead of an opaque NPE after
+    // staging data that never publishes (round-11 advice item)
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"commitSnapshotFenced: staged data under $staged is empty or its " +
+      s"'$keyCol' is all NULL — nothing to fence; use commitSnapshot for " +
+      "empty/unkeyed writes")
     publishSnapshotFenced(spark, baseDir, staged, keyCol,
                           r.getLong(0), r.getLong(1), baseV)
   }
@@ -463,42 +480,55 @@ object SnapshotStore {
                       dataDir.stripPrefix(baseDir).stripPrefix("/"), "")
   }
 
-  /** The atomic commit primitive: create-if-absent of `_commits/v{N}.json`
-    * with the given body fields. True = this writer owns version v; false =
-    * the slot was taken (a lost race — the ONLY retryable signal). A
-    * failure between create() succeeding and close() deletes the truncated
-    * manifest and rethrows, so committedVersions never lists a partial
-    * manifest and persistent I/O errors surface as themselves.
+  /** The atomic commit primitive: the manifest body is written IN FULL to a
+    * hidden temp file (`.tmp-*`, invisible to [[committedVersions]]'s
+    * `v\d+\.json` filter), then RENAMED into `_commits/v{N}.json` — rename
+    * is the put-if-absent commit point, so a manifest is either absent or
+    * complete; no reader can ever observe a created-but-not-yet-written
+    * manifest, and a crash at any point leaves only an unlisted temp file
+    * (reclaimed by [[vacuumOrphans]]), never a permanently empty version
+    * (the round-11 advice item: the old create-then-write had a visible-
+    * while-empty window AND a crash mode that bricked every read of the
+    * version). On HDFS/ABFS rename-to-existing fails atomically; on the
+    * local filesystem the exists-check before rename carries the same
+    * documented check-then-act caveat the old create path had.
+    *
+    * True = this writer owns version v; false = the slot was taken (a lost
+    * race — the ONLY retryable signal, confirmed by the destination
+    * actually existing rather than by grepping exception messages, which
+    * misclassified "does not exist" failures as races). Any other failure
+    * deletes the temp file and surfaces as itself.
     */
   private def tryCreateManifest(fs: org.apache.hadoop.fs.FileSystem,
                                 baseDir: String, v: Long, relData: String,
                                 extraJson: String): Boolean = {
     val manifest = new org.apache.hadoop.fs.Path(f"$baseDir/_commits/v$v%05d.json")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$baseDir/_commits/.tmp-${java.util.UUID.randomUUID().toString.take(12)}")
     try {
-      // create(path, overwrite = false) is the put-if-absent commit point
-      val out = fs.create(manifest, false)
-      try {
-        try out.write(
-          s"""{"version": $v, "data": "$relData"$extraJson}""".getBytes("UTF-8"))
-        finally out.close()
-      } catch {
-        // create succeeded but the write/close failed: remove the truncated
-        // manifest so readers never see it, then surface the real error —
-        // this is NOT a lost race
-        case e: Throwable =>
-          try fs.delete(manifest, false) catch { case _: Throwable => () }
-          throw e
+      val out = fs.create(tmp, false)
+      try out.write(
+        s"""{"version": $v, "data": "$relData"$extraJson}""".getBytes("UTF-8"))
+      finally out.close()
+      if (fs.exists(manifest)) { fs.delete(tmp, false); return false }
+      if (fs.rename(tmp, manifest)) true
+      else {
+        fs.delete(tmp, false)
+        // rename refused without throwing: a racer owns the slot iff the
+        // destination now exists — anything else is a real filesystem
+        // failure and must not burn retry slots as a phantom collision
+        if (fs.exists(manifest)) false
+        else sys.error(s"tryCreateManifest: rename $tmp -> $manifest " +
+          "failed with no competing manifest present")
       }
-      true
     } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      // RawLocalFileSystem signals an existing target with a plain
-      // IOException whose message names the path — treat "exists" as the
-      // race signal, everything else as a real failure
-      case e: java.io.IOException
-        if e.getMessage != null &&
-           e.getMessage.toLowerCase.contains("exist") => false
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        e match {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException
+            if fs.exists(manifest) => false // racer won the slot
+          case _ => throw e
+        }
     }
   }
 
@@ -553,6 +583,14 @@ object SnapshotStore {
         s.getModificationTime <= cutoff
       }.map(_.getPath)
     orphans.foreach(p => fs.delete(p, true))
+    // crashed writers' never-renamed manifest temp files (unlisted by
+    // committedVersions; same retention rule as the data orphans)
+    val commits = new org.apache.hadoop.fs.Path(s"$baseDir/_commits")
+    if (fs.exists(commits))
+      fs.listStatus(commits)
+        .filter(s => s.getPath.getName.startsWith(".tmp-") &&
+                     s.getModificationTime <= cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
     orphans.length
   }
 

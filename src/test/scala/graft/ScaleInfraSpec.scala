@@ -396,7 +396,18 @@ class ScaleInfraSpec extends SparkSpec {
                         "q_ann_ivf_pq",
                         // builds the full IVFPQ index twice (index + truth
                         // comparison) — inherits annIvfPq's checkpoints
-                        "q_ivfpq_recall")
+                        "q_ivfpq_recall",
+                        // build-once/serve-many: the builder PERSISTS the
+                        // IVFPQ index on first call (the nightly-build half
+                        // of the lifecycle — running jobs at build time is
+                        // the whole point); the serve plan itself is lazy
+                        // and fit-free (PlanSpec asserts it)
+                        "q_ann_ivf_pq_served",
+                        // corpus-ADAPTIVE sizing: nLists is a function of
+                        // the corpus count, which is a driver-collected
+                        // 1-row scalar by definition of data-dependent
+                        // sizing (the q_hits normalizer precedent)
+                        "q_ann_ivf_adaptive")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
