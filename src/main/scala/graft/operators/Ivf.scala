@@ -901,10 +901,14 @@ object Ivf {
     val pcTop = graft.util.TopK.perGroup(pc, Seq(col("p_id")),
         Seq(col("d").asc, col("cell").asc), nprobe)
       .select(col("p_id"), col("cell"), col("prv"))
-    // per-(probe, cell, subspace) ADC tables — broadcast-sized always
+    // per-(probe, cell, subspace) ADC tables — broadcast-sized always; the
+    // limit(codes) states the codebook's bound IN THE PLAN (a PQ codebook
+    // has exactly `codes` rows per subspace, but the hint guard can only
+    // see plan-level bounds — the matryoshkaRecall probe-batch discipline)
     val dts = (0 until PqSubs).map { s =>
       broadcast(
-        pcTop.crossJoin(broadcast(cb.filter(col("subspace") === s)))
+        pcTop.crossJoin(broadcast(
+            cb.filter(col("subspace") === s).limit(codes)))
           .select(col("p_id"), col("cell"), col("code").as(s"code_$s"),
                   call_function("sq_l2",
                     slice(col("prv"), s * PqSubDim + 1, PqSubDim),

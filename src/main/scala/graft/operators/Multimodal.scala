@@ -145,11 +145,12 @@ object Multimodal {
     *     over the 8-row band join, duplicates at ≤ `thr`, keep-lowest-id
     *     (the [[graft.operators.Ivf.semanticDedupGated]] rule).
     * Everything is integer arithmetic → fully DuckDB-oracled. Scale: the
-    * hash is one scan + two hash-aggs; candidate volume is Σ_{band,val}
-    * n·(n−1)/2, bucket-bounded exactly like MinHash banding (hot-bucket
-    * capping drops in from Dedup.bucketCandidates unchanged if a
-    * degenerate corpus ever needs it — Round12OpsSpec pins today's
-    * candidate volume at a tiny fraction of all-pairs).
+    * hash is one scan + two hash-aggs; candidate volume is Σ_{cold bucket}
+    * n·(n−1)/2 + Σ_{hot bucket} (n−1) — buckets over [[BandCap]] members
+    * star-link through their min-id anchor ([[aHashCandidates]], the
+    * MinHash-banding hot-bucket guard with MEASURED decade numbers in its
+    * scaladoc; Round12OpsSpec pins the volume bound against the real
+    * generator).
     */
   /** The 8 aHash band bytes per document — the banding signature
     * [[mediaDedup]] joins candidates on (exposed to the spec so the
@@ -178,16 +179,45 @@ object Multimodal {
       .agg(sum(col("bit") * col("w")).as("bv"))
   }
 
+  /** Hot-bucket cap for the aHash banding join (the
+    * [[graft.operators.Dedup]] clone-corpus guard, measured here: the 10×
+    * perturbed decade's 50k docs put 2,305 hashes in the hottest
+    * (band, value) bucket and 84.25M pairs in the uncapped join — 6.7% of
+    * all-pairs, quadratic; with buckets over this cap star-linked through
+    * their min-id anchor the volume is 741k, 0.06%). Cold buckets keep the
+    * full pigeonhole guarantee (hamming ≤ 7 ⇒ ≥1 shared band); hot-bucket
+    * members are compared only against the anchor — the documented recall
+    * tradeoff, and a no-op at gate scale (hottest sf0.001/sf0.01 bucket:
+    * 29 members).
+    */
+  val BandCap = 64
+
+  /** Banded candidate pairs (a_id < b_id), hot buckets star-linked — the
+    * generation stage [[mediaDedup]] verifies (exposed so the spec asserts
+    * the bucketed volume bound against the real generator).
+    */
+  private[graft] def aHashCandidates(bands: DataFrame): DataFrame = {
+    val bstat = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("anchor"))
+    val tagged = bands.join(bstat, Seq("band", "bv"))
+    val cold = tagged.filter(col("n") <= BandCap)
+    val coldPairs = cold.select(col("band"), col("bv"), col("doc_id").as("a_id"))
+      .join(cold.select(col("band"), col("bv"), col("doc_id").as("b_id")),
+            Seq("band", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val hotPairs = tagged
+      .filter(col("n") > BandCap && col("doc_id") > col("anchor"))
+      .select(col("anchor").as("a_id"), col("doc_id").as("b_id"))
+    coldPairs.union(hotPairs).distinct()
+  }
+
   def mediaDedup(spark: SparkSession, sfDir: String, thr: Int = 6): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val d = t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val bands = aHashBands(spark, sfDir)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = bands.select(col("band"), col("bv"), col("doc_id").as("a_id"))
-      .join(bands.select(col("band"), col("bv"), col("doc_id").as("b_id")),
-            Seq("band", "bv"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    val cand = aHashCandidates(bands)
     val ham = cand
       .join(bands.select(col("doc_id").as("a_id"), col("band"),
                          col("bv").as("av")), Seq("a_id"))

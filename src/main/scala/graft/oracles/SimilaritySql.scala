@@ -476,9 +476,18 @@ object SimilaritySql {
         |   JOIN tot t ON t.doc_id = g.doc_id),
         |bands AS (SELECT doc_id, band, CAST(sum(bit * w) AS BIGINT) AS bv
         |          FROM bits GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |bstat AS (SELECT band, bv, count(*) AS n, min(doc_id) AS anchor
+        |          FROM bands GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a_id, b_id FROM (
+        |         SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |         JOIN bstat s ON s.band = a.band AND s.bv = a.bv
+        |         WHERE s.n <= 64
+        |         UNION ALL
+        |         SELECT s.anchor AS a_id, m.doc_id AS b_id
+        |         FROM bands m JOIN bstat s ON s.band = m.band AND s.bv = m.bv
+        |         WHERE s.n > 64 AND m.doc_id > s.anchor)),
         |ham AS (SELECT c.a_id, c.b_id,
         |          CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
         |        FROM cand c JOIN bands x ON x.doc_id = c.a_id

@@ -79,11 +79,7 @@ class Round12OpsSpec extends SparkSpec {
   test("mediaDedup: banding bounds candidates far below all-pairs, every " +
        "flagged dup verifies at hamming <= thr, and dups exist") {
     val bands = Multimodal.aHashBands(spark, Sf)
-    val candPairs = bands.select(col("band"), col("bv"), col("doc_id").as("a"))
-      .join(bands.select(col("band"), col("bv"), col("doc_id").as("b")),
-            Seq("band", "bv"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct().count()
+    val candPairs = Multimodal.aHashCandidates(bands).count()
     val n = t(spark, Sf, "documents").count()
     val allPairs = n * (n - 1) / 2
     assert(candPairs < allPairs / 10,

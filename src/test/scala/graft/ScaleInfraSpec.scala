@@ -432,8 +432,11 @@ class ScaleInfraSpec extends SparkSpec {
         s"non-exempt builders ran Spark jobs at construction time: " +
           violations.map { case (n, j) => s"$n ($j jobs)" }.mkString(", "))
       // and the exempt set actually needs its exemption — if a loop becomes
-      // lazy someday, shrink the allowlist
-      iterative.foreach { n =>
+      // lazy someday, shrink the allowlist. q_ann_ivf_pq_served is the one
+      // legitimately ZERO-job exempt entry once its persisted index exists
+      // (the build-once fast path runs no jobs; first-build runs many).
+      val mayBeZero = Set("q_ann_ivf_pq_served")
+      (iterative -- mayBeZero).foreach { n =>
         assert(perEntry.toMap.getOrElse(n, 0) > 0, s"$n no longer needs the exemption")
       }
     } finally spark.sparkContext.removeSparkListener(listener)
@@ -572,6 +575,27 @@ class ScaleInfraSpec extends SparkSpec {
     val vE = commitSnapshotFenced(Seq((300L, "e")).toDF("k", "v"), dir, "k")
     assert(vE === vD + 1)
     assert(readCommitted(spark, dir).count() === 1)
+
+    // round-12 advice hardening: an EMPTY staged frame (or all-NULL keys)
+    // has no band to fence on — fail with the real reason, not an NPE
+    intercept[IllegalArgumentException] {
+      commitSnapshotFenced(Seq((300L, "e")).toDF("k", "v").limit(0), dir, "k")
+    }
+    // ...and a torn/unparsable manifest NEWER than the fence base is a
+    // CONFLICT (cannot verify disjointness), never silently unfenced
+    val (fs, _) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    val torn = committedVersions(spark, dir).last + 1
+    val tornPath = new org.apache.hadoop.fs.Path(f"$dir/_commits/v$torn%05d.json")
+    val out = fs.create(tornPath, false); out.close() // empty body
+    val stagedF = stageSnapshot(Seq((301L, "f")).toDF("k", "v"), dir)
+    intercept[SnapshotConflictException] {
+      publishSnapshotFenced(spark, dir, stagedF, "k", 301L, 301L,
+                            baseVersion = torn - 1)
+    }
+    fs.delete(tornPath, false)
   }
 
   test("manifest commit protocol: schema evolution, right-to-erasure, " +
