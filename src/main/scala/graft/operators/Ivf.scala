@@ -829,10 +829,29 @@ object Ivf {
              codes, Iters)
         .localCheckpoint(true)
     }
-    // fold all 4 codebooks into one broadcast row; encode in ONE map pass
-    val folded = cbs.map { case (s, cb) =>
-      cb.agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
-        .as(s"_cb$s"))
+    val cbUnion = cbs.map { case (s, cb) =>
+      cb.select(lit(s.toLong).as("subspace"),
+                col("centroid_id").as("code"), col("centroid"))
+    }.reduce(_ unionByName _)
+    val codesDf = encodeAgainst(resid, cbUnion)
+    SnapshotStore.commitSnapshot(cents, s"$root/centroids")
+    SnapshotStore.commitSnapshot(cbUnion, s"$root/codebooks")
+    SnapshotStore.commitSnapshot(codesDf, s"$root/codes")
+    csample.unpersist(); resid.unpersist(); sample.unpersist()
+    root
+  }
+
+  /** PQ-encode a residual frame (vec_id, cell, rv) against an EXISTING
+    * codebook table (subspace, code, centroid) — all 4 codebooks fold into
+    * ONE broadcast row and every subspace's argmin runs inline per row:
+    * one map pass, no shuffle, no fit. Shared by the index build and the
+    * incremental/streaming ingest paths.
+    */
+  private def encodeAgainst(resid: DataFrame, codebooks: DataFrame): DataFrame = {
+    val folded = (0 until PqSubs).map { s =>
+      codebooks.filter(col("subspace") === s)
+        .agg(array_sort(collect_list(
+          struct(col("code").as("centroid_id"), col("centroid")))).as(s"_cb$s"))
     }.reduce(_ crossJoin _)
     def codeCol(s: Int): Column = {
       val dists = transform(col(s"_cb$s"),
@@ -843,18 +862,28 @@ object Ivf {
         array_position(dists, array_min(dists)).cast("int"))
         .getField("centroid_id").as(s"code_$s")
     }
-    val codesDf = resid.crossJoin(broadcast(folded))
+    resid.crossJoin(broadcast(folded))
       .select(col("vec_id") +: col("cell") +:
               (0 until PqSubs).map(codeCol): _*)
-    SnapshotStore.commitSnapshot(cents, s"$root/centroids")
-    SnapshotStore.commitSnapshot(
-      cbs.map { case (s, cb) =>
-        cb.select(lit(s.toLong).as("subspace"),
-                  col("centroid_id").as("code"), col("centroid"))
-      }.reduce(_ unionByName _), s"$root/codebooks")
-    SnapshotStore.commitSnapshot(codesDf, s"$root/codes")
-    csample.unpersist(); resid.unpersist(); sample.unpersist()
-    root
+  }
+
+  /** Encode NEW vectors against an EXISTING persisted index (centroids +
+    * codebooks frames as [[buildIvfPqIndex]] committed them): cell
+    * assignment into the existing coarse cells (stateless argmin — the
+    * [[ivfIncremental]] no-refit contract), residual against the owning
+    * centroid, and the one-pass PQ code assignment. Returns
+    * (vec_id, cell, code_0..code_3) rows ready to append to the codes
+    * snapshot — the daily/streaming embedding-batch ingest step, zero fit
+    * work at any batch size.
+    */
+  private[graft] def encodeVectors(qemb: DataFrame, cents: DataFrame,
+                                   codebooks: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(qemb.sparkSession)
+    val resid = gatedWithBest(qemb, cents)
+      .join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), col("centroid_id").as("cell"),
+              zip_with(col("qv"), col("centroid"), (a, b) => a - b).as("rv"))
+    encodeAgainst(resid, codebooks)
   }
 
   /** Serve a probe BATCH from the PREBUILT IVFPQ index — the query half of

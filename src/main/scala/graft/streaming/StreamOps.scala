@@ -312,6 +312,40 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming ANN-index maintenance — the [[mergeStreamToSnapshot]]
+    * lifecycle transposed to vectors (round 12; the reference's
+    * incremental daily batch, extract_weather.py:26–34, for an embedding
+    * corpus): each arriving (vec_id, embedding) micro-batch is PQ-encoded
+    * against the EXISTING persisted index (coarse cell assignment +
+    * residual + 4 code argmins, all map-only against broadcast index
+    * tables — ZERO fit work, the [[graft.operators.Ivf.ivfIncremental]]
+    * no-refit contract) and the resulting (vec_id, cell, code_0..3) rows
+    * land as an id-keyed versioned parquet append — the same
+    * deterministic-replay idempotent sink as the warehouse merge bridge.
+    * Serving reads (base codes ∪ appended versions); drift-triggered
+    * refits are the q_centroid_drift / q_ivf_incremental signal's job,
+    * out of band, exactly like the nightly rebuild in the reference.
+    * Scale: per micro-batch cost is batch-linear; the index tables ride
+    * one broadcast regardless of corpus size.
+    */
+  def indexCodesStream(embStream: DataFrame, indexRoot: String,
+                       outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val cents = graft.sources.SnapshotStore
+          .readCommitted(spark, s"$indexRoot/centroids")
+        val cb = graft.sources.SnapshotStore
+          .readCommitted(spark, s"$indexRoot/codebooks")
+        graft.operators.Ivf
+          .encodeVectors(graft.operators.Ivf.gatedQemb(batch.toDF()), cents, cb)
+          .write.mode("overwrite").parquet(f"$outDir/v$id%05d")
+        ()
+      }
+      .start()
+
   /** Highest version under `baseDir`, or an empty frame of `schema` before
     * the first commit. Version dirs are zero-padded so lexicographic max ==
     * numeric max — one cheap listing, no manifest needed.

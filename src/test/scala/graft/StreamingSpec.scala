@@ -788,4 +788,43 @@ class StreamingSpec extends SparkSpec {
                   .orderBy("city_name")) ===
            rows(landed.orderBy("city_name")))
   }
+
+  test("streaming ANN-index maintenance: arriving embedding batches encode " +
+       "against the persisted index with zero refit — stream == batch, " +
+       "centroids untouched") {
+    import spark.implicits._
+    import graft.operators.Ivf
+    import graft.sources.SnapshotStore
+    implicit val sqlCtx = spark.sqlContext
+    val root = Ivf.buildIvfPqIndex(spark, Sf, 16, 8) // idempotent
+    val centsBefore = rows(
+      SnapshotStore.readCommitted(spark, s"$root/centroids").orderBy("centroid_id"))
+    // "today's batch": the vec_id%10==9 arrivals, split across two
+    // micro-batches (the ivfIncremental fixture, streamed)
+    val arriving = graft.util.Tables.t(spark, Sf, "embeddings")
+      .filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b0, b1) = arriving.splitAt(arriving.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("annstream").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.indexCodesStream(
+      mem.toDF().toDF("vec_id", "embedding"), root, out)
+    mem.addData(b0.toSeq: _*); q.processAllAvailable()
+    mem.addData(b1.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    // stream == batch: the appended code versions equal one batch encode
+    val streamed = spark.read.parquet(s"$out/v00000", s"$out/v00001")
+    val batch = Ivf.encodeVectors(
+      Ivf.gatedQemb(graft.util.Tables.t(spark, Sf, "embeddings")
+        .filter(col("vec_id") % 10 === 9)),
+      SnapshotStore.readCommitted(spark, s"$root/centroids"),
+      SnapshotStore.readCommitted(spark, s"$root/codebooks"))
+    assert(rows(streamed).toSet === rows(batch).toSet)
+    assert(streamed.count() === arriving.length.toLong)
+    // no refit: the persisted centroids are byte-identical afterwards
+    val centsAfter = rows(
+      SnapshotStore.readCommitted(spark, s"$root/centroids").orderBy("centroid_id"))
+    assert(centsAfter === centsBefore)
+  }
 }
