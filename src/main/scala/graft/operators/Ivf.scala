@@ -907,13 +907,18 @@ object Ivf {
     */
   def annIvfPqServed(spark: SparkSession, sfDir: String, nLists: Int = 16,
                      nprobe: Int = 4, codes: Int = 8, nProbes: Int = 8,
-                     k: Int = 10): DataFrame = {
+                     k: Int = 10,
+                     extraCodes: Option[DataFrame] = None): DataFrame = {
     import graft.sources.SnapshotStore
     graft.functions.GraftFunctions.register(spark)
     val root = buildIvfPqIndex(spark, sfDir, nLists, codes)
     val cents = SnapshotStore.readCommitted(spark, s"$root/centroids")
     val cb = SnapshotStore.readCommitted(spark, s"$root/codebooks")
-    val codesT = SnapshotStore.readCommitted(spark, s"$root/codes")
+    // the serveable corpus = the base snapshot plus any incrementally
+    // appended code versions ([[graft.streaming.StreamOps.indexCodesStream]]
+    // arrivals) — new vectors become retrievable with zero index rebuild
+    val codesT = extraCodes.foldLeft(
+      SnapshotStore.readCommitted(spark, s"$root/codes"))(_ unionByName _)
     val probes = gatedQemb(t(spark, sfDir, "embeddings"))
       .filter(col("vec_id") < nProbes).limit(nProbes)
       .select(col("vec_id").as("p_id"), col("qv").as("pq"))

@@ -799,12 +799,13 @@ class StreamingSpec extends SparkSpec {
     val root = Ivf.buildIvfPqIndex(spark, Sf, 16, 8) // idempotent
     val centsBefore = rows(
       SnapshotStore.readCommitted(spark, s"$root/centroids").orderBy("centroid_id"))
-    // "today's batch": the vec_id%10==9 arrivals, split across two
-    // micro-batches (the ivfIncremental fixture, streamed)
+    // "today's batch": the vec_id%10==9 arrivals as NEW ids (+100000 —
+    // arriving vectors are new corpus members, not re-ingests), split
+    // across two micro-batches (the ivfIncremental fixture, streamed)
     val arriving = graft.util.Tables.t(spark, Sf, "embeddings")
       .filter(col("vec_id") % 10 === 9)
       .select(col("vec_id"), col("embedding"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .collect().map(r => (r.getLong(0) + 100000L, r.getSeq[Float](1)))
     val (b0, b1) = arriving.splitAt(arriving.length / 2)
     val out = java.nio.file.Files.createTempDirectory("annstream").toString
     val mem = MemoryStream[(Long, Seq[Float])]
@@ -817,7 +818,8 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.read.parquet(s"$out/v00000", s"$out/v00001")
     val batch = Ivf.encodeVectors(
       Ivf.gatedQemb(graft.util.Tables.t(spark, Sf, "embeddings")
-        .filter(col("vec_id") % 10 === 9)),
+        .filter(col("vec_id") % 10 === 9)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))),
       SnapshotStore.readCommitted(spark, s"$root/centroids"),
       SnapshotStore.readCommitted(spark, s"$root/codebooks"))
     assert(rows(streamed).toSet === rows(batch).toSet)
@@ -826,5 +828,21 @@ class StreamingSpec extends SparkSpec {
     val centsAfter = rows(
       SnapshotStore.readCommitted(spark, s"$root/centroids").orderBy("centroid_id"))
     assert(centsAfter === centsBefore)
+    // ...and the arrivals are SERVEABLE with zero rebuild: the serve path
+    // over (base codes ∪ appended versions) surfaces new ids, and a new id
+    // served alongside its identical-embedding base twin carries the SAME
+    // ADC distance (determinism of the encode + scoring chain)
+    val servedUnion = rows(
+      Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, 8, 10, Some(streamed)))
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long],
+                 r(2).asInstanceOf[Long]))
+    val newServed = servedUnion.filter(_._2 >= 100000L)
+    assert(newServed.nonEmpty, "no appended vector reached any probe's top-k")
+    val byProbe = servedUnion.groupBy(_._1)
+    newServed.foreach { case (p, v, d) =>
+      byProbe(p).find(_._2 == v - 100000L).foreach { case (_, _, d0) =>
+        assert(d0 === d, s"clone $v adc $d != base twin ${v - 100000L} adc $d0")
+      }
+    }
   }
 }
