@@ -465,6 +465,13 @@ object SparkEntry {
     "q_ivf_incremental"   -> q(Ivf.ivfIncremental(_, _, 16, 0.45)), // assign today's batch into yesterday's cells, per-cell drift cosine + refit flag
     "q_media_dedup"       -> q(Multimodal.mediaDedup(_, _, 6)), // perceptual average-hash near-dup over decoded media stubs, Hamming-banded candidates
     "q_fusion_ndcg"       -> q(Similarity.fusionNdcg(_, _, 10, 20, 60)), // nDCG@20 of RRF fusion vs its top-10-bounded lex/dense legs: the coverage claim, measured
+    // round-12b additions (index lifecycle CRUD tail + routing operating curve)
+    "q_index_delete_served" -> q(Ivf.indexDeleteServe(_, _, 16, 4, 8, 8, 10, 7)), // tombstone-erase vec_id%10==7 from the codes snapshot, serve from the post-delete version
+    "q_index_compact"     -> q(Ivf.indexCompact(_, _, 16, 8)), // fold base + streamed append batches into one snapshot, latest-wins per id; report + exact code checksum
+    "q_ann_recall_curve"  -> q(Ivf.ivfRecallCurve(_, _, 16, 10, 8)), // routing recall@10 vs nprobe in {1,2,4}: one scored candidate frame, three rank-filtered top-k passes
+    "q_ann_rerank_served" -> q(Ivf.annRerankServed(_, _, 16, 4, 8, 8, 50, 10)), // IVFADC+R: exact full-precision re-rank of the 50-deep served ADC shortlist
+    "q_index_expire"      -> q(Ivf.indexExpire(_, _, 16, 8, 7)), // retention expiry after erasure: pre-delete version ages out, erased keys leave history physically
+    "q_bradley_terry"     -> q(Insights.bradleyTerry(_, _, 3)), // BT preference strengths from per-user pairwise spend votes, fixed-point MM rounds
   )
 
   /** DuckDB-equivalent ANSI SQL per query, concatenated from the per-domain

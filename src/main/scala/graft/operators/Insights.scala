@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.util.Tables._
 import graft.util.{PrefixSum, TopK}
 
@@ -5142,5 +5143,77 @@ object Insights {
                    .when(z < lit(0.6745), lit("c"))
                    .otherwise(lit("d")).as("symbol")),
       "seg")
+  }
+
+  /** Bradley–Terry preference strengths from pairwise comparisons — the
+    * preference-data primitive of reward modeling (Bradley & Terry 1952;
+    * RLHF reward models ARE BT fits over human preference pairs, Ouyang
+    * et al. 2022 §3.3; fitted via Hunter's MM algorithm, Annals of
+    * Statistics 2004, eq. 1.4: θᵢ ← Wᵢ / Σⱼ nᵢⱼ/(θᵢ+θⱼ), a fixed number
+    * of rounds so the plan is static).
+    *
+    * Comparisons derive deterministically from the events table: per user,
+    * event type a "beats" b when the user's total spend (exact integer
+    * cents) on a exceeds b — each user contributes one pairwise vote per
+    * ordered type pair, ties abstain. The MM rounds run in FIXED-POINT
+    * micro-units end to end (θ as BIGINT micros, each round two integer
+    * floor-divisions at 10¹² scale), so every round is exactly
+    * reproducible in ANSI SQL — no float drift, hash-gated like the rest
+    * of the registry. Magnitude audit: nᵢⱼ ≤ users ≤ 2·10⁵ at the 100×
+    * decade → nᵢⱼ·10¹² ≤ 2·10¹⁷ < 2⁶³; Wᵢ·10¹² ≤ 8·10¹⁷ < 2⁶³.
+    *
+    * Scale: the vote join is per-user over the ≤|event_types|² per-user
+    * type totals (bounded fan-out, shuffles on user_id once); everything
+    * after aggregates to the |event_types|²-row win matrix, and the MM
+    * rounds iterate a ≤25-row frame — driver-trivial at any corpus.
+    * Output: (event_type, wins, comparisons, theta_micro, rank).
+    */
+  def bradleyTerry(spark: SparkSession, sfDir: String,
+                   rounds: Int = 3): DataFrame = {
+    val ut = events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+              floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                .as("cents"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("cents")).as("v"))
+    val dir = ut.select(col("user_id"), col("event_type").as("i"),
+                        col("v").as("va"))
+      .join(ut.select(col("user_id"), col("event_type").as("j"),
+                      col("v").as("vb")), "user_id")
+      .filter(col("i") =!= col("j") && col("va") > col("vb"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = dir.select(col("i"), col("j"), col("w"))
+      .unionByName(dir.select(col("j").as("i"), col("i").as("j"), col("w")))
+      .groupBy(col("i"), col("j")).agg(sum(col("w")).as("n_ij"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wt = dir.groupBy(col("i")).agg(sum(col("w")).as("wi"))
+    val init = n.select(col("i")).distinct()
+      .withColumn("t", lit(1000000L))
+    // the theta/win frames are |event_types|-row (Deduplicate/Aggregate
+    // bounded in-plan) — broadcast them so each MM round is map-side over
+    // the already-tiny win matrix instead of three shuffles of it
+    def round(theta: DataFrame): DataFrame = {
+      val ti = theta.select(col("i"), col("t").as("ti"))
+      val tj = theta.select(col("i").as("j"), col("t").as("tj"))
+      n.join(broadcast(ti), "i").join(broadcast(tj), "j")
+        .select(col("i"),
+                expr("n_ij * 1000000000000 div (ti + tj)").as("s_ij"))
+        .groupBy(col("i")).agg(sum(col("s_ij")).as("si"))
+        .join(broadcast(wt), "i")
+        .select(col("i"), expr("wi * 1000000000000 div si").as("t"))
+    }
+    val fin = (1 to rounds).foldLeft(init)((t, _) => round(t))
+    ordered(
+      fin.join(broadcast(wt), "i")
+        .join(broadcast(n.groupBy(col("i")).agg(sum(col("n_ij")).as("n_i"))),
+              "i")
+        .select(col("i").as("event_type"), col("wi").as("wins"),
+                col("n_i").as("comparisons"), col("t").as("theta_micro"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("theta_micro").desc,
+                                           col("event_type")))
+            .cast("long")),
+      "event_type")
   }
 }

@@ -908,7 +908,8 @@ object Ivf {
   def annIvfPqServed(spark: SparkSession, sfDir: String, nLists: Int = 16,
                      nprobe: Int = 4, codes: Int = 8, nProbes: Int = 8,
                      k: Int = 10,
-                     extraCodes: Option[DataFrame] = None): DataFrame = {
+                     extraCodes: Option[DataFrame] = None,
+                     codesOverride: Option[DataFrame] = None): DataFrame = {
     import graft.sources.SnapshotStore
     graft.functions.GraftFunctions.register(spark)
     val root = buildIvfPqIndex(spark, sfDir, nLists, codes)
@@ -916,9 +917,12 @@ object Ivf {
     val cb = SnapshotStore.readCommitted(spark, s"$root/codebooks")
     // the serveable corpus = the base snapshot plus any incrementally
     // appended code versions ([[graft.streaming.StreamOps.indexCodesStream]]
-    // arrivals) — new vectors become retrievable with zero index rebuild
+    // arrivals) — new vectors become retrievable with zero index rebuild.
+    // `codesOverride` swaps the base leg entirely (the tombstoned or
+    // compacted codes table of [[indexDeleteServe]]/[[indexCompact]]).
     val codesT = extraCodes.foldLeft(
-      SnapshotStore.readCommitted(spark, s"$root/codes"))(_ unionByName _)
+      codesOverride.getOrElse(
+        SnapshotStore.readCommitted(spark, s"$root/codes")))(_ unionByName _)
     val probes = gatedQemb(t(spark, sfDir, "embeddings"))
       .filter(col("vec_id") < nProbes).limit(nProbes)
       .select(col("vec_id").as("p_id"), col("qv").as("pq"))
@@ -963,6 +967,96 @@ object Ivf {
           Seq(col("adc_dist").asc, col("vec_id").asc), k)
         .select(col("p_id"), col("vec_id"), col("adc_dist")),
       "p_id", "adc_dist", "vec_id")
+  }
+
+  /** Exact RE-RANKING over the served ADC shortlist — the two-stage serving
+    * pattern production ANN actually ships (Jégou et al.'s IVFADC+R,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 §V):
+    * the PQ index routes and scores a cheap kAdc-deep shortlist from
+    * 8-byte codes, then ONLY those nProbes·kAdc candidates fetch their
+    * full-precision vectors for an exact distance re-rank to the final
+    * top-k. Quantization error affects WHICH kAdc candidates surface, not
+    * their final order — the recall lift over raw ADC@k is structural
+    * (every truth member the shortlist catches is returned; Round12OpsSpec
+    * asserts rerank-recall ≥ ADC-recall against the exact truth).
+    *
+    * Scale: the shortlist is plan-bounded (two TopK passes inside
+    * [[annIvfPqServed]]), so the full-precision fetch is a BROADCAST
+    * semi-join against the embeddings table — nProbes·kAdc vector reads
+    * regardless of corpus size, the re-rank itself nProbes·kAdc·64
+    * integer ops. The serve plan stays fit-free.
+    */
+  def annRerankServed(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                      nprobe: Int = 4, codes: Int = 8, nProbes: Int = 8,
+                      kAdc: Int = 50, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val shortlist = annIvfPqServed(spark, sfDir, nLists, nprobe, codes,
+                                   nProbes, kAdc)
+    val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
+    val probes = qemb.filter(col("vec_id") < nProbes).limit(nProbes)
+      .select(col("vec_id").as("p_id"), col("qv").as("pq"))
+    // limit() states the shortlist's nProbes·kAdc bound IN THE PLAN (a
+    // true pass-through: the two TopK passes inside annIvfPqServed already
+    // cap it there) so the broadcast-hint scale guard can prove it bounded
+    val exact = qemb
+      .join(broadcast(shortlist.limit(nProbes * kAdc)), "vec_id")
+      .join(broadcast(probes), "p_id")
+      .select(col("p_id"), col("vec_id"), col("adc_dist"),
+              call_function("sq_l2", col("qv"), col("pq")).as("l2q"))
+    ordered(
+      graft.util.TopK.perGroup(exact, Seq(col("p_id")),
+          Seq(col("l2q").asc, col("vec_id").asc), k)
+        .select(col("p_id"), col("vec_id"), col("adc_dist"), col("l2q")),
+      "p_id", "l2q", "vec_id")
+  }
+
+  /** Retention EXPIRY on the tombstone-erased codes table — the lifecycle's
+    * last step (the reference's warehouse keeps history until a retention
+    * window closes; SnapshotStore.expireVersions is this repo's): the
+    * pre-delete version 0 of `codes_del` ages out, its manifest and data
+    * directory are reclaimed, and the post-erase version becomes the
+    * oldest readable snapshot. The report is a pure LAZY plan over the
+    * surviving snapshot — retained version count, row count, and the same
+    * exact integer code checksum [[indexCompact]] pins — so the oracle
+    * verifies that expiry preserved the post-erase CONTENT bit-for-bit
+    * (rows = corpus minus the vec_id%10=7 tombstones; checksum = full
+    * checksum minus the tombstoned slice). GDPR note: expiry after erasure
+    * is what makes the erasure PHYSICAL — until version 0 ages out, the
+    * erased keys still exist in history; after it, no committed version
+    * contains them (spec-asserted). Runs on its OWN lifecycle copy
+    * (`codes_exp`), never on [[indexDeleteServe]]'s `codes_del` — that
+    * query's time-travel guarantee (pre-delete v0 readable) must hold
+    * regardless of registry build order.
+    */
+  def indexExpire(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                  codes: Int = 8, delMod: Int = 7): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = buildIvfPqIndex(spark, sfDir, nLists, codes)
+    val expDir = s"$root/codes_exp"
+    withMarker(spark, s"$expDir/_expired") {
+      if (SnapshotStore.committedVersions(spark, expDir).isEmpty)
+        SnapshotStore.commitSnapshot(
+          SnapshotStore.readCommitted(spark, s"$root/codes"), expDir)
+      val tomb = SnapshotStore.readCommitted(spark, expDir)
+        .filter(col("vec_id") % 10 === delMod).select(col("vec_id"))
+      if (!tomb.isEmpty)
+        SnapshotStore.eraseKeys(spark, expDir, "vec_id", tomb)
+      // retain only the newest version: the pre-delete v0 ages out and its
+      // data directory is vacuumed (minAge 0 — the fixture's stand-in for
+      // a closed retention window; expireVersions vacuums at the default
+      // 24h retention, so the just-expired v0 data needs the explicit
+      // immediate pass)
+      SnapshotStore.expireVersions(spark, expDir, keepLast = 1)
+      SnapshotStore.vacuumOrphans(spark, expDir, minAgeMs = 0L)
+    }
+    val versions = SnapshotStore.committedVersions(spark, expDir)
+    val latest = SnapshotStore.readCommitted(spark, expDir)
+    latest.agg(
+        count(lit(1)).cast("long").as("rows_retained"),
+        sum(col("cell").cast("long") + col("code_0") + col("code_1") +
+            col("code_2") + col("code_3")).cast("long").as("code_checksum"))
+      .select(lit(versions.size.toLong).as("versions_retained"),
+              col("rows_retained"), col("code_checksum"))
   }
 
   /** Corpus-ADAPTIVE IVF sizing under the EXACT hash gate — the registered
@@ -1071,6 +1165,207 @@ object Ivf {
                 (col("drift_cos").isNotNull &&
                  col("drift_cos") < driftThr).as("refit_flag")),
       "cell_id")
+  }
+
+  /** A `java.io.File`-free HDFS-API marker check/set — lifecycle steps
+    * (tombstone erase, append seeding) are run-once per index root; the
+    * marker makes every later call a pure fs-metadata probe with zero
+    * Spark jobs, so the registered queries stay lazy after first build.
+    */
+  private def withMarker(spark: SparkSession, markerPath: String)
+                        (step: => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(markerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      step
+      fs.create(p, true).close()
+    }
+  }
+
+  /** Tombstone DELETES against the persisted IVFPQ index — the warehouse's
+    * CDC-delete/GDPR-erasure discipline (the reference's MERGE lifecycle,
+    * transform_load.sql:50–70, has no delete leg; SnapshotStore.eraseKeys
+    * is this repo's, and here it is applied to the ANN index): the base
+    * codes snapshot is copied into a side-versioned `codes_del` table
+    * (version 1), every vec_id ≡ `delMod` (mod 10) is erased through the
+    * atomic read-rewrite-publish protocol (version 2 — the pre-delete
+    * version stays readable for time travel, exactly like the warehouse
+    * fact), and the probe batch is served from the POST-delete version:
+    * deleted vectors are structurally unreachable (their code rows no
+    * longer exist), not filtered at query time. Deleted vectors can still
+    * QUERY (probes carry their own full-precision vectors) — removal from
+    * the corpus and removal from the query side are independent, as in any
+    * retrieval system honoring erasure.
+    *
+    * Scale: the erase rewrite is one scan of the 8-byte-per-vector codes
+    * table (not the embeddings), the serve plan is [[annIvfPqServed]]'s
+    * fit-free broadcast shape unchanged, and the run-once marker makes
+    * repeat calls pure fs-metadata probes + a lazy serve plan.
+    */
+  def indexDeleteServe(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                       nprobe: Int = 4, codes: Int = 8, nProbes: Int = 8,
+                       k: Int = 10, delMod: Int = 7): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = buildIvfPqIndex(spark, sfDir, nLists, codes)
+    val delDir = s"$root/codes_del"
+    withMarker(spark, s"$delDir/_erased") {
+      if (SnapshotStore.committedVersions(spark, delDir).isEmpty)
+        SnapshotStore.commitSnapshot(
+          SnapshotStore.readCommitted(spark, s"$root/codes"), delDir)
+      val tomb = SnapshotStore.readCommitted(spark, delDir)
+        .filter(col("vec_id") % 10 === delMod).select(col("vec_id"))
+      SnapshotStore.eraseKeys(spark, delDir, "vec_id", tomb)
+    }
+    annIvfPqServed(spark, sfDir, nLists, nprobe, codes, nProbes, k,
+      codesOverride = Some(SnapshotStore.readCommitted(spark, delDir)))
+  }
+
+  /** COMPACTION of streamed index appends — the small-files half of the
+    * ingest lifecycle ([[graft.streaming.StreamOps.indexCodesStream]]
+    * writes one parquet dir per micro-batch; a day of batches is thousands
+    * of small files the serve path unions forever): fold the base codes
+    * snapshot plus every append batch into ONE new snapshot, resolving
+    * at-least-once re-delivery by LATEST-WINS per vec_id (append batches
+    * are id-keyed and idempotent, so a re-delivered batch is a duplicate
+    * id with identical content — max-version-wins is deterministic).
+    *
+    * The run-once seeding stages the lifecycle deterministically: batch
+    * v00000 = the `vec_id % 10 = 9` embeddings re-keyed as NEW ids
+    * (+100000), PQ-encoded against the EXISTING index (zero fit — the
+    * [[encodeVectors]] contract); batch v00001 = the SAME batch
+    * re-delivered. Compaction then writes `codes_compacted` version 1 and
+    * the REPORT this query returns is a pure lazy plan over the persisted
+    * artifacts (counts + an exact integer code checksum), so the oracle
+    * pins both the bookkeeping AND the encode arithmetic end to end.
+    * Round12OpsSpec asserts serve-from-compacted ≡ serve-from-(base ∪
+    * appends) — compaction is invisible to queries, the whole point.
+    *
+    * Scale: compaction cost is one shuffle of the narrow codes rows on
+    * vec_id (8 bytes of payload per vector — never the embeddings); the
+    * serve path afterwards reads ONE snapshot instead of base + N unions.
+    */
+  def indexCompact(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                   codes: Int = 8): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = buildIvfPqIndex(spark, sfDir, nLists, codes)
+    val appDir = s"$root/appends"
+    val cmpDir = s"$root/codes_compacted"
+    withMarker(spark, s"$appDir/_seeded") {
+      val cents = SnapshotStore.readCommitted(spark, s"$root/centroids")
+      val cb = SnapshotStore.readCommitted(spark, s"$root/codebooks")
+      val arrivals = gatedQemb(
+        t(spark, sfDir, "embeddings").filter(col("vec_id") % 10 === 9)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val batch = encodeVectors(arrivals, cents, cb)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      batch.write.mode("overwrite").parquet(s"$appDir/v00000")
+      // the SAME batch re-delivered — at-least-once ingest, the duplicate
+      // ids compaction exists to resolve
+      batch.write.mode("overwrite").parquet(s"$appDir/v00001")
+      batch.unpersist()
+    }
+    val base = SnapshotStore.readCommitted(spark, s"$root/codes")
+    val appPath = new org.apache.hadoop.fs.Path(appDir)
+    val fs = appPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(appPath).filter(_.isDirectory)
+      .map(_.getPath.toString).sorted.toSeq
+    val all = batches.zipWithIndex.foldLeft(
+        base.withColumn("_ver", lit(0L))) { case (acc, (p, i)) =>
+      acc.unionByName(spark.read.parquet(p).withColumn("_ver", lit(i + 1L)))
+    }
+    withMarker(spark, s"$cmpDir/_compacted") {
+      val compacted = graft.util.TopK.perGroup(all, Seq(col("vec_id")),
+          Seq(col("_ver").desc), 1)
+        .drop("_ver", "rn")
+      SnapshotStore.commitSnapshot(compacted, cmpDir)
+    }
+    val cmp = SnapshotStore.readCommitted(spark, cmpDir)
+    val inAgg = all.agg(
+      count(lit(1)).cast("long").as("rows_in"),
+      (count(lit(1)) - countDistinct(col("vec_id"))).cast("long").as("dup_keys"))
+    val outAgg = cmp.agg(
+      count(lit(1)).cast("long").as("rows_out"),
+      sum(col("cell").cast("long") + col("code_0") + col("code_1") +
+          col("code_2") + col("code_3")).cast("long").as("code_checksum"))
+    inAgg.crossJoin(outAgg)
+      .select(lit(1L + batches.size).as("versions_in"), col("rows_in"),
+              col("dup_keys"), col("rows_out"), col("code_checksum"))
+  }
+
+  /** Routing-recall OPERATING CURVE — recall@k as a function of nprobe,
+    * the tuning measurement every IVF deployment runs before picking its
+    * latency/recall operating point (q_ivfpq_recall fixes nprobe and
+    * splits routing loss from quantization loss; THIS query sweeps the
+    * routing knob): per probe (vec_id < nProbes) the cells are ranked once
+    * by gated integer L2, candidates carry their cell rank, and the sweep
+    * values {1, 2, 4} reuse the ONE scored candidate frame — three
+    * rank-filtered top-k passes, not three index probes. Truth = exact
+    * gated top-k over the full corpus per probe. Output one row per sweep
+    * value: (nprobe, hits, recall_bp) — recall is monotone in nprobe by
+    * construction (candidate sets are nested), which the oracle proves
+    * value-exactly.
+    *
+    * Scale: candidates are corpus × (maxSweep/nLists) rows per probe with
+    * only (p_id, vec_id, rank, d) carried after scoring; the truth leg is
+    * a deliberate nProbes-bounded exact scan (a measurement harness, not a
+    * production operator — the q_knn_noise_recall precedent).
+    */
+  def ivfRecallCurve(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                     k: Int = 10, nProbes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sweep = Seq(1, 2, 4)
+    val maxSweep = sweep.max
+    val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
+    val cents = gatedCentroids(qemb, nLists)
+    // limit() states the probe-batch bound IN THE PLAN (the
+    // annIvfPqServed/matryoshkaRecall discipline) so the broadcast-hint
+    // scale guard can prove every hinted subtree bounded at any SF
+    val probes = qemb.filter(col("vec_id") < nProbes).limit(nProbes)
+      .select(col("vec_id").as("p_id"), col("qv").as("pq"))
+    // ranked cells per probe: nProbes × nLists scored rows, top-maxSweep
+    // kept with their rank — broadcast-bounded at any corpus
+    val pc = probes.crossJoin(broadcast(
+        cents.agg(array_sort(collect_list(struct(col("centroid_id"),
+          col("centroid")))).as("_cents"))))
+      .select(col("p_id"), col("pq"), explode(col("_cents")).as("c"))
+      .select(col("p_id"), col("pq"),
+              col("c.centroid_id").as("centroid_id"),
+              call_function("sq_l2", col("c.centroid"), col("pq")).as("d"))
+    val pr = graft.util.TopK.perGroup(pc, Seq(col("p_id")),
+        Seq(col("d").asc, col("centroid_id").asc), maxSweep)
+      .select(col("p_id"), col("pq"), col("centroid_id"),
+              col("rn").as("cell_rank"))
+    // scored candidates: corpus members of each probe's top-maxSweep cells
+    val cand = gatedWithBest(qemb, cents)
+      .join(broadcast(pr), "centroid_id")
+      .filter(col("vec_id") =!= col("p_id"))
+      .select(col("p_id"), col("vec_id"), col("cell_rank"),
+              call_function("sq_l2", col("qv"), col("pq")).as("d"))
+    // exact truth: the nProbes-bounded brute-force top-k
+    val truth = graft.util.TopK.perGroup(
+        qemb.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("p_id"))
+          .select(col("p_id"), col("vec_id"),
+                  call_function("sq_l2", col("qv"), col("pq")).as("d")),
+        Seq(col("p_id")), Seq(col("d").asc, col("vec_id").asc), k)
+      .select(col("p_id"), col("vec_id"))
+    val sweepDf = sweep.foldLeft(Option.empty[DataFrame]) { (acc, v) =>
+      val one = spark.range(1).select(lit(v.toLong).as("nprobe"))
+      Some(acc.fold(one)(_ unionByName one))
+    }.get
+    val ivfk = graft.util.TopK.perGroup(
+        sweepDf.join(cand, col("cell_rank") <= col("nprobe")),
+        Seq(col("nprobe"), col("p_id")),
+        Seq(col("d").asc, col("vec_id").asc), k)
+      .select(col("nprobe"), col("p_id"), col("vec_id"))
+    val hits = ivfk.join(truth, Seq("p_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
+    ordered(
+      sweepDf.join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe"), coalesce(col("h"), lit(0L)).as("hits"))
+        .withColumn("recall_bp",
+          expr(s"hits * 10000 div ${nProbes.toLong * k}")),
+      "nprobe")
   }
 
   /** Lloyd's rounds for the coarse level of the hierarchical quantizer —

@@ -39,6 +39,42 @@ object InsightsSql2 {
         |FROM rel ORDER BY o_orderpriority""".stripMargin
     },
 
+    // round-12b: Bradley–Terry MM rounds in fixed-point micro-units — two
+    // integer floor-divisions per round at 10^12 scale, exactly mirroring
+    // the Spark side (Hunter 2004 eq. 1.4 update, 3 unrolled rounds)
+    "q_bradley_terry" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""s$r AS (SELECT n.i,
+           |    CAST(sum(n.n_ij * 1000000000000 // (ti.t + tj.t)) AS BIGINT) AS si
+           |    FROM n JOIN t${r - 1} ti ON ti.i = n.i
+           |    JOIN t${r - 1} tj ON tj.i = n.j GROUP BY 1),
+           |t$r AS (SELECT s$r.i, wi * 1000000000000 // si AS t
+           |    FROM s$r JOIN wt ON wt.i = s$r.i),""".stripMargin
+      }.mkString("\n")
+      s"""WITH ev AS (SELECT user_id, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+        |ut AS (SELECT user_id, event_type, CAST(sum(cents) AS BIGINT) AS v
+        |       FROM ev GROUP BY 1, 2),
+        |dir AS (SELECT a.event_type AS i, b.event_type AS j,
+        |        CAST(count(*) AS BIGINT) AS w
+        |        FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |          AND a.event_type <> b.event_type AND a.v > b.v
+        |        GROUP BY 1, 2),
+        |n AS (SELECT i, j, CAST(sum(w) AS BIGINT) AS n_ij FROM (
+        |        SELECT i, j, w FROM dir
+        |        UNION ALL SELECT j AS i, i AS j, w FROM dir) GROUP BY 1, 2),
+        |wt AS (SELECT i, CAST(sum(w) AS BIGINT) AS wi FROM dir GROUP BY 1),
+        |t0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS t FROM n),
+        |$rounds
+        |ni AS (SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_i FROM n GROUP BY 1)
+        |SELECT t3.i AS event_type, wi AS wins, n_i AS comparisons,
+        |       t3.t AS theta_micro,
+        |       CAST(row_number() OVER (ORDER BY t3.t DESC, t3.i) AS BIGINT)
+        |         AS rank
+        |FROM t3 JOIN wt ON wt.i = t3.i JOIN ni ON ni.i = t3.i
+        |ORDER BY event_type""".stripMargin
+    },
+
     "q_abtest_cuped" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us,
         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),

@@ -401,6 +401,152 @@ object SimilaritySql {
         |           ORDER BY adc_dist, vec_id) AS rk FROM adc)
         |WHERE rk <= 10 ORDER BY p_id, adc_dist, vec_id""".stripMargin,
 
+    // round-12b: the served chain with tombstoned vectors (vec_id % 10 = 7)
+    // removed from the CANDIDATE corpus — probes still query (erasure
+    // removes a vector from the index, not from the query side)
+    "q_index_delete_served" ->
+      s"""WITH ${ivfPqServedCtes(8, 4, 8)}
+        |adcu AS (
+        |  SELECT dt_0.p_id, b.vec_id, dt_0.d FROM rbf_0 b
+        |    JOIN dt_0 ON dt_0.cell = b.cell AND dt_0.cid = b.cid
+        |  UNION ALL SELECT dt_1.p_id, b.vec_id, dt_1.d FROM rbf_1 b
+        |    JOIN dt_1 ON dt_1.cell = b.cell AND dt_1.cid = b.cid
+        |  UNION ALL SELECT dt_2.p_id, b.vec_id, dt_2.d FROM rbf_2 b
+        |    JOIN dt_2 ON dt_2.cell = b.cell AND dt_2.cid = b.cid
+        |  UNION ALL SELECT dt_3.p_id, b.vec_id, dt_3.d FROM rbf_3 b
+        |    JOIN dt_3 ON dt_3.cell = b.cell AND dt_3.cid = b.cid),
+        |adc AS (SELECT p_id, vec_id, CAST(sum(d) AS BIGINT) AS adc_dist
+        |        FROM adcu WHERE vec_id <> p_id AND vec_id % 10 <> 7
+        |        GROUP BY 1, 2 HAVING count(*) = 4)
+        |SELECT p_id, vec_id, adc_dist FROM (
+        |  SELECT p_id, vec_id, adc_dist,
+        |         row_number() OVER (PARTITION BY p_id
+        |           ORDER BY adc_dist, vec_id) AS rk FROM adc)
+        |WHERE rk <= 10 ORDER BY p_id, adc_dist, vec_id""".stripMargin,
+
+    // round-12b: IVFADC+R — the served chain's ADC scores kept to a 50-deep
+    // shortlist, then an exact full-precision re-rank to the final top-10
+    // (quantization error picks the shortlist, never the final order)
+    "q_ann_rerank_served" ->
+      s"""WITH ${ivfPqServedCtes(8, 4, 8)}
+        |adcu AS (
+        |  SELECT dt_0.p_id, b.vec_id, dt_0.d FROM rbf_0 b
+        |    JOIN dt_0 ON dt_0.cell = b.cell AND dt_0.cid = b.cid
+        |  UNION ALL SELECT dt_1.p_id, b.vec_id, dt_1.d FROM rbf_1 b
+        |    JOIN dt_1 ON dt_1.cell = b.cell AND dt_1.cid = b.cid
+        |  UNION ALL SELECT dt_2.p_id, b.vec_id, dt_2.d FROM rbf_2 b
+        |    JOIN dt_2 ON dt_2.cell = b.cell AND dt_2.cid = b.cid
+        |  UNION ALL SELECT dt_3.p_id, b.vec_id, dt_3.d FROM rbf_3 b
+        |    JOIN dt_3 ON dt_3.cell = b.cell AND dt_3.cid = b.cid),
+        |adc AS (SELECT p_id, vec_id, CAST(sum(d) AS BIGINT) AS adc_dist
+        |        FROM adcu WHERE vec_id <> p_id GROUP BY 1, 2
+        |        HAVING count(*) = 4),
+        |short AS (SELECT p_id, vec_id, adc_dist FROM (
+        |  SELECT p_id, vec_id, adc_dist,
+        |         row_number() OVER (PARTITION BY p_id
+        |           ORDER BY adc_dist, vec_id) AS rk FROM adc)
+        |  WHERE rk <= 50),
+        |ex AS (SELECT s.p_id, s.vec_id, s.adc_dist,
+        |         CAST(sum((l.qv - p.qv) * (l.qv - p.qv)) AS BIGINT) AS l2q
+        |       FROM short s JOIN q l ON l.vec_id = s.vec_id
+        |       JOIN q p ON p.vec_id = s.p_id AND p.i = l.i
+        |       GROUP BY 1, 2, 3)
+        |SELECT p_id, vec_id, adc_dist, l2q FROM (
+        |  SELECT p_id, vec_id, adc_dist, l2q,
+        |         row_number() OVER (PARTITION BY p_id
+        |           ORDER BY l2q, vec_id) AS rk FROM ex)
+        |WHERE rk <= 10 ORDER BY p_id, l2q, vec_id""".stripMargin,
+
+    // round-12b: retention expiry after erasure — the surviving snapshot's
+    // content pinned bit-for-bit (rows and checksum = full corpus minus the
+    // vec_id % 10 = 7 tombstoned slice; only ONE version remains readable)
+    "q_index_expire" ->
+      s"""WITH ${ivfPqServedCtes(8, 4, 8)}
+        |chk AS (SELECT b0.vec_id AS vec_id, b0.cell AS cell,
+        |        b0.cid AS c0, b1.cid AS c1, b2.cid AS c2, b3.cid AS c3
+        |        FROM rbf_0 b0 JOIN rbf_1 b1 USING (vec_id)
+        |        JOIN rbf_2 b2 USING (vec_id) JOIN rbf_3 b3 USING (vec_id)),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS rows_all,
+        |        CAST(sum(cell + c0 + c1 + c2 + c3) AS BIGINT) AS chk_all,
+        |        CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n7,
+        |        CAST(sum(CASE WHEN vec_id % 10 = 7 THEN cell + c0 + c1 + c2 + c3
+        |                 ELSE 0 END) AS BIGINT) AS chk7
+        |        FROM chk)
+        |SELECT CAST(1 AS BIGINT) AS versions_retained,
+        |       rows_all - n7 AS rows_retained,
+        |       chk_all - chk7 AS code_checksum
+        |FROM agg""".stripMargin,
+
+    // round-12b: compaction report — bookkeeping from the staged lifecycle
+    // (base snapshot + the %10=9 arrivals delivered TWICE) plus the exact
+    // integer code checksum over the compacted corpus; appended ids carry
+    // their source row's embedding, so their (cell, codes) equal the source
+    // assignment and the checksum is base + the %10=9 slice
+    "q_index_compact" ->
+      s"""WITH ${ivfPqServedCtes(8, 4, 8)}
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n9
+        |        FROM embeddings),
+        |chk AS (SELECT b0.vec_id AS vec_id, b0.cell AS cell,
+        |        b0.cid AS c0, b1.cid AS c1, b2.cid AS c2, b3.cid AS c3
+        |        FROM rbf_0 b0 JOIN rbf_1 b1 USING (vec_id)
+        |        JOIN rbf_2 b2 USING (vec_id) JOIN rbf_3 b3 USING (vec_id)),
+        |sums AS (SELECT
+        |  CAST(sum(cell + c0 + c1 + c2 + c3) AS BIGINT) AS base_chk,
+        |  CAST(sum(CASE WHEN vec_id % 10 = 9 THEN cell + c0 + c1 + c2 + c3
+        |           ELSE 0 END) AS BIGINT) AS app_chk
+        |  FROM chk)
+        |SELECT CAST(3 AS BIGINT) AS versions_in,
+        |       n + 2 * n9 AS rows_in,
+        |       n9 AS dup_keys,
+        |       n + n9 AS rows_out,
+        |       base_chk + app_chk AS code_checksum
+        |FROM cnt, sums""".stripMargin,
+
+    // round-12b: routing-recall operating curve — the gated carry fit
+    // (ivfFitCte verbatim), per-probe ranked cells, ONE scored candidate
+    // frame reused by the three sweep values, exact per-probe truth
+    "q_ann_recall_curve" ->
+      s"""WITH $ivfFitCte
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |pd AS (SELECT p.vec_id AS p_id, c.cid, sum((c.qv - p.qv) * (c.qv - p.qv)) AS d
+        |       FROM c5 c JOIN q p ON p.i = c.i AND p.vec_id < 8 GROUP BY 1, 2),
+        |pr AS (SELECT p_id, cid, rk AS cell_rank FROM (
+        |         SELECT p_id, cid,
+        |                row_number() OVER (PARTITION BY p_id ORDER BY d, cid) AS rk
+        |         FROM pd) WHERE rk <= 4),
+        |sc AS (SELECT p.vec_id AS p_id, l.vec_id, sum((l.qv - p.qv) * (l.qv - p.qv)) AS d
+        |       FROM q l JOIN q p ON p.i = l.i AND p.vec_id < 8
+        |         AND l.vec_id <> p.vec_id
+        |       GROUP BY 1, 2),
+        |truth AS (SELECT p_id, vec_id FROM (
+        |         SELECT p_id, vec_id,
+        |                row_number() OVER (PARTITION BY p_id ORDER BY d, vec_id) AS rk
+        |         FROM sc) WHERE rk <= 10),
+        |cand AS (SELECT pr.p_id, b.vec_id, pr.cell_rank, sc.d
+        |         FROM bf b JOIN pr ON pr.cid = b.cid
+        |         JOIN sc ON sc.p_id = pr.p_id AND sc.vec_id = b.vec_id),
+        |sweep AS (SELECT CAST(np AS BIGINT) AS nprobe
+        |          FROM (VALUES (1), (2), (4)) s(np)),
+        |ivfk AS (SELECT nprobe, p_id, vec_id FROM (
+        |         SELECT s.nprobe, c.p_id, c.vec_id,
+        |                row_number() OVER (PARTITION BY s.nprobe, c.p_id
+        |                  ORDER BY c.d, c.vec_id) AS rk
+        |         FROM sweep s JOIN cand c ON c.cell_rank <= s.nprobe)
+        |         WHERE rk <= 10),
+        |h AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS hits
+        |      FROM ivfk JOIN truth USING (p_id, vec_id) GROUP BY 1)
+        |SELECT s.nprobe, COALESCE(h.hits, 0) AS hits,
+        |       COALESCE(h.hits, 0) * 10000 // 80 AS recall_bp
+        |FROM sweep s LEFT JOIN h USING (nprobe) ORDER BY nprobe""".stripMargin,
+
     "q_ann_ivf_adaptive" ->
       s"""WITH params AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    greatest(4, least(256,

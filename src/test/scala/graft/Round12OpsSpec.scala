@@ -95,6 +95,163 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("indexDeleteServe: the erase path serves exactly what a filtered " +
+       "corpus would (tombstones structurally unreachable), and the " +
+       "pre-delete version stays readable for time travel") {
+    import graft.sources.SnapshotStore
+    val served = rows(Ivf.indexDeleteServe(spark, Sf, 16, 4, 8, 8, 10, 7))
+    // no tombstoned id survives as a candidate
+    assert(served.forall(_(1).asInstanceOf[Long] % 10 != 7),
+      "a deleted vec_id surfaced in the served top-k")
+    // erase-path ≡ filter-path: serving from the erased snapshot must equal
+    // serving from the base codes with the tombstones filtered inline
+    val root = Ivf.buildIvfPqIndex(spark, Sf, 16, 8)
+    val filtered = SnapshotStore.readCommitted(spark, s"$root/codes")
+      .filter(col("vec_id") % 10 =!= 7)
+    val viaFilter = rows(Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, 8, 10,
+      codesOverride = Some(filtered)))
+    assert(served.toSet === viaFilter.toSet,
+      "erase-path serve diverges from filter-path serve")
+    // and results actually CHANGED vs the undeleted base (slots refilled)
+    val base = rows(Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, 8, 10))
+    assert(base.exists(_(1).asInstanceOf[Long] % 10 == 7),
+      "fixture degenerate: no tombstoned id in the base top-k — deletion untested")
+    // time travel: version 0 (pre-delete) still holds the tombstones
+    val preDelete = SnapshotStore.readCommitted(spark, s"$root/codes_del",
+      asOf = 0L)
+    assert(preDelete.filter(col("vec_id") % 10 === 7).count() > 0,
+      "pre-delete version lost its rows — erase rewrote history")
+  }
+
+  test("indexCompact: the report books balance, and compaction is " +
+       "invisible to serving (compacted == base + single-delivery append)") {
+    import graft.sources.SnapshotStore
+    val r = rows(Ivf.indexCompact(spark, Sf, 16, 8)).head
+    def f(i: Int): Long = r(i).asInstanceOf[Long]
+    assert(f(0) === 3L, s"versions_in ${f(0)} != 3 (base + 2 deliveries)")
+    assert(f(1) === f(3) + f(2),
+      s"books don't balance: rows_in ${f(1)} != rows_out ${f(3)} + dups ${f(2)}")
+    assert(f(2) > 0, "no duplicate keys — the re-delivery fixture is broken")
+    val root = Ivf.buildIvfPqIndex(spark, Sf, 16, 8)
+    val compacted = SnapshotStore.readCommitted(spark, s"$root/codes_compacted")
+    assert(compacted.count() === f(3), "report rows_out != compacted snapshot")
+    val single = spark.read.parquet(s"$root/appends/v00000")
+    val viaUnion = rows(Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, 8, 10,
+      extraCodes = Some(single)))
+    val viaCompacted = rows(Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, 8, 10,
+      codesOverride = Some(compacted)))
+    assert(viaCompacted.toSet === viaUnion.toSet,
+      "serving from the compacted snapshot diverges from base + appends")
+  }
+
+  test("ivfRecallCurve: recall is monotone in nprobe (nested candidate " +
+       "sets), exactly book-kept, and non-degenerate") {
+    val curve = rows(Ivf.ivfRecallCurve(spark, Sf, 16, 10, 8))
+    assert(curve.map(_.head.asInstanceOf[Long]) === Seq(1L, 2L, 4L))
+    val hits = curve.map(_(1).asInstanceOf[Long])
+    assert(hits === hits.sorted, s"recall not monotone in nprobe: $hits")
+    curve.foreach { r =>
+      val (h, bp) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      assert(h >= 0 && h <= 80, s"hits $h outside [0, 80]")
+      assert(bp === h * 10000 / 80, s"recall_bp $bp != hits $h * 125")
+    }
+    assert(hits.last > hits.head,
+      "curve is flat from nprobe 1 to 4 — routing fixture degenerate")
+    assert(hits.last > 40, s"nprobe=4 recall ${hits.last}/80 below half — " +
+      "the operating curve never reaches a usable point")
+  }
+
+  test("annRerankServed: exact re-rank of the ADC shortlist never loses " +
+       "recall vs raw ADC@10, and actually reorders on the fixture") {
+    import graft.util.Tables.t
+    // exact truth: brute-force gated top-10 per probe
+    val qemb = Ivf.gatedQemb(t(spark, Sf, "embeddings"))
+    val probes = qemb.filter(col("vec_id") < 8).limit(8)
+      .select(col("vec_id").as("p_id"), col("qv").as("pq"))
+    graft.functions.GraftFunctions.register(spark)
+    val truth = graft.util.TopK.perGroup(
+        qemb.crossJoin(org.apache.spark.sql.functions.broadcast(probes))
+          .filter(col("vec_id") =!= col("p_id"))
+          .select(col("p_id"), col("vec_id"),
+                  org.apache.spark.sql.functions
+                    .call_function("sq_l2", col("qv"), col("pq")).as("d")),
+        Seq(col("p_id")), Seq(col("d").asc, col("vec_id").asc), 10)
+      .select(col("p_id"), col("vec_id"))
+    val truthSet = rows(truth)
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    val adc10 = rows(Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, 8, 10))
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    val rerank = rows(Ivf.annRerankServed(spark, Sf, 16, 4, 8, 8, 50, 10))
+    val rerankSet = rerank
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    val (adcRecall, rerankRecall) =
+      ((adc10 & truthSet).size, (rerankSet & truthSet).size)
+    assert(rerankRecall >= adcRecall,
+      s"re-rank lost recall: $rerankRecall < $adcRecall of ${truthSet.size}")
+    assert(rerankRecall > 0, "re-rank recall zero — serving stack degenerate")
+    // the re-rank is not a no-op: the final order disagrees with ADC order
+    // somewhere (otherwise the exact fetch bought nothing on this fixture)
+    assert((rerankSet != adc10) ||
+           rerank.exists(r => r(2).asInstanceOf[Long] != r(3).asInstanceOf[Long]),
+      "re-rank identical to ADC top-10 with identical distances — degenerate")
+  }
+
+  test("indexExpire: after retention expiry only the post-erase version " +
+       "remains, erased keys have left history PHYSICALLY, and content " +
+       "is preserved bit-for-bit") {
+    import graft.sources.SnapshotStore
+    val r = rows(Ivf.indexExpire(spark, Sf, 16, 8, 7)).head
+    assert(r.head.asInstanceOf[Long] === 1L, s"versions_retained ${r.head} != 1")
+    val root = Ivf.buildIvfPqIndex(spark, Sf, 16, 8)
+    val expDir = s"$root/codes_exp"
+    // exactly one committed version; the pre-delete v0 is gone
+    assert(SnapshotStore.committedVersions(spark, expDir) === Seq(1L))
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readCommitted(spark, expDir, asOf = 0L)
+    }
+    // physical erasure: no data directory under the root still holds a
+    // tombstoned key (the expired version's files are vacuumed, not merely
+    // de-listed)
+    val all = spark.read.parquet(s"$expDir/data-*")
+    assert(all.filter(col("vec_id") % 10 === 7).count() === 0L,
+      "tombstoned keys still present in on-disk data files after expiry")
+    // and the retained content matches the delete query's post-erase state
+    val del = SnapshotStore.readCommitted(spark, s"$root/codes_del")
+    assert(r(1).asInstanceOf[Long] === del.count(),
+      "expired-table row count diverges from the erased codes_del table")
+  }
+
+  test("bradleyTerry: MM fixed-point invariants — theta order consistent " +
+       "with win rates on a dominant fixture, books balance, ranks total") {
+    import graft.operators.Insights
+    val out = rows(Insights.bradleyTerry(spark, Sf, 3))
+    assert(out.size >= 3, "fewer than 3 event types compared")
+    // rank is a permutation of 1..n ordered by theta desc
+    val byRank = out.sortBy(_(4).asInstanceOf[Long])
+    assert(byRank.map(_(4).asInstanceOf[Long]) === (1L to out.size).toSeq)
+    val thetas = byRank.map(_(3).asInstanceOf[Long])
+    assert(thetas === thetas.sorted.reverse, "rank disagrees with theta order")
+    // wins <= comparisons, both positive somewhere
+    out.foreach { r =>
+      assert(r(1).asInstanceOf[Long] <= r(2).asInstanceOf[Long],
+        s"wins exceed comparisons for ${r.head}")
+    }
+    assert(out.map(_(1).asInstanceOf[Long]).sum > 0, "no wins at all")
+    // global consistency: total wins across types = total comparisons / 2
+    // (every comparison produced exactly one win; each n_ij counts it twice,
+    // once per orientation)
+    assert(out.map(_(1).asInstanceOf[Long]).sum * 2 ===
+           out.map(_(2).asInstanceOf[Long]).sum,
+      "win/comparison books don't balance")
+    // BT theta must rank the globally strongest type first: the top-ranked
+    // type's overall win rate is at least the bottom-ranked one's
+    val top = byRank.head; val bot = byRank.last
+    def rate(r: Seq[Any]): Double =
+      r(1).asInstanceOf[Long].toDouble / r(2).asInstanceOf[Long]
+    assert(rate(top) >= rate(bot),
+      s"theta order inverted vs win rates: top ${rate(top)} < bottom ${rate(bot)}")
+  }
+
   test("fusionNdcg: the coverage claim holds as measured — " +
        "fused nDCG@20 >= max(lex, dense) on top-10-bounded legs") {
     val m = rows(Similarity.fusionNdcg(spark, Sf, 10, 20, 60))
