@@ -472,6 +472,7 @@ object SparkEntry {
     "q_ann_rerank_served" -> q(Ivf.annRerankServed(_, _, 16, 4, 8, 8, 50, 10)), // IVFADC+R: exact full-precision re-rank of the 50-deep served ADC shortlist
     "q_index_expire"      -> q(Ivf.indexExpire(_, _, 16, 8, 7)), // retention expiry after erasure: pre-delete version ages out, erased keys leave history physically
     "q_bradley_terry"     -> q(Insights.bradleyTerry(_, _, 3)), // BT preference strengths from per-user pairwise spend votes, fixed-point MM rounds
+    "q_ann_filtered_served" -> q(Ivf.annFilteredServed(_, _, 16, 4, 8, 8, 10)), // filtered vector search: even-label PRE-filter prunes candidates before top-k, all k results satisfy it
   )
 
   /** DuckDB-equivalent ANSI SQL per query, concatenated from the per-domain

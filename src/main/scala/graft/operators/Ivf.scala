@@ -969,6 +969,34 @@ object Ivf {
       "p_id", "adc_dist", "vec_id")
   }
 
+  /** FILTERED vector search over the served index — top-k restricted to a
+    * metadata predicate (here: even labels), the capability every vector
+    * store ships because raw nearest-neighbors are useless when the caller
+    * needs "nearest IN category / with license / after date". Semantics
+    * are PRE-filtering: the predicate prunes the candidate stream BEFORE
+    * the top-k, so all k results satisfy it (post-filtering returns < k
+    * whenever the predicate thins the neighborhood — the classic filtered-
+    * ANN pitfall). The filter attribute lives in the embeddings table and
+    * joins the cell-pruned candidates by vec_id — an id-keyed equi-join of
+    * two NARROW frames (8-byte codes vs 1-byte labels), one shuffle each
+    * at any corpus; a production index would embed hot filter attributes
+    * in the codes table itself to make this map-side, which is a schema
+    * (format-tag) decision, not a plan change. Everything else is
+    * [[annIvfPqServed]]'s fit-free broadcast shape.
+    */
+  def annFilteredServed(spark: SparkSession, sfDir: String, nLists: Int = 16,
+                        nprobe: Int = 4, codes: Int = 8, nProbes: Int = 8,
+                        k: Int = 10): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = buildIvfPqIndex(spark, sfDir, nLists, codes)
+    val allowed = t(spark, sfDir, "embeddings")
+      .filter(col("label") % 2 === 0).select(col("vec_id"))
+    val filtered = SnapshotStore.readCommitted(spark, s"$root/codes")
+      .join(allowed, Seq("vec_id"), "left_semi")
+    annIvfPqServed(spark, sfDir, nLists, nprobe, codes, nProbes, k,
+      codesOverride = Some(filtered))
+  }
+
   /** Exact RE-RANKING over the served ADC shortlist — the two-stage serving
     * pattern production ANN actually ships (Jégou et al.'s IVFADC+R,
     * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 §V):

@@ -424,6 +424,31 @@ object SimilaritySql {
         |           ORDER BY adc_dist, vec_id) AS rk FROM adc)
         |WHERE rk <= 10 ORDER BY p_id, adc_dist, vec_id""".stripMargin,
 
+    // round-12b: filtered vector search — the served chain with an
+    // even-label PRE-filter on the candidate stream (all k results satisfy
+    // the predicate; probes themselves are unrestricted)
+    "q_ann_filtered_served" ->
+      s"""WITH ${ivfPqServedCtes(8, 4, 8)}
+        |adcu AS (
+        |  SELECT dt_0.p_id, b.vec_id, dt_0.d FROM rbf_0 b
+        |    JOIN dt_0 ON dt_0.cell = b.cell AND dt_0.cid = b.cid
+        |  UNION ALL SELECT dt_1.p_id, b.vec_id, dt_1.d FROM rbf_1 b
+        |    JOIN dt_1 ON dt_1.cell = b.cell AND dt_1.cid = b.cid
+        |  UNION ALL SELECT dt_2.p_id, b.vec_id, dt_2.d FROM rbf_2 b
+        |    JOIN dt_2 ON dt_2.cell = b.cell AND dt_2.cid = b.cid
+        |  UNION ALL SELECT dt_3.p_id, b.vec_id, dt_3.d FROM rbf_3 b
+        |    JOIN dt_3 ON dt_3.cell = b.cell AND dt_3.cid = b.cid),
+        |adc AS (SELECT p_id, vec_id, CAST(sum(d) AS BIGINT) AS adc_dist
+        |        FROM adcu WHERE vec_id <> p_id
+        |          AND vec_id IN (SELECT vec_id FROM embeddings
+        |                         WHERE label % 2 = 0)
+        |        GROUP BY 1, 2 HAVING count(*) = 4)
+        |SELECT p_id, vec_id, adc_dist FROM (
+        |  SELECT p_id, vec_id, adc_dist,
+        |         row_number() OVER (PARTITION BY p_id
+        |           ORDER BY adc_dist, vec_id) AS rk FROM adc)
+        |WHERE rk <= 10 ORDER BY p_id, adc_dist, vec_id""".stripMargin,
+
     // round-12b: IVFADC+R — the served chain's ADC scores kept to a 50-deep
     // shortlist, then an exact full-precision re-rank to the final top-10
     // (quantization error picks the shortlist, never the final order)

@@ -221,6 +221,31 @@ class Round12OpsSpec extends SparkSpec {
       "expired-table row count diverges from the erased codes_del table")
   }
 
+  test("annFilteredServed: PRE-filter semantics — every result satisfies " +
+       "the predicate, k stays filled at 50% selectivity, and the answer " +
+       "differs from unfiltered serving") {
+    import graft.util.Tables.t
+    val labels = rows(t(spark, Sf, "embeddings")
+        .select(col("vec_id"), col("label")))
+      .map(r => r.head.asInstanceOf[Long] ->
+                r(1).asInstanceOf[Number].longValue).toMap
+    val out = rows(Ivf.annFilteredServed(spark, Sf, 16, 4, 8, 8, 10))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val v = r(1).asInstanceOf[Long]
+      assert(labels(v) % 2 == 0, s"odd-label candidate $v served through filter")
+    }
+    // pre-filter fills k per probe at this selectivity (post-filter would
+    // return fewer whenever odd labels crowd a neighborhood)
+    val perProbe = out.groupBy(_.head.asInstanceOf[Long]).view.mapValues(_.size)
+    assert(perProbe.values.forall(_ == 10),
+      s"a probe returned fewer than k filtered results: $perProbe")
+    val base = rows(Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, 8, 10))
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    assert(base.exists { case (_, v) => labels(v) % 2 != 0 },
+      "fixture degenerate: unfiltered top-k already all even — filter untested")
+  }
+
   test("bradleyTerry: MM fixed-point invariants — theta order consistent " +
        "with win rates on a dominant fixture, books balance, ranks total") {
     import graft.operators.Insights

@@ -414,9 +414,9 @@ class ScaleInfraSpec extends SparkSpec {
                         // are fs-metadata probes + a lazy serve/report plan
                         "q_index_delete_served", "q_index_compact",
                         "q_index_expire",
-                        // serves THROUGH annIvfPqServed — inherits the
+                        // serve THROUGH annIvfPqServed — inherit the
                         // build-once first-call jobs, lazy afterwards
-                        "q_ann_rerank_served")
+                        "q_ann_rerank_served", "q_ann_filtered_served")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
@@ -448,7 +448,8 @@ class ScaleInfraSpec extends SparkSpec {
                           // same build-once fast path: once the marker and
                           // persisted artifacts exist, zero build-time jobs
                           "q_index_delete_served", "q_index_compact",
-                          "q_index_expire", "q_ann_rerank_served")
+                          "q_index_expire", "q_ann_rerank_served",
+                          "q_ann_filtered_served")
       (iterative -- mayBeZero).foreach { n =>
         assert(perEntry.toMap.getOrElse(n, 0) > 0, s"$n no longer needs the exemption")
       }
