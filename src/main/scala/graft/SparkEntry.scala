@@ -473,6 +473,7 @@ object SparkEntry {
     "q_index_expire"      -> q(Ivf.indexExpire(_, _, 16, 8, 7)), // retention expiry after erasure: pre-delete version ages out, erased keys leave history physically
     "q_bradley_terry"     -> q(Insights.bradleyTerry(_, _, 3)), // BT preference strengths from per-user pairwise spend votes, fixed-point MM rounds
     "q_ann_filtered_served" -> q(Ivf.annFilteredServed(_, _, 16, 4, 8, 8, 10)), // filtered vector search: even-label PRE-filter prunes candidates before top-k, all k results satisfy it
+    "q_ivf_refit_on_drift" -> q(Ivf.ivfRefitOnDrift(_, _, 16, 0.45)), // the drift signal consumed: trigger bit + stale-vs-refit assignment delta in one lazy plan
   )
 
   /** DuckDB-equivalent ANSI SQL per query, concatenated from the per-domain

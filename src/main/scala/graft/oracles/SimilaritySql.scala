@@ -288,6 +288,37 @@ object SimilaritySql {
        |$iters""".stripMargin
   }
 
+  /** Round-12b PREFIXED carry-fit chain — [[ivfFitCteGen]]'s exact
+    * arithmetic with every CTE name prefixed so TWO independent fits can
+    * coexist in one statement (the refit-on-drift oracle fits yesterday's
+    * corpus AND the full corpus). Assumes the shared `q` long-form CTE is
+    * already defined by the surrounding chain.
+    */
+  private def ivfFitCtePfx(p: String, sampleWhere: String,
+                           ntileArg: String): String = {
+    val iters = (1 to 5).map { i =>
+      s"""${p}a$i AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+         |        FROM ${p}slong l JOIN ${p}c${i - 1} c ON c.i = l.i GROUP BY 1, 2),
+         |${p}b$i AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, cid,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |          FROM ${p}a$i) WHERE rk = 1),
+         |${p}m$i AS (SELECT b.cid, l.i, CAST(sum(l.qv) // count(*) AS BIGINT) AS qv
+         |        FROM ${p}b$i b JOIN ${p}slong l ON l.vec_id = b.vec_id GROUP BY 1, 2),
+         |${p}c$i AS (SELECT c.cid, c.i, COALESCE(m.qv, c.qv) AS qv
+         |        FROM ${p}c${i - 1} c LEFT JOIN ${p}m$i m ON m.cid = c.cid AND m.i = c.i),""".stripMargin
+    }.mkString("\n")
+    s"""${p}sample AS (SELECT vec_id FROM embeddings $sampleWhere
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20000),
+       |${p}slong AS (SELECT q.* FROM q JOIN ${p}sample USING (vec_id)),
+       |${p}tiles AS (SELECT vec_id, ntile($ntileArg) OVER (ORDER BY vec_id) AS t
+       |              FROM ${p}sample),
+       |${p}chosen AS (SELECT t, min(vec_id) AS v FROM ${p}tiles GROUP BY t),
+       |${p}c0 AS (SELECT t - 1 AS cid, l.i, l.qv
+       |       FROM ${p}chosen JOIN ${p}slong l ON l.vec_id = ${p}chosen.v),
+       |$iters""".stripMargin
+  }
+
   /** Round-12 build/serve IVFPQ oracle chain: [[ivfPqCtes]]'s fit verbatim
     * (drop-empty coarse + residual + 4 drop-empty PQ subspace fits + corpus
     * code assignments) with the single-probe tail replaced by a PROBE
@@ -626,6 +657,61 @@ object SimilaritySql {
         | drift_cos IS NOT NULL AND drift_cos < 0.45 AS refit_flag
         |FROM counts c LEFT JOIN drift d ON d.cid = c.cid
         |ORDER BY cell_id""".stripMargin,
+
+    // round-12b: the drift signal CONSUMED — cells_flagged from the
+    // incremental chain (old-corpus carry fit + full-corpus assignment +
+    // per-cell drift cosines), then a SECOND prefixed full-corpus fit and
+    // the stale-vs-refit assignment delta in the same statement
+    "q_ivf_refit_on_drift" ->
+      s"""WITH ${ivfFitCteGen("WHERE vec_id % 10 <> 9", "16")}
+        |af AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN c5 c ON c.i = l.i GROUP BY 1, 2),
+        |bf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM af) WHERE rk = 1),
+        |asg AS (SELECT vec_id, vec_id % 10 = 9 AS is_new, cid FROM bf),
+        |counts AS (SELECT cid,
+        |    CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM asg GROUP BY 1),
+        |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |         AS BIGINT) AS qd
+        |  FROM embeddings),
+        |sums AS (SELECT cid, is_new, pos, CAST(sum(qd) AS BIGINT) AS s
+        |         FROM asg JOIN ex USING (vec_id) GROUP BY 1, 2, 3),
+        |aa AS (SELECT cid, pos, s AS sa FROM sums WHERE NOT is_new),
+        |bb AS (SELECT cid, pos, s AS sb FROM sums WHERE is_new),
+        |drift AS (SELECT cid,
+        |    floor(CAST(sum(CAST(sa AS DECIMAL(38,0)) * sb) AS DOUBLE)
+        |          / (sqrt(CAST(sum(CAST(sa AS DECIMAL(38,0)) * sa) AS DOUBLE))
+        |             * sqrt(CAST(sum(CAST(sb AS DECIMAL(38,0)) * sb) AS DOUBLE)))
+        |          * 10000.0 + 0.5) / 10000.0 AS drift_cos
+        |  FROM aa JOIN bb USING (cid, pos) GROUP BY cid),
+        |fl AS (SELECT CAST(sum(CASE WHEN d.drift_cos IS NOT NULL
+        |                AND d.drift_cos < 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS cells_flagged
+        |       FROM counts c LEFT JOIN drift d ON d.cid = c.cid),
+        |${ivfFitCtePfx("f", "", "16")}
+        |faf AS (SELECT l.vec_id, c.cid, sum((l.qv - c.qv) * (l.qv - c.qv)) AS d
+        |       FROM q l JOIN fc5 c ON c.i = l.i GROUP BY 1, 2),
+        |fbf AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |         FROM faf) WHERE rk = 1),
+        |mv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(sum(CASE WHEN bf.cid <> fbf.cid THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_moved
+        |       FROM bf JOIN fbf USING (vec_id)),
+        |lo AS (SELECT CAST(count(DISTINCT cid) AS BIGINT) AS live_cells_old
+        |       FROM bf),
+        |ln AS (SELECT CAST(count(DISTINCT cid) AS BIGINT) AS live_cells_new
+        |       FROM fbf)
+        |SELECT cells_flagged, cells_flagged > 0 AS refit_triggered,
+        |       n_vectors, n_moved, n_moved * 10000 // n_vectors AS moved_bp,
+        |       live_cells_old, live_cells_new
+        |FROM fl, mv, lo, ln""".stripMargin,
 
     "q_media_dedup" ->
       """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len

@@ -246,6 +246,24 @@ class Round12OpsSpec extends SparkSpec {
       "fixture degenerate: unfiltered top-k already all even — filter untested")
   }
 
+  test("ivfRefitOnDrift: the trigger agrees with the incremental signal, " +
+       "and the refit-impact books are consistent and non-degenerate") {
+    val r = rows(Ivf.ivfRefitOnDrift(spark, Sf, 16, 0.45)).head
+    def f(i: Int): Long = r(i).asInstanceOf[Long]
+    // trigger bit consistent with the flag count, and with q_ivf_incremental
+    assert(r(1).asInstanceOf[Boolean] === (f(0) > 0))
+    val incFlags = rows(Ivf.ivfIncremental(spark, Sf, 16, 0.45))
+      .count(_(5).asInstanceOf[Boolean])
+    assert(f(0) === incFlags.toLong,
+      s"cells_flagged ${f(0)} != incremental refit_flag count $incFlags")
+    assert(r(1).asInstanceOf[Boolean], "fixture does not trigger — drift untested")
+    // books: every vector assigned once in both legs; moved within bounds
+    assert(f(2) > 0 && f(3) >= 0 && f(3) <= f(2))
+    assert(f(4) === f(3) * 10000 / f(2), "moved_bp inconsistent")
+    assert(f(3) > 0, "refit moved nothing — stale centroids were optimal?")
+    assert(f(5) > 0 && f(6) > 0, "live cell counts degenerate")
+  }
+
   test("bradleyTerry: MM fixed-point invariants — theta order consistent " +
        "with win rates on a dominant fixture, books balance, ranks total") {
     import graft.operators.Insights
