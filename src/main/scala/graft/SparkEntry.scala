@@ -474,6 +474,7 @@ object SparkEntry {
     "q_bradley_terry"     -> q(Insights.bradleyTerry(_, _, 3)), // BT preference strengths from per-user pairwise spend votes, fixed-point MM rounds
     "q_ann_filtered_served" -> q(Ivf.annFilteredServed(_, _, 16, 4, 8, 8, 10)), // filtered vector search: even-label PRE-filter prunes candidates before top-k, all k results satisfy it
     "q_ivf_refit_on_drift" -> q(Ivf.ivfRefitOnDrift(_, _, 16, 0.45)), // the drift signal consumed: trigger bit + stale-vs-refit assignment delta in one lazy plan
+    "q_cem_att"           -> q(Insights.cemAtt), // coarsened exact matching: fixed-cutpoint strata, within-stratum ATT in exact micro-cents
   )
 
   /** DuckDB-equivalent ANSI SQL per query, concatenated from the per-domain

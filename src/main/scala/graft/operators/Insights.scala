@@ -5145,6 +5145,71 @@ object Insights {
       "seg")
   }
 
+  /** Coarsened Exact Matching ATT — causal effect estimation when
+    * treatment isn't randomized (Iacus, King & Porro, "Causal Inference
+    * without Balance Checking: Coarsened Exact Matching", Political
+    * Analysis 2012): coarsen pre-treatment covariates into bins, exact-
+    * match treated/control within strata, DISCARD strata lacking either
+    * arm, and weight stratum-level outcome differences by treated counts.
+    * Complements the existing causal tier (q_did's parallel trends,
+    * q_abtest_cuped's variance reduction) with the matching leg.
+    *
+    * Deterministic derivation: treatment = user_id parity (the abtest
+    * convention), covariates = PRE-period spend (exact cents) and event
+    * count coarsened by FIXED cutpoints (data-independent bins — the
+    * "coarsened exact" in CEM; no quantile fitting), outcome = POST-period
+    * spend, the pre/post cut the same (min+max)/2 timestamp midpoint as
+    * abtestCuped. Arithmetic is integer end to end: per-stratum mean
+    * difference in floor-divided MICRO-cents (positive sums, floor ≡
+    * trunc), treated-weighted and summed exactly in BIGINT; the single
+    * final division to ATT cents is one IEEE double op under the r4
+    * convention. Magnitude audit: stratum spend sums ≤ ~10¹² cents at the
+    * 100× decade → ·10⁶ < 2⁶³.
+    *
+    * Scale: one shuffle on user_id for the per-user frame, one hash-agg to
+    * the ≤25-row strata table; everything after is driver-trivial.
+    */
+  def cemAtt(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"),
+              floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+                .as("cents"))
+    val cut = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("cut"))
+    val pu = ev.crossJoin(broadcast(cut))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts_us") < col("cut"), col("cents")).otherwise(0L))
+             .as("pre"),
+           sum(when(col("ts_us") < col("cut"), 1L).otherwise(0L)).as("pre_n"),
+           sum(when(col("ts_us") >= col("cut"), col("cents")).otherwise(0L))
+             .as("y"))
+      .select((col("user_id") % 2 === 0).as("treated"),
+              least(lit(4L), expr("pre div 60000")).as("spend_bin"),
+              least(lit(4L), expr("pre_n div 12")).as("act_bin"),
+              col("y"))
+    val strata = pu.groupBy(col("spend_bin"), col("act_bin"))
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+           sum(when(col("treated"), col("y")).otherwise(0L)).as("s_t"),
+           sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+           sum(when(!col("treated"), col("y")).otherwise(0L)).as("s_c"))
+    val matched = strata.filter(col("n_t") > 0L && col("n_c") > 0L)
+      .select(col("n_t"),
+              (col("n_t") *
+               (expr("s_t * 1000000 div n_t") -
+                expr("s_c * 1000000 div n_c"))).as("wdiff"))
+    val nTreated = pu.agg(
+      sum(when(col("treated"), 1L).otherwise(0L)).as("n_treated"))
+    matched.agg(count(lit(1)).cast("long").as("n_strata_matched"),
+                sum(col("n_t")).as("n_matched_treated"),
+                sum(col("wdiff")).as("total_micro"))
+      .crossJoin(broadcast(nTreated))
+      .select(col("n_treated"), col("n_matched_treated"),
+              expr("n_matched_treated * 10000 div n_treated").as("matched_bp"),
+              col("n_strata_matched"),
+              r4(col("total_micro").cast("double") /
+                 (col("n_matched_treated").cast("double") * lit(1000000.0)))
+                .as("att_cents"))
+  }
+
   /** Bradley–Terry preference strengths from pairwise comparisons — the
     * preference-data primitive of reward modeling (Bradley & Terry 1952;
     * RLHF reward models ARE BT fits over human preference pairs, Ouyang

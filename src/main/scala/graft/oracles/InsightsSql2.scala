@@ -39,6 +39,41 @@ object InsightsSql2 {
         |FROM rel ORDER BY o_orderpriority""".stripMargin
     },
 
+    // round-12b: CEM ATT — fixed-cutpoint coarsening, within-stratum exact
+    // matching, integer micro-cent mean differences, one final r4 division
+    "q_cem_att" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+        |cut AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cut FROM ev),
+        |pu AS (SELECT user_id % 2 = 0 AS treated,
+        |    least(4, CAST(sum(CASE WHEN ts_us < cut THEN cents ELSE 0 END)
+        |                  AS BIGINT) // 60000) AS spend_bin,
+        |    least(4, CAST(sum(CASE WHEN ts_us < cut THEN 1 ELSE 0 END)
+        |                  AS BIGINT) // 12) AS act_bin,
+        |    CAST(sum(CASE WHEN ts_us >= cut THEN cents ELSE 0 END) AS BIGINT) AS y
+        |  FROM ev, cut GROUP BY user_id),
+        |strata AS (SELECT spend_bin, act_bin,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN treated THEN y ELSE 0 END) AS BIGINT) AS s_t,
+        |    CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN NOT treated THEN y ELSE 0 END) AS BIGINT) AS s_c
+        |  FROM pu GROUP BY 1, 2),
+        |matched AS (SELECT n_t,
+        |    n_t * (s_t * 1000000 // n_t - s_c * 1000000 // n_c) AS wdiff
+        |  FROM strata WHERE n_t > 0 AND n_c > 0),
+        |nt AS (SELECT CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_treated FROM pu),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata_matched,
+        |    CAST(sum(n_t) AS BIGINT) AS n_matched_treated,
+        |    CAST(sum(wdiff) AS BIGINT) AS total_micro FROM matched)
+        |SELECT n_treated, n_matched_treated,
+        |       n_matched_treated * 10000 // n_treated AS matched_bp,
+        |       n_strata_matched,
+        |       floor(CAST(total_micro AS DOUBLE)
+        |             / (CAST(n_matched_treated AS DOUBLE) * 1000000.0)
+        |             * 10000.0 + 0.5) / 10000.0 AS att_cents
+        |FROM agg, nt""".stripMargin,
+
     // round-12b: Bradley–Terry MM rounds in fixed-point micro-units — two
     // integer floor-divisions per round at 10^12 scale, exactly mirroring
     // the Spark side (Hunter 2004 eq. 1.4 update, 3 unrolled rounds)

