@@ -475,6 +475,7 @@ object SparkEntry {
     "q_ann_filtered_served" -> q(Ivf.annFilteredServed(_, _, 16, 4, 8, 8, 10)), // filtered vector search: even-label PRE-filter prunes candidates before top-k, all k results satisfy it
     "q_ivf_refit_on_drift" -> q(Ivf.ivfRefitOnDrift(_, _, 16, 0.45)), // the drift signal consumed: trigger bit + stale-vs-refit assignment delta in one lazy plan
     "q_cem_att"           -> q(Insights.cemAtt), // coarsened exact matching: fixed-cutpoint strata, within-stratum ATT in exact micro-cents
+    "q_conformal_pi"      -> q(Insights.conformalPi(_, _, 1000)), // split-conformal interval half-width at rank ceil((n+1)*0.9), test coverage ~9000bp
   )
 
   /** DuckDB-equivalent ANSI SQL per query, concatenated from the per-domain

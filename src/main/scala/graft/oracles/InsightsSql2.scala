@@ -39,6 +39,38 @@ object InsightsSql2 {
         |FROM rel ORDER BY o_orderpriority""".stripMargin
     },
 
+    // round-12b: split-conformal intervals — per-type train mean, exact
+    // order-statistic half-width at rank min(ceil((n+1)*0.9), n) in
+    // (residual, event_id) order, empirical test coverage in bp
+    "q_conformal_pi" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+        |mu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+        |    CAST(sum(cents) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |      AS mu_micro
+        |  FROM ev WHERE event_id % 3 = 0 GROUP BY 1),
+        |calib AS (SELECT e.event_type, e.event_id,
+        |    abs(e.cents * 1000000 - mu_micro) AS r
+        |  FROM ev e JOIN mu USING (event_type) WHERE event_id % 3 = 1),
+        |rk AS (SELECT event_type, event_id, r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY r, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_cal FROM calib),
+        |qh AS (SELECT event_type, CAST(max(n_cal) AS BIGINT) AS n_cal,
+        |    CAST(max(r) AS BIGINT) AS q_micro
+        |  FROM rk
+        |  WHERE rn = least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+        |  GROUP BY 1),
+        |ts AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN abs(e.cents * 1000000 - mu_micro) <= q_micro
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        |  FROM ev e JOIN mu USING (event_type) JOIN qh USING (event_type)
+        |  WHERE event_id % 3 = 2 GROUP BY 1)
+        |SELECT event_type, n_train, n_cal, n_test, mu_micro, q_micro,
+        |       covered * 10000 // n_test AS coverage_bp
+        |FROM mu JOIN qh USING (event_type) JOIN ts USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     // round-12b: CEM ATT — fixed-cutpoint coarsening, within-stratum exact
     // matching, integer micro-cent mean differences, one final r4 division
     "q_cem_att" ->

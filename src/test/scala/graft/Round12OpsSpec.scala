@@ -313,6 +313,29 @@ class Round12OpsSpec extends SparkSpec {
     assert(math.abs(att) < 100000.0, s"ATT $att cents implausible for the fixture")
   }
 
+  test("conformalPi: the distribution-free guarantee holds empirically — " +
+       "per-type test coverage lands at or above ~1-alpha, intervals are " +
+       "finite and books balance") {
+    import graft.operators.Insights
+    val out = rows(Insights.conformalPi(spark, Sf, 1000))
+    assert(out.size >= 3, "fewer than 3 event types")
+    out.foreach { r =>
+      val (nTr, nCal, nTe) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
+                              r(3).asInstanceOf[Long])
+      val (q, cov) = (r(5).asInstanceOf[Long], r(6).asInstanceOf[Long])
+      assert(nTr > 0 && nCal > 0 && nTe > 0, s"empty split for ${r.head}")
+      assert(q > 0, s"zero-width interval for ${r.head}")
+      // conformal guarantee is >= 1 - alpha IN EXPECTATION over the
+      // calibration draw; at this fixture's ~65-row splits a single type
+      // can sit ~2 binomial sd off — bound each type loosely, the mean
+      // tightly (the statistically correct reading of the guarantee)
+      assert(cov >= 7500 && cov <= 10000,
+        s"coverage $cov bp for ${r.head} grossly miscalibrated")
+    }
+    val mean = out.map(_(6).asInstanceOf[Long]).sum / out.size
+    assert(mean >= 8600, s"mean coverage $mean bp across types below target")
+  }
+
   test("fusionNdcg: the coverage claim holds as measured — " +
        "fused nDCG@20 >= max(lex, dense) on top-10-bounded legs") {
     val m = rows(Similarity.fusionNdcg(spark, Sf, 10, 20, 60))
