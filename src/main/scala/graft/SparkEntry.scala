@@ -476,6 +476,7 @@ object SparkEntry {
     "q_ivf_refit_on_drift" -> q(Ivf.ivfRefitOnDrift(_, _, 16, 0.45)), // the drift signal consumed: trigger bit + stale-vs-refit assignment delta in one lazy plan
     "q_cem_att"           -> q(Insights.cemAtt), // coarsened exact matching: fixed-cutpoint strata, within-stratum ATT in exact micro-cents
     "q_conformal_pi"      -> q(Insights.conformalPi(_, _, 1000)), // split-conformal interval half-width at rank ceil((n+1)*0.9), test coverage ~9000bp
+    "q_mix_temperature"   -> q(Text.mixTemperature), // temperature-0.5 mix weights: p ~ share^tau via one IEEE sqrt on integer-scaled shares, boost factor per lang
   )
 
   /** DuckDB-equivalent ANSI SQL per query, concatenated from the per-domain

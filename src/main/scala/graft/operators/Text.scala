@@ -720,6 +720,44 @@ object Text {
       .drop("rate_m")
   }
 
+  /** Temperature-scaled corpus mixing — [[corpusMix]] takes the rates as
+    * GIVEN; this computes them from the data the way multilingual LLM
+    * pipelines actually do (Conneau & Lample's XLM, NeurIPS 2019 §3.1;
+    * the LLaMA-style p_i ∝ share_i^τ rule): per-language sampling weights
+    * proportional to (token share)^τ, which UP-weights tail languages and
+    * down-weights the dominant crawl language as τ falls below 1.
+    *
+    * τ = 0.5 exactly, so the power is ONE IEEE sqrt — correctly rounded
+    * in every engine — over an integer-scaled share (tokens·10¹² div
+    * total ≤ 10¹², exactly representable in double), floored straight
+    * back to BIGINT: every sum and division is exact integer arithmetic,
+    * zero doubles in the output. Per language: docs, tokens, natural
+    * share (bp), temperature weight (bp), and boost_bp = weight/share —
+    * the up/down-sampling factor an epoch scheduler consumes (>10000 =
+    * oversample). One hash-agg to a ≤|langs|-row frame; driver-trivial
+    * after the scan at any corpus.
+    */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir)
+      .select(col("lang"),
+              size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+    val tot = counts.agg(sum(col("tokens")).as("total"))
+    val scaled = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+              expr("tokens * 10000 div total").as("share_bp"),
+              floor(sqrt(expr("tokens * 1000000000000 div total")
+                .cast("double"))).cast("long").as("s"))
+    val sTot = scaled.agg(sum(col("s")).as("s_total"))
+    ordered(
+      scaled.crossJoin(broadcast(sTot))
+        .select(col("lang"), col("n_docs"), col("tokens"), col("share_bp"),
+                expr("s * 10000 div s_total").as("weight_bp"))
+        .withColumn("boost_bp", expr("weight_bp * 10000 div share_bp")),
+      "lang")
+  }
+
   /** q_corpus_mix: halve English, trim French/Spanish slightly, keep the
     * rest — the canonical "don't let the web crawl drown the mix" rebalance.
     */

@@ -336,6 +336,33 @@ class Round12OpsSpec extends SparkSpec {
     assert(mean >= 8600, s"mean coverage $mean bp across types below target")
   }
 
+  test("mixTemperature: tau=0.5 flattens the mix — weights order with " +
+       "share but compress toward uniform, boosts favor tail languages, " +
+       "books balance") {
+    import graft.operators.Text
+    val out = rows(Text.mixTemperature(spark, Sf))
+    assert(out.size >= 3)
+    def share(r: Seq[Any]) = r(3).asInstanceOf[Long]
+    def weight(r: Seq[Any]) = r(4).asInstanceOf[Long]
+    def boost(r: Seq[Any]) = r(5).asInstanceOf[Long]
+    // weights are a (floor-divided) distribution
+    val wSum = out.map(weight).sum
+    assert(wSum <= 10000 && wSum >= 10000 - out.size,
+      s"weights sum $wSum not a floored distribution")
+    // order preserved, spread compressed: the weight ratio between the
+    // largest and smallest language is strictly inside the share ratio
+    val bySh = out.sortBy(share)
+    assert(bySh.map(weight) === bySh.map(weight).sorted,
+      "temperature inverted the language order")
+    val (lo, hi) = (bySh.head, bySh.last)
+    assert(share(hi) > share(lo), "fixture shares degenerate")
+    assert(weight(hi).toDouble / weight(lo) < share(hi).toDouble / share(lo),
+      "tau=0.5 did not compress the mix toward uniform")
+    // boosts: the smallest language is oversampled, the largest undersampled
+    assert(boost(lo) > 10000, s"tail language not boosted: ${boost(lo)}")
+    assert(boost(hi) < 10000, s"head language not trimmed: ${boost(hi)}")
+  }
+
   test("fusionNdcg: the coverage claim holds as measured — " +
        "fused nDCG@20 >= max(lex, dense) on top-10-bounded legs") {
     val m = rows(Similarity.fusionNdcg(spark, Sf, 10, 20, 60))
