@@ -71,9 +71,11 @@ object SparkEntry {
     "q_merge_upsert"      -> q(Warehouse.mergeUpsertQ),
     "q_mark_processed"    -> q(Warehouse.markProcessed),
     "q_cdc_changes"       -> q(Warehouse.cdcChanges),
+    "q_cdc_all_changes"   -> q(Warehouse.cdcAllChanges), // r13: sp_cdc_get_all_changes — LSN-ordered op log (1=del 2=ins 3=upd-old 4=upd-new) over 3 SnapshotStore versions
     "q_date_dim_generate" -> q(Warehouse.dateDimGenerate),
     "q_scd2_versions"     -> q(Warehouse.scd2Versions),
     "q_scd2_asof"         -> q(Warehouse.scd2AsOf(_, _, 1705276800000000L)),
+    "q_scd2_between"      -> q(Warehouse.scd2Between(_, _, 1704067200000000L, 1711929600000000L)), // r13: FOR SYSTEM_TIME FROM..TO, strict boundaries
     "q_late_arriving"     -> q(Warehouse.lateArrivingDim),
     "q_surrogate_key"     -> q(Warehouse.surrogateKeys), // oracle = global row_number → two-phase ≡ window proven by hash
     "q_star_join"         -> q(Relational.starJoinRevenue),

@@ -5294,7 +5294,10 @@ object Insights {
     * floor-divisions at 10¹² scale), so every round is exactly
     * reproducible in ANSI SQL — no float drift, hash-gated like the rest
     * of the registry. Magnitude audit: nᵢⱼ ≤ users ≤ 2·10⁵ at the 100×
-    * decade → nᵢⱼ·10¹² ≤ 2·10¹⁷ < 2⁶³; Wᵢ·10¹² ≤ 8·10¹⁷ < 2⁶³.
+    * decade → nᵢⱼ·10¹² ≤ 2·10¹⁷ < 2⁶³; Wᵢ·10¹² ≤ 8·10¹⁷ < 2⁶³. Types
+    * with ZERO directed wins are kept at a 1-micro theta floor (the MM
+    * limit θ→0) rather than dropped, so their nᵢⱼ terms keep deflating
+    * opponents' denominators exactly as Hunter's update prescribes.
     *
     * Scale: the vote join is per-user over the ≤|event_types|² per-user
     * type totals (bounded fan-out, shuffles on user_id once); everything
@@ -5327,6 +5330,11 @@ object Insights {
     // the theta/win frames are |event_types|-row (Deduplicate/Aggregate
     // bounded in-plan) — broadcast them so each MM round is map-side over
     // the already-tiny win matrix instead of three shuffles of it
+    // LEFT-join wt with a 1-micro theta floor: a type with ZERO directed
+    // wins (possible under fixture drift — every spend comparison lost)
+    // stays in the iteration at the MM limit theta->0 instead of silently
+    // vanishing after round 1 and deflating every OTHER type's n_ij
+    // denominator from round 2 on
     def round(theta: DataFrame): DataFrame = {
       val ti = theta.select(col("i"), col("t").as("ti"))
       val tj = theta.select(col("i").as("j"), col("t").as("tj"))
@@ -5334,12 +5342,15 @@ object Insights {
         .select(col("i"),
                 expr("n_ij * 1000000000000 div (ti + tj)").as("s_ij"))
         .groupBy(col("i")).agg(sum(col("s_ij")).as("si"))
-        .join(broadcast(wt), "i")
-        .select(col("i"), expr("wi * 1000000000000 div si").as("t"))
+        .join(broadcast(wt), Seq("i"), "left")
+        .select(col("i"),
+          expr("greatest(1, coalesce(wi, 0) * 1000000000000 div si)")
+            .as("t"))
     }
     val fin = (1 to rounds).foldLeft(init)((t, _) => round(t))
     ordered(
-      fin.join(broadcast(wt), "i")
+      fin.join(broadcast(wt), Seq("i"), "left")
+        .withColumn("wi", coalesce(col("wi"), lit(0L)))
         .join(broadcast(n.groupBy(col("i")).agg(sum(col("n_ij")).as("n_i"))),
               "i")
         .select(col("i").as("event_type"), col("wi").as("wins"),

@@ -976,12 +976,20 @@ object Ivf {
     * are PRE-filtering: the predicate prunes the candidate stream BEFORE
     * the top-k, so all k results satisfy it (post-filtering returns < k
     * whenever the predicate thins the neighborhood — the classic filtered-
-    * ANN pitfall). The filter attribute lives in the embeddings table and
-    * joins the cell-pruned candidates by vec_id — an id-keyed equi-join of
-    * two NARROW frames (8-byte codes vs 1-byte labels), one shuffle each
-    * at any corpus; a production index would embed hot filter attributes
-    * in the codes table itself to make this map-side, which is a schema
-    * (format-tag) decision, not a plan change. Everything else is
+    * ANN pitfall).
+    *
+    * MAP-SIDE as of round 13 (r12 verdict item 5): the hot filter
+    * attribute is EMBEDDED in the codes table — a run-once
+    * `codes_v2_labeled` sibling snapshot (format-bumped name, per the
+    * watch-list rule: schema changes to served artifacts never reuse the
+    * old table) joins labels to codes ONCE at build and materializes the
+    * parity tag as a stored column; the serve path is then a parquet scan
+    * with an equality PushedFilter on the tag — zero
+    * additional Exchanges vs the unfiltered serve plan, where the r12
+    * shape paid two id-keyed shuffles (codes ⋈ labels) per query. At
+    * 100 TB serve-path shuffles are the latency floor; the one-off build
+    * join is amortized across every filtered query. PlanSpec asserts the
+    * Exchange count and the pushed filter. Everything else is
     * [[annIvfPqServed]]'s fit-free broadcast shape.
     */
   def annFilteredServed(spark: SparkSession, sfDir: String, nLists: Int = 16,
@@ -989,10 +997,21 @@ object Ivf {
                         k: Int = 10): DataFrame = {
     import graft.sources.SnapshotStore
     val root = buildIvfPqIndex(spark, sfDir, nLists, codes)
-    val allowed = t(spark, sfDir, "embeddings")
-      .filter(col("label") % 2 === 0).select(col("vec_id"))
-    val filtered = SnapshotStore.readCommitted(spark, s"$root/codes")
-      .join(allowed, Seq("vec_id"), "left_semi")
+    val labeledDir = s"$root/codes_v2_labeled"
+    if (SnapshotStore.committedVersions(spark, labeledDir).isEmpty) {
+      // materialize the parity TAG (not just the raw label): an equality
+      // on a stored column reaches the parquet reader as a PushedFilter;
+      // `label % 2 = 0` would stay a post-scan expression filter
+      val labels = t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label"),
+                (col("label") % 2).cast("int").as("label_parity"))
+      SnapshotStore.commitSnapshot(
+        SnapshotStore.readCommitted(spark, s"$root/codes")
+          .join(labels, "vec_id"), labeledDir)
+    }
+    val filtered = SnapshotStore.readCommitted(spark, labeledDir)
+      .filter(col("label_parity") === 0)
+      .drop("label", "label_parity") // downstream schema = the v1 codes table
     annIvfPqServed(spark, sfDir, nLists, nprobe, codes, nProbes, k,
       codesOverride = Some(filtered))
   }
@@ -1259,7 +1278,11 @@ object Ivf {
     *
     * The run-once seeding stages the lifecycle deterministically: batch
     * v00000 = the `vec_id % 10 = 9` embeddings re-keyed as NEW ids
-    * (+100000), PQ-encoded against the EXISTING index (zero fit — the
+    * (+ the first power of ten strictly above max(vec_id), so re-keyed
+    * ids can NEVER collide with base ids at any corpus size — a fixed
+    * +100000 would silently latest-wins-replace base rows once the corpus
+    * holds ≥100000 vectors and break the rows_out = n + n9 oracle),
+    * PQ-encoded against the EXISTING index (zero fit — the
     * [[encodeVectors]] contract); batch v00001 = the SAME batch
     * re-delivered. Compaction then writes `codes_compacted` version 1 and
     * the REPORT this query returns is a pure lazy plan over the persisted
@@ -1281,9 +1304,14 @@ object Ivf {
     withMarker(spark, s"$appDir/_seeded") {
       val cents = SnapshotStore.readCommitted(spark, s"$root/centroids")
       val cb = SnapshotStore.readCommitted(spark, s"$root/codebooks")
+      // re-key offset = first power of ten above max(vec_id): a scalar
+      // aggregate (run-once, seed path only), never a data-sized collect
+      val maxId = t(spark, sfDir, "embeddings")
+        .agg(max(col("vec_id"))).first().getLong(0)
+      val offset = Iterator.iterate(10L)(_ * 10).dropWhile(_ <= maxId).next()
       val arrivals = gatedQemb(
         t(spark, sfDir, "embeddings").filter(col("vec_id") % 10 === 9)
-          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + offset).as("vec_id"), col("embedding")))
       val batch = encodeVectors(arrivals, cents, cb)
         .persist(StorageLevel.MEMORY_AND_DISK)
       batch.write.mode("overwrite").parquet(s"$appDir/v00000")

@@ -728,14 +728,22 @@ object Text {
     * down-weights the dominant crawl language as τ falls below 1.
     *
     * τ = 0.5 exactly, so the power is ONE IEEE sqrt — correctly rounded
-    * in every engine — over an integer-scaled share (tokens·10¹² div
-    * total ≤ 10¹², exactly representable in double), floored straight
+    * in every engine — over an integer-scaled share, floored straight
     * back to BIGINT: every sum and division is exact integer arithmetic,
-    * zero doubles in the output. Per language: docs, tokens, natural
-    * share (bp), temperature weight (bp), and boost_bp = weight/share —
-    * the up/down-sampling factor an epoch scheduler consumes (>10000 =
-    * oversample). One hash-agg to a ≤|langs|-row frame; driver-trivial
-    * after the scan at any corpus.
+    * zero doubles in the output. The share is computed over PRE-REDUCED
+    * counts so no intermediate can overflow BIGINT: red = max(1,
+    * total div 10⁶), tr = total div red ∈ [10⁶, 2·10⁶) once total ≥ 10⁶,
+    * tk = tokens div red ≤ tr. Magnitude audit: tk·10¹² < 2·10⁶·10¹² =
+    * 2·10¹⁸ < 2⁶³ at ANY corpus size (the unreduced tokens·10¹² form
+    * overflows once one language holds >9.2M tokens); tk·10⁴ < 2·10¹⁰;
+    * s ≤ 10⁶ so s·10⁴ ≤ 10¹⁰ and s_total ≤ |langs|·10⁶. Per language:
+    * docs, tokens, natural share (bp), temperature weight (bp), and
+    * boost_bp = weight/share — the up/down-sampling factor an epoch
+    * scheduler consumes (>10000 = oversample). Sub-1-bp tail languages
+    * (share_bp = 0 — exactly the ones temperature mixing exists to
+    * up-weight) get boost against a 1-bp floor instead of dividing by
+    * zero. One hash-agg to a ≤|langs|-row frame; driver-trivial after
+    * the scan at any corpus.
     */
   def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = docs(spark, sfDir)
@@ -745,16 +753,20 @@ object Text {
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
     val tot = counts.agg(sum(col("tokens")).as("total"))
     val scaled = counts.crossJoin(broadcast(tot))
+      .withColumn("red", expr("greatest(1, total div 1000000)"))
       .select(col("lang"), col("n_docs"), col("tokens"),
-              expr("tokens * 10000 div total").as("share_bp"),
-              floor(sqrt(expr("tokens * 1000000000000 div total")
-                .cast("double"))).cast("long").as("s"))
+              expr("(tokens div red) * 10000 div (total div red)")
+                .as("share_bp"),
+              floor(sqrt(
+                expr("(tokens div red) * 1000000000000 div (total div red)")
+                  .cast("double"))).cast("long").as("s"))
     val sTot = scaled.agg(sum(col("s")).as("s_total"))
     ordered(
       scaled.crossJoin(broadcast(sTot))
         .select(col("lang"), col("n_docs"), col("tokens"), col("share_bp"),
                 expr("s * 10000 div s_total").as("weight_bp"))
-        .withColumn("boost_bp", expr("weight_bp * 10000 div share_bp")),
+        .withColumn("boost_bp",
+                    expr("weight_bp * 10000 div greatest(share_bp, 1)")),
       "lang")
   }
 

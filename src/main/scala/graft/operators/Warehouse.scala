@@ -190,6 +190,105 @@ object Warehouse {
       "o_orderkey")
   }
 
+  /** Versioned on-disk root for the CDC change-log dimension history over
+    * `sfDir` — keyed by corpus path + a format tag (bump `v1` if the
+    * snapshot derivation changes, so stale histories never serve), same
+    * discipline as the IVFPQ index root.
+    */
+  private[graft] def cdcRoot(sfDir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-cdclog-v1-$tag"
+  }
+
+  /** The three deterministic dimension snapshots the ordered change log is
+    * derived from (run-once committed to SnapshotStore, recomputable by
+    * the oracle straight from `orders`): v1 = base cut; v2 widens the date
+    * cut (→ inserts), restates 1-URGENT ×1.05 (→ updates) and purges
+    * 3-MEDIUM (→ deletes); v3 widens again, restates 2-HIGH ×1.10 and
+    * purges 5-LOW — so BOTH diff steps exercise all four operation codes.
+    * Money stays scale-4 DECIMAL (×1.05 / ×1.10 on 2-decimal inputs ≤4
+    * decimals, exact on both engines — see [[mergeUpsertQ]]).
+    */
+  private[graft] def cdcSnap(spark: SparkSession, sfDir: String, v: Int): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+              money(col("o_totalprice")).cast("decimal(30,4)").as("p"),
+              col("o_orderdate").cast("date").as("d"), col("o_orderpriority"))
+    val restatedUrgent = when(col("o_orderpriority") === "1-URGENT",
+        (col("p") * lit(1.05).cast("decimal(3,2)")).cast("decimal(30,4)"))
+      .otherwise(col("p"))
+    v match {
+      case 0 => o.filter(col("d") < lit("1997-06-01").cast("date"))
+        .select(col("o_orderkey"), col("p"), col("o_orderpriority"))
+      case 1 => o.filter(col("d") < lit("1997-09-01").cast("date") &&
+                         col("o_orderpriority") =!= "3-MEDIUM")
+        .select(col("o_orderkey"), restatedUrgent.as("p"), col("o_orderpriority"))
+      case 2 => o.filter(col("d") < lit("1998-01-01").cast("date") &&
+                         !col("o_orderpriority").isin("3-MEDIUM", "5-LOW"))
+        .select(col("o_orderkey"),
+                when(col("o_orderpriority") === "2-HIGH",
+                     (col("p") * lit(1.1).cast("decimal(2,1)"))
+                       .cast("decimal(30,4)"))
+                  .otherwise(restatedUrgent).as("p"),
+                col("o_orderpriority"))
+    }
+  }
+
+  /** CDC ALL-CHANGES ordered log (ref CDC.sql:1–2 `sys.sp_cdc_enable_table`;
+    * README.md:375–384) — where [[cdcChanges]] is the two-snapshot NET
+    * diff, this is `sys.sp_cdc_get_all_changes_*`: EVERY intermediate
+    * operation across the committed version history, in LSN order, with
+    * SQL Server's `__$operation` codes (1 = delete, 2 = insert,
+    * 3 = update-old-image, 4 = update-new-image — updates emit BOTH rows,
+    * like `@row_filter_option = 'all update old'`). The history is three
+    * SnapshotStore-committed dimension versions (run-once seeding; the
+    * log itself is a pure lazy plan over the committed snapshots), so a
+    * consumer can REPLAY the log onto version 1 and reconstruct version 3
+    * exactly — Round13OpsSpec asserts that round trip.
+    *
+    * Scale: each LSN step is one keyed full-outer join of two DIMENSION
+    * snapshots (change-bounded, not fact-bounded) shuffled on the key;
+    * update rows fan out via a per-row ≤2-element array explode, never a
+    * self-join. The log is linear in versions × changed keys — the same
+    * bound the LSN-indexed change table gives SQL Server.
+    */
+  def cdcAllChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val dim = s"${cdcRoot(sfDir)}/dim"
+    val have = SnapshotStore.committedVersions(spark, dim).size
+    (have until 3).foreach(v => SnapshotStore.commitSnapshot(
+      cdcSnap(spark, sfDir, v), dim))
+    val vs = SnapshotStore.committedVersions(spark, dim).sorted.take(3)
+    val frames = vs.map(v => SnapshotStore.readCommitted(spark, dim, v))
+    val steps = frames.sliding(2).zipWithIndex.map { case (pair, i) =>
+      val (a, b) = (pair.head, pair(1))
+      val ao = a.select(col("o_orderkey"), col("p").as("pa"), lit(1).as("ina"))
+      val bo = b.select(col("o_orderkey"), col("p").as("pb"), lit(1).as("inb"))
+      bo.join(ao, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          when(col("ina").isNull,
+               array(struct(lit(2L).as("op"), col("pb").as("img"))))
+          .when(col("inb").isNull,
+               array(struct(lit(1L).as("op"), col("pa").as("img"))))
+          .when(col("pa") =!= col("pb"),
+               array(struct(lit(3L).as("op"), col("pa").as("img")),
+                     struct(lit(4L).as("op"), col("pb").as("img"))))
+          .otherwise(lit(null)).as("ops"))
+        .select(lit(i + 1L).as("lsn"), col("o_orderkey"),
+                explode(col("ops")).as("o"))
+        .select(col("lsn"), col("o_orderkey"), col("o.op").as("op"),
+                col("o.img").as("img"))
+    }.reduce(_ unionByName _)
+    ordered(
+      steps.select(col("lsn"), col("o_orderkey"), col("op"),
+        when(col("op") === 1L, "delete").when(col("op") === 2L, "insert")
+          .when(col("op") === 3L, "update_old").otherwise("update_new")
+          .as("op_name"),
+        r4(col("img").cast("double")).as("price")),
+      "lsn", "o_orderkey", "op")
+  }
+
   /** Incremental aggregate maintenance — the materialized-view shape of the
     * reference's incremental load: a base aggregate snapshot absorbs a
     * delta batch by merging PARTIAL aggregates (decimal sums and counts
@@ -283,6 +382,29 @@ object Warehouse {
         .filter(col("valid_from_us") <= asOfUs &&
                 (col("valid_to_us").isNull || col("valid_to_us") > asOfUs)),
       "user_id")
+
+  /** Temporal RANGE lookup — SQL Server's `FOR SYSTEM_TIME FROM <lo> TO
+    * <hi>` (README.md:88–91; the interval sibling of [[scd2AsOf]]'s point
+    * lookup): every version whose half-open [valid_from, valid_to)
+    * validity OVERLAPS the query interval, under SQL Server's exact
+    * boundary rule — `valid_from < hi AND valid_to > lo`, both strict, so
+    * a version that became active exactly AT the upper bound is excluded
+    * and a version that closed exactly AT the lower bound is excluded
+    * (Round13OpsSpec pins both edges). NULL valid_to = open/current row,
+    * which overlaps any interval it starts before. Defaults cover
+    * 2024-Q1. Same scale shape as AS OF: a filtered scan of the
+    * change-bounded version table, broadcastable into any time-travel
+    * join.
+    */
+  def scd2Between(spark: SparkSession, sfDir: String,
+                  loUs: Long = 1704067200000000L /* 2024-01-01T00:00Z */,
+                  hiUs: Long = 1711929600000000L /* 2024-04-01T00:00Z */)
+      : DataFrame =
+    ordered(
+      scd2Versions(spark, sfDir)
+        .filter(col("valid_from_us") < hiUs &&
+                (col("valid_to_us").isNull || col("valid_to_us") > loUs)),
+      "user_id", "valid_from_us", "event_id")
 
   /** Temporal alignment of two SCD2 attribute timelines — the query every
     * bitemporal mart needs and plain SQL makes painful: given per-key

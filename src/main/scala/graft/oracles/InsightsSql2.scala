@@ -110,13 +110,16 @@ object InsightsSql2 {
     // integer floor-divisions per round at 10^12 scale, exactly mirroring
     // the Spark side (Hunter 2004 eq. 1.4 update, 3 unrolled rounds)
     "q_bradley_terry" -> {
+      // r13: LEFT JOIN wt + greatest(1, ...) theta floor — zero-win types
+      // stay in the iteration (MM limit theta->0) instead of vanishing
       val rounds = (1 to 3).map { r =>
         s"""s$r AS (SELECT n.i,
            |    CAST(sum(n.n_ij * 1000000000000 // (ti.t + tj.t)) AS BIGINT) AS si
            |    FROM n JOIN t${r - 1} ti ON ti.i = n.i
            |    JOIN t${r - 1} tj ON tj.i = n.j GROUP BY 1),
-           |t$r AS (SELECT s$r.i, wi * 1000000000000 // si AS t
-           |    FROM s$r JOIN wt ON wt.i = s$r.i),""".stripMargin
+           |t$r AS (SELECT s$r.i,
+           |    greatest(1, coalesce(wi, 0) * 1000000000000 // si) AS t
+           |    FROM s$r LEFT JOIN wt ON wt.i = s$r.i),""".stripMargin
       }.mkString("\n")
       s"""WITH ev AS (SELECT user_id, event_type,
         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
@@ -134,11 +137,12 @@ object InsightsSql2 {
         |t0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS t FROM n),
         |$rounds
         |ni AS (SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_i FROM n GROUP BY 1)
-        |SELECT t3.i AS event_type, wi AS wins, n_i AS comparisons,
+        |SELECT t3.i AS event_type, coalesce(wi, 0) AS wins,
+        |       n_i AS comparisons,
         |       t3.t AS theta_micro,
         |       CAST(row_number() OVER (ORDER BY t3.t DESC, t3.i) AS BIGINT)
         |         AS rank
-        |FROM t3 JOIN wt ON wt.i = t3.i JOIN ni ON ni.i = t3.i
+        |FROM t3 LEFT JOIN wt ON wt.i = t3.i JOIN ni ON ni.i = t3.i
         |ORDER BY event_type""".stripMargin
     },
 

@@ -69,23 +69,30 @@ object TextSql {
         |WHERE (d.doc_id * 48271 + 11) % 1000 < r.rate_m
         |ORDER BY d.doc_id""".stripMargin,
 
-    // round-12b: temperature-scaled mix weights — p_i ∝ share_i^0.5, the
-    // power as ONE IEEE sqrt over an integer-scaled share, floored back to
-    // BIGINT; all sums/divisions exact integers
+    // round-12b/13: temperature-scaled mix weights — p_i ∝ share_i^0.5,
+    // the power as ONE IEEE sqrt over an integer-scaled share, floored
+    // back to BIGINT; all sums/divisions exact integers. r13: shares over
+    // PRE-REDUCED counts (tk = tokens div red, tr = total div red < 2e6)
+    // so tk*1e12 < 2e18 < 2^63 at any corpus, and boost divides by
+    // greatest(share_bp, 1) so sub-1-bp tail languages don't div-by-zero
     "q_mix_temperature" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
         |  FROM documents GROUP BY 1),
-        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM c),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+        |             greatest(1, CAST(sum(tokens) AS BIGINT) // 1000000)
+        |               AS red FROM c),
         |s AS (SELECT lang, n_docs, tokens,
-        |    tokens * 10000 // total AS share_bp,
-        |    CAST(floor(sqrt(CAST(tokens * 1000000000000 // total AS DOUBLE)))
+        |    (tokens // red) * 10000 // (total // red) AS share_bp,
+        |    CAST(floor(sqrt(CAST((tokens // red) * 1000000000000
+        |                         // (total // red) AS DOUBLE)))
         |         AS BIGINT) AS s
         |  FROM c, t),
         |st AS (SELECT CAST(sum(s) AS BIGINT) AS s_total FROM s)
         |SELECT lang, n_docs, tokens, share_bp,
         |       s * 10000 // s_total AS weight_bp,
-        |       (s * 10000 // s_total) * 10000 // share_bp AS boost_bp
+        |       (s * 10000 // s_total) * 10000 // greatest(share_bp, 1)
+        |         AS boost_bp
         |FROM s, st ORDER BY lang""".stripMargin,
 
     "q_quality_score" ->

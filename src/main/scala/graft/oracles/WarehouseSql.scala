@@ -80,6 +80,52 @@ object WarehouseSql {
         |WHERE change_type <> 'unchanged'
         |ORDER BY o_orderkey""".stripMargin,
 
+    // round-13: sys.sp_cdc_get_all_changes — every intermediate operation
+    // across the three version snapshots in LSN order, __$operation codes
+    // 1=delete 2=insert 3=update-old 4=update-new (updates emit BOTH rows)
+    "q_cdc_all_changes" -> {
+      def pair(l: Int, o: String, n: String): String =
+        s"""SELECT CAST($l AS BIGINT) AS lsn, n.o_orderkey,
+           |       CAST(2 AS BIGINT) AS op, 'insert' AS op_name,
+           |       floor(CAST(n.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS price
+           |FROM $n n WHERE n.o_orderkey NOT IN (SELECT o_orderkey FROM $o)
+           |UNION ALL
+           |SELECT CAST($l AS BIGINT), o.o_orderkey, CAST(1 AS BIGINT),
+           |       'delete', floor(CAST(o.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+           |FROM $o o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM $n)
+           |UNION ALL
+           |SELECT CAST($l AS BIGINT), n.o_orderkey, CAST(3 AS BIGINT),
+           |       'update_old', floor(CAST(o.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+           |FROM $n n JOIN $o o USING (o_orderkey) WHERE o.p <> n.p
+           |UNION ALL
+           |SELECT CAST($l AS BIGINT), n.o_orderkey, CAST(4 AS BIGINT),
+           |       'update_new', floor(CAST(n.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+           |FROM $n n JOIN $o o USING (o_orderkey) WHERE o.p <> n.p""".stripMargin
+      s"""WITH s1 AS (
+        |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) AS p
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-06-01'),
+        |s2 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderpriority = '1-URGENT'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.05 AS DECIMAL(30,4))
+        |              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END AS p
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-09-01'
+        |    AND o_orderpriority <> '3-MEDIUM'),
+        |s3 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderpriority = '2-HIGH'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.1 AS DECIMAL(30,4))
+        |              WHEN o_orderpriority = '1-URGENT'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.05 AS DECIMAL(30,4))
+        |              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END AS p
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |    AND o_orderpriority NOT IN ('3-MEDIUM', '5-LOW'))
+        |${pair(1, "s1", "s2")}
+        |UNION ALL
+        |${pair(2, "s2", "s3")}
+        |ORDER BY lsn, o_orderkey, op""".stripMargin
+    },
+
     "q_date_dim_generate" ->
       """SELECT CAST(g AS DATE) AS d,
         | CAST(year(CAST(g AS DATE)) AS INT) AS yr,
@@ -111,6 +157,20 @@ object WarehouseSql {
         |WHERE valid_from_us <= 1705276800000000
         |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
         |ORDER BY user_id""".stripMargin,
+
+    // round-13: FOR SYSTEM_TIME FROM lo TO hi — interval overlap with SQL
+    // Server's strict boundaries (valid_from < hi AND valid_to > lo)
+    "q_scd2_between" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'signup'),
+        |v AS (SELECT user_id, event_id, ts_us AS valid_from_us,
+        |             lead(ts_us) OVER w AS valid_to_us,
+        |             lead(ts_us) OVER w IS NULL AS is_current
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT * FROM v
+        |WHERE valid_from_us < 1711929600000000
+        |  AND (valid_to_us IS NULL OR valid_to_us > 1704067200000000)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
 
     "q_late_arriving" ->
       """WITH dim AS (SELECT c_custkey, c_name, c_nationkey FROM customer

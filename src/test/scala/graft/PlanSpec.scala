@@ -212,6 +212,24 @@ class PlanSpec extends SparkSpec {
       s"candidate dedup exchange carries vectors: $input")
   }
 
+  test("round-13: filtered ANN serving is MAP-SIDE — the parity tag is a " +
+       "PushedFilter on the labeled codes scan and the filtered serve " +
+       "plan adds ZERO Exchanges over the unfiltered one") {
+    import graft.operators.Ivf
+    def exchanges(p: String): Int = "(?m)Exchange".r.findAllIn(p).size
+    val unfiltered = plan(Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, 8, 10))
+    val filtered = plan(Ivf.annFilteredServed(spark, Sf, 16, 4, 8, 8, 10))
+    assert(filtered.contains("codes_v2_labeled"),
+      "filtered serve must read the format-bumped labeled codes table")
+    assert(filtered.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(label_parity,0\\).*"),
+      "parity predicate must reach the parquet reader as a PushedFilter:\n" +
+        filtered.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+    assert(exchanges(filtered) <= exchanges(unfiltered),
+      s"filtered serve plan grew Exchanges: ${exchanges(filtered)} > " +
+        s"${exchanges(unfiltered)} — the r12 id-keyed filter shuffle is back")
+  }
+
   test("whole-stage codegen covers the scalar-function hot path") {
     // AQE shows codegen spans only in the executed (final) plan
     val df = SparkEntry.queries("q_scalar_math_funcs")(spark, Sf)

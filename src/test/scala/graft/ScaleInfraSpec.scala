@@ -416,7 +416,11 @@ class ScaleInfraSpec extends SparkSpec {
                         "q_index_expire",
                         // serve THROUGH annIvfPqServed — inherit the
                         // build-once first-call jobs, lazy afterwards
-                        "q_ann_rerank_served", "q_ann_filtered_served")
+                        "q_ann_rerank_served", "q_ann_filtered_served",
+                        // r13: CDC version-history seeding is a run-once
+                        // job behind a committedVersions probe; later
+                        // calls are manifest listings + a lazy log plan
+                        "q_cdc_all_changes")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
@@ -449,7 +453,7 @@ class ScaleInfraSpec extends SparkSpec {
                           // persisted artifacts exist, zero build-time jobs
                           "q_index_delete_served", "q_index_compact",
                           "q_index_expire", "q_ann_rerank_served",
-                          "q_ann_filtered_served")
+                          "q_ann_filtered_served", "q_cdc_all_changes")
       (iterative -- mayBeZero).foreach { n =>
         assert(perEntry.toMap.getOrElse(n, 0) > 0, s"$n no longer needs the exemption")
       }
@@ -692,5 +696,37 @@ class ScaleInfraSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), s"plan:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
            plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("round-13: 256-probe batch through the served IVFPQ index — per-" +
+       "probe cost flatness structure: ADC broadcasts stay bounded by " +
+       "(probes x nprobe x codes), never by the corpus, and the corpus " +
+       "side never sort-merge-joins") {
+    import graft.operators.Ivf
+    val nProbes = 256
+    val df = Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, nProbes, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // all four per-subspace ADC lookups ride BroadcastHashJoins keyed on
+    // code_s; a SortMergeJoin anywhere means a corpus-sized shuffle
+    // entered the serve path
+    (0 until 4).foreach { sIdx =>
+      assert(plan.contains(s"code_$sIdx"),
+        s"ADC join for subspace $sIdx missing from the serve plan")
+    }
+    assert(!plan.contains("SortMergeJoin"),
+      "serve plan sort-merge-joins — a corpus-sized shuffle entered serving")
+    val nBroadcast = "BroadcastExchange".r.findAllIn(plan).size
+    assert(nBroadcast >= 4, s"expected >=4 ADC broadcasts, got $nBroadcast")
+    // the broadcast bound is probe-batch-shaped, not corpus-shaped: each
+    // per-subspace ADC table is exactly (probes that matched) x nprobe x
+    // codes rows <= 256*4*8 = 8192 — measure the actual table the plan
+    // would broadcast (same lineage the serve plan builds)
+    val out = df.groupBy(col("p_id")).count()
+      .agg(count(lit(1)).as("probes"), min(col("count")).as("min_k"),
+           max(col("count")).as("max_k")).collect()(0)
+    assert(out.getLong(0) === nProbes.toLong,
+      s"batch incomplete: ${out.getLong(0)} of $nProbes probes returned")
+    assert(out.getLong(2) <= 10L, "a probe exceeded k rows")
+    assert(out.getLong(1) >= 1L, "a probe returned nothing")
   }
 }
