@@ -38,6 +38,11 @@ object Decade {
         Ivf.assignDiag(spark, sfDir, args(2).toInt, 0, hier = false)
       case "diag_hier" =>
         Ivf.assignDiag(spark, sfDir, args(2).toInt, args(3).toInt, hier = true)
+      case "served_batch" => // args: nProbes — per-probe cost flatness of
+        // the served IVFPQ tier (r12 verdict item 6): the ADC broadcasts
+        // are (probes × nprobe × codes)-bounded, so wall(256)/wall(8)
+        // should sit far below 32×
+        Ivf.annIvfPqServed(spark, sfDir, 16, 4, 8, args(2).toInt, 10)
       case other =>
         SparkEntry.queries(other)(spark, sfDir)
     }

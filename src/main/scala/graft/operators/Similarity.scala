@@ -642,29 +642,84 @@ object Similarity {
   private def ivfCandidateScored(spark: SparkSession, sfDir: String,
                                  nLists: Int = 16,
                                  includeFar: Boolean = false): DataFrame = {
+    import graft.sources.SnapshotStore
+    val root = buildCandidateStream(spark, sfDir, nLists)
+    val df = SnapshotStore.readCommitted(spark, root)
+    if (includeFar) df.dropDuplicates("a_id", "b_id").drop("a_far")
+    else df.filter(!col("a_far")).drop("a_far")
+  }
+
+  /** Versioned root for the persisted scored candidate stream over
+    * `sfDir`'s embeddings — keyed by corpus path + nLists + a format tag
+    * (bump `v1` if the probe/scoring arithmetic changes, so stale streams
+    * never serve), the [[graft.operators.Ivf]] index-root discipline.
+    */
+  private def candRoot(sfDir: String, nLists: Int): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-cands-v1-$tag-n$nLists"
+  }
+
+  /** Build and PERSIST the scored candidate superset ONCE per corpus
+    * (idempotent — returns immediately when committed): the NEAR and FAR
+    * a-side probe explosions in one pass, each pair tagged `a_far`, scored
+    * with the exact-integer dot_q cosine at build time, deduped by
+    * (a_id, b_id, a_far) — duplicate pairs score identically, so the
+    * payload is functionally determined and the commit is deterministic.
+    * Readers reconstruct both legacy streams exactly: near-only =
+    * filter !a_far (already unique per pair); near+far = dedup (a,b)
+    * across both flags.
+    *
+    * Round-13 rationale (r12 verdict item 1): the four miner-family
+    * queries (both bucketed miners + both recall measurements) each
+    * re-ran the k-means probe fit + the cell self-join per query — the
+    * same frame four times per suite, and the one >2x unattributed
+    * BENCH reading sat exactly here. Build-once/serve-many is the
+    * q_ann_recall_curve pattern promoted to the family: after the first
+    * call every miner is a lazy plan over one narrow parquet table
+    * (ids + labels + cos — the 64-long vectors never persist).
+    */
+  private def buildCandidateStream(spark: SparkSession, sfDir: String,
+                                   nLists: Int = 16): String = {
+    import graft.sources.SnapshotStore
+    val root = candRoot(sfDir, nLists)
+    if (SnapshotStore.committedVersions(spark, root).nonEmpty) return root
     val pv = Ivf.gatedProbes2(spark, sfDir, nLists)
       .join(labeledQuantized(spark, sfDir), "vec_id")
       // feeds both self-join sides — persist, or the k-means fit +
       // assignment subtree runs once per side
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aProbes =
-      if (includeFar) array(col("near1"), col("near2"),
-                            col("far1"), col("far2"))
-      else array(col("near1"), col("near2"))
-    val a = pv.select(explode(aProbes).as("cell"), col("vec_id").as("a_id"),
-                      col("label").as("a_label"), col("qv").as("qa"),
-                      col("n2").as("na2"))
+    val a = pv.select(
+        explode(array(
+          struct(col("near1").as("cell"), lit(false).as("afar")),
+          struct(col("near2").as("cell"), lit(false).as("afar")),
+          struct(col("far1").as("cell"), lit(true).as("afar")),
+          struct(col("far2").as("cell"), lit(true).as("afar")))).as("pc"),
+        col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("qv").as("qa"), col("n2").as("na2"))
+      .select(col("pc.cell").as("cell"), col("pc.afar").as("a_far"),
+              col("a_id"), col("a_label"), col("qa"), col("na2"))
     val b = pv.select(explode(array(col("near1"), col("near2"))).as("cell"),
                       col("vec_id").as("b_id"), col("label").as("b_label"),
                       col("qv").as("qb"), col("n2").as("nb2"))
     val cos = r4(call_function("dot_q", col("qa"), col("qb")).cast("double") /
                  (sqrt(col("na2").cast("double")) *
                   sqrt(col("nb2").cast("double"))))
-    a.join(b, Seq("cell"))
+    // EXPLICIT-width repartition before the broadcast join: the a-side is
+    // tiny pre-explosion (4 rows per anchor), so AQE coalesces it to ~1
+    // partition — and then the join's 10⁸-pair fan-out and the dedup's
+    // partial hash-agg run in ONE task (observed: a single core pinned
+    // 16 min at the 10× decade). An explicit partition count survives AQE
+    // coalescing; the shuffle it pays is the narrow pre-explosion rows
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val scored = a.repartition(nPart, col("a_id")).join(b, Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
-              cos.as("cos"))
-      .dropDuplicates("a_id", "b_id")
+              cos.as("cos"), col("a_far"))
+      .dropDuplicates("a_id", "b_id", "a_far")
+    SnapshotStore.commitSnapshot(scored, root)
+    pv.unpersist()
+    root
   }
 
   /** [[hardNegatives]] mined from the IVF multi-probe candidate stream

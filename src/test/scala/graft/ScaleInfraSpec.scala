@@ -420,7 +420,12 @@ class ScaleInfraSpec extends SparkSpec {
                         // r13: CDC version-history seeding is a run-once
                         // job behind a committedVersions probe; later
                         // calls are manifest listings + a lazy log plan
-                        "q_cdc_all_changes")
+                        "q_cdc_all_changes",
+                        // r13: the miner family serves from the persisted
+                        // scored candidate stream (build-once jobs on
+                        // first call, lazy parquet reads afterwards)
+                        "q_hard_negatives_ivf", "q_knn_label_noise_ivf",
+                        "q_hard_negatives_recall", "q_knn_noise_recall")
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
@@ -453,7 +458,9 @@ class ScaleInfraSpec extends SparkSpec {
                           // persisted artifacts exist, zero build-time jobs
                           "q_index_delete_served", "q_index_compact",
                           "q_index_expire", "q_ann_rerank_served",
-                          "q_ann_filtered_served", "q_cdc_all_changes")
+                          "q_ann_filtered_served", "q_cdc_all_changes",
+                          "q_hard_negatives_ivf", "q_knn_label_noise_ivf",
+                          "q_hard_negatives_recall", "q_knn_noise_recall")
       (iterative -- mayBeZero).foreach { n =>
         assert(perEntry.toMap.getOrElse(n, 0) > 0, s"$n no longer needs the exemption")
       }
