@@ -72,10 +72,12 @@ object SparkEntry {
     "q_mark_processed"    -> q(Warehouse.markProcessed),
     "q_cdc_changes"       -> q(Warehouse.cdcChanges),
     "q_cdc_all_changes"   -> q(Warehouse.cdcAllChanges), // r13: sp_cdc_get_all_changes — LSN-ordered op log (1=del 2=ins 3=upd-old 4=upd-new) over 3 SnapshotStore versions
+    "q_cdc_net_changes"   -> q(Warehouse.cdcNetChanges), // r13: sp_cdc_get_net_changes — first-vs-last per-key net (mid-history insert+delete nets to nothing)
     "q_date_dim_generate" -> q(Warehouse.dateDimGenerate),
     "q_scd2_versions"     -> q(Warehouse.scd2Versions),
     "q_scd2_asof"         -> q(Warehouse.scd2AsOf(_, _, 1705276800000000L)),
     "q_scd2_between"      -> q(Warehouse.scd2Between(_, _, 1704067200000000L, 1711929600000000L)), // r13: FOR SYSTEM_TIME FROM..TO, strict boundaries
+    "q_scd2_contained_in" -> q(Warehouse.scd2ContainedIn(_, _, 1704067200000000L, 1719792000000000L)), // r13: CONTAINED IN — full containment, inclusive bounds, open rows never contained
     "q_late_arriving"     -> q(Warehouse.lateArrivingDim),
     "q_surrogate_key"     -> q(Warehouse.surrogateKeys), // oracle = global row_number → two-phase ≡ window proven by hash
     "q_star_join"         -> q(Relational.starJoinRevenue),
@@ -123,6 +125,7 @@ object SparkEntry {
     "q_text_stats"        -> q(Text.textStats),
     "q_token_count"       -> q(Text.tokenCount),
     "q_seq_pack"          -> q(Text.seqPack(_, _)),
+    "q_length_bucketing"  -> q(Text.lengthBucketing(_, _)), // r13: length-grouped batch packing — measured pad-token savings vs naive batching, two-phase in-bucket rank
     "q_corpus_mix"        -> q(Text.corpusMixQ),
     "q_embed_norm"        -> q(Similarity.embedNorms),
     "q_quality_score"     -> q(Text.qualityScore),

@@ -805,6 +805,70 @@ object Text {
       "doc_id")
   }
 
+  /** Length-grouped batch packing with MEASURED padding waste — the
+    * batching step between [[seqPack]]-style corpus prep and the data
+    * loader: naive fixed-size batches pad every sequence to the batch
+    * max, so one long document taxes seven short ones; production
+    * loaders group by length first (the dynamic-batching /
+    * length-bucketing trick every training stack ships). Documents land
+    * in fixed-width token-length buckets (width 16 — an integer-exact
+    * `((n+15) div 16)·16`, no float log2 whose exact-power boundaries
+    * round differently across engines), are ranked inside each bucket by
+    * (n_tokens desc, doc_id), and cut into batches of 8. Per bucket:
+    * docs, batches, pad-token waste; every row also carries the naive
+    * (doc_id-order batching) total and the savings in basis points — the
+    * number that justifies the shuffle.
+    *
+    * The in-bucket rank is the [[graft.util.PrefixSum]] two-phase scan
+    * (global exclusive rank in (bucket, n desc, doc_id) order minus the
+    * broadcast per-bucket start offsets — buckets are contiguous in that
+    * order), NOT a per-bucket `row_number` window: a single hot bucket
+    * can hold most of a 100 TB corpus, and the naive window would funnel
+    * it through one reducer. The oracle states the same quantity with
+    * plain partitioned windows, so the hash gate proves two-phase ≡
+    * windowed, the [[seqPack]] discipline.
+    */
+  def lengthBucketing(spark: SparkSession, sfDir: String,
+                      batch: Int = 8, width: Long = 16L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, sfDir).select(
+      col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val bucketed = toks.withColumn("bucket",
+      expr(s"((n + ${width - 1}) div $width) * $width"))
+    val g = graft.util.PrefixSum.exclusiveCols(bucketed,
+      Seq(col("bucket").asc, col("n").desc, col("doc_id").asc),
+      lit(1L), "g")
+    // per-bucket start offsets: a window over the <=|buckets|-row
+    // aggregate frame (the PrefixSum phase-2 shape — tiny by construction)
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bstart = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+              coalesce(sum(col("cnt")).over(w), lit(0L)).as("bstart"))
+    val batches = g.join(broadcast(bstart), "bucket")
+      .withColumn("batch_id", expr(s"(g - bstart) div $batch"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("bdocs"),
+           (max(col("n")) * count(lit(1)) - sum(col("n"))).as("waste"))
+    val perBucket = batches.groupBy(col("bucket"))
+      .agg(sum(col("bdocs")).as("n_docs"),
+           count(lit(1)).as("n_batches"),
+           sum(col("waste")).as("pad_tokens"))
+    val naive = graft.util.PrefixSum.exclusive(toks, "doc_id", lit(1L), "gn")
+      .withColumn("batch_id", expr(s"gn div $batch"))
+      .groupBy(col("batch_id"))
+      .agg((max(col("n")) * count(lit(1)) - sum(col("n"))).as("wst"))
+      .agg(sum(col("wst")).as("naive_pad_total"))
+    val tot = perBucket.agg(sum(col("pad_tokens")).as("bucketed_pad_total"))
+    ordered(
+      perBucket.crossJoin(broadcast(naive)).crossJoin(broadcast(tot))
+        .withColumn("savings_bp",
+          expr("(naive_pad_total - bucketed_pad_total) * 10000" +
+               " div greatest(naive_pad_total, 1)")),
+      "bucket")
+  }
+
   /** TF-IDF top-k terms per document — the classic relevance/keyword
     * extraction stage. Three shuffles, all on bounded keys: tf groups the
     * token stream by (doc_id, term); df re-groups one row per (doc, term)

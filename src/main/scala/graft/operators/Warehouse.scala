@@ -253,13 +253,25 @@ object Warehouse {
     * self-join. The log is linear in versions × changed keys — the same
     * bound the LSN-indexed change table gives SQL Server.
     */
-  def cdcAllChanges(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Run-once seeding of the CDC dimension history (shared by
+    * [[cdcAllChanges]] and [[cdcNetChanges]]): commits exactly the
+    * missing prefix of the three [[cdcSnap]] versions, so a partial
+    * earlier run resumes instead of double-committing. Returns the dim
+    * root and the first three committed versions in order.
+    */
+  private def ensureCdcHistory(spark: SparkSession,
+                               sfDir: String): (String, Seq[Long]) = {
     import graft.sources.SnapshotStore
     val dim = s"${cdcRoot(sfDir)}/dim"
     val have = SnapshotStore.committedVersions(spark, dim).size
     (have until 3).foreach(v => SnapshotStore.commitSnapshot(
       cdcSnap(spark, sfDir, v), dim))
-    val vs = SnapshotStore.committedVersions(spark, dim).sorted.take(3)
+    (dim, SnapshotStore.committedVersions(spark, dim).sorted.take(3))
+  }
+
+  def cdcAllChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val (dim, vs) = ensureCdcHistory(spark, sfDir)
     val frames = vs.map(v => SnapshotStore.readCommitted(spark, dim, v))
     val steps = frames.sliding(2).zipWithIndex.map { case (pair, i) =>
       val (a, b) = (pair.head, pair(1))
@@ -287,6 +299,46 @@ object Warehouse {
           .as("op_name"),
         r4(col("img").cast("double")).as("price")),
       "lsn", "o_orderkey", "op")
+  }
+
+  /** CDC NET changes (ref CDC.sql:1–2; `sys.sp_cdc_get_net_changes_*` —
+    * the per-key collapsed sibling of [[cdcAllChanges]]): ONE row per key
+    * describing the net effect across the WHOLE committed version history
+    * — first vs last committed snapshot, keyed full-outer. Net semantics
+    * the all-changes log cannot give a consumer for free: a key inserted
+    * mid-history and deleted before the end NETS TO NOTHING (our fixture
+    * plants exactly that — the 5-LOW rows widened in at version 2 and
+    * purged at version 3 appear twice in the all-changes log and never
+    * here; Round13OpsSpec asserts both sides), an insert-then-update
+    * nets to one insert carrying the FINAL values. Operation codes match
+    * SQL Server's net mask: 1 = delete, 2 = insert, 4 = update (net
+    * updates report the new image; there is no code-3 old-image row at
+    * net grain). Same scale shape as the per-step diff: one keyed
+    * full-outer join of two change-bounded dimension snapshots.
+    */
+  def cdcNetChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotStore
+    val (dim, vs) = ensureCdcHistory(spark, sfDir)
+    val first = SnapshotStore.readCommitted(spark, dim, vs.min)
+      .select(col("o_orderkey"), col("p").as("pa"), lit(1).as("ina"))
+    val last = SnapshotStore.readCommitted(spark, dim, vs.max)
+      .select(col("o_orderkey"), col("p").as("pb"), lit(1).as("inb"))
+    ordered(
+      last.join(first, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          when(col("ina").isNull, lit(2L))
+            .when(col("inb").isNull, lit(1L))
+            .when(col("pa") =!= col("pb"), lit(4L)).as("op"),
+          when(col("ina").isNull || col("pa") =!= col("pb"),
+               r4(col("pb").cast("double")))
+            .otherwise(r4(col("pa").cast("double"))).as("price"))
+        .filter(col("op").isNotNull)
+        .select(col("o_orderkey"), col("op"),
+                when(col("op") === 1L, "delete")
+                  .when(col("op") === 2L, "insert")
+                  .otherwise("update").as("op_name"),
+                col("price")),
+      "o_orderkey")
   }
 
   /** Incremental aggregate maintenance — the materialized-view shape of the
@@ -404,6 +456,28 @@ object Warehouse {
       scd2Versions(spark, sfDir)
         .filter(col("valid_from_us") < hiUs &&
                 (col("valid_to_us").isNull || col("valid_to_us") > loUs)),
+      "user_id", "valid_from_us", "event_id")
+
+  /** The third SQL Server temporal predicate — `FOR SYSTEM_TIME CONTAINED
+    * IN (lo, hi)` (README.md:88–91): only versions whose ENTIRE validity
+    * lies inside the query interval — `valid_from >= lo AND valid_to <=
+    * hi`, both INCLUSIVE per SQL Server's rule (the opposite polarity of
+    * FROM..TO's strict overlap — Round13OpsSpec pins both edges against
+    * [[scd2Between]]'s). Open/current versions (NULL valid_to) are never
+    * contained — they have no end to contain. This is the audit question
+    * ("which versions lived and died entirely within Q1?") as opposed to
+    * FROM..TO's activity question. Completes the temporal family: AS OF
+    * (point), FROM..TO (overlap), CONTAINED IN (containment). Same
+    * filtered-scan scale shape over the change-bounded version table.
+    */
+  def scd2ContainedIn(spark: SparkSession, sfDir: String,
+                      loUs: Long = 1704067200000000L /* 2024-01-01 */,
+                      hiUs: Long = 1719792000000000L /* 2024-07-01 */)
+      : DataFrame =
+    ordered(
+      scd2Versions(spark, sfDir)
+        .filter(col("valid_from_us") >= loUs &&
+                col("valid_to_us").isNotNull && col("valid_to_us") <= hiUs),
       "user_id", "valid_from_us", "event_id")
 
   /** Temporal alignment of two SCD2 attribute timelines — the query every

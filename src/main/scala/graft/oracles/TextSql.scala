@@ -95,6 +95,36 @@ object TextSql {
         |         AS boost_bp
         |FROM s, st ORDER BY lang""".stripMargin,
 
+    // round-13: length-grouped batch packing — per 16-wide length bucket,
+    // docs ranked (n desc, doc_id), batches of 8, pad waste vs the naive
+    // doc_id-order batching; oracle uses plain windows so the hash gate
+    // proves the Spark side's two-phase scan ≡ windowed
+    "q_length_bucketing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT doc_id, n, ((n + 15) // 16) * 16 AS bucket FROM t),
+        |r AS (SELECT bucket, n,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY n DESC, doc_id) - 1 AS rb
+        |    FROM b),
+        |ba AS (SELECT bucket, rb // 8 AS batch_id,
+        |    CAST(count(*) AS BIGINT) AS bdocs,
+        |    CAST(max(n) * count(*) - sum(n) AS BIGINT) AS waste
+        |    FROM r GROUP BY 1, 2),
+        |pb AS (SELECT bucket, CAST(sum(bdocs) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(waste) AS BIGINT) AS pad_tokens
+        |    FROM ba GROUP BY 1),
+        |nv AS (SELECT (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS batch_id, n
+        |    FROM t),
+        |nw AS (SELECT CAST(sum(w) AS BIGINT) AS naive_pad_total FROM (
+        |    SELECT max(n) * count(*) - sum(n) AS w FROM nv GROUP BY batch_id)),
+        |bt AS (SELECT CAST(sum(pad_tokens) AS BIGINT) AS bucketed_pad_total FROM pb)
+        |SELECT bucket, n_docs, n_batches, pad_tokens,
+        |       naive_pad_total, bucketed_pad_total,
+        |       (naive_pad_total - bucketed_pad_total) * 10000
+        |         // greatest(naive_pad_total, 1) AS savings_bp
+        |FROM pb, nw, bt ORDER BY bucket""".stripMargin,
+
     "q_quality_score" ->
       """WITH f AS (
         |  SELECT doc_id, n_chars,

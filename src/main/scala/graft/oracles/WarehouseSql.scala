@@ -126,6 +126,38 @@ object WarehouseSql {
         |ORDER BY lsn, o_orderkey, op""".stripMargin
     },
 
+    // round-13: sys.sp_cdc_get_net_changes — first vs last snapshot, one
+    // row per key, net mask codes 1=delete 2=insert 4=update (new image);
+    // mid-history insert-then-delete keys net to nothing
+    "q_cdc_net_changes" ->
+      """WITH s1 AS (
+        |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) AS p
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-06-01'),
+        |s3 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderpriority = '2-HIGH'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.1 AS DECIMAL(30,4))
+        |              WHEN o_orderpriority = '1-URGENT'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.05 AS DECIMAL(30,4))
+        |              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END AS p
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |    AND o_orderpriority NOT IN ('3-MEDIUM', '5-LOW')),
+        |d AS (
+        |  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |         CASE WHEN o.o_orderkey IS NULL THEN CAST(2 AS BIGINT)
+        |              WHEN n.o_orderkey IS NULL THEN CAST(1 AS BIGINT)
+        |              WHEN o.p <> n.p THEN CAST(4 AS BIGINT) END AS op,
+        |         CASE WHEN o.o_orderkey IS NULL OR o.p <> n.p
+        |              THEN floor(CAST(n.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |              ELSE floor(CAST(o.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |              END AS price
+        |  FROM s3 n FULL OUTER JOIN s1 o ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, op,
+        |       CASE op WHEN 1 THEN 'delete' WHEN 2 THEN 'insert'
+        |               ELSE 'update' END AS op_name, price
+        |FROM d WHERE op IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_date_dim_generate" ->
       """SELECT CAST(g AS DATE) AS d,
         | CAST(year(CAST(g AS DATE)) AS INT) AS yr,
@@ -157,6 +189,21 @@ object WarehouseSql {
         |WHERE valid_from_us <= 1705276800000000
         |  AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
         |ORDER BY user_id""".stripMargin,
+
+    // round-13: FOR SYSTEM_TIME CONTAINED IN (lo, hi) — versions whose
+    // whole validity lies inside the interval, boundaries INCLUSIVE;
+    // open/current versions are never contained
+    "q_scd2_contained_in" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'signup'),
+        |v AS (SELECT user_id, event_id, ts_us AS valid_from_us,
+        |             lead(ts_us) OVER w AS valid_to_us,
+        |             lead(ts_us) OVER w IS NULL AS is_current
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT * FROM v
+        |WHERE valid_from_us >= 1704067200000000
+        |  AND valid_to_us IS NOT NULL AND valid_to_us <= 1719792000000000
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
 
     // round-13: FOR SYSTEM_TIME FROM lo TO hi — interval overlap with SQL
     // Server's strict boundaries (valid_from < hi AND valid_to > lo)

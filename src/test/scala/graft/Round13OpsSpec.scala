@@ -41,6 +41,68 @@ class Round13OpsSpec extends SparkSpec {
     log.unpersist()
   }
 
+  test("cdcNetChanges: mid-history insert-then-delete keys net to NOTHING " +
+       "(present in the all-changes log twice, absent from net), and net " +
+       "ops carry the right images") {
+    val all = Warehouse.cdcAllChanges(spark, Sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val net = Warehouse.cdcNetChanges(spark, Sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // keys inserted at lsn 1 and deleted at lsn 2 — the 5-LOW widen-in slice
+    val transient = all.filter(col("lsn") === 1L && col("op") === 2L)
+      .select(col("o_orderkey"))
+      .join(all.filter(col("lsn") === 2L && col("op") === 1L)
+              .select(col("o_orderkey")), Seq("o_orderkey"), "left_semi")
+    val nTransient = transient.count()
+    assert(nTransient > 0, "fixture must plant insert-then-delete keys")
+    assert(net.join(transient, Seq("o_orderkey"), "left_semi").count() === 0L,
+      "insert-then-delete keys must net to nothing")
+    val ops = rows(net.select(col("op")).distinct()).map(_.head).toSet
+    assert(ops === Set(1L, 2L, 4L), s"net mask must be {1,2,4}, got $ops")
+    // net ≡ first-vs-last: every net insert key is in v3 but not v1
+    val v1 = Warehouse.cdcSnap(spark, Sf, 0).select(col("o_orderkey"))
+    val ins = net.filter(col("op") === 2L).select(col("o_orderkey"))
+    assert(ins.join(v1, Seq("o_orderkey"), "left_semi").count() === 0L,
+      "a net insert key already existed in the first version")
+    all.unpersist(); net.unpersist()
+  }
+
+  test("scd2ContainedIn: inclusive containment — a version is contained " +
+       "in exactly its own [valid_from, valid_to]; shrinking either bound " +
+       "by 1 us drops it; open versions are never contained") {
+    val v = Warehouse.scd2Versions(spark, Sf)
+      .filter(col("valid_to_us").isNotNull)
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+      .limit(1).collect()(0)
+    val (user, vf, vt) = (v.getLong(0), v.getLong(2), v.getLong(3))
+    def hit(lo: Long, hi: Long): Boolean =
+      Warehouse.scd2ContainedIn(spark, Sf, lo, hi)
+        .filter(col("user_id") === user && col("valid_from_us") === vf)
+        .count() > 0
+    assert(hit(vf, vt), "a version must be contained in its own bounds (inclusive)")
+    assert(!hit(vf + 1, vt), "lo past valid_from must drop the version")
+    assert(!hit(vf, vt - 1), "hi before valid_to must drop the version")
+    // open versions never contained, whatever the interval
+    val open = Warehouse.scd2ContainedIn(spark, Sf, 0L, Long.MaxValue)
+      .filter(col("valid_to_us").isNull).count()
+    assert(open === 0L, "an open version has no end to contain")
+  }
+
+  test("lengthBucketing: bucketed batching covers every doc exactly once " +
+       "and beats naive doc_id-order batching on the fixture") {
+    val out = Text.lengthBucketing(spark, Sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    assertNonDegenerate(out, Seq("bucket", "n_docs", "pad_tokens"))
+    val agg = out.agg(sum(col("n_docs")), min(col("savings_bp")),
+                      min(col("naive_pad_total") - col("bucketed_pad_total")))
+      .collect()(0)
+    val nDocs = graft.util.Tables.t(spark, Sf, "documents").count()
+    assert(agg.getLong(0) === nDocs,
+      s"buckets must partition the corpus: ${agg.getLong(0)} vs $nDocs docs")
+    assert(agg.getLong(2) > 0L, "bucketing must beat naive batching here")
+    out.unpersist()
+  }
+
   test("scd2Between: SQL Server FROM..TO strict boundaries — a version " +
        "starting exactly AT the upper bound is excluded; one closing " +
        "exactly AT the lower bound is excluded") {

@@ -420,7 +420,7 @@ class ScaleInfraSpec extends SparkSpec {
                         // r13: CDC version-history seeding is a run-once
                         // job behind a committedVersions probe; later
                         // calls are manifest listings + a lazy log plan
-                        "q_cdc_all_changes",
+                        "q_cdc_all_changes", "q_cdc_net_changes",
                         // r13: the miner family serves from the persisted
                         // scored candidate stream (build-once jobs on
                         // first call, lazy parquet reads afterwards)
@@ -459,6 +459,7 @@ class ScaleInfraSpec extends SparkSpec {
                           "q_index_delete_served", "q_index_compact",
                           "q_index_expire", "q_ann_rerank_served",
                           "q_ann_filtered_served", "q_cdc_all_changes",
+                          "q_cdc_net_changes",
                           "q_hard_negatives_ivf", "q_knn_label_noise_ivf",
                           "q_hard_negatives_recall", "q_knn_noise_recall")
       (iterative -- mayBeZero).foreach { n =>
