@@ -346,6 +346,68 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming CDC change feed — [[graft.operators.Warehouse.cdcAllChanges]]
+    * as a LIVE tail (the reference's `cdc.fn_cdc_get_all_changes_*` consumer
+    * loop, CDC.sql:1–2 / README.md:375–384, fed by a stream instead of a
+    * polled table): each arriving micro-batch is the FULL new state of a
+    * dimension (a snapshot stream — the shape warehouse CDC connectors
+    * emit); the first batch PRIMES the persisted state with no change rows
+    * (enabling CDC on an existing table emits nothing for existing rows —
+    * SQL Server's rule), and every later batch diffs against the previous
+    * state and appends LSN-ordered change rows with the `__$operation`
+    * codes (1=delete, 2=insert, 3=update-old, 4=update-new; updates emit
+    * BOTH images). StreamingSpec replays the three [[graft.operators
+    * .Warehouse.cdcSnap]] versions through the feed and asserts the
+    * accumulated change log EQUALS the batch `cdcAllChanges` output —
+    * stream ≡ batch, the mergeStreamToSnapshot discipline.
+    *
+    * Scale: per micro-batch cost is ONE keyed full-outer join of two
+    * change-bounded dimension snapshots (never fact-bounded); the feed
+    * sink is append-only versioned parquet, replay-idempotent per batch id.
+    */
+  def cdcChangeFeed(snapshots: DataFrame, feedDir: String,
+                    key: String, valueCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshots.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val stateDir = s"$feedDir/state"
+        val p = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val nPrior =
+          if (fs.exists(p))
+            fs.listStatus(p).count(s => s.isDirectory &&
+                                        s.getPath.getName.startsWith("v"))
+          else 0
+        if (nPrior > 0) {
+          val prev = latestSnapshot(spark, stateDir, batch.schema)
+          val ao = prev.select(col(key), col(valueCol).as("pa"),
+                               lit(1).as("ina"))
+          val bo = batch.toDF().select(col(key), col(valueCol).as("pb"),
+                                       lit(1).as("inb"))
+          val changes = bo.join(ao, Seq(key), "full_outer")
+            .select(col(key),
+              when(col("ina").isNull,
+                   array(struct(lit(2L).as("op"), col("pb").as("img"))))
+              .when(col("inb").isNull,
+                   array(struct(lit(1L).as("op"), col("pa").as("img"))))
+              .when(col("pa") =!= col("pb"),
+                   array(struct(lit(3L).as("op"), col("pa").as("img")),
+                         struct(lit(4L).as("op"), col("pb").as("img"))))
+              .otherwise(lit(null)).as("ops"))
+            .select(lit(nPrior.toLong).as("lsn"), col(key),
+                    explode(col("ops")).as("o"))
+            .select(col("lsn"), col(key), col("o.op").as("op"),
+                    col("o.img").as("img"))
+          changes.write.mode("overwrite")
+            .parquet(f"$feedDir/changes/v$id%05d")
+        }
+        batch.toDF().write.mode("overwrite").parquet(f"$stateDir/v$id%05d")
+        ()
+      }
+      .start()
+
   /** Highest version under `baseDir`, or an empty frame of `schema` before
     * the first commit. Version dirs are zero-padded so lexicographic max ==
     * numeric max — one cheap listing, no manifest needed.

@@ -863,4 +863,42 @@ class StreamingSpec extends SparkSpec {
     assert(servedCompacted.toSet === servedUnion.toSet,
       "compaction changed the served answer — the lifecycle is not continuous")
   }
+
+  test("cdcChangeFeed: tailing the three dimension versions through the " +
+       "stream accumulates EXACTLY the batch cdcAllChanges log (first " +
+       "batch primes state, no change rows)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Warehouse
+    import graft.util.Tables.r4
+    val feed = java.nio.file.Files.createTempDirectory("cdcfeed").toString
+    def snapRows(v: Int): Seq[(Long, BigDecimal, String)] =
+      rows(Warehouse.cdcSnap(spark, Sf, v)).map(r =>
+        (r.head.asInstanceOf[Long],
+         BigDecimal(r(1).asInstanceOf[java.math.BigDecimal]),
+         r(2).asInstanceOf[String]))
+    val mem = MemoryStream[(Long, BigDecimal, String)]
+    val q = StreamOps.cdcChangeFeed(
+      mem.toDF().toDF("o_orderkey", "p", "o_orderpriority"),
+      feed, "o_orderkey", "p")
+    (0 to 2).foreach { v =>
+      mem.addData(snapRows(v): _*); q.processAllAvailable()
+    }
+    q.stop()
+    // batch 0 primed: no changes dir for v00000
+    val fs = new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$feed/changes/v00000")),
+      "the priming batch must emit no change rows")
+    val streamed = rows(
+      spark.read.parquet(s"$feed/changes/v00001", s"$feed/changes/v00002")
+        .select(col("lsn"), col("o_orderkey"), col("op"),
+                r4(col("img").cast("double")).as("price"))).toSet
+    val batch = rows(
+      Warehouse.cdcAllChanges(spark, Sf)
+        .select(col("lsn"), col("o_orderkey"), col("op"), col("price"))).toSet
+    assert(streamed === batch,
+      s"stream feed != batch log (${streamed.size} vs ${batch.size} rows)")
+    assert(streamed.nonEmpty)
+  }
 }
