@@ -701,7 +701,6 @@ object Ivf {
     */
   def ivfPqRecall(spark: SparkSession, sfDir: String, nLists: Int = 16,
                   nprobe: Int = 4, codes: Int = 8, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
     // exact truth by the ·10⁶ integer cosine (the brute-force yardstick)
@@ -714,12 +713,13 @@ object Ivf {
     val cos = r4(call_function("dot_q", col("qv"), col("pq")).cast("double") /
                  (sqrt(col("n2").cast("double")) *
                   sqrt(col("pn2").cast("double"))))
+    // truth = TakeOrdered top-k (k rows per partition travel) — never a
+    // global-window rank of the corpus-sized cosine frame
     val truth = v6.crossJoin(broadcast(probe6))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), cos.as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rk") <= k)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
       .select(col("vec_id"))
     val got = annIvfPq(spark, sfDir, nLists, nprobe, codes, k)
       .select(col("vec_id"))

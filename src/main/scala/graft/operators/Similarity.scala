@@ -943,16 +943,20 @@ object Similarity {
     * recall, F1 as single divisions of exact counts at each cut.
     */
   def prCurve(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = centroidScores(spark, sfDir)
       .filter(col("label_c") === 0)
       .select(col("vec_id"), (col("label") === 0).cast("long").as("is_pos"),
               col("score"))
-    val w = Window.orderBy(col("score").desc, col("vec_id").asc)
-    val cum = scored
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cum_pos", sum(col("is_pos")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // global rank + running positives via the two-phase PrefixSum scan —
+    // the single-reducer `Window.orderBy(score)` over the corpus-sized
+    // scored frame was the r13-verdict scale-killer; rank = exclusive
+    // count-prefix + 1, cum_pos = exclusive pos-prefix + own is_pos
+    val ord = Seq(col("score").desc, col("vec_id").asc)
+    val cum = graft.util.PrefixSum.exclusiveCols(
+        graft.util.PrefixSum.exclusiveCols(scored, ord, lit(1L), "rk0"),
+        ord, col("is_pos"), "cp0")
+      .withColumn("rk", col("rk0") + 1L)
+      .withColumn("cum_pos", col("cp0") + col("is_pos"))
     val tot = scored.agg(count(lit(1)).as("n"),
                          sum(col("is_pos")).as("np"))
     // the k-th decile cut = the row ranked ⌊k·n/10⌋, via an explicit
@@ -990,11 +994,12 @@ object Similarity {
     */
   def rrfFusion(spark: SparkSession, sfDir: String, legK: Int = 50,
                 k: Int = 10, kRrf: Int = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lex = Text.bm25Scores(spark, sfDir)
-      .withColumn("lex_rank", row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
-      .filter(col("lex_rank") <= legK)
+    // legs are TakeOrdered top-legK with the rank computed over the
+    // legK-row result (graft.util.Ranked) — never a global-window rank of
+    // the corpus-sized scored frame (the r13-verdict scale-killer class)
+    val lex = graft.util.Ranked.topkRanked(
+        Text.bm25Scores(spark, sfDir), legK, "lex_rank",
+        col("bm25").desc, col("doc_id").asc)
       .select(col("doc_id").as("id"), col("lex_rank"))
     val v = labeledQuantized(spark, sfDir)
     val probe = v.filter(col("vec_id") === 0)
@@ -1002,12 +1007,11 @@ object Similarity {
     val cos = r4(call_function("dot_q", col("qv"), col("pq")).cast("double") /
                  (sqrt(col("n2").cast("double")) *
                   sqrt(col("pn2").cast("double"))))
-    val dense = v.crossJoin(broadcast(probe))
-      .filter(col("vec_id") =!= 0)
-      .select(col("vec_id").as("id"), cos.as("cos"))
-      .withColumn("dense_rank", row_number().over(
-        Window.orderBy(col("cos").desc, col("id").asc)))
-      .filter(col("dense_rank") <= legK)
+    val dense = graft.util.Ranked.topkRanked(
+        v.crossJoin(broadcast(probe))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("id"), cos.as("cos")),
+        legK, "dense_rank", col("cos").desc, col("id").asc)
       .select(col("id"), col("dense_rank"))
     val rrf = coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
               coalesce(lit(1.0) / (lit(kRrf) + col("dense_rank")), lit(0.0))
@@ -1169,10 +1173,11 @@ object Similarity {
   def balancedInterleave(spark: SparkSession, sfDir: String,
                          legK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lex = Text.bm25Scores(spark, sfDir)
-      .withColumn("ra", row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
-      .filter(col("ra") <= legK)
+    // TakeOrdered legs + rank over the legK-row result (util.Ranked) —
+    // the slot window below then orders a ≤2·legK-row joined frame
+    val lex = graft.util.Ranked.topkRanked(
+        Text.bm25Scores(spark, sfDir), legK, "ra",
+        col("bm25").desc, col("doc_id").asc)
       .select(col("doc_id").as("id"), col("ra"))
     val v = labeledQuantized(spark, sfDir)
     val probe = v.filter(col("vec_id") === 0)
@@ -1180,12 +1185,11 @@ object Similarity {
     val cos = r4(call_function("dot_q", col("qv"), col("pq")).cast("double") /
                  (sqrt(col("n2").cast("double")) *
                   sqrt(col("pn2").cast("double"))))
-    val dense = v.crossJoin(broadcast(probe))
-      .filter(col("vec_id") =!= 0)
-      .select(col("vec_id").as("id"), cos.as("cos"))
-      .withColumn("rb", row_number().over(
-        Window.orderBy(col("cos").desc, col("id").asc)))
-      .filter(col("rb") <= legK)
+    val dense = graft.util.Ranked.topkRanked(
+        v.crossJoin(broadcast(probe))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("id"), cos.as("cos")),
+        legK, "rb", col("cos").desc, col("id").asc)
       .select(col("id"), col("rb"))
     val both = lex.join(dense, Seq("id"), "full_outer")
       .select(col("id"),
@@ -1285,23 +1289,22 @@ object Similarity {
       .select(col("doc_id").as("id"),
               when(relLexCol, 1L).otherwise(0L).as("g_lex"))
     val v = labeledQuantized(spark, sfDir)
-    val lex = Text.bm25Scores(spark, sfDir)
-      .filter(col("doc_id") =!= 0)
-      .withColumn("ra", row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
-      .filter(col("ra") <= legK)
+    // TakeOrdered legs + rank over the legK-row result (util.Ranked); the
+    // fused window below orders a join of the two bounded legs
+    val lex = graft.util.Ranked.topkRanked(
+        Text.bm25Scores(spark, sfDir).filter(col("doc_id") =!= 0),
+        legK, "ra", col("bm25").desc, col("doc_id").asc)
       .select(col("doc_id").as("id"), col("ra"))
     val probe = v.filter(col("vec_id") === 0)
       .select(col("qv").as("pq"), col("n2").as("pn2")).limit(1)
     val cos = r4(call_function("dot_q", col("qv"), col("pq")).cast("double") /
                  (sqrt(col("n2").cast("double")) *
                   sqrt(col("pn2").cast("double"))))
-    val dense = v.crossJoin(broadcast(probe))
-      .filter(col("vec_id") =!= 0)
-      .select(col("vec_id").as("id"), cos.as("cos"))
-      .withColumn("rb", row_number().over(
-        Window.orderBy(col("cos").desc, col("id").asc)))
-      .filter(col("rb") <= legK)
+    val dense = graft.util.Ranked.topkRanked(
+        v.crossJoin(broadcast(probe))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("id"), cos.as("cos")),
+        legK, "rb", col("cos").desc, col("id").asc)
       .select(col("id"), col("rb"))
     // semantic truth = the exact dense top-legK itself (the ranking the
     // dense leg serves IS the full-precision semantic ground truth)

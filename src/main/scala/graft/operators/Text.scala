@@ -745,20 +745,33 @@ object Text {
     * zero. One hash-agg to a ≤|langs|-row frame; driver-trivial after
     * the scan at any corpus.
     */
-  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
-    val counts = docs(spark, sfDir)
-      .select(col("lang"),
-              size(split(col("text"), " ")).cast("long").as("toks"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame =
+    mixTemperatureOf(
+      docs(spark, sfDir)
+        .select(col("lang"),
+                size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens")))
+
+  /** [[mixTemperature]]'s arithmetic over a pre-aggregated (lang, n_docs,
+    * tokens) frame — factored out so the ultra-tail reduction boundary is
+    * testable on a synthetic corpus where `tokens < red` (the r13 ADVICE
+    * fixture: at real corpus sizes red = total div 10⁶ > 1, and a language
+    * below red tokens must keep a nonzero temperature weight). The reduced
+    * count is floored at 1 — `greatest(tokens div red, 1)` — in BOTH the
+    * Spark plan and the DuckDB oracle, so sub-red tail languages (the ones
+    * temperature mixing exists to up-weight) never silently zero out.
+    */
+  private[graft] def mixTemperatureOf(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("tokens")).as("total"))
     val scaled = counts.crossJoin(broadcast(tot))
       .withColumn("red", expr("greatest(1, total div 1000000)"))
       .select(col("lang"), col("n_docs"), col("tokens"),
-              expr("(tokens div red) * 10000 div (total div red)")
+              expr("greatest(tokens div red, 1) * 10000 div (total div red)")
                 .as("share_bp"),
               floor(sqrt(
-                expr("(tokens div red) * 1000000000000 div (total div red)")
+                expr("greatest(tokens div red, 1) * 1000000000000 " +
+                     "div (total div red)")
                   .cast("double"))).cast("long").as("s"))
     val sTot = scaled.agg(sum(col("s")).as("s_total"))
     ordered(
@@ -1853,16 +1866,16 @@ object Text {
     * hash-agg for R.
     */
   def ndcgAt(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val terms = Seq("join", "hash", "scan")
     val relCol = terms.map(t =>
       size(filter(split(lower(col("text")), " "), x => x === lit(t))) >= 3)
       .reduce(_ && _)
     val rel = docs(spark, sfDir).select(col("doc_id"), relCol.as("relevant"))
     val totalRel = rel.agg(sum(when(col("relevant"), 1L).otherwise(0L)).as("r"))
-    val ranked = bm25(spark, sfDir, k)
-      .withColumn("i", row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+    // TakeOrdered top-k with the rank over the k-row result (util.Ranked)
+    val ranked = graft.util.Ranked.topkRanked(
+      bm25Scores(spark, sfDir), k, "i",
+      col("bm25").desc, col("doc_id").asc)
     val scored = ranked.join(rel, "doc_id")
       .select(col("i"),
               when(col("relevant"),
@@ -2236,7 +2249,6 @@ object Text {
     */
   def dsirWeights(spark: SparkSession, sfDir: String,
                   topN: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"),
               explode(split(lower(col("text")), " ")).as("w"))
@@ -2257,17 +2269,18 @@ object Text {
                      log((col("cs") + 1).cast("double") /
                          (col("ns") + col("v")).cast("double"))) *
                     lit(1000000.0) + 0.5).cast("long").as("lr_q"))
-    val wRank = Window.orderBy(col("logw").desc, col("doc_id").asc)
+    // top-topN as TakeOrdered + rank over the topN-row result (util.Ranked)
+    // — never a global-window rank of the doc-grain scored frame
+    val scored = tok.join(lm, "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_q")).as("slr"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+              r4(col("slr").cast("double") / 1000000.0).as("logw"))
     ordered(
-      tok.join(lm, "w")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("lr_q")).as("slr"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-                r4(col("slr").cast("double") / 1000000.0).as("logw"))
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter(col("rank") <= topN)
-        .select(col("rank"), col("doc_id"), col("lang"), col("n_tokens"),
-                col("logw")),
+      graft.util.Ranked.topkRanked(scored, topN, "rank0",
+                                   col("logw").desc, col("doc_id").asc)
+        .select(col("rank0").cast("long").as("rank"), col("doc_id"),
+                col("lang"), col("n_tokens"), col("logw")),
       "rank")
   }
 

@@ -83,8 +83,8 @@ object TextSql {
         |             greatest(1, CAST(sum(tokens) AS BIGINT) // 1000000)
         |               AS red FROM c),
         |s AS (SELECT lang, n_docs, tokens,
-        |    (tokens // red) * 10000 // (total // red) AS share_bp,
-        |    CAST(floor(sqrt(CAST((tokens // red) * 1000000000000
+        |    greatest(tokens // red, 1) * 10000 // (total // red) AS share_bp,
+        |    CAST(floor(sqrt(CAST(greatest(tokens // red, 1) * 1000000000000
         |                         // (total // red) AS DOUBLE)))
         |         AS BIGINT) AS s
         |  FROM c, t),

@@ -371,42 +371,60 @@ object StreamOps {
     snapshots.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val spark = batch.sparkSession
-        val stateDir = s"$feedDir/state"
-        val p = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val nPrior =
-          if (fs.exists(p))
-            fs.listStatus(p).count(s => s.isDirectory &&
-                                        s.getPath.getName.startsWith("v"))
-          else 0
-        if (nPrior > 0) {
-          val prev = latestSnapshot(spark, stateDir, batch.schema)
-          val ao = prev.select(col(key), col(valueCol).as("pa"),
-                               lit(1).as("ina"))
-          val bo = batch.toDF().select(col(key), col(valueCol).as("pb"),
-                                       lit(1).as("inb"))
-          val changes = bo.join(ao, Seq(key), "full_outer")
-            .select(col(key),
-              when(col("ina").isNull,
-                   array(struct(lit(2L).as("op"), col("pb").as("img"))))
-              .when(col("inb").isNull,
-                   array(struct(lit(1L).as("op"), col("pa").as("img"))))
-              .when(col("pa") =!= col("pb"),
-                   array(struct(lit(3L).as("op"), col("pa").as("img")),
-                         struct(lit(4L).as("op"), col("pb").as("img"))))
-              .otherwise(lit(null)).as("ops"))
-            .select(lit(nPrior.toLong).as("lsn"), col(key),
-                    explode(col("ops")).as("o"))
-            .select(col("lsn"), col(key), col("o.op").as("op"),
-                    col("o.img").as("img"))
-          changes.write.mode("overwrite")
-            .parquet(f"$feedDir/changes/v$id%05d")
-        }
-        batch.toDF().write.mode("overwrite").parquet(f"$stateDir/v$id%05d")
-        ()
+        cdcFeedBatch(batch.toDF(), id, feedDir, key, valueCol)
       }
       .start()
+
+  /** One micro-batch of [[cdcChangeFeed]], factored out so the replay
+    * contract is directly testable: prev = the latest state version
+    * STRICTLY BELOW this batch id — a redelivered batch (state/vN written,
+    * checkpoint not yet committed) must diff against the same predecessor
+    * it saw the first time, never against the state it already wrote
+    * itself (which would overwrite changes/vN with an empty diff and
+    * silently lose that LSN's rows). The LSN is the batch id, not a
+    * state-dir count that could drift from the changes/v$id file name.
+    * StreamingSpec redelivers a batch after its state write and asserts
+    * changes/vN is byte-identical.
+    */
+  def cdcFeedBatch(batch: DataFrame, id: Long, feedDir: String,
+                   key: String, valueCol: String): Unit = {
+    val spark = batch.sparkSession
+    val stateDir = s"$feedDir/state"
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(p))
+        fs.listStatus(p)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+          .map(_.getPath.getName.drop(1).toLong).filter(_ < id)
+      else Array.empty[Long]
+    if (prior.nonEmpty) {
+      val prev = spark.read.schema(batch.schema)
+        .parquet(f"$stateDir/v${prior.max}%05d")
+      val ao = prev.select(col(key), col(valueCol).as("pa"),
+                           lit(1).as("ina"))
+      val bo = batch.select(col(key), col(valueCol).as("pb"),
+                            lit(1).as("inb"))
+      val changes = bo.join(ao, Seq(key), "full_outer")
+        .select(col(key),
+          when(col("ina").isNull,
+               array(struct(lit(2L).as("op"), col("pb").as("img"))))
+          .when(col("inb").isNull,
+               array(struct(lit(1L).as("op"), col("pa").as("img"))))
+          .when(col("pa") =!= col("pb"),
+               array(struct(lit(3L).as("op"), col("pa").as("img")),
+                     struct(lit(4L).as("op"), col("pb").as("img"))))
+          .otherwise(lit(null)).as("ops"))
+        .select(lit(id).as("lsn"), col(key),
+                explode(col("ops")).as("o"))
+        .select(col("lsn"), col(key), col("o.op").as("op"),
+                col("o.img").as("img"))
+      changes.write.mode("overwrite")
+        .parquet(f"$feedDir/changes/v$id%05d")
+    }
+    batch.write.mode("overwrite").parquet(f"$stateDir/v$id%05d")
+    ()
+  }
 
   /** Highest version under `baseDir`, or an empty frame of `schema` before
     * the first commit. Version dirs are zero-padded so lexicographic max ==

@@ -901,4 +901,38 @@ class StreamingSpec extends SparkSpec {
       s"stream feed != batch log (${streamed.size} vs ${batch.size} rows)")
     assert(streamed.nonEmpty)
   }
+
+  test("cdcFeedBatch: redelivering a batch AFTER its state write " +
+       "regenerates the same change rows, never an empty diff (r13 " +
+       "ADVICE: crash between state write and checkpoint commit)") {
+    import graft.operators.Warehouse
+    import graft.streaming.StreamOps
+    val feed = java.nio.file.Files.createTempDirectory("cdcredeliver").toString
+    def snap(v: Int) = Warehouse.cdcSnap(spark, Sf, v)
+      .select(col("o_orderkey"), col("p"))
+    // normal delivery: batch 0 primes, batch 1 diffs against state/v00000
+    StreamOps.cdcFeedBatch(snap(0), 0L, feed, "o_orderkey", "p")
+    StreamOps.cdcFeedBatch(snap(1), 1L, feed, "o_orderkey", "p")
+    val first = rows(spark.read.parquet(s"$feed/changes/v00001")
+                       .select(col("lsn"), col("o_orderkey"), col("op"))).toSet
+    assert(first.nonEmpty, "fixture produced no v1 changes")
+    // crash scenario: state/v00001 exists, checkpoint did not commit —
+    // the engine REDELIVERS batch 1. The old dir-count logic diffed the
+    // batch against its own state (empty diff) and wiped changes/v00001.
+    StreamOps.cdcFeedBatch(snap(1), 1L, feed, "o_orderkey", "p")
+    val replayed = rows(spark.read.parquet(s"$feed/changes/v00001")
+                          .select(col("lsn"), col("o_orderkey"), col("op"))).toSet
+    assert(replayed === first,
+      "redelivered batch rewrote its change log with different rows")
+    // and the next batch is unaffected by the replay
+    StreamOps.cdcFeedBatch(snap(2), 2L, feed, "o_orderkey", "p")
+    val all = rows(
+      spark.read.parquet(s"$feed/changes/v00001", s"$feed/changes/v00002")
+        .select(col("lsn"), col("o_orderkey"), col("op"),
+                graft.util.Tables.r4(col("img").cast("double")).as("price"))).toSet
+    val batchLog = rows(
+      Warehouse.cdcAllChanges(spark, Sf)
+        .select(col("lsn"), col("o_orderkey"), col("op"), col("price"))).toSet
+    assert(all === batchLog, "post-replay feed diverged from the batch log")
+  }
 }
