@@ -43,6 +43,17 @@ object Decade {
         // are (probes × nprobe × codes)-bounded, so wall(256)/wall(8)
         // should sit far below 32×
         Ivf.annIvfPqServed(spark, sfDir, 16, 4, 8, args(2).toInt, 10)
+      case "served_batch_adaptive" => // args: nProbes — the same flatness
+        // measurement at the PRODUCTION sizing (r13 verdict item 3): the
+        // q_ann_ivf_adaptive rule nLists = max(4, min(256, ceil(sqrt(n))))
+        // keeps per-cell candidate volume √n-bounded, so per-probe wall
+        // should stay flat across the decade where fixed nLists=16 grew
+        val n = graft.util.Tables.t(spark, sfDir, "embeddings")
+          .select(org.apache.spark.sql.functions.col("vec_id")).count()
+        val nLists = math.max(4L, math.min(256L,
+          math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+        System.err.println(s"[decade] adaptive nLists=$nLists (n=$n)")
+        Ivf.annIvfPqServed(spark, sfDir, nLists, 4, 8, args(2).toInt, 10)
       case other =>
         SparkEntry.queries(other)(spark, sfDir)
     }

@@ -269,11 +269,16 @@ object Warehouse {
     (dim, SnapshotStore.committedVersions(spark, dim).sorted.take(3))
   }
 
-  def cdcAllChanges(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The raw LSN-ordered change log behind [[cdcAllChanges]] — (lsn,
+    * o_orderkey, op, img DECIMAL), unformatted so consumers
+    * ([[cdcIncrementalConsume]]) can apply exact images instead of the
+    * display-rounded price.
+    */
+  private def cdcLogRaw(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.sources.SnapshotStore
     val (dim, vs) = ensureCdcHistory(spark, sfDir)
     val frames = vs.map(v => SnapshotStore.readCommitted(spark, dim, v))
-    val steps = frames.sliding(2).zipWithIndex.map { case (pair, i) =>
+    frames.sliding(2).zipWithIndex.map { case (pair, i) =>
       val (a, b) = (pair.head, pair(1))
       val ao = a.select(col("o_orderkey"), col("p").as("pa"), lit(1).as("ina"))
       val bo = b.select(col("o_orderkey"), col("p").as("pb"), lit(1).as("inb"))
@@ -292,6 +297,10 @@ object Warehouse {
         .select(col("lsn"), col("o_orderkey"), col("o.op").as("op"),
                 col("o.img").as("img"))
     }.reduce(_ unionByName _)
+  }
+
+  def cdcAllChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val steps = cdcLogRaw(spark, sfDir)
     ordered(
       steps.select(col("lsn"), col("o_orderkey"), col("op"),
         when(col("op") === 1L, "delete").when(col("op") === 2L, "insert")
@@ -338,6 +347,81 @@ object Warehouse {
                   .when(col("op") === 2L, "insert")
                   .otherwise("update").as("op_name"),
                 col("price")),
+      "o_orderkey")
+  }
+
+  /** CDC consumer with a persisted LSN bookmark — the reference's
+    * watermark pattern (extract_weather.py:26–28: read MAX(date) from the
+    * target, fetch only rows beyond it) applied to its own change table
+    * (CDC.sql:1–2): a downstream replica consumes [[cdcAllChanges]]'s log
+    * FROM the bookmark, applies the net effect per key, and advances the
+    * bookmark — the incremental-subscriber loop every CDC deployment runs.
+    *
+    * Exactly-once without a transaction across two stores: the replica
+    * snapshot commits BEFORE the bookmark advances, and the application is
+    * a net UPSERT/DELETE of final images — so a crash in the window
+    * between the two commits replays the same (bookmark, latest] slice
+    * onto the already-advanced replica and lands on the identical state
+    * (delete of an absent key and upsert of an equal image are no-ops).
+    * Round14OpsSpec kills the consumer in exactly that window and asserts
+    * the net effect is applied once. The bookmark read is ONE driver
+    * scalar (the watermark-query class, q_watermark_max's shape); the
+    * apply is a keyed aggregate + anti-join/union of change-bounded
+    * frames — never fact-bounded.
+    *
+    * Output: the consumed replica (which must equal the latest dimension
+    * snapshot — the oracle recomputes it directly from `orders`) plus the
+    * consumed LSN on every row.
+    */
+  def cdcIncrementalConsume(spark: SparkSession, sfDir: String,
+                            rootOverride: Option[String] = None,
+                            crashBeforeBookmark: Boolean = false): DataFrame = {
+    import graft.sources.SnapshotStore
+    val (dim, vs) = ensureCdcHistory(spark, sfDir)
+    val root = rootOverride.getOrElse(s"${cdcRoot(sfDir)}/consumer")
+    val replicaDir = s"$root/replica"
+    val bookmarkDir = s"$root/bookmark"
+    // seed: replica = the base snapshot at bookmark 0 (enabling CDC emits
+    // nothing for pre-existing rows — SQL Server's rule)
+    if (SnapshotStore.committedVersions(spark, replicaDir).isEmpty)
+      SnapshotStore.commitSnapshot(
+        SnapshotStore.readCommitted(spark, dim, vs.min)
+          .select(col("o_orderkey"), col("p")), replicaDir)
+    if (SnapshotStore.committedVersions(spark, bookmarkDir).isEmpty)
+      SnapshotStore.commitSnapshot(
+        spark.range(1).select(lit(0L).as("lsn")), bookmarkDir)
+    val b = SnapshotStore.readCommitted(spark, bookmarkDir)
+      .agg(max(col("lsn"))).collect()(0).getLong(0)
+    val latest = (vs.size - 1).toLong
+    if (b < latest) {
+      val delta = cdcLogRaw(spark, sfDir).filter(col("lsn") > b)
+      // net effect per key over the consumed slice: drop update-OLD images,
+      // keep the (lsn, op)-max row — op 1 deletes, 2/4 upsert its image
+      val finals = delta.filter(col("op") =!= 3L)
+        .groupBy(col("o_orderkey"))
+        .agg(max_by(struct(col("op"), col("img")),
+                    struct(col("lsn"), col("op"))).as("f"))
+        .select(col("o_orderkey"), col("f.op").as("op"), col("f.img").as("img"))
+      val replica = SnapshotStore.readCommitted(spark, replicaDir)
+      val next = replica.join(finals, Seq("o_orderkey"), "left_anti")
+        .unionByName(finals.filter(col("op") =!= 1L)
+          .select(col("o_orderkey"), col("img").as("p")))
+      // replica FIRST, bookmark SECOND — the crash window the replay
+      // idempotency argument (and the Round14 spec) covers
+      SnapshotStore.commitSnapshot(next, replicaDir)
+      if (!crashBeforeBookmark)
+        SnapshotStore.commitSnapshot(
+          spark.range(1).select(lit(latest).as("lsn")), bookmarkDir)
+    }
+    // the broadcast side passes through an Aggregate so the 1-row bound is
+    // visible IN THE PLAN (the broadcast-hint sweep's legality rule), not
+    // just true of the bookmark file's content
+    ordered(
+      SnapshotStore.readCommitted(spark, replicaDir)
+        .crossJoin(broadcast(SnapshotStore.readCommitted(spark, bookmarkDir)
+          .agg(max(col("lsn")).as("lsn"))))
+        .select(col("o_orderkey"), r4(col("p").cast("double")).as("price"),
+                col("lsn").as("consumed_lsn")),
       "o_orderkey")
   }
 
@@ -479,6 +563,33 @@ object Warehouse {
         .filter(col("valid_from_us") >= loUs &&
                 col("valid_to_us").isNotNull && col("valid_to_us") <= hiUs),
       "user_id", "valid_from_us", "event_id")
+
+  /** The fourth and last SQL Server temporal predicate — `FOR SYSTEM_TIME
+    * ALL` (README.md:88–91): the row-grain union of the CURRENT table and
+    * the HISTORY table as ONE relation, every version of every key with
+    * its validity interval, which table it came from, and its 1-based
+    * per-key version ordinal. SQL Server serves this by concatenating
+    * dim_city with dim_city_history; here the split is reconstructed from
+    * the [[scd2Versions]] intervals (open valid_to = the current-table
+    * row; closed = history) so the union is total and disjoint —
+    * Round14OpsSpec pins ALL ⊇ AS OF / FROM..TO / CONTAINED IN on the
+    * same fixture. The ordinal window partitions BY KEY (change-bounded
+    * per-key version counts, never a global window); same filtered-scan
+    * scale shape as the other three predicates.
+    */
+  def scd2All(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us").asc, col("event_id").asc)
+    ordered(
+      scd2Versions(spark, sfDir)
+        .withColumn("version_no", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("event_id"), col("valid_from_us"),
+                col("valid_to_us"), col("is_current"), col("version_no"),
+                when(col("is_current"), lit("current")).otherwise(lit("history"))
+                  .as("src_table")),
+      "user_id", "valid_from_us", "event_id")
+  }
 
   /** Temporal alignment of two SCD2 attribute timelines — the query every
     * bitemporal mart needs and plain SQL makes painful: given per-key

@@ -205,6 +205,41 @@ object WarehouseSql {
         |  AND valid_to_us IS NOT NULL AND valid_to_us <= 1719792000000000
         |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
 
+    // round-14: FOR SYSTEM_TIME ALL — every version of every key (current
+    // + history as one relation), per-key version ordinal, source table tag
+    "q_scd2_all" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'signup'),
+        |v AS (SELECT user_id, event_id, ts_us AS valid_from_us,
+        |             lead(ts_us) OVER w AS valid_to_us,
+        |             lead(ts_us) OVER w IS NULL AS is_current,
+        |             CAST(row_number() OVER w AS BIGINT) AS version_no
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, event_id, valid_from_us, valid_to_us, is_current,
+        |       version_no,
+        |       CASE WHEN is_current THEN 'current' ELSE 'history' END
+        |         AS src_table
+        |FROM v
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    // round-14: the CDC bookmark consumer's replica must equal the latest
+    // dimension snapshot (s3 recomputed straight from orders), consumed
+    // LSN = 2 (two change slices applied)
+    "q_cdc_incremental_consume" ->
+      """WITH s3 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderpriority = '2-HIGH'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.1 AS DECIMAL(30,4))
+        |              WHEN o_orderpriority = '1-URGENT'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.05 AS DECIMAL(30,4))
+        |              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END AS p
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |    AND o_orderpriority NOT IN ('3-MEDIUM', '5-LOW'))
+        |SELECT o_orderkey,
+        |       floor(CAST(p AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS price,
+        |       CAST(2 AS BIGINT) AS consumed_lsn
+        |FROM s3 ORDER BY o_orderkey""".stripMargin,
+
     // round-13: FOR SYSTEM_TIME FROM lo TO hi — interval overlap with SQL
     // Server's strict boundaries (valid_from < hi AND valid_to > lo)
     "q_scd2_between" ->

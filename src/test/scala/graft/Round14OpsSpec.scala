@@ -36,6 +36,79 @@ class Round14OpsSpec extends SparkSpec {
     assert(xxBoost > 10000L, "tail boost must exceed parity (10000 bp)")
   }
 
+  test("temporal predicate family is mutually consistent: ALL contains " +
+       "AS OF, FROM..TO and CONTAINED IN row-for-row on the same fixture") {
+    import graft.operators.Warehouse
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select(col("user_id"), col("event_id"),
+                     col("valid_from_us"))).toSet
+    val all = keyed(Warehouse.scd2All(spark, Sf))
+    val asOf = keyed(Warehouse.scd2AsOf(spark, Sf))
+    val between = keyed(Warehouse.scd2Between(spark, Sf))
+    val contained = keyed(Warehouse.scd2ContainedIn(spark, Sf))
+    assert(all === keyed(Warehouse.scd2Versions(spark, Sf)),
+      "ALL must be exactly the full version relation")
+    assert(asOf.subsetOf(all), "AS OF escaped ALL")
+    assert(between.subsetOf(all), "FROM..TO escaped ALL")
+    assert(contained.subsetOf(all), "CONTAINED IN escaped ALL")
+    // CONTAINED IN is the strictest predicate on this interval nesting
+    assert(contained.subsetOf(between) || contained.isEmpty,
+      "a fully-contained version must also overlap the wider interval")
+    assert(asOf.nonEmpty && between.nonEmpty && contained.nonEmpty)
+    // the ordinal is dense 1..n per key and current rows close the chain
+    val byKey = rows(Warehouse.scd2All(spark, Sf)
+        .select(col("user_id"), col("version_no"), col("is_current"),
+                col("src_table")))
+      .groupBy(_.head.asInstanceOf[Long])
+    byKey.foreach { case (uid, vs) =>
+      val ords = vs.map(_(1).asInstanceOf[Long]).sorted
+      assert(ords === (1L to ords.size).toSeq, s"user $uid ordinal gap")
+      val currents = vs.filter(_(2).asInstanceOf[Boolean])
+      assert(currents.size === 1, s"user $uid must have ONE current row")
+      assert(currents.head(3) === "current" &&
+             vs.filterNot(_(2).asInstanceOf[Boolean])
+               .forall(_(3) === "history"),
+        s"user $uid src_table tag disagrees with is_current")
+    }
+  }
+
+  test("cdcIncrementalConsume: a crash between replica commit and " +
+       "bookmark advance replays idempotently — exactly-once net effect") {
+    import graft.operators.Warehouse
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("cdcconsume").toString
+    // cycle 1 CRASHES in the window: replica advanced, bookmark NOT
+    val crashed = rows(Warehouse.cdcIncrementalConsume(
+      spark, Sf, Some(root), crashBeforeBookmark = true))
+    assert(crashed.forall(_(2).asInstanceOf[Long] === 0L),
+      "crashed cycle must still report the UNADVANCED bookmark")
+    val replicaAfterCrash = rows(
+      SnapshotStore.readCommitted(spark, s"$root/replica")
+        .select(col("o_orderkey"), col("p"))).toSet
+    // cycle 2 replays the full (0, 2] slice onto the advanced replica
+    val healed = Warehouse.cdcIncrementalConsume(spark, Sf, Some(root))
+    val healedRows = rows(healed)
+    assert(healedRows.forall(_(2).asInstanceOf[Long] === 2L),
+      "bookmark must advance to the latest LSN after the healing cycle")
+    val replicaHealed = rows(
+      SnapshotStore.readCommitted(spark, s"$root/replica")
+        .select(col("o_orderkey"), col("p"))).toSet
+    assert(replicaHealed === replicaAfterCrash,
+      "replaying the consumed slice changed the replica — apply is not " +
+        "idempotent, net effect would be at-least-once")
+    // and the net state IS the latest dimension snapshot, exactly
+    val want = rows(Warehouse.cdcSnap(spark, Sf, 2)
+      .select(col("o_orderkey"), col("p"))).toSet
+    assert(replicaHealed === want, "consumer replica != latest snapshot")
+    // a third, no-op cycle: bookmark current, nothing re-applied
+    val versionsBefore =
+      SnapshotStore.committedVersions(spark, s"$root/replica").size
+    rows(Warehouse.cdcIncrementalConsume(spark, Sf, Some(root)))
+    assert(SnapshotStore.committedVersions(spark, s"$root/replica").size
+             === versionsBefore,
+      "an up-to-date consumer must not rewrite its replica")
+  }
+
   test("mixTemperature boundary: a language with tokens exactly AT red " +
        "reduces to 1 and agrees with the floored path") {
     import spark.implicits._

@@ -421,6 +421,12 @@ class ScaleInfraSpec extends SparkSpec {
                         // job behind a committedVersions probe; later
                         // calls are manifest listings + a lazy log plan
                         "q_cdc_all_changes", "q_cdc_net_changes",
+                        // r14: the bookmark consumer reads ONE watermark
+                        // scalar per cycle (the reference's own pattern,
+                        // extract_weather.py:26-28) and commits replica/
+                        // bookmark snapshots when behind — consume cycles
+                        // ARE jobs by design
+                        "q_cdc_incremental_consume",
                         // r13: the miner family serves from the persisted
                         // scored candidate stream (build-once jobs on
                         // first call, lazy parquet reads afterwards)
@@ -706,13 +712,12 @@ class ScaleInfraSpec extends SparkSpec {
            plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
-  test("round-13: 256-probe batch through the served IVFPQ index — per-" +
-       "probe cost flatness structure: ADC broadcasts stay bounded by " +
-       "(probes x nprobe x codes), never by the corpus, and the corpus " +
-       "side never sort-merge-joins") {
+  // shared by the fixed-width (r13) and adaptive-width (r14) probe-batch
+  // flatness assertions below
+  private def assertServedBatchBounded(nLists: Int): Unit = {
     import graft.operators.Ivf
     val nProbes = 256
-    val df = Ivf.annIvfPqServed(spark, Sf, 16, 4, 8, nProbes, 10)
+    val df = Ivf.annIvfPqServed(spark, Sf, nLists, 4, 8, nProbes, 10)
     val plan = df.queryExecution.executedPlan.toString
     // all four per-subspace ADC lookups ride BroadcastHashJoins keyed on
     // code_s; a SortMergeJoin anywhere means a corpus-sized shuffle
@@ -736,6 +741,22 @@ class ScaleInfraSpec extends SparkSpec {
       s"batch incomplete: ${out.getLong(0)} of $nProbes probes returned")
     assert(out.getLong(2) <= 10L, "a probe exceeded k rows")
     assert(out.getLong(1) >= 1L, "a probe returned nothing")
+  }
+
+  test("round-13: 256-probe batch through the served IVFPQ index — per-" +
+       "probe cost flatness structure: ADC broadcasts stay bounded by " +
+       "(probes x nprobe x codes), never by the corpus, and the corpus " +
+       "side never sort-merge-joins") {
+    assertServedBatchBounded(nLists = 16)
+  }
+
+  test("round-14: the same probe-batch bound holds at the ADAPTIVE index " +
+       "width (nLists = ceil(sqrt(n)), the q_ann_ivf_adaptive production " +
+       "sizing — the width the decade flatness measurement runs at)") {
+    val n = graft.util.Tables.t(spark, Sf, "embeddings").count()
+    val adaptive = math.max(4L, math.min(256L,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    assertServedBatchBounded(nLists = adaptive)
   }
 
   test("no registry query feeds an unbounded frame through an " +
