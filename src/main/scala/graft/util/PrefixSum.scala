@@ -88,7 +88,8 @@ object PrefixSum {
     */
   def exclusiveCols(df: DataFrame, orderCols: Seq[Column], value: Column,
                     outCol: String, numParts: Int = 32): DataFrame =
-    exclusiveColsTotal(df, orderCols, value, outCol, null, numParts)
+    exclusiveColsMulti(df, orderCols, Seq(outCol -> value),
+                       Map.empty, numParts)
 
   /** [[exclusiveCols]] that ALSO attaches the grand total Σvalue as
     * `totalCol` (skipped when null) — free: the per-bucket offsets frame
@@ -98,29 +99,56 @@ object PrefixSum {
     */
   def exclusiveColsTotal(df: DataFrame, orderCols: Seq[Column], value: Column,
                          outCol: String, totalCol: String,
+                         numParts: Int = 32): DataFrame =
+    exclusiveColsMulti(df, orderCols, Seq(outCol -> value),
+      if (totalCol == null) Map.empty else Map(outCol -> totalCol), numParts)
+
+  /** N exclusive prefixes over ONE shared two-phase scan — one bucketing
+    * pass, one local window, one per-bucket offsets frame — instead of N
+    * chained [[exclusiveCols]] calls each paying the full machinery
+    * (bucket-stats broadcast + local-window shuffle + offsets aggregate;
+    * measured 2× the wall for q_pr_curve's rank + running-positive pair).
+    * `values` maps output column name → value expression; `totals`
+    * optionally attaches a value's grand total under the given name
+    * (free from the offsets frame, the [[exclusiveColsTotal]] rationale).
+    */
+  def exclusiveColsMulti(df: DataFrame, orderCols: Seq[Column],
+                         values: Seq[(String, Column)],
+                         totals: Map[String, String] = Map.empty,
                          numParts: Int = 32): DataFrame = {
-    val withVal = df.withColumn("_psv", value)
+    val slots = values.zipWithIndex.map { case ((out, v), i) =>
+      (out, v, s"_psv$i")
+    }
+    val withVal = slots.foldLeft(df) { case (d, (_, v, tmp)) =>
+      d.withColumn(tmp, v)
+    }
     val parted = withPid(withVal, orderCols, numParts)
     val localW = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("_local_cum", sum(col("_psv")).over(localW))
+    val local = slots.foldLeft(parted) { case (d, (_, _, tmp)) =>
+      d.withColumn(s"_lc$tmp", sum(col(tmp)).over(localW))
+    }
     // one row per bucket: the tiny frame where global windows are fine
-    val offsets0 = parted.groupBy(col("_pid"))
-      .agg(sum(col("_psv")).as("_part_total"))
-      .withColumn("_offset",
-        coalesce(sum(col("_part_total")).over(
-          Window.orderBy(col("_pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val offsets =
-      if (totalCol == null) offsets0.select(col("_pid"), col("_offset"))
-      else offsets0
-        .withColumn(totalCol, sum(col("_part_total")).over(
-          Window.orderBy(col("_pid")).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select(col("_pid"), col("_offset"), col(totalCol))
-    local.join(broadcast(offsets), "_pid")
-      .withColumn(outCol, col("_offset") + col("_local_cum") - col("_psv"))
-      .drop("_pid", "_psv", "_local_cum", "_offset")
+    val partAggs = slots.map { case (_, _, tmp) =>
+      sum(col(tmp)).as(s"_pt$tmp")
+    }
+    val offBase = parted.groupBy(col("_pid"))
+      .agg(partAggs.head, partAggs.tail: _*)
+    val wPrev = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = slots.foldLeft(offBase) { case (d, (out, _, tmp)) =>
+      val withOff = d.withColumn(s"_off$tmp",
+        coalesce(sum(col(s"_pt$tmp")).over(wPrev), lit(0L)))
+      totals.get(out).fold(withOff)(tc =>
+        withOff.withColumn(tc, sum(col(s"_pt$tmp")).over(wAll)))
+    }.drop(slots.map { case (_, _, tmp) => s"_pt$tmp" }: _*)
+    val joined = local.join(broadcast(offsets), "_pid")
+    slots.foldLeft(joined) { case (d, (out, _, tmp)) =>
+      d.withColumn(out, col(s"_off$tmp") + col(s"_lc$tmp") - col(tmp))
+        .drop(tmp, s"_lc$tmp", s"_off$tmp")
+    }.drop("_pid")
   }
 
   /** Exclusive prefix MAX over a global ordering — the running-max scan
