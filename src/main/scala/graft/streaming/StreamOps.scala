@@ -426,6 +426,68 @@ object StreamOps {
     ()
   }
 
+  /** Streaming CDC CONSUMER — the live twin of [[graft.operators
+    * .Warehouse.cdcIncrementalConsume]] (round 14; completes the CDC
+    * story: capture batch+stream, log all/net, consumer batch+stream):
+    * a stream of `__$operation` change rows (lsn, key, op, img — the
+    * [[cdcChangeFeed]] output shape) applies to a persisted replica
+    * snapshot, one micro-batch at a time. Per batch: drop update-OLD
+    * images, net per key by (lsn, op)-max, delete op-1 keys, upsert 2/4
+    * final images — then commit the replica BEFORE advancing the applied-
+    * batch bookmark, the batch consumer's crash-window order.
+    *
+    * Exactly-once: Structured Streaming redelivers only the latest
+    * uncommitted batch, so a replayed id re-applies ITS OWN slice onto
+    * the already-advanced replica — a no-op by the net-apply idempotency
+    * argument (delete of an absent key / upsert of an equal image);
+    * batches at or below the bookmark are skipped outright. StreamingSpec
+    * drives the three dimension versions through feed → consumer and
+    * asserts the streamed replica EQUALS the batch consumer's, plus the
+    * direct-redelivery fixture.
+    */
+  def cdcConsumeStream(changes: DataFrame, consumerRoot: String,
+                       key: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        cdcApplyBatch(batch.toDF(), id, consumerRoot, key)
+      }
+      .start()
+
+  /** One micro-batch of [[cdcConsumeStream]], factored out so the replay
+    * contract is directly testable (the [[cdcFeedBatch]] pattern).
+    */
+  def cdcApplyBatch(batch: DataFrame, id: Long, consumerRoot: String,
+                    key: String): Unit = {
+    import graft.sources.SnapshotStore
+    val spark = batch.sparkSession
+    val replicaDir = s"$consumerRoot/replica"
+    val bookDir = s"$consumerRoot/bookmark"
+    val applied = SnapshotStore.committedVersions(spark, bookDir)
+      .lastOption.map { _ =>
+        SnapshotStore.readCommitted(spark, bookDir)
+          .agg(max(col("batch_id"))).collect()(0).getLong(0)
+      }.getOrElse(-1L)
+    // only the latest uncommitted batch can be redelivered; anything at or
+    // below the bookmark is a stale replay — skip, never re-apply old images
+    if (id <= applied) return
+    val finals = batch.filter(col("op") =!= 3L)
+      .groupBy(col(key))
+      .agg(max_by(struct(col("op"), col("img")),
+                  struct(col("lsn"), col("op"))).as("f"))
+      .select(col(key), col("f.op").as("op"), col("f.img").as("img"))
+    val replica = SnapshotStore.readCommitted(spark, replicaDir)
+    val next = replica.join(finals, Seq(key), "left_anti")
+      .unionByName(finals.filter(col("op") =!= 1L)
+        .select(col(key), col("img").as("p")))
+    // replica FIRST, bookmark SECOND — the crash window idempotency covers
+    SnapshotStore.commitSnapshot(next, replicaDir)
+    SnapshotStore.commitSnapshot(
+      spark.range(1).select(lit(id).as("batch_id")), bookDir)
+    ()
+  }
+
   /** Highest version under `baseDir`, or an empty frame of `schema` before
     * the first commit. Version dirs are zero-padded so lexicographic max ==
     * numeric max — one cheap listing, no manifest needed.

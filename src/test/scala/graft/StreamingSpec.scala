@@ -935,4 +935,70 @@ class StreamingSpec extends SparkSpec {
         .select(col("lsn"), col("o_orderkey"), col("op"), col("price"))).toSet
     assert(all === batchLog, "post-replay feed diverged from the batch log")
   }
+
+  test("cdcConsumeStream: the feed's change files stream into a replica " +
+       "that lands EXACTLY on the latest snapshot; a redelivered batch " +
+       "re-applies idempotently and a stale batch is skipped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Warehouse
+    import graft.streaming.StreamOps
+    import graft.sources.SnapshotStore
+    val feed = java.nio.file.Files.createTempDirectory("cdcfc").toString
+    def snap(v: Int) = Warehouse.cdcSnap(spark, Sf, v)
+      .select(col("o_orderkey"), col("p"))
+    (0 to 2).foreach(v => StreamOps.cdcFeedBatch(
+      snap(v), v.toLong, feed, "o_orderkey", "p"))
+    // consumer seeds its replica from the base snapshot (enable-on-existing
+    // emits nothing) and TAILS the feed's change files as a stream
+    val root = java.nio.file.Files.createTempDirectory("cdccons").toString
+    SnapshotStore.commitSnapshot(snap(0), s"$root/replica")
+    val changeSchema = spark.read.parquet(s"$feed/changes/v00001").schema
+    val mem = MemoryStream[(Long, Long, Long, BigDecimal)]
+    val changeStream = mem.toDF()
+      .toDF("lsn", "o_orderkey", "op", "img")
+      .select(col("lsn"), col("o_orderkey"), col("op"),
+              col("img").cast("decimal(30,4)").as("img"))
+    val q = StreamOps.cdcConsumeStream(changeStream, root, "o_orderkey")
+    def changeRows(v: Int): Seq[(Long, Long, Long, BigDecimal)] =
+      rows(spark.read.schema(changeSchema).parquet(f"$feed/changes/v$v%05d"))
+        .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long],
+                   r(2).asInstanceOf[Long],
+                   BigDecimal(r(3).asInstanceOf[java.math.BigDecimal])))
+    Seq(1, 2).foreach { v =>
+      mem.addData(changeRows(v): _*); q.processAllAvailable()
+    }
+    q.stop()
+    def replicaNow() = rows(
+      SnapshotStore.readCommitted(spark, s"$root/replica")
+        .select(col("o_orderkey"), col("p"))).toSet
+    val streamed = replicaNow()
+    assert(streamed === rows(snap(2)).toSet,
+      "streamed replica != latest snapshot")
+    // and it EQUALS the batch consumer's replica on the same history
+    val batchReplica = rows(
+      Warehouse.cdcIncrementalConsume(spark, Sf)
+        .select(col("o_orderkey"), col("price"))).map(_.head).toSet
+    assert(streamed.map(_.head) === batchReplica,
+      "stream consumer and batch consumer diverge on the same history")
+    // redelivery of the LATEST batch id (crash between replica commit and
+    // bookmark advance): re-applies, state unchanged
+    val nVersions = SnapshotStore.committedVersions(spark, s"$root/replica").size
+    StreamOps.cdcApplyBatch(
+      spark.read.schema(changeSchema).parquet(s"$feed/changes/v00002")
+        .select(col("lsn"), col("o_orderkey"), col("op"),
+                col("img").cast("decimal(30,4)").as("img")),
+      2L, root, "o_orderkey")
+    assert(replicaNow() === streamed, "redelivered latest batch changed state")
+    // a STALE batch (id below the bookmark) is skipped outright — applying
+    // lsn-1 images now would resurrect values lsn-2 already overwrote
+    StreamOps.cdcApplyBatch(
+      spark.read.schema(changeSchema).parquet(s"$feed/changes/v00001")
+        .select(col("lsn"), col("o_orderkey"), col("op"),
+                col("img").cast("decimal(30,4)").as("img")),
+      1L, root, "o_orderkey")
+    assert(replicaNow() === streamed, "stale batch was re-applied")
+    assert(SnapshotStore.committedVersions(spark, s"$root/replica").size
+             >= nVersions, "sanity: version listing readable")
+  }
 }
