@@ -79,7 +79,9 @@ object SparkEntry {
     "q_scd2_between"      -> q(Warehouse.scd2Between(_, _, 1704067200000000L, 1711929600000000L)), // r13: FOR SYSTEM_TIME FROM..TO, strict boundaries
     "q_scd2_contained_in" -> q(Warehouse.scd2ContainedIn(_, _, 1704067200000000L, 1719792000000000L)), // r13: CONTAINED IN — full containment, inclusive bounds, open rows never contained
     "q_scd2_all"          -> q(Warehouse.scd2All), // r14: FOR SYSTEM_TIME ALL — current+history as one relation, per-key version ordinal
+    "q_scd2_retention"    -> q(Warehouse.scd2Retention(_, _)), // r14: HISTORY_RETENTION_PERIOD — age out closed versions past the cutoff, current rows never purged
     "q_cdc_incremental_consume" -> q(Warehouse.cdcIncrementalConsume(_, _)), // r14: bookmark consumer over the CDC log (replica commit before bookmark advance; crash-replay idempotent)
+    "q_cdc_cleanup"       -> q(Warehouse.cdcCleanup(_, _)), // r14: sp_cdc_cleanup_change_table — retention prune of the LSN-partitioned change table, low-water mark clamped at the lagging consumer's bookmark
     "q_late_arriving"     -> q(Warehouse.lateArrivingDim),
     "q_surrogate_key"     -> q(Warehouse.surrogateKeys), // oracle = global row_number → two-phase ≡ window proven by hash
     "q_star_join"         -> q(Relational.starJoinRevenue),

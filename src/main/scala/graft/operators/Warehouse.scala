@@ -375,7 +375,8 @@ object Warehouse {
     */
   def cdcIncrementalConsume(spark: SparkSession, sfDir: String,
                             rootOverride: Option[String] = None,
-                            crashBeforeBookmark: Boolean = false): DataFrame = {
+                            crashBeforeBookmark: Boolean = false,
+                            maxLsn: Long = Long.MaxValue): DataFrame = {
     import graft.sources.SnapshotStore
     val (dim, vs) = ensureCdcHistory(spark, sfDir)
     val root = rootOverride.getOrElse(s"${cdcRoot(sfDir)}/consumer")
@@ -392,9 +393,12 @@ object Warehouse {
         spark.range(1).select(lit(0L).as("lsn")), bookmarkDir)
     val b = SnapshotStore.readCommitted(spark, bookmarkDir)
       .agg(max(col("lsn"))).collect()(0).getLong(0)
-    val latest = (vs.size - 1).toLong
+    // a deliberately lagging consumer (cleanup's safety fixture) stops at
+    // maxLsn; the default consumes to the head of the log
+    val latest = math.min((vs.size - 1).toLong, maxLsn)
     if (b < latest) {
-      val delta = cdcLogRaw(spark, sfDir).filter(col("lsn") > b)
+      val delta = cdcLogRaw(spark, sfDir)
+        .filter(col("lsn") > b && col("lsn") <= latest)
       // net effect per key over the consumed slice: drop update-OLD images,
       // keep the (lsn, op)-max row — op 1 deletes, 2/4 upsert its image
       val finals = delta.filter(col("op") =!= 3L)
@@ -423,6 +427,71 @@ object Warehouse {
         .select(col("o_orderkey"), r4(col("p").cast("double")).as("price"),
                 col("lsn").as("consumed_lsn")),
       "o_orderkey")
+  }
+
+  /** CDC change-table retention cleanup — `sys.sp_cdc_cleanup_change_table`
+    * (ref CDC.sql:1–2 enables the capture job; SQL Server pairs it with a
+    * cleanup job that prunes change rows at or below a retention-derived
+    * low-water LSN). SQL Server's documented hazard is that retention alone
+    * can outrun a slow subscriber and silently destroy changes it never
+    * consumed; this cleanup clamps the low-water mark at the lowest
+    * consumer bookmark: `lwm = min(retention cutoff, min(bookmarks))` —
+    * retention never prunes past an unconsumed LSN.
+    *
+    * Mechanics: the change log is materialized ONCE as an LSN-partitioned
+    * committed snapshot (the change table — `lsn=N/` directories, the
+    * layout a 100 TB change table needs); a deliberately lagging consumer
+    * (bookmark at LSN 1 of 2 — [[cdcIncrementalConsume]] with maxLsn=1,
+    * own state root) supplies the clamp; cleanup commits a NEW change-table
+    * version holding only `lsn > lwm`, a partition-PRUNED scan (the
+    * pruned directories are never read, only survivors rewrite). Steady
+    * state cost is O(retained window), never O(history) — and under a
+    * metadata-layer store (Delta/Iceberg; SnapshotStore's documented swap
+    * path) the survivor rewrite becomes a metadata-only partition drop.
+    * Run-once discipline: v1 = full log, v2 = cleaned — re-runs are pure
+    * reads; the aggressive retention (cutoff = head LSN) exists so the
+    * fixture PROVES the bookmark clamp is what held LSN 2 back.
+    *
+    * Output: the surviving change rows ([[cdcAllChanges]] shape) plus the
+    * low-water mark on every row; the bookmark enters the plan through a
+    * 1-row aggregate broadcast (the plan-visible bound rule).
+    */
+  def cdcCleanup(spark: SparkSession, sfDir: String,
+                 rootOverride: Option[String] = None): DataFrame = {
+    import graft.sources.SnapshotStore
+    val (_, vs) = ensureCdcHistory(spark, sfDir)
+    val head = (vs.size - 1).toLong // newest LSN in the log (= 2)
+    val root = rootOverride.getOrElse(s"${cdcRoot(sfDir)}/cleanup")
+    val tableDir = s"$root/changetable"
+    if (SnapshotStore.committedVersions(spark, tableDir).isEmpty)
+      SnapshotStore.commitSnapshotPartitioned(
+        cdcLogRaw(spark, sfDir), tableDir, Seq("lsn"))
+    // the lagging subscriber: consumed through LSN 1, bookmark persisted
+    cdcIncrementalConsume(spark, sfDir, Some(s"$root/consumer"), maxLsn = 1L)
+    val bookmark = SnapshotStore.readCommitted(spark, s"$root/consumer/bookmark")
+      .agg(max(col("lsn"))).collect()(0).getLong(0)
+    // retention cutoff = head (prune every applied LSN by age alone) — the
+    // clamp, not the retention, must be what keeps LSN 2 alive
+    val lwm = math.min(head, bookmark)
+    if (SnapshotStore.committedVersions(spark, tableDir).size < 2)
+      SnapshotStore.commitSnapshotPartitioned(
+        SnapshotStore.readCommitted(spark, tableDir)
+          .filter(col("lsn") > lwm), // partition-pruned: lsn is a directory
+        tableDir, Seq("lsn"))
+    val cleaned = SnapshotStore.readCommitted(spark, tableDir)
+    ordered(
+      cleaned
+        .crossJoin(broadcast(
+          SnapshotStore.readCommitted(spark, s"$root/consumer/bookmark")
+            .agg(max(col("lsn")).as("blsn"))))
+        .select(col("lsn").cast("long").as("lsn"), col("o_orderkey"),
+          col("op"),
+          when(col("op") === 1L, "delete").when(col("op") === 2L, "insert")
+            .when(col("op") === 3L, "update_old").otherwise("update_new")
+            .as("op_name"),
+          r4(col("img").cast("double")).as("price"),
+          least(lit(head), col("blsn")).as("low_water_mark")),
+      "lsn", "o_orderkey", "op")
   }
 
   /** Incremental aggregate maintenance — the materialized-view shape of the
@@ -588,6 +657,38 @@ object Warehouse {
                 col("valid_to_us"), col("is_current"), col("version_no"),
                 when(col("is_current"), lit("current")).otherwise(lit("history"))
                   .as("src_table")),
+      "user_id", "valid_from_us", "event_id")
+  }
+
+  /** History-table retention — SQL Server temporal tables'
+    * `HISTORY_RETENTION_PERIOD` (`ALTER TABLE … SET (SYSTEM_VERSIONING =
+    * ON (HISTORY_RETENTION_PERIOD = …))`; the reference's
+    * system-versioned dim README.md:88–91 ages its history under exactly
+    * this knob). The temporal twin of [[cdcCleanup]]'s change-table
+    * retention: purge CLOSED versions whose validity ended at or before
+    * the retention cutoff; CURRENT (open) rows are NEVER aged out however
+    * long they've been open — SQL Server's cleanup task touches only the
+    * history table. Output is the retained version relation with ordinals
+    * recomputed over survivors (dense 1..m — what a reader of the
+    * retained table observes; Round14OpsSpec pins survivors ≡ the
+    * [[scd2All]] rows passing the predicate, and that every key's current
+    * row survives). Scale: one filtered scan of the change-bounded
+    * version table — prunable at directory grain when history is
+    * date-partitioned on valid_to (the [[graft.sources.SnapshotStore]]
+    * fact layout); the ordinal window partitions BY KEY, never global.
+    */
+  def scd2Retention(spark: SparkSession, sfDir: String,
+                    cutoffUs: Long = 1705276800000000L /* 2024-01-15T00:00Z */): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us").asc, col("event_id").asc)
+    ordered(
+      scd2Versions(spark, sfDir)
+        .filter(col("is_current") || col("valid_to_us") > cutoffUs)
+        .withColumn("version_no", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("event_id"), col("valid_from_us"),
+                col("valid_to_us"), col("is_current"), col("version_no"),
+                lit(cutoffUs).as("retention_cutoff_us")),
       "user_id", "valid_from_us", "event_id")
   }
 

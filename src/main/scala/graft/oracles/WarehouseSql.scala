@@ -126,6 +126,49 @@ object WarehouseSql {
         |ORDER BY lsn, o_orderkey, op""".stripMargin
     },
 
+    // round-14: sys.sp_cdc_cleanup_change_table — retention prune with the
+    // low-water mark clamped at the lagging consumer's bookmark (LSN 1 of
+    // 2), so only the LSN-2 slice of the change log survives; lwm = 1 on
+    // every surviving row
+    "q_cdc_cleanup" ->
+      """WITH s2 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderpriority = '1-URGENT'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.05 AS DECIMAL(30,4))
+        |              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END AS p
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1997-09-01'
+        |    AND o_orderpriority <> '3-MEDIUM'),
+        |s3 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderpriority = '2-HIGH'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.1 AS DECIMAL(30,4))
+        |              WHEN o_orderpriority = '1-URGENT'
+        |              THEN CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) * 1.05 AS DECIMAL(30,4))
+        |              ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4)) END AS p
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |    AND o_orderpriority NOT IN ('3-MEDIUM', '5-LOW'))
+        |SELECT CAST(2 AS BIGINT) AS lsn, n.o_orderkey,
+        |       CAST(2 AS BIGINT) AS op, 'insert' AS op_name,
+        |       floor(CAST(n.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS price,
+        |       CAST(1 AS BIGINT) AS low_water_mark
+        |FROM s3 n WHERE n.o_orderkey NOT IN (SELECT o_orderkey FROM s2)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), o.o_orderkey, CAST(1 AS BIGINT),
+        |       'delete', floor(CAST(o.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0,
+        |       CAST(1 AS BIGINT)
+        |FROM s2 o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM s3)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), n.o_orderkey, CAST(3 AS BIGINT),
+        |       'update_old', floor(CAST(o.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0,
+        |       CAST(1 AS BIGINT)
+        |FROM s3 n JOIN s2 o USING (o_orderkey) WHERE o.p <> n.p
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), n.o_orderkey, CAST(4 AS BIGINT),
+        |       'update_new', floor(CAST(n.p AS DOUBLE) * 10000.0 + 0.5) / 10000.0,
+        |       CAST(1 AS BIGINT)
+        |FROM s3 n JOIN s2 o USING (o_orderkey) WHERE o.p <> n.p
+        |ORDER BY lsn, o_orderkey, op""".stripMargin,
+
     // round-13: sys.sp_cdc_get_net_changes — first vs last snapshot, one
     // row per key, net mask codes 1=delete 2=insert 4=update (new image);
     // mid-history insert-then-delete keys net to nothing
@@ -220,6 +263,26 @@ object WarehouseSql {
         |       CASE WHEN is_current THEN 'current' ELSE 'history' END
         |         AS src_table
         |FROM v
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    // round-14: HISTORY_RETENTION_PERIOD — closed versions ending at or
+    // before the cutoff are purged, open/current rows always survive,
+    // ordinals re-densify over the retained table
+    "q_scd2_retention" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'signup'),
+        |v AS (SELECT user_id, event_id, ts_us AS valid_from_us,
+        |             lead(ts_us) OVER w AS valid_to_us,
+        |             lead(ts_us) OVER w IS NULL AS is_current
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT * FROM v
+        |      WHERE is_current OR valid_to_us > 1705276800000000)
+        |SELECT user_id, event_id, valid_from_us, valid_to_us, is_current,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |              ORDER BY valid_from_us, event_id) AS BIGINT)
+        |         AS version_no,
+        |       CAST(1705276800000000 AS BIGINT) AS retention_cutoff_us
+        |FROM s
         |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
 
     // round-14: the CDC bookmark consumer's replica must equal the latest

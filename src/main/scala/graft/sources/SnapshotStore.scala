@@ -231,6 +231,22 @@ object SnapshotStore {
     dataDir
   }
 
+  /** [[commitSnapshot]] with a directory-partitioned layout — for
+    * append-mostly logs (CDC change tables) whose retention cleanup and
+    * bookmark reads filter on a coarse key (LSN, date): the key becomes a
+    * partition directory, so `lsn > bookmark` reads and `lsn <= low-water`
+    * prunes touch only the matching directories, never the full history.
+    * Note parquet partition discovery type-infers the partition column on
+    * read (an integer-looking LSN comes back as INT) — readers cast.
+    */
+  def commitSnapshotPartitioned(df: DataFrame, baseDir: String,
+                                partCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val dataDir = s"$baseDir/data-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.mode("error").partitionBy(partCols: _*).parquet(dataDir)
+    publishSnapshot(spark, baseDir, dataDir)
+  }
+
   /** Publish a staged directory as the next version. The commit point is
     * the atomic create-if-absent of `_commits/v{N}.json`; on collision the
     * writer retries at N+1 (its staged data is version-agnostic). Returns

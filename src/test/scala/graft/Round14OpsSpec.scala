@@ -124,4 +124,84 @@ class Round14OpsSpec extends SparkSpec {
         "by more than the 1-count floor (both reduce to 1)")
     assert(out("at") > 0L)
   }
+
+  test("cdcCleanup: the low-water mark clamps at the lagging consumer's " +
+       "bookmark, survivors replay losslessly, partitions physically drop") {
+    import graft.operators.Warehouse
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("cdccleanup").toString
+    val got = rows(Warehouse.cdcCleanup(spark, Sf, Some(root)))
+    // retention cutoff is the head LSN (2) — aggressive enough to prune
+    // EVERYTHING by age — but the subscriber's bookmark sits at 1, so the
+    // clamp must hold lwm at 1 and keep the whole LSN-2 slice alive
+    assert(got.nonEmpty)
+    assert(got.forall(_(0).asInstanceOf[Long] === 2L),
+      "exactly the LSN-2 slice must survive (lsn<=1 pruned, lsn=2 kept)")
+    assert(got.forall(_(5).asInstanceOf[Long] === 1L),
+      "low_water_mark must be the bookmark (1), not the retention cutoff")
+    val wantSlice = rows(Warehouse.cdcAllChanges(spark, Sf)
+      .filter(col("lsn") === 2L)).toSet
+    assert(got.map(_.take(5)).toSet === wantSlice.map(_.take(5)),
+      "survivors must equal the LSN-2 slice of the full change log")
+    // NO DATA LOSS for the lagging subscriber: its replica (consumed
+    // through the bookmark) + the surviving log replays to the latest
+    // dimension snapshot exactly — nothing it still needs was pruned
+    val surv = SnapshotStore.readCommitted(spark, s"$root/changetable")
+      .select(col("lsn").cast("long").as("lsn"), col("o_orderkey"),
+              col("op"), col("img"))
+    val finals = surv.filter(col("op") =!= 3L)
+      .groupBy(col("o_orderkey"))
+      .agg(max_by(struct(col("op"), col("img")),
+                  struct(col("lsn"), col("op"))).as("f"))
+      .select(col("o_orderkey"), col("f.op").as("op"), col("f.img").as("img"))
+    val replica = SnapshotStore.readCommitted(spark, s"$root/consumer/replica")
+    val replayed = replica.join(finals, Seq("o_orderkey"), "left_anti")
+      .unionByName(finals.filter(col("op") =!= 1L)
+        .select(col("o_orderkey"), col("img").as("p")))
+    val want = rows(Warehouse.cdcSnap(spark, Sf, 2)
+      .select(col("o_orderkey"), col("p"))).toSet
+    assert(rows(replayed).toSet === want,
+      "replica@bookmark + surviving log must reconstruct the latest " +
+        "snapshot — cleanup destroyed changes the subscriber still needs")
+    // the prune is PHYSICAL at directory grain: the cleaned version's data
+    // dir holds only the lsn=2 partition, while v1 still holds both
+    val dataDirs = new java.io.File(s"$root/changetable").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("data-"))
+      .map(_.listFiles().map(_.getName).filter(_.startsWith("lsn=")).sorted.toSeq)
+      .toSeq
+    assert(dataDirs.contains(Seq("lsn=1", "lsn=2")), "v1 = full log")
+    assert(dataDirs.contains(Seq("lsn=2")),
+      "cleaned version must contain ONLY the surviving lsn=2 directory")
+    // idempotence: a second cleanup is a pure read — same rows, no new
+    // change-table version
+    assert(rows(Warehouse.cdcCleanup(spark, Sf, Some(root))) === got)
+    assert(SnapshotStore.committedVersions(spark, s"$root/changetable")
+             .size === 2,
+      "re-running cleanup must not commit another change-table version")
+  }
+
+  test("scd2Retention: closed versions past the cutoff purge, current " +
+       "rows never age out, ordinals re-densify over the survivors") {
+    import graft.operators.Warehouse
+    val cutoff = 1705276800000000L
+    val all = rows(Warehouse.scd2All(spark, Sf))
+    val ret = rows(Warehouse.scd2Retention(spark, Sf, cutoff))
+    def ident(r: Seq[Any]) = (r(0), r(1), r(2), r(3), r(4))
+    // survivors are EXACTLY the ALL rows passing the retention predicate
+    val expected = all.filter(r => r(4).asInstanceOf[Boolean] ||
+        r(3).asInstanceOf[Long] > cutoff).map(ident).toSet
+    assert(ret.map(ident).toSet === expected,
+      "retained relation must equal ALL filtered by the retention rule")
+    assert(ret.size < all.size, "fixture must actually purge something")
+    // a current row is NEVER aged out, however old its valid_from
+    val curAll = all.filter(_(4).asInstanceOf[Boolean]).map(ident).toSet
+    val curRet = ret.filter(_(4).asInstanceOf[Boolean]).map(ident).toSet
+    assert(curAll === curRet, "retention purged a current row")
+    // ordinals re-densify: 1..m per key over the retained table
+    ret.groupBy(_(0)).foreach { case (uid, rs) =>
+      val ns = rs.map(_(5).asInstanceOf[Long]).sorted
+      assert(ns == (1L to ns.size.toLong),
+        s"key $uid survivor ordinals not dense 1..${ns.size}: $ns")
+    }
+  }
 }

@@ -427,6 +427,11 @@ class ScaleInfraSpec extends SparkSpec {
                         // bookmark snapshots when behind — consume cycles
                         // ARE jobs by design
                         "q_cdc_incremental_consume",
+                        // r14: cleanup reads the SAME one-row bookmark
+                        // scalar (the low-water clamp is a driver decision
+                        // by definition) + run-once change-table commits
+                        // behind a committedVersions probe
+                        "q_cdc_cleanup",
                         // r13: the miner family serves from the persisted
                         // scored candidate stream (build-once jobs on
                         // first call, lazy parquet reads afterwards)
