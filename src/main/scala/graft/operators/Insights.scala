@@ -492,8 +492,20 @@ object Insights {
       .withColumn("ck", col("gidx") * lit(1000000000000L) + col("v"))
     val ps = graft.util.PrefixSum
       .exclusiveCols(keyed, Seq(col("ck").asc), col("w"), "cum0")
-    val off = ps.groupBy(col("grp")).agg(min(col("cum0")).as("off"))
+    // Per-group starting offset WITHOUT re-executing the PrefixSum machinery
+    // (r15, guide §2.4): the old `ps.groupBy(grp).min(cum0)` leg re-ran the
+    // whole two-phase scan a second time just to read each group's first
+    // exclusive prefix — which, because the composite key makes groups
+    // contiguous in the global order, is exactly the sum of the PRECEDING
+    // groups' total weights: one window over the group-count-sized totals
+    // frame. min(cum0) over a group ≡ Σ_{g' before g} tw(g') row for row.
     val tot = grain.groupBy(col("grp")).agg(sum(col("w")).as("tw"))
+    val off = tot.join(broadcast(gidx), "grp")
+      .withColumn("off",
+        coalesce(sum(col("tw")).over(
+          Window.orderBy(col("gidx"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("grp"), col("off"))
     ordered(
       ps.join(off, "grp").join(tot, "grp")
         .filter((col("cum0") - col("off") + col("w")) * 2 >= col("tw"))
@@ -1044,7 +1056,13 @@ object Insights {
     * makes distributed triangle counting viable on web-scale graphs.
     */
   def triangles(spark: SparkSession, sfDir: String, minSup: Int = 5): DataFrame = {
+    // persisted (r15): the closure references the edge list from THREE legs
+    // (e1/e2/e3) — unpersisted, each leg re-ran the whole basket fan-out +
+    // two shuffles (the clusteringCoeff persist rationale; same aggregated
+    // pair list, orders smaller than the fact table). Self-persisted class:
+    // harness callers clearCache() between queries.
     val edges = brandEdges(spark, sfDir, minSup)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e1 = edges.select(col("a").as("x"), col("b").as("y"))
     val e2 = edges.select(col("a").as("y"), col("b").as("z"))
     val e3 = edges.select(col("a").as("x"), col("b").as("z"))
@@ -1266,42 +1284,52 @@ object Insights {
     // round O(1): same stages measured 0.1–0.2 s in round 3, 67 s → ~2 s
     // total. Superseded rounds unpersist as they go (spFixpoint
     // discipline); frames are (node, score) pairs, ≤16 B·|nodes| each.
+    // SPARSE round frames (r15 optimization, guide §2.4): rounds carry only
+    // nodes with a NON-ZERO score. The old shape densified every half-round
+    // (nodes ⋈ raw, coalesce 0, checkpoint — 2 extra eager jobs + 2 joins
+    // per round) but zero-score nodes contribute exactly 0 to the next
+    // round's Σ h·w / Σ a·w, and `0 div d = 0`, so dropping them changes no
+    // arithmetic; densification happens ONCE at the end (the same left-join
+    // + coalesce 0), yielding the identical total row set. Half-rounds keep
+    // the eager checkpoint on the RAW aggregate only (the normalizer
+    // collect needs it materialized anyway); the normalized frame is a lazy
+    // depth-1 projection over that checkpoint — 6 eager jobs + 6 node joins
+    // per full loop → 2 checkpoints + 2 collects (measured: 63 → 46 jobs,
+    // 973 → 557 tasks, 39 → 23 MB shuffled at sf0.1).
     var h = nodes.crossJoin(broadcast(nN))
       .select(col("node"), expr("1000000000000 div n_nodes").as("h"))
       .localCheckpoint(true)
     var a: DataFrame = null
+    var aChk: DataFrame = null
+    var hChk: DataFrame = h
     for (_ <- 1 to HitsRounds) {
       val araw = e.join(h, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("h") * col("w")).as("ar"))
         .localCheckpoint(true)
       val sa = araw.agg(sum(col("ar"))).head().getLong(0)
       val da = math.max(1L, sa / 1000000000000L) // non-negative: floor div
-      val aNew = nodes.join(araw, col("node") === col("dst"), "left")
-        .select(col("node"), expr(s"coalesce(ar, 0L) div ${da}L").as("a"))
-        .localCheckpoint(true)
-      if (a != null) a.unpersist()
-      a = aNew
-      araw.unpersist()
+      if (aChk != null) aChk.unpersist()
+      aChk = araw
+      a = araw.select(col("dst").as("node"), expr(s"ar div ${da}L").as("a"))
       val hraw = e.join(a.select(col("node").as("an"), col("a")),
                         col("dst") === col("an"))
         .groupBy(col("src")).agg(sum(col("a") * col("w")).as("hr"))
         .localCheckpoint(true)
       val sh = hraw.agg(sum(col("hr"))).head().getLong(0)
       val dh = math.max(1L, sh / 1000000000000L)
-      val hNew = nodes.join(hraw, col("node") === col("src"), "left")
-        .select(col("node"), expr(s"coalesce(hr, 0L) div ${dh}L").as("h"))
-        .localCheckpoint(true)
-      h.unpersist()
-      h = hNew
-      hraw.unpersist()
+      hChk.unpersist()
+      hChk = hraw
+      h = hraw.select(col("src").as("node"), expr(s"hr div ${dh}L").as("h"))
     }
-    // the returned plan reads only the final checkpointed frames
+    // the returned plan reads only the final checkpointed frames; densify
+    // the sparse score frames ONCE (zero-score nodes surface as 0, exactly
+    // the per-round coalesce the old shape applied)
     e.unpersist()
-    nodes.unpersist()
     ordered(
-      a.join(h, "node")
-        .select(col("node").as("part_id"), col("a").as("auth_fp"),
-                col("h").as("hub_fp")),
+      nodes.join(a, Seq("node"), "left").join(h, Seq("node"), "left")
+        .select(col("node").as("part_id"),
+                coalesce(col("a"), lit(0L)).as("auth_fp"),
+                coalesce(col("h"), lit(0L)).as("hub_fp")),
       "part_id")
   }
 
@@ -4822,19 +4850,24 @@ object Insights {
       .filter(col("part_a") < col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_co"))
-    val wRank = Window.orderBy(col("cosine").desc, col("part_a").asc,
-                               col("part_b").asc)
+    // top-N via TakeOrdered + rank over the N-row result (r15, the r13
+    // rank-leg kill applied here too: the global-window rank funneled the
+    // ENTIRE pair-grain cosine frame through one reducer to keep 30 rows;
+    // graft.util.Ranked's equivalence argument — rank ≤ N ⟺ membership in
+    // the ordered N-prefix — makes the rewrite row-identical)
     ordered(
-      co.join(deg.select(col("pk").as("part_a"), col("n_orders").as("na")),
-              "part_a")
-        .join(deg.select(col("pk").as("part_b"), col("n_orders").as("nb")),
-              "part_b")
-        .select(col("part_a"), col("part_b"), col("n_co"), col("na"), col("nb"),
-                r4(col("n_co").cast("double") /
-                   sqrt(col("na").cast("double") * col("nb").cast("double")))
-                  .as("cosine"))
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter(col("rank") <= topN),
+      graft.util.Ranked.topkRanked(
+        co.join(deg.select(col("pk").as("part_a"), col("n_orders").as("na")),
+                "part_a")
+          .join(deg.select(col("pk").as("part_b"), col("n_orders").as("nb")),
+                "part_b")
+          .select(col("part_a"), col("part_b"), col("n_co"), col("na"), col("nb"),
+                  r4(col("n_co").cast("double") /
+                     sqrt(col("na").cast("double") * col("nb").cast("double")))
+                    .as("cosine")),
+        topN, "rank",
+        col("cosine").desc, col("part_a").asc, col("part_b").asc)
+        .withColumn("rank", col("rank").cast("long")),
       "rank")
   }
 

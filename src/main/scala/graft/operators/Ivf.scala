@@ -34,6 +34,13 @@ object Ivf {
     */
   val Iters = 5
 
+  /** Embedding width of the corpus (testdata embeddings are 64-float
+    * vectors; PQ sub-vectors are [[PqSubDim]]-wide slices of it). The fit
+    * rewrites of r15 aggregate per-dimension columns, which needs the
+    * width statically.
+    */
+  val EmbDim = 64
+
   /** Centroids as (centroid_id, centroid float array) — a fully LAZY plan:
     * nothing here runs a job at DataFrame-construction time (the registry's
     * uniform-laziness contract, asserted in ScaleInfraSpec).
@@ -66,7 +73,8 @@ object Ivf {
     * hierarchical quantizer ([[assignListsHier]] fits the coarse level
     * over the fine-centroid frame with it).
     */
-  private def kmeansFit(points: DataFrame, k: Int, iters: Int): DataFrame = {
+  private def kmeansFit(points: DataFrame, k: Int, iters: Int,
+                        dim: Int = EmbDim): DataFrame = {
     val init = points
       .withColumn("tile", ntile(k).over(Window.orderBy(col("vec_id"))))
       .groupBy(col("tile"))
@@ -74,16 +82,22 @@ object Ivf {
       .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
 
     def step(cent: DataFrame): DataFrame = {
-      // map-only argmax assignment (same expression as the index build)
+      // map-only argmax assignment (same expression as the index build),
+      // then per-dimension means in ONE hash aggregate over the FIXED
+      // embedding width (r15 optimization, guide §2.3/§2.4): the
+      // posexplode → groupBy(cid, pos) → groupBy(cid) chain fanned the
+      // sample out dim× before the partial aggregate; dim avg columns
+      // reassembled positionally compute the identical per-element decimal
+      // means (avg of element i over the same group).
       val assigned = assignLists(points, cent)
+      val aggs = (0 until dim).map(i =>
+        avg(col("embedding").getItem(i).cast("decimal(28,12)")).as(s"_m$i"))
       val means = assigned
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("v").cast("decimal(28,12)")).as("mv"))
         .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
+        .agg(aggs.head, aggs.tail: _*)
         .select(col("centroid_id"),
-                transform(col("pv"), x => x.getField("mv").cast("float")).as("newc"))
+                array((0 until dim).map(i => col(s"_m$i").cast("float")): _*)
+                  .as("newc"))
       cent.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
                 coalesce(col("newc"), col("centroid")).as("centroid"))
@@ -274,7 +288,45 @@ object Ivf {
     * hierarchical quantizer ([[gatedCoarseOverFine]] fits coarse centroids
     * over the fine-centroid frame with it).
     */
-  private def gatedKmeansFit(points: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Per-cell per-dimension integer-floor means over a (…, centroid_id, qv)
+    * frame as ONE hash aggregate (r15 optimization, guide §2.3/§2.4): the
+    * previous posexplode → groupBy(centroid_id, pos) → groupBy(centroid_id)
+    * chain paid two exchanges per Lloyd's round plus a dim× row fan-out
+    * before the partial aggregate. `dim` count+sum columns reassembled
+    * positionally compute the identical values: every vector carries all
+    * `dim` positions, so count(1) per (cid, pos) ≡ count(1) per cid, and
+    * `sum(qv[i]) div n` is the exact same positive-integer floor division
+    * the oracle states.
+    */
+  /** Materialize independent frames' eager localCheckpoints CONCURRENTLY
+    * (guide §2.6 — Spark happily runs several jobs at once; they were
+    * sequential only because the builder awaited each one). Used for the
+    * per-subspace PQ fits, which share no dependency. Results identical
+    * by determinism of each fit; a thread pool the size of the batch.
+    */
+  private def parCheckpoint(frames: Seq[(Int, DataFrame)]): Seq[(Int, DataFrame)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = frames.map { case (s, df) =>
+      s -> Future(df.localCheckpoint(true))
+    }
+    futs.map { case (s, f) => s -> Await.result(f, Duration.Inf) }
+  }
+
+  private def gatedMeansOneAgg(assigned: DataFrame, dim: Int,
+                               outCol: String): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +:
+      (0 until dim).map(i => sum(col("qv").getItem(i)).as(s"_s$i"))
+    assigned.groupBy(col("centroid_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("centroid_id"),
+              array((0 until dim).map(i => expr(s"_s$i div _n")): _*)
+                .as(outCol))
+  }
+
+  private def gatedKmeansFit(points: DataFrame, k: Int, iters: Int,
+                             dim: Int = EmbDim): DataFrame = {
     val init = points
       .withColumn("tile", ntile(k).over(Window.orderBy(col("vec_id"))))
       .groupBy(col("tile"))
@@ -282,14 +334,11 @@ object Ivf {
       .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
 
     def step(cent: DataFrame): DataFrame = {
-      val means = gatedWithBest(points, cent)
-        .select(col("centroid_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(expr("sum(v) div count(1)").as("mv")) // positive ints: floor ≡ trunc
-        .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
-        .select(col("centroid_id"),
-                transform(col("pv"), x => x.getField("mv")).as("newc"))
+      // one-exchange per-dimension integer means (r15; [[gatedMeansOneAgg]]):
+      // sum(qv[i]) div count(1) per cell ≡ the old per-(cid,pos) group's
+      // sum(v) div count(1) — every vector carries all dim positions, so
+      // the group counts coincide and the floor division is unchanged.
+      val means = gatedMeansOneAgg(gatedWithBest(points, cent), dim, "newc")
       cent.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
                 coalesce(col("newc"), col("centroid")).as("centroid"))
@@ -322,21 +371,15 @@ object Ivf {
     * state it.
     */
   private def gatedKmeansFitLinear(points: DataFrame, k: Int,
-                                   iters: Int): DataFrame = {
+                                   iters: Int, dim: Int = EmbDim): DataFrame = {
     val init = points
       .withColumn("tile", ntile(k).over(Window.orderBy(col("vec_id"))))
       .groupBy(col("tile"))
       .agg(min_by(col("qv"), col("vec_id")).as("centroid"))
       .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
+    // one-exchange per-dimension means per round (r15; [[gatedMeansOneAgg]])
     def step(cent: DataFrame): DataFrame =
-      gatedWithBest(points, cent)
-        .select(col("centroid_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(expr("sum(v) div count(1)").as("mv"))
-        .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
-        .select(col("centroid_id"),
-                transform(col("pv"), x => x.getField("mv")).as("centroid"))
+      gatedMeansOneAgg(gatedWithBest(points, cent), dim, "centroid")
     (1 to iters).foldLeft(init)((c, _) => step(c))
   }
 
@@ -513,7 +556,7 @@ object Ivf {
       .limit(TrainCap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cbs = (0 until PqSubs).map { s =>
-      s -> gatedKmeansFitLinear(pqSliced(sample, s), codes, Iters)
+      s -> gatedKmeansFitLinear(pqSliced(sample, s), codes, Iters, PqSubDim)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
     (qemb, cbs)
@@ -601,7 +644,22 @@ object Ivf {
     * aggregation — the corpus never all-pairs and never broadcasts.
     */
   def annIvfPq(spark: SparkSession, sfDir: String, nLists: Int = 16,
-               nprobe: Int = 4, codes: Int = 8, k: Int = 10): DataFrame = {
+               nprobe: Int = 4, codes: Int = 8, k: Int = 10): DataFrame =
+    annIvfPqParts(spark, sfDir, nLists, nprobe, codes, k).topk
+
+  /** [[annIvfPq]]'s intermediate frames alongside its top-k result, so
+    * [[ivfPqRecall]] can reuse the fitted coarse quantizer, the persisted
+    * residual/cell assignment and the probed-cell set instead of refitting
+    * and re-assigning the corpus a second time (r15 optimization — the
+    * recall query previously paid the whole coarse fit + one extra corpus
+    * assignment pass for frames annIvfPq had already built; the fit is
+    * deterministic, so reuse is value-identical).
+    */
+  private case class IvfPqParts(cents: DataFrame, resid: DataFrame,
+                                probeCells: DataFrame, topk: DataFrame)
+
+  private def annIvfPqParts(spark: SparkSession, sfDir: String, nLists: Int,
+                            nprobe: Int, codes: Int, k: Int): IvfPqParts = {
     graft.functions.GraftFunctions.register(spark)
     val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
     // coarse fit is the LINEAR drop-empty variant, not the shared carry
@@ -645,12 +703,17 @@ object Ivf {
     def slicedR(df: DataFrame, s: Int): DataFrame =
       df.select(col("vec_id"), col("cell"),
                 slice(col("rv"), s * PqSubDim + 1, PqSubDim).as("qv"))
-    val cbs = (0 until PqSubs).map { s =>
+    // the 4 per-subspace fits are INDEPENDENT and tiny — submit their
+    // eager checkpoints from a thread pool so their stages overlap (guide
+    // §2.6, r15: actions were sequential only because the driver called
+    // them sequentially; results are deterministic integer fits, so
+    // ordering cannot matter; worst-case concurrent first-touch of the
+    // shared persisted sample computes a partition twice)
+    val cbs = parCheckpoint((0 until PqSubs).map { s =>
       s -> gatedKmeansFitLinear(
              slicedR(sample, s).select(col("vec_id"), col("qv")),
-             codes, Iters)
-        .localCheckpoint(true) // <=codes rows — see the cents note above
-    }
+             codes, Iters, PqSubDim)
+    })
     // probe machinery: nprobe nearest cells, then a residual PER CELL
     val probe = qemb.filter(col("vec_id") === 0)
       .select(col("qv").as("pq")).limit(1)
@@ -676,7 +739,7 @@ object Ivf {
         .join(dt, Seq("cell", "centroid_id")) // broadcast: prunes + looks up
         .select(col("vec_id"), col("d"))
     }
-    perSub.reduce(_ unionByName _)
+    val topk = perSub.reduce(_ unionByName _)
       .filter(col("vec_id") =!= 0)
       .groupBy(col("vec_id"))
       .agg(sum(col("d")).as("adc_dist"),
@@ -687,6 +750,7 @@ object Ivf {
       .drop("_subs")
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(k)
+    IvfPqParts(cents, resid, probeCells, topk)
   }
 
   /** Measured IVFPQ recall vs the exact integer-cosine top-k — the
@@ -702,7 +766,6 @@ object Ivf {
   def ivfPqRecall(spark: SparkSession, sfDir: String, nLists: Int = 16,
                   nprobe: Int = 4, codes: Int = 8, k: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val qemb = gatedQemb(t(spark, sfDir, "embeddings"))
     // exact truth by the ·10⁶ integer cosine (the brute-force yardstick)
     val v6 = t(spark, sfDir, "embeddings").select(col("vec_id"),
       transform(col("embedding"),
@@ -721,22 +784,17 @@ object Ivf {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"))
-    val got = annIvfPq(spark, sfDir, nLists, nprobe, codes, k)
-      .select(col("vec_id"))
+    // the index's fitted frames, reused (r15): `parts.resid` IS the
+    // corpus cell assignment (cell = gatedWithBest's argmin — identical to
+    // the re-assignment this query used to run), `parts.probeCells` the
+    // same nprobe-nearest-cell selection (d asc, centroid_id asc over the
+    // same deterministic fit), so the old standalone refit + corpus
+    // re-assignment computed exactly these rows a second time.
+    val parts = annIvfPqParts(spark, sfDir, nLists, nprobe, codes, k)
+    val got = parts.topk.select(col("vec_id"))
     // probed-cell membership of the TRUE neighbors (coarse-loss isolation)
-    val csample = qemb
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(TrainCap)
-    val cents = gatedKmeansFitLinear(csample, nLists, Iters)
-      .localCheckpoint(true)
-    val probeQ = qemb.filter(col("vec_id") === 0)
-      .select(col("qv").as("pqv")).limit(1)
-    val probeCells = cents.crossJoin(broadcast(probeQ))
-      .withColumn("d", call_function("sq_l2", col("centroid"), col("pqv")))
-      .orderBy(col("d").asc, col("centroid_id").asc)
-      .limit(nprobe)
-      .select(col("centroid_id"))
-    val inProbed = gatedWithBest(qemb, cents)
+    val probeCells = parts.probeCells.select(col("cell").as("centroid_id"))
+    val inProbed = parts.resid.select(col("vec_id"), col("cell").as("centroid_id"))
       .join(broadcast(probeCells), "centroid_id")
       .select(col("vec_id"))
     truth.agg(count(lit(1)).as("n_truth"))
@@ -823,12 +881,12 @@ object Ivf {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(TrainCap)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cbs = (0 until PqSubs).map { s =>
+    // overlapped independent fits — the annIvfPqParts rationale (guide §2.6)
+    val cbs = parCheckpoint((0 until PqSubs).map { s =>
       s -> gatedKmeansFitLinear(
              rvSlice(sample, s).select(col("vec_id"), col("qv")),
-             codes, Iters)
-        .localCheckpoint(true)
-    }
+             codes, Iters, PqSubDim)
+    })
     val cbUnion = cbs.map { case (s, cb) =>
       cb.select(lit(s.toLong).as("subspace"),
                 col("centroid_id").as("code"), col("centroid"))

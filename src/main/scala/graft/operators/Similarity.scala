@@ -283,11 +283,13 @@ object Similarity {
         .digest(s"${p}_${d}".getBytes("UTF-8")).map("%02x".format(_)).mkString
       if (java.lang.Long.parseLong(hex.substring(0, 12), 16) % 2 == 1) 1L else -1L
     }
+    // native codegen dot kernel (r15, guide §1.2 per-task work): the
+    // aggregate(zip_with(...)) form dispatched an interpreted closure per
+    // element — 32 planes × 64 dims per row; DotProductLong computes the
+    // identical exact integer sum in one codegen'd loop
     def dot(p: Int): Column =
-      aggregate(
-        zip_with(col("qv"), slice(typedLit(signs(p)), lit(1), size(col("qv"))),
-                 (x, s) => x * s),
-        lit(0L), (acc, y) => acc + y)
+      call_function("dot_q", col("qv"),
+                    slice(typedLit(signs(p)), lit(1), size(col("qv"))))
     def bandHash(b: Int): Column =
       (0 until BandBits).map(j =>
         when(dot(b * BandBits + j) > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -303,7 +305,13 @@ object Similarity {
 
   /** [[annLshGatedPairs]] over an arbitrary embedding frame. */
   def annLshGatedPairsFor(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
+    // persisted (r15): both self-join sides reference the banding, whose
+    // 32-projection signature pass is the expensive stage — unpersisted,
+    // it ran twice (the Dedup.bucketCandidates persist rationale applied
+    // to the gated twin). Self-persisted class; harness callers
+    // clearCache() between queries.
     val banded = lshGatedBanded(spark, emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band_id"), col("bucket"),
       col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = banded.select(col("band_id"), col("bucket"),
@@ -412,20 +420,31 @@ object Similarity {
     * names this entry; rounds localCheckpoint and unpersist as they go.
     */
   def embedPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val ex = t(spark, sfDir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("pos").cast("long").as("pos"),
-              floor(col("x").cast("double") * lit(1000.0) + lit(0.5))
-                .cast("long").as("q"))
-    val st = ex.groupBy(col("pos"))
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
-    val cx = ex.join(broadcast(st), "pos")
-      .select(col("vec_id"), col("pos"),
-              (col("n") * col("q") - col("s")).as("cx"))
-    val cov = cx.select(col("vec_id"), col("pos").as("i"), col("cx").as("cxi"))
-      .join(cx.select(col("vec_id"), col("pos").as("j"), col("cx").as("cxj")),
-            "vec_id")
+    // Covariance via a MAP-ONLY per-vector outer product (r15, guide §2.4):
+    // the old element-grain self-join on vec_id shuffled the exploded
+    // corpus twice (plus a per-pos stats exchange) to build the same D²·n
+    // product rows this shape emits straight out of the scan — one corpus
+    // pass, one broadcast of the 1-row (n, Σq per dim) stats aggregate,
+    // zero pre-aggregate exchanges. Values are bit-identical: n·q − s per
+    // element, the identical decimal products, the identical (i, j) sums.
+    val dim = graft.operators.Ivf.EmbDim
+    val qarr = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+              transform(col("embedding"),
+                x => floor(x.cast("double") * lit(1000.0) + lit(0.5))
+                  .cast("long")).as("q"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until dim).map(i => sum(col("q").getItem(i)).as(s"_s$i"))
+    val st = qarr.agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), array((0 until dim).map(i => col(s"_s$i")): _*).as("s"))
+    val cxa = qarr.crossJoin(broadcast(st))
+      .select(col("vec_id"),
+              zip_with(col("q"), col("s"), (q, s) => col("n") * q - s).as("cx"))
+    val cov = cxa
+      .select(posexplode(col("cx")).as(Seq("pi", "cxi")), col("cx"))
+      .select(col("pi").cast("long").as("i"), col("cxi"),
+              posexplode(col("cx")).as(Seq("pj", "cxj")))
+      .select(col("i"), col("pj").cast("long").as("j"), col("cxi"), col("cxj"))
       .groupBy(col("i"), col("j"))
       .agg(sum((col("cxi").cast("decimal(19,0)") * col("cxj").cast("decimal(19,0)"))
         .cast("decimal(38,0)")).as("m"))
@@ -433,21 +452,24 @@ object Similarity {
     val dims = cov.select(col("i").as("j")).distinct()
       .localCheckpoint(true)
     val d0 = dims.count()
-    var v = dims.select(col("j"), lit(1000000L / d0).as("v")).localCheckpoint(true)
+    // Rounds keep the eager checkpoint on the matvec aggregate only (the
+    // L1 collect needs it materialized anyway); the normalized vector is a
+    // lazy depth-1 projection over that checkpoint — the q_hits sparse-
+    // round discipline, one eager job per round instead of two.
+    var v = dims.select(col("j"), lit(1000000L / d0).as("v"))
+    var prevMv: DataFrame = null
     for (_ <- 1 to PcaRounds) {
       val mv = cov.join(v, "j")
         .groupBy(col("i"))
         .agg(sum((col("m") * col("v")).cast("decimal(38,0)")).as("mv"))
         .localCheckpoint(true)
+      if (prevMv != null) prevMv.unpersist()
+      prevMv = mv
       val l1 = mv.agg(sum(abs(col("mv")))).head().getDecimal(0)
       val divisor = BigInt(l1.toBigInteger) / BigInt(1000000) max BigInt(1)
-      val vNew = mv.select(col("i").as("j"),
+      v = mv.select(col("i").as("j"),
           expr(s"cast(sign(mv) as bigint) * " +
                s"(abs(mv) div cast('$divisor' as decimal(38,0)))").as("v"))
-        .localCheckpoint(true)
-      v.unpersist()
-      mv.unpersist()
-      v = vNew
     }
     cov.unpersist()
     dims.unpersist()
@@ -947,7 +969,13 @@ object Similarity {
     // persisted: the two PrefixSum passes + the totals agg below each scan
     // this frame several times (bucketing min/max, local window, offsets),
     // and its centroid-scoring lineage is the expensive part — 3 narrow
-    // columns cache; 5.7 s -> ~0.6 s at sf0.1 measured
+    // columns cache; 5.7 s -> ~0.6 s at sf0.1 measured.
+    // SELF-PERSISTED CLASS (r15, ADVICE note): the mark is never
+    // unpersisted by this builder — the returned frame still references it,
+    // so an in-builder unpersist would defeat the cache before the caller's
+    // action runs. Same contract as q_adf/q_var_es: harness callers
+    // (Bench/Verify) clearCache() between queries; long-lived sessions own
+    // the eviction.
     val scored = centroidScores(spark, sfDir)
       .filter(col("label_c") === 0)
       .select(col("vec_id"), (col("label") === 0).cast("long").as("is_pos"),

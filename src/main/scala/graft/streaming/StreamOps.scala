@@ -370,6 +370,11 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     snapshots.writeStream
       .outputMode("append")
+      // durable checkpoint (r15, ADVICE fix): the feed's prev-state lookup
+      // keys on the batch id, so a restart with a fresh temp checkpoint
+      // would renumber from 0 and diff against the wrong predecessor; a
+      // checkpoint under the feed root resumes the id sequence durably.
+      .option("checkpointLocation", s"$feedDir/_checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         cdcFeedBatch(batch.toDF(), id, feedDir, key, valueCol)
       }
@@ -450,6 +455,12 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .outputMode("append")
+      // durable checkpoint under the consumer root (r15, ADVICE fix): a
+      // temp checkpoint renumbers batch ids from 0 on restart; the
+      // bookmark below is LSN-based so renumbering can no longer lose
+      // data, but a durable checkpoint additionally prevents re-reading
+      // the whole source after a restart.
+      .option("checkpointLocation", s"$consumerRoot/_checkpoint")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         cdcApplyBatch(batch.toDF(), id, consumerRoot, key)
       }
@@ -464,19 +475,34 @@ object StreamOps {
     val spark = batch.sparkSession
     val replicaDir = s"$consumerRoot/replica"
     val bookDir = s"$consumerRoot/bookmark"
+    // The bookmark is the max applied LSN taken from the batch's ROWS —
+    // NOT the ephemeral foreachBatch id (r15, ADVICE fix): a restart with
+    // a fresh checkpoint renumbers batch ids from 0, so an id-based
+    // `id <= applied` skip could drop a batch carrying NEW lsn slices
+    // outright (silent data loss). Row-level filtering skips exactly the
+    // rows at or below the high-water mark, whatever the delivery
+    // batching: stale replays net to empty, partial overlaps apply only
+    // their new slices, and the crash window (replica committed, bookmark
+    // not) re-applies idempotently exactly as before. Backward-compatible
+    // read of the pre-r15 bookmark column name.
     val applied = SnapshotStore.committedVersions(spark, bookDir)
       .lastOption.map { _ =>
-        SnapshotStore.readCommitted(spark, bookDir)
-          .agg(max(col("batch_id"))).collect()(0).getLong(0)
+        val bm = SnapshotStore.readCommitted(spark, bookDir)
+        val c = if (bm.columns.contains("applied_lsn")) "applied_lsn"
+                else "batch_id"
+        bm.agg(max(col(c))).collect()(0).getLong(0)
       }.getOrElse(-1L)
-    // only the latest uncommitted batch can be redelivered; anything at or
-    // below the bookmark is a stale replay — skip, never re-apply old images
-    if (id <= applied) return
-    val finals = batch.filter(col("op") =!= 3L)
+    val fresh = batch.filter(col("lsn") > applied)
+    val finals = fresh.filter(col("op") =!= 3L)
       .groupBy(col(key))
       .agg(max_by(struct(col("op"), col("img")),
                   struct(col("lsn"), col("op"))).as("f"))
       .select(col(key), col("f.op").as("op"), col("f.img").as("img"))
+    val hiRow = fresh.agg(max(col("lsn"))).collect()(0)
+    // nothing above the bookmark: stale replay — skip, never re-apply old
+    // images (and never churn a replica/bookmark version)
+    if (hiRow.isNullAt(0)) return
+    val hi = hiRow.getLong(0)
     val replica = SnapshotStore.readCommitted(spark, replicaDir)
     val next = replica.join(finals, Seq(key), "left_anti")
       .unionByName(finals.filter(col("op") =!= 1L)
@@ -484,7 +510,7 @@ object StreamOps {
     // replica FIRST, bookmark SECOND — the crash window idempotency covers
     SnapshotStore.commitSnapshot(next, replicaDir)
     SnapshotStore.commitSnapshot(
-      spark.range(1).select(lit(id).as("batch_id")), bookDir)
+      spark.range(1).select(lit(hi).as("applied_lsn")), bookDir)
     ()
   }
 
