@@ -21,6 +21,7 @@ object GraftFunctions {
     "shingles"   -> (es => DistinctShingles(es(0), es(1))),
     "pos_shingles" -> (es => PositionalShingles(es(0), es(1))),
     "hyperplane_bands" -> (es => HyperplaneBands(es(0))),
+    "vec_sum_q"  -> (es => VecSumLong(es(0))),
     "simhash64"  -> (es => SimHash64(es(0))),
     "minhash_sig" -> (es => MinHashSig(es(0), es(1))),
     // xxHash64 with a CALLER-CHOSEN seed (the SQL builtin pins seed=42).
@@ -91,6 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_bands"),
       new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
       (es: Seq[Expression]) => HyperplaneBands(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum_q"),
+      new ExpressionInfo(classOf[VecSumLong].getName, "vec_sum_q"),
+      (es: Seq[Expression]) => VecSumLong(es(0))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

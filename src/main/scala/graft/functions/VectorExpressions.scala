@@ -308,6 +308,95 @@ case class DotProductF(left: Expression, right: Expression)
   override def prettyName: String = "dot_f"
 }
 
+/** vec_sum_q(v): elementwise SUM of array<bigint> vectors over a group —
+  * the k-means centroid-mean kernel. One aggregate expression with a
+  * primitive long-array buffer replaces either 64 separate `sum(qv[i])`
+  * aggregate columns (the r15 one-agg shape — ~200 expression nodes per
+  * Lloyd's round, multiplied into every copy of the carry-fit's 2^rounds
+  * lineage, which is what regressed the fit family's wall) or the
+  * posexplode → groupBy(cid,pos) → collect_list chain (dim× row fan-out
+  * plus two exchanges per round). Exact integer addition is associative
+  * and commutative, so partial (map-side) + final aggregation is
+  * order-independent — bit-identical to both prior shapes.
+  *
+  * Width adapts to the DATA (buffer sized by the first non-null input
+  * row), so a corpus whose embedding width differs from the static
+  * EmbDim can never null-poison centroids (the r15 ADVICE hazard); a
+  * length mismatch WITHIN a group throws instead of silently truncating.
+  * NULL inputs are skipped (SQL sum semantics); an all-NULL group yields
+  * NULL.
+  */
+case class VecSumLong(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = null
+
+  override def update(buf: Array[Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val b = if (buf == null) new Array[Long](n) else buf
+    if (b.length != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector width mismatch in group (${b.length} vs $n)")
+    var i = 0
+    while (i < n) { b(i) += arr.getLong(i); i += 1 }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a == null) return b
+    if (b == null) return a
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector width mismatch in merge (${a.length} vs ${b.length})")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf == null) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    if (buf == null) return Array.emptyByteArray
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    if (bytes.isEmpty) return null
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): VecSumLong =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VecSumLong =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): VecSumLong =
+    copy(child = c)
+  override def prettyName: String = "vec_sum_q"
+}
+
 /** dot_q(a, b): EXACT integer dot product of two array<bigint> vectors —
   * the quantized-cosine kernel ([[graft.operators.Similarity.cosSimHist]]
   * discipline) at codegen speed: the zip_with/aggregate HOF chain it

@@ -35,9 +35,9 @@ object Ivf {
   val Iters = 5
 
   /** Embedding width of the corpus (testdata embeddings are 64-float
-    * vectors; PQ sub-vectors are [[PqSubDim]]-wide slices of it). The fit
-    * rewrites of r15 aggregate per-dimension columns, which needs the
-    * width statically.
+    * vectors; PQ sub-vectors are [[PqSubDim]]-wide slices of it). The r16
+    * fits size their buffers from the data ([[graft.functions.VecSumLong]]),
+    * so this constant only parameterizes non-fit consumers (PCA).
     */
   val EmbDim = 64
 
@@ -73,39 +73,65 @@ object Ivf {
     * hierarchical quantizer ([[assignListsHier]] fits the coarse level
     * over the fine-centroid frame with it).
     */
-  private def kmeansFit(points: DataFrame, k: Int, iters: Int,
-                        dim: Int = EmbDim): DataFrame = {
+  private def kmeansFit(points: DataFrame, k: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(points.sparkSession)
     val init = points
       .withColumn("tile", ntile(k).over(Window.orderBy(col("vec_id"))))
       .groupBy(col("tile"))
       .agg(min_by(col("embedding"), col("vec_id")).as("centroid"))
       .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
+    // LINEAR-lineage carry fit — the float twin of [[gatedKmeansFit]]'s
+    // r16 restructure (see its comment for the full argument): the round
+    // state is the ONE-ROW id-sorted struct array, each round references
+    // the previous round exactly ONCE, and the empty-cell carry is an
+    // in-row map-lookup merge instead of a second (plan-doubling) join
+    // reference. The per-element decimal means keep the EXACT r14/r15
+    // expression — posexplode → avg(v cast decimal(28,12)) per (cid, pos)
+    // — so every mean value is bit-identical; the previous array rides
+    // through the explode on the pos=0 rows only (first(..., ignoreNulls)
+    // — constant within its group, and every non-empty cell has pos=0
+    // rows), so the carried array never multiplies the shuffled state.
+    val init1 = init
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("_cents"))
 
-    def step(cent: DataFrame): DataFrame = {
-      // map-only argmax assignment (same expression as the index build),
-      // then per-dimension means in ONE hash aggregate over the FIXED
-      // embedding width (r15 optimization, guide §2.3/§2.4): the
-      // posexplode → groupBy(cid, pos) → groupBy(cid) chain fanned the
-      // sample out dim× before the partial aggregate; dim avg columns
-      // reassembled positionally compute the identical per-element decimal
-      // means (avg of element i over the same group).
-      val assigned = assignLists(points, cent)
-      val aggs = (0 until dim).map(i =>
-        avg(col("embedding").getItem(i).cast("decimal(28,12)")).as(s"_m$i"))
-      val means = assigned
+    def step(centArr: DataFrame): DataFrame = {
+      // the assignLists argmax, inlined so the round keeps `_cents`
+      val sims = transform(col("_cents"),
+        c => call_function("cosine_sim", col("embedding"), c.getField("centroid")))
+      points.crossJoin(broadcast(centArr)) // the round's ONLY prev reference
+        .withColumn("_sims", sims)
+        .withColumn("centroid_id",
+          element_at(col("_cents"),
+            array_position(col("_sims"), array_max(col("_sims"))).cast("int"))
+            .getField("centroid_id"))
+        .select(col("centroid_id"), col("_cents"),
+                posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v").cast("decimal(28,12)")).as("mv"),
+             first(when(col("pos") === 0, col("_cents")), ignoreNulls = true)
+               .as("_p1"))
         .groupBy(col("centroid_id"))
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"),
+             first(col("_p1"), ignoreNulls = true).as("_p2"))
         .select(col("centroid_id"),
-                array((0 until dim).map(i => col(s"_m$i").cast("float")): _*)
-                  .as("newc"))
-      cent.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-                coalesce(col("newc"), col("centroid")).as("centroid"))
+                transform(col("pv"), x => x.getField("mv").cast("float"))
+                  .as("newc"),
+                col("_p2"))
+        .agg(map_from_entries(collect_list(struct(col("centroid_id"),
+               col("newc")))).as("_nm"),
+             first(col("_p2"), ignoreNulls = true).as("_prev"))
+        .select(transform(col("_prev"),
+          c => struct(c.getField("centroid_id").as("centroid_id"),
+                      coalesce(element_at(col("_nm"), c.getField("centroid_id")),
+                               c.getField("centroid")).as("centroid")))
+          .as("_cents"))
     }
-
-    // deliberately uncached per round — see [[gatedKmeansFit]]'s note on
-    // the CacheManager/AQE stall that per-round persist marks caused
-    (1 to iters).foldLeft(init)((c, _) => step(c))
+    // back to the k-row (centroid_id, centroid) caller contract
+    (1 to iters).foldLeft(init1)((c, _) => step(c))
+      .select(explode(col("_cents")).as("c"))
+      .select(col("c.centroid_id").as("centroid_id"),
+              col("c.centroid").as("centroid"))
   }
 
   /** Assign each vector to its nearest centroid by cosine — MAP-ONLY.
@@ -288,15 +314,18 @@ object Ivf {
     * hierarchical quantizer ([[gatedCoarseOverFine]] fits coarse centroids
     * over the fine-centroid frame with it).
     */
-  /** Per-cell per-dimension integer-floor means over a (…, centroid_id, qv)
-    * frame as ONE hash aggregate (r15 optimization, guide §2.3/§2.4): the
-    * previous posexplode → groupBy(centroid_id, pos) → groupBy(centroid_id)
-    * chain paid two exchanges per Lloyd's round plus a dim× row fan-out
-    * before the partial aggregate. `dim` count+sum columns reassembled
-    * positionally compute the identical values: every vector carries all
-    * `dim` positions, so count(1) per (cid, pos) ≡ count(1) per cid, and
-    * `sum(qv[i]) div n` is the exact same positive-integer floor division
-    * the oracle states.
+  /** Per-cell per-element integer-floor means over a (…, centroid_id, qv)
+    * frame as ONE aggregate on the [[graft.functions.VecSumLong]] kernel
+    * (r16, guide §2.3/§2.4 + §1.2 "per-task work"): count + vec_sum_q,
+    * then `x div n` per element. Identical values to both prior shapes —
+    * the r14 posexplode → groupBy(cid, pos) → groupBy(cid) chain (dim×
+    * fan-out + two exchanges per round) and the r15 count + dim
+    * `sum(qv[i])` columns (one exchange but ~200 expression nodes per
+    * round, which the carry fit's 2^rounds lineage multiplied into the
+    * measured r15 fit-family wall regression): exact integer sums are
+    * partition-order-independent, every vector carries all positions so
+    * the group counts coincide, and the floor division is positive-domain
+    * `div` in all three.
     */
   /** Materialize independent frames' eager localCheckpoints CONCURRENTLY
     * (guide §2.6 — Spark happily runs several jobs at once; they were
@@ -305,57 +334,101 @@ object Ivf {
     * by determinism of each fit; a thread pool the size of the batch.
     */
   private def parCheckpoint(frames: Seq[(Int, DataFrame)]): Seq[(Int, DataFrame)] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val futs = frames.map { case (s, df) =>
-      s -> Future(df.localCheckpoint(true))
-    }
-    futs.map { case (s, f) => s -> Await.result(f, Duration.Inf) }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    // dedicated pool sized to the batch + finite timeout (ADVICE r15): the
+    // shared fork-join pool can starve under nested futures, and an
+    // infinite await would hide a hung Spark job forever
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(frames.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = frames.map { case (s, df) =>
+        s -> Future(df.localCheckpoint(true))
+      }
+      futs.map { case (s, f) => s -> Await.result(f, 30.minutes) }
+    } finally pool.shutdown()
   }
 
-  private def gatedMeansOneAgg(assigned: DataFrame, dim: Int,
+  private def gatedMeansOneAgg(assigned: DataFrame,
                                outCol: String): DataFrame = {
-    val aggs = count(lit(1)).as("_n") +:
-      (0 until dim).map(i => sum(col("qv").getItem(i)).as(s"_s$i"))
+    // r16: ONE vec_sum_q aggregate (elementwise long-array sum kernel)
+    // replaces the r15 count + 64 sum(qv[i]) columns. Same exact integers
+    // — Σqv[i] per cell then the positive-domain floor division — but the
+    // round's plan is ~3 expression nodes instead of ~200, which matters
+    // because the carry fit copies the round subtree 2^rounds times (the
+    // r15 shape's Catalyst/codegen cost per lineage copy is what the r15
+    // verdict measured as the fit-family wall regression). Width adapts
+    // to the data (ADVICE r15: the getItem shape null-poisoned on a
+    // non-64-wide corpus; vec_sum_q sizes from the first row and throws
+    // on in-group mismatch).
     assigned.groupBy(col("centroid_id"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(count(lit(1)).as("_n"),
+           call_function("vec_sum_q", col("qv")).as("_s"))
       .select(col("centroid_id"),
-              array((0 until dim).map(i => expr(s"_s$i div _n")): _*)
-                .as(outCol))
+              expr(s"transform(_s, x -> x div _n)").as(outCol))
   }
 
-  private def gatedKmeansFit(points: DataFrame, k: Int, iters: Int,
-                             dim: Int = EmbDim): DataFrame = {
+  private def gatedKmeansFit(points: DataFrame, k: Int, iters: Int): DataFrame = {
     val init = points
       .withColumn("tile", ntile(k).over(Window.orderBy(col("vec_id"))))
       .groupBy(col("tile"))
       .agg(min_by(col("qv"), col("vec_id")).as("centroid"))
       .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
+    // LINEAR-lineage carry fit (r16, guide §2.4 / VERDICT r15 item 3 "the
+    // carry-fit broadcast-job tax"): the round state is the ONE-ROW
+    // id-sorted (centroid_id, centroid) struct array — the exact form
+    // [[gatedWithBest]] folds the k-row frame into anyway — and each round
+    // references the previous round EXACTLY ONCE (the broadcast for the
+    // argmin). The empty-cell carry that used to be a second reference
+    // (cent ⋈ means left join, doubling the logical plan per round to
+    // 2^iters copies of the sample subtree and materializing ~130
+    // single-task broadcast jobs per fit at sf0.1) is now an in-row merge:
+    // the previous array rides through the means aggregate as a
+    // `first(_cents)` column (constant within every group — partial
+    // aggregation collapses it map-side), and the new round's array is
+    // `transform(prev, c -> coalesce(newMeans[c.id], c.centroid))`.
+    // Value identity with the old k-row formulation, cell by cell:
+    //  - assignment: same id-sorted array, same sq_l2 argmin, same
+    //    first-position tie rule as [[gatedWithBest]];
+    //  - means: count + vec_sum_q + positive-domain `div`, unchanged;
+    //  - carry: map lookup misses exactly the empty cells, and coalesce
+    //    keeps their previous centroid — the left-join semantics;
+    //  - ordering: transform preserves the id-sorted order, so round r+1's
+    //    argmin sees the identical array.
+    // The oracle-gated flat-fit family proves the identity end to end.
+    val init1 = init
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("_cents"))
 
-    def step(cent: DataFrame): DataFrame = {
-      // one-exchange per-dimension integer means (r15; [[gatedMeansOneAgg]]):
-      // sum(qv[i]) div count(1) per cell ≡ the old per-(cid,pos) group's
-      // sum(v) div count(1) — every vector carries all dim positions, so
-      // the group counts coincide and the floor division is unchanged.
-      val means = gatedMeansOneAgg(gatedWithBest(points, cent), dim, "newc")
-      cent.join(means, Seq("centroid_id"), "left")
+    def step(centArr: DataFrame): DataFrame = {
+      val dists = transform(col("_cents"),
+        c => call_function("sq_l2", col("qv"), c.getField("centroid")))
+      points.crossJoin(broadcast(centArr)) // the round's ONLY prev reference
+        .withColumn("_d", dists)
+        .withColumn("centroid_id",
+          element_at(col("_cents"),
+            array_position(col("_d"), array_min(col("_d"))).cast("int"))
+            .getField("centroid_id"))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("_n"),
+             call_function("vec_sum_q", col("qv")).as("_s"),
+             first(col("_cents")).as("_prev"))
         .select(col("centroid_id"),
-                coalesce(col("newc"), col("centroid")).as("centroid"))
+                expr("transform(_s, x -> x div _n)").as("newc"), col("_prev"))
+        .agg(map_from_entries(collect_list(struct(col("centroid_id"),
+               col("newc")))).as("_nm"),
+             first(col("_prev")).as("_prev"))
+        .select(transform(col("_prev"),
+          c => struct(c.getField("centroid_id").as("centroid_id"),
+                      coalesce(element_at(col("_nm"), c.getField("centroid_id")),
+                               c.getField("centroid")).as("centroid")))
+          .as("_cents"))
     }
-    // Each round references the previous centroid frame TWICE (argmin
-    // assignment + the empty-cell left join), so the LOGICAL plan doubles
-    // per round — bounded at 2^iters copies of the (persisted) sample
-    // subtree, ~60 s of redundant kernel calls at nLists = 2048. This is
-    // DELIBERATELY left uncached: per-round lazy persist marks were tried
-    // and stalled the driver for >15 min at the 100× decade — every
-    // downstream query construction makes CacheManager canonicalize the
-    // exponential plans once per cache entry, and AQE re-plans at each
-    // InMemoryRelation boundary. Lineage truncation (localCheckpoint)
-    // would fix both but runs jobs at build time, breaking the registry's
-    // laziness contract. The 2^R waste is the lazy-plan price; the final
-    // frame is persisted by every caller, so it is paid once per action.
-    (1 to iters).foldLeft(init)((c, _) => step(c))
+    // back to the k-row (centroid_id, centroid) caller contract
+    (1 to iters).foldLeft(init1)((c, _) => step(c))
+      .select(explode(col("_cents")).as("c"))
+      .select(col("c.centroid_id").as("centroid_id"),
+              col("c.centroid").as("centroid"))
   }
 
   /** LINEAR-lineage integer Lloyd's fit: like [[gatedKmeansFit]] but
@@ -371,15 +444,15 @@ object Ivf {
     * state it.
     */
   private def gatedKmeansFitLinear(points: DataFrame, k: Int,
-                                   iters: Int, dim: Int = EmbDim): DataFrame = {
+                                   iters: Int): DataFrame = {
     val init = points
       .withColumn("tile", ntile(k).over(Window.orderBy(col("vec_id"))))
       .groupBy(col("tile"))
       .agg(min_by(col("qv"), col("vec_id")).as("centroid"))
       .select((col("tile") - 1).cast("int").as("centroid_id"), col("centroid"))
-    // one-exchange per-dimension means per round (r15; [[gatedMeansOneAgg]])
+    // one-exchange per-cell means per round (r16; [[gatedMeansOneAgg]])
     def step(cent: DataFrame): DataFrame =
-      gatedMeansOneAgg(gatedWithBest(points, cent), dim, "centroid")
+      gatedMeansOneAgg(gatedWithBest(points, cent), "centroid")
     (1 to iters).foldLeft(init)((c, _) => step(c))
   }
 
@@ -556,7 +629,7 @@ object Ivf {
       .limit(TrainCap)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cbs = (0 until PqSubs).map { s =>
-      s -> gatedKmeansFitLinear(pqSliced(sample, s), codes, Iters, PqSubDim)
+      s -> gatedKmeansFitLinear(pqSliced(sample, s), codes, Iters)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
     (qemb, cbs)
@@ -712,7 +785,7 @@ object Ivf {
     val cbs = parCheckpoint((0 until PqSubs).map { s =>
       s -> gatedKmeansFitLinear(
              slicedR(sample, s).select(col("vec_id"), col("qv")),
-             codes, Iters, PqSubDim)
+             codes, Iters)
     })
     // probe machinery: nprobe nearest cells, then a residual PER CELL
     val probe = qemb.filter(col("vec_id") === 0)
@@ -885,7 +958,7 @@ object Ivf {
     val cbs = parCheckpoint((0 until PqSubs).map { s =>
       s -> gatedKmeansFitLinear(
              rvSlice(sample, s).select(col("vec_id"), col("qv")),
-             codes, Iters, PqSubDim)
+             codes, Iters)
     })
     val cbUnion = cbs.map { case (s, cb) =>
       cb.select(lit(s.toLong).as("subspace"),
@@ -1227,7 +1300,20 @@ object Ivf {
     * assignment is map-only; the drift sums are one posexplode hash-agg.
     */
   def ivfIncremental(spark: SparkSession, sfDir: String, nLists: Int = 16,
-                     driftThr: Double = 0.45): DataFrame = {
+                     driftThr: Double = 0.45): DataFrame =
+    ivfIncrementalParts(spark, sfDir, nLists, driftThr)._1
+
+  /** [[ivfIncremental]]'s report alongside its fitted centroids and the
+    * full-corpus cell assignment, so [[ivfRefitOnDrift]] can REUSE them
+    * (r16 — the drift report used to run the identical TrainCap carry fit
+    * AND the identical corpus argmin pass a second time for its `oldCents`
+    * / `asgOld` legs; the fit and assignment are deterministic, so reuse
+    * is value-identical and saves one full fit lineage + one corpus pass
+    * from the most expensive registry entry).
+    */
+  private def ivfIncrementalParts(spark: SparkSession, sfDir: String,
+                                  nLists: Int, driftThr: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
     val emb = t(spark, sfDir, "embeddings")
     val cents = gatedCentroids(gatedQemb(emb.filter(col("vec_id") % 10 =!= 9)),
@@ -1262,7 +1348,7 @@ object Ivf {
               r4(col("dab").cast("double") /
                  (sqrt(col("daa").cast("double")) *
                   sqrt(col("dbb").cast("double")))).as("drift_cos"))
-    ordered(
+    val report = ordered(
       counts.join(drift, Seq("cell_id"), "left")
         .select(col("cell_id"), col("n_old"), col("n_new"),
                 expr("n_new * 10000 div (n_old + n_new)").as("new_share_bp"),
@@ -1270,6 +1356,7 @@ object Ivf {
                 (col("drift_cos").isNotNull &&
                  col("drift_cos") < driftThr).as("refit_flag")),
       "cell_id")
+    (report, cents, asg)
   }
 
   /** A `java.io.File`-free HDFS-API marker check/set — lifecycle steps
@@ -1503,16 +1590,19 @@ object Ivf {
   def ivfRefitOnDrift(spark: SparkSession, sfDir: String, nLists: Int = 16,
                       driftThr: Double = 0.45): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val inc = ivfIncremental(spark, sfDir, nLists, driftThr)
+    // r16: reuse the incremental path's fitted centroids AND its persisted
+    // full-corpus assignment instead of refitting the identical TrainCap
+    // carry fit and re-running the identical corpus argmin for the
+    // `asgOld` leg ([[ivfIncrementalParts]] — deterministic fit/argmin ⇒
+    // value-identical; drops one of the three fit lineages and one of the
+    // three corpus assignment passes from this plan).
+    val (inc, _, asg) = ivfIncrementalParts(spark, sfDir, nLists, driftThr)
     val flags = inc.agg(
       sum(when(col("refit_flag"), 1L).otherwise(0L)).as("cells_flagged"))
     val emb = t(spark, sfDir, "embeddings")
     val qemb = gatedQemb(emb)
-    val oldCents = gatedCentroids(gatedQemb(emb.filter(col("vec_id") % 10 =!= 9)),
-                                  nLists)
     val newCents = gatedCentroids(qemb, nLists)
-    val asgOld = gatedWithBest(qemb, oldCents)
-      .select(col("vec_id"), col("centroid_id").as("c_old"))
+    val asgOld = asg.select(col("vec_id"), col("cell_id").as("c_old"))
     val asgNew = gatedWithBest(qemb, newCents)
       .select(col("vec_id"), col("centroid_id").as("c_new"))
     val moved = asgOld.join(asgNew, "vec_id").agg(
@@ -1743,16 +1833,17 @@ object Ivf {
     // drop-empty grouped Lloyd's round: the previous centroid frame is
     // referenced exactly ONCE (the routing broadcast) — linear lineage,
     // the [[gatedKmeansFitLinear]] discipline, mirrored by the oracle
+    // per-(gid, fcid) integer means via the vec_sum_q kernel (r16 — same
+    // value-identity argument as [[gatedMeansOneAgg]]: Σqv[i] div count
+    // per element ≡ the posexplode per-(gid, fcid, pos) sum(v) div count)
     def fstep(cent: DataFrame): DataFrame =
       routed.crossJoin(broadcast(groupMap(cent)))
         .withColumn("fcid", bestInGroup(col("gid")))
-        .select(col("gid"), col("fcid"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("gid"), col("fcid"), col("pos"))
-        .agg(expr("sum(v) div count(1)").as("mv"))
         .groupBy(col("gid"), col("fcid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pv"))
+        .agg(count(lit(1)).as("_n"),
+             call_function("vec_sum_q", col("qv")).as("_s"))
         .select(col("gid"), col("fcid"),
-                transform(col("pv"), x => x.getField("mv")).as("centroid"))
+                expr("transform(_s, x -> x div _n)").as("centroid"))
     val fine = (1 to Iters).foldLeft(finit)((c, _) => fstep(c))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
