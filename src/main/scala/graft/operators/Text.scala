@@ -573,7 +573,6 @@ object Text {
     import org.apache.spark.sql.expressions.Window
     val e = shingleRows(docs(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val freq = e.groupBy(col("s")).agg(count(lit(1)).as("f"))
     // rank AND set size from ONE per-doc window pass (same partition key →
     // one exchange feeds both) instead of joining a separate sizes
@@ -591,19 +590,41 @@ object Text {
     val prefF = rk
       .filter(col("rk") <=
         col("nsh") - expr(s"($num * nsh + ${den - 1}) div $den") + lit(1))
-      .select(col("doc_id"), col("s"), col("nsh"), col("f"))
+      .select(col("doc_id"), col("s"), col("nsh"), col("f"), col("rk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pref = prefF.select(col("doc_id"), col("s"), col("nsh"))
+    val pref = prefF.select(col("doc_id"), col("s"), col("nsh"), col("rk"))
     // PPJoin length filter: J ≥ num/den and c ≤ min(na,nb) force
     // den·min(na,nb) ≥ num·max(na,nb) — a necessary condition, so the
     // prune stays lossless (24% of sf0.1 candidates die here before the
-    // verification joins ever see them)
-    val cand = pref.select(col("s"), col("doc_id").as("doc_a"), col("nsh").as("na"))
-      .join(pref.select(col("s"), col("doc_id").as("doc_b"), col("nsh").as("nb")), Seq("s"))
+    // verification joins ever see them).
+    // PPJoin POSITIONAL filter (r16, guide §3 — Xiao et al. WWW'08 §3.2):
+    // for a shared prefix shingle at frequency-order ranks (ra, rb), the
+    // overlap is bounded by ub = 1 + min(na − ra, nb − rb) WHEN that
+    // shingle is the pair's FIRST common one (nothing common precedes it,
+    // and at most min(remaining) can follow). J ≥ t needs
+    // c·(num+den) ≥ num·(na+nb); a pair's max(ub) over its shared prefix
+    // shingles is ≥ the first-common-token bound ≥ c, so dropping pairs
+    // with max(ub)·(num+den) < num·(na+nb) is LOSSLESS — proven by this
+    // query's naive oracle. Measured at sf0.1: 309,803 → 124,979
+    // candidate pairs (60% pruned), cutting the verification join's
+    // Σ_cand |A| fan-out from 21.1M rows proportionally. The groupBy
+    // replaces the old distinct() — same exchange, narrow extra columns.
+    val cand = pref.select(col("s"), col("doc_id").as("doc_a"),
+                           col("nsh").as("na"), col("rk").as("ra"))
+      .join(pref.select(col("s"), col("doc_id").as("doc_b"),
+                        col("nsh").as("nb"), col("rk").as("rb")), Seq("s"))
       .filter(col("doc_a") < col("doc_b") &&
               greatest(col("na"), col("nb")) * lit(num) <=
                 least(col("na"), col("nb")) * lit(den))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(max(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")))
+        .as("_mub"))
+      .filter(col("_mub") * lit(num + den) >= (col("na") + col("nb")) * lit(num))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      // referenced by the verification fan-out AND the final size
+      // re-attach — persist (pair-level, prefix-pruned) or the candidate
+      // self-join runs twice (the prefF rationale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verification: each candidate pair joins the per-doc shingle rows.
     // The doc_a key is the skew hazard — a clone cluster or mega-doc
     // appears in MANY candidate pairs, so its shingle fan-out lands on
@@ -620,16 +641,20 @@ object Text {
       .agg(sum(col("f")).as("_cb"))
       .filter(col("_cb") > 1024L)
       .select(col("doc_id").as("doc_a"))
+    // the verification fan-out carries pair ids only; (na, nb) re-attach
+    // from the pair-level cand frame AFTER the per-pair count — one join
+    // against ≤|cand| rows instead of the two doc-level sizes joins (the
+    // cand frame now carries the exact same per-doc posting counts the
+    // sizes aggregate computed — nsh is the same window count)
     val common = graft.util.Skew
-      .hotColdJoinWith(cand, e.select(col("doc_id").as("doc_a"), col("s")),
+      .hotColdJoinWith(cand.select(col("doc_a"), col("doc_b")),
+                       e.select(col("doc_id").as("doc_a"), col("s")),
                        "doc_a", "doc_b", salts = 8, hotKeys = hotDocs)
       .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-    val za = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
-    val zb = sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))
     val jac = col("c").cast("double") /
               (col("na") + col("nb") - col("c")).cast("double")
-    ordered(common.join(za, "doc_a").join(zb, "doc_b")
+    ordered(common.join(cand, Seq("doc_a", "doc_b"))
               .filter(col("c") * lit(num + den) >= (col("na") + col("nb")) * lit(num))
               .select(col("doc_a"), col("doc_b"), r4(jac).as("jaccard")),
             "doc_a", "doc_b")
@@ -659,25 +684,42 @@ object Text {
     import org.apache.spark.sql.expressions.Window
     val e = shingleRows(docs(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = e.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val freq = e.groupBy(col("s")).agg(count(lit(1)).as("f"))
     val byDoc = Window.partitionBy(col("doc_id"))
-    val rk = e.join(freq, "s")
+    // persist the RANKED full-posting frame (r16): the positional filter
+    // below needs the container side's frequency-order rank too, so the
+    // cache moves one step up from the pruned prefix (prefF is now a lazy
+    // filter over it — same window computed once, one cache)
+    val rkF = e.join(freq, "s")
       .withColumn("rk", row_number().over(
         byDoc.orderBy(col("f").asc, col("s").asc)))
       .withColumn("nsh", count(lit(1)).over(byDoc))
-    // persist the pruned prefix frame — same double-consumer rationale as
-    // jaccardPrefixJoin (candidate probe + hot-doc bound), same measured win
-    val prefF = rk
+      .select(col("doc_id"), col("s"), col("f"), col("rk"), col("nsh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefF = rkF
       .filter(col("rk") <=
         col("nsh") - expr(s"($num * nsh + ${den - 1}) div $den") + lit(1))
-      .select(col("doc_id"), col("s"), col("f"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pref = prefF.select(col("doc_id").as("doc_a"), col("s"))
+    val pref = prefF.select(col("doc_id").as("doc_a"), col("s"),
+                            col("nsh").as("na"), col("rk").as("ra"))
+    // positional filter (r16, guide §3 — the jaccardPrefixJoin argument
+    // transposed to containment): for the pair's FIRST common shingle in
+    // the global (f, s) order, c ≤ 1 + min(na − ra, nb − rb), and
+    // C ≥ num/den needs c·den ≥ num·na; max(ub) over shared indexed
+    // shingles dominates the first-common bound, so the prune is LOSSLESS
+    // (this query's naive oracle proves it). The groupBy replaces the old
+    // distinct(); (na) rides along — functionally determined by doc_a —
+    // so the final size join collapses into the pair frame.
     val cand = pref
-      .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .join(rkF.select(col("doc_id").as("doc_b"), col("s"),
+                       col("nsh").as("nb"), col("rk").as("rb")), Seq("s"))
       .filter(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .groupBy(col("doc_a"), col("doc_b"), col("na"))
+      .agg(max(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")))
+        .as("_mub"))
+      .filter(col("_mub") * lit(den) >= col("na") * lit(num))
+      .select(col("doc_a"), col("doc_b"), col("na"))
+      // double-referenced (verification fan-out + final size re-attach)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // same hot/cold salted verification lane as jaccardPrefixJoin, same
     // prefix-stat hotness bound (the containment candidate set is even
     // more probe-side-skewed: a doc whose prefix shingles are common
@@ -687,12 +729,12 @@ object Text {
       .filter(col("_cb") > 1024L)
       .select(col("doc_id").as("doc_a"))
     val common = graft.util.Skew
-      .hotColdJoinWith(cand, e.select(col("doc_id").as("doc_a"), col("s")),
+      .hotColdJoinWith(cand.select(col("doc_a"), col("doc_b")),
+                       e.select(col("doc_id").as("doc_a"), col("s")),
                        "doc_a", "doc_b", salts = 8, hotKeys = hotDocs)
       .join(e.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
-    val za = sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na"))
-    ordered(common.join(za, "doc_a")
+    ordered(common.join(cand, Seq("doc_a", "doc_b"))
               .filter(col("c") * lit(den) >= col("na") * lit(num))
               .select(col("doc_a"), col("doc_b"),
                       r4(col("c").cast("double") / col("na").cast("double"))
