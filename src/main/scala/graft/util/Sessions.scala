@@ -25,6 +25,17 @@ object Sessions {
     // Dims (region/nation/customer/part/supplier) stay broadcast-able well
     // past sf0.1; 64 MB covers a 100×-scale dim while fact tables shuffle.
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // Let the planner pick shuffled-hash over sort-merge when its size
+    // conditions hold (guide §3.1/§9): SHJ skips both sort legs and its
+    // build side is size-gated by the same planner conditions at any
+    // scale — oversize builds keep SMJ, so the preference is
+    // scale-neutral, not a local-mode tune. ADOPTED round 16 on a clean
+    // back-to-back full-suite A/B (flag the only diff, idle box):
+    // geomean 0.979 over all 403, 0.956 over the 217 queries ≥0.3 s,
+    // totals 245.3 → 239.9 s (OPTIMIZATION_r16.md). Env-overridable so
+    // the A/B stays reproducible.
+    c.set("spark.sql.join.preferSortMergeJoin",
+      sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
     // The default 128-group threshold exists for UNBOUNDED object buffers
     // (collect_list): past it, ObjectHashAggregate sorts its input instead
     // of hash-aggregating. Our only object aggregate (MinHashAggregator) has

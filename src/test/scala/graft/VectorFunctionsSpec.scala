@@ -174,4 +174,50 @@ class VectorFunctionsSpec extends SparkSpec {
       call_function("hyperplane_bands", col("embedding")).as("bands"))
     assert(native.exceptAll(viaDots).isEmpty && viaDots.exceptAll(native).isEmpty)
   }
+
+  test("vec_sum_q equals the posexplode per-position sums, groups included") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      (i % 7, Seq.fill(16)(rnd.nextInt(100000).toLong - 50000L))
+    }
+    val d = rows.toDF("g", "qv").repartition(13) // partition-order independence
+    val native = d.groupBy(col("g"))
+      .agg(call_function("vec_sum_q", col("qv")).as("s"))
+      .select(col("g"), posexplode(col("s")).as(Seq("pos", "v")))
+    val viaExplode = d
+      .select(col("g"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("g"), col("pos")).agg(sum(col("v")).as("v"))
+      .select(col("g"), col("pos"), col("v"))
+    assert(native.exceptAll(viaExplode).isEmpty &&
+           viaExplode.exceptAll(native).isEmpty)
+  }
+
+  test("vec_sum_q skips NULL inputs; all-NULL group yields NULL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val d = Seq(
+      (1, Option(Seq(1L, 2L))), (1, None), (1, Option(Seq(10L, 20L))),
+      (2, None), (2, None)).toDF("g", "qv")
+    val r = d.groupBy(col("g"))
+      .agg(call_function("vec_sum_q", col("qv")).as("s"))
+      .orderBy(col("g")).collect()
+    assert(r(0).getSeq[Long](1) === Seq(11L, 22L))
+    assert(r(1).isNullAt(1))
+  }
+
+  test("vec_sum_q adapts to the data's width and rejects in-group mismatch") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // width 3 (not EmbDim) sums fine — the r15 ADVICE null-poison hazard
+    val ok = Seq((1, Seq(1L, 2L, 3L)), (1, Seq(4L, 5L, 6L))).toDF("g", "qv")
+      .groupBy(col("g")).agg(call_function("vec_sum_q", col("qv")).as("s"))
+      .head().getSeq[Long](1)
+    assert(ok === Seq(5L, 7L, 9L))
+    val bad = Seq((1, Seq(1L, 2L)), (1, Seq(1L, 2L, 3L))).toDF("g", "qv")
+      .groupBy(col("g")).agg(call_function("vec_sum_q", col("qv")).as("s"))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage != null)
+  }
 }
